@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Scale notes: AQE is on so shuffle partition counts and skew-joins
+  * re-plan at runtime; auto-broadcast stays at Spark's default so dim
+  * tables (region/nation-sized) broadcast without hints. Locally we run
+  * `local[N]` with N shuffle partitions; on a cluster the same code
+  * runs with `spark.sql.shuffle.partitions` sized to executors.
+  */
+object Sessions {
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession =
+    tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+
+  /** Apply the standard configs to any builder (driver-owned sessions too). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it unless
+    // read as raw int64 nanos — Tables.load converts back to timestamp.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish star schema (TESTDATA.md).
+  *
+  * Parquet only — columnar, splittable, self-describing; at 100 TB the
+  * scan benefits from column pruning + predicate pushdown, which the
+  * specs assert via `.explain`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) → read as int64 nanos (see
+    // Sessions), restored here to a microsecond timestamp.
+    df.schema.fields.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
+      case Some(_) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Register every table as a temp view (for the SQL surface). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's transform-step pipeline, Spark-first.
+  *
+  * The reference (duckdb_engine.py:286-370 `_step_to_sql`) turns each
+  * step into a DuckDB SQL view chained off the previous one, and
+  * re-materializes CSV between pipeline nodes. Here each step is a pure
+  * `DataFrame => DataFrame`, so an N-step pipeline stays ONE lazy
+  * Catalyst plan: filters combine and push down to the scan, projections
+  * prune columns, and nothing hits disk until the terminal write. That
+  * is the difference between "works on a laptop CSV" and "works on
+  * 100 TB of parquet".
+  */
+sealed trait TransformStep {
+  def apply(df: DataFrame): DataFrame
+}
+
+object TransformStep {
+
+  /** duckdb_engine.py:290 rename_column */
+  final case class RenameColumn(from: String, to: String) extends TransformStep {
+    def apply(df: DataFrame): DataFrame = df.withColumnRenamed(from, to)
+  }
+
+  /** duckdb_engine.py:295 cast_type — target is a Spark SQL type name. */
+  final case class CastType(column: String, targetType: String) extends TransformStep {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(column, col(column).cast(targetType))
+  }
+
+  /** duckdb_engine.py:300 trim_whitespace (the reference stubs this;
+    * we implement it properly). `columns == Seq("*")` trims every
+    * string column.
+    */
+  final case class TrimWhitespace(columns: Seq[String]) extends TransformStep {
+    def apply(df: DataFrame): DataFrame = {
+      val targets =
+        if (columns == Seq("*"))
+          df.schema.fields.filter(_.dataType.typeName == "string").map(_.name).toSeq
+        else columns
+      targets.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+    }
+  }
+
+  /** duckdb_engine.py:310 filter_rows — SQL boolean expression. */
+  final case class FilterRows(expression: String) extends TransformStep {
+    def apply(df: DataFrame): DataFrame = df.filter(expression)
+  }
+
+  /** duckdb_engine.py:314 drop_nulls — rows where ANY listed column is null. */
+  final case class DropNulls(columns: Seq[String]) extends TransformStep {
+    def apply(df: DataFrame): DataFrame = df.na.drop(columns)
+  }
+
+  /** duckdb_engine.py:319 deduplicate_rows.
+    *
+    * With key columns the reference keeps the first row per key by file
+    * order (ROW_NUMBER ... ORDER BY ROWID) — an order that doesn't exist
+    * in a distributed scan. We make "first" explicit: the caller names a
+    * total-order tiebreak column and we keep the row with its minimum.
+    * This is a single hash-aggregate (map-side partial) instead of a
+    * full window sort — cheaper at scale and deterministic everywhere.
+    * With no key columns: `DISTINCT *`.
+    */
+  final case class DeduplicateRows(columns: Seq[String], orderBy: Option[String] = None)
+      extends TransformStep {
+    def apply(df: DataFrame): DataFrame =
+      if (columns.isEmpty) df.distinct()
+      else orderBy match {
+        case None => df.dropDuplicates(columns)
+        case Some(tiebreak) =>
+          // min_by over the full row keeps exactly one deterministic winner
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy(columns.map(col): _*).orderBy(col(tiebreak))
+          df.withColumn("_rn", row_number().over(win))
+            .filter(col("_rn") === 1).drop("_rn")
+      }
+  }
+
+  /** duckdb_engine.py:327 replace_text — literal find/replace. */
+  final case class ReplaceText(column: String, find: String, replaceWith: String)
+      extends TransformStep {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(column, regexp_replace(col(column),
+        java.util.regex.Pattern.quote(find),
+        java.util.regex.Matcher.quoteReplacement(replaceWith)))
+  }
+
+  /** duckdb_engine.py:336 regex_replace — global regex replace. */
+  final case class RegexReplace(column: String, pattern: String, replacement: String)
+      extends TransformStep {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(column, regexp_replace(col(column), pattern, replacement))
+  }
+
+  /** duckdb_engine.py:345 add_derived_column — SQL expression. */
+  final case class AddDerivedColumn(name: String, expression: String) extends TransformStep {
+    def apply(df: DataFrame): DataFrame = df.withColumn(name, expr(expression))
+  }
+
+  /** duckdb_engine.py:350 split_column — 1-based parts by delimiter. */
+  final case class SplitColumn(column: String, delimiter: String, newNames: Seq[String])
+      extends TransformStep {
+    def apply(df: DataFrame): DataFrame = {
+      val parts = split(col(column), java.util.regex.Pattern.quote(delimiter))
+      newNames.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
+        d.withColumn(name, element_at(parts, i + 1))
+      }
+    }
+  }
+
+  /** duckdb_engine.py:359 merge_columns — null-safe concat with separator. */
+  final case class MergeColumns(columns: Seq[String], separator: String, newName: String)
+      extends TransformStep {
+    def apply(df: DataFrame): DataFrame = {
+      // Reference semantics: COALESCE(CAST(c AS VARCHAR),'') joined by sep
+      val parts = columns.map(c => coalesce(col(c).cast("string"), lit("")))
+      val joined = parts.reduceLeft((a, b) => concat(a, lit(separator), b))
+      df.withColumn(newName, joined)
+    }
+  }
+
+  /** duckdb_engine.py:367 sql_transform — arbitrary SQL over `{{input}}`. */
+  final case class SqlTransform(sql: String) extends TransformStep {
+    def apply(df: DataFrame): DataFrame = {
+      val view = s"_graft_input_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      df.createOrReplaceTempView(view)
+      df.sparkSession.sql(sql.replace("{{input}}", view))
+    }
+  }
+
+  /** duckdb_engine.py:372 aggregate — group_by + {column -> function}.
+    * Output columns are named `col_func` like the reference.
+    * Runs as a hash aggregate with map-side partial aggregation.
+    */
+  final case class Aggregate(groupBy: Seq[String], aggregations: Seq[(String, String)])
+      extends TransformStep {
+    def apply(df: DataFrame): DataFrame = {
+      val aggCols: Seq[Column] = aggregations.map { case (c, f) =>
+        expr(s"$f(`$c`)").as(s"${c}_$f")
+      }
+      df.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+  }
+
+  /** Run a step list as one composed lazy plan. */
+  def applyAll(df: DataFrame, steps: Seq[TransformStep]): DataFrame =
+    steps.foldLeft(df)((d, s) => s(d))
+}

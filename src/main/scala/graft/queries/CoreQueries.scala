@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TransformStep
+import graft.operators.TransformStep._
+
+/** §2.1 transform-step operators + §2.4 relational core, each as a
+  * (session, sfDir) => DataFrame with a DuckDB oracle in
+  * [[CoreQueries.oracles]].
+  *
+  * Determinism rules (SURVEY §3): every query is a well-defined set,
+  * ordered on a total key both here and in the oracle; double SUMs go
+  * through DECIMAL(18,4) casts on both sides so accumulation order
+  * can't flip a bit; AVGs are rounded to 4 places on both sides.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1. rename_column (duckdb_engine.py:290)
+    "t_rename_column" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq(RenameColumn("l_quantity", "qty"))
+      ).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 2. cast_type (duckdb_engine.py:295)
+    "t_cast_type" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "part").select("p_partkey", "p_size"),
+        Seq(CastType("p_size", "bigint"), RenameColumn("p_size", "p_size_big"))
+      ).orderBy("p_partkey")
+    }),
+
+    // 3. trim_whitespace (duckdb_engine.py:300)
+    "t_trim_whitespace" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        Seq(TrimWhitespace(Seq("*")))
+      ).orderBy("c_custkey")
+    }),
+
+    // 4. filter_rows (duckdb_engine.py:310)
+    "t_filter_rows" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+        Seq(FilterRows("l_discount > 0.05 AND l_quantity < 25"))
+      ).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 5. drop_nulls (duckdb_engine.py:314)
+    "t_drop_nulls" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "events").select("event_id", "user_id", "props"),
+        Seq(DropNulls(Seq("user_id", "props")))
+      ).orderBy("event_id")
+    }),
+
+    // 6a. deduplicate_rows, no keys → DISTINCT * (duckdb_engine.py:319)
+    "t_dedup_rows" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"),
+        Seq(DeduplicateRows(Nil))
+      ).orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // 6b. deduplicate_rows keyed: keep row with min tiebreak per key.
+    // (The reference keeps "first by ROWID" — no such order exists in a
+    // distributed scan, so the engine makes the order explicit.)
+    "t_dedup_keyed" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+        Seq(DeduplicateRows(Seq("o_custkey"), orderBy = Some("o_orderkey")))
+      ).orderBy("o_custkey")
+    }),
+
+    // 7. replace_text (duckdb_engine.py:327)
+    "t_replace_text" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        Seq(ReplaceText("c_mktsegment", "BUILDING", "OFFICE"))
+      ).orderBy("c_custkey")
+    }),
+
+    // 8. regex_replace (duckdb_engine.py:336)
+    "t_regex_replace" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "part").select("p_partkey", "p_type"),
+        Seq(RegexReplace("p_type", "[aeiou]", "_"))
+      ).orderBy("p_partkey")
+    }),
+
+    // 9. add_derived_column (duckdb_engine.py:345)
+    "t_derived_column" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+        Seq(AddDerivedColumn("revenue", "l_extendedprice * (1 - l_discount)"))
+      ).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 10. split_column (duckdb_engine.py:350)
+    "t_split_column" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        Seq(SplitColumn("o_orderpriority", "-", Seq("prio_num", "prio_name")))
+      ).orderBy("o_orderkey")
+    }),
+
+    // 11. merge_columns (duckdb_engine.py:359)
+    "t_merge_columns" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        Seq(MergeColumns(Seq("c_name", "c_mktsegment"), " | ", "c_label"))
+      ).orderBy("c_custkey")
+    }),
+
+    // 12. sql_transform over {{input}} (duckdb_engine.py:367)
+    "t_sql_transform" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "lineitem"),
+        Seq(SqlTransform(
+          "SELECT l_returnflag, count(*) AS cnt FROM {{input}} GROUP BY l_returnflag"))
+      ).orderBy("l_returnflag")
+    }),
+
+    // 13. aggregate: group_by + {col -> fn} (duckdb_engine.py:372)
+    "t_aggregate" -> ((s, dir) => {
+      TransformStep.applyAll(
+        t(s, dir, "lineitem")
+          .withColumn("l_quantity", col("l_quantity").cast("decimal(18,4)")),
+        Seq(Aggregate(
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("l_quantity" -> "sum", "l_extendedprice" -> "max", "l_orderkey" -> "count")))
+      ).orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q1-shaped pricing summary: the flagship agg. Partial
+    // (map-side) aggregation + 2-column shuffle — the canonical
+    // scale-out agg shape.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // 3-way join: lineitem ⋈ orders ⋈ customer, agg by segment.
+    // orders/lineitem co-shuffle on orderkey; customer joins on custkey;
+    // AQE picks broadcast if a side is small at runtime.
+    "q_join3" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Dim-chain broadcast join: customer ⋈ nation ⋈ region (dims are
+    // explicitly broadcast — at 100 TB the fact side never shuffles).
+    "q_broadcast_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).as("sum_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    // Window: top order per customer (deterministic tiebreak).
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("o_custkey")
+    }),
+
+    // Global top-k on a total order. Spark's sort+limit is a per-
+    // partition top-k then a k-merge on one reducer — no full sort.
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // Tumbling 1-hour window over the events stream table (batch shape;
+    // the streaming twin lives in graft.streaming with a watermark).
+    "q_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("value_sum"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // Anti join: customers with no orders (NOT EXISTS).
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ROLLUP aggregate (multi-level totals in one pass).
+    "q_cube_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // e_preview: deterministic ordered preview (preview_file).
+    "e_preview" -> ((s, dir) => {
+      t(s, dir, "nation").orderBy("n_nationkey").limit(10)
+    }),
+
+    // e_execute_sql: arbitrary SQL over registered named views
+    // (execute_sql w/ sources).
+    "e_execute_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_rename_column" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t_cast_type" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size_big
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "t_trim_whitespace" ->
+      """SELECT c_custkey, TRIM(c_name) AS c_name, TRIM(c_mktsegment) AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t_filter_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t_drop_nulls" ->
+      """SELECT event_id, user_id, props FROM events
+        |WHERE user_id IS NOT NULL AND props IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "t_dedup_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "t_dedup_keyed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS _rn
+        |  FROM (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders)
+        |) WHERE _rn = 1 ORDER BY o_custkey""".stripMargin,
+    "t_replace_text" ->
+      """SELECT c_custkey, REPLACE(c_mktsegment, 'BUILDING', 'OFFICE') AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t_regex_replace" ->
+      """SELECT p_partkey, regexp_replace(p_type, '[aeiou]', '_', 'g') AS p_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "t_derived_column" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |  l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t_split_column" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  string_split(o_orderpriority, '-')[1] AS prio_num,
+        |  string_split(o_orderpriority, '-')[2] AS prio_name
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "t_merge_columns" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  COALESCE(CAST(c_name AS VARCHAR), '') || ' | ' ||
+        |  COALESCE(CAST(c_mktsegment AS VARCHAR), '') AS c_label
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t_sql_transform" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "t_aggregate" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS l_quantity_sum,
+        |  max(l_extendedprice) AS l_extendedprice_max,
+        |  count(l_orderkey) AS l_orderkey_count
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join3" ->
+      """SELECT c_mktsegment,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_cube_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "e_preview" ->
+      "SELECT * FROM nation ORDER BY n_nationkey LIMIT 10",
+    "e_execute_sql" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}
