@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-training-data pipelines:
+  * language ID, token counting, quality metrics, fingerprinting.
+  *
+  * Everything here is a pure Column expression (whole-stage-codegen
+  * friendly, no UDFs), and every function has a DuckDB-SQL twin
+  * generated from the SAME marker/pattern data so the oracle compare
+  * is exact by construction.
+  */
+object TextFunctions {
+
+  /** Stopword markers per language, checked as ` word `-padded LIKE
+    * patterns (cheap, codegen'd, identical semantics in DuckDB).
+    * Priority order breaks ties: first language listed wins.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "fr" -> Seq(" le ", " et ", " les ", " est "),
+    "es" -> Seq(" el ", " y ", " los ", " es "))
+
+  /** CJK detection: any Han character → "zh". Works in both Java regex
+    * and RE2 via the \x{...} escape.
+    */
+  val cjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  private def hits(text: Column, markers: Seq[String]): Column =
+    markers.map(m => when(text.contains(m), 1).otherwise(0)).reduce(_ + _)
+
+  /** N-gram/stopword-heuristic language ID. Deterministic: CJK → zh,
+    * else argmax of marker hits in priority order, all-zero → "und".
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langMarkers.map { case (lang, ms) => lang -> hits(padded, ms) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    val best = scores.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((lang, score), i), fallback) =>
+        val beatsLater = scores.drop(i + 1)
+          .map { case (_, s2) => score >= s2 }
+          .foldLeft(lit(true): Column)(_ && _)
+        when(score > 0 && beatsLater, lit(lang)).otherwise(fallback)
+    }
+    when(regexp_count(text, lit(cjkPattern)) > 0, lit("zh"))
+      .otherwise(when(anyHit, best).otherwise(lit("und")))
+  }
+
+  /** DuckDB twin of [[langId]] for a column expression `c`. */
+  def langIdSql(c: String): String = {
+    def hitsSql(lang: String): String = langMarkers.toMap.apply(lang)
+      .map(m => s"(CASE WHEN ' ' || lower($c) || ' ' LIKE '%$m%' THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val anyHit = langMarkers.map { case (l, _) => hitsSql(l) }.mkString(" + ") + " > 0"
+    val branches = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      val cond = (langMarkers.drop(i + 1).map { case (l2, _) =>
+        s"${hitsSql(lang)} >= ${hitsSql(l2)}"
+      } :+ s"${hitsSql(lang)} > 0").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"""CASE WHEN regexp_matches($c, '$cjkPattern') THEN 'zh'
+       |     WHEN NOT ($anyHit) THEN 'und'
+       |     $branches ELSE 'und' END""".stripMargin
+  }
+
+  /** Whitespace token count (empty/blank text → 0). */
+  def wsTokenCount(text: Column): Column =
+    when(trim(text) === "", 0).otherwise(size(split(trim(text), "\\s+")))
+
+  def wsTokenCountSql(c: String): String =
+    s"CASE WHEN trim($c) = '' THEN 0 ELSE len(regexp_split_to_array(trim($c), '\\s+')) END"
+
+  /** BPE-ish subword proxy: runs of word chars or single punctuation. */
+  val bpePattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
+  def bpeTokenCountSql(c: String): String =
+    s"len(regexp_extract_all($c, '$bpePattern'))"
+
+  /** Quality metrics (ratios are IEEE double divisions — deterministic
+    * and bit-identical across engines given identical integer inputs).
+    */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def punctRatioSql(c: String): String =
+    s"CAST(len(regexp_extract_all($c, '[.,;:!?]')) AS DOUBLE) / CAST(greatest(length($c), 1) AS DOUBLE)"
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in")
+
+  /** Fraction of whitespace tokens that are stopwords.
+    *
+    * Occurrences of ` word ` are counted via the replace-length-diff
+    * trick — RE2 (DuckDB) has no lookahead, but literal `replace` has
+    * identical leftmost-non-overlapping semantics in both engines, so
+    * the counts (and thus the ratio) match bit-for-bit.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stops = stopwords.map { w =>
+      val pat = s" $w "
+      (length(padded) - length(regexp_replace(padded,
+        java.util.regex.Pattern.quote(pat), ""))).cast("double") / pat.length
+    }.reduce(_ + _)
+    stops / greatest(wsTokenCount(text), lit(1)).cast("double")
+  }
+
+  def stopwordRatioSql(c: String): String = {
+    val padded = s"(' ' || lower($c) || ' ')"
+    val stops = stopwords.map { w =>
+      val pat = s" $w "
+      s"(CAST(length($padded) - length(replace($padded, '$pat', '')) AS DOUBLE) / ${pat.length})"
+    }.mkString(" + ")
+    s"($stops) / CAST(greatest(${wsTokenCountSql(c)}, 1) AS DOUBLE)"
+  }
+
+  /** Normalized-text fingerprint: md5 over lowercased,
+    * whitespace-collapsed text. Identical hex in Spark and DuckDB.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  def fingerprintSql(c: String): String =
+    s"md5(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')))"
+}

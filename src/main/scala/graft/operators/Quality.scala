@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling, re-expressed from the reference's
+  * `data_quality_score` (duckdb_engine.py:216-263).
+  *
+  * The reference issues 2 queries PER COLUMN (a null-count scan and a
+  * distinct-count scan) — 2N passes over the data. Here the whole
+  * profile is ONE aggregate pass producing a wide row, unpivoted with
+  * `stack`. With `exact = true` Spark plans multi-distinct via Expand
+  * (rows × N duplication) — fine at test SF and what the DuckDB oracle
+  * checks; at 100 TB call with `exact = false`, which swaps in
+  * HyperLogLog `approx_count_distinct` and keeps the pass Expand-free.
+  */
+object Quality {
+
+  /** Per-column profile: total_rows, null_count, distinct_count,
+    * null_rate, score (the reference's `(1 - null_rate) * 100`).
+    */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.schema.fieldNames.toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val distinct =
+        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"_null_$c"),
+        distinct.cast("long").as(s"_dist_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `_null_$c`, `_dist_$c`").mkString(", ")
+    wide
+      .select(col("_total").as("total_rows"),
+        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, null_count, distinct_count)"))
+      .withColumn("null_rate", col("null_count").cast("double") / col("total_rows"))
+      .withColumn("score", (lit(1.0) - col("null_rate")) * 100)
+      .select("column_name", "total_rows", "null_count", "distinct_count",
+        "null_rate", "score")
+  }
+
+  /** DuckDB oracle for [[profile]] over a named table (UNION ALL per
+    * column — the oracle may be O(N) queries; the engine is not).
+    */
+  def profileOracle(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS total_rows,
+         |  count(*) - count("$c") AS null_count,
+         |  count(DISTINCT "$c") AS distinct_count,
+         |  CAST(count(*) - count("$c") AS DOUBLE) / count(*) AS null_rate,
+         |  (1.0 - CAST(count(*) - count("$c") AS DOUBLE) / count(*)) * 100 AS score
+         |FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  /** The reference's validation node (executor/engine.py:211-224):
+    * fail the pipeline when the average column score is below a
+    * threshold. Returns the score so callers can log it.
+    */
+  def validate(df: DataFrame, minScore: Double, exact: Boolean = false): Double = {
+    val avg = profile(df, exact)
+      .agg(org.apache.spark.sql.functions.avg("score")).head.getDouble(0)
+    if (avg < minScore)
+      throw new IllegalStateException(
+        f"Quality score $avg%.1f below minimum $minScore%.1f")
+    avg
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Quality
+
+/** §2.2 engine extras + §2.5 text-analysis operators over `documents`.
+  * Oracle SQL for the text functions is generated from the same
+  * marker/pattern data as the Column implementations (TextFunctions),
+  * so Spark and DuckDB compute literally the same formula.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Semi join with a selective predicate (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // One-pass per-column quality profile (reference: 2 queries/column).
+    "e_quality_score" -> ((s, dir) =>
+      Quality.profile(t(s, dir, "customer")).orderBy("column_name")),
+
+    // split_json node: extract typed fields from a JSON string column.
+    "t_split_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // Language ID heuristic (predicted vs labeled lang).
+    "x_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace + BPE-ish subword proxy.
+    "x_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          wsTokenCount(col("text")).as("ws_tokens"),
+          bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality metrics: length, punctuation ratio, stopword ratio.
+    "x_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_calc"),
+          punctRatio(col("text")).as("punct_ratio"),
+          stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint over normalized text.
+    "x_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup: one hash-aggregate, keep min doc_id per normalized
+    // fingerprint. The 100 TB shape: a single shuffle on the hash.
+    "d_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "e_quality_score" -> Quality.profileOracle("customer",
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+    "t_split_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x_lang_id" ->
+      s"""SELECT doc_id, lang, ${langIdSql("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_token_count" ->
+      s"""SELECT doc_id, ${wsTokenCountSql("text")} AS ws_tokens,
+         |  ${bpeTokenCountSql("text")} AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars_calc,
+         |  ${punctRatioSql("text")} AS punct_ratio,
+         |  ${stopwordRatioSql("text")} AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_fingerprint" ->
+      s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_exact_dedup" ->
+      s"""SELECT ${fingerprintSql("text")} AS fp, min(doc_id) AS keep_id,
+         |  count(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+  )
+}
