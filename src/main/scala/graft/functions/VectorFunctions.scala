@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Column
+  * expressions (`zip_with`/`aggregate` — codegen'd, no UDFs, no
+  * driver-side loops). Accumulation is in double, left-to-right.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ between two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Σ vᵢ·cᵢ against a constant plane (unrolled literal array). */
+  def dotConst(v: Column, plane: Array[Double]): Column =
+    dot(v, array(plane.map(lit(_)): _*))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two array columns (0 when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Cosine against a constant query vector. */
+  def cosineConst(v: Column, q: Array[Double]): Column =
+    cosine(v, array(q.map(lit(_)): _*))
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for LLM-training-data pipelines.
+  *
+  * Four families, all pair-candidate generators that avoid O(n²):
+  *  - exact: hash-aggregate on a normalized fingerprint (see
+  *    TextQueries `d_exact_dedup`)
+  *  - MinHash + LSH banding: shingle → 64 minhashes → 16 bands →
+  *    bucket self-join → exact-Jaccard rerank
+  *  - SimHash: 64-bit signature, 16-bit chunk buckets → hamming rerank
+  *  - n-gram Jaccard: inverted shingle index self-join with a
+  *    hot-shingle cap (skew guard)
+  *
+  * Everything is Column-expression based (codegen-friendly, no UDFs);
+  * the only shuffles are the bucket joins, keyed so identical docs
+  * co-locate. At 100 TB the bucket join replaces an impossible
+  * all-pairs comparison; skew from degenerate buckets (e.g. empty
+  * docs) is bounded by `maxBucketDf` / the hot-shingle cap.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of lowercased text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val windows = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    // sequence(1, k) DESCENDS when k < 1 — guard short texts explicitly
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(windows))
+  }
+
+  /** MinHash signature: for seed h, min over shingles of
+    * xxhash64(h, shingle). 64-bit, seeded by position — deterministic
+    * across runs and executors.
+    */
+  private def minhashSig(sh: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { h =>
+      array_min(transform(sh, s => xxhash64(lit(h), s)))
+    }
+
+  /** Candidate pairs via MinHash LSH banding, reranked with EXACT
+    * Jaccard over the shingle sets. Output: (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    *
+    * bands*rowsPerBand minhashes; a pair collides if any band matches
+    * exactly — P(collide) = 1-(1-j^r)^b, the classic S-curve.
+    */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withShingles = df
+      .select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val sig = withShingles
+      .withColumn("_sig", array(minhashSig(col("_sh"), numHashes): _*))
+
+    // One row per band: bucket key = hash of the band's signature slice.
+    val banded = sig.select(col("_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(Seq(lit(b)) ++ (0 until rowsPerBand)
+            .map(r => element_at(col("_sig"), b * rowsPerBand + r + 1)): _*)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("_id"), col("bb.band"), col("bb.bucket"))
+
+    // Self-join inside (band, bucket) → candidates; distinct pairs.
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .distinct()
+
+    // Exact-Jaccard rerank: join shingle sets back in.
+    val sa = withShingles.select(col("_id").as("id_a"), col("_sh").as("_sha"))
+    val sb = withShingles.select(col("_id").as("id_b"), col("_sh").as("_shb"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
+          size(array_union(col("_sha"), col("_shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i of the signature is
+    * the sign of Σ_tokens count · (±1 by bit i of xxhash64(token)).
+    * One explode + one 64-way aggregate — a single shuffle on the id.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .groupBy("_id", "_tok").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, col("_cnt"))
+        .otherwise(-col("_cnt"))).as(s"_b$i")
+    }
+    val agg = toks.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    agg.select(col("_id").as(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dups: candidates share at least one of four 16-bit
+    * signature chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
+    * reranked on exact hamming distance ≤ maxHamming.
+    */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(df, idCol, textCol)
+    val chunked = sigs.select(col(idCol).as("_id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("ck"))
+      .select(col("_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
+    val l = chunked.as("l")
+    val r = chunked.as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        col("l.simhash").as("_sa"), col("r.simhash").as("_sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index:
+    * explode shingles → self-join on shingle → per-pair intersection
+    * counts → |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * `maxShingleDf` drops shingles appearing in more than that many
+    * docs before the join — the standard skew guard; pairs overlapping
+    * ONLY on dropped hot shingles are missed (documented approximation,
+    * exact when maxShingleDf >= corpus size).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("_id"), explode(shingles(col(textCol), shingleN)).as("_sh"))
+    val sizes = exploded.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val filtered = exploded
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_sh")))
+      .filter(col("_df") <= maxShingleDf)
+      .drop("_df")
+    val l = filtered.as("l")
+    val r = filtered.as("r")
+    val inter = l.join(r, col("l._sh") === col("r._sh") && col("l._id") < col("r._id"))
+      .groupBy(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .agg(count(lit(1)).as("_c"))
+    inter
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
+      .withColumn("jaccard",
+        col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

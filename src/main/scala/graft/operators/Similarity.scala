@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force scan — the correctness baseline and
+  *    the right plan when the query batch is tiny (one distributed
+  *    pass, per-partition top-k then k-merge, no shuffle of the data).
+  *  - [[lshTopK]] / [[hyperplaneBuckets]]: random-hyperplane LSH — the
+  *    100 TB path. Vectors land in 2^p sign-pattern buckets;
+  *    candidates come from the query's bucket plus all buckets within
+  *    `probeHamming` bit flips (multiprobe), then exact cosine rerank.
+  *    The scan prunes to candidate buckets instead of reading the
+  *    whole corpus.
+  *
+  * Hyperplanes are generated from a fixed seed — deterministic across
+  * runs, drivers, and executors.
+  */
+object Similarity {
+
+  /** Deterministic unit-free hyperplanes: planes(p)(j) ∈ [-0.5, 0.5). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextDouble() - 0.5)
+  }
+
+  /** Sign-pattern bucket id of a vector column for the given planes. */
+  def bucketExpr(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      when(dotConst(vec, plane) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
+
+  /** Bucket id of a single vector, driver-side (for query routing). */
+  def bucketOf(v: Array[Float], planes: Array[Array[Double]]): Int =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val d = v.indices.map(j => v(j) * plane(j)).sum
+      if (d >= 0) 1 << i else 0
+    }.reduce(_ | _)
+
+  /** Brute-force cosine top-k against one query vector.
+    * `cos_sim` is rounded to 4 places with an id tiebreak so the
+    * result is a well-defined set (stable under FP reassociation).
+    */
+  def cosineTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = query.map(_.toDouble)
+    df.select(col(idCol),
+        round(cosineConst(col(vecCol), q), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed top-k: prune to the query's bucket ∪ buckets within
+    * `probeHamming` sign flips, exact-cosine rerank inside.
+    */
+  def lshTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int,
+      numPlanes: Int = 8, probeHamming: Int = 1, seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val qBucket = bucketOf(query, planes)
+    val probes = (0 until (1 << numPlanes))
+      .filter(b => Integer.bitCount(b ^ qBucket) <= probeHamming)
+    val q = query.map(_.toDouble)
+    df.withColumn("_bucket", bucketExpr(col(vecCol), planes))
+      .filter(col("_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosineConst(col(vecCol), q), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicates by embedding cosine: bucket join on the
+    * LSH sign pattern (identical bucket ⇒ candidate), exact rerank.
+    * The 100 TB shape for embedding dedup — never all-pairs.
+    */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      bucketExpr(col(vecCol), planes).as("_bucket"))
+    val l = bucketed.as("l")
+    val r = bucketed.as("r")
+    l.join(r, col("l._bucket") === col("r._bucket") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        round(cosine(col("l._v"), col("r._v")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

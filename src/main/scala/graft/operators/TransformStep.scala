@@ -107,7 +107,8 @@ object TransformStep {
     def apply(df: DataFrame): DataFrame = {
       val parts = split(col(column), java.util.regex.Pattern.quote(delimiter))
       newNames.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
-        d.withColumn(name, element_at(parts, i + 1))
+        // try_element_at: missing part → null (ANSI-safe, DuckDB-equal)
+        d.withColumn(name, try_element_at(parts, lit(i + 1)))
       }
     }
   }

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** §2.5 near-dup + similarity queries.
+  *
+  * The synthetic corpus has no real near-duplicates, so each query
+  * deterministically plants them: clone a fixed id-range with a small
+  * perturbation (extra token / scaled vector), shifted ids. The
+  * operators must then recover exactly those planted pairs — asserted
+  * precisely in the ScalaTest specs; the driver check is rows>0 for
+  * the LSH-probabilistic ones (no SQL oracle can express them).
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val CloneShift = 1000000L
+
+  /** documents ∪ near-dup clones of doc_id < 50 (one appended token). */
+  def docsWithClones(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clones = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + CloneShift)
+      .withColumn("text", concat(col("text"), lit(" graftclone")))
+    docs.unionByName(clones)
+  }
+
+  /** embeddings ∪ scaled clones of vec_id < 50 (cosine ≈ 1 to source). */
+  def vecsWithClones(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+    val clones = vecs.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + CloneShift)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(1.01f)).cast("float")))
+    vecs.unionByName(clones)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashNearDups(docsWithClones(s, dir), "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simHashNearDups(docsWithClones(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithClones(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "d_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(vecsWithClones(s, dir), "vec_id", "embedding",
+          threshold = 0.99, numPlanes = 8)
+        .orderBy("id_a", "id_b")),
+
+    "s_cosine_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      Similarity.cosineTopK(vecs, "vec_id", "embedding", query, k = 20)
+    }),
+
+    "s_lsh_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      Similarity.lshTopK(vecs, "vec_id", "embedding", query, k = 10,
+        numPlanes = 8, probeHamming = 1)
+    })
+  )
+
+  /** Brute-force cosine top-k IS oracle-expressible: DuckDB computes
+    * the same double-precision dot/norm formula via list lambdas.
+    */
+  val oracles: Map[String, String] = Map(
+    "s_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for every spec (Spark startup ~5 s). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = Sessions.tune(
+      SparkSession.builder().master("local[4]"), shufflePartitions = 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c).head.get(0)
+
+  test("langId recognizes marker-bearing sentences") {
+    assert(one("the cat and the dog of the house", langId($"t")) == "en")
+    assert(one("der Hund und die Katze ist hier", langId($"t")) == "de")
+    assert(one("le chat et les chiens est ici", langId($"t")) == "fr")
+    assert(one("el perro y los gatos es aqui", langId($"t")) == "es")
+    assert(one("这是中文文本", langId($"t")) == "zh")
+    assert(one("xyzzy plugh", langId($"t")) == "und")
+  }
+
+  test("token counts") {
+    assert(one("a b  c", wsTokenCount($"t")) == 3)
+    assert(one("   ", wsTokenCount($"t")) == 0)
+    assert(one("don't stop", bpeTokenCount($"t")) == 4) // don / ' / t / stop
+  }
+
+  test("ratios") {
+    assert(one("ab.", punctRatio($"t")) == 1.0 / 3)
+    // " the cat the " → 2× " the " non-overlapping, 3 tokens... hand-check:
+    val r = one("the cat the", stopwordRatio($"t")).asInstanceOf[Double]
+    assert(r > 0.0 && r <= 1.0)
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val a = one("Hello   World", fingerprint($"t"))
+    val b = one("hello world", fingerprint($"t"))
+    assert(a == b)
+    assert(one("hello worlds", fingerprint($"t")) != a)
+  }
+}

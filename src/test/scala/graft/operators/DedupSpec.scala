@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 1↔2 near-dups (one word differs), 3 unrelated, 4 = exact clone of 1.
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (3L, "completely different content about spark distributed query processing engines"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today")
+  ).toDF("id", "text")
+
+  test("minHashNearDups finds near + exact pairs, not unrelated") {
+    val pairs = Dedup.minHashNearDups(corpus, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact clones have jaccard 1.0") {
+    val j = Dedup.minHashNearDups(corpus, "id", "text", threshold = 0.5)
+      .filter($"id_a" === 1 && $"id_b" === 4)
+      .head.getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical text → identical signature; near → small hamming") {
+    val sigs = Dedup.simHash(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) >
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)))
+  }
+
+  test("simHashNearDups reports hamming 0 for the exact clone") {
+    val pairs = Dedup.simHashNearDups(corpus, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    // 14 tokens → 12 distinct 3-gram shingles each; docs 1/2 differ at
+    // token 9 (dog/cat), changing the 3 windows covering it →
+    // |∩|=9, |∪|=15, j=0.6.
+    val j = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.3)
+      .filter($"id_a" === 1 && $"id_b" === 2)
+      .head.getAs[Double]("jaccard")
+    assert(math.abs(j - 0.6) < 1e-12)
+  }
+
+  test("shingles: fewer tokens than n → empty array") {
+    val sh = corpus.limit(1)
+      .select(Dedup.shingles(org.apache.spark.sql.functions.lit("one two"), 3))
+      .head.getSeq[String](0)
+    assert(sh.isEmpty)
+  }
+}

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (Some(1), Some("a")), (Some(2), None), (None, Some("a")), (Some(4), Some("b"))
+  ).toDF("x", "y")
+
+  test("profile computes null/distinct per column in one pass") {
+    val p = Quality.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("x").getAs[Long]("null_count") == 1L)
+    assert(p("x").getAs[Long]("distinct_count") == 3L)
+    assert(p("y").getAs[Long]("null_count") == 1L)
+    assert(p("y").getAs[Long]("distinct_count") == 2L)
+    assert(p("x").getAs[Double]("score") == 75.0)
+  }
+
+  test("validate passes above threshold, throws below") {
+    assert(Quality.validate(df, minScore = 50.0, exact = true) == 75.0)
+    intercept[IllegalStateException] {
+      Quality.validate(df, minScore = 90.0, exact = true)
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Array(1.01f, 0.0f, 0.0f, 0.0f))   // scaled clone of 0
+  ).toDF("vec_id", "embedding")
+
+  private val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+
+  test("cosineTopK ranks by cosine with id tiebreak") {
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 3)
+      .select("vec_id").as[Long].collect.toSeq
+    assert(top == Seq(0L, 4L, 1L)) // cos 1.0 (id 0 before 4), then 0.9939
+  }
+
+  test("cosine of scaled clone is 1.0") {
+    val r = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 5)
+      .filter($"vec_id" === 4).head.getAs[Double]("cos_sim")
+    assert(r == 1.0)
+  }
+
+  test("lshTopK finds the same neighborhood as brute force") {
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 2)
+      .select("vec_id").as[Long].collect.toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", q, 2,
+      numPlanes = 4, probeHamming = 2)
+      .select("vec_id").as[Long].collect.toSet
+    assert((brute intersect lsh).nonEmpty)
+  }
+
+  test("embeddingNearDups finds the scaled clone pair only") {
+    val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.999, numPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("bucketExpr and bucketOf agree (query routing = data bucketing)") {
+    val planes = Similarity.hyperplanes(4, 4)
+    val sparkBuckets = vecs
+      .select($"vec_id", Similarity.bucketExpr($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val local = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    local.foreach { case (id, v) =>
+      assert(sparkBuckets(id) == Similarity.bucketOf(v, planes))
+    }
+  }
+}

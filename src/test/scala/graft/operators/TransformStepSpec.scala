@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.TransformStep._
+
+class TransformStepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, "  Alice ", "a-b", 10.0, Some("x")),
+    (2, "Bob", "c-d", 20.0, None),
+    (3, "Bob", "e", 30.0, Some("y"))
+  ).toDF("id", "name", "pair", "amount", "tag")
+
+  test("rename + cast compose into one plan") {
+    val out = TransformStep.applyAll(df,
+      Seq(RenameColumn("amount", "amt"), CastType("amt", "int")))
+    assert(out.schema("amt").dataType.typeName == "integer")
+    assert(out.select(sum("amt")).head.getLong(0) == 60L)
+  }
+
+  test("trim_whitespace on * hits every string column") {
+    val out = TrimWhitespace(Seq("*"))(df)
+    assert(out.filter($"id" === 1).head.getAs[String]("name") == "Alice")
+  }
+
+  test("filter_rows takes a SQL expression") {
+    assert(FilterRows("amount > 15 AND name = 'Bob'")(df).count() == 2)
+  }
+
+  test("drop_nulls drops rows where any listed column is null") {
+    assert(DropNulls(Seq("tag"))(df).count() == 2)
+  }
+
+  test("deduplicate_rows keyed keeps the min-tiebreak row") {
+    val out = DeduplicateRows(Seq("name"), orderBy = Some("id"))(df)
+      .orderBy("id").select("id").as[Int].collect.toSeq
+    assert(out == Seq(1, 2))
+  }
+
+  test("replace_text is literal even with regex metachars") {
+    val d = Seq((1, "a.c")).toDF("id", "s")
+    assert(ReplaceText("s", ".", "!")(d).head.getString(1) == "a!c")
+    // a regex would have replaced every char
+  }
+
+  test("regex_replace is global") {
+    val d = Seq((1, "aXbXc")).toDF("id", "s")
+    assert(RegexReplace("s", "X", "_")(d).head.getString(1) == "a_b_c")
+  }
+
+  test("split_column yields null for missing parts") {
+    val out = SplitColumn("pair", "-", Seq("p1", "p2"))(df)
+    val r = out.filter($"id" === 3).head
+    assert(r.getAs[String]("p1") == "e" && r.getAs[String]("p2") == null)
+  }
+
+  test("merge_columns coalesces nulls to empty string") {
+    val out = MergeColumns(Seq("name", "tag"), "|", "m")(df)
+    assert(out.filter($"id" === 2).head.getAs[String]("m") == "Bob|")
+  }
+
+  test("sql_transform substitutes {{input}}") {
+    val out = SqlTransform("SELECT count(*) AS n FROM {{input}} WHERE amount > 5")(df)
+    assert(out.head.getLong(0) == 3L)
+  }
+
+  test("aggregate names columns col_func like the reference") {
+    val out = Aggregate(Seq("name"), Seq("amount" -> "sum", "id" -> "count"))(df)
+    assert(out.columns.toSet == Set("name", "amount_sum", "id_count"))
+    assert(out.filter($"name" === "Bob").head.getAs[Double]("amount_sum") == 50.0)
+  }
+}
