@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines.
+  *
+  * Media (image/audio/video) travels as an opaque `binary` column plus
+  * typed metadata — the schema, partitioning, and batch plumbing are
+  * REAL and tested; the actual codec step is a clearly marked
+  * deterministic stand-in (`decodeStub*`), because no image/audio
+  * libraries exist in this environment. Swapping in a real decoder
+  * means replacing ONE function body (see [[decodeStubFeatures]]) —
+  * in production that body would call the native decode inside
+  * `mapPartitions` (JVM) or `mapInPandas`/`mapInArrow` (Python libs),
+  * batched per partition exactly like the stub.
+  */
+object Multimodal {
+
+  /** Canonical media schema: blob + type + per-item typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("media", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Wrap any DataFrame carrying a binary payload column into the
+    * canonical media shape.
+    */
+  def asMedia(
+      df: DataFrame, idCol: String, binCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(mediaType).as("media_type"),
+      col(binCol).cast("binary").as("media"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"))
+
+  /** STUB DECODE — deterministic fake feature extraction.
+    *
+    * Real implementation would decode `media` and run a feature
+    * network; here features are seeded xxhash64 projections of the
+    * bytes, scaled to [-0.5, 0.5). Deterministic, codegen'd, and shaped
+    * exactly like a real embedding column (`array<double>` of `dim`).
+    */
+  def decodeStubFeatures(media: Column, dim: Int): Column =
+    array((0 until dim).map { i =>
+      (xxhash64(lit(i), media).cast("double") / lit(Long.MaxValue.toDouble)) / 2.0
+    }: _*)
+
+  /** STUB resize: records the target box in metadata; the media bytes
+    * pass through untouched (a real impl re-encodes inside the same
+    * projection).
+    */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  /** Frame sampling plumbing: every `stepMs` within duration, emit
+    * (media_id, frame_ts_ms, frame_key). The per-frame `frame_key` is
+    * the stub for decoded frame bytes (a real impl extracts the frame
+    * in a `mapPartitions` batch at this exact spot).
+    */
+  def sampleFrames(df: DataFrame, stepMs: Long): DataFrame =
+    df.filter(col("duration_ms").isNotNull)
+      .select(col("media_id"), col("media"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(stepMs))).as("frame_ts_ms"))
+      .withColumn("frame_key", xxhash64(col("media"), col("frame_ts_ms")))
+      .drop("media")
+
+  /** End-to-end media pipeline used by the `mm_pipeline` query:
+    * binary ingest → stub decode → feature column → per-type stats.
+    */
+  def featurePipeline(media: DataFrame, dim: Int = 8): DataFrame = {
+    val withFeatures = media.withColumn(
+      "features", decodeStubFeatures(col("media"), dim))
+    withFeatures
+      .withColumn("feat_norm",
+        sqrt(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x)))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"),
+        round(avg(length(col("media"))), 2).as("avg_bytes"),
+        round(avg(col("feat_norm")), 6).as("avg_feat_norm"))
+  }
+}

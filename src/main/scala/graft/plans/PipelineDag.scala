@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Quality, TransformStep}
+
+/** DAG pipeline executor, re-expressed from the reference's
+  * `PipelineExecutor` (executor/engine.py:21-353).
+  *
+  * The reference walks the DAG in topological order and MATERIALIZES A
+  * CSV TEMP FILE between every node. Here a node's "output" is a lazy
+  * DataFrame: the whole DAG folds into ONE Catalyst plan per sink, so
+  * filters/projections flow across node boundaries, nothing is
+  * serialized mid-pipeline, and a 10-node pipeline costs one job per
+  * sink instead of 10 engine round-trips. Only sinks and validation
+  * gates run actions — each wrapped in the reference's retry-with-
+  * backoff policy (engine.py:84-96).
+  */
+object PipelineDag {
+
+  final case class Node(id: String, op: NodeOp)
+  final case class Edge(source: String, target: String)
+
+  sealed trait NodeOp
+  /** file_input / connector_input: any source → DataFrame. */
+  final case class Source(read: SparkSession => DataFrame) extends NodeOp
+  /** transform: the §2.1 step pipeline. */
+  final case class Transform(steps: Seq[TransformStep]) extends NodeOp
+  /** validation: quality gate — FAILS the run below minScore. */
+  final case class Validation(minScore: Double) extends NodeOp
+  /** conditional_branch: rows matching the predicate flow on. */
+  final case class Conditional(predicate: String) extends NodeOp
+  /** merge: UNION ALL by column name of every input. */
+  case object Merge extends NodeOp
+  /** split_json: parse a JSON string column into typed fields (DDL schema). */
+  final case class SplitJson(column: String, ddl: String) extends NodeOp
+  /** file_output / export / db_insert / webhook_send: any sink action. */
+  final case class Sink(write: DataFrame => Unit) extends NodeOp
+
+  final case class RunResult(
+      outputs: Map[String, DataFrame],
+      nodeLog: Seq[(String, String)]) // (nodeId, status message)
+
+  /** Retry with linear backoff — reference policy (engine.py:84-96):
+    * attempt 1..max, sleep delay*attempt between failures.
+    */
+  def withRetries[A](maxRetries: Int = 3, delayMs: Long = 100)(body: => A): A = {
+    // plain while loop — a `return` inside a foreach lambda would throw
+    // NonLocalReturnControl and be swallowed by the catch below
+    var last: Throwable = null
+    var attempt = 1
+    while (attempt <= maxRetries) {
+      try return body
+      catch {
+        case e: Throwable =>
+          last = e
+          if (attempt < maxRetries) Thread.sleep(delayMs * attempt)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"Failed after $maxRetries attempts: ${last.getMessage}", last)
+  }
+
+  /** Kahn topological sort; throws on cycles or dangling edges. */
+  def topoSort(nodes: Seq[Node], edges: Seq[Edge]): Seq[Node] = {
+    val byId = nodes.map(n => n.id -> n).toMap
+    edges.foreach { e =>
+      require(byId.contains(e.source) && byId.contains(e.target),
+        s"Edge ${e.source}->${e.target} references unknown node")
+    }
+    val inDeg = scala.collection.mutable.Map(nodes.map(_.id -> 0): _*)
+    edges.foreach(e => inDeg(e.target) += 1)
+    val queue = scala.collection.mutable.Queue(
+      nodes.filter(n => inDeg(n.id) == 0).map(_.id): _*)
+    val order = scala.collection.mutable.ArrayBuffer[Node]()
+    while (queue.nonEmpty) {
+      val id = queue.dequeue()
+      order += byId(id)
+      edges.filter(_.source == id).foreach { e =>
+        inDeg(e.target) -= 1
+        if (inDeg(e.target) == 0) queue.enqueue(e.target)
+      }
+    }
+    require(order.size == nodes.size, "Pipeline graph has a cycle")
+    order.toSeq
+  }
+
+  /** Execute the DAG. Pure transforms stay lazy; Validation and Sink
+    * nodes run (retried) actions. Returns every node's DataFrame and a
+    * per-node status log.
+    */
+  def execute(spark: SparkSession, nodes: Seq[Node], edges: Seq[Edge]): RunResult = {
+    val outputs = scala.collection.mutable.Map[String, DataFrame]()
+    val log = scala.collection.mutable.ArrayBuffer[(String, String)]()
+
+    topoSort(nodes, edges).foreach { node =>
+      val inputs: Seq[DataFrame] = edges.filter(_.target == node.id)
+        .map(e => outputs(e.source))
+      def one: DataFrame = {
+        require(inputs.nonEmpty, s"Node ${node.id} has no inputs")
+        inputs.head
+      }
+      val out: DataFrame = node.op match {
+        case Source(read) => read(spark)
+        case Transform(steps) => TransformStep.applyAll(one, steps)
+        case Validation(minScore) =>
+          val score = withRetries()(Quality.validate(one, minScore))
+          log += node.id -> f"quality $score%.1f >= $minScore%.1f"
+          one
+        case Conditional(predicate) => one.filter(predicate)
+        case Merge =>
+          require(inputs.nonEmpty, s"Merge ${node.id} needs >=1 input")
+          inputs.reduce(_ unionByName _)
+        case SplitJson(column, ddl) =>
+          one.withColumn("_parsed", from_json(col(column), ddl, Map.empty[String, String]))
+            .select(col("*"), col("_parsed.*")).drop("_parsed", column)
+        case Sink(write) =>
+          withRetries()(write(one))
+          log += node.id -> "sink ok"
+          one
+      }
+      outputs(node.id) = out
+      if (!log.lastOption.exists(_._1 == node.id))
+        log += node.id -> "ok"
+    }
+    RunResult(outputs.toMap, log.toSeq)
+  }
+}

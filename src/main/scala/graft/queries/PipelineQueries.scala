@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.TransformStep._
+import graft.plans.PipelineDag
+import graft.plans.PipelineDag._
+
+/** §2.3 executor-node queries: a full DAG run, merge, conditional
+  * branch, and the multimodal plumbing pipeline.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A 6-node DAG exercising source→conditional→merge→transform.
+    // The whole thing folds to ONE Catalyst plan (no temp files).
+    "p_pipeline_dag" -> ((s, dir) => {
+      val nodes = Seq(
+        Node("src", Source(sp => t(sp, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"))),
+        Node("only_a", Conditional("l_returnflag = 'A'")),
+        Node("only_r", Conditional("l_returnflag = 'R'")),
+        Node("merged", Merge),
+        Node("shaped", Transform(Seq(
+          AddDerivedColumn("qty_dec", "CAST(l_quantity AS DECIMAL(18,4))"),
+          Aggregate(Seq("l_linestatus"), Seq("qty_dec" -> "sum", "l_orderkey" -> "count"))))),
+        Node("out", Conditional("l_orderkey_count > 0")))
+      val edges = Seq(
+        Edge("src", "only_a"), Edge("src", "only_r"),
+        Edge("only_a", "merged"), Edge("only_r", "merged"),
+        Edge("merged", "shaped"), Edge("shaped", "out"))
+      PipelineDag.execute(s, nodes, edges).outputs("out")
+        .orderBy("l_linestatus")
+    }),
+
+    // merge node alone: UNION ALL by name of differently-ordered inputs.
+    "p_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_orderstatus")
+      val lo = o.filter(col("o_totalprice") < 50000)
+        .select(col("o_orderstatus"), col("o_orderkey")) // shuffled column order
+      hi.unionByName(lo).orderBy("o_orderkey")
+    }),
+
+    // conditional_branch node alone (SQL predicate pass-through).
+    "p_conditional" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter("p_size >= 30 AND p_brand = 'Brand#1'")
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")),
+
+    // Multimodal plumbing: text bytes as stand-in media → canonical
+    // schema → stub decode → per-type feature stats. rows-only (the
+    // stub features are xxhash-based; no SQL oracle).
+    "mm_pipeline" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob", "image")
+      Multimodal.featurePipeline(media, dim = 8).orderBy("media_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p_pipeline_dag" ->
+      """SELECT l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec_sum,
+        |  count(l_orderkey) AS l_orderkey_count
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_linestatus
+        |HAVING count(l_orderkey) > 0
+        |ORDER BY l_linestatus""".stripMargin,
+    "p_merge" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_totalprice > 200000 OR o_totalprice < 50000
+        |ORDER BY o_orderkey""".stripMargin,
+    "p_conditional" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE p_size >= 30 AND p_brand = 'Brand#1'
+        |ORDER BY p_partkey""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Input connectors — the reference's connector registry
+  * (connectors/builtin.py: CSVConnector, JSONConnector, HTTPConnector,
+  * MySQLConnector), re-expressed over Spark's DataFrameReader.
+  *
+  * Every connector lands on the same contract: `read` produces a
+  * DataFrame (lazily where the source allows it), `test` probes
+  * availability.
+  */
+object Connectors {
+
+  sealed trait Connector {
+    def test(): Boolean
+    def read(spark: SparkSession): DataFrame
+  }
+
+  /** csv/json local-or-DFS file connector. */
+  final case class FileConnector(path: String, format: String) extends Connector {
+    def test(): Boolean = Files.exists(java.nio.file.Paths.get(path))
+    def read(spark: SparkSession): DataFrame = Readers.read(spark, path, format)
+  }
+
+  /** HTTP/REST fetch (connectors/builtin.py:62-130): bearer / api-key
+    * auth headers, body saved to a spool file then read by format from
+    * the content type. The fetch is a driver-side bounded download —
+    * an API response, not the 100 TB path (that's files/JDBC).
+    */
+  final case class HttpConnector(
+      url: String,
+      headers: Map[String, String] = Map.empty,
+      authBearer: Option[String] = None,
+      apiKey: Option[(String, String)] = None,
+      spoolDir: Option[Path] = None) extends Connector {
+
+    private def client = HttpClient.newHttpClient()
+
+    private def request: HttpRequest = {
+      val b = HttpRequest.newBuilder(URI.create(url))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      authBearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+      apiKey.foreach { case (k, v) => b.header(k, v) }
+      b.GET.build()
+    }
+
+    def test(): Boolean =
+      try client.send(request, HttpResponse.BodyHandlers.discarding()).statusCode() < 400
+      catch { case _: Exception => false }
+
+    def read(spark: SparkSession): DataFrame = {
+      val resp = client.send(request, HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() < 400, s"HTTP ${resp.statusCode()} from $url")
+      val contentType = resp.headers.firstValue("content-type").orElse("")
+      val fmt =
+        if (contentType.contains("json")) "json"
+        else if (contentType.contains("csv")) "csv"
+        else "json"
+      val dir = spoolDir.getOrElse(Files.createTempDirectory("graft_http"))
+      val spool = dir.resolve(s"payload.$fmt")
+      Files.write(spool, resp.body())
+      Readers.read(spark, spool.toString, fmt)
+    }
+  }
+
+  /** JDBC database connector (MySQL/Postgres/...): pushes the query to
+    * the database; with partitionColumn bounds it reads in parallel
+    * across `numPartitions` executor connections.
+    */
+  final case class JdbcConnector(
+      url: String, query: String,
+      props: Map[String, String] = Map.empty,
+      partitionColumn: Option[(String, Long, Long, Int)] = None) extends Connector {
+
+    def test(): Boolean =
+      try { java.sql.DriverManager.getConnection(url).close(); true }
+      catch { case _: Exception => false }
+
+    def read(spark: SparkSession): DataFrame = {
+      val base = spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+        .options(props)
+      val r = partitionColumn match {
+        case Some((col, lower, upper, n)) => base
+          .option("partitionColumn", col)
+          .option("lowerBound", lower).option("upperBound", upper)
+          .option("numPartitions", n)
+        case None => base
+      }
+      r.load()
+    }
+  }
+}

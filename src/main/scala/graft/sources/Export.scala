@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Export adapters — the reference's webhook / record-RPC exporters
+  * (connectors/export_adapters/builtin.py).
+  *
+  * The reference reads the whole output file on the driver and POSTs it
+  * in one request. Here rows are exported FROM THE EXECUTORS with
+  * `foreachPartition`, JSON-batched `batchSize` at a time — the shape
+  * that survives a billion-row sink: no driver collect, bounded request
+  * size, per-batch retry.
+  */
+object Export {
+
+  /** Render rows as a JSON array using the schema (driverless, no
+    * external JSON lib — types: string/numeric/bool/null).
+    */
+  def rowsToJson(schema: Seq[String], rows: Seq[Row]): String =
+    rows.map { r =>
+      schema.zipWithIndex.map { case (name, i) =>
+        val v = r.get(i) match {
+          case null => "null"
+          case s: String => "\"" + s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+          case b: Boolean => b.toString
+          case n => n.toString
+        }
+        "\"" + name + "\":" + v
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+
+  /** Transport abstraction so specs (and the Odoo-style RPC adapter)
+    * can swap the wire protocol; the default posts JSON over HTTP.
+    */
+  trait Transport extends Serializable {
+    /** Returns a status code; >=400 (or a throw) triggers retry. */
+    def send(payload: String): Int
+  }
+
+  final case class HttpPost(url: String, headers: Map[String, String] = Map.empty)
+      extends Transport {
+    def send(payload: String): Int = {
+      val b = HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", "application/json")
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val req = b.POST(HttpRequest.BodyPublishers.ofString(payload)).build()
+      HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.discarding()).statusCode()
+    }
+  }
+
+  /** webhook_send / export node: executor-side batched JSON POST. */
+  def webhook(
+      df: DataFrame, transport: Transport,
+      batchSize: Int = 500, maxRetries: Int = 3): Unit = {
+    val schema = df.schema.fieldNames.toSeq
+    df.foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(batchSize).foreach { batch =>
+        val payload = rowsToJson(schema, batch)
+        graft.plans.PipelineDag.withRetries(maxRetries) {
+          val code = transport.send(payload)
+          require(code < 400, s"export transport returned $code")
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format readers — the reference's `_read_function`
+  * (duckdb_engine.py:266-281) surface: csv, json, parquet, txt
+  * (xlsx/xml fall back to csv there; here they raise — an honest
+  * unsupported is better than silently wrong data).
+  *
+  * Scale defaults: schema inference is opt-in (at 100 TB an inference
+  * pass is a full extra scan — callers pass a schema); csv/json are
+  * splittable here because multiLine stays off.
+  */
+object Readers {
+
+  def read(
+      spark: SparkSession, path: String, format: String,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val fmt = format.toLowerCase
+    val base = fmt match {
+      case "csv" | "txt" =>
+        val r = spark.read.options(Map(
+          "header" -> "true", "inferSchema" -> schema.isEmpty.toString) ++ options)
+        schema.fold(r)(r.schema).csv(path)
+      case "json" =>
+        val r = spark.read.options(options)
+        schema.fold(r)(r.schema).json(path)
+      case "parquet" => spark.read.options(options).parquet(path)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported input format: $other")
+    }
+    base
+  }
+
+  /** infer_schema (duckdb_engine.py:66-86): name/type/nullable rows. */
+  def inferSchema(spark: SparkSession, path: String, format: String): Seq[(String, String, Boolean)] =
+    read(spark, path, format).schema.fields.toSeq
+      .map(f => (f.name, f.dataType.sql, f.nullable))
+
+  /** Format detection by extension (duckdb_engine.py:283-287). */
+  def detectFormat(path: String): String = {
+    val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+    if (Set("csv", "json", "parquet", "txt").contains(ext)) ext else "csv"
+  }
+}

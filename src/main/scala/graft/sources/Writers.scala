@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Structured writes — the reference's `export_to_file`
+  * (duckdb_engine.py:181-214) targets: csv, parquet, json.
+  *
+  * `partitionBy`/`buckets` expose Spark's layout controls: a 100 TB
+  * sink should be partitioned by a pruning column (date, source) so
+  * downstream scans skip files, and bucketed on a hot join key so the
+  * next join is shuffle-free.
+  */
+object Writers {
+
+  def write(
+      df: DataFrame, path: String, format: String,
+      mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = {
+    val fmt = format.toLowerCase
+    val w0 = df.write.mode(mode).options(options)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    fmt match {
+      case "csv" => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case "parquet" => w.parquet(path)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported output format: $other")
+    }
+  }
+
+  /** db_insert via Spark's JDBC sink (connectors/builtin.py:133-204
+    * MySQLConnector.write_data — there: CSV → DuckDB → MySQL; here: a
+    * direct distributed JDBC write, `numPartitions` bounding the
+    * connection fan-in).
+    */
+  def jdbcInsert(
+      df: DataFrame, url: String, table: String,
+      connProps: java.util.Properties, numPartitions: Int = 8,
+      mode: String = "append"): Unit =
+    df.coalesce(numPartitions).write.mode(mode).jdbc(url, table, connProps)
+}

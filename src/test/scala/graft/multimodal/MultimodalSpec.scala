@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media = Multimodal.asMedia(
+    Seq((1L, "abc"), (2L, "defghi")).toDF("id", "payload")
+      .withColumn("blob", $"payload".cast("binary")),
+    "id", "blob", "image")
+
+  test("asMedia produces the canonical schema") {
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    assert(media.schema("media").dataType.typeName == "binary")
+    assert(media.count() == 2)
+  }
+
+  test("stub decode is deterministic and correctly shaped") {
+    val f1 = media.select(Multimodal.decodeStubFeatures($"media", 4)).collect()
+    val f2 = media.select(Multimodal.decodeStubFeatures($"media", 4)).collect()
+    assert(f1.map(_.getSeq[Double](0)).toSeq == f2.map(_.getSeq[Double](0)).toSeq)
+    assert(f1.head.getSeq[Double](0).size == 4)
+    assert(f1.head.getSeq[Double](0).forall(v => v >= -0.5 && v < 0.5))
+  }
+
+  test("resize stub stamps metadata; frame sampling explodes by step") {
+    val resized = Multimodal.resizeStub(media, 224, 224)
+    assert(resized.select("width").distinct.head.getInt(0) == 224)
+
+    val withDur = media.withColumn("duration_ms", lit(1000L))
+    val frames = Multimodal.sampleFrames(withDur, stepMs = 250)
+    // 0,250,500,750,1000 per item × 2 items
+    assert(frames.count() == 10)
+    assert(frames.columns.toSet == Set("media_id", "frame_ts_ms", "frame_key"))
+  }
+
+  test("featurePipeline aggregates per media type") {
+    val out = Multimodal.featurePipeline(media, dim = 8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("media_type") == "image")
+    assert(r.getAs[Long]("n_items") == 2L)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.TransformStep._
+import graft.plans.PipelineDag._
+
+class PipelineDagSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("topoSort orders dependencies and rejects cycles") {
+    val nodes = Seq(Node("a", Merge), Node("b", Merge), Node("c", Merge))
+    val order = topoSort(nodes, Seq(Edge("a", "b"), Edge("b", "c"))).map(_.id)
+    assert(order == Seq("a", "b", "c"))
+    intercept[IllegalArgumentException] {
+      topoSort(nodes, Seq(Edge("a", "b"), Edge("b", "a")))
+    }
+    intercept[IllegalArgumentException] {
+      topoSort(nodes, Seq(Edge("a", "zz")))
+    }
+  }
+
+  test("execute composes a lazy plan across node boundaries") {
+    val nodes = Seq(
+      Node("src", Source(sp => { import sp.implicits._
+        Seq((1, "x", 10.0), (2, "y", 20.0), (3, "x", 5.0)).toDF("id", "k", "v") })),
+      Node("f", Conditional("v > 6")),
+      Node("t", Transform(Seq(Aggregate(Seq("k"), Seq("v" -> "sum"))))))
+    val edges = Seq(Edge("src", "f"), Edge("f", "t"))
+    val out = PipelineDag.execute(spark, nodes, edges).outputs("t")
+    assert(out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("x" -> 10.0, "y" -> 20.0))
+  }
+
+  test("validation gate fails the run below threshold") {
+    val nodes = Seq(
+      Node("src", Source(sp => { import sp.implicits._
+        Seq((Some(1), Option.empty[String]), (None, None)).toDF("a", "b") })),
+      Node("v", Validation(90.0)))
+    intercept[IllegalStateException] {
+      PipelineDag.execute(spark, nodes, Seq(Edge("src", "v")))
+    }
+  }
+
+  test("split_json node extracts typed fields") {
+    val nodes = Seq(
+      Node("src", Source(sp => { import sp.implicits._
+        Seq((1L, """{"k": 7, "s": "hi"}""")).toDF("id", "props") })),
+      Node("sj", SplitJson("props", "k INT, s STRING")))
+    val out = PipelineDag.execute(spark, nodes, Seq(Edge("src", "sj"))).outputs("sj")
+    val r = out.head
+    assert(out.columns.toSeq == Seq("id", "k", "s"))
+    assert(r.getAs[Int]("k") == 7 && r.getAs[String]("s") == "hi")
+  }
+
+  test("merge requires inputs; sink retries then succeeds") {
+    var attempts = 0
+    val nodes = Seq(
+      Node("src", Source(sp => { import sp.implicits._
+        Seq(1, 2, 3).toDF("x") })),
+      Node("sink", Sink { df =>
+        attempts += 1
+        if (attempts < 3) throw new RuntimeException("flaky")
+        assert(df.count() == 3)
+      }))
+    val res = PipelineDag.execute(spark, nodes, Seq(Edge("src", "sink")))
+    assert(attempts == 3)
+    assert(res.nodeLog.contains("sink" -> "sink ok"))
+  }
+
+  test("withRetries gives up after max attempts") {
+    var n = 0
+    val e = intercept[IllegalStateException] {
+      withRetries(maxRetries = 3, delayMs = 1) { n += 1; throw new RuntimeException("nope") }
+    }
+    assert(n == 3 && e.getMessage.contains("3 attempts"))
+  }
+}

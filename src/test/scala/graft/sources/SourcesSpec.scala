@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("csv/json/parquet round-trip through Writers and Readers") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val dir = Files.createTempDirectory("graft_rt")
+    for (fmt <- Seq("csv", "json", "parquet")) {
+      val p = dir.resolve(fmt).toString
+      Writers.write(df, p, fmt)
+      val back = Readers.read(spark, p, fmt)
+      assert(back.count() == 2, fmt)
+      assert(back.columns.toSet == Set("id", "s"), fmt)
+    }
+  }
+
+  test("inferSchema and detectFormat") {
+    val dir = Files.createTempDirectory("graft_schema")
+    val p = dir.resolve("t.csv").toString
+    Writers.write(Seq((1, "a")).toDF("id", "s"), p, "csv")
+    val fields = Readers.inferSchema(spark, p, "csv")
+    assert(fields.map(_._1).toSet == Set("id", "s"))
+    assert(Readers.detectFormat("/x/y/data.PARQUET") == "parquet")
+    assert(Readers.detectFormat("/x/y/data.weird") == "csv")
+  }
+
+  test("unsupported formats raise instead of guessing") {
+    intercept[IllegalArgumentException] {
+      Readers.read(spark, "/tmp/none.xlsx", "xlsx")
+    }
+    intercept[IllegalArgumentException] {
+      Writers.write(Seq(1).toDF("x"), "/tmp/none.xlsx", "xlsx")
+    }
+  }
+
+  test("FileConnector test() and read()") {
+    val dir = Files.createTempDirectory("graft_fc")
+    val p = dir.resolve("c.csv").toString
+    Writers.write(Seq((1, "a")).toDF("id", "s"), p, "csv")
+    val c = Connectors.FileConnector(p, "csv")
+    assert(c.test())
+    assert(c.read(spark).count() == 1)
+    assert(!Connectors.FileConnector("/nope/missing.csv", "csv").test())
+  }
+
+  test("HttpConnector fetches CSV from a local server by content type") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "id,s\n1,a\n2,b\n".getBytes(StandardCharsets.UTF_8)
+    server.createContext("/data", { ex =>
+      ex.getResponseHeaders.add("Content-Type", "text/csv")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
+      val c = Connectors.HttpConnector(url)
+      assert(c.test())
+      val df = c.read(spark)
+      assert(df.count() == 2 && df.columns.toSet == Set("id", "s"))
+    } finally server.stop(0)
+  }
+
+  test("Export.webhook posts executor-side JSON batches with retry") {
+    val hits = new AtomicInteger(0)
+    val fails = new AtomicInteger(2) // first 2 requests 500 → retried
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", { ex =>
+      val code = if (fails.getAndDecrement() > 0) 500 else 200
+      if (code == 200) hits.incrementAndGet()
+      ex.sendResponseHeaders(code, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val df = (1 to 10).map(i => (i, s"row$i")).toDF("id", "s").coalesce(1)
+      Export.webhook(df, Export.HttpPost(url), batchSize = 5)
+      assert(hits.get() == 2) // 10 rows / batch 5
+    } finally server.stop(0)
+  }
+
+  test("rowsToJson escapes control characters and quotes") {
+    import org.apache.spark.sql.Row
+    val json = Export.rowsToJson(Seq("a", "b"),
+      Seq(Row("x\"y\n", 5), Row(null, 1.5)))
+    assert(json == """[{"a":"x\"y\n","b":5},{"a":null,"b":1.5}]""")
+  }
+}

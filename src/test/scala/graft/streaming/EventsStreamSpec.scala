@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.TestSpark
+import graft.streaming.EventsStream._
+
+class EventsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates a memory stream with a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = windowedCounts(input.toDF(), window = "10 minutes",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+
+    // Append mode finalizes a window only in a batch AFTER the
+    // watermark passed its end — drive three microbatches.
+    input.addData(
+      Event(ts(1), 1L, "click", 1.0),
+      Event(ts(2), 2L, "click", 2.0),
+      Event(ts(3), 3L, "click", 3.0),
+      Event(ts(11), 1L, "view", 5.0))
+    query.processAllAvailable()
+    input.addData(Event(ts(45), 9L, "noise", 0.0)) // watermark → 10:35
+    query.processAllAvailable()
+    input.addData(Event(ts(59), 9L, "noise", 0.0)) // flush remaining
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("win_counts")
+      .select("event_type", "n_events", "value_sum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains(("click", 3L, 6.0)))
+    assert(rows.contains(("view", 1L, 5.0)))
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapMs = 5 * 60 * 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: two events 1 min apart (one session), then 20 min later a
+    // new event → first session closes on the SAME batch's arrival.
+    input.addData(
+      Event(ts(0), 1L, "a", 1.0),
+      Event(ts(1), 1L, "a", 2.0),
+      Event(ts(21), 1L, "b", 7.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("sessions").as[SessionSummary].collect()
+    assert(rows.length == 1)
+    val s = rows.head
+    assert(s.user_id == 1L && s.n_events == 2L && s.total_value == 3.0)
+    assert(s.end_ts - s.start_ts == 60 * 1000L)
+  }
+}
