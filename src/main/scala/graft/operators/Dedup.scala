@@ -54,9 +54,13 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Staged once and reused by signature build + both rerank sides —
+    // the standard "materialize the signatures" step; without it the
+    // scan+shingling runs three times.
     val withShingles = df
       .select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
       .filter(size(col("_sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = withShingles
       .withColumn("_sig", array(minhashSig(col("_sh"), numHashes): _*))
 
@@ -152,12 +156,15 @@ object Dedup {
       maxShingleDf: Int = 1000): DataFrame = {
     val exploded = df
       .select(col(idCol).as("_id"), explode(shingles(col(textCol), shingleN)).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = exploded.groupBy("_id").agg(count(lit(1)).as("_n"))
-    val filtered = exploded
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_sh")))
+    // Hot-shingle cap via hash-aggregate + join (cheaper than a window:
+    // partial aggregation map-side, no per-shingle sort).
+    val rareShingles = exploded.groupBy("_sh")
+      .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxShingleDf)
-      .drop("_df")
+      .select("_sh")
+    val filtered = exploded.join(rareShingles, "_sh")
     val l = filtered.as("l")
     val r = filtered.as("r")
     val inter = l.join(r, col("l._sh") === col("r._sh") && col("l._id") < col("r._id"))

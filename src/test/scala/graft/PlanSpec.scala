@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the things that decide whether a query
+  * survives a 100× scale-up. Uses sf0.001 parquet (smallest).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan") {
+    val p = plan("t_filter_rows")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThan(l_discount") || p.contains("LessThan(l_quantity"),
+      p.take(2000))
+  }
+
+  test("projections prune the parquet read schema") {
+    val p = plan("t_rename_column")
+    // only 3 of lineitem's 11 columns should be read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("dim joins broadcast instead of shuffling the fact side") {
+    val p = plan("q_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p.take(3000))
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    // AQE finalizes the plan only on execution — run it, then inspect.
+    val df = SparkEntry.queries("t_derived_column")(spark, dir)
+    df.collect() // count() would plan its own agg; collect runs THIS plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the final AQE plan
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(3000))
+  }
+}
