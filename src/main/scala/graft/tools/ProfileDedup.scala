@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.queries.DedupQueries
+
+/** Dev scratch: stage-by-stage timing of the dedup operators at sf0.1.
+  * Not part of the library surface.
+  */
+object ProfileDedup {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+
+    def time[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val docs = DedupQueries.docsWithClones(spark, dir)
+    time("docs count")(docs.count())
+
+    import graft.operators.Dedup
+    val withShingles = docs
+      .select(col("doc_id").as("_id"), Dedup.shingles(col("text"), 3).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .persist()
+    time("shingles persist")(withShingles.count())
+
+    val hashed = withShingles
+      .withColumn("_hsh", transform(col("_sh"), s => xxhash64(s)))
+    time("hash arrays")(hashed.count())
+
+    val sig = (0 until 64).map { k =>
+      array_min(transform(col("_hsh"), h => xxhash64(lit(k), h)))
+    }
+    val sigDf = hashed.withColumn("_sig", array(sig: _*)).persist()
+    time("signatures")(sigDf.select("_id", "_sig").count())
+
+    val banded = sigDf.select(col("_id"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(Seq(lit(b)) ++ (0 until 8)
+            .map(r => element_at(col("_sig"), b * 8 + r + 1)): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("_id"), col("bb.band"), col("bb.bucket")).persist()
+    time("banding")(banded.count())
+
+    val l = banded.as("l"); val r = banded.as("r")
+    val cand = l.join(r,
+      col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b")).distinct().persist()
+    time("candidates")(println("n_candidates=" + cand.count()))
+
+    val sa = withShingles.select(col("_id").as("id_a"), col("_sh").as("_sha"))
+    val sb = withShingles.select(col("_id").as("id_b"), col("_sh").as("_shb"))
+    val pairs = cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
+          size(array_union(col("_sha"), col("_shb"))).cast("double"))
+      .filter(col("jaccard") >= 0.7)
+    time("rerank")(println("n_pairs=" + pairs.count()))
+
+    spark.stop()
+  }
+}
