@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial (Rabin–Karp) rolling-hash fingerprint of a string's UTF-8
+  * bytes: `h = Σ byteᵢ · P^(n-1-i) (mod 2⁶⁴)` with the FNV prime.
+  *
+  * Implemented as a NATIVE Catalyst expression with `doGenCode` — the
+  * preference order for extending Spark when built-ins can't express
+  * the semantics (there is no byte-wise fold in `functions._`): a
+  * codegen'd expression stays inside the whole-stage-generated loop, no
+  * UDF serialization, no row boxing. The JVM's wrapping long arithmetic
+  * is exactly the mod-2⁶⁴ we want (never routed through ANSI checks).
+  *
+  * Reference surface: the document-fingerprinting operator family
+  * (SURVEY.md §2.5 #48) next to the md5-based [[TextFunctions.fingerprint]].
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_hash requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * ${RollingHash.Prime}L + ($bytes[$i] & 0xffL);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** FNV-1a 64-bit prime. */
+  val Prime: Long = 1099511628211L
+
+  /** Reference implementation (used by interpreted eval and the spec). */
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * Prime + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  private val info = new ExpressionInfo(
+    classOf[RollingHash].getName, "graft_rolling_hash")
+
+  private val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "graft_rolling_hash takes exactly 1 argument")
+    RollingHash(children.head)
+  }
+
+  /** Programmatic registration (tests, driver-owned sessions). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_rolling_hash"), info, builder)
+
+  /** Column API: `rollingHash($"text")`. */
+  def rollingHash(c: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_rolling_hash", c)
+  }
+}
+
+/** Session-extension entry point: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and every
+  * session (including Thrift/Connect ones) gets the function.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      { children: Seq[Expression] => RollingHash(children.head) }))
+}

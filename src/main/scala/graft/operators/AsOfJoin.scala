@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-travel) join — for every left row, the single latest
+  * right row with `rightTime <= leftTime` on the same key. Spark has
+  * no native operator for this (DuckDB/kdb do); the naive
+  * inequality-join + per-row max explodes quadratically on hot keys.
+  *
+  * This is the sort-merge formulation: tag both inputs, UNION them,
+  * and carry the right side's values forward with
+  * `last(..., ignoreNulls) OVER (PARTITION BY key ORDER BY time)` —
+  * ONE shuffle on the key, one sort, zero row blowup, which is the
+  * plan you want when both sides are billions of rows.
+  */
+object AsOfJoin {
+
+  /** Left as-of join. Right columns appear suffixed; rows with no
+    * prior right row keep nulls (LEFT semantics).
+    *
+    * Right rows tie-breaking: if several right rows share (key, time),
+    * the one ordered last by `rightTiebreak` wins; pre-aggregate the
+    * right side to unique (key, time) if exact tie semantics matter.
+    */
+  def lastPrior(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String],
+      suffix: String = "_asof",
+      rightTiebreak: Option[String] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+    def rightType(c: String) = rightSchema(c).dataType
+
+    val lTagged = left.select(
+      (leftCols.map(col) ++ Seq(
+        col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_m"),
+        lit(null).cast("long").as("_tb")) ++
+        rightVals.map(v => lit(null).cast(rightType(v)).as(s"$v$suffix"))): _*)
+
+    val rTagged = right.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_m"),
+        rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb")) ++
+        rightVals.map(v => col(v).as(s"$v$suffix"))): _*)
+
+    // right rows (_m=0) sort BEFORE left rows at equal time → a right
+    // row at exactly leftTime matches (<= semantics).
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_m").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rightVals.foldLeft(lTagged.unionByName(rTagged)) { (d, v) =>
+      d.withColumn(s"$v$suffix", last(col(s"$v$suffix"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_m") === 1).drop("_k", "_t", "_m", "_tb")
+  }
+}

@@ -55,6 +55,24 @@ object PipelineQueries {
         .select("p_partkey", "p_brand", "p_size")
         .orderBy("p_partkey")),
 
+    // As-of join (no native Spark operator): for each purchase event,
+    // the latest prior click by the same user. One shuffle, no blowup.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"), max("value").as("click_value"))
+      graft.operators.AsOfJoin.lastPrior(
+          purchases, clicks, "user_id", "user_id", "ts", "ts",
+          Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("pts"),
+          col("click_id_asof"), col("click_value_asof"))
+        .orderBy("event_id")
+    }),
+
     // Multimodal plumbing: text bytes as stand-in media → canonical
     // schema → stub decode → per-type feature stats. rows-only (the
     // stub features are xxhash-based; no SQL oracle).
@@ -67,6 +85,19 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "p_pipeline_dag" ->
       """SELECT l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec_sum,

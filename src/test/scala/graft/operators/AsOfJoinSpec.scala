@@ -1,0 +1,40 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("lastPrior picks the latest right row at or before left time, per key") {
+    val left = Seq(
+      (1L, ts(10), "p1"), (1L, ts(30), "p2"), (2L, ts(10), "p3")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts(5), 100.0), (1L, ts(10), 200.0), (1L, ts(25), 300.0),
+      (2L, ts(50), 999.0) // after every left row of key 2
+    ).toDF("k", "t", "v")
+
+    val out = AsOfJoin.lastPrior(left, right, "k", "k", "t", "t", Seq("v"))
+      .select("name", "v_asof").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+
+    assert(out("p1") == Some(200.0)) // equal timestamp matches (<=)
+    assert(out("p2") == Some(300.0)) // latest prior, not first
+    assert(out("p3") == None)        // LEFT semantics: no prior right row
+  }
+
+  test("tiebreak column makes equal-time right rows deterministic") {
+    val left = Seq((1L, ts(10), "p")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts(10), 1L, 111.0), (1L, ts(10), 2L, 222.0)
+    ).toDF("k", "t", "rid", "v")
+    val out = AsOfJoin.lastPrior(left, right, "k", "k", "t", "t", Seq("v"),
+      rightTiebreak = Some("rid"))
+    assert(out.head.getAs[Double]("v_asof") == 222.0)
+  }
+}
