@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys — the manual fallback when AQE's
+  * skew-join split isn't enough (e.g. one key holding >5% of a 100 TB
+  * fact table).
+  *
+  * The skewed (large) side gets a random-ish salt in [0, salts); the
+  * small side is EXPLODED ×salts so every (key, salt) bucket finds its
+  * match. One hot key thus spreads over `salts` reducers instead of
+  * melting one. Salt is derived deterministically from a stable column
+  * so runs are reproducible.
+  */
+object SkewJoin {
+
+  /** Equi-join `large ⋈ small` on `largeKey == smallKey`, salting the
+    * large side `salts` ways. `saltSource` must be a column of the
+    * large side that varies within a key (a row id, a timestamp).
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame,
+      largeKey: String, smallKey: String,
+      saltSource: String, salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    val l = large.withColumn("_salt",
+      pmod(xxhash64(col(saltSource)), lit(salts)).cast("int"))
+    val s = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(s,
+        l(largeKey) === s(smallKey) && l("_salt") === s("_salt"),
+        joinType)
+      .drop("_salt")
+  }
+}

@@ -86,6 +86,29 @@ object DedupQueries {
     * the same double-precision dot/norm formula via list lambdas.
     */
   val oracles: Map[String, String] = Map(
+    // Exact n-gram Jaccard IS oracle-expressible: DuckDB builds the
+    // same distinct 3-gram shingle sets via list comprehension and
+    // brute-forces all pairs (the ORACLE may be O(n²); the engine uses
+    // prefix filtering — same exact answer).
+    "d_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftclone' FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (

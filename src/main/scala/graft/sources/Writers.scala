@@ -29,6 +29,21 @@ object Writers {
     }
   }
 
+  /** Bucketed table write: co-partitions AND co-sorts by the join key
+    * so a later join of two tables bucketed the same way needs NO
+    * exchange — the decisive layout optimization for repeated 100 TB
+    * fact-fact joins. (Bucketing requires the table catalog, hence
+    * saveAsTable rather than a bare path.)
+    */
+  def bucketedTable(
+      df: DataFrame, table: String, bucketBy: String, numBuckets: Int,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketBy)
+      .sortBy(bucketBy)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** db_insert via Spark's JDBC sink (connectors/builtin.py:133-204
     * MySQLConnector.write_data — there: CSV → DuckDB → MySQL; here: a
     * direct distributed JDBC write, `numPartitions` bounding the

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Writers
+
+/** Scale-mechanics specs: salted skew joins and bucketed co-located
+  * joins — the two manual layout levers beyond AQE.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows under skew") {
+    // one hot key (90% of rows) + tail
+    val large = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong + 1, i.toLong))).toDF("k", "rowid")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k2", "name")
+
+    val plain = large.join(small, large("k") === small("k2"))
+      .select("rowid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = SkewJoin.saltedJoin(large, small, "k", "k2", "rowid", salts = 8)
+      .select("rowid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.count(_._2 == "hot") == 900)
+  }
+
+  test("bucketed tables join without an exchange") {
+    // warehouse dir is a static conf — default ./spark-warehouse is fine
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "bv")
+    Writers.bucketedTable(a, "graft_bucket_a", "k", 4)
+    Writers.bucketedTable(b, "graft_bucket_b", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the bucket layout (not a broadcast)
+      // is what avoids the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+}
