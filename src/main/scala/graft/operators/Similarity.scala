@@ -75,6 +75,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to
+    * LSH: k-means centroids partition the corpus into `nlist` cells;
+    * a query scans only the `nprobe` nearest cells. Returns the
+    * assigned DataFrame + centroids for reuse across queries (at scale
+    * you persist the assignment — it's the index).
+    */
+  final case class IvfIndex(
+      assigned: DataFrame, // original columns + _cell
+      centroids: Array[Array[Double]])
+
+  def ivfIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.feature.{VectorAssembler => _}
+    import org.apache.spark.ml.linalg.Vectors
+    val toMl = org.apache.spark.ml.functions.array_to_vector(col(vecCol).cast("array<double>"))
+    val features = df.withColumn("_features", toMl)
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("_features").setPredictionCol("_cell")
+    val model = km.fit(features)
+    val assigned = model.transform(features).drop("_features")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Query an IVF index: rank cells by centroid distance, brute-force
+    * only the nprobe nearest cells.
+    */
+  def ivfTopK(
+      index: IvfIndex, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def dist2(c: Array[Double]): Double =
+      c.indices.map(j => { val d = c(j) - qd(j); d * d }).sum
+    val cells = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }.take(nprobe).map(_._2)
+    index.assigned
+      .filter(col("_cell").isin(cells.toSeq: _*))
+      .select(col(idCol), round(cosineConst(col(vecCol), qd), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs near-duplicates by embedding cosine: bucket join on the
     * LSH sign pattern (identical bucket ⇒ candidate), exact rerank.
     * The 100 TB shape for embedding dedup — never all-pairs.

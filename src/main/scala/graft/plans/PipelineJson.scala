@@ -1,0 +1,118 @@
+package graft.plans
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+import graft.operators.TransformStep
+import graft.operators.TransformStep._
+import graft.plans.PipelineDag._
+import graft.sources.{Readers, Writers}
+
+/** Parser for the reference platform's pipeline-definition JSON
+  * (models/pipeline.py `definition_json`, executed by
+  * executor/engine.py): `{"nodes": [{"id", "type",
+  * "data": {"config": {...}}}], "edges": [{"source", "target"}]}`.
+  *
+  * A pipeline authored in the reference UI runs on this engine
+  * unchanged — node types and transform-step operator names map 1:1
+  * onto [[PipelineDag]] / [[TransformStep]]. File references use
+  * `path`+`format` config keys (the reference resolves opaque MinIO
+  * file_ids through its control-plane DB; a path is the engine-level
+  * equivalent).
+  */
+object PipelineJson {
+
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): (Seq[Node], Seq[Edge]) = {
+    val root = mapper.readTree(json)
+    val nodes = root.path("nodes").elements.asScala.map(parseNode).toSeq
+    val edges = root.path("edges").elements.asScala.map { e =>
+      Edge(e.path("source").asText, e.path("target").asText)
+    }.toSeq
+    (nodes, edges)
+  }
+
+  /** Parse + execute in one call (the reference's `execute(run_id)`). */
+  def run(spark: SparkSession, json: String): RunResult = {
+    val (nodes, edges) = parse(json)
+    PipelineDag.execute(spark, nodes, edges)
+  }
+
+  private def strSeq(n: JsonNode): Seq[String] =
+    n.elements.asScala.map(_.asText).toSeq
+
+  private def parseNode(n: JsonNode): Node = {
+    val id = n.path("id").asText
+    val config = n.path("data").path("config")
+    val op: NodeOp = n.path("type").asText match {
+      case "file_input" | "connector_input" =>
+        val path = config.path("path").asText
+        val format =
+          if (config.has("format")) config.path("format").asText
+          else Readers.detectFormat(path)
+        Source(sp => Readers.read(sp, path, format))
+      case "transform" =>
+        Transform(config.path("steps").elements.asScala.map(parseStep).toSeq)
+      case "validation" =>
+        Validation(if (config.has("min_score")) config.path("min_score").asDouble else 50.0)
+      case "conditional_branch" =>
+        Conditional(config.path("expression").asText)
+      case "merge" => Merge
+      case "split_json" =>
+        SplitJson(config.path("column").asText, config.path("schema").asText)
+      case "file_output" | "export" =>
+        val path = config.path("path").asText
+        val format =
+          if (config.has("format")) config.path("format").asText
+          else Readers.detectFormat(path)
+        Sink(df => Writers.write(df, path, format))
+      case other =>
+        // reference behavior: unknown node types pass through
+        // (engine.py:188 "Pass-through node type")
+        Conditional("true")
+    }
+    Node(id, op)
+  }
+
+  /** Transform-step operator names exactly as in duckdb_engine.py
+    * `_step_to_sql` (:286-370).
+    */
+  private def parseStep(s: JsonNode): TransformStep = {
+    val p = s.path("params")
+    s.path("operator").asText match {
+      case "rename_column" =>
+        RenameColumn(p.path("from_name").asText, p.path("to_name").asText)
+      case "cast_type" =>
+        CastType(p.path("column").asText, p.path("target_type").asText)
+      case "trim_whitespace" => TrimWhitespace(strSeq(p.path("columns")))
+      case "filter_rows" => FilterRows(p.path("expression").asText)
+      case "drop_nulls" => DropNulls(strSeq(p.path("columns")))
+      case "deduplicate_rows" =>
+        DeduplicateRows(strSeq(p.path("columns")),
+          if (p.has("order_by")) Some(p.path("order_by").asText) else None)
+      case "replace_text" =>
+        ReplaceText(p.path("column").asText, p.path("find").asText,
+          p.path("replace").asText)
+      case "regex_replace" =>
+        RegexReplace(p.path("column").asText, p.path("pattern").asText,
+          p.path("replacement").asText)
+      case "add_derived_column" =>
+        AddDerivedColumn(p.path("name").asText, p.path("expression").asText)
+      case "split_column" =>
+        SplitColumn(p.path("column").asText, p.path("delimiter").asText,
+          strSeq(p.path("new_names")))
+      case "merge_columns" =>
+        MergeColumns(strSeq(p.path("columns")),
+          if (p.has("separator")) p.path("separator").asText else " ",
+          p.path("new_name").asText)
+      case "sql_transform" => SqlTransform(p.path("sql").asText)
+      case "aggregate" =>
+        Aggregate(strSeq(p.path("group_by")),
+          p.path("aggregations").properties.asScala
+            .map(e => e.getKey -> e.getValue.asText).toSeq)
+      case other =>
+        throw new IllegalArgumentException(s"Unknown transform operator: $other")
+    }
+  }
+}

@@ -46,6 +46,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("IVF index routes the query to the right cells") {
+    val many = (0 until 40).map { i =>
+      // two obvious clusters around e1 and e2
+      if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f, 0.0f))
+      else (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(many, "vec_id", "embedding", nlist = 2)
+    assert(idx.centroids.length == 2)
+    val top = Similarity.ivfTopK(idx, "vec_id", "embedding",
+      Array(1.0f, 0.0f, 0.0f, 0.0f), k = 3, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.length == 3)
+    assert(top.forall(_ % 2 == 0)) // only the e1 cluster
+  }
+
   test("bucketExpr and bucketOf agree (query routing = data bucketing)") {
     val planes = Similarity.hyperplanes(4, 4)
     val sparkBuckets = vecs

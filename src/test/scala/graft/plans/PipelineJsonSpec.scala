@@ -1,0 +1,73 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.Writers
+
+class PipelineJsonSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a reference-format pipeline JSON parses and runs end-to-end") {
+    val dir = Files.createTempDirectory("graft_pj")
+    val in = dir.resolve("in.csv").toString
+    val out = dir.resolve("out").toString
+    Writers.write(Seq(
+      (1, "  Alice ", 10.0), (2, "Bob", 20.0), (3, "Cara", 5.0), (3, "Cara", 5.0)
+    ).toDF("id", "name", "amount"), in, "csv")
+
+    // the reference UI's definition_json shape, verbatim
+    val json = s"""{
+      "nodes": [
+        {"id": "n1", "type": "file_input",
+         "data": {"config": {"path": "$in", "format": "csv"}}},
+        {"id": "n2", "type": "transform", "data": {"config": {"steps": [
+          {"operator": "trim_whitespace", "params": {"columns": ["*"]}},
+          {"operator": "deduplicate_rows", "params": {"columns": ["id"], "order_by": "id"}},
+          {"operator": "filter_rows", "params": {"expression": "amount > 6"}},
+          {"operator": "add_derived_column", "params": {"name": "doubled", "expression": "amount * 2"}}
+        ]}}},
+        {"id": "n3", "type": "validation", "data": {"config": {"min_score": 50}}},
+        {"id": "n4", "type": "unknown_future_type", "data": {"config": {}}},
+        {"id": "n5", "type": "file_output",
+         "data": {"config": {"path": "$out", "format": "parquet"}}}
+      ],
+      "edges": [
+        {"source": "n1", "target": "n2"},
+        {"source": "n2", "target": "n3"},
+        {"source": "n3", "target": "n4"},
+        {"source": "n4", "target": "n5"}
+      ]
+    }"""
+
+    val res = PipelineJson.run(spark, json)
+    assert(res.nodeLog.exists { case (id, msg) => id == "n3" && msg.startsWith("quality") })
+    assert(res.nodeLog.contains("n5" -> "sink ok"))
+
+    val back = spark.read.parquet(out)
+    val rows = back.collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("name"),
+      r.getAs[Double]("doubled"))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "Alice", 20.0), (2, "Bob", 40.0)))
+  }
+
+  test("aggregate step via JSON") {
+    val (nodes, edges) = PipelineJson.parse("""{
+      "nodes": [{"id": "t", "type": "transform", "data": {"config": {"steps": [
+        {"operator": "aggregate", "params": {"group_by": ["g"],
+          "aggregations": {"v": "sum"}}}]}}}],
+      "edges": []
+    }""")
+    assert(nodes.head.op.isInstanceOf[PipelineDag.Transform])
+  }
+
+  test("unknown operator raises") {
+    intercept[IllegalArgumentException] {
+      PipelineJson.parse("""{
+        "nodes": [{"id": "t", "type": "transform", "data": {"config": {"steps": [
+          {"operator": "teleport", "params": {}}]}}}],
+        "edges": []
+      }""")
+    }
+  }
+}

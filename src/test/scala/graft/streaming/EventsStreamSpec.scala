@@ -43,6 +43,36 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("file-source stream: read parquet dir, window, write parquet sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val srcDir = dir.resolve("src").toString
+    val outDir = dir.resolve("out").toString
+    val ckDir = dir.resolve("ck").toString
+    Seq(
+      (1L, ts(1), 1L, "click", 1.0, "{}"),
+      (2L, ts(2), 2L, "click", 2.0, "{}"),
+      (3L, ts(11), 1L, "view", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(srcDir)
+
+    val q = windowedCounts(readEventsStream(spark, srcDir),
+        window = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // append mode: with watermark 0 the 10:00 window closes once the
+    // 10:11 event advances the watermark
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSet ==
+      Set("window_start", "event_type", "n_events", "value_sum"))
+    val clicks = out.filter(col("event_type") === "click").collect()
+    assert(clicks.length == 1 && clicks.head.getAs[Long]("n_events") == 2L)
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
