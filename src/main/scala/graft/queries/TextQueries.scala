@@ -71,6 +71,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Composite training-data pipeline in ONE lazy plan: exact dedup
+    // (keep min id per fingerprint) → quality gate (length) → annotate
+    // language + token count. The shape every corpus-prep job runs.
+    "x_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withFp = docs.withColumn("_fp", fingerprint(col("text")))
+      val keep = withFp.groupBy("_fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      withFp.join(keep, "doc_id")
+        .filter(wsTokenCount(col("text")) >= 20)
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"),
+          wsTokenCount(col("text")).as("ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup: one hash-aggregate, keep min doc_id per normalized
     // fingerprint. The 100 TB shape: a single shuffle on the hash.
     "d_exact_dedup" -> ((s, dir) => {
@@ -107,6 +122,16 @@ object TextQueries {
     "x_fingerprint" ->
       s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pipeline_e2e" ->
+      s"""WITH kept AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY ${fingerprintSql("text")}
+         |)
+         |SELECT d.doc_id, ${langIdSql("d.text")} AS lang_pred,
+         |  ${wsTokenCountSql("d.text")} AS ws_tokens
+         |FROM documents d JOIN kept USING (doc_id)
+         |WHERE ${wsTokenCountSql("d.text")} >= 20
+         |ORDER BY d.doc_id""".stripMargin,
     "d_exact_dedup" ->
       s"""SELECT ${fingerprintSql("text")} AS fp, min(doc_id) AS keep_id,
          |  count(*) AS n_copies
