@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.operators.{Quality, TransformStep}
+import graft.sources.{Readers, Writers}
+
+/** 1:1 facade over the reference's `DuckDBEngine` service API
+  * (services/duckdb_engine.py) — same operations, same shapes — so
+  * call sites of the reference port mechanically:
+  *
+  *  - preview_file      → [[Engine.previewFile]]
+  *  - infer_schema      → [[Engine.inferSchema]]
+  *  - execute_sql       → [[Engine.executeSql]]
+  *  - apply_transforms  → [[Engine.applyTransforms]]
+  *  - export_to_file    → [[Engine.exportToFile]]
+  *  - data_quality_score→ [[Engine.dataQualityScore]]
+  *
+  * Differences are deliberate: results are DataFrames (lazy,
+  * distributed) rather than row dicts, and previews take a sort for
+  * determinism (a LIMIT without order is not a well-defined result on
+  * a distributed scan).
+  */
+object Engine {
+
+  final case class Preview(columns: Seq[String], rows: Seq[Row], totalCount: Long)
+
+  /** preview_file (duckdb_engine.py:31-64): first `limit` rows (by
+    * `orderBy`, for determinism) + schema + total count.
+    */
+  def previewFile(
+      spark: SparkSession, path: String, format: String,
+      limit: Int = 200, orderBy: Seq[String] = Nil): Preview = {
+    val df = Readers.read(spark, path, format)
+    val ordered = if (orderBy.nonEmpty) df.orderBy(orderBy.head, orderBy.tail: _*) else df
+    Preview(df.columns.toSeq, ordered.limit(limit).collect().toSeq, df.count())
+  }
+
+  /** infer_schema (duckdb_engine.py:66-86): (name, type, nullable). */
+  def inferSchema(spark: SparkSession, path: String, format: String): Seq[(String, String, Boolean)] =
+    Readers.inferSchema(spark, path, format)
+
+  /** execute_sql (duckdb_engine.py:88-124): arbitrary SQL over named
+    * source views; `{{name}}` placeholders are view references.
+    */
+  def executeSql(
+      spark: SparkSession, sql: String,
+      sources: Map[String, (String, String)] = Map.empty, // name -> (path, format)
+      limit: Int = 1000): DataFrame = {
+    sources.foreach { case (name, (path, format)) =>
+      Readers.read(spark, path, format).createOrReplaceTempView(name)
+    }
+    val resolved = sources.keys.foldLeft(sql)((s, n) => s.replace(s"{{$n}}", n))
+    spark.sql(resolved).limit(limit)
+  }
+
+  /** apply_transforms (duckdb_engine.py:126-165): the step pipeline
+    * over a file, previewed. The whole chain is ONE lazy plan.
+    */
+  def applyTransforms(
+      spark: SparkSession, path: String, format: String,
+      steps: Seq[TransformStep]): DataFrame =
+    TransformStep.applyAll(Readers.read(spark, path, format), steps)
+
+  /** export_to_file (duckdb_engine.py:181-214): transforms + write. */
+  def exportToFile(
+      spark: SparkSession, inPath: String, inFormat: String,
+      steps: Seq[TransformStep], outPath: String, outFormat: String = "csv"): String = {
+    Writers.write(applyTransforms(spark, inPath, inFormat, steps), outPath, outFormat)
+    outPath
+  }
+
+  /** data_quality_score (duckdb_engine.py:216-263): same result shape
+    * {score, total_rows, column_count, details}, ONE pass (the
+    * reference runs 2 queries per column).
+    */
+  final case class QualityReport(
+      score: Double, totalRows: Long, columnCount: Int,
+      details: Map[String, (Double, Double, Double)]) // null_rate, unique_ratio, score
+
+  def dataQualityScore(spark: SparkSession, path: String, format: String): QualityReport = {
+    val df = Readers.read(spark, path, format)
+    val profile = Quality.profile(df).collect()
+    if (profile.isEmpty || profile.head.getAs[Long]("total_rows") == 0L)
+      return QualityReport(0.0, 0L, 0, Map.empty)
+    val total = profile.head.getAs[Long]("total_rows")
+    val details = profile.map { r =>
+      val nullRate = r.getAs[Double]("null_rate")
+      val uniqueRatio = r.getAs[Long]("distinct_count").toDouble / total
+      r.getAs[String]("column_name") -> ((nullRate, uniqueRatio, r.getAs[Double]("score")))
+    }.toMap
+    QualityReport(
+      details.values.map(_._3).sum / details.size, total, details.size, details)
+  }
+}

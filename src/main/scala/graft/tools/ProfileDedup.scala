@@ -64,6 +64,35 @@ object ProfileDedup {
       .filter(col("jaccard") >= 0.7)
     time("rerank")(println("n_pairs=" + pairs.count()))
 
+    // --- ngram profile ---
+    spark.catalog.clearCache()
+    val exploded = docs
+      .select(col("doc_id").as("_id"), explode(Dedup.shingles(col("text"), 3)).as("_sh"))
+      .persist()
+    time("ng explode persist")(exploded.count())
+    val sizes = exploded.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val dfs = exploded.groupBy("_sh").agg(count(lit(1)).as("_df"))
+    time("ng dfs")(dfs.count())
+    val prefix = exploded.join(dfs, "_sh").join(sizes, "_id")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_id").orderBy(col("_df"), col("_sh"))))
+      .filter(col("_rn") <= floor(lit(0.2) * col("_n")) + 1)
+      .select("_id", "_sh").persist()
+    time("ng prefix")(println("n_prefix=" + prefix.count()))
+    val l2 = prefix.as("l"); val r2 = prefix.as("r")
+    val cand2 = l2.join(r2, col("l._sh") === col("r._sh") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b")).distinct().persist()
+    time("ng candidates")(println("n_cand2=" + cand2.count()))
+    val sets = exploded.groupBy("_id").agg(collect_list(col("_sh")).as("_set"))
+    val pairs2 = cand2
+      .join(sets.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+          size(array_union(col("_sa"), col("_sb"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+    time("ng rerank")(println("n_pairs2=" + pairs2.count()))
+
     spark.stop()
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TransformStep._
+import graft.sources.Writers
+
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val csvPath = {
+    val dir = Files.createTempDirectory("graft_engine")
+    val p = dir.resolve("t.csv").toString
+    Writers.write(Seq(
+      (1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, null, 40.0)
+    ).toDF("id", "tag", "v"), p, "csv")
+    p
+  }
+
+  test("previewFile returns rows, columns and total count") {
+    val p = Engine.previewFile(spark, csvPath, "csv", limit = 2, orderBy = Seq("id"))
+    assert(p.columns == Seq("id", "tag", "v"))
+    assert(p.totalCount == 4L && p.rows.size == 2)
+    assert(p.rows.head.getAs[Int]("id") == 1)
+  }
+
+  test("executeSql resolves {{name}} placeholders") {
+    val out = Engine.executeSql(spark,
+      "SELECT tag, count(*) AS n FROM {{data}} GROUP BY tag ORDER BY n DESC, tag",
+      sources = Map("data" -> (csvPath, "csv")))
+    assert(out.head.getAs[Long]("n") == 2L)
+  }
+
+  test("applyTransforms + exportToFile round-trip") {
+    val dir = Files.createTempDirectory("graft_engine_out")
+    val out = dir.resolve("out").toString
+    Engine.exportToFile(spark, csvPath, "csv",
+      Seq(FilterRows("v >= 20"), AddDerivedColumn("half", "v / 2")),
+      out, "parquet")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3 && back.columns.contains("half"))
+  }
+
+  test("dataQualityScore matches the reference result shape") {
+    val q = Engine.dataQualityScore(spark, csvPath, "csv")
+    assert(q.totalRows == 4L && q.columnCount == 3)
+    assert(q.details("tag")._1 == 0.25)       // null_rate
+    assert(q.details("id")._2 == 1.0)         // unique_ratio
+    assert(q.score > 90.0 && q.score <= 100.0)
+  }
+}
