@@ -81,10 +81,28 @@ object PipelineQueries {
         t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
         "doc_id", "blob", "image")
       Multimodal.featurePipeline(media, dim = 8).orderBy("media_type")
+    }),
+
+    // Multimodal metadata stats — the oracle-able half of the media
+    // pipeline (byte lengths survive the binary cast bit-for-bit).
+    "mm_meta" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob", "image")
+      media.groupBy("media_type")
+        .agg(count(lit(1)).as("n_items"),
+          sum(length(col("media")).cast("long")).as("total_bytes"),
+          max(length(col("media")).cast("long")).as("max_bytes"))
+        .orderBy("media_type")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT 'image' AS media_type, count(*) AS n_items,
+        |  sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+        |  max(octet_length(encode(text))) AS max_bytes
+        |FROM documents""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value

@@ -26,6 +26,17 @@ object TextQueries {
         .orderBy("c_custkey")
     }),
 
+    // export node: write through Writers, read back — the roundtrip
+    // itself is what the oracle checks.
+    "e_export" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_export")
+        .resolve("li").toString
+      graft.sources.Writers.write(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        out, "parquet")
+      s.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // One-pass per-column quality profile (reference: 2 queries/column).
     "e_quality_score" -> ((s, dir) =>
       Quality.profile(t(s, dir, "customer")).orderBy("column_name")),
@@ -102,6 +113,9 @@ object TextQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
+    "e_export" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "e_quality_score" -> Quality.profileOracle("customer",
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
     "t_split_json" ->

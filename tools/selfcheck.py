@@ -29,7 +29,8 @@ def values_equal(a, b):
         except (TypeError, ValueError):
             return False
         if math.isnan(fa) and math.isnan(fb): return True
-        return fa == fb or abs(fa-fb) <= 1e-9*max(1.0, abs(fa), abs(fb))
+        # strict: the driver may hash values byte-exactly
+        return fa == fb
     return str(a) == str(b)
 
 def main(sf_dir, out_dir):
