@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * Everything is Column-expression based (codegen-friendly, no UDFs);
   * the only shuffles are the bucket joins, keyed so identical docs
   * co-locate. At 100 TB the bucket join replaces an impossible
-  * all-pairs comparison; skew from degenerate buckets (e.g. empty
-  * docs) is bounded by `maxBucketDf` / the hot-shingle cap.
+  * all-pairs comparison; quadratic blowup from degenerate buckets
+  * (mass-duplicated docs) is bounded by `maxBucketSize`, and the
+  * n-gram path bounds its index by prefix filtering. The persisted
+  * stages (shingles, signatures) are the operator's index — at
+  * cluster scale stage them to parquet instead of executor memory.
   */
 object Dedup {
 
@@ -66,10 +69,16 @@ object Dedup {
     * bands*rowsPerBand minhashes; a pair collides if any band matches
     * exactly — P(collide) = 1-(1-j^r)^b, the classic S-curve.
     */
+  /** `maxBucketSize` guards the candidate join against degenerate
+    * buckets: a bucket of B identical-signature docs yields B²/2 pairs
+    * — thousands of exact copies should be collapsed by exact dedup
+    * FIRST, not pairwise-enumerated here. Dropped buckets are whole
+    * duplicate clusters, not near-dup misses.
+    */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Staged once and reused by signature build + both rerank sides —
     // the standard "materialize the signatures" step; without it the
@@ -96,8 +105,13 @@ object Dedup {
       .select(col("_id"), col("bb.band"), col("bb.bucket"))
 
     // Self-join inside (band, bucket) → candidates; distinct pairs.
-    val l = banded.as("l")
-    val r = banded.as("r")
+    // Buckets above maxBucketSize are dropped before the join (see doc).
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val guarded = banded.join(okBuckets, Seq("band", "bucket"))
+    val l = guarded.as("l")
+    val r = guarded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l._id") < col("r._id"))
