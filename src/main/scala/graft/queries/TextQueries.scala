@@ -75,6 +75,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus length distribution: exact interpolated percentiles per
+    // language (the p50/p95 doc-length stats every corpus report has).
+    "x_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("q50"),
+          expr("percentile(n_chars, 0.95)").as("q95"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // Document fingerprint over normalized text.
     "x_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -133,6 +144,10 @@ object TextQueries {
          |  ${punctRatioSql("text")} AS punct_ratio,
          |  ${stopwordRatioSql("text")} AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS q50,
+        |  quantile_cont(n_chars, 0.95) AS q95, count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x_fingerprint" ->
       s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
