@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Output row of the batched decode path (top-level for the encoder). */
+final case class MediaFeatures(media_id: Long, features: Array[Float])
+
 /** Multimodal column handling for training-data pipelines.
   *
   * Media (image/audio/video) travels as an opaque `binary` column plus
@@ -51,6 +54,45 @@ object Multimodal {
     array((0 until dim).map { i =>
       (xxhash64(lit(i), media).cast("double") / lit(Long.MaxValue.toDouble)) / 2.0
     }: _*)
+
+  /** Batched partition-wise decode — the Scala equivalent of a
+    * `mapInPandas` media UDF: rows stream through `mapPartitions`,
+    * grouped `batchSize` at a time, and each batch goes to the decoder
+    * IN ONE CALL (real codecs amortize model/codec setup per batch,
+    * not per row). The decoder body is the single swap point; the
+    * batching, schema, and encoder plumbing are production-shaped.
+    */
+  def decodeBatched(
+      media: DataFrame, dim: Int, batchSize: Int = 32): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // STUB batch decode: deterministic features from the bytes.
+          // A real implementation calls the native decoder here with
+          // the whole batch and returns its feature matrix.
+          batch.map { case (id, bytes) =>
+            MediaFeatures(id, stubFeatures(bytes, dim))
+          }
+        }
+      }
+  }
+
+  /** Deterministic stand-in feature vector (seeded byte-fold). */
+  private[multimodal] def stubFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      var h = 1125899906842597L + i
+      var j = 0
+      val n = if (bytes == null) 0 else bytes.length
+      while (j < n) { h = 31 * h + bytes(j); j += 1 }
+      out(i) = ((h % 1000L) / 1000.0f)
+      i += 1
+    }
+    out
+  }
 
   /** STUB resize: records the target box in metadata; the media bytes
     * pass through untouched (a real impl re-encodes inside the same

@@ -39,6 +39,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.columns.toSet == Set("media_id", "frame_ts_ms", "frame_key"))
   }
 
+  test("decodeBatched streams partition batches through the decoder") {
+    val five = Multimodal.asMedia(
+      (1 to 5).map(i => (i.toLong, s"payload$i")).toDF("id", "p")
+        .withColumn("blob", $"p".cast("binary")),
+      "id", "blob", "image").repartition(1)
+    val out = Multimodal.decodeBatched(five, dim = 3, batchSize = 2).collect()
+    assert(out.length == 5) // batches of 2,2,1 — nothing dropped
+    assert(out.forall(_.features.length == 3))
+    // deterministic across runs
+    val again = Multimodal.decodeBatched(five, dim = 3, batchSize = 2).collect()
+    assert(out.sortBy(_.media_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
+  }
+
   test("featurePipeline aggregates per media type") {
     val out = Multimodal.featurePipeline(media, dim = 8).collect()
     assert(out.length == 1)
