@@ -248,7 +248,10 @@ object CoreQueries {
     // e_execute_sql: arbitrary SQL over registered named views
     // (execute_sql w/ sources).
     "e_execute_sql" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      // register just the referenced views (registerAll would read 10
+      // table footers per call)
+      Seq("customer", "nation").foreach(n =>
+        Tables.load(s, dir, n).createOrReplaceTempView(n))
       s.sql("""
         SELECT n_name, count(*) AS n_customers
         FROM customer JOIN nation ON c_nationkey = n_nationkey
