@@ -13,17 +13,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) → read as int64 nanos (see
-    // Sessions), restored here to a microsecond timestamp.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
-      case Some(_) =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
-    }
-  }
+  // Memoized per (session, path): re-loading a table re-lists files
+  // and re-reads parquet footers — measurable fixed cost when dozens
+  // of queries hit the same small tables. The analyzed plan is
+  // immutable, so sharing it across queries is safe.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (sp, path) =>
+      val df = sp.read.parquet(path)
+      // events.ts is parquet TIMESTAMP(NANOS) → read as int64 nanos (see
+      // Sessions), restored here to a microsecond timestamp.
+      df.schema.fields.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
+        case Some(_) =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case None => df
+      }
+    })
 
   /** Register every table as a temp view (for the SQL surface). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
