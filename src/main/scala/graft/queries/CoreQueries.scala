@@ -240,6 +240,19 @@ object CoreQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // Pivot: wide per-status counts + decimal sums (missing cells → 0
+    // to match the oracle's FILTER semantics).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"))
+        .orderBy("l_returnflag")
+    }),
+
     // e_preview: deterministic ordered preview (preview_file).
     "e_preview" -> ((s, dir) => {
       t(s, dir, "nation").orderBy("n_nationkey").limit(10)
@@ -365,6 +378,11 @@ object CoreQueries {
         |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_linestatus = 'F') AS cnt_f,
+        |  count(*) FILTER (l_linestatus = 'O') AS cnt_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e_preview" ->
       "SELECT * FROM nation ORDER BY n_nationkey LIMIT 10",
     "e_execute_sql" ->

@@ -21,13 +21,17 @@ object DedupQueries {
 
   private val CloneShift = 1000000L
 
-  /** documents ∪ near-dup clones of doc_id < 50 (one appended token). */
+  /** documents ∪ near-dup clones of doc_id < 50 (one appended token).
+    * Repartitioned: the source is one parquet split, which would pin
+    * all the shingle/signature compute to one core locally (a real
+    * corpus has thousands of splits and never hits this).
+    */
   def docsWithClones(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val clones = docs.filter(col("doc_id") < 50)
       .withColumn("doc_id", col("doc_id") + CloneShift)
       .withColumn("text", concat(col("text"), lit(" graftclone")))
-    docs.unionByName(clones)
+    docs.unionByName(clones).repartition(s.sparkContext.defaultParallelism)
   }
 
   /** embeddings ∪ scaled clones of vec_id < 50 (cosine ≈ 1 to source). */

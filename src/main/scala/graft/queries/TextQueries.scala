@@ -97,7 +97,8 @@ object TextQueries {
     // (keep min id per fingerprint) → quality gate (length) → annotate
     // language + token count. The shape every corpus-prep job runs.
     "x_pipeline_e2e" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // spread the regex-heavy per-row work (source is 1 parquet split)
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
       val withFp = docs.withColumn("_fp", fingerprint(col("text")))
       val keep = withFp.groupBy("_fp").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
