@@ -67,6 +67,27 @@ object PipelineJson {
           if (config.has("format")) config.path("format").asText
           else Readers.detectFormat(path)
         Sink(df => Writers.write(df, path, format))
+      case "webhook_send" | "invoke_http" =>
+        // engine.py:252-258 / :226-243: POST the node's input onward.
+        // Executor-side batched JSON (Export), not a driver-side dump.
+        val url = config.path("url").asText
+        val headers = if (config.has("headers"))
+          config.path("headers").properties.asScala
+            .map(e => e.getKey -> e.getValue.asText).toMap
+        else Map.empty[String, String]
+        val batch = if (config.has("batch_size")) config.path("batch_size").asInt else 500
+        Sink(df => graft.sources.Export.webhook(
+          df, graft.sources.Export.HttpPost(url, headers), batchSize = batch))
+      case "db_insert" =>
+        // engine.py:260-266: distributed JDBC append.
+        val url = config.path("jdbc_url").asText
+        val table = config.path("table_name").asText
+        Sink { df =>
+          val props = new java.util.Properties()
+          if (config.has("user")) props.put("user", config.path("user").asText)
+          if (config.has("password")) props.put("password", config.path("password").asText)
+          Writers.jdbcInsert(df, url, table, props)
+        }
       case other =>
         // reference behavior: unknown node types pass through
         // (engine.py:188 "Pass-through node type")

@@ -51,6 +51,33 @@ class PipelineJsonSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "Alice", 20.0), (2, "Bob", 40.0)))
   }
 
+  test("webhook_send node posts the flow's rows via JSON config") {
+    import java.net.InetSocketAddress
+    import java.util.concurrent.atomic.AtomicInteger
+    val hits = new AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", { ex =>
+      hits.incrementAndGet(); ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val dir = Files.createTempDirectory("graft_wh_json")
+      val in = dir.resolve("in.csv").toString
+      Writers.write(Seq((1, "a"), (2, "b")).toDF("id", "s").coalesce(1), in, "csv")
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val res = PipelineJson.run(spark, s"""{
+        "nodes": [
+          {"id": "n1", "type": "file_input", "data": {"config": {"path": "$in", "format": "csv"}}},
+          {"id": "n2", "type": "webhook_send", "data": {"config": {"url": "$url"}}}
+        ],
+        "edges": [{"source": "n1", "target": "n2"}]
+      }""")
+      assert(res.nodeLog.contains("n2" -> "sink ok"))
+      assert(hits.get() >= 1)
+    } finally server.stop(0)
+  }
+
   test("aggregate step via JSON") {
     val (nodes, edges) = PipelineJson.parse("""{
       "nodes": [{"id": "t", "type": "transform", "data": {"config": {"steps": [
