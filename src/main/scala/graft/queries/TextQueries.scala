@@ -37,6 +37,13 @@ object TextQueries {
       s.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // infer_schema: the schema itself as a result set.
+    "e_infer_schema" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem").schema.fieldNames.toSeq
+        .toDF("column_name").orderBy("column_name")
+    }),
+
     // One-pass per-column quality profile (reference: 2 queries/column).
     "e_quality_score" -> ((s, dir) =>
       Quality.profile(t(s, dir, "customer")).orderBy("column_name")),
@@ -128,6 +135,9 @@ object TextQueries {
     "e_export" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "e_infer_schema" ->
+      """SELECT column_name FROM (DESCRIBE SELECT * FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
     "e_quality_score" -> Quality.profileOracle("customer",
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
     "t_split_json" ->
