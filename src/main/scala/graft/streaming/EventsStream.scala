@@ -93,6 +93,16 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup: drops repeats of `idCols` arriving within
+    * the watermark (state is bounded by it — the unbounded-source
+    * version of the batch exact-dedup operator).
+    */
+  def streamingDedup(
+      events: DataFrame, idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** File-source streaming read of an events directory (schema
     * must be supplied — streaming sources don't infer).
     */

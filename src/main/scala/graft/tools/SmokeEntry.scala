@@ -1,0 +1,16 @@
+package graft.tools
+
+/** Dev scratch: replicates the driver's t1 smoke — a PLAIN session
+  * (no graft tuning) calling SparkEntry.entry, expecting rows > 0.
+  */
+object SmokeEntry {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows=$n")
+    require(n > 0, "entry must return rows")
+    spark.stop()
+  }
+}

@@ -73,6 +73,24 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(clicks.length == 1 && clicks.head.getAs[Long]("n_events") == 2L)
   }
 
+  test("streamingDedup drops repeated ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = streamingDedup(input.toDF(), Seq("user_id", "event_type"),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData(
+      Event(ts(1), 1L, "click", 1.0),
+      Event(ts(2), 1L, "click", 99.0), // duplicate (user_id, event_type)
+      Event(ts(3), 2L, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_stream").collect()
+    assert(rows.length == 2)
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
