@@ -210,9 +210,19 @@ object Dedup {
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .distinct()
 
+    // Length filter (exact necessary condition): J ≥ t ⇒
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes candidates before the
+    // expensive set join.
+    val lenOk = candidates
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        lit(threshold) * greatest(col("_na"), col("_nb")).cast("double"))
+      .select("id_a", "id_b")
+
     // Exact rerank over full shingle sets.
     val sets = exploded.groupBy("_id").agg(collect_list(col("_sh")).as("_set"))
-    candidates
+    lenOk
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
       .withColumn("jaccard",
