@@ -130,23 +130,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is
-    * the sign of Σ_tokens count · (±1 by bit i of xxhash64(token)).
-    * One explode + one 64-way aggregate — a single shuffle on the id.
+    * the sign of Σ_tokens (±1 by bit i of xxhash64(token)), token
+    * multiplicity included.
+    *
+    * Computed ENTIRELY per row (token hashes materialized once, then
+    * 64 array-aggregate folds) — zero shuffle, unlike the textbook
+    * explode + groupBy formulation which shuffles every token. At
+    * 100 TB that's the difference between a map-only stage and
+    * re-shuffling the whole corpus.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("_id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
-      .groupBy("_id", "_tok").agg(count(lit(1)).as("_cnt"))
-      .withColumn("_h", xxhash64(col("_tok")))
+    val hashed = df.select(col(idCol).as("_id"),
+      transform(split(lower(trim(col(textCol))), "\\s+"), t => xxhash64(t)).as("_hs"))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, col("_cnt"))
-        .otherwise(-col("_cnt"))).as(s"_b$i")
+      aggregate(col("_hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
     }
-    val agg = toks.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    val sig = bitSums.zipWithIndex.map { case (b, i) =>
+      when(b > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    agg.select(col("_id").as(idCol), sig.as("simhash"))
+    hashed.select(col("_id").as(idCol), sig.as("simhash"))
   }
 
   /** SimHash near-dups: candidates share at least one of four 16-bit
