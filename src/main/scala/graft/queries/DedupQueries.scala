@@ -45,6 +45,21 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash at threshold 1.0: identical shingle sets ⇒ identical
+    // signatures ⇒ every band collides — recall is exactly 100%, so
+    // the probabilistic operator becomes deterministically
+    // oracle-checkable (exact-duplicate pairs by text equality).
+    "d_minhash_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clones = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + CloneShift)
+      val corpus = docs.unionByName(clones)
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.minHashNearDups(corpus, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
+        .orderBy("id_a", "id_b")
+    }),
+
     // 8 bands × 8 rows: the S-curve knee sits at J≈0.7 — candidates
     // from looser overlap (which this word-salad corpus generates en
     // masse) don't survive banding, so the exact rerank stays small.
@@ -90,6 +105,15 @@ object DedupQueries {
     * the same double-precision dot/norm formula via list lambdas.
     */
   val oracles: Map[String, String] = Map(
+    "d_minhash_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     // Exact n-gram Jaccard IS oracle-expressible: DuckDB builds the
     // same distinct 3-gram shingle sets via list comprehension and
     // brute-forces all pairs (the ORACLE may be O(n²); the engine uses
