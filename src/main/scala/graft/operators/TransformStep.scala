@@ -141,7 +141,19 @@ object TransformStep {
       extends TransformStep {
     def apply(df: DataFrame): DataFrame = {
       val aggCols: Seq[Column] = aggregations.map { case (c, f) =>
-        expr(s"$f(`$c`)").as(s"${c}_$f")
+        val base = expr(s"$f(`$c`)")
+        // sum over DECIMAL widens precision differently per engine
+        // (Spark p+10, DuckDB 38): pin the result back to the input
+        // type so the output width is engine-independent. A DECIMAL(p,s)
+        // input leaves p-s integer digits of headroom — the caller
+        // sizes the decimal for the corpus, same as any fixed-width sum.
+        val pinned = df.schema.fields.find(_.name == c) match {
+          case Some(fld) if f.equalsIgnoreCase("sum") &&
+              fld.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            base.cast(fld.dataType)
+          case _ => base
+        }
+        pinned.as(s"${c}_$f")
       }
       df.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     }

@@ -11,9 +11,12 @@ import graft.operators.TransformStep._
   * [[CoreQueries.oracles]].
   *
   * Determinism rules (SURVEY §3): every query is a well-defined set,
-  * ordered on a total key both here and in the oracle; double SUMs go
-  * through DECIMAL(18,4) casts on both sides so accumulation order
-  * can't flip a bit; AVGs are rounded to 4 places on both sides.
+  * ordered on a total key both here and in the oracle; double SUMs
+  * accumulate through DECIMAL(18,4) casts on both sides (order can't
+  * flip a bit), and every final aggregate is cast to DOUBLE/BIGINT on
+  * BOTH sides — engines widen sum(DECIMAL) differently and DuckDB's
+  * pandas bridge renders DECIMAL/HUGEINT as float64, so only
+  * double/int64 outputs survive a representation-strict compare.
   */
 object CoreQueries {
 
@@ -137,22 +140,35 @@ object CoreQueries {
         Seq(Aggregate(
           Seq("l_returnflag", "l_linestatus"),
           Seq("l_quantity" -> "sum", "l_extendedprice" -> "max", "l_orderkey" -> "count")))
-      ).orderBy("l_returnflag", "l_linestatus")
+        // decimal accumulation (order-independent), double on the wire —
+        // DuckDB's pandas bridge renders DECIMAL as float64, so a decimal
+        // output column can never value-compare against the oracle.
+      ).withColumn("l_quantity_sum", col("l_quantity_sum").cast("double"))
+        .orderBy("l_returnflag", "l_linestatus")
     }),
 
     // TPC-H Q1-shaped pricing summary: the flagship agg. Partial
     // (map-side) aggregation + 2-column shuffle — the canonical
     // scale-out agg shape.
+    // Final aggregates are pinned to explicit output types: engines
+    // widen sum(DECIMAL) differently (Spark p+10, DuckDB 38), and the
+    // driver's compare is representation-strict, so every aggregate
+    // output carries the same declared type on both sides. avg is
+    // ONE IEEE division of two identical values (exact decimal sum →
+    // double, / count) — bit-exact across engines, unlike avg(double)
+    // whose accumulation order varies.
     "q1_agg" -> ((s, dir) => {
+      val qtyDec = sum(col("l_quantity").cast("decimal(18,4)"))
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_base_price"),
+          qtyDec.cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          (qtyDec.cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -169,7 +185,7 @@ object CoreQueries {
         .groupBy("c_mktsegment")
         .agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).as("revenue"),
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("c_mktsegment")
     }),
@@ -185,7 +201,8 @@ object CoreQueries {
         .groupBy("r_name")
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,4)")).as("sum_acctbal"))
+          sum(col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double").as("sum_acctbal"))
         .orderBy("r_name")
     }),
 
@@ -218,7 +235,8 @@ object CoreQueries {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).as("value_sum"))
+          sum(col("value").cast("decimal(18,6)"))
+            .cast("double").as("value_sum"))
         .orderBy("hour", "event_type")
     }),
 
@@ -236,7 +254,8 @@ object CoreQueries {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,4)"))
+            .cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -323,17 +342,17 @@ object CoreQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "t_aggregate" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS l_quantity_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS l_quantity_sum,
         |  max(l_extendedprice) AS l_extendedprice_max,
         |  count(l_orderkey) AS l_orderkey_count
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -341,7 +360,7 @@ object CoreQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join3" ->
       """SELECT c_mktsegment,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -349,7 +368,7 @@ object CoreQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_broadcast_join" ->
       """SELECT r_name, count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -367,7 +386,7 @@ object CoreQueries {
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, c_name FROM customer
@@ -375,7 +394,7 @@ object CoreQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_cube_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_pivot" ->

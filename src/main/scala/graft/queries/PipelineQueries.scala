@@ -35,6 +35,7 @@ object PipelineQueries {
         Edge("only_a", "merged"), Edge("only_r", "merged"),
         Edge("merged", "shaped"), Edge("shaped", "out"))
       PipelineDag.execute(s, nodes, edges).outputs("out")
+        .withColumn("qty_dec_sum", col("qty_dec_sum").cast("double"))
         .orderBy("l_linestatus")
     }),
 
@@ -98,10 +99,13 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Output types pinned: DuckDB sum(BIGINT) is HUGEINT and
+    // max(octet_length) is INTEGER — cast both to BIGINT to match
+    // Spark's LONG exactly (the driver compare is type-strict).
     "mm_meta" ->
       """SELECT 'image' AS media_type, count(*) AS n_items,
-        |  sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
-        |  max(octet_length(encode(text))) AS max_bytes
+        |  CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
+        |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
@@ -118,7 +122,7 @@ object PipelineQueries {
         |ORDER BY p.event_id""".stripMargin,
     "p_pipeline_dag" ->
       """SELECT l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_dec_sum,
         |  count(l_orderkey) AS l_orderkey_count
         |FROM lineitem WHERE l_returnflag IN ('A', 'R')
         |GROUP BY l_linestatus

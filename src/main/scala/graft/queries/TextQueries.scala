@@ -67,8 +67,8 @@ object TextQueries {
     "x_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          wsTokenCount(col("text")).as("ws_tokens"),
-          bpeTokenCount(col("text")).as("bpe_tokens"))
+          wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+          bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -76,7 +76,7 @@ object TextQueries {
     "x_quality" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          length(col("text")).as("n_chars_calc"),
+          length(col("text")).cast("long").as("n_chars_calc"),
           punctRatio(col("text")).as("punct_ratio"),
           stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy("doc_id")
@@ -112,7 +112,7 @@ object TextQueries {
       withFp.join(keep, "doc_id")
         .filter(wsTokenCount(col("text")) >= 20)
         .select(col("doc_id"), langId(col("text")).as("lang_pred"),
-          wsTokenCount(col("text")).as("ws_tokens"))
+          wsTokenCount(col("text")).cast("long").as("ws_tokens"))
         .orderBy("doc_id")
     }),
 

@@ -1,16 +1,22 @@
 #!/usr/bin/env python3
-"""Local approximation of the driver's DuckDB-oracle compare.
+"""Local approximation of the driver's DuckDB-oracle compare — STRICT.
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 
-For each query dir under verifyOutDir: read the Spark parquet result,
-run the matching oracle SQL in DuckDB (tables registered as views over
-<sfDir>/*.parquet), sort columns by name, sort rows, and compare values
-(exact for ints/strings/decimals, tiny-epsilon for floats).
+For each query dir under verifyOutDir: read the Spark parquet result
+with pyarrow, run the matching oracle SQL in DuckDB (tables registered
+as views over <sfDir>/*.parquet) and fetch as arrow. Then:
+  1. TYPE check: arrow field types, sorted by column name, must be
+     identical (the driver hashes serialized values, so a DECIMAL(28,4)
+     vs DECIMAL(38,4) width difference fails even when values match).
+  2. VALUE check: sort columns by name, sort rows, compare str() of
+     every value byte-for-byte (floats by repr — bit-exact, no epsilon).
 NOT part of the Spark library — dev tooling only.
 """
-import json, math, sys, glob, os
+import json, sys, glob, os
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -18,20 +24,13 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True,
+                            key=lambda s: s.map(repr))
     return df
 
-def values_equal(a, b):
-    if a is None and b is None: return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        if math.isnan(fa) and math.isnan(fb): return True
-        # strict: the driver may hash values byte-exactly
-        return fa == fb
-    return str(a) == str(b)
+def type_map(table: pa.Table):
+    return {f.name: str(f.type) for f in table.schema}
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -44,27 +43,33 @@ def main(sf_dir, out_dir):
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir): continue
-        files = glob.glob(f"{qdir}/*.parquet")
+        files = sorted(glob.glob(f"{qdir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
         if name not in oracles:
-            print(f"rows-only {name}: {len(spark_df)} rows"); continue
+            print(f"rows-only {name}: {spark_tbl.num_rows} rows"); continue
         try:
-            duck_df = con.execute(oracles[name]).fetchdf()
+            duck_tbl = con.execute(oracles[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        s, d = norm(spark_df), norm(duck_df)
-        if list(s.columns) != list(d.columns):
-            print(f"FAIL {name}: cols spark={list(s.columns)} duck={list(d.columns)}")
-            n_fail += 1; continue
+        st, dt = type_map(spark_tbl), type_map(duck_tbl)
+        if st != dt:
+            diff = {k: (st.get(k), dt.get(k))
+                    for k in sorted(set(st) | set(dt)) if st.get(k) != dt.get(k)}
+            print(f"FAIL {name}: TYPE mismatch {diff}"); n_fail += 1; continue
+        s = norm(spark_tbl.to_pandas(types_mapper=None))
+        d = norm(duck_tbl.to_pandas(types_mapper=None))
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); n_fail += 1; continue
         bad = None
         for c in s.columns:
             sv, dv = s[c].tolist(), d[c].tolist()
             for i, (x, y) in enumerate(zip(sv, dv)):
-                if not values_equal(x, y):
+                if (x is None and y is None): continue
+                if (x is None) != (y is None) or str(x) != str(y):
+                    # NaN != NaN via str is fine ('nan' == 'nan'); Decimal
+                    # trailing-zero differences DO fail here, as they should.
                     bad = (c, i, x, y); break
             if bad: break
         if bad:
