@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every SparkEntry query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line and also writes it to
+  * `BENCH.json` (sbt's logger prefixes stdout with `[info] `, which
+  * broke the driver's parse in round 1 — the file is the reliable
+  * channel).
+  *
+  * Per-query time is the MEDIAN of `SPARK_GRAFT_BENCH_N` full-suite
+  * iterations (default 3) — single-shot numbers on a contended box
+  * mis-rank queries by seconds. A wall-clock budget
+  * (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 420) stops starting new
+  * iterations so the driver's harness never times out; the JSON
+  * reports how many iterations actually ran.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.min(32).toString)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,17 +35,36 @@ object Bench {
     // first measured query.
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // persisted stages don't leak across queries
-      name -> dt
+
+    val wall0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wall0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    var ran = 0
+    while (ran < iters && (ran == 0 || elapsedSec < budgetSec)) {
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // persisted stages don't leak across queries
+        samples(name) = dt :: samples(name)
+      }
+      ran += 1
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s((s.length - 1) / 2) // lower median: min for n=2, middle for n=3
+    }
+    val med = names.map(n => n -> median(samples(n)))
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = med.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$ran,"cpus":$cpus}"""
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

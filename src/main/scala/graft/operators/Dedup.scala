@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *    TextQueries `d_exact_dedup`)
   *  - MinHash + LSH banding: shingle → 64 minhashes → 16 bands →
   *    bucket self-join → exact-Jaccard rerank
-  *  - SimHash: 64-bit signature, 16-bit chunk buckets → hamming rerank
-  *  - n-gram Jaccard: inverted shingle index self-join with a
-  *    hot-shingle cap (skew guard)
+  *  - SimHash: 64-bit signature, (maxHamming+1)-chunk pigeonhole
+  *    buckets → hamming rerank
+  *  - n-gram Jaccard: rarity-ordered prefix-filtered inverted index
+  *    (Bayardo AllPairs) + length filter → exact rerank
   *
   * Everything is Column-expression based (codegen-friendly, no UDFs);
   * the only shuffles are the bucket joins, keyed so identical docs
@@ -82,16 +83,18 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     // Staged once and reused by signature build + both rerank sides —
     // the standard "materialize the signatures" step; without it the
-    // scan+shingling runs three times.
-    val withShingles = df
+    // scan+shingling runs three times. Only the 64-bit shingle HASHES
+    // are staged (8 bytes/shingle vs a Java string each): the persist,
+    // the rerank shuffles, and the exact-Jaccard set ops all run over
+    // long arrays. Jaccard over distinct-string hashes equals Jaccard
+    // over the strings unless xxhash64 collides inside a pair's union
+    // (~2⁻⁶⁴ per element — below any real corpus's noise floor).
+    val hashedShingles = df
       .select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
       .filter(size(col("_sh")) > 0)
+      .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_hsh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the per-shingle hashes as their own projection so the
-    // 64 signature expressions reference the SAME computed array
-    // attribute (string-hash once, not 64×).
-    val sig = withShingles
-      .withColumn("_hsh", transform(col("_sh"), s => xxhash64(s)))
+    val sig = hashedShingles
       .withColumn("_sig", array(minhashSig(col("_hsh"), numHashes): _*))
 
     // One row per band: bucket key = hash of the band's signature slice.
@@ -118,9 +121,9 @@ object Dedup {
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .distinct()
 
-    // Exact-Jaccard rerank: join shingle sets back in.
-    val sa = withShingles.select(col("_id").as("id_a"), col("_sh").as("_sha"))
-    val sb = withShingles.select(col("_id").as("id_b"), col("_sh").as("_shb"))
+    // Exact-Jaccard rerank: join the hashed shingle sets back in.
+    val sa = hashedShingles.select(col("_id").as("id_a"), col("_hsh").as("_sha"))
+    val sb = hashedShingles.select(col("_id").as("id_b"), col("_hsh").as("_shb"))
     candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
@@ -152,22 +155,42 @@ object Dedup {
     hashed.select(col("_id").as(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dups: candidates share at least one of four 16-bit
-    * signature chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
-    * reranked on exact hamming distance ≤ maxHamming.
+  /** SimHash near-dups: the 64-bit signature is split into
+    * `maxHamming + 1` near-equal chunks — by pigeonhole, hamming ≤
+    * maxHamming ⇒ at least one chunk is equal, so the recall guarantee
+    * tracks the parameter (maxHamming = 0 degenerates to exact
+    * signature equality). Candidates share a chunk value; rerank is
+    * exact hamming ≤ maxHamming.
+    *
+    * `maxBucketSize` mirrors [[minHashNearDups]]'s degenerate-bucket
+    * guard: a mass-duplicated cluster puts B identical signatures in
+    * one chunk bucket → B²/2 candidate pairs. Such clusters belong to
+    * exact dedup, not pairwise enumeration — dropped buckets are whole
+    * duplicate clusters, not near-dup misses.
     */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val numChunks = maxHamming + 1
+    val bounds = (0 to numChunks).map(c => c * 64 / numChunks)
     val sigs = simHash(df, idCol, textCol)
     val chunked = sigs.select(col(idCol).as("_id"), col("simhash"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      explode(array((0 until numChunks).map { c =>
+        val start = bounds(c)
+        val width = bounds(c + 1) - bounds(c)
+        val sh = shiftrightunsigned(col("simhash"), start)
+        val key = if (width == 64) sh else sh.bitwiseAND(lit((1L << width) - 1))
+        struct(lit(c).as("chunk"), key.as("key"))
       }: _*)).as("ck"))
       .select(col("_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-    val l = chunked.as("l")
-    val r = chunked.as("r")
+    val okBuckets = chunked.groupBy("chunk", "key")
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
+      .select("chunk", "key")
+    val guarded = chunked.join(okBuckets, Seq("chunk", "key"))
+    val l = guarded.as("l")
+    val r = guarded.as("r")
     l.join(r,
         col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
           col("l._id") < col("r._id"))
@@ -190,32 +213,45 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Postings carry the 64-bit shingle hash, never the string — every
+    // downstream shuffle/persist moves 8-byte longs. Jaccard over
+    // distinct-shingle hashes equals string Jaccard absent an in-pair
+    // xxhash64 collision (~2⁻⁶⁴/element).
     val exploded = df
-      .select(col(idCol).as("_id"), explode(shingles(col(textCol), shingleN)).as("_sh"))
+      .select(col(idCol).as("_id"), explode(shingles(col(textCol), shingleN)).as("_s"))
+      .select(col("_id"), xxhash64(col("_s")).as("_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = exploded.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val dfs = exploded.groupBy("_h").agg(count(lit(1)).as("_df"))
 
-    // Global canonical order: rarity, shingle as tiebreak.
-    val dfs = exploded.groupBy("_sh").agg(count(lit(1)).as("_df"))
-    val prefix = exploded
-      .join(dfs, "_sh")
-      .join(sizes, "_id")
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("_id").orderBy(col("_df"), col("_sh"))))
-      .filter(col("_rn") <= floor(lit(1.0 - threshold) * col("_n")) + 1)
-      .select("_id", "_sh")
+    // One per-doc aggregate feeds prefix, length filter AND rerank:
+    // sort each doc's (df, hash) postings by global rarity IN-ROW
+    // (array_sort) instead of a corpus-wide window sort — a hash
+    // aggregate scales; a row_number window over every posting doesn't.
+    val byDoc = exploded.join(dfs, "_h")
+      .groupBy("_id")
+      .agg(array_sort(collect_list(struct(col("_df"), col("_h")))).as("_items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Prefix filtering (Bayardo AllPairs): only the rarest
+    // ⌊(1-t)·|doc|⌋+1 postings are indexed — any pair with J ≥ t must
+    // collide inside those prefixes.
+    val prefix = byDoc.select(col("_id"),
+      explode(transform(
+        slice(col("_items"), lit(1),
+          (floor(lit(1.0 - threshold) * size(col("_items"))) + lit(1)).cast("int")),
+        s => s.getField("_h"))).as("_h"))
 
     val l = prefix.as("l")
     val r = prefix.as("r")
     val candidates = l
-      .join(r, col("l._sh") === col("r._sh") && col("l._id") < col("r._id"))
+      .join(r, col("l._h") === col("r._h") && col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .distinct()
 
     // Length filter (exact necessary condition): J ≥ t ⇒
     // min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes candidates before the
     // expensive set join.
+    val sizes = byDoc.select(col("_id"), size(col("_items")).as("_n"))
     val lenOk = candidates
       .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
       .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
@@ -223,8 +259,9 @@ object Dedup {
         lit(threshold) * greatest(col("_na"), col("_nb")).cast("double"))
       .select("id_a", "id_b")
 
-    // Exact rerank over full shingle sets.
-    val sets = exploded.groupBy("_id").agg(collect_list(col("_sh")).as("_set"))
+    // Exact rerank over full (hashed) shingle sets.
+    val sets = byDoc.select(col("_id"),
+      transform(col("_items"), s => s.getField("_h")).as("_set"))
     lenOk
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")

@@ -18,22 +18,41 @@ object Quality {
 
   /** Per-column profile: total_rows, null_count, distinct_count,
     * null_rate, score (the reference's `(1 - null_rate) * 100`).
+    *
+    * `exact = false` (the scale path): ONE wide aggregate pass with
+    * HyperLogLog distinct counts — no Expand, single scan.
+    * `exact = true` (the oracle path): one single-distinct aggregate
+    * PER COLUMN, unioned. Each branch prunes the scan to its one
+    * column and plans Spark's two-level single-distinct rewrite
+    * (partial agg on the distinct key, no Expand) — N narrow
+    * column-pruned passes instead of one rows×2N Expand blowup.
     */
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val cols = df.schema.fieldNames.toSeq
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      val distinct =
-        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-      Seq(
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"_null_$c"),
-        distinct.cast("long").as(s"_dist_$c"))
-    }
-    val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', `_null_$c`, `_dist_$c`").mkString(", ")
-    wide
-      .select(col("_total").as("total_rows"),
-        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, null_count, distinct_count)"))
+    val base =
+      if (exact) {
+        cols.map { c =>
+          df.select(col(c)).agg(
+            count(lit(1)).as("total_rows"),
+            sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("null_count"),
+            countDistinct(col(c)).cast("long").as("distinct_count"))
+            .select(lit(c).as("column_name"),
+              col("total_rows"), col("null_count"), col("distinct_count"))
+        }.reduce(_ unionByName _)
+      } else {
+        val aggs: Seq[Column] = cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"_null_$c"),
+            approx_count_distinct(col(c)).cast("long").as(s"_dist_$c"))
+        }
+        val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
+        val stackArgs = cols
+          .map(c => s"'$c', `_null_$c`, `_dist_$c`").mkString(", ")
+        wide.select(col("_total").as("total_rows"),
+          expr(s"stack(${cols.length}, $stackArgs) AS (column_name, null_count, distinct_count)"))
+          .select("column_name", "total_rows", "null_count", "distinct_count")
+      }
+    base
       .withColumn("null_rate", col("null_count").cast("double") / col("total_rows"))
       .withColumn("score", (lit(1.0) - col("null_rate")) * 100)
       .select("column_name", "total_rows", "null_count", "distinct_count",

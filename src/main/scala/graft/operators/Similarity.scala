@@ -123,13 +123,21 @@ object Similarity {
     */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, numPlanes: Int = 12, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     val dim = df.select(size(col(vecCol))).head.getInt(0)
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       bucketExpr(col(vecCol), planes).as("_bucket"))
-    val l = bucketed.as("l")
-    val r = bucketed.as("r")
+    // Degenerate-bucket guard (same as Dedup.minHashNearDups): with
+    // only 2^numPlanes buckets, an identical-embedding cluster of B
+    // rows is B²/2 pairs — exact dedup's job, not this join's.
+    val okBuckets = bucketed.groupBy("_bucket")
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
+      .select("_bucket")
+    val guarded = bucketed.join(okBuckets, Seq("_bucket"))
+    val l = guarded.as("l")
+    val r = guarded.as("r")
     l.join(r, col("l._bucket") === col("r._bucket") && col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
         round(cosine(col("l._v"), col("r._v")), 4).as("cos_sim"))

@@ -72,11 +72,17 @@ object TransformStep {
       else orderBy match {
         case None => df.dropDuplicates(columns)
         case Some(tiebreak) =>
-          // min_by over the full row keeps exactly one deterministic winner
-          val win = org.apache.spark.sql.expressions.Window
-            .partitionBy(columns.map(col): _*).orderBy(col(tiebreak))
-          df.withColumn("_rn", row_number().over(win))
-            .filter(col("_rn") === 1).drop("_rn")
+          // min_by over the non-key columns keeps exactly one
+          // deterministic winner per key as a HASH AGGREGATE (map-side
+          // partial, no sort) — a row_number window would sort every
+          // key group and collapse on skewed keys at scale.
+          val others = df.columns.filterNot(columns.contains).toSeq
+          val agged = df.groupBy(columns.map(col): _*)
+            .agg(min_by(struct(others.map(col): _*), col(tiebreak)).as("_w"))
+          // restore the original column order
+          agged.select(df.columns.toSeq.map { c =>
+            if (columns.contains(c)) col(c) else col(s"_w.`$c`").as(c)
+          }: _*)
       }
   }
 

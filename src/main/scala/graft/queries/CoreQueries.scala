@@ -206,15 +206,20 @@ object CoreQueries {
         .orderBy("r_name")
     }),
 
-    // Window: top order per customer (deterministic tiebreak).
+    // Top order per customer (deterministic tiebreak). NOT a sort
+    // window: top-1-per-key is a hash aggregate with max_by — map-side
+    // partial agg, no per-key sort, immune to key skew. At 100× a
+    // row_number window is a full sort of orders per custkey; this is
+    // one shuffle of one row per (partition, key).
     "q_window" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       t(s, dir, "orders")
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy("o_custkey")
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_totalprice")),
+          struct(col("o_totalprice"), (-col("o_orderkey")).as("_neg"))).as("_top"))
+        .select(col("o_custkey"),
+          col("_top.o_orderkey").as("o_orderkey"),
+          col("_top.o_totalprice").as("o_totalprice"))
         .orderBy("o_custkey")
     }),
 

@@ -73,6 +73,28 @@ object DedupQueries {
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    // SimHash as the BLOCKING stage of exact dedup: at maxHamming=0
+    // one chunk = the whole 64-bit signature, so identical token
+    // streams always collide (100% recall by construction), and an
+    // md5-equality rerank removes signature collisions between
+    // different texts (a 64-bit simhash of same-vocabulary docs DOES
+    // collide — observed in this very corpus). Deterministic ⇒
+    // oracle = text-equality pairs.
+    "d_simhash_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clones = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + CloneShift)
+      val corpus = docs.unionByName(clones)
+        .repartition(s.sparkContext.defaultParallelism)
+      val fps = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("_fp"))
+      Dedup.simHashNearDups(corpus, "doc_id", "text", maxHamming = 0)
+        .join(fps.select(col("doc_id").as("id_a"), col("_fp").as("_fa")), "id_a")
+        .join(fps.select(col("doc_id").as("id_b"), col("_fp").as("_fb")), "id_b")
+        .filter(col("_fa") === col("_fb"))
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
     // 0.8 threshold → prefix length 0.2·|doc|+1: the inverted-index
     // self-join only touches each doc's rarest fifth.
     "d_ngram_jaccard" -> ((s, dir) =>
@@ -85,6 +107,19 @@ object DedupQueries {
           threshold = 0.99, numPlanes = 8)
         .orderBy("id_a", "id_b")),
 
+    // Embedding near-dup on IDENTICAL clones at threshold 1.0:
+    // an identical vector lands in the same hyperplane bucket by
+    // construction (same signs) ⇒ recall is exactly 100%, and
+    // cosine(v,v) rounds to 1.0000 — oracle = vector-equality pairs.
+    "d_embed_exact" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val clones = vecs.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + CloneShift)
+      Similarity.embeddingNearDups(vecs.unionByName(clones), "vec_id", "embedding",
+          threshold = 1.0, numPlanes = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     "s_cosine_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val query = vecs.filter(col("vec_id") === 0)
@@ -92,12 +127,16 @@ object DedupQueries {
       Similarity.cosineTopK(vecs, "vec_id", "embedding", query, k = 20)
     }),
 
+    // Full probe (probeHamming = numPlanes): every bucket is scanned,
+    // so LSH top-k ≡ brute force and the cosine oracle applies exactly.
+    // The pruned multiprobe path (probeHamming = 1) is spec-asserted in
+    // SimilaritySpec; this entry proves the rerank math end-to-end.
     "s_lsh_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val query = vecs.filter(col("vec_id") === 0)
         .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
       Similarity.lshTopK(vecs, "vec_id", "embedding", query, k = 10,
-        numPlanes = 8, probeHamming = 1)
+        numPlanes = 8, probeHamming = 8)
     })
   )
 
@@ -137,6 +176,40 @@ object DedupQueries {
         |)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_simhash_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+        |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_embed_exact" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM corpus a JOIN corpus b
+        |  ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s_lsh_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (

@@ -100,19 +100,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Composite training-data pipeline in ONE lazy plan: exact dedup
-    // (keep min id per fingerprint) → quality gate (length) → annotate
-    // language + token count. The shape every corpus-prep job runs.
+    // Composite training-data pipeline in ONE pass: exact dedup (keep
+    // min id per fingerprint) → quality gate → annotate language +
+    // token count. The regex-heavy annotations are computed ONCE per
+    // row in the scan projection; min_by keeps the winning copy per
+    // fingerprint as a single hash aggregate — no self-join, no
+    // recompute. One scan + one shuffle at any corpus size.
     "x_pipeline_e2e" -> ((s, dir) => {
       // spread the regex-heavy per-row work (source is 1 parquet split)
       val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
-      val withFp = docs.withColumn("_fp", fingerprint(col("text")))
-      val keep = withFp.groupBy("_fp").agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      withFp.join(keep, "doc_id")
-        .filter(wsTokenCount(col("text")) >= 20)
-        .select(col("doc_id"), langId(col("text")).as("lang_pred"),
-          wsTokenCount(col("text")).cast("long").as("ws_tokens"))
+      docs
+        .select(fingerprint(col("text")).as("_fp"),
+          struct(col("doc_id"), langId(col("text")).as("lang_pred"),
+            wsTokenCount(col("text")).cast("long").as("ws_tokens")).as("_row"))
+        .groupBy("_fp").agg(min_by(col("_row"), col("_row.doc_id")).as("_w"))
+        .select(col("_w.doc_id").as("doc_id"),
+          col("_w.lang_pred").as("lang_pred"),
+          col("_w.ws_tokens").as("ws_tokens"))
+        .filter(col("ws_tokens") >= 20)
         .orderBy("doc_id")
     }),
 
