@@ -45,6 +45,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("top-1-per-key is a partial aggregate, not a sort window") {
+    // q_window and keyed dedup-with-tiebreak plan max_by/min_by
+    // AGGREGATES with a map-side partial phase: only one row per key
+    // per partition crosses the shuffle and skewed keys are absorbed
+    // before it. A row_number window instead shuffles EVERY raw row
+    // and sorts whole key groups on the reducer. (The struct-typed
+    // agg buffer makes Spark pick SortAggregate over HashAggregate —
+    // a per-partition sort, not a post-shuffle full-data sort; the
+    // shuffle-volume and skew properties are the aggregate's.)
+    for (name <- Seq("q_window", "t_dedup_keyed")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name plans a Window:\n" + p.take(3000))
+      assert(p.contains("partial_max_by") || p.contains("partial_min_by"),
+        s"$name has no map-side partial agg:\n" + p.take(3000))
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE finalizes the plan only on execution — run it, then inspect.
     val df = SparkEntry.queries("t_derived_column")(spark, dir)

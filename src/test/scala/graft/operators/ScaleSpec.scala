@@ -26,6 +26,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.count(_._2 == "hot") == 900)
   }
 
+  test("degenerate-bucket guard bounds mass-duplicate clusters in every near-dup family") {
+    // 10k identical docs = one bucket of 10k signatures = 50M pairs if
+    // unguarded. With the guard, the cluster's buckets are dropped
+    // whole (exact dedup's job, not pairwise enumeration) while a
+    // planted pair outside the cluster is still found.
+    val clones = (1 to 10000).map(i =>
+      (i.toLong, "the same mass duplicated document body repeated verbatim"))
+    val pairDocs = Seq(
+      (20001L, "an entirely different and unique near dup candidate text body"),
+      (20002L, "an entirely different and unique near dup candidate text body"))
+    val docs = (clones ++ pairDocs).toDF("doc_id", "text")
+
+    val sim = Dedup.simHashNearDups(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 100).collect()
+    assert(sim.length == 1 && sim.head.getLong(0) == 20001L, sim.mkString(","))
+
+    val mh = Dedup.minHashNearDups(docs, "doc_id", "text",
+      shingleN = 3, threshold = 1.0, maxBucketSize = 100).collect()
+    assert(mh.length == 1 && mh.head.getLong(0) == 20001L, mh.mkString(","))
+
+    val vecs = ((1 to 10000).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f))) ++
+      Seq((20001L, Array(-4.0f, 3.0f, -2.0f, 1.0f)),
+          (20002L, Array(-4.0f, 3.0f, -2.0f, 1.0f)))).toDF("vec_id", "embedding")
+    val ed = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.99, numPlanes = 6, maxBucketSize = 100).collect()
+    assert(ed.length == 1 && ed.head.getLong(0) == 20001L, ed.mkString(","))
+  }
+
   test("bucketed tables join without an exchange") {
     // warehouse dir is a static conf — default ./spark-warehouse is fine
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
