@@ -34,19 +34,26 @@ object AsOfJoin {
 
     val leftCols = left.columns.toSeq
     val rightSchema = right.schema
-    def rightType(c: String) = rightSchema(c).dataType
+
+    // The right values travel as ONE struct and are carried by a single
+    // last(_, ignoreNulls) — so every output column comes from the SAME
+    // matched right row, and that row's genuine NULL fields are
+    // preserved (per-column carries would backfill a NULL field from an
+    // OLDER right row, silently mixing rows).
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => rightSchema(v)))
 
     val lTagged = left.select(
       (leftCols.map(col) ++ Seq(
         col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_m"),
-        lit(null).cast("long").as("_tb")) ++
-        rightVals.map(v => lit(null).cast(rightType(v)).as(s"$v$suffix"))): _*)
+        lit(null).cast("long").as("_tb"),
+        lit(null).cast(rvType).as("_rv"))): _*)
 
     val rTagged = right.select(
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_m"),
-        rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb")) ++
-        rightVals.map(v => col(v).as(s"$v$suffix"))): _*)
+        rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb"),
+        struct(rightVals.map(col): _*).as("_rv"))): _*)
 
     // right rows (_m=0) sort BEFORE left rows at equal time → a right
     // row at exactly leftTime matches (<= semantics).
@@ -54,9 +61,10 @@ object AsOfJoin {
       .orderBy(col("_t").asc, col("_m").asc, col("_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightVals.foldLeft(lTagged.unionByName(rTagged)) { (d, v) =>
-      d.withColumn(s"$v$suffix", last(col(s"$v$suffix"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_m") === 1).drop("_k", "_t", "_m", "_tb")
+    lTagged.unionByName(rTagged)
+      .withColumn("_rvc", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_m") === 1)
+      .select((leftCols.map(col) ++
+        rightVals.map(v => col("_rvc").getField(v).as(s"$v$suffix"))): _*)
   }
 }

@@ -24,6 +24,15 @@ object SkewJoin {
       largeKey: String, smallKey: String,
       saltSource: String, salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // The small side is exploded ×salts, so join types that emit
+    // UNMATCHED small-side rows (right/full outer) would duplicate
+    // each one `salts` times — refuse them instead of returning
+    // quietly wrong results.
+    val allowed = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left join types only, got '$joinType' " +
+        "(right/full outer would emit unmatched small-side rows once per salt)")
     val l = large.withColumn("_salt",
       pmod(xxhash64(col(saltSource)), lit(salts)).cast("int"))
     val s = small.withColumn("_salt",

@@ -26,26 +26,44 @@ object Connectors {
     def read(spark: SparkSession): DataFrame = Readers.read(spark, path, format)
   }
 
-  /** HTTP/REST fetch (connectors/builtin.py:62-130): bearer / api-key
-    * auth headers, body saved to a spool file then read by format from
-    * the content type. The fetch is a driver-side bounded download —
-    * an API response, not the 100 TB path (that's files/JDBC).
+  /** HTTP/REST fetch (connectors/builtin.py:62-130): configurable
+    * method + request body (the reference's `method` config — a POST
+    * "query an API" read works), query params, bearer / api-key auth
+    * headers; the response body is saved to a spool file then read by
+    * format from the content type. The fetch is a driver-side bounded
+    * download — an API response, not the 100 TB path (that's
+    * files/JDBC). [[write]] mirrors the reference's `write_data`
+    * (POST a payload back to the endpoint).
     */
   final case class HttpConnector(
       url: String,
+      method: String = "GET",
       headers: Map[String, String] = Map.empty,
+      body: Option[String] = None,
+      params: Map[String, String] = Map.empty,
       authBearer: Option[String] = None,
       apiKey: Option[(String, String)] = None,
       spoolDir: Option[Path] = None) extends Connector {
 
     private def client = HttpClient.newHttpClient()
 
+    private def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+    private def fullUrl: String =
+      if (params.isEmpty) url
+      else url + (if (url.contains("?")) "&" else "?") +
+        params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+
     private def request: HttpRequest = {
-      val b = HttpRequest.newBuilder(URI.create(url))
+      val b = HttpRequest.newBuilder(URI.create(fullUrl))
       headers.foreach { case (k, v) => b.header(k, v) }
       authBearer.foreach(t => b.header("Authorization", s"Bearer $t"))
       apiKey.foreach { case (k, v) => b.header(k, v) }
-      b.GET.build()
+      val publisher = body
+        .map(HttpRequest.BodyPublishers.ofString(_))
+        .getOrElse(HttpRequest.BodyPublishers.noBody())
+      b.method(method.toUpperCase, publisher).build()
     }
 
     def test(): Boolean =
@@ -64,6 +82,17 @@ object Connectors {
       val spool = dir.resolve(s"payload.$fmt")
       Files.write(spool, resp.body())
       Readers.read(spark, spool.toString, fmt)
+    }
+
+    /** `write_data`: POST a payload to the endpoint; returns the status. */
+    def write(payload: String, contentType: String = "application/json"): Int = {
+      val b = HttpRequest.newBuilder(URI.create(fullUrl))
+        .header("Content-Type", contentType)
+      headers.foreach { case (k, v) => b.header(k, v) }
+      authBearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+      apiKey.foreach { case (k, v) => b.header(k, v) }
+      val req = b.POST(HttpRequest.BodyPublishers.ofString(payload)).build()
+      client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode()
     }
   }
 

@@ -16,28 +16,42 @@ import org.apache.spark.sql.{DataFrame, Row}
 object Export {
 
   /** Render rows as a JSON array using the schema (driverless, no
-    * external JSON lib — types: string/numeric/bool/null).
+    * external JSON lib).
+    *
+    * Only booleans and finite numbers are emitted bare; NaN/Infinity
+    * (not representable in JSON) become null; EVERYTHING else —
+    * timestamps, dates, binary, arrays, structs — is emitted as an
+    * escaped string, so a payload is always valid JSON no matter what
+    * column types flow into a webhook node.
     */
-  def rowsToJson(schema: Seq[String], rows: Seq[Row]): String =
+  def rowsToJson(schema: Seq[String], rows: Seq[Row]): String = {
+    def quote(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     rows.map { r =>
       schema.zipWithIndex.map { case (name, i) =>
         val v = r.get(i) match {
           case null => "null"
-          case s: String => "\"" + s.flatMap {
-            case '"' => "\\\""
-            case '\\' => "\\\\"
-            case '\n' => "\\n"
-            case '\r' => "\\r"
-            case '\t' => "\\t"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          } + "\""
+          case s: String => quote(s)
           case b: Boolean => b.toString
-          case n => n.toString
+          case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+          case f: Float => if (f.isNaN || f.isInfinite) "null" else f.toString
+          case n @ (_: Byte | _: Short | _: Int | _: Long |
+                    _: java.math.BigDecimal | _: BigDecimal | _: BigInt) => n.toString
+          case bytes: Array[Byte] =>
+            quote(java.util.Base64.getEncoder.encodeToString(bytes))
+          case other => quote(other.toString)
         }
         "\"" + name + "\":" + v
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
+  }
 
   /** Transport abstraction so specs (and the Odoo-style RPC adapter)
     * can swap the wire protocol; the default posts JSON over HTTP.
@@ -70,6 +84,108 @@ object Export {
         graft.plans.PipelineDag.withRetries(maxRetries) {
           val code = transport.send(payload)
           require(code < 400, s"export transport returned $code")
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Record-RPC export — the reference's Odoo XML-RPC adapter surface
+  // (connectors/export_adapters/builtin.py:45-108): authenticate once,
+  // then one `execute_kw(db, uid, password, model, method, [record])`
+  // call per record. Here auth happens once PER PARTITION and the
+  // record calls run on the executors — no driver-side loop.
+  // ---------------------------------------------------------------------
+
+  /** RPC client abstraction (specs use a fake; [[XmlRpcClient]] speaks
+    * real XML-RPC over HTTP).
+    */
+  trait RpcClient extends Serializable {
+    /** Returns the authenticated uid, or None on failure. */
+    def authenticate(db: String, username: String, password: String): Option[Long]
+    /** One record call; returns the created/affected id. Throw to retry. */
+    def executeKw(db: String, uid: Long, password: String,
+                  model: String, method: String,
+                  record: Seq[(String, Any)]): Long
+  }
+
+  /** Minimal XML-RPC-over-HTTP client matching the Odoo endpoint shape
+    * (`/xmlrpc/2/common` authenticate, `/xmlrpc/2/object` execute_kw).
+    * Scalar field types only — strings, integrals, doubles, booleans,
+    * null — which is what a DataFrame row exports as.
+    */
+  final case class XmlRpcClient(baseUrl: String) extends RpcClient {
+    private def xml(v: Any): String = v match {
+      case null => "<nil/>"
+      case s: String => "<string>" + s.flatMap {
+        case '<' => "&lt;"
+        case '&' => "&amp;"
+        case c => c.toString
+      } + "</string>"
+      case b: Boolean => s"<boolean>${if (b) 1 else 0}</boolean>"
+      case d: Double => s"<double>$d</double>"
+      case f: Float => s"<double>${f.toDouble}</double>"
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => s"<int>$n</int>"
+      case other => xml(other.toString)
+    }
+
+    private def call(path: String, methodName: String, params: Seq[String]): String = {
+      val payload =
+        s"""<?xml version="1.0"?><methodCall><methodName>$methodName</methodName><params>${
+          params.map(p => s"<param><value>$p</value></param>").mkString
+        }</params></methodCall>"""
+      val req = HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
+        .header("Content-Type", "text/xml")
+        .POST(HttpRequest.BodyPublishers.ofString(payload)).build()
+      val resp = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() < 400, s"XML-RPC HTTP ${resp.statusCode()}")
+      require(!resp.body().contains("<fault>"), s"XML-RPC fault: ${resp.body().take(500)}")
+      resp.body()
+    }
+
+    private val IntRe = "<(?:int|i4|i8)>\\s*(-?\\d+)\\s*</(?:int|i4|i8)>".r
+
+    def authenticate(db: String, username: String, password: String): Option[Long] =
+      IntRe.findFirstMatchIn(
+          call("/xmlrpc/2/common", "authenticate",
+            Seq(xml(db), xml(username), xml(password), "<struct></struct>")))
+        .map(_.group(1).toLong).filter(_ > 0)
+
+    def executeKw(db: String, uid: Long, password: String,
+                  model: String, method: String,
+                  record: Seq[(String, Any)]): Long = {
+      val struct = "<struct>" + record.map { case (k, v) =>
+        s"<member><name>$k</name><value>${xml(v)}</value></member>"
+      }.mkString + "</struct>"
+      val arr = s"<array><data><value>$struct</value></data></array>"
+      IntRe.findFirstMatchIn(
+          call("/xmlrpc/2/object", "execute_kw",
+            Seq(xml(db), xml(uid), xml(password), xml(model), xml(method), arr)))
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException("execute_kw returned no id"))
+    }
+  }
+
+  /** odoo_xmlrpc export node: per-partition auth handshake, then one
+    * retried record call per row, all executor-side.
+    */
+  def recordRpc(
+      df: DataFrame, client: RpcClient,
+      db: String, username: String, password: String,
+      model: String, method: String = "create",
+      maxRetries: Int = 3): Unit = {
+    val schema = df.schema.fieldNames.toSeq
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val uid = client.authenticate(db, username, password)
+          .getOrElse(throw new IllegalStateException("RPC authentication failed"))
+        it.foreach { row =>
+          val record = schema.zipWithIndex.map { case (n, i) => n -> row.get(i) }
+          graft.plans.PipelineDag.withRetries(maxRetries) {
+            client.executeKw(db, uid, password, model, method, record)
+            ()
+          }
         }
       }
     }

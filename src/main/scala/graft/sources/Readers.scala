@@ -28,6 +28,16 @@ object Readers {
         val r = spark.read.options(options)
         schema.fold(r)(r.schema).json(path)
       case "parquet" => spark.read.options(options).parquet(path)
+      case "xlsx" | "xls" =>
+        // DELIBERATE gap, not an accident: the reference reads Excel via
+        // DuckDB's spatial st_read (duckdb_engine.py:258). Spark has no
+        // built-in Excel source and neither Apache POI nor
+        // spark-excel is on this build's (offline) classpath. Convert
+        // to csv/parquet upstream, or add a POI-backed reader when the
+        // dependency is available.
+        throw new IllegalArgumentException(
+          "Excel input is unsupported: no POI/spark-excel on the classpath " +
+            "(the reference used DuckDB st_read). Convert to csv or parquet.")
       case other =>
         throw new IllegalArgumentException(s"Unsupported input format: $other")
     }

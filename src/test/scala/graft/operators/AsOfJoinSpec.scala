@@ -28,6 +28,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("p3") == None)        // LEFT semantics: no prior right row
   }
 
+  test("matched row's genuine NULLs are preserved — no stale values from older rows") {
+    // The matched (latest prior) right row has v2 = NULL; a per-column
+    // carry would leak 7.0 from the OLDER row into v2_asof and mix two
+    // right rows in one output row. ASOF semantics: all values come
+    // from the matched row, nulls included.
+    val left = Seq((1L, ts(30), "p")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts(10), Some(1.0), Some(7.0)),
+      (1L, ts(20), Some(2.0), None) // the matched row
+    ).toDF("k", "t", "v1", "v2")
+    val out = AsOfJoin.lastPrior(left, right, "k", "k", "t", "t", Seq("v1", "v2"))
+      .select("v1_asof", "v2_asof").head
+    assert(out.getAs[Double]("v1_asof") == 2.0)
+    assert(out.isNullAt(1), "stale v2 leaked from an older right row")
+  }
+
   test("tiebreak column makes equal-time right rows deterministic") {
     val left = Seq((1L, ts(10), "p")).toDF("k", "t", "name")
     val right = Seq(

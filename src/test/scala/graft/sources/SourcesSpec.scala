@@ -4,9 +4,31 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
 import com.sun.net.httpserver.HttpServer
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
+
+/** Static capture sink for the fake RPC client — executors in
+  * local mode share the JVM, so a singleton sees every partition.
+  */
+object RpcCapture {
+  val auths = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+  val calls =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Seq[(String, Any)])]()
+  def reset(): Unit = { auths.clear(); calls.clear() }
+}
+
+class CapturingRpcClient extends Export.RpcClient {
+  def authenticate(db: String, username: String, password: String): Option[Long] = {
+    RpcCapture.auths.add((db, username, password)); Some(7L)
+  }
+  def executeKw(db: String, uid: Long, password: String,
+                model: String, method: String,
+                record: Seq[(String, Any)]): Long = {
+    RpcCapture.calls.add((uid, model, method, record)); RpcCapture.calls.size().toLong
+  }
+}
 
 class SourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -68,6 +90,76 @@ class SourcesSpec extends AnyFunSuite {
       assert(c.test())
       val df = c.read(spark)
       assert(df.count() == 2 && df.columns.toSet == Set("id", "s"))
+    } finally server.stop(0)
+  }
+
+  test("HttpConnector POST method sends the body and reads the JSON response") {
+    val seenBody = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val seenMethod = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val out = """{"id":1,"s":"a"}""".getBytes(StandardCharsets.UTF_8)
+    server.createContext("/q", { ex =>
+      seenMethod.set(ex.getRequestMethod)
+      seenBody.set(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/q"
+      val c = Connectors.HttpConnector(url, method = "POST",
+        body = Some("""{"query":"all"}"""), params = Map("page" -> "1"))
+      val df = c.read(spark)
+      assert(df.count() == 1 && df.columns.toSet == Set("id", "s"))
+      assert(seenMethod.get() == "POST")
+      assert(seenBody.get() == """{"query":"all"}""")
+      // write_data mirror: POST a payload back
+      assert(c.write("""[{"x":1}]""") == 200)
+    } finally server.stop(0)
+  }
+
+  test("Export.recordRpc authenticates per partition then sends one call per record") {
+    RpcCapture.reset()
+    val df = (1 to 6).map(i => (i.toLong, s"rec$i")).toDF("id", "name").coalesce(2)
+    Export.recordRpc(df, new CapturingRpcClient, "dbx", "alice", "secret", "product.product")
+    assert(RpcCapture.auths.size() == 2) // once per non-empty partition
+    assert(RpcCapture.auths.asScala.toSet == Set(("dbx", "alice", "secret")))
+    val calls = RpcCapture.calls.asScala.toSeq
+    assert(calls.size == 6)
+    assert(calls.forall { case (uid, model, method, _) =>
+      uid == 7L && model == "product.product" && method == "create" })
+    assert(calls.map(_._4.toMap.apply("name")).toSet ==
+      (1 to 6).map(i => s"rec$i").toSet)
+  }
+
+  test("XmlRpcClient speaks the Odoo endpoint shape end-to-end") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val reqs = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    def serve(path: String, resp: String): Unit =
+      server.createContext(path, { ex =>
+        reqs.add((path, new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+        val out = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "text/xml")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out); ex.close()
+      })
+    serve("/xmlrpc/2/common",
+      "<methodResponse><params><param><value><int>42</int></value></param></params></methodResponse>")
+    serve("/xmlrpc/2/object",
+      "<methodResponse><params><param><value><int>1001</int></value></param></params></methodResponse>")
+    server.start()
+    try {
+      val client = Export.XmlRpcClient(s"http://127.0.0.1:${server.getAddress.getPort}")
+      assert(client.authenticate("db", "u", "p").contains(42L))
+      val id = client.executeKw("db", 42L, "p", "res.partner", "create",
+        Seq("name" -> "n<1>", "qty" -> 5, "price" -> 1.5, "ok" -> true, "note" -> null))
+      assert(id == 1001L)
+      val objBody = reqs.asScala.find(_._1 == "/xmlrpc/2/object").get._2
+      assert(objBody.contains("<methodName>execute_kw</methodName>"))
+      assert(objBody.contains("<name>name</name><value><string>n&lt;1></string></value>"))
+      assert(objBody.contains("<int>5</int>") && objBody.contains("<double>1.5</double>"))
+      assert(objBody.contains("<boolean>1</boolean>") && objBody.contains("<nil/>"))
     } finally server.stop(0)
   }
 

@@ -91,6 +91,33 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(rows.length == 2)
   }
 
+  test("sessionize ProcessingTimeTimeout flushes an idle session with no new events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // tiny gap so real wall-clock comfortably exceeds it between batches
+    val query = sessionize(input.toDS(), gapMs = 200L)
+      .writeStream.format("memory").queryName("sessions_timeout")
+      .outputMode("append").start()
+
+    // user 1 goes idle after batch 1 — only the TIMEOUT can close this
+    // session (no later user-1 event ever arrives). With
+    // ProcessingTimeTimeout the engine self-triggers batches, so
+    // processAllAvailable never settles — poll the sink instead.
+    // same event time: one session (the 200 ms gap is in EVENT time too)
+    input.addData(Event(ts(0), 1L, "a", 1.0), Event(ts(0), 1L, "a", 2.0))
+    val deadline = System.currentTimeMillis() + 60000
+    var flushed = Array.empty[SessionSummary]
+    while (flushed.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250)
+      flushed = spark.table("sessions_timeout").as[SessionSummary].collect()
+        .filter(_.user_id == 1L)
+    }
+    query.stop()
+    assert(flushed.length == 1, "idle session was never flushed by the timeout")
+    assert(flushed.head.n_events == 2L && flushed.head.total_value == 3.0)
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
