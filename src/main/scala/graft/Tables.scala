@@ -16,11 +16,15 @@ object Tables {
   // Memoized per (session, path): re-loading a table re-lists files
   // and re-reads parquet footers — measurable fixed cost when dozens
   // of queries hit the same small tables. The analyzed plan is
-  // immutable, so sharing it across queries is safe.
+  // immutable, so sharing it across queries is safe. Bounded: a
+  // long-lived service cycling many sessions/paths must not leak
+  // DataFrames (and their session references) forever.
+  private val MaxEntries = 256
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (cache.size > MaxEntries) cache.clear()
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (sp, path) =>
       val df = sp.read.parquet(path)
       // events.ts is parquet TIMESTAMP(NANOS) → read as int64 nanos (see
@@ -32,6 +36,7 @@ object Tables {
         case None => df
       }
     })
+  }
 
   /** Register every table as a temp view (for the SQL surface). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -57,11 +57,15 @@ object Dedup {
     * 8-byte value with seed k. Re-hashing a long is a single xxhash
     * round (vs re-traversing the string 64×) and — unlike an affine
     * `a·h+b` — never overflows under ANSI arithmetic.
+    *
+    * ONE expression (loop over `sequence(0, k-1)`) rather than k
+    * unrolled array_min trees: the per-row work is identical, but the
+    * generated code is ~k× smaller, so plan compile time doesn't grow
+    * with the signature width.
     */
-  private def minhashSig(hashedShingles: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { k =>
-      array_min(transform(hashedShingles, h => xxhash64(lit(k), h)))
-    }
+  private def minhashSig(hashedShingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(hashedShingles, h => xxhash64(k, h))))
 
   /** Candidate pairs via MinHash LSH banding, reranked with EXACT
     * Jaccard over the shingle sets. Output: (id_a, id_b, jaccard) with
@@ -95,7 +99,7 @@ object Dedup {
       .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_hsh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = hashedShingles
-      .withColumn("_sig", array(minhashSig(col("_hsh"), numHashes): _*))
+      .withColumn("_sig", minhashSig(col("_hsh"), numHashes))
 
     // One row per band: bucket key = hash of the band's signature slice.
     val banded = sig.select(col("_id"),
