@@ -111,18 +111,20 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("_id"), col("bb.band"), col("bb.bucket"))
 
-    // Self-join inside (band, bucket) → candidates; distinct pairs.
-    // Buckets above maxBucketSize are dropped before the join (see doc).
-    val okBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
-      .select("band", "bucket")
-    val guarded = banded.join(okBuckets, Seq("band", "bucket"))
-    val l = guarded.as("l")
-    val r = guarded.as("r")
-    val candidates = l.join(r,
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l._id") < col("r._id"))
-      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+    // Candidate pairs are generated BUCKET-LOCALLY: one hash aggregate
+    // collects each (band, bucket)'s ids (bounded by the maxBucketSize
+    // guard, which drops degenerate buckets whole — see doc), then the
+    // ordered pairs explode in-row. Two shuffles total vs four for the
+    // self-join formulation (size-agg + guard join + join of two
+    // banded copies), and the banded table is never shuffled twice.
+    val candidates = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("_id")).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucketSize))
+      .withColumn("_sorted", array_sort(col("_ids")))
+      .select(explode(flatten(transform(col("_sorted"), (a, i) =>
+        transform(slice(col("_sorted"), i + lit(2), size(col("_sorted"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
     // Exact-Jaccard rerank: join the hashed shingle sets back in.
@@ -189,21 +191,23 @@ object Dedup {
         struct(lit(c).as("chunk"), key.as("key"))
       }: _*)).as("ck"))
       .select(col("_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-    val okBuckets = chunked.groupBy("chunk", "key")
-      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
-      .select("chunk", "key")
-    val guarded = chunked.join(okBuckets, Seq("chunk", "key"))
-    val l = guarded.as("l")
-    val r = guarded.as("r")
-    l.join(r,
-        col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
-          col("l._id") < col("r._id"))
-      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
-        col("l.simhash").as("_sa"), col("r.simhash").as("_sb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
+    // Bucket-local pair generation: each (chunk, key) bucket collects
+    // (id, signature) structs — the guard bounds the list — and the
+    // ordered pairs + their hamming rerank happen IN-ROW. Two shuffles
+    // total (bucket agg + distinct), no join anywhere.
+    chunked.groupBy("chunk", "key")
+      .agg(collect_list(struct(col("_id"), col("simhash"))).as("_items"))
+      .filter(size(col("_items")).between(2, maxBucketSize))
+      .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
+      .select(explode(flatten(transform(col("_sorted"), (a, i) =>
+        transform(slice(col("_sorted"), i + lit(2), size(col("_sorted"))),
+          b => struct(
+            a.getField("_id").as("id_a"), b.getField("_id").as("id_b"),
+            bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the AllPairs

@@ -129,18 +129,23 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       bucketExpr(col(vecCol), planes).as("_bucket"))
-    // Degenerate-bucket guard (same as Dedup.minHashNearDups): with
-    // only 2^numPlanes buckets, an identical-embedding cluster of B
-    // rows is B²/2 pairs — exact dedup's job, not this join's.
-    val okBuckets = bucketed.groupBy("_bucket")
-      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
-      .select("_bucket")
-    val guarded = bucketed.join(okBuckets, Seq("_bucket"))
-    val l = guarded.as("l")
-    val r = guarded.as("r")
-    l.join(r, col("l._bucket") === col("r._bucket") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
-        round(cosine(col("l._v"), col("r._v")), 4).as("cos_sim"))
+    // Bucket-local pair generation with the degenerate-bucket guard
+    // (same rationale as Dedup.minHashNearDups: an identical-embedding
+    // cluster of B rows is B²/2 pairs — exact dedup's job). Each
+    // bucket collects its (id, vector) structs — bounded by the
+    // guard — and pairs + the exact cosine rerank happen IN-ROW: two
+    // shuffles total, no join.
+    bucketed.groupBy("_bucket")
+      .agg(collect_list(struct(col("_id"), col("_v"))).as("_items"))
+      .filter(size(col("_items")).between(2, maxBucketSize))
+      .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
+      .select(explode(flatten(transform(col("_sorted"), (a, i) =>
+        transform(slice(col("_sorted"), i + lit(2), size(col("_sorted"))),
+          b => struct(
+            a.getField("_id").as("id_a"), b.getField("_id").as("id_b"),
+            round(cosine(a.getField("_v"), b.getField("_v")), 4)
+              .as("cos_sim")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
