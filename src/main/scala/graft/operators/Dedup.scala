@@ -242,30 +242,26 @@ object Dedup {
 
     // Prefix filtering (Bayardo AllPairs): only the rarest
     // ⌊(1-t)·|doc|⌋+1 postings are indexed — any pair with J ≥ t must
-    // collide inside those prefixes.
-    val prefix = byDoc.select(col("_id"),
+    // collide inside those prefixes. Each posting carries its doc's
+    // size so the length filter below is a FREE inline predicate on
+    // the join output (no extra size-lookup joins at any scale).
+    val prefix = byDoc.select(col("_id"), size(col("_items")).as("_n"),
       explode(transform(
         slice(col("_items"), lit(1),
           (floor(lit(1.0 - threshold) * size(col("_items"))) + lit(1)).cast("int")),
         s => s.getField("_h"))).as("_h"))
 
-    val l = prefix.as("l")
-    val r = prefix.as("r")
-    val candidates = l
-      .join(r, col("l._h") === col("r._h") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
-      .distinct()
-
     // Length filter (exact necessary condition): J ≥ t ⇒
     // min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes candidates before the
     // expensive set join.
-    val sizes = byDoc.select(col("_id"), size(col("_items")).as("_n"))
-    val lenOk = candidates
-      .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
-      .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
-      .filter(least(col("_na"), col("_nb")).cast("double") >=
-        lit(threshold) * greatest(col("_na"), col("_nb")).cast("double"))
-      .select("id_a", "id_b")
+    val l = prefix.as("l")
+    val r = prefix.as("r")
+    val lenOk = l
+      .join(r, col("l._h") === col("r._h") && col("l._id") < col("r._id"))
+      .filter(least(col("l._n"), col("r._n")).cast("double") >=
+        lit(threshold) * greatest(col("l._n"), col("r._n")).cast("double"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .distinct()
 
     // Exact rerank over full (hashed) shingle sets.
     val sets = byDoc.select(col("_id"),

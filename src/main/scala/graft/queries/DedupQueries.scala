@@ -127,6 +127,32 @@ object DedupQueries {
       Similarity.cosineTopK(vecs, "vec_id", "embedding", query, k = 20)
     }),
 
+    // IVF at nprobe = nlist: every cell is scanned, so IVF top-k ≡
+    // brute force and the cosine oracle applies exactly (the KMeans
+    // cell layout affects only WHICH rows are pruned — at full probe,
+    // none are). The pruned path is spec-asserted in SimilaritySpec.
+    "s_ivf_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 0)
+        .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8)
+      Similarity.ivfTopK(idx, "vec_id", "embedding", query, k = 10, nprobe = 8)
+    }),
+
+    // Salted skew join ≡ plain join (spec'd under a planted hot key);
+    // here the oracle proves it against DuckDB's plain join + agg.
+    "q_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      graft.operators.SkewJoin.saltedJoin(o, c, "o_custkey", "c_custkey",
+          saltSource = "o_orderkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("sum_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Full probe (probeHamming = numPlanes): every bucket is scanned,
     // so LSH top-k ≡ brute force and the cosine oracle applies exactly.
     // The pruned multiprobe path (probeHamming = 1) is spec-asserted in
@@ -195,6 +221,26 @@ object DedupQueries {
         |FROM corpus a JOIN corpus b
         |  ON a.embedding = b.embedding AND a.vec_id < b.vec_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "s_ivf_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "s_lsh_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (
