@@ -18,13 +18,18 @@ object Tables {
   // of queries hit the same small tables. The analyzed plan is
   // immutable, so sharing it across queries is safe. Bounded: a
   // long-lived service cycling many sessions/paths must not leak
-  // DataFrames (and their session references) forever.
+  // DataFrames (and their session references) forever — over the
+  // bound, single entries are evicted (never a full clear, which
+  // would thrash the warm set this memo exists for).
   private val MaxEntries = 256
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (cache.size > MaxEntries) cache.clear()
+    while (cache.size > MaxEntries) {
+      val it = cache.keySet.iterator
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (sp, path) =>
       val df = sp.read.parquet(path)
       // events.ts is parquet TIMESTAMP(NANOS) → read as int64 nanos (see

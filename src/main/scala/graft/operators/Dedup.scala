@@ -170,9 +170,13 @@ object Dedup {
     *
     * `maxBucketSize` mirrors [[minHashNearDups]]'s degenerate-bucket
     * guard: a mass-duplicated cluster puts B identical signatures in
-    * one chunk bucket → B²/2 candidate pairs. Such clusters belong to
-    * exact dedup, not pairwise enumeration — dropped buckets are whole
-    * duplicate clusters, not near-dup misses.
+    * one chunk bucket → B²/2 candidate pairs; such clusters belong to
+    * exact dedup, not pairwise enumeration. Honest caveat (unlike the
+    * minhash-at-t=1 case): a chunk bucket groups docs sharing only one
+    * signature slice, so an over-full bucket CAN also hide a genuine
+    * near-dup pair whose only colliding chunk it was — the guard
+    * trades bounded recall loss on pathological buckets for a hard
+    * O(maxBucketSize²) ceiling per bucket. Size it for the corpus.
     */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
@@ -239,6 +243,11 @@ object Dedup {
       .groupBy("_id")
       .agg(array_sort(collect_list(struct(col("_df"), col("_h")))).as("_items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the compact per-doc index NOW so the full posting
+    // list — the operator's largest intermediate — is released instead
+    // of staying pinned for the caller's lifetime.
+    byDoc.count()
+    exploded.unpersist()
 
     // Prefix filtering (Bayardo AllPairs): only the rarest
     // ⌊(1-t)·|doc|⌋+1 postings are indexed — any pair with J ≥ t must

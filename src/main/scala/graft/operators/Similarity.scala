@@ -131,7 +131,10 @@ object Similarity {
       bucketExpr(col(vecCol), planes).as("_bucket"))
     // Bucket-local pair generation with the degenerate-bucket guard
     // (same rationale as Dedup.minHashNearDups: an identical-embedding
-    // cluster of B rows is B²/2 pairs — exact dedup's job). Each
+    // cluster of B rows is B²/2 pairs — exact dedup's job; as with
+    // simhash chunks, an over-full sign-pattern orthant of merely
+    // SIMILAR vectors is also dropped — bounded recall loss for a hard
+    // per-bucket cost ceiling, sized by the caller). Each
     // bucket collects its (id, vector) structs — bounded by the
     // guard — and pairs + the exact cosine rerank happen IN-ROW: two
     // shuffles total, no join.

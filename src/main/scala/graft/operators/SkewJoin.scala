@@ -29,7 +29,7 @@ object SkewJoin {
     // each one `salts` times — refuse them instead of returning
     // quietly wrong results.
     val allowed = Set("inner", "cross", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti")
+      "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti")
     require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
       s"saltedJoin supports inner/left join types only, got '$joinType' " +
         "(right/full outer would emit unmatched small-side rows once per salt)")

@@ -73,12 +73,20 @@ object TransformStep {
         case None => df.dropDuplicates(columns)
         case Some(tiebreak) =>
           // min_by over the non-key columns keeps exactly one
-          // deterministic winner per key as a HASH AGGREGATE (map-side
+          // deterministic winner per key as an AGGREGATE (map-side
           // partial, no sort) — a row_number window would sort every
           // key group and collapse on skewed keys at scale.
+          // min_by SKIPS rows whose ordering value is NULL (it would
+          // fabricate an all-null row for an all-null-tiebreak group),
+          // so the ordering is a (null-flag, value) struct: never null
+          // itself, and NULL tiebreaks sort FIRST like the window's
+          // default NULLS FIRST did.
           val others = df.columns.filterNot(columns.contains).toSeq
+          val ord = struct(
+            when(col(tiebreak).isNull, lit(0)).otherwise(lit(1)).as("_nf"),
+            col(tiebreak).as("_tb"))
           val agged = df.groupBy(columns.map(col): _*)
-            .agg(min_by(struct(others.map(col): _*), col(tiebreak)).as("_w"))
+            .agg(min_by(struct(others.map(col): _*), ord).as("_w"))
           // restore the original column order
           agged.select(df.columns.toSeq.map { c =>
             if (columns.contains(c)) col(c) else col(s"_w.`$c`").as(c)

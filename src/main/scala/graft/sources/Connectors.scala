@@ -55,15 +55,22 @@ object Connectors {
       else url + (if (url.contains("?")) "&" else "?") +
         params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
 
-    private def request: HttpRequest = {
+    /** URL + headers + auth shared by every request this connector
+      * makes — read, test and write must never diverge on auth.
+      */
+    private def baseRequest: HttpRequest.Builder = {
       val b = HttpRequest.newBuilder(URI.create(fullUrl))
       headers.foreach { case (k, v) => b.header(k, v) }
       authBearer.foreach(t => b.header("Authorization", s"Bearer $t"))
       apiKey.foreach { case (k, v) => b.header(k, v) }
+      b
+    }
+
+    private def request: HttpRequest = {
       val publisher = body
         .map(HttpRequest.BodyPublishers.ofString(_))
         .getOrElse(HttpRequest.BodyPublishers.noBody())
-      b.method(method.toUpperCase, publisher).build()
+      baseRequest.method(method.toUpperCase, publisher).build()
     }
 
     def test(): Boolean =
@@ -86,12 +93,8 @@ object Connectors {
 
     /** `write_data`: POST a payload to the endpoint; returns the status. */
     def write(payload: String, contentType: String = "application/json"): Int = {
-      val b = HttpRequest.newBuilder(URI.create(fullUrl))
-        .header("Content-Type", contentType)
-      headers.foreach { case (k, v) => b.header(k, v) }
-      authBearer.foreach(t => b.header("Authorization", s"Bearer $t"))
-      apiKey.foreach { case (k, v) => b.header(k, v) }
-      val req = b.POST(HttpRequest.BodyPublishers.ofString(payload)).build()
+      val req = baseRequest.header("Content-Type", contentType)
+        .POST(HttpRequest.BodyPublishers.ofString(payload)).build()
       client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode()
     }
   }

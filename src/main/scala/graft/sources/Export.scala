@@ -115,13 +115,14 @@ object Export {
     * null — which is what a DataFrame row exports as.
     */
   final case class XmlRpcClient(baseUrl: String) extends RpcClient {
+    private def esc(s: String): String = s.flatMap {
+      case '<' => "&lt;"
+      case '&' => "&amp;"
+      case c => c.toString
+    }
     private def xml(v: Any): String = v match {
       case null => "<nil/>"
-      case s: String => "<string>" + s.flatMap {
-        case '<' => "&lt;"
-        case '&' => "&amp;"
-        case c => c.toString
-      } + "</string>"
+      case s: String => "<string>" + esc(s) + "</string>"
       case b: Boolean => s"<boolean>${if (b) 1 else 0}</boolean>"
       case d: Double => s"<double>$d</double>"
       case f: Float => s"<double>${f.toDouble}</double>"
@@ -152,18 +153,24 @@ object Export {
             Seq(xml(db), xml(username), xml(password), "<struct></struct>")))
         .map(_.group(1).toLong).filter(_ > 0)
 
+    private val BoolRe = "<boolean>\\s*([01])\\s*</boolean>".r
+
     def executeKw(db: String, uid: Long, password: String,
                   model: String, method: String,
                   record: Seq[(String, Any)]): Long = {
       val struct = "<struct>" + record.map { case (k, v) =>
-        s"<member><name>$k</name><value>${xml(v)}</value></member>"
+        s"<member><name>${esc(k)}</name><value>${xml(v)}</value></member>"
       }.mkString + "</struct>"
       val arr = s"<array><data><value>$struct</value></data></array>"
-      IntRe.findFirstMatchIn(
-          call("/xmlrpc/2/object", "execute_kw",
-            Seq(xml(db), xml(uid), xml(password), xml(model), xml(method), arr)))
-        .map(_.group(1).toLong)
-        .getOrElse(throw new IllegalStateException("execute_kw returned no id"))
+      val body = call("/xmlrpc/2/object", "execute_kw",
+        Seq(xml(db), xml(uid), xml(password), xml(model), xml(method), arr))
+      // create returns the new record id; write/unlink return a boolean
+      // (→ 1/0). A non-fault response with neither would otherwise throw
+      // INSIDE the retry wrapper and re-run an already-successful call.
+      IntRe.findFirstMatchIn(body).map(_.group(1).toLong)
+        .orElse(BoolRe.findFirstMatchIn(body).map(_.group(1).toLong))
+        .getOrElse(throw new IllegalStateException(
+          s"execute_kw returned no int/boolean result: ${body.take(200)}"))
     }
   }
 

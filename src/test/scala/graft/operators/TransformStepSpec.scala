@@ -41,6 +41,23 @@ class TransformStepSpec extends AnyFunSuite {
     assert(out == Seq(1, 2))
   }
 
+  test("deduplicate_rows keyed: NULL tiebreaks sort first and never fabricate rows") {
+    // key "a": null tiebreak must WIN (window NULLS FIRST semantics);
+    // key "b": every tiebreak null — the surviving row must be a real
+    // input row, not a struct of nulls (min_by alone would skip all
+    // null-ordered rows and emit a fabricated all-null winner).
+    val d = Seq(
+      ("a", Some(5L), "a5"), ("a", None, "anull"),
+      ("b", None, "b1"), ("b", None, "b2")
+    ).toDF("k", "tb", "payload")
+    val out = DeduplicateRows(Seq("k"), orderBy = Some("tb"))(d)
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(2) == "anull")
+    assert(Set("b1", "b2").contains(out(1).getString(2)),
+      s"fabricated row: ${out(1)}")
+  }
+
   test("replace_text is literal even with regex metachars") {
     val d = Seq((1, "a.c")).toDF("id", "s")
     assert(ReplaceText("s", ".", "!")(d).head.getString(1) == "a!c")
