@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Time the oracle SQL suite in REFERENCE-CONFIG DuckDB.
+
+Usage: python3 tools/baseline_duckdb.py <sfDir> <verifyOutDir> [n] [perQueryTimeoutSec]
+
+The reference engine (duckdb_engine.py:20-24) runs DuckDB in-memory
+with `threads=2, memory_limit='1GB'` per request. This script runs
+every query in <verifyOutDir>/oracle_sql.json under exactly that
+config over <sfDir>/*.parquet views, n times (default 3), each run in
+a subprocess with a timeout (default 120 s — the DuckDB all-pairs
+ngram-jaccard needs >25 min at sf0.1), and prints a BENCH-shaped JSON
+line of per-query medians; timed-out queries report the timeout value
+and are flagged. A query that times out once is not retried.
+NOT part of the Spark library — dev tooling only.
+"""
+import json, multiprocessing as mp, os, statistics, sys, time
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def run_one(sf_dir, sql, q):
+    import duckdb
+    con = duckdb.connect()  # fresh per request, like the reference
+    con.execute("SET memory_limit='1GB'")
+    con.execute("SET threads=2")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    t0 = time.perf_counter()
+    try:
+        con.execute(sql).fetchall()
+        q.put(time.perf_counter() - t0)
+    except Exception as e:
+        q.put(f"error: {e}")
+
+def main(sf_dir, out_dir, n=3, timeout=120):
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    samples, timed_out = {k: [] for k in oracles}, set()
+    for it in range(n):
+        for name, sql in sorted(oracles.items()):
+            if name in timed_out:
+                continue
+            q = mp.Queue()
+            p = mp.Process(target=run_one, args=(sf_dir, sql, q))
+            p.start(); p.join(timeout)
+            if p.is_alive():
+                p.terminate(); p.join()
+                timed_out.add(name)
+                print(f"# {name} exceeded {timeout}s (iteration {it})", file=sys.stderr)
+            else:
+                r = q.get()
+                if isinstance(r, float):
+                    samples[name].append(r)
+                else:
+                    print(f"# {name} {r}", file=sys.stderr)
+    med = {}
+    for k in oracles:
+        if k in timed_out:
+            med[k] = float(timeout)  # lower bound, flagged below
+        elif samples[k]:
+            med[k] = statistics.median(samples[k])
+    total = sum(med.values())
+    print(json.dumps({"metric": "total", "value": total, "unit": "sec",
+                      "queries": {k: med[k] for k in sorted(med)},
+                      "timed_out_at_lower_bound": sorted(timed_out),
+                      "sf": sf_dir, "n": n,
+                      "config": "duckdb threads=2 memory_limit=1GB"}))
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 120)
