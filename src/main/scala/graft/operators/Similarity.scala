@@ -87,13 +87,14 @@ object Similarity {
 
   def ivfIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 20): IvfIndex = {
     import org.apache.spark.ml.feature.{VectorAssembler => _}
     import org.apache.spark.ml.linalg.Vectors
     val toMl = org.apache.spark.ml.functions.array_to_vector(col(vecCol).cast("array<double>"))
     val features = df.withColumn("_features", toMl)
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("_features").setPredictionCol("_cell")
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("_features").setPredictionCol("_cell")
     val model = km.fit(features)
     val assigned = model.transform(features).drop("_features")
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))

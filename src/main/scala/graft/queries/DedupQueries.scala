@@ -135,7 +135,9 @@ object DedupQueries {
       val vecs = t(s, dir, "embeddings")
       val query = vecs.filter(col("vec_id") === 0)
         .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
-      val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8)
+      // at full probe the cell layout can't change the result, so a
+      // couple of KMeans iterations are plenty for the index build
+      val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8, maxIter = 3)
       Similarity.ivfTopK(idx, "vec_id", "embedding", query, k = 10, nprobe = 8)
     }),
 
