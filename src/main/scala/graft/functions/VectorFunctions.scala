@@ -16,7 +16,7 @@ object VectorFunctions {
 
   /** Σ vᵢ·cᵢ against a constant plane (unrolled literal array). */
   def dotConst(v: Column, plane: Array[Double]): Column =
-    dot(v, array(plane.map(lit(_)): _*))
+    dot(v, array(plane.toIndexedSeq.map(lit(_)): _*))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,5 +29,5 @@ object VectorFunctions {
 
   /** Cosine against a constant query vector. */
   def cosineConst(v: Column, q: Array[Double]): Column =
-    cosine(v, array(q.map(lit(_)): _*))
+    cosine(v, array(q.toIndexedSeq.map(lit(_)): _*))
 }

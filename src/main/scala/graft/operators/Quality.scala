@@ -78,7 +78,7 @@ object Quality {
     */
   def validate(df: DataFrame, minScore: Double, exact: Boolean = false): Double = {
     val avg = profile(df, exact)
-      .agg(org.apache.spark.sql.functions.avg("score")).head.getDouble(0)
+      .agg(org.apache.spark.sql.functions.avg("score")).head().getDouble(0)
     if (avg < minScore)
       throw new IllegalStateException(
         f"Quality score $avg%.1f below minimum $minScore%.1f")

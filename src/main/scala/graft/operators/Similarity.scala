@@ -126,7 +126,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       bucketExpr(col(vecCol), planes).as("_bucket"))

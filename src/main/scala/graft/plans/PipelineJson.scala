@@ -61,12 +61,39 @@ object PipelineJson {
       case "merge" => Merge
       case "split_json" =>
         SplitJson(config.path("column").asText, config.path("schema").asText)
-      case "file_output" | "export" =>
+      case "file_output" =>
         val path = config.path("path").asText
         val format =
           if (config.has("format")) config.path("format").asText
           else Readers.detectFormat(path)
         Sink(df => Writers.write(df, path, format))
+      case "export" =>
+        // engine.py:280-283: export dispatches on adapter_type
+        // (webhook | odoo_xmlrpc, export_adapters/builtin.py); a
+        // path-only config is the file-export shape
+        // (duckdb_engine.py export_to_file).
+        config.path("adapter_type").asText("") match {
+          case "odoo_xmlrpc" =>
+            val url = config.path("url").asText
+            val db = config.path("db").asText
+            val user = config.path("username").asText
+            val password = config.path("password").asText
+            val model = config.path("model").asText
+            val method = config.path("method").asText("create")
+            Sink(df => graft.sources.Export.recordRpc(
+              df, graft.sources.Export.XmlRpcClient(url),
+              db, user, password, model, method))
+          case "webhook" =>
+            val url = config.path("url").asText
+            Sink(df => graft.sources.Export.webhook(
+              df, graft.sources.Export.HttpPost(url)))
+          case _ =>
+            val path = config.path("path").asText
+            val format =
+              if (config.has("format")) config.path("format").asText
+              else Readers.detectFormat(path)
+            Sink(df => Writers.write(df, path, format))
+        }
       case "webhook_send" | "invoke_http" =>
         // engine.py:252-258 / :226-243: POST the node's input onward.
         // Executor-side batched JSON (Export), not a driver-side dump.

@@ -123,7 +123,7 @@ object DedupQueries {
     "s_cosine_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val query = vecs.filter(col("vec_id") === 0)
-        .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
       Similarity.cosineTopK(vecs, "vec_id", "embedding", query, k = 20)
     }),
 
@@ -134,7 +134,7 @@ object DedupQueries {
     "s_ivf_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val query = vecs.filter(col("vec_id") === 0)
-        .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
       // at full probe the cell layout can't change the result, so a
       // couple of KMeans iterations are plenty for the index build
       val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8, maxIter = 3)
@@ -162,7 +162,7 @@ object DedupQueries {
     "s_lsh_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val query = vecs.filter(col("vec_id") === 0)
-        .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
       Similarity.lshTopK(vecs, "vec_id", "embedding", query, k = 10,
         numPlanes = 8, probeHamming = 8)
     })

@@ -78,6 +78,48 @@ class PipelineJsonSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("export node with adapter_type odoo_xmlrpc drives the XML-RPC adapter") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import java.util.concurrent.atomic.AtomicInteger
+    val authCalls = new AtomicInteger(0)
+    val objectCalls = new AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, counter: AtomicInteger, resp: String): Unit =
+      server.createContext(path, { ex =>
+        counter.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        val out = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "text/xml")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out); ex.close()
+      })
+    serve("/xmlrpc/2/common", authCalls,
+      "<methodResponse><params><param><value><int>9</int></value></param></params></methodResponse>")
+    serve("/xmlrpc/2/object", objectCalls,
+      "<methodResponse><params><param><value><int>77</int></value></param></params></methodResponse>")
+    server.start()
+    try {
+      val dir = Files.createTempDirectory("graft_odoo_json")
+      val in = dir.resolve("in.csv").toString
+      Writers.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s").coalesce(1), in, "csv")
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val res = PipelineJson.run(spark, s"""{
+        "nodes": [
+          {"id": "n1", "type": "file_input", "data": {"config": {"path": "$in", "format": "csv"}}},
+          {"id": "n2", "type": "export", "data": {"config": {
+            "adapter_type": "odoo_xmlrpc", "url": "$url", "db": "d",
+            "username": "u", "password": "p", "model": "res.partner"}}}
+        ],
+        "edges": [{"source": "n1", "target": "n2"}]
+      }""")
+      assert(res.nodeLog.contains("n2" -> "sink ok"))
+      assert(authCalls.get() == 1)   // one non-empty partition
+      assert(objectCalls.get() == 3) // one execute_kw per record
+    } finally server.stop(0)
+  }
+
   test("aggregate step via JSON") {
     val (nodes, edges) = PipelineJson.parse("""{
       "nodes": [{"id": "t", "type": "transform", "data": {"config": {"steps": [
