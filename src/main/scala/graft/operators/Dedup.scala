@@ -80,10 +80,18 @@ object Dedup {
     * FIRST, not pairwise-enumerated here. Dropped buckets are whole
     * duplicate clusters, not near-dup misses.
     */
+  /** `stageDir`: when set, the hashed-shingle stage is written to
+    * parquet there and read back instead of living in executor
+    * storage memory — at 100 TB the stage IS the index and belongs on
+    * distributed storage (survives executor loss, frees the block
+    * manager, reusable across runs); `persist` remains the default
+    * for interactive sizes.
+    */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 1000,
+      stageDir: Option[String] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Staged once and reused by signature build + both rerank sides —
     // the standard "materialize the signatures" step; without it the
@@ -93,11 +101,17 @@ object Dedup {
     // long arrays. Jaccard over distinct-string hashes equals Jaccard
     // over the strings unless xxhash64 collides inside a pair's union
     // (~2⁻⁶⁴ per element — below any real corpus's noise floor).
-    val hashedShingles = df
+    val hashedRaw = df
       .select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_hsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashedShingles = stageDir match {
+      case Some(dir) =>
+        hashedRaw.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+      case None =>
+        hashedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val sig = hashedShingles
       .withColumn("_sig", minhashSig(col("_hsh"), numHashes))
 

@@ -54,6 +54,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(ed.length == 1 && ed.head.getLong(0) == 20001L, ed.mkString(","))
   }
 
+  test("bucket-local pair generation plans exactly two shuffles, no joins") {
+    // simhash and embedding near-dup: bucket aggregate + distinct are
+    // the ONLY exchanges; the pair explode and the rerank are in-row.
+    val docs = (1 to 100).map(i => (i.toLong, s"tok$i alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val simPlan = Dedup.simHashNearDups(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!simPlan.contains("Join"), simPlan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(simPlan).size == 2, simPlan.take(3000))
+
+    // embedding: each vector lives in exactly ONE bucket, so no pair
+    // can be generated twice — no distinct, a single shuffle total.
+    val vecs = (1 to 100).map(i => (i.toLong, Array(i.toFloat, 1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val edPlan = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", numPlanes = 4)
+      .queryExecution.executedPlan.toString
+    assert(!edPlan.contains("Join"), edPlan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(edPlan).size == 1, edPlan.take(3000))
+  }
+
+  test("minhash signature staging to parquet matches the persist path") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"), (2L, "aa bb cc dd ee ff"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").resolve("sig").toString
+    val staged = Dedup.minHashNearDups(docs, "doc_id", "text",
+        threshold = 1.0, stageDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val persisted = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(staged.toSeq == Seq((1L, 2L)) && persisted.toSeq == staged.toSeq)
+    // the staged index is real parquet on disk
+    assert(TestSpark.spark.read.parquet(dir).columns.toSet == Set("_id", "_hsh"))
+  }
+
   test("bucketed tables join without an exchange") {
     // warehouse dir is a static conf — default ./spark-warehouse is fine
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
