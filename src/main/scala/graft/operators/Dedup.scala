@@ -26,6 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a reusable operator stage: to parquet when `stageDir`
+    * is given (the 100 TB path — the stage is an index that belongs on
+    * distributed storage, survives executor loss, and is shareable
+    * across runs), else an executor-storage persist (interactive
+    * sizes). `eager` forces materialization in the persist branch so
+    * upstream persists can be released immediately; a parquet write is
+    * always eager.
+    */
+  private def stage(
+      d: DataFrame, stageDir: Option[String], eager: Boolean = false): DataFrame =
+    stageDir match {
+      case Some(dir) =>
+        d.write.mode("overwrite").parquet(dir)
+        d.sparkSession.read.parquet(dir)
+      case None =>
+        val p = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (eager) p.count()
+        p
+    }
+
   /** Distinct word n-gram shingles of lowercased text.
     *
     * Built by zipping n shifted copies of the token array and
@@ -105,13 +125,7 @@ object Dedup {
       .select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_hsh"))
-    val hashedShingles = stageDir match {
-      case Some(dir) =>
-        hashedRaw.write.mode("overwrite").parquet(dir)
-        df.sparkSession.read.parquet(dir)
-      case None =>
-        hashedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val hashedShingles = stage(hashedRaw, stageDir)
     val sig = hashedShingles
       .withColumn("_sig", minhashSig(col("_hsh"), numHashes))
 
@@ -236,9 +250,13 @@ object Dedup {
     * every posting. Survivors are reranked with EXACT Jaccard over the
     * full shingle sets → no false positives, no false negatives.
     */
+  /** `stageDir`: as in [[minHashNearDups]] — stages the per-doc
+    * posting index to parquet instead of executor storage.
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      stageDir: Option[String] = None): DataFrame = {
     // Postings carry the 64-bit shingle hash, never the string — every
     // downstream shuffle/persist moves 8-byte longs. Jaccard over
     // distinct-shingle hashes equals string Jaccard absent an in-pair
@@ -253,14 +271,15 @@ object Dedup {
     // sort each doc's (df, hash) postings by global rarity IN-ROW
     // (array_sort) instead of a corpus-wide window sort — a hash
     // aggregate scales; a row_number window over every posting doesn't.
-    val byDoc = exploded.join(dfs, "_h")
-      .groupBy("_id")
-      .agg(array_sort(collect_list(struct(col("_df"), col("_h")))).as("_items"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the compact per-doc index NOW so the full posting
-    // list — the operator's largest intermediate — is released instead
-    // of staying pinned for the caller's lifetime.
-    byDoc.count()
+    val byDoc = stage(
+      exploded.join(dfs, "_h")
+        .groupBy("_id")
+        .agg(array_sort(collect_list(struct(col("_df"), col("_h")))).as("_items")),
+      stageDir, eager = true)
+    // The compact per-doc index is materialized NOW (write or eager
+    // persist) so the full posting list — the operator's largest
+    // intermediate — is released instead of staying pinned for the
+    // caller's lifetime.
     exploded.unpersist()
 
     // Prefix filtering (Bayardo AllPairs): only the rarest

@@ -61,17 +61,13 @@ object PipelineJson {
       case "merge" => Merge
       case "split_json" =>
         SplitJson(config.path("column").asText, config.path("schema").asText)
-      case "file_output" =>
-        val path = config.path("path").asText
-        val format =
-          if (config.has("format")) config.path("format").asText
-          else Readers.detectFormat(path)
-        Sink(df => Writers.write(df, path, format))
+      case "file_output" => fileSink(config)
       case "export" =>
         // engine.py:280-283: export dispatches on adapter_type
-        // (webhook | odoo_xmlrpc, export_adapters/builtin.py); a
-        // path-only config is the file-export shape
-        // (duckdb_engine.py export_to_file).
+        // (webhook | odoo_xmlrpc, export_adapters/builtin.py) and
+        // raises on an unknown adapter like get_export_adapter; a
+        // config with no adapter_type but a path is the file-export
+        // shape (duckdb_engine.py export_to_file).
         config.path("adapter_type").asText("") match {
           case "odoo_xmlrpc" =>
             val url = config.path("url").asText
@@ -83,28 +79,16 @@ object PipelineJson {
             Sink(df => graft.sources.Export.recordRpc(
               df, graft.sources.Export.XmlRpcClient(url),
               db, user, password, model, method))
-          case "webhook" =>
-            val url = config.path("url").asText
-            Sink(df => graft.sources.Export.webhook(
-              df, graft.sources.Export.HttpPost(url)))
-          case _ =>
-            val path = config.path("path").asText
-            val format =
-              if (config.has("format")) config.path("format").asText
-              else Readers.detectFormat(path)
-            Sink(df => Writers.write(df, path, format))
+          case "webhook" => webhookSink(config)
+          case "" if config.has("path") => fileSink(config)
+          case "" => webhookSink(config) // reference default adapter
+          case other =>
+            throw new IllegalArgumentException(s"Unknown export adapter: $other")
         }
       case "webhook_send" | "invoke_http" =>
         // engine.py:252-258 / :226-243: POST the node's input onward.
         // Executor-side batched JSON (Export), not a driver-side dump.
-        val url = config.path("url").asText
-        val headers = if (config.has("headers"))
-          config.path("headers").properties.asScala
-            .map(e => e.getKey -> e.getValue.asText).toMap
-        else Map.empty[String, String]
-        val batch = if (config.has("batch_size")) config.path("batch_size").asInt else 500
-        Sink(df => graft.sources.Export.webhook(
-          df, graft.sources.Export.HttpPost(url, headers), batchSize = batch))
+        webhookSink(config)
       case "db_insert" =>
         // engine.py:260-266: distributed JDBC append.
         val url = config.path("jdbc_url").asText
@@ -121,6 +105,29 @@ object PipelineJson {
         Conditional("true")
     }
     Node(id, op)
+  }
+
+  /** path+format file write — shared by file_output and export's
+    * file shape so their handling can't diverge. */
+  private def fileSink(config: JsonNode): NodeOp = {
+    val path = config.path("path").asText
+    val format =
+      if (config.has("format")) config.path("format").asText
+      else Readers.detectFormat(path)
+    Sink(df => Writers.write(df, path, format))
+  }
+
+  /** url+headers+batch_size webhook POST — shared by webhook_send,
+    * invoke_http and export's webhook adapter. */
+  private def webhookSink(config: JsonNode): NodeOp = {
+    val url = config.path("url").asText
+    val headers = if (config.has("headers"))
+      config.path("headers").properties.asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
+    else Map.empty[String, String]
+    val batch = if (config.has("batch_size")) config.path("batch_size").asInt else 500
+    Sink(df => graft.sources.Export.webhook(
+      df, graft.sources.Export.HttpPost(url, headers), batchSize = batch))
   }
 
   /** Transform-step operator names exactly as in duckdb_engine.py

@@ -130,6 +130,16 @@ class PipelineJsonSpec extends AnyFunSuite {
     assert(nodes.head.op.isInstanceOf[PipelineDag.Transform])
   }
 
+  test("unknown export adapter_type raises at parse time") {
+    intercept[IllegalArgumentException] {
+      PipelineJson.parse("""{
+        "nodes": [{"id": "e", "type": "export",
+          "data": {"config": {"adapter_type": "odoo_xml_rpc", "url": "http://x"}}}],
+        "edges": []
+      }""")
+    }
+  }
+
   test("unknown operator raises") {
     intercept[IllegalArgumentException] {
       PipelineJson.parse("""{

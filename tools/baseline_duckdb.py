@@ -19,16 +19,16 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def run_one(sf_dir, sql, q):
-    import duckdb
-    con = duckdb.connect()  # fresh per request, like the reference
-    con.execute("SET memory_limit='1GB'")
-    con.execute("SET threads=2")
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    t0 = time.perf_counter()
     try:
+        import duckdb
+        con = duckdb.connect()  # fresh per request, like the reference
+        con.execute("SET memory_limit='1GB'")
+        con.execute("SET threads=2")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        t0 = time.perf_counter()
         con.execute(sql).fetchall()
         q.put(time.perf_counter() - t0)
     except Exception as e:
@@ -49,21 +49,29 @@ def main(sf_dir, out_dir, n=3, timeout=120):
                 timed_out.add(name)
                 print(f"# {name} exceeded {timeout}s (iteration {it})", file=sys.stderr)
             else:
-                r = q.get()
+                # bounded get: a child killed by OOM/segfault exits
+                # without ever putting a result — don't hang on it
+                try:
+                    r = q.get(timeout=5)
+                except Exception:
+                    r = "error: child produced no result (killed?)"
                 if isinstance(r, float):
                     samples[name].append(r)
                 else:
                     print(f"# {name} {r}", file=sys.stderr)
-    med = {}
+    med, errored = {}, []
     for k in oracles:
         if k in timed_out:
             med[k] = float(timeout)  # lower bound, flagged below
         elif samples[k]:
             med[k] = statistics.median(samples[k])
+        else:
+            errored.append(k)  # machine-readable, not just a stderr note
     total = sum(med.values())
     print(json.dumps({"metric": "total", "value": total, "unit": "sec",
                       "queries": {k: med[k] for k in sorted(med)},
                       "timed_out_at_lower_bound": sorted(timed_out),
+                      "errored_excluded_from_total": sorted(errored),
                       "sf": sf_dir, "n": n,
                       "config": "duckdb threads=2 memory_limit=1GB"}))
 
