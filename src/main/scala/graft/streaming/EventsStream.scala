@@ -44,20 +44,29 @@ object EventsStream {
         col("n_events"), col("value_sum"))
 
   /** Gap-based sessionization: a session closes after `gapMs` of
-    * processing-time inactivity per user. Custom state via
-    * flatMapGroupsWithState — the reference platform has no stream
-    * engine at all; this is the Spark-native capability its event
-    * pipelines would need.
+    * inactivity per user. Custom state via flatMapGroupsWithState —
+    * the reference platform has no stream engine at all; this is the
+    * Spark-native capability its event pipelines would need.
+    *
+    * Idle-session flush, by timeout mode:
+    *  - EventTimeTimeout (deterministic, replayable): a session times
+    *    out when the WATERMARK passes lastEvent + gap. The input gets
+    *    `withWatermark(ts, watermarkDelay)` here, since event-time
+    *    timeouts require one.
+    *  - ProcessingTimeTimeout: wall-clock idle flush.
+    *  - NoTimeout: a session only closes when a later event arrives.
     */
   def sessionize(
       events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
-      // ProcessingTimeTimeout flushes idle sessions in production; with
-      // NoTimeout a session only closes when a later event arrives
-      // (deterministic — what the spec drives).
-      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout(),
+      watermarkDelay: String = "0 seconds")
       : Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val src =
+      if (timeout == GroupStateTimeout.EventTimeTimeout())
+        events.withWatermark("ts", watermarkDelay)
+      else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, SessionSummary](
         OutputMode.Append(), timeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionAcc]) =>
@@ -86,6 +95,8 @@ object EventsStream {
                 state.update(s)
                 if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
                   state.setTimeoutDuration(gapMs)
+                else if (timeout == GroupStateTimeout.EventTimeTimeout())
+                  state.setTimeoutTimestamp(s.lastMs + gapMs)
               case None => ()
             }
             closed.iterator

@@ -91,6 +91,34 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(rows.length == 2)
   }
 
+  test("sessionize EventTimeTimeout flushes when the watermark passes the gap — deterministic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapMs = 5 * 60 * 1000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+      .writeStream.format("memory").queryName("sessions_evt")
+      .outputMode("append").start()
+
+    // batch 1: user 1's session, lastMs = 10:01
+    input.addData(Event(ts(0), 1L, "a", 1.0), Event(ts(1), 1L, "a", 2.0))
+    query.processAllAvailable()
+    // batch 2: an unrelated user's event at 10:30 lifts the watermark
+    // past 10:01 + 5min → batch 3 fires user 1's event-time timeout.
+    // No wall-clock involved: pure event time, fully replayable.
+    input.addData(Event(ts(30), 2L, "x", 9.0))
+    query.processAllAvailable()
+    input.addData(Event(ts(31), 2L, "x", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val flushed = spark.table("sessions_evt").as[SessionSummary].collect()
+      .filter(_.user_id == 1L)
+    assert(flushed.length == 1)
+    assert(flushed.head.n_events == 2L && flushed.head.total_value == 3.0)
+    assert(flushed.head.end_ts - flushed.head.start_ts == 60 * 1000L)
+  }
+
   test("sessionize ProcessingTimeTimeout flushes an idle session with no new events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
