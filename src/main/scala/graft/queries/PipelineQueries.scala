@@ -74,6 +74,13 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // Batch gap sessionization over the events table — the bounded
+    // twin of the streaming sessionizer, oracle-checked end to end.
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionizeBatch(
+          t(s, dir, "events"), gapMs = 30 * 60 * 1000L)
+        .orderBy("user_id", "session_id")),
+
     // Multimodal plumbing: text bytes as stand-in media → canonical
     // schema → stub decode → per-type feature stats. rows-only (the
     // stub features are xxhash-based; no SQL oracle).
@@ -107,6 +114,26 @@ object PipelineQueries {
         |  CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
         |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents""".stripMargin,
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000 * 1000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value

@@ -104,6 +104,37 @@ object EventsStream {
       }
   }
 
+  /** BATCH gap sessionization — the bounded-data twin of [[sessionize]]
+    * (and its oracle surface: `q_sessionize` checks this logic against
+    * DuckDB). The classic formulation: a session starts where the gap
+    * to the previous event exceeds `gapMs`; the running sum of those
+    * boundary flags numbers the sessions per user. Requires per-user
+    * time order, so this IS a sort window — inherent to gap semantics
+    * on bounded data (the streaming path replaces the sort with state).
+    */
+  def sessionizeBatch(
+      events: DataFrame, gapMs: Long,
+      tiebreak: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("ts"), col(tiebreak))
+    val w = Window.partitionBy("user_id").orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("_prev")) > gapMs * 1000L, 1)
+        .otherwise(0))
+      .withColumn("session_id", sum(col("_new")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        min(col("ts")).as("_start"), max(col("ts")).as("_end"))
+      .select(col("user_id"), col("session_id"),
+        col("n_events"), col("total_value"),
+        date_format(col("_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
+  }
+
   /** Streaming exact dedup: drops repeats of `idCols` arriving within
     * the watermark (state is bounded by it — the unbounded-source
     * version of the batch exact-dedup operator).
