@@ -46,12 +46,47 @@ object PipelineJson {
     val id = n.path("id").asText
     val config = n.path("data").path("config")
     val op: NodeOp = n.path("type").asText match {
-      case "file_input" | "connector_input" =>
+      case "file_input" =>
         val path = config.path("path").asText
         val format =
           if (config.has("format")) config.path("format").asText
           else Readers.detectFormat(path)
         Source(sp => Readers.read(sp, path, format))
+      case "connector_input" =>
+        // connectors/builtin.py: dispatch on connector_type. http
+        // carries method/headers/body/auth (a POST "query an API" read
+        // works); mysql maps onto the JDBC connector; csv/json are the
+        // file shape.
+        config.path("connector_type").asText("") match {
+          case "http" =>
+            val url = config.path("url").asText
+            val method = config.path("method").asText("GET")
+            val headers = if (config.has("headers"))
+              config.path("headers").properties.asScala
+                .map(e => e.getKey -> e.getValue.asText).toMap
+            else Map.empty[String, String]
+            val body =
+              if (config.has("body")) Some(config.path("body").asText) else None
+            val bearer = config.path("auth_config").path("token").asText("") match {
+              case "" => None
+              case t => Some(t)
+            }
+            Source(sp => graft.sources.Connectors.HttpConnector(
+              url, method = method, headers = headers, body = body,
+              authBearer = bearer).read(sp))
+          case "mysql" | "jdbc" =>
+            val url = config.path("jdbc_url").asText
+            val query = config.path("query").asText
+            Source(sp => graft.sources.Connectors.JdbcConnector(url, query).read(sp))
+          case "" | "csv" | "json" =>
+            val path = config.path("path").asText
+            val format =
+              if (config.has("format")) config.path("format").asText
+              else Readers.detectFormat(path)
+            Source(sp => Readers.read(sp, path, format))
+          case other =>
+            throw new IllegalArgumentException(s"Unknown connector_type: $other")
+        }
       case "transform" =>
         Transform(config.path("steps").elements.asScala.map(parseStep).toSeq)
       case "validation" =>

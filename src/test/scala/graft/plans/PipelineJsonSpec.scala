@@ -130,6 +130,41 @@ class PipelineJsonSpec extends AnyFunSuite {
     assert(nodes.head.op.isInstanceOf[PipelineDag.Transform])
   }
 
+  test("connector_input with connector_type http POSTs and feeds the pipeline") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    val seenMethod = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    val out = """{"id":1,"s":"a"}
+{"id":2,"s":"b"}""".getBytes(StandardCharsets.UTF_8)
+    server.createContext("/api", { ex =>
+      seenMethod.set(ex.getRequestMethod)
+      ex.getRequestBody.readAllBytes()
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+      val outDir = Files.createTempDirectory("graft_ci").resolve("out").toString
+      val res = PipelineJson.run(spark, s"""{
+        "nodes": [
+          {"id": "n1", "type": "connector_input", "data": {"config": {
+            "connector_type": "http", "url": "$url", "method": "POST",
+            "body": "{\\"query\\": \\"all\\"}"}}},
+          {"id": "n2", "type": "file_output",
+           "data": {"config": {"path": "$outDir", "format": "parquet"}}}
+        ],
+        "edges": [{"source": "n1", "target": "n2"}]
+      }""")
+      assert(res.nodeLog.contains("n2" -> "sink ok"))
+      assert(seenMethod.get() == "POST")
+      assert(spark.read.parquet(outDir).count() == 2)
+    } finally server.stop(0)
+  }
+
   test("unknown export adapter_type raises at parse time") {
     intercept[IllegalArgumentException] {
       PipelineJson.parse("""{
