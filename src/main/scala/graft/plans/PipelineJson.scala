@@ -60,20 +60,28 @@ object PipelineJson {
         config.path("connector_type").asText("") match {
           case "http" =>
             val url = config.path("url").asText
+            require(url.nonEmpty, "http connector_input requires a url")
             val method = config.path("method").asText("GET")
-            val headers = if (config.has("headers"))
-              config.path("headers").properties.asScala
-                .map(e => e.getKey -> e.getValue.asText).toMap
-            else Map.empty[String, String]
             val body =
               if (config.has("body")) Some(config.path("body").asText) else None
-            val bearer = config.path("auth_config").path("token").asText("") match {
+            val params = if (config.has("params"))
+              config.path("params").properties.asScala
+                .map(e => e.getKey -> e.getValue.asText).toMap
+            else Map.empty[String, String]
+            // connectors/builtin.py auth shapes: bearer {token} and
+            // api_key {key_name, key_value}
+            val auth = config.path("auth_config")
+            val bearer = auth.path("token").asText("") match {
               case "" => None
               case t => Some(t)
             }
+            val apiKey = auth.path("key_value").asText("") match {
+              case "" => None
+              case v => Some(auth.path("key_name").asText("X-API-Key") -> v)
+            }
             Source(sp => graft.sources.Connectors.HttpConnector(
-              url, method = method, headers = headers, body = body,
-              authBearer = bearer).read(sp))
+              url, method = method, headers = parseHeaders(config), body = body,
+              params = params, authBearer = bearer, apiKey = apiKey).read(sp))
           case "mysql" | "jdbc" =>
             val url = config.path("jdbc_url").asText
             val query = config.path("query").asText
@@ -116,7 +124,10 @@ object PipelineJson {
               db, user, password, model, method))
           case "webhook" => webhookSink(config)
           case "" if config.has("path") => fileSink(config)
-          case "" => webhookSink(config) // reference default adapter
+          case "" if config.has("url") => webhookSink(config) // reference default adapter
+          case "" =>
+            throw new IllegalArgumentException(
+              "export node needs an adapter_type, a path (file export) or a url (webhook)")
           case other =>
             throw new IllegalArgumentException(s"Unknown export adapter: $other")
         }
@@ -152,17 +163,21 @@ object PipelineJson {
     Sink(df => Writers.write(df, path, format))
   }
 
+  /** headers map — shared by every http-shaped node config. */
+  private def parseHeaders(config: JsonNode): Map[String, String] =
+    if (config.has("headers"))
+      config.path("headers").properties.asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
+    else Map.empty[String, String]
+
   /** url+headers+batch_size webhook POST — shared by webhook_send,
     * invoke_http and export's webhook adapter. */
   private def webhookSink(config: JsonNode): NodeOp = {
     val url = config.path("url").asText
-    val headers = if (config.has("headers"))
-      config.path("headers").properties.asScala
-        .map(e => e.getKey -> e.getValue.asText).toMap
-    else Map.empty[String, String]
+    require(url.nonEmpty, "webhook node requires a url")
     val batch = if (config.has("batch_size")) config.path("batch_size").asInt else 500
     Sink(df => graft.sources.Export.webhook(
-      df, graft.sources.Export.HttpPost(url, headers), batchSize = batch))
+      df, graft.sources.Export.HttpPost(url, parseHeaders(config)), batchSize = batch))
   }
 
   /** Transform-step operator names exactly as in duckdb_engine.py
