@@ -283,25 +283,34 @@ object Dedup {
     exploded.unpersist()
 
     // Prefix filtering (Bayardo AllPairs): only the rarest
-    // ⌊(1-t)·|doc|⌋+1 postings are indexed — any pair with J ≥ t must
-    // collide inside those prefixes. Each posting carries its doc's
-    // size so the length filter below is a FREE inline predicate on
-    // the join output (no extra size-lookup joins at any scale).
-    val prefix = byDoc.select(col("_id"), size(col("_items")).as("_n"),
+    // |doc| − ⌈t·|doc|⌉ + 1 postings are indexed — any pair with
+    // J ≥ t must collide inside those prefixes. The ceil is
+    // epsilon-guarded: in doubles 0.8·5 is 4.0000000000000002, whose
+    // bare ceil (5) would HALVE the prefix for every doc size where
+    // t·n is integral and silently lose true pairs (observed: one
+    // missing pair at sf0.001). Each posting carries its doc's size
+    // so the length filter below is a FREE inline predicate on the
+    // join output (no extra size-lookup joins at any scale).
+    val eps = 1e-9
+    val nCol = size(col("_items"))
+    val prefixLen =
+      (nCol - ceil(lit(threshold) * nCol - lit(eps)) + lit(1)).cast("int")
+    val prefix = byDoc.select(col("_id"), nCol.as("_n"),
       explode(transform(
-        slice(col("_items"), lit(1),
-          (floor(lit(1.0 - threshold) * size(col("_items"))) + lit(1)).cast("int")),
+        slice(col("_items"), lit(1), prefixLen),
         s => s.getField("_h"))).as("_h"))
 
     // Length filter (exact necessary condition): J ≥ t ⇒
     // min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes candidates before the
-    // expensive set join.
+    // expensive set join. Same epsilon guard: t·max computed in
+    // doubles can exceed its true integral value and wrongly reject a
+    // boundary pair.
     val l = prefix.as("l")
     val r = prefix.as("r")
     val lenOk = l
       .join(r, col("l._h") === col("r._h") && col("l._id") < col("r._id"))
       .filter(least(col("l._n"), col("r._n")).cast("double") >=
-        lit(threshold) * greatest(col("l._n"), col("r._n")).cast("double"))
+        lit(threshold) * greatest(col("l._n"), col("r._n")).cast("double") - lit(eps))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .distinct()
 

@@ -56,6 +56,23 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 0.6) < 1e-12)
   }
 
+  test("ngramJaccardPairs keeps a pair with J exactly at the threshold (integral t·n)") {
+    // A: 7 tokens → 5 shingles; B: A's first 6 tokens → 4 shingles ⊂ A
+    // ⇒ J = 4/5 = 0.8 exactly, with t·|A| = 0.8·5 = 4 integral. In
+    // bare doubles 0.8·5 = 4.0000000000000002: an unguarded ceil
+    // halves A's prefix and the unguarded length filter rejects
+    // min=4 ≥ 4 — either bug silently drops this pair (regression:
+    // observed as a missing pair at sf0.001).
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"),
+      (2L, "w1 w2 w3 w4 w5 w6")).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.8)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(math.abs(pairs.head.getDouble(2) - 0.8) < 1e-12)
+  }
+
   test("shingles: fewer tokens than n → empty array") {
     val sh = corpus.limit(1)
       .select(Dedup.shingles(org.apache.spark.sql.functions.lit("one two"), 3))
