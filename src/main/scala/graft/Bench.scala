@@ -42,7 +42,11 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     var ran = 0
-    while (ran < iters && (ran == 0 || elapsedSec < budgetSec)) {
+    // Start another iteration only if it's PROJECTED to finish inside
+    // the budget (estimate = average of completed iterations) — on a
+    // machine n× slower than this one, the suite degrades to fewer
+    // iterations instead of overshooting the harness's patience.
+    while (ran < iters && (ran == 0 || elapsedSec + elapsedSec / ran < budgetSec)) {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
