@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses `sbt runMain` stdout for the bench's one-line
+// JSON metric; sbt's logger prefixes forked-process output with
+// `[info] `, which broke that parse in rounds 1-2. StdoutOutput makes
+// the forked JVM inherit sbt's own stdout/stderr — lines arrive bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
