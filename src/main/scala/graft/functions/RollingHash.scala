@@ -94,9 +94,26 @@ object RollingHash {
   * session (including Thrift/Connect ones) gets the function.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       { children: Seq[Expression] => RollingHash(children.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      { children: Seq[Expression] =>
+        ShingleHashes(children.head,
+          children(1).eval().asInstanceOf[Number].intValue) }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      { children: Seq[Expression] =>
+        MinHashSignature(children.head,
+          children(1).eval().asInstanceOf[Number].intValue) }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      { children: Seq[Expression] => SimHash64Expr(children.head) }))
+  }
 }

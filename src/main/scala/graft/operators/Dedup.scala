@@ -72,21 +72,6 @@ object Dedup {
       .otherwise(array_distinct(full))
   }
 
-  /** MinHash signature via hash-once-then-rehash: each shingle string
-    * is xxhash64'd ONCE; the k-th hash function re-hashes that fixed
-    * 8-byte value with seed k. Re-hashing a long is a single xxhash
-    * round (vs re-traversing the string 64×) and — unlike an affine
-    * `a·h+b` — never overflows under ANSI arithmetic.
-    *
-    * ONE expression (loop over `sequence(0, k-1)`) rather than k
-    * unrolled array_min trees: the per-row work is identical, but the
-    * generated code is ~k× smaller, so plan compile time doesn't grow
-    * with the signature width.
-    */
-  private def minhashSig(hashedShingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(hashedShingles, h => xxhash64(k, h))))
-
   /** Candidate pairs via MinHash LSH banding, reranked with EXACT
     * Jaccard over the shingle sets. Output: (id_a, id_b, jaccard) with
     * id_a < id_b and jaccard >= threshold.
@@ -118,16 +103,22 @@ object Dedup {
     // scan+shingling runs three times. Only the 64-bit shingle HASHES
     // are staged (8 bytes/shingle vs a Java string each): the persist,
     // the rerank shuffles, and the exact-Jaccard set ops all run over
-    // long arrays. Jaccard over distinct-string hashes equals Jaccard
-    // over the strings unless xxhash64 collides inside a pair's union
+    // long arrays. Jaccard over distinct-shingle hashes equals Jaccard
+    // over the shingles unless the hash collides inside a pair's union
     // (~2⁻⁶⁴ per element — below any real corpus's noise floor).
+    // Shingling + signature are the native codegen'd expressions
+    // (graft.functions.TextSignatures) — one tight loop per row, not
+    // 64 interpreted higher-order folds (the r2 bottleneck).
+    val spark = df.sparkSession
     val hashedRaw = df
-      .select(col(idCol).as("_id"), shingles(col(textCol), shingleN).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_hsh"))
+      .select(col(idCol).as("_id"),
+        graft.functions.TextSignatures
+          .shingleHashesCol(spark, col(textCol), shingleN).as("_hsh"))
+      .filter(size(col("_hsh")) > 0)
     val hashedShingles = stage(hashedRaw, stageDir)
     val sig = hashedShingles
-      .withColumn("_sig", minhashSig(col("_hsh"), numHashes))
+      .withColumn("_sig", graft.functions.TextSignatures
+        .minHashSigCol(spark, col("_hsh"), numHashes))
 
     // One row per band: bucket key = hash of the band's signature slice.
     val banded = sig.select(col("_id"),
@@ -170,24 +161,19 @@ object Dedup {
     * the sign of Σ_tokens (±1 by bit i of xxhash64(token)), token
     * multiplicity included.
     *
-    * Computed ENTIRELY per row (token hashes materialized once, then
-    * 64 array-aggregate folds) — zero shuffle, unlike the textbook
-    * explode + groupBy formulation which shuffles every token. At
-    * 100 TB that's the difference between a map-only stage and
-    * re-shuffling the whole corpus.
+    * Computed ENTIRELY per row by the native codegen'd
+    * [[graft.functions.SimHash64Expr]] — zero shuffle, unlike the
+    * textbook explode + groupBy formulation which shuffles every
+    * token. At 100 TB that's the difference between a map-only stage
+    * and re-shuffling the whole corpus. (The r2 formulation — 64
+    * `aggregate` folds — was map-only too but interpreted, and
+    * dominated the query's runtime; the expression computes the same
+    * bits in one loop.)
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("_id"),
-      transform(split(lower(trim(col(textCol))), "\\s+"), t => xxhash64(t)).as("_hs"))
-    val bitSums = (0 until 64).map { i =>
-      aggregate(col("_hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-    }
-    val sig = bitSums.zipWithIndex.map { case (b, i) =>
-      when(b > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    hashed.select(col("_id").as(idCol), sig.as("simhash"))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextSignatures
+        .simHash64Col(df.sparkSession, col(textCol)).as("simhash"))
 
   /** SimHash near-dups: the 64-bit signature is split into
     * `maxHamming + 1` near-equal chunks — by pigeonhole, hamming ≤
@@ -260,10 +246,12 @@ object Dedup {
     // Postings carry the 64-bit shingle hash, never the string — every
     // downstream shuffle/persist moves 8-byte longs. Jaccard over
     // distinct-shingle hashes equals string Jaccard absent an in-pair
-    // xxhash64 collision (~2⁻⁶⁴/element).
+    // hash collision (~2⁻⁶⁴/element). Shingle hashing is the native
+    // codegen'd expression — one loop per row.
     val exploded = df
-      .select(col(idCol).as("_id"), explode(shingles(col(textCol), shingleN)).as("_s"))
-      .select(col("_id"), xxhash64(col("_s")).as("_h"))
+      .select(col(idCol).as("_id"),
+        explode(graft.functions.TextSignatures
+          .shingleHashesCol(df.sparkSession, col(textCol), shingleN)).as("_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = exploded.groupBy("_h").agg(count(lit(1)).as("_df"))
 
