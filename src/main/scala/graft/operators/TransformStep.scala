@@ -161,10 +161,22 @@ object TransformStep {
         // type so the output width is engine-independent. A DECIMAL(p,s)
         // input leaves p-s integer digits of headroom — the caller
         // sizes the decimal for the corpus, same as any fixed-width sum.
+        // The pin is GUARDED: under Spark's default non-ANSI cast an
+        // overflowing narrow-cast returns NULL silently (DuckDB would
+        // keep the widened value), so a large corpus could yield a null
+        // aggregate with no error — instead, overflow raises loudly and
+        // tells the caller to widen the input decimal.
         val pinned = df.schema.fields.find(_.name == c) match {
           case Some(fld) if f.equalsIgnoreCase("sum") &&
               fld.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
-            base.cast(fld.dataType)
+            val dt = fld.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+            val headroom = lit(BigDecimal(10).pow(dt.precision - dt.scale))
+            when(base.isNull, base.cast(fld.dataType))
+              .when(abs(base) < headroom, base.cast(fld.dataType))
+              .otherwise(raise_error(concat(
+                lit(s"sum(`$c`) overflows DECIMAL(${dt.precision},${dt.scale}): "),
+                base.cast("string"),
+                lit(s" — widen the input decimal type"))).cast(fld.dataType))
           case _ => base
         }
         pinned.as(s"${c}_$f")

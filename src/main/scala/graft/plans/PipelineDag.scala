@@ -34,6 +34,13 @@ object PipelineDag {
   case object Merge extends NodeOp
   /** split_json: parse a JSON string column into typed fields (DDL schema). */
   final case class SplitJson(column: String, ddl: String) extends NodeOp
+  /** invoke_http (engine.py:246-266): mid-DAG HTTP call whose RESPONSE
+    * becomes the node's output for downstream nodes; the node's input
+    * (if any) may feed the request body. Distinct from [[Sink]]-shaped
+    * webhook_send, which passes its input through.
+    */
+  final case class HttpCall(call: (SparkSession, Option[DataFrame]) => DataFrame)
+      extends NodeOp
   /** file_output / export / db_insert / webhook_send: any sink action. */
   final case class Sink(write: DataFrame => Unit) extends NodeOp
 
@@ -115,6 +122,10 @@ object PipelineDag {
         case SplitJson(column, ddl) =>
           one.withColumn("_parsed", from_json(col(column), ddl, Map.empty[String, String]))
             .select(col("*"), col("_parsed.*")).drop("_parsed", column)
+        case HttpCall(call) =>
+          val out = withRetries()(call(spark, inputs.headOption))
+          log += node.id -> "http ok"
+          out
         case Sink(write) =>
           withRetries()(write(one))
           log += node.id -> "sink ok"

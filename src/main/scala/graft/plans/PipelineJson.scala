@@ -53,39 +53,44 @@ object PipelineJson {
           else Readers.detectFormat(path)
         Source(sp => Readers.read(sp, path, format))
       case "connector_input" =>
-        // connectors/builtin.py: dispatch on connector_type. http
+        // connectors/builtin.py: dispatch on connector_type, falling
+        // back to the reference engine's own config key — engine.py:196
+        // reads config.get("type", "csv") — so a reference-authored
+        // pipeline ({"type": "http", ...}) dispatches identically. http
         // carries method/headers/body/auth (a POST "query an API" read
         // works); mysql maps onto the JDBC connector; csv/json are the
         // file shape.
-        config.path("connector_type").asText("") match {
-          case "http" =>
-            val url = config.path("url").asText
-            require(url.nonEmpty, "http connector_input requires a url")
-            val method = config.path("method").asText("GET")
-            val body =
-              if (config.has("body")) Some(config.path("body").asText) else None
-            val params = if (config.has("params"))
-              config.path("params").properties.asScala
-                .map(e => e.getKey -> e.getValue.asText).toMap
-            else Map.empty[String, String]
-            // connectors/builtin.py auth shapes: bearer {token} and
-            // api_key {key_name, key_value}
-            val auth = config.path("auth_config")
-            val bearer = auth.path("token").asText("") match {
-              case "" => None
-              case t => Some(t)
-            }
-            val apiKey = auth.path("key_value").asText("") match {
-              case "" => None
-              case v => Some(auth.path("key_name").asText("X-API-Key") -> v)
-            }
-            Source(sp => graft.sources.Connectors.HttpConnector(
-              url, method = method, headers = parseHeaders(config), body = body,
-              params = params, authBearer = bearer, apiKey = apiKey).read(sp))
+        val connectorType = config.path("connector_type").asText("") match {
+          case "" => config.path("type").asText("")
+          case ct => ct
+        }
+        connectorType match {
+          case "http" => Source(httpConnector(config).read(_))
           case "mysql" | "jdbc" =>
-            val url = config.path("jdbc_url").asText
-            val query = config.path("query").asText
-            Source(sp => graft.sources.Connectors.JdbcConnector(url, query).read(sp))
+            // jdbc_url directly, or assembled from the reference
+            // MySQLConnector's config keys (builtin.py:138-144:
+            // host/port/user/password/database) with the query taken
+            // from read_params.query (engine.py:198 read_data(**
+            // config["read_params"])).
+            val props = new scala.collection.mutable.HashMap[String, String]()
+            val url = config.path("jdbc_url").asText("") match {
+              case "" =>
+                val host = config.path("host").asText("localhost")
+                val port = config.path("port").asInt(3306)
+                val database = config.path("database").asText("")
+                if (config.has("user")) props += "user" -> config.path("user").asText
+                if (config.has("password")) props += "password" -> config.path("password").asText
+                s"jdbc:mysql://$host:$port/$database"
+              case u => u
+            }
+            val query = config.path("query").asText("") match {
+              case "" => config.path("read_params").path("query").asText("")
+              case q => q
+            }
+            require(query.nonEmpty,
+              "mysql connector_input requires a query (config.query or read_params.query)")
+            Source(sp => graft.sources.Connectors
+              .JdbcConnector(url, query, props.toMap).read(sp))
           case "" | "csv" | "json" =>
             val path = config.path("path").asText
             val format =
@@ -131,10 +136,34 @@ object PipelineJson {
           case other =>
             throw new IllegalArgumentException(s"Unknown export adapter: $other")
         }
-      case "webhook_send" | "invoke_http" =>
-        // engine.py:252-258 / :226-243: POST the node's input onward.
-        // Executor-side batched JSON (Export), not a driver-side dump.
+      case "webhook_send" =>
+        // engine.py:267-272: POST the node's input onward; the input
+        // passes through downstream. Executor-side batched JSON
+        // (Export), not a driver-side dump.
         webhookSink(config)
+      case "invoke_http" =>
+        // engine.py:246-266: the HTTP RESPONSE becomes the node's
+        // output that downstream nodes consume ("call API → transform
+        // response"). With an upstream input and a POST/PUT method,
+        // the input rows become the request body (the reference sends
+        // the input file's CSV content). The request is a bounded
+        // driver-side API call — for bulk data export use
+        // webhook_send, which batches from the executors.
+        val url = config.path("url").asText
+        require(url.nonEmpty, "invoke_http node requires a url")
+        val method = config.path("method").asText("GET")
+        val configBody =
+          if (config.has("body")) Some(config.path("body").asText) else None
+        val headers = parseHeaders(config)
+        HttpCall { (sp, input) =>
+          val body = input match {
+            case Some(df) if method == "POST" || method == "PUT" =>
+              Some(toCsvString(df))
+            case _ => configBody
+          }
+          graft.sources.Connectors.HttpConnector(
+            url, method = method, headers = headers, body = body).read(sp)
+        }
       case "db_insert" =>
         // engine.py:260-266: distributed JDBC append.
         val url = config.path("jdbc_url").asText
@@ -161,6 +190,56 @@ object PipelineJson {
       if (config.has("format")) config.path("format").asText
       else Readers.detectFormat(path)
     Sink(df => Writers.write(df, path, format))
+  }
+
+  /** http connector from a connector_input/invoke_http-shaped config:
+    * url/method/body/params + the reference's auth shapes
+    * (connectors/builtin.py: bearer {token}, api_key
+    * {key_name, key_value}); params also honors the engine's
+    * read_params.params pass-through (engine.py:198).
+    */
+  private def httpConnector(config: JsonNode): graft.sources.Connectors.HttpConnector = {
+    val url = config.path("url").asText
+    require(url.nonEmpty, "http connector_input requires a url")
+    val method = config.path("method").asText("GET")
+    val body =
+      if (config.has("body")) Some(config.path("body").asText) else None
+    val paramsNode =
+      if (config.has("params")) config.path("params")
+      else config.path("read_params").path("params")
+    val params = paramsNode.properties.asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+    val auth = config.path("auth_config")
+    val bearer = auth.path("token").asText("") match {
+      case "" => None
+      case t => Some(t)
+    }
+    val apiKey = auth.path("key_value").asText("") match {
+      case "" => None
+      case v => Some(auth.path("key_name").asText("X-API-Key") -> v)
+    }
+    graft.sources.Connectors.HttpConnector(
+      url, method = method, headers = parseHeaders(config), body = body,
+      params = params, authBearer = bearer, apiKey = apiKey)
+  }
+
+  /** Render a (bounded) DataFrame as CSV text for an invoke_http
+    * request body — header row + RFC-4180-quoted cells, matching the
+    * reference's "input file content as body" behavior.
+    */
+  private def toCsvString(df: org.apache.spark.sql.DataFrame): String = {
+    def cell(v: Any): String = {
+      val s = if (v == null) "" else v.toString
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    val sb = new StringBuilder(df.columns.mkString(","))
+    df.collect().foreach { row =>
+      sb.append('\n')
+      sb.append((0 until row.length).map(i => cell(row.get(i))).mkString(","))
+    }
+    sb.toString
   }
 
   /** headers map — shared by every http-shaped node config. */

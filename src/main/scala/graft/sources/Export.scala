@@ -126,7 +126,13 @@ object Export {
       case b: Boolean => s"<boolean>${if (b) 1 else 0}</boolean>"
       case d: Double => s"<double>$d</double>"
       case f: Float => s"<double>${f.toDouble}</double>"
-      case n @ (_: Byte | _: Short | _: Int | _: Long) => s"<int>$n</int>"
+      case n @ (_: Byte | _: Short | _: Int) => s"<int>$n</int>"
+      // XML-RPC <int> is 32-bit: a BIGINT column (DataFrame ids are
+      // LongType) must go out as <i8>, the de-facto 64-bit extension
+      // (accepted by Python's xmlrpc/Odoo; IntRe already parses it on
+      // the response side) — a compliant server rejects an out-of-range
+      // <int> at parse time.
+      case l: Long => s"<i8>$l</i8>"
       case other => xml(other.toString)
     }
 
@@ -175,13 +181,21 @@ object Export {
   }
 
   /** odoo_xmlrpc export node: per-partition auth handshake, then one
-    * retried record call per row, all executor-side.
+    * record call per row, all executor-side.
+    *
+    * `maxRetries` defaults to 1 — exactly one attempt per record, like
+    * the reference adapter (export_adapters/builtin.py makes a single
+    * `execute_kw` per record and collects errors). Retrying a mutating
+    * `create` whose RESPONSE was lost after the server committed would
+    * silently duplicate records. Callers that opt into `maxRetries > 1`
+    * get at-least-once delivery and must make the target idempotent
+    * (e.g. a unique key on an id column the server enforces).
     */
   def recordRpc(
       df: DataFrame, client: RpcClient,
       db: String, username: String, password: String,
       model: String, method: String = "create",
-      maxRetries: Int = 3): Unit = {
+      maxRetries: Int = 1): Unit = {
     val schema = df.schema.fieldNames.toSeq
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {

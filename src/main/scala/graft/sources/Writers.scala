@@ -48,10 +48,16 @@ object Writers {
     * MySQLConnector.write_data — there: CSV → DuckDB → MySQL; here: a
     * direct distributed JDBC write, `numPartitions` bounding the
     * connection fan-in).
+    *
+    * `repartition`, NOT `coalesce`: coalesce(n) folds the ENTIRE
+    * upstream stage into n tasks — a wide transform pipeline feeding
+    * db_insert would lose its cluster parallelism, not just its
+    * connection fan-in. The extra shuffle is the price of keeping the
+    * upstream stage wide; it only moves the final output rows.
     */
   def jdbcInsert(
       df: DataFrame, url: String, table: String,
       connProps: java.util.Properties, numPartitions: Int = 8,
       mode: String = "append"): Unit =
-    df.coalesce(numPartitions).write.mode(mode).jdbc(url, table, connProps)
+    df.repartition(numPartitions).write.mode(mode).jdbc(url, table, connProps)
 }

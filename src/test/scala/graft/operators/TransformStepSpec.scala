@@ -90,4 +90,27 @@ class TransformStepSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("name", "amount_sum", "id_count"))
     assert(out.filter($"name" === "Bob").head.getAs[Double]("amount_sum") == 50.0)
   }
+
+  test("aggregate sum(DECIMAL) keeps the input width; overflow raises instead of nulling") {
+    import org.apache.spark.sql.functions.col
+    // within headroom: result type pinned to the input decimal
+    val ok = Seq("1.50", "2.25").toDF("v")
+      .withColumn("v", col("v").cast("decimal(6,2)"))
+    val agged = Aggregate(Seq("g"), Seq("v" -> "sum"))(
+      ok.withColumn("g", org.apache.spark.sql.functions.lit(1)))
+    assert(agged.schema("v_sum").dataType.sql == "DECIMAL(6,2)")
+    assert(agged.head.getDecimal(agged.columns.indexOf("v_sum")).toString == "3.75")
+
+    // overflowing the pinned width must FAIL LOUDLY, not return null
+    // (Spark's non-ANSI narrow-cast would silently null it)
+    val over = Seq("9999.99", "9999.99").toDF("v")
+      .withColumn("v", col("v").cast("decimal(6,2)"))
+      .withColumn("g", org.apache.spark.sql.functions.lit(1))
+    val e = intercept[Exception] {
+      Aggregate(Seq("g"), Seq("v" -> "sum"))(over).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("overflows DECIMAL(6,2)")))
+  }
 }

@@ -165,6 +165,116 @@ class PipelineJsonSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("invoke_http mid-DAG: response becomes the downstream DataFrame") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    // engine.py:246-266 parity: with an upstream input and POST, the
+    // input rows are the request body; the RESPONSE feeds downstream.
+    val seenBody = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    val resp = """{"score":10,"label":"x"}
+{"score":3,"label":"y"}
+{"score":8,"label":"z"}""".getBytes(StandardCharsets.UTF_8)
+    server.createContext("/enrich", { ex =>
+      seenBody.set(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp); ex.close()
+    })
+    server.start()
+    try {
+      val dir = Files.createTempDirectory("graft_ih")
+      val in = dir.resolve("in.csv").toString
+      val out = dir.resolve("out").toString
+      Writers.write(Seq((1, "a"), (2, "b")).toDF("id", "s").coalesce(1), in, "csv")
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/enrich"
+      val res = PipelineJson.run(spark, s"""{
+        "nodes": [
+          {"id": "n1", "type": "file_input", "data": {"config": {"path": "$in", "format": "csv"}}},
+          {"id": "n2", "type": "invoke_http",
+           "data": {"config": {"url": "$url", "method": "POST"}}},
+          {"id": "n3", "type": "transform", "data": {"config": {"steps": [
+            {"operator": "filter_rows", "params": {"expression": "score > 5"}}]}}},
+          {"id": "n4", "type": "file_output",
+           "data": {"config": {"path": "$out", "format": "parquet"}}}
+        ],
+        "edges": [
+          {"source": "n1", "target": "n2"},
+          {"source": "n2", "target": "n3"},
+          {"source": "n3", "target": "n4"}
+        ]
+      }""")
+      assert(res.nodeLog.contains("n2" -> "http ok"))
+      // the node's input went out as the CSV request body...
+      assert(seenBody.get().linesIterator.toSeq == Seq("id,s", "1,a", "2,b"))
+      // ...and the RESPONSE (not the input) flowed downstream
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("score"), r.getAs[String]("label"))).sortBy(_._1)
+      assert(rows.toSeq == Seq((8L, "z"), (10L, "x")))
+    } finally server.stop(0)
+  }
+
+  test("invoke_http with GET and no input acts as an http source node") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    val resp = """{"v":1}""".getBytes(StandardCharsets.UTF_8)
+    server.createContext("/data", { ex =>
+      ex.getRequestBody.readAllBytes()
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
+      val res = PipelineJson.run(spark, s"""{
+        "nodes": [{"id": "n1", "type": "invoke_http",
+          "data": {"config": {"url": "$url"}}}],
+        "edges": []
+      }""")
+      assert(res.outputs("n1").collect().map(_.getAs[Long]("v")).toSeq == Seq(1L))
+    } finally server.stop(0)
+  }
+
+  test("connector_input dispatches on the reference's 'type' key when connector_type is absent") {
+    // engine.py:196 reads config.get("type", "csv") — a reference-
+    // authored pipeline must not fall into the file branch with an
+    // empty path and a misleading error.
+    val dir = Files.createTempDirectory("graft_ct")
+    val in = dir.resolve("in.csv").toString
+    Writers.write(Seq((1, "a")).toDF("id", "s").coalesce(1), in, "csv")
+    val res = PipelineJson.run(spark, s"""{
+      "nodes": [{"id": "n1", "type": "connector_input",
+        "data": {"config": {"type": "csv", "path": "$in"}}}],
+      "edges": []
+    }""")
+    assert(res.outputs("n1").count() == 1)
+  }
+
+  test("mysql connector_input assembles the reference's host/port config shape") {
+    // parse-level: the reference MySQLConnector config (builtin.py:
+    // 138-144) must produce a Source, and a missing query must fail
+    // loudly at parse time rather than as an empty-url JDBC error.
+    val (nodes, _) = PipelineJson.parse("""{
+      "nodes": [{"id": "n1", "type": "connector_input",
+        "data": {"config": {"type": "mysql", "host": "db.example", "port": 3307,
+          "user": "u", "password": "p", "database": "sales",
+          "read_params": {"query": "SELECT 1"}}}}],
+      "edges": []
+    }""")
+    assert(nodes.head.op.isInstanceOf[PipelineDag.Source])
+    intercept[IllegalArgumentException] {
+      PipelineJson.parse("""{
+        "nodes": [{"id": "n1", "type": "connector_input",
+          "data": {"config": {"type": "mysql", "host": "db.example"}}}],
+        "edges": []
+      }""")
+    }
+  }
+
   test("unknown export adapter_type raises at parse time") {
     intercept[IllegalArgumentException] {
       PipelineJson.parse("""{

@@ -153,13 +153,18 @@ class SourcesSpec extends AnyFunSuite {
       val client = Export.XmlRpcClient(s"http://127.0.0.1:${server.getAddress.getPort}")
       assert(client.authenticate("db", "u", "p").contains(42L))
       val id = client.executeKw("db", 42L, "p", "res.partner", "create",
-        Seq("name" -> "n<1>", "qty" -> 5, "price" -> 1.5, "ok" -> true, "note" -> null))
+        Seq("name" -> "n<1>", "qty" -> 5, "price" -> 1.5, "ok" -> true,
+          "note" -> null, "big_id" -> 3000000000L))
       assert(id == 1001L)
       val objBody = reqs.asScala.find(_._1 == "/xmlrpc/2/object").get._2
       assert(objBody.contains("<methodName>execute_kw</methodName>"))
       assert(objBody.contains("<name>name</name><value><string>n&lt;1></string></value>"))
       assert(objBody.contains("<int>5</int>") && objBody.contains("<double>1.5</double>"))
       assert(objBody.contains("<boolean>1</boolean>") && objBody.contains("<nil/>"))
+      // XML-RPC <int> is 32-bit: Longs (DataFrame ids) must ship as
+      // <i8>, which compliant servers accept and an <int> beyond 2^31
+      // would make them reject at parse time.
+      assert(objBody.contains("<i8>3000000000</i8>"))
     } finally server.stop(0)
   }
 
