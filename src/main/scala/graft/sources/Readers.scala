@@ -28,16 +28,17 @@ object Readers {
         val r = spark.read.options(options)
         schema.fold(r)(r.schema).json(path)
       case "parquet" => spark.read.options(options).parquet(path)
-      case "xlsx" | "xls" =>
-        // DELIBERATE gap, not an accident: the reference reads Excel via
-        // DuckDB's spatial st_read (duckdb_engine.py:258). Spark has no
-        // built-in Excel source and neither Apache POI nor
-        // spark-excel is on this build's (offline) classpath. Convert
-        // to csv/parquet upstream, or add a POI-backed reader when the
-        // dependency is available.
+      case "xlsx" =>
+        // the reference reads Excel via DuckDB's spatial st_read
+        // (duckdb_engine.py:258); here a JDK-only zip+StAX reader
+        // (no POI on the offline classpath) — see [[XlsxReader]].
+        XlsxReader.read(spark, path)
+      case "xls" =>
+        // pre-2007 binary Excel (BIFF) genuinely needs POI — only the
+        // OOXML .xlsx container is implementable JDK-only.
         throw new IllegalArgumentException(
-          "Excel input is unsupported: no POI/spark-excel on the classpath " +
-            "(the reference used DuckDB st_read). Convert to csv or parquet.")
+          "Legacy .xls (BIFF) input is unsupported without POI; " +
+            "save as .xlsx, csv or parquet.")
       case other =>
         throw new IllegalArgumentException(s"Unsupported input format: $other")
     }
@@ -52,6 +53,6 @@ object Readers {
   /** Format detection by extension (duckdb_engine.py:283-287). */
   def detectFormat(path: String): String = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
-    if (Set("csv", "json", "parquet", "txt").contains(ext)) ext else "csv"
+    if (Set("csv", "json", "parquet", "txt", "xlsx").contains(ext)) ext else "csv"
   }
 }

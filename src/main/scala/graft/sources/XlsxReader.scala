@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** JDK-only .xlsx reader — closes the reference's Excel-input row
+  * (duckdb_engine.py:258-259 reads Excel via DuckDB's spatial
+  * `st_read`; this build is offline, so no POI/spark-excel). An .xlsx
+  * is a zip of XML parts: `java.util.zip` + the JDK's StAX parser are
+  * enough for the tabular subset an ETL input needs — shared and
+  * inline strings, numbers, booleans, sparse rows (gaps become nulls).
+  *
+  * Scope and scale notes:
+  *  - The FIRST worksheet is read (workbook order, resolved through the
+  *    workbook relationships part), first row = header — `st_read`'s
+  *    default behavior.
+  *  - Parsing is driver-side: the format itself hard-caps a sheet at
+  *    2^20 rows, so an .xlsx is never the 100 TB path (that's
+  *    parquet/csv); it's an ingest convenience. The StAX stream never
+  *    materializes the XML DOM, so memory is O(rows × width).
+  *  - Column types are inferred bottom-up (BIGINT ⊂ DOUBLE ⊂ BOOLEAN ⊂
+  *    STRING over the non-null cells), mirroring the csv reader's
+  *    inference contract. Date STYLES are not resolved (a date cell
+  *    yields its raw serial number, as st_read does without the
+  *    spatial GDAL date mapping).
+  */
+object XlsxReader {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val table = readRows(path)
+    require(table.nonEmpty, s"xlsx $path: first worksheet has no rows")
+    val headerRaw = table.head
+    val header = headerRaw.zipWithIndex.map { case (h, i) =>
+      if (h == null || h.isEmpty) s"col$i" else h
+    }
+    val width = header.length
+    val data = table.tail.map { r =>
+      if (r.length == width) r
+      else if (r.length > width) r.take(width)
+      else r ++ Array.fill[String](width - r.length)(null)
+    }
+    val types = Array.tabulate(width)(i => inferType(data.map(_(i))))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row](data.length)
+    data.foreach { r =>
+      rows.add(Row.fromSeq(Array.tabulate[Any](width)(i => convert(r(i), types(i)))))
+    }
+    val schema = StructType(header.zip(types).map {
+      case (n, t) => StructField(n, t, nullable = true)
+    })
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** All cells of the first worksheet as strings (null = missing). */
+  private[sources] def readRows(path: String): Seq[Array[String]] = {
+    val zip = new ZipFile(path)
+    try {
+      val sst = sharedStrings(zip)
+      val sheetPath = firstSheetPath(zip)
+      val entry = zip.getEntry(sheetPath)
+      require(entry != null, s"xlsx $path: missing worksheet part $sheetPath")
+      val in = zip.getInputStream(entry)
+      val r = xmlReader(in)
+      val out = scala.collection.mutable.ArrayBuffer[Array[String]]()
+      val row = scala.collection.mutable.ArrayBuffer[String]()
+      var cellCol = -1
+      var cellType = ""
+      var inV = false
+      var inIs = false
+      var inT = false
+      val text = new StringBuilder
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+              case "row" => row.clear()
+              case "c" =>
+                val ref = attr(r, "r")
+                cellCol = if (ref == null) row.length else colIndex(ref)
+                cellType = Option(attr(r, "t")).getOrElse("")
+                text.setLength(0)
+              case "v" => inV = true
+              case "is" => inIs = true
+              case "t" if inIs => inT = true
+              case _ =>
+            }
+            case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+              if (inV || inT) text.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+              case "v" => inV = false
+              case "t" => inT = false
+              case "is" => inIs = false
+              case "c" =>
+                val raw = text.toString
+                val value = cellType match {
+                  case "s" => sst(raw.trim.toInt)
+                  case "inlineStr" => raw
+                  case "b" => if (raw.trim == "1") "true" else "false"
+                  case _ => if (raw.isEmpty && !inIs) null else raw
+                }
+                while (row.length < cellCol) row += null // gap cells
+                if (row.length == cellCol) row += value else row(cellCol) = value
+                text.setLength(0)
+              case "row" => out += row.toArray
+              case _ =>
+            }
+            case _ =>
+          }
+        }
+      } finally r.close()
+      // drop fully-empty trailing rows (Excel writes them for styling)
+      out.reverseIterator.takeWhile(_.forall(_ == null)).length match {
+        case 0 => out.toSeq
+        case k => out.dropRight(k).toSeq
+      }
+    } finally zip.close()
+  }
+
+  /** sharedStrings.xml: the i-th <si>'s concatenated <t> runs. */
+  private def sharedStrings(zip: ZipFile): IndexedSeq[String] = {
+    val entry = zip.getEntry("xl/sharedStrings.xml")
+    if (entry == null) return IndexedSeq.empty
+    val r = xmlReader(zip.getInputStream(entry))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "si" => cur.setLength(0)
+            case "t" => inT = true
+            case _ =>
+          }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inT) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.toIndexedSeq
+  }
+
+  /** Zip path of the workbook's first sheet, via workbook.xml's sheet
+    * order and the workbook rels (r:id → worksheets/sheetN.xml).
+    * Falls back to xl/worksheets/sheet1.xml when parts are missing.
+    */
+  private def firstSheetPath(zip: ZipFile): String = {
+    val fallback = "xl/worksheets/sheet1.xml"
+    val wb = zip.getEntry("xl/workbook.xml")
+    val relsEntry = zip.getEntry("xl/_rels/workbook.xml.rels")
+    if (wb == null || relsEntry == null) return fallback
+    var firstRid: String = null
+    val wr = xmlReader(zip.getInputStream(wb))
+    try {
+      while (wr.hasNext && firstRid == null) {
+        if (wr.next() == XMLStreamConstants.START_ELEMENT && wr.getLocalName == "sheet")
+          firstRid = attr(wr, "id") // r:id — matched by local name
+      }
+    } finally wr.close()
+    if (firstRid == null) return fallback
+    var target: String = null
+    val rr = xmlReader(zip.getInputStream(relsEntry))
+    try {
+      while (rr.hasNext && target == null) {
+        if (rr.next() == XMLStreamConstants.START_ELEMENT &&
+            rr.getLocalName == "Relationship" && attr(rr, "Id") == firstRid)
+          target = attr(rr, "Target")
+      }
+    } finally rr.close()
+    if (target == null) fallback
+    else if (target.startsWith("/")) target.drop(1)
+    else s"xl/$target"
+  }
+
+  private def xmlReader(in: java.io.InputStream): XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    // XXE hardening: an .xlsx from an untrusted source must not be able
+    // to read local files or phone home through entity expansion.
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(in)
+  }
+
+  /** Attribute by local name (xlsx parts use namespaced attrs like r:id). */
+  private def attr(r: XMLStreamReader, local: String): String = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == local) return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  /** "BC7" → 0-based column 54. */
+  private[sources] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private val LongRe = "^-?\\d{1,19}$".r
+  private def inferType(values: Seq[String]): DataType = {
+    val nonNull = values.filter(_ != null)
+    if (nonNull.isEmpty) StringType
+    else if (nonNull.forall(v => LongRe.matches(v) &&
+      scala.util.Try(v.toLong).isSuccess)) LongType
+    else if (nonNull.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+    else if (nonNull.forall(v => v == "true" || v == "false")) BooleanType
+    else StringType
+  }
+
+  private def convert(v: String, t: DataType): Any =
+    if (v == null) null
+    else t match {
+      case LongType => v.toLong
+      case DoubleType => v.toDouble
+      case BooleanType => v == "true"
+      case _ => v
+    }
+}

@@ -58,7 +58,7 @@ class SourcesSpec extends AnyFunSuite {
 
   test("unsupported formats raise instead of guessing") {
     intercept[IllegalArgumentException] {
-      Readers.read(spark, "/tmp/none.xlsx", "xlsx")
+      Readers.read(spark, "/tmp/none.xls", "xls") // legacy BIFF needs POI
     }
     intercept[IllegalArgumentException] {
       Writers.write(Seq(1).toDF("x"), "/tmp/none.xlsx", "xlsx")
