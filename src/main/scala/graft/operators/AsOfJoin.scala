@@ -67,4 +67,112 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         rightVals.map(v => col("_rvc").getField(v).as(s"$v$suffix"))): _*)
   }
+
+  /** [[lastPrior]] with TIME-BUCKETED parallelism for hot keys.
+    *
+    * `lastPrior` partitions its window by key alone: one pathological
+    * key (a firehose sensor, a default/null user id) serializes onto a
+    * single task no matter how many executors exist. Here time is cut
+    * into `bucketWidth`-sized buckets and the window partitions by
+    * (key, bucket), so a hot key spreads across as many tasks as it
+    * spans buckets. Correctness across bucket boundaries comes from a
+    * seed pre-pass: per (key, bucket), the last right row is reduced
+    * by ONE hash aggregate (map-side partial), carried forward along
+    * the bucket axis by a window over that per-bucket table — which
+    * holds one row per (key, bucket), thousands of times smaller than
+    * the data — and injected at each bucket's start as a synthetic
+    * row sorting before every real row of the bucket.
+    *
+    * Cost: 2 wide shuffles + 1 small one (vs 1 wide) — the price of
+    * unbounded per-key parallelism. Use `lastPrior` when keys are
+    * well-distributed; this when any key can run hot.
+    *
+    * `bucketWidth` is in the time column's native units: microseconds
+    * for timestamps, the column's own unit for numerics (fractional
+    * times are floor-bucketed, intra-bucket order keeps full
+    * precision).
+    */
+  def lastPriorBucketed(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String],
+      bucketWidth: Long,
+      suffix: String = "_asof",
+      rightTiebreak: Option[String] = None): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => rightSchema(v)))
+    val tType = left.schema(leftTime).dataType
+
+    // time → long in native units for bucketing; ordering inside a
+    // bucket uses the ORIGINAL value so fractional times keep precision
+    def ordLong(c: Column): Column = tType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => floor(c).cast("long")
+    }
+    def bucketStart(b: Column): Column = tType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        timestamp_micros(b * bucketWidth)
+      case _ => (b * bucketWidth).cast(tType)
+    }
+
+    val lTagged = left.select(
+      (leftCols.map(col) ++ Seq(
+        col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_m"),
+        lit(null).cast("long").as("_tb"),
+        lit(null).cast(rvType).as("_rv"))): _*)
+      .withColumn("_bucket", floorDiv(ordLong(col("_t")), lit(bucketWidth)))
+    val rTagged = right.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_m"),
+        rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb"),
+        struct(rightVals.map(col): _*).as("_rv"))): _*)
+      .withColumn("_bucket", floorDiv(ordLong(col("_t")), lit(bucketWidth)))
+
+    val all = lTagged.unionByName(rTagged)
+
+    // Per-(key, bucket): the winning right row, or null if none —
+    // max_by skips rows with a null ordering, so left rows never win.
+    val perBucket = all.groupBy("_k", "_bucket")
+      .agg(max_by(col("_rv"),
+        when(col("_m") === 0, struct(col("_t"), col("_tb")))).as("_lastr"))
+
+    // Carry the latest right row from STRICTLY EARLIER buckets: this
+    // window is per key over the per-bucket table (1 row per bucket).
+    val wb = Window.partitionBy("_k").orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = perBucket
+      .withColumn("_seed", last(col("_lastr"), ignoreNulls = true).over(wb))
+      .filter(col("_seed").isNotNull)
+      .select(
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+          col("_k"), bucketStart(col("_bucket")).as("_t"), lit(-1).as("_m"),
+          lit(0L).as("_tb"), col("_seed").as("_rv"), col("_bucket"))): _*)
+
+    // Seeds (_m=-1) sort before any real row at the bucket's start;
+    // right rows before left rows at equal time (<= semantics), as in
+    // lastPrior.
+    val w = Window.partitionBy("_k", "_bucket")
+      .orderBy(col("_t").asc, col("_m").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    all.unionByName(seeds)
+      .withColumn("_rvc", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_m") === 1)
+      .select((leftCols.map(col) ++
+        rightVals.map(v => col("_rvc").getField(v).as(s"$v$suffix"))): _*)
+  }
+
+  /** Exact floor division on longs: `(a - pmod(a, b)) / b`. The
+    * numerator is exactly divisible, and the decimal detour avoids the
+    * double-mantissa truncation a `/`-based floor would hit past 2⁵³
+    * (unix_micros values live at ~10¹⁵ and climb).
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
 }

@@ -1,0 +1,49 @@
+package graft.tools
+
+/** Dev scratch: where does the scalar suite's per-query fixed cost go?
+  * Times a representative scalar subset under config variations (AQE
+  * on/off, broadcast threshold) in ONE session, n reps each, medians.
+  * Not part of the library surface.
+  */
+object ProfileScalar {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = 3
+
+    val subset = Seq("q1_agg", "q_join3", "q_broadcast_join", "q_cube_rollup",
+      "q_sessionize", "e_execute_sql", "e_export", "p_pipeline_dag",
+      "x_pipeline_e2e", "q_salted_join", "t_aggregate", "q_events_window")
+
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.length - 1) / 2)
+
+    // warm up
+    subset.foreach(n => try timeOne(n) catch { case _: Throwable => () })
+
+    def sweep(label: String): Unit = {
+      val per = subset.map { n =>
+        val m = median((1 to reps).map(_ => timeOne(n)))
+        n -> m
+      }
+      println(f"[scalar] $label total=${per.map(_._2).sum}%6.2f s :: " +
+        per.map { case (n, m) => f"$n=$m%.2f" }.mkString(" "))
+    }
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    sweep("aqe=on  bcast=default")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sweep("aqe=off bcast=default")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    sweep("aqe=on  bcast=64m")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sweep("aqe=off bcast=64m")
+    spark.stop()
+  }
+}

