@@ -45,7 +45,7 @@ object TextFunctions {
           .foldLeft(lit(true): Column)(_ && _)
         when(score > 0 && beatsLater, lit(lang)).otherwise(fallback)
     }
-    when(regexp_count(text, lit(cjkPattern)) > 0, lit("zh"))
+    when(TextMetrics.hasHanCol(text), lit("zh"))
       .otherwise(when(anyHit, best).otherwise(lit("und")))
   }
 
@@ -66,9 +66,11 @@ object TextFunctions {
        |     $branches ELSE 'und' END""".stripMargin
   }
 
-  /** Whitespace token count (empty/blank text → 0). */
-  def wsTokenCount(text: Column): Column =
-    when(trim(text) === "", 0).otherwise(size(split(trim(text), "\\s+")))
+  /** Whitespace token count (empty/blank text → 0). Native single-pass
+    * expression ≡ `when(trim(t) === "", 0).otherwise(size(split(trim(t),
+    * "\s+")))` — equivalence pinned in TextMetricsSpec.
+    */
+  def wsTokenCount(text: Column): Column = TextMetrics.wsTokenCountCol(text)
 
   def wsTokenCountSql(c: String): String =
     s"CASE WHEN trim($c) = '' THEN 0 ELSE len(regexp_split_to_array(trim($c), '\\s+')) END"
@@ -76,7 +78,7 @@ object TextFunctions {
   /** BPE-ish subword proxy: runs of word chars or single punctuation. */
   val bpePattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
 
-  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+  def bpeTokenCount(text: Column): Column = TextMetrics.bpeTokenCountCol(text)
 
   def bpeTokenCountSql(c: String): String =
     s"len(regexp_extract_all($c, '$bpePattern'))"
@@ -85,7 +87,7 @@ object TextFunctions {
     * and bit-identical across engines given identical integer inputs).
     */
   def punctRatio(text: Column): Column =
-    regexp_count(text, lit("[.,;:!?]")).cast("double") /
+    TextMetrics.punctCountCol(text).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
   def punctRatioSql(c: String): String =
@@ -100,15 +102,9 @@ object TextFunctions {
     * identical leftmost-non-overlapping semantics in both engines, so
     * the counts (and thus the ratio) match bit-for-bit.
     */
-  def stopwordRatio(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val stops = stopwords.map { w =>
-      val pat = s" $w "
-      (length(padded) - length(regexp_replace(padded,
-        java.util.regex.Pattern.quote(pat), ""))).cast("double") / pat.length
-    }.reduce(_ + _)
-    stops / greatest(wsTokenCount(text), lit(1)).cast("double")
-  }
+  def stopwordRatio(text: Column): Column =
+    TextMetrics.stopwordHitsCol(text) /
+      greatest(wsTokenCount(text), lit(1)).cast("double")
 
   def stopwordRatioSql(c: String): String = {
     val padded = s"(' ' || lower($c) || ' ')"
@@ -123,7 +119,7 @@ object TextFunctions {
     * whitespace-collapsed text. Identical hex in Spark and DuckDB.
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+    md5(TextMetrics.collapseWsCol(lower(text)).cast("binary"))
 
   def fingerprintSql(c: String): String =
     s"md5(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')))"

@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass replacements for the regex-engine-bound pieces of
+  * [[TextFunctions]]. The Column formulations there are already
+  * codegen'd, but `regexp_count`/`regexp_replace`/`split` pay the Java
+  * regex engine per row — the dominant cost of the x_* text queries.
+  * Each expression here computes the IDENTICAL value with a hand loop
+  * (the patterns involved are character classes and literals, not real
+  * regexes), keeping the DuckDB oracle twins valid unchanged:
+  *
+  *  - [[CollapseWs]]     ≡ `trim(regexp_replace(text, "\s+", " "))` (on
+  *    an already-lowercased input, used by fingerprint)
+  *  - [[WsTokenCount]]   ≡ `when(trim(t)==="", 0).otherwise(size(split(trim(t), "\s+")))`
+  *  - [[BpeTokenCount]]  ≡ `regexp_count(t, "[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")`
+  *  - [[PunctCount]]     ≡ `regexp_count(t, "[.,;:!?]")`
+  *  - [[StopwordHits]]   ≡ Σ_w (length-diff literal-replace count of " w ")
+  *    over `" " + lower(t) + " "`
+  *  - [[HasHan]]         ≡ `regexp_count(t, "[\x{4e00}-\x{9fff}]") > 0`
+  *
+  * Java's `\s` is exactly `[ \t\n\x0B\f\r]` (ASCII-only without
+  * UNICODE_CHARACTER_CLASS), mirrored in [[isWs]].
+  */
+object TextMetrics {
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isWord(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** trim + collapse \s+ runs to single spaces (input pre-lowercased by
+    * the caller; collapse itself is case-agnostic).
+    */
+  def collapseWs(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = str.charAt(i)
+      if (isWs(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** `size(split(trim(t), "\s+"))` with the empty-trim special case.
+    * split(limit -1) yields (#separator runs)+1 parts, including
+    * leading/trailing empties when non-space whitespace survives
+    * Spark's space-only trim — replicated exactly.
+    */
+  def wsTokenCount(s: UTF8String): Int = {
+    val str = s.trim().toString
+    if (str.isEmpty) return 0
+    val n = str.length
+    var count = 1
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      if (isWs(str.charAt(i))) { if (!inRun) { count += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    count
+  }
+
+  /** Matches of `[A-Za-z0-9_]+|[^A-Za-z0-9_\s]`: one per word-char run,
+    * one per other non-whitespace CODEPOINT (the regex engine matches
+    * codepoints, so an astral char — a surrogate pair in UTF-16 — is
+    * ONE token, not two).
+    */
+  def bpeTokenCount(s: UTF8String): Int = {
+    val str = s.toString
+    val n = str.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (isWord(c)) { count += 1; i += 1; while (i < n && isWord(str.charAt(i))) i += 1 }
+      else {
+        if (!isWs(c)) count += 1
+        i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(str.charAt(i + 1))) 2 else 1)
+      }
+    }
+    count
+  }
+
+  def punctCount(s: UTF8String): Int = {
+    val str = s.toString
+    var count = 0
+    var i = 0
+    while (i < str.length) {
+      str.charAt(i) match {
+        case '.' | ',' | ';' | ':' | '!' | '?' => count += 1
+        case _ =>
+      }
+      i += 1
+    }
+    count
+  }
+
+  private val stopPats: Array[String] =
+    TextFunctions.stopwords.map(w => s" $w ").toArray
+
+  /** Σ over stopwords of non-overlapping occurrences of ` w ` in
+    * `" " + lower(t) + " "` — identical to the replace-length-diff
+    * formulation (leftmost non-overlapping, advance by pattern length).
+    */
+  def stopwordHits(s: UTF8String): Double = {
+    val padded = " " + s.toLowerCase.toString + " "
+    var sum = 0.0
+    var w = 0
+    while (w < stopPats.length) {
+      val pat = stopPats(w)
+      var from = 0
+      var idx = padded.indexOf(pat, from)
+      while (idx >= 0) {
+        sum += 1.0
+        from = idx + pat.length
+        idx = padded.indexOf(pat, from)
+      }
+      w += 1
+    }
+    sum
+  }
+
+  def hasHan(s: UTF8String): Boolean = {
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff) return true
+      i += 1
+    }
+    false
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_has_han"))) return // idempotent
+    def one(name: String, cls: Class[_], b: Expression => Expression): Unit =
+      reg.registerFunction(FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$name takes exactly 1 argument")
+          b(children.head)
+        })
+    one("graft_collapse_ws", classOf[CollapseWs], CollapseWs.apply)
+    one("graft_ws_token_count", classOf[WsTokenCount], WsTokenCount.apply)
+    one("graft_bpe_token_count", classOf[BpeTokenCount], BpeTokenCount.apply)
+    one("graft_punct_count", classOf[PunctCount], PunctCount.apply)
+    one("graft_stopword_hits", classOf[StopwordHits], StopwordHits.apply)
+    one("graft_has_han", classOf[HasHan], HasHan.apply)
+  }
+
+  // Column builders resolve through the session function registry (the
+  // public extension path); registration is idempotent. Plans are built
+  // on the driver where `SparkSession.active` is the session the
+  // DataFrame belongs to.
+  import org.apache.spark.sql.functions.call_function
+  private def c1(name: String, c: Column): Column = {
+    register(SparkSession.active); call_function(name, c)
+  }
+  def collapseWsCol(c: Column): Column = c1("graft_collapse_ws", c)
+  def wsTokenCountCol(c: Column): Column = c1("graft_ws_token_count", c)
+  def bpeTokenCountCol(c: Column): Column = c1("graft_bpe_token_count", c)
+  def punctCountCol(c: Column): Column = c1("graft_punct_count", c)
+  def stopwordHitsCol(c: Column): Column = c1("graft_stopword_hits", c)
+  def hasHanCol(c: Column): Column = c1("graft_has_han", c)
+}
+
+/** Base: string → T via a static [[TextMetrics]] helper, codegen'd as a
+  * direct call (same pattern as [[TextSignatures]]'s expressions).
+  */
+sealed abstract class TextMetricExpr extends UnaryExpression {
+  /** fully-qualified static call target, e.g. "...TextMetrics.punctCount" */
+  protected def helper: String
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.sql}")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper($c);")
+}
+
+case class CollapseWs(child: Expression) extends TextMetricExpr {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_collapse_ws"
+  protected def helper: String = "graft.functions.TextMetrics.collapseWs"
+  protected override def nullSafeEval(input: Any): Any =
+    TextMetrics.collapseWs(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): CollapseWs =
+    copy(child = newChild)
+}
+
+case class WsTokenCount(child: Expression) extends TextMetricExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ws_token_count"
+  protected def helper: String = "graft.functions.TextMetrics.wsTokenCount"
+  protected override def nullSafeEval(input: Any): Any =
+    TextMetrics.wsTokenCount(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCount =
+    copy(child = newChild)
+}
+
+case class BpeTokenCount(child: Expression) extends TextMetricExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_token_count"
+  protected def helper: String = "graft.functions.TextMetrics.bpeTokenCount"
+  protected override def nullSafeEval(input: Any): Any =
+    TextMetrics.bpeTokenCount(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+case class PunctCount(child: Expression) extends TextMetricExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_punct_count"
+  protected def helper: String = "graft.functions.TextMetrics.punctCount"
+  protected override def nullSafeEval(input: Any): Any =
+    TextMetrics.punctCount(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): PunctCount =
+    copy(child = newChild)
+}
+
+case class StopwordHits(child: Expression) extends TextMetricExpr {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_stopword_hits"
+  protected def helper: String = "graft.functions.TextMetrics.stopwordHits"
+  protected override def nullSafeEval(input: Any): Any =
+    TextMetrics.stopwordHits(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
+case class HasHan(child: Expression) extends TextMetricExpr {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_has_han"
+  protected def helper: String = "graft.functions.TextMetrics.hasHan"
+  protected override def nullSafeEval(input: Any): Any =
+    TextMetrics.hasHan(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): HasHan =
+    copy(child = newChild)
+}

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: decompose the per-query fixed cost — empty job floor,
+  * scan floor, broadcast floor, AQE stage cost, plan-build cost — and
+  * A/B a few heavy scalar queries. Not part of the library surface.
+  */
+object ProfileFloor {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+
+    def med(label: String, reps: Int = 5)(body: => Unit): Unit = {
+      body // warm
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[floor] $label%-42s ${ts.sorted.apply(reps / 2)}%7.3f s")
+    }
+
+    med("range(1).count — empty job")(spark.range(1).count())
+    med("range(1e6).count 32 parts")(spark.range(1000000, 32).count())
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    med("lineitem scan count")(li.count())
+    med("lineitem scan+filter+agg")(
+      li.filter(col("l_quantity") > 10).agg(sum("l_extendedprice")).collect())
+    val o = graft.Tables.load(spark, dir, "orders")
+    val c = graft.Tables.load(spark, dir, "customer")
+    med("orders<-bcast(customer) join count")(
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey")).count())
+    med("orders shuffle-join customer (no bcast)")(
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey")).count())
+    med("groupBy agg (1 shuffle)")(
+      o.groupBy("o_custkey").agg(sum("o_totalprice")).count())
+
+    med("q_join3 as-is")(graft.SparkEntry.queries("q_join3")(spark, dir).count())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    med("q_join3 AQE off")(graft.SparkEntry.queries("q_join3")(spark, dir).count())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    med("x_pipeline_e2e as-is")(
+      graft.SparkEntry.queries("x_pipeline_e2e")(spark, dir).count())
+    // variant without the repartition
+    val docs = graft.Tables.load(spark, dir, "documents")
+    import graft.functions.TextFunctions._
+    med("x_pipeline_e2e no-repartition")(
+      docs.select(fingerprint(col("text")).as("_fp"),
+          struct(col("doc_id"), langId(col("text")).as("lang_pred"),
+            wsTokenCount(col("text")).cast("long").as("ws_tokens")).as("_row"))
+        .groupBy("_fp").agg(min_by(col("_row"), col("_row.doc_id")).as("_w"))
+        .select(col("_w.doc_id").as("doc_id"))
+        .filter(col("_w.ws_tokens") >= 20).orderBy("doc_id").count())
+
+    med("e_export as-is")(graft.SparkEntry.queries("e_export")(spark, dir).count())
+    med("q_sessionize as-is")(graft.SparkEntry.queries("q_sessionize")(spark, dir).count())
+    med("plan-build only q_join3 (no action)") {
+      graft.SparkEntry.queries("q_join3")(spark, dir).queryExecution.executedPlan
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: job-floor sensitivity to threads / shuffle partitions /
+  * AQE. Fresh SparkContext per combo. Not part of the library surface.
+  */
+object ProfileFloor2 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    for (cpus <- Seq(32, 16, 8); aqe <- Seq(true, false)) {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", aqe.toString)
+        .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+        .config("spark.sql.files.openCostInBytes", (128L << 10).toString)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      def med(reps: Int = 7)(body: => Unit): Double = {
+        body
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(reps / 2)
+      }
+      val empty = med()(spark.range(1).count())
+      val li = graft.Tables.load(spark, dir, "lineitem")
+      val scan = med()(li.count())
+      val agg = med()(li.groupBy("l_returnflag").count().count())
+      val j3 = med()(graft.SparkEntry.queries("q_join3")(spark, dir).count())
+      println(f"[floor2] cpus=$cpus%2d aqe=$aqe%5s empty=$empty%.3f scan=$scan%.3f agg=$agg%.3f q_join3=$j3%.3f")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
