@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: staged-vs-persist dedup at sf1-equivalent scale.
+  * Builds an N-fold corpus from sf0.1 documents (each replica's text
+  * perturbed with a replica token so replicas aren't exact duplicates),
+  * then times minHashNearDups and ngramJaccardPairs with executor
+  * persist vs parquet staging. Results are recorded in SURVEY.md.
+  * Not part of the library surface.
+  */
+object ProfileStaged {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+
+    val base = graft.Tables.load(spark, dir, "documents")
+    val corpusPath = s"/tmp/graft_staged_corpus_x$mult"
+    val replicas = (0 until mult).map { k =>
+      base.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$k marker$k")).as("text"))
+    }.reduce(_ unionByName _)
+    replicas.repartition(16).write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val nDocs = corpus.count()
+    println(s"[staged] corpus x$mult = $nDocs docs")
+
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[staged] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($n pairs)")
+      spark.catalog.clearCache()
+    }
+
+    time("minhash persist") {
+      graft.operators.Dedup.minHashNearDups(corpus, "doc_id", "text",
+        bands = 8, rowsPerBand = 8, threshold = 0.7).count()
+    }
+    time("minhash stageDir") {
+      graft.operators.Dedup.minHashNearDups(corpus, "doc_id", "text",
+        bands = 8, rowsPerBand = 8, threshold = 0.7,
+        stageDir = Some(s"/tmp/graft_stage_mh_x$mult")).count()
+    }
+    time("ngram persist") {
+      graft.operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        threshold = 0.8).count()
+    }
+    time("ngram stageDir") {
+      graft.operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        threshold = 0.8, stageDir = Some(s"/tmp/graft_stage_ng_x$mult")).count()
+    }
+    spark.stop()
+  }
+}
