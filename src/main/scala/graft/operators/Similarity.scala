@@ -125,9 +125,11 @@ object Similarity {
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 12, seed: Long = 42L,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(numPlanes, dim, seed)
+      maxBucketSize: Int = 1000, dim: Option[Int] = None): DataFrame = {
+    // callers that know the embedding width pass it and skip a driver
+    // head() job; the probe stays as the convenience fallback
+    val d = dim.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
+    val planes = hyperplanes(numPlanes, d, seed)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       bucketExpr(col(vecCol), planes).as("_bucket"))
     // Bucket-local pair generation with the degenerate-bucket guard

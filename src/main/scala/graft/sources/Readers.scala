@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** File-format readers — the reference's `_read_function`
-  * (duckdb_engine.py:266-281) surface: csv, json, parquet, txt
-  * (xlsx/xml fall back to csv there; here they raise — an honest
-  * unsupported is better than silently wrong data).
+  * (duckdb_engine.py:266-281) surface: csv, json, parquet, txt, plus
+  * REAL xlsx ([[XlsxReader]], JDK-only) and xml (Spark 4 built-in
+  * source) reads where the reference either shells out to DuckDB
+  * st_read or silently misparses xml as csv. Legacy .xls raises.
   *
   * Scale defaults: schema inference is opt-in (at 100 TB an inference
   * pass is a full extra scan — callers pass a schema); csv/json are
@@ -33,6 +34,13 @@ object Readers {
         // (duckdb_engine.py:258); here a JDK-only zip+StAX reader
         // (no POI on the offline classpath) — see [[XlsxReader]].
         XlsxReader.read(spark, path)
+      case "xml" =>
+        // REAL xml rows via Spark 4's built-in xml source (the
+        // reference silently parses xml as CSV — duckdb_engine.py:261
+        // — yielding wrong data; this reads it properly). Record
+        // element defaults to <row>, override with options("rowTag").
+        val r = spark.read.options(Map("rowTag" -> "row") ++ options)
+        schema.fold(r)(r.schema).xml(path)
       case "xls" =>
         // pre-2007 binary Excel (BIFF) genuinely needs POI — only the
         // OOXML .xlsx container is implementable JDK-only.
@@ -53,6 +61,7 @@ object Readers {
   /** Format detection by extension (duckdb_engine.py:283-287). */
   def detectFormat(path: String): String = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
-    if (Set("csv", "json", "parquet", "txt", "xlsx").contains(ext)) ext else "csv"
+    if (Set("csv", "json", "parquet", "txt", "xlsx", "xml").contains(ext)) ext
+    else "csv"
   }
 }

@@ -65,6 +65,29 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("xml reads real rows (reference silently misparses xml as csv)") {
+    val dir = Files.createTempDirectory("graft_xml")
+    val p = dir.resolve("data.xml")
+    Files.writeString(p,
+      """<?xml version="1.0"?>
+        |<rows>
+        |  <row><id>1</id><name>Alice &amp; co</name><amount>10.5</amount></row>
+        |  <row><id>2</id><name>Bob</name><amount>20.0</amount></row>
+        |</rows>""".stripMargin)
+    val df = Readers.read(spark, p.toString, "xml")
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("amount")))
+    assert(rows.toSeq == Seq((1L, "Alice & co", 10.5), (2L, "Bob", 20.0)))
+    assert(Readers.detectFormat("/x/d.xml") == "xml")
+    // custom record tag via options
+    val p2 = dir.resolve("items.xml")
+    Files.writeString(p2,
+      "<catalog><item><sku>a</sku></item><item><sku>b</sku></item></catalog>")
+    val df2 = Readers.read(spark, p2.toString, "xml",
+      options = Map("rowTag" -> "item"))
+    assert(df2.collect().map(_.getAs[String]("sku")).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("FileConnector test() and read()") {
     val dir = Files.createTempDirectory("graft_fc")
     val p = dir.resolve("c.csv").toString
