@@ -115,5 +115,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       { children: Seq[Expression] => SimHash64Expr(children.head) }))
+    // text-metric expressions (TextMetrics)
+    def metric(name: String, cls: Class[_], b: Expression => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        { children: Seq[Expression] => b(children.head) }))
+    metric("graft_collapse_ws", classOf[CollapseWs], CollapseWs.apply)
+    metric("graft_ws_token_count", classOf[WsTokenCount], WsTokenCount.apply)
+    metric("graft_bpe_token_count", classOf[BpeTokenCount], BpeTokenCount.apply)
+    metric("graft_punct_count", classOf[PunctCount], PunctCount.apply)
+    metric("graft_stopword_hits", classOf[StopwordHits], StopwordHits.apply)
+    metric("graft_has_han", classOf[HasHan], HasHan.apply)
   }
 }

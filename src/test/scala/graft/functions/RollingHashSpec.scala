@@ -41,6 +41,12 @@ class RollingHashSpec extends AnyFunSuite {
     // verify the builder produces a working expression
     val e = RollingHash(org.apache.spark.sql.catalyst.expressions.Literal("abc"))
     assert(e.eval(null) == RollingHash.hash("abc".getBytes("UTF-8")))
+    // every graft_* function family is wired through the extension
+    // (builders construct working expressions)
+    val sw = StopwordHits(org.apache.spark.sql.catalyst.expressions.Literal(" the cat "))
+    assert(sw.eval(null) == 1.0)
+    val sh = SimHash64Expr(org.apache.spark.sql.catalyst.expressions.Literal("a b"))
+    assert(sh.eval(null).isInstanceOf[Long])
     assert(ext != null)
   }
 }
