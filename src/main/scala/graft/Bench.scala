@@ -26,7 +26,7 @@ object Bench {
     // thread with nothing left for the runtime.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", {
       val n = Runtime.getRuntime.availableProcessors
-      math.min(32, math.max(8, n / 2)).toString
+      math.min(32, math.max(1, n / 2)).toString
     })
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
@@ -45,19 +45,27 @@ object Bench {
     // measured iterations must be steady-state too, for every query,
     // not just whichever ran first.
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      // warm-up degrades to a subset if the box is so slow that even
+      // one pass threatens the budget (a measured iteration still runs)
+      if (elapsedSec < budgetSec * 0.4) {
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
     }
+    val iter0 = System.nanoTime()
+    def iterSec: Double = (System.nanoTime() - iter0) / 1e9
 
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     var ran = 0
     // Start another iteration only if it's PROJECTED to finish inside
-    // the budget (estimate = average of completed iterations) — on a
-    // machine n× slower than this one, the suite degrades to fewer
-    // iterations instead of overshooting the harness's patience.
-    while (ran < iters && (ran == 0 || elapsedSec + elapsedSec / ran < budgetSec)) {
+    // the budget (estimate = average of completed MEASURED iterations,
+    // warm-up excluded, but total elapsed — warm-up included — is what
+    // it must fit under) — on a machine n× slower than this one, the
+    // suite degrades to fewer iterations instead of overshooting the
+    // harness's patience.
+    while (ran < iters && (ran == 0 || elapsedSec + iterSec / ran < budgetSec)) {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()

@@ -99,18 +99,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       { children: Seq[Expression] => RollingHash(children.head) }))
+    // same arity/foldability guards as TextSignatures.register — a bad
+    // SQL call gets the clear message, not an IndexOutOfBounds/NPE
+    def litInt(children: Seq[Expression], fn: String): Int = {
+      require(children.size == 2 && children(1).foldable,
+        s"$fn(col, n) takes a column and a literal n")
+      val v = children(1).eval()
+      require(v != null, s"$fn: n must not be NULL")
+      v.asInstanceOf[Number].intValue
+    }
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       { children: Seq[Expression] =>
-        ShingleHashes(children.head,
-          children(1).eval().asInstanceOf[Number].intValue) }))
+        ShingleHashes(children.head, litInt(children, "graft_shingle_hashes")) }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
       { children: Seq[Expression] =>
-        MinHashSignature(children.head,
-          children(1).eval().asInstanceOf[Number].intValue) }))
+        MinHashSignature(children.head, litInt(children, "graft_minhash_sig")) }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),

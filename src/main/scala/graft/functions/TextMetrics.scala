@@ -165,20 +165,17 @@ object TextMetrics {
     one("graft_has_han", classOf[HasHan], HasHan.apply)
   }
 
-  // Column builders resolve through the session function registry (the
-  // public extension path); registration is idempotent. Plans are built
-  // on the driver where `SparkSession.active` is the session the
-  // DataFrame belongs to.
-  import org.apache.spark.sql.functions.call_function
-  private def c1(name: String, c: Column): Column = {
-    register(SparkSession.active); call_function(name, c)
-  }
-  def collapseWsCol(c: Column): Column = c1("graft_collapse_ws", c)
-  def wsTokenCountCol(c: Column): Column = c1("graft_ws_token_count", c)
-  def bpeTokenCountCol(c: Column): Column = c1("graft_bpe_token_count", c)
-  def punctCountCol(c: Column): Column = c1("graft_punct_count", c)
-  def stopwordHitsCol(c: Column): Column = c1("graft_stopword_hits", c)
-  def hasHanCol(c: Column): Column = c1("graft_has_han", c)
+  // Session-free Column builders via the sql-namespace bridge: the
+  // resulting Columns resolve in ANY session, like built-in
+  // `functions._` (a registry-bound column would break on a DataFrame
+  // from a different session than the one that registered it).
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+  def collapseWsCol(c: Column): Column = ncol(CollapseWs(ex(c)))
+  def wsTokenCountCol(c: Column): Column = ncol(WsTokenCount(ex(c)))
+  def bpeTokenCountCol(c: Column): Column = ncol(BpeTokenCount(ex(c)))
+  def punctCountCol(c: Column): Column = ncol(PunctCount(ex(c)))
+  def stopwordHitsCol(c: Column): Column = ncol(StopwordHits(ex(c)))
+  def hasHanCol(c: Column): Column = ncol(HasHan(ex(c)))
 }
 
 /** Base: string → T via a static [[TextMetrics]] helper, codegen'd as a

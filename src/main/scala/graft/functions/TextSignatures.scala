@@ -138,24 +138,23 @@ object TextSignatures {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(FunctionIdentifier("graft_simhash64"))) return // idempotent
+    def litInt(children: Seq[Expression], fn: String): Int = {
+      require(children.size == 2 && children(1).foldable,
+        s"$fn(col, n) takes a column and a literal n")
+      val v = children(1).eval()
+      require(v != null, s"$fn: n must not be NULL")
+      v.asInstanceOf[Number].intValue
+    }
     reg.registerFunction(
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       { children: Seq[Expression] =>
-        require(children.size == 2 && children(1).foldable,
-          "graft_shingle_hashes(text, n) takes a column and a literal n")
-        ShingleHashes(children.head,
-          children(1).eval().asInstanceOf[Number].intValue)
-      })
+        ShingleHashes(children.head, litInt(children, "graft_shingle_hashes")) })
     reg.registerFunction(
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
       { children: Seq[Expression] =>
-        require(children.size == 2 && children(1).foldable,
-          "graft_minhash_sig(hashes, k) takes a column and a literal k")
-        MinHashSignature(children.head,
-          children(1).eval().asInstanceOf[Number].intValue)
-      })
+        MinHashSignature(children.head, litInt(children, "graft_minhash_sig")) })
     reg.registerFunction(
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
@@ -165,19 +164,18 @@ object TextSignatures {
       })
   }
 
-  import org.apache.spark.sql.functions.{call_function, lit}
+  // Session-free Column builders (see TextMetrics for rationale); the
+  // SQL-name surface still resolves via register()/GraftExtensions.
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
 
-  def shingleHashesCol(spark: SparkSession, text: Column, n: Int): Column = {
-    register(spark); call_function("graft_shingle_hashes", text, lit(n))
-  }
+  def shingleHashesCol(text: Column, n: Int): Column =
+    ncol(ShingleHashes(ex(text), n))
 
-  def minHashSigCol(spark: SparkSession, hashes: Column, k: Int): Column = {
-    register(spark); call_function("graft_minhash_sig", hashes, lit(k))
-  }
+  def minHashSigCol(hashes: Column, k: Int): Column =
+    ncol(MinHashSignature(ex(hashes), k))
 
-  def simHash64Col(spark: SparkSession, text: Column): Column = {
-    register(spark); call_function("graft_simhash64", text)
-  }
+  def simHash64Col(text: Column): Column =
+    ncol(SimHash64Expr(ex(text)))
 }
 
 /** `graft_shingle_hashes(text, n)` → array<bigint>: distinct hashed

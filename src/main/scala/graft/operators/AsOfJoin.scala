@@ -120,18 +120,26 @@ object AsOfJoin {
       case _ => (b * bucketWidth).cast(tType)
     }
 
+    // NULL times: lastPrior's window sorts them FIRST per key (asc =
+    // nulls first), i.e. a null-time right row is the "earliest state".
+    // Bucketing must preserve that: null-time rows go to a sentinel
+    // bucket that sorts before every real bucket, so their state seeds
+    // forward into all real buckets exactly like the unbucketed sort.
+    def bucketCol: Column =
+      when(col("_t").isNull, lit(Long.MinValue))
+        .otherwise(floorDiv(ordLong(col("_t")), lit(bucketWidth)))
     val lTagged = left.select(
       (leftCols.map(col) ++ Seq(
         col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_m"),
         lit(null).cast("long").as("_tb"),
         lit(null).cast(rvType).as("_rv"))): _*)
-      .withColumn("_bucket", floorDiv(ordLong(col("_t")), lit(bucketWidth)))
+      .withColumn("_bucket", bucketCol)
     val rTagged = right.select(
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_m"),
         rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb"),
         struct(rightVals.map(col): _*).as("_rv"))): _*)
-      .withColumn("_bucket", floorDiv(ordLong(col("_t")), lit(bucketWidth)))
+      .withColumn("_bucket", bucketCol)
 
     val all = lTagged.unionByName(rTagged)
 

@@ -109,16 +109,15 @@ object Dedup {
     // Shingling + signature are the native codegen'd expressions
     // (graft.functions.TextSignatures) — one tight loop per row, not
     // 64 interpreted higher-order folds (the r2 bottleneck).
-    val spark = df.sparkSession
     val hashedRaw = df
       .select(col(idCol).as("_id"),
         graft.functions.TextSignatures
-          .shingleHashesCol(spark, col(textCol), shingleN).as("_hsh"))
+          .shingleHashesCol(col(textCol), shingleN).as("_hsh"))
       .filter(size(col("_hsh")) > 0)
     val hashedShingles = stage(hashedRaw, stageDir)
     val sig = hashedShingles
       .withColumn("_sig", graft.functions.TextSignatures
-        .minHashSigCol(spark, col("_hsh"), numHashes))
+        .minHashSigCol(col("_hsh"), numHashes))
 
     // One row per band: bucket key = hash of the band's signature slice.
     val banded = sig.select(col("_id"),
@@ -173,7 +172,7 @@ object Dedup {
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       graft.functions.TextSignatures
-        .simHash64Col(df.sparkSession, col(textCol)).as("simhash"))
+        .simHash64Col(col(textCol)).as("simhash"))
 
   /** SimHash near-dups: the 64-bit signature is split into
     * `maxHamming + 1` near-equal chunks — by pigeonhole, hamming ≤
@@ -251,7 +250,7 @@ object Dedup {
     val exploded = df
       .select(col(idCol).as("_id"),
         explode(graft.functions.TextSignatures
-          .shingleHashesCol(df.sparkSession, col(textCol), shingleN)).as("_h"))
+          .shingleHashesCol(col(textCol), shingleN)).as("_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = exploded.groupBy("_h").agg(count(lit(1)).as("_df"))
 

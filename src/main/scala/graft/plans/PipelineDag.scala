@@ -123,7 +123,12 @@ object PipelineDag {
           one.withColumn("_parsed", from_json(col(column), ddl, Map.empty[String, String]))
             .select(col("*"), col("_parsed.*")).drop("_parsed", column)
         case HttpCall(call) =>
-          val out = withRetries()(call(spark, inputs.headOption))
+          // retry policy belongs to the node body: a GET is safely
+          // re-sent, but a mutating POST whose response was lost may
+          // already have committed server-side — blanket retries here
+          // would silently duplicate the mutation (same reasoning as
+          // Export.recordRpc's single-attempt default).
+          val out = call(spark, inputs.headOption)
           log += node.id -> "http ok"
           out
         case Sink(write) =>

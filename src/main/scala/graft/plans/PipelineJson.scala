@@ -151,18 +151,24 @@ object PipelineJson {
         // webhook_send, which batches from the executors.
         val url = config.path("url").asText
         require(url.nonEmpty, "invoke_http node requires a url")
-        val method = config.path("method").asText("GET")
+        val method = config.path("method").asText("GET").toUpperCase
         val configBody =
           if (config.has("body")) Some(config.path("body").asText) else None
         val headers = parseHeaders(config)
+        // idempotent methods get the reference's retry-with-backoff;
+        // mutating ones get exactly one attempt (a lost RESPONSE after
+        // a server-side commit would otherwise duplicate the mutation)
+        val retries = if (method == "GET" || method == "HEAD") 3 else 1
         HttpCall { (sp, input) =>
           val body = input match {
             case Some(df) if method == "POST" || method == "PUT" =>
               Some(toCsvString(df))
             case _ => configBody
           }
-          graft.sources.Connectors.HttpConnector(
-            url, method = method, headers = headers, body = body).read(sp)
+          PipelineDag.withRetries(retries) {
+            graft.sources.Connectors.HttpConnector(
+              url, method = method, headers = headers, body = body).read(sp)
+          }
         }
       case "db_insert" =>
         // engine.py:260-266: distributed JDBC append.

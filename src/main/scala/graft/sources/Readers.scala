@@ -33,7 +33,13 @@ object Readers {
         // the reference reads Excel via DuckDB's spatial st_read
         // (duckdb_engine.py:258); here a JDK-only zip+StAX reader
         // (no POI on the offline classpath) — see [[XlsxReader]].
-        XlsxReader.read(spark, path)
+        // A caller-supplied schema overrides inference (cast by name,
+        // like the csv branch); the xlsx reader has no options.
+        val inferred = XlsxReader.read(spark, path)
+        schema.fold(inferred) { st =>
+          inferred.select(st.fields.toSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+        }
       case "xml" =>
         // REAL xml rows via Spark 4's built-in xml source (the
         // reference silently parses xml as CSV — duckdb_engine.py:261
@@ -61,7 +67,9 @@ object Readers {
   /** Format detection by extension (duckdb_engine.py:283-287). */
   def detectFormat(path: String): String = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
-    if (Set("csv", "json", "parquet", "txt", "xlsx", "xml").contains(ext)) ext
+    // "xls" maps to itself so a legacy Excel file hits the loud
+    // unsupported error in read() instead of silently misparsing as csv
+    if (Set("csv", "json", "parquet", "txt", "xlsx", "xls", "xml").contains(ext)) ext
     else "csv"
   }
 }

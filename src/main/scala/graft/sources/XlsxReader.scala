@@ -33,13 +33,16 @@ object XlsxReader {
     val table = readRows(path)
     require(table.nonEmpty, s"xlsx $path: first worksheet has no rows")
     val headerRaw = table.head
-    val header = headerRaw.zipWithIndex.map { case (h, i) =>
+    // width = the WIDEST row, not the header: a data row carrying more
+    // cells than the header names (blank header cell trimmed away)
+    // must not be silently truncated — extra columns get colN names.
+    val width = table.map(_.length).max
+    val header = Array.tabulate(width) { i =>
+      val h = if (i < headerRaw.length) headerRaw(i) else null
       if (h == null || h.isEmpty) s"col$i" else h
     }
-    val width = header.length
     val data = table.tail.map { r =>
       if (r.length == width) r
-      else if (r.length > width) r.take(width)
       else r ++ Array.fill[String](width - r.length)(null)
     }
     val types = Array.tabulate(width)(i => inferType(data.map(_(i))))

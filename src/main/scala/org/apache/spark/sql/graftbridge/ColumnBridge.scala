@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression ↔ Column bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 made `Column` backend-agnostic and gated the classic
+  * Expression bridge behind `private[sql]` — the supported routes for
+  * an extension library are (a) the session FunctionRegistry, which
+  * binds a column to whichever session registered it (wrong session →
+  * unresolved function), or (b) this: a bridge object inside the sql
+  * package namespace, the established pattern for Catalyst-extending
+  * libraries. Columns built this way resolve in ANY session, like
+  * built-in `functions._` — which is exactly the contract graft's
+  * Column API promises. The SQL-name surface (`graft_*` functions)
+  * still goes through the registry / GraftExtensions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

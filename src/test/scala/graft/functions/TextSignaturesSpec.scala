@@ -36,7 +36,7 @@ class TextSignaturesSpec extends AnyFunSuite {
     // compare structure: same number of distinct shingles per doc, and
     // equal docs yield equal hash arrays.
     val native = docs.select(
-      TextSignatures.shingleHashesCol(spark, col("text"), 3).as("h")).collect()
+      TextSignatures.shingleHashesCol(col("text"), 3).as("h")).collect()
     val hof = docs.select(hofShingleHashes(3).as("h")).collect()
     native.zip(hof).foreach { case (n, h) =>
       assert(n.getSeq[Long](0).length == h.getSeq[Long](0).length)
@@ -48,7 +48,7 @@ class TextSignaturesSpec extends AnyFunSuite {
     val two = Seq("same text here for all three words", "same text here for all three words",
       "another doc entirely with other words").toDF("text")
     val rows = two.select(
-      TextSignatures.shingleHashesCol(spark, col("text"), 3).as("h"))
+      TextSignatures.shingleHashesCol(col("text"), 3).as("h"))
       .collect().map(_.getSeq[Long](0))
     assert(rows(0) == rows(1))
     assert(rows(0) != rows(2))
@@ -56,11 +56,11 @@ class TextSignaturesSpec extends AnyFunSuite {
 
   test("minHashSig is bit-identical to the xxhash64(k, h) HOF formulation") {
     val hashed = docs.select(
-      TextSignatures.shingleHashesCol(spark, col("text"), 3).as("_hsh"))
+      TextSignatures.shingleHashesCol(col("text"), 3).as("_hsh"))
       .filter(size(col("_hsh")) > 0)
     val k = 16
     val native = hashed.select(
-      TextSignatures.minHashSigCol(spark, col("_hsh"), k).as("sig")).collect()
+      TextSignatures.minHashSigCol(col("_hsh"), k).as("sig")).collect()
     val hof = hashed.select(
       transform(sequence(lit(0), lit(k - 1)),
         s => array_min(transform(col("_hsh"), h => xxhash64(s, h)))).as("sig"))
@@ -82,7 +82,7 @@ class TextSignaturesSpec extends AnyFunSuite {
       when(b > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     val rows = hashed.select(
-      TextSignatures.simHash64Col(spark, col("text")).as("native"),
+      TextSignatures.simHash64Col(col("text")).as("native"),
       hofSig.as("hof")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
@@ -100,8 +100,8 @@ class TextSignaturesSpec extends AnyFunSuite {
 
   test("null text → null signature") {
     val r = Seq[Option[String]](None).toDF("text")
-      .select(TextSignatures.simHash64Col(spark, col("text")),
-        TextSignatures.shingleHashesCol(spark, col("text"), 3))
+      .select(TextSignatures.simHash64Col(col("text")),
+        TextSignatures.shingleHashesCol(col("text"), 3))
       .collect().head
     assert(r.isNullAt(0) && r.isNullAt(1))
   }

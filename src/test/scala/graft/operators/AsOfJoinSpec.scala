@@ -107,6 +107,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(elapsedSec < 120.0, f"hot-key ASOF took $elapsedSec%.1f s")
   }
 
+  test("bucketed variant matches lastPrior on NULL times (sentinel bucket)") {
+    // a null-time right row is the 'earliest state' under lastPrior's
+    // nulls-first window sort — the bucketed plan must carry it into
+    // every real bucket, and a null-time left row must see it too
+    val left = Seq[(Long, Option[Long], String)](
+      (1L, Some(100L), "real"), (1L, None, "nullt")).toDF("k", "t", "name")
+    val right = Seq[(Long, Option[Long], Double)]((1L, None, 9.0)).toDF("k", "t", "v")
+    val expect = AsOfJoin.lastPrior(left, right, "k", "k", "t", "t", Seq("v"))
+      .select("name", "v_asof").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val got = AsOfJoin.lastPriorBucketed(
+        left, right, "k", "k", "t", "t", Seq("v"), bucketWidth = 50L)
+      .select("name", "v_asof").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got == expect)
+    assert(got("real") == Some(9.0))
+  }
+
   test("bucketed variant on numeric (non-timestamp) time with negative values") {
     val left = Seq((1L, -3L, "a"), (1L, 2L, "b")).toDF("k", "t", "name")
     val right = Seq((1L, -5L, 1.0), (1L, 0L, 2.0)).toDF("k", "t", "v")

@@ -193,7 +193,7 @@ class PipelineJsonSpec extends AnyFunSuite {
         "nodes": [
           {"id": "n1", "type": "file_input", "data": {"config": {"path": "$in", "format": "csv"}}},
           {"id": "n2", "type": "invoke_http",
-           "data": {"config": {"url": "$url", "method": "POST"}}},
+           "data": {"config": {"url": "$url", "method": "post"}}},
           {"id": "n3", "type": "transform", "data": {"config": {"steps": [
             {"operator": "filter_rows", "params": {"expression": "score > 5"}}]}}},
           {"id": "n4", "type": "file_output",

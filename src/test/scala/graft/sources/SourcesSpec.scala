@@ -60,6 +60,8 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Readers.read(spark, "/tmp/none.xls", "xls") // legacy BIFF needs POI
     }
+    // .xls must DETECT as xls (→ loud error), never silently as csv
+    assert(Readers.detectFormat("/x/legacy.xls") == "xls")
     intercept[IllegalArgumentException] {
       Writers.write(Seq(1).toDF("x"), "/tmp/none.xlsx", "xlsx")
     }

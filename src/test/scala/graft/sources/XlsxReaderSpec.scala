@@ -120,6 +120,31 @@ class XlsxReaderSpec extends AnyFunSuite {
     assert(XlsxReader.colIndex("BC7") == 54)
   }
 
+  test("data rows wider than the header keep their cells under colN names") {
+    val dir = Files.createTempDirectory("graft_xlsx3")
+    val path = dir.resolve("w.xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val df = Readers.read(spark, path.toString, "xlsx")
+    assert(df.columns.toSeq == Seq("a", "col1"))
+    assert(df.head.getLong(1) == 7L) // not silently truncated
+  }
+
+  test("caller-supplied schema overrides xlsx inference") {
+    import org.apache.spark.sql.types._
+    val p = writeFixture()
+    val st = StructType(Seq(StructField("id", StringType), StructField("score", StringType)))
+    val df = Readers.read(spark, p, "xlsx", schema = Some(st))
+    assert(df.schema.map(_.dataType.typeName) == Seq("string", "string"))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("1", "2"))
+  }
+
   test("mixed numeric column degrades to double; mixed anything to string") {
     val dir = Files.createTempDirectory("graft_xlsx2")
     val path = dir.resolve("m.xlsx")
