@@ -28,7 +28,11 @@ object Bench {
       val n = Runtime.getRuntime.availableProcessors
       math.min(32, math.max(1, n / 2)).toString
     })
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    // 5 full-suite iterations by default: run-to-run swings on a
+    // shared box measured ±25-30%; the median of 5 is markedly more
+    // stable than of 3, and the budget projection below sheds
+    // iterations automatically on a slower machine.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "5").toInt.max(1)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
