@@ -227,6 +227,102 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into usable dedup decisions: docs a~b and
+    * b~c belong to ONE cluster even when a≁c directly, and the cluster
+    * keeps exactly one representative (its min id).
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    * Each round is two hash aggregates + a distinct; the edge set
+    * converges to stars centered at component minima in O(log²n)
+    * rounds — unlike naive min-label propagation, whose round count is
+    * the graph DIAMETER (a 1M-link chain would need 1M shuffles; this
+    * needs ~dozens). The driver loop carries only a (count, checksum)
+    * pair per round — the edge data never leaves the executors.
+    *
+    * Caveat at scale: a star center's neighborhood aggregate holds its
+    * whole component — fine for dedup clusters (bounded by the
+    * upstream `maxBucketSize` guards), but a billion-node single
+    * component would need the paper's high-degree splitting, which
+    * this implementation deliberately omits.
+    *
+    * Returns (id, component) for every id present in `pairs`, where
+    * component = min id of the connected component.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // closed-neighborhood minimum per node over the doubled edge view
+    def withNbrs(e: DataFrame): DataFrame = e
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(collect_set(col("v")).as("_nbrs"))
+      .withColumn("_m", least(col("u"), array_min(col("_nbrs"))))
+
+    // localCheckpoint per round: an iterative DataFrame loop that only
+    // persists keeps GROWING its logical plan — by round ~15 Catalyst
+    // spends longer planning than executing. Checkpointing truncates
+    // the lineage so every round plans against a flat scan (same
+    // pattern as MLlib's iterative algorithms; on a cluster a reliable
+    // checkpoint dir also survives executor loss).
+    var edges = canon(pairs.select(
+      col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+      .localCheckpoint()
+    var stable = false
+    var iter = 0
+    var prev: (Long, Long) = (-1L, 0L)
+    while (!stable && iter < maxIter) {
+      // large-star: (v, m) for strictly larger neighbors v
+      val large = canon(withNbrs(edges)
+        .select(col("_m").as("v"),
+          explode(filter(col("_nbrs"), n => n > col("u"))).as("u")))
+      // small-star: (v, m) for neighbors v <= u, plus (u, m)
+      val small = canon(withNbrs(large)
+        .select(col("_m").as("v"),
+          explode(array_union(filter(col("_nbrs"), n => n < col("u")),
+            array(col("u")))).as("u")))
+        .localCheckpoint()
+      // convergence = edge set unchanged (count + order-free XOR hash —
+      // a sum would overflow under ANSI arithmetic)
+      val row = small.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      edges.unpersist()
+      edges = small
+      stable = sig == prev
+      prev = sig
+      iter += 1
+    }
+    require(stable, s"connectedComponents did not converge in $maxIter rounds")
+    // converged stars: every non-center points at its component min;
+    // centers take the min of their (all-larger) neighborhood = selves
+    val out = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(min(col("v")).as("_mn"))
+      .select(col("u").as("id"), least(col("u"), col("_mn")).as("component"))
+    out
+  }
+
+  /** Drop every non-representative member of each near-dup cluster:
+    * rows whose id maps to a component with a smaller min id. The
+    * complete dedup recipe: pairs := minHashNearDups(...);
+    * deduped := dropNearDuplicates(df, id, pairs).
+    */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_loser"))
+    df.join(losers, col(idCol) === col("_loser"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the AllPairs
     * scheme of Bayardo/Ma/Srikant, WWW'07): order each doc's shingles
     * by global rarity and index only the first ⌊(1-t)·|doc|⌋+1 — any

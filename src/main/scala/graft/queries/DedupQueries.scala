@@ -102,6 +102,23 @@ object DedupQueries {
           shingleN = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // Cluster resolution: exact-dup pairs (minhash t=1.0, recall 100%
+    // by construction) → connected components → (id, component=min).
+    // Two clone generations per doc_id<30 make every cluster a
+    // 3-clique, so the oracle is the per-text-group min id. The
+    // transitive-chain case (a~b~c, a≁c) has no SQL formulation and is
+    // spec-verified instead.
+    "d_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def clone(shift: Long) = docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + shift)
+      val corpus = docs.unionByName(clone(CloneShift)).unionByName(clone(2 * CloneShift))
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.minHashNearDups(corpus, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(vecsWithClones(s, dir), "vec_id", "embedding",
           threshold = 0.99, numPlanes = 8)
@@ -204,6 +221,21 @@ object DedupQueries {
         |)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_dedup_clusters" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 30
+        |), grp AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) AS component,
+        |    count(*) OVER (PARTITION BY text) AS n
+        |  FROM corpus
+        |)
+        |SELECT doc_id AS id, component FROM grp WHERE n >= 2
+        |ORDER BY id""".stripMargin,
     "d_simhash_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

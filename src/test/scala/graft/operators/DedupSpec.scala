@@ -73,6 +73,62 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getDouble(2) - 0.8) < 1e-12)
   }
 
+  test("connectedComponents: transitive near-dup chain a~b~c with a≁c lands in ONE cluster") {
+    // b differs from a at token 5; c differs from b at token 10 →
+    // J(a,b) and J(b,c) pass the threshold, J(a,c) (two edits) fails —
+    // exactly the case where pair-level dedup under-merges and cluster
+    // resolution is required.
+    val chain = Seq(
+      (10L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14"),
+      (20L, "t1 t2 t3 t4 XX t6 t7 t8 t9 t10 t11 t12 t13 t14"),
+      (30L, "t1 t2 t3 t4 XX t6 t7 t8 t9 YY t11 t12 t13 t14")
+    ).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(chain, "id", "text", threshold = 0.5)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(got == Set((10L, 20L), (20L, 30L))) // no direct 10-30 pair
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect.toMap
+    assert(comp == Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+  }
+
+  test("connectedComponents matches a local union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 80
+    val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // local union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // oracle: component = min node id reachable (min id per UF root)
+    val nodes = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).distinct
+    val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min.toLong }
+    val oracle = nodes.map(x => x.toLong -> minOfRoot(find(x))).toMap
+
+    val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), maxIter = 50)
+      .as[(Long, Long)].collect.toMap
+    assert(got == oracle)
+  }
+
+  test("connectedComponents converges on a 2000-node path graph (worst case for label propagation)") {
+    val edges = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(comp.length == 2000)
+    assert(comp.forall(_._2 == 0L))
+  }
+
+  test("dropNearDuplicates keeps exactly the cluster representatives") {
+    val pairs = Dedup.minHashNearDups(corpus, "id", "text", threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(corpus, "id", pairs)
+      .select("id").as[Long].collect.toSet
+    // 1,2,4 cluster together (1 survives); 3 is untouched by any pair
+    assert(kept == Set(1L, 3L))
+  }
+
   test("shingles: fewer tokens than n → empty array") {
     val sh = corpus.limit(1)
       .select(Dedup.shingles(org.apache.spark.sql.functions.lit("one two"), 3))
