@@ -21,6 +21,18 @@ object DedupQueries {
 
   private val CloneShift = 1000000L
 
+  /** documents ∪ TWO exact-clone generations of doc_id < 30 — every
+    * cloned doc becomes a 3-clique under exact near-dup pairing, so
+    * cluster outputs have a pure-SQL oracle (per-text-group min id).
+    */
+  private def tripleCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def clone(shift: Long) = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + shift)
+    docs.unionByName(clone(CloneShift)).unionByName(clone(2 * CloneShift))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** documents ∪ near-dup clones of doc_id < 50 (one appended token).
     * Repartitioned: the source is one parquet split, which would pin
     * all the shingle/signature compute to one core locally (a real
@@ -109,14 +121,20 @@ object DedupQueries {
     // transitive-chain case (a~b~c, a≁c) has no SQL formulation and is
     // spec-verified instead.
     "d_dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      def clone(shift: Long) = docs.filter(col("doc_id") < 30)
-        .withColumn("doc_id", col("doc_id") + shift)
-      val corpus = docs.unionByName(clone(CloneShift)).unionByName(clone(2 * CloneShift))
-        .repartition(s.sparkContext.defaultParallelism)
-      val pairs = Dedup.minHashNearDups(corpus, "doc_id", "text",
+      val pairs = Dedup.minHashNearDups(tripleCorpus(s, dir), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
       Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
+    // The full dedup recipe end-to-end: pairs → clusters → drop every
+    // non-representative. Deterministic (t=1.0 recall is exact), so
+    // the kept id set is oracle-checkable.
+    "d_dedup_apply" -> ((s, dir) => {
+      val corpus = tripleCorpus(s, dir)
+      val pairs = Dedup.minHashNearDups(corpus, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
+      Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
     }),
 
     "d_embed_neardup" -> ((s, dir) =>
@@ -236,6 +254,19 @@ object DedupQueries {
         |)
         |SELECT doc_id AS id, component FROM grp WHERE n >= 2
         |ORDER BY id""".stripMargin,
+    "d_dedup_apply" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 30
+        |), grp AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS component
+        |  FROM corpus
+        |)
+        |SELECT doc_id FROM grp WHERE doc_id = component
+        |ORDER BY doc_id""".stripMargin,
     "d_simhash_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
