@@ -272,8 +272,10 @@ object Dedup {
     // the lineage so every round plans against a flat scan (same
     // pattern as MLlib's iterative algorithms; on a cluster a reliable
     // checkpoint dir also survives executor loss).
-    var edges = canon(pairs.select(
-      col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+    // ids keep their own type — the algorithm only needs an ordering
+    // (min/comparisons), so string/long/timestamp ids all work; a cast
+    // would silently null non-numeric ids.
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint()
     var stable = false
     var iter = 0

@@ -114,6 +114,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("connectedComponents works with non-numeric (string) ids") {
+    val edges = Seq(("docB", "docA"), ("docB", "docC"), ("docX", "docY"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(String, String)].collect.toMap
+    assert(comp == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docX" -> "docX", "docY" -> "docX"))
+  }
+
   test("connectedComponents converges on a 2000-node path graph (worst case for label propagation)") {
     val edges = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
