@@ -305,9 +305,25 @@ object Dedup {
     require(stable, s"connectedComponents did not converge in $maxIter rounds")
     // converged stars: every non-center points at its component min;
     // centers take the min of their (all-larger) neighborhood = selves
-    val out = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val starAssign = edges
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       .groupBy("u").agg(min(col("v")).as("_mn"))
       .select(col("u").as("id"), least(col("u"), col("_mn")).as("component"))
+    // the contract covers EVERY id present in `pairs` — including ids
+    // that only appear in self-pairs or opposite a null partner, which
+    // the edge canonicalization rightly drops from the graph. Those
+    // are singleton components (component = self).
+    val allIds = pairs.select(col(aCol).as("id"))
+      .unionAll(pairs.select(col(bCol).as("id")))
+      .filter(col("id").isNotNull).distinct()
+    val out = allIds.join(starAssign, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      // materialize the (small, one-row-per-id) result so the round
+      // edge blocks can be released NOW; the returned frame owns its
+      // own checkpoint blocks, reclaimed by the ContextCleaner when
+      // the caller drops the reference (unpersist() to release early)
+      .localCheckpoint()
+    edges.unpersist()
     out
   }
 

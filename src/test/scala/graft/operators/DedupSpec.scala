@@ -114,6 +114,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got == oracle)
   }
 
+  test("connectedComponents covers self-pairs and null-partner ids as singletons") {
+    val edges = Seq[(Option[Long], Option[Long])](
+      (Some(5L), Some(5L)),   // self-pair: node exists, no edge
+      (None, Some(7L)),       // dirty pair: 7 exists, partner unknown
+      (Some(1L), Some(2L))
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect.toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L))
+  }
+
   test("connectedComponents works with non-numeric (string) ids") {
     val edges = Seq(("docB", "docA"), ("docB", "docC"), ("docX", "docY"))
       .toDF("id_a", "id_b")
