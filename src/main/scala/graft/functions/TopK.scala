@@ -1,0 +1,137 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `graft_top_k_min(col, k)` — the k SMALLEST values per group, as a
+  * sorted array. A bounded-heap `TypedImperativeAggregate`: each
+  * group's state is a k-capped max-heap, combined map-side BEFORE the
+  * shuffle.
+  *
+  * This is the scale-correct primitive for per-key quota sampling
+  * ("keep the first N docs per domain/language"): the textbook
+  * `row_number() OVER (PARTITION BY key ORDER BY id) <= N` sorts every
+  * key's ENTIRE partition — with few hot keys (a language column has
+  * 5 values) that is a full-corpus sort concentrated on 5 tasks. The
+  * heap aggregate shuffles at most k longs per (mapper, key): the
+  * full sort never happens and skew is bounded by construction.
+  *
+  * Long-typed (ids); k is a literal bounded by [[TopKMin.MaxK]] so a
+  * typo'd k can't balloon executor memory.
+  */
+case class TopKMin(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]] {
+
+  require(k >= 1 && k <= TopKMin.MaxK,
+    s"graft_top_k_min: k must be in [1, ${TopKMin.MaxK}], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_top_k_min"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_top_k_min requires BIGINT, got ${child.dataType.sql}")
+
+  // max-heap of the current k smallest: the head is the LARGEST kept
+  // value, evicted when something smaller arrives
+  override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Long] =
+    new java.util.PriorityQueue[java.lang.Long](k + 1,
+      java.util.Collections.reverseOrder[java.lang.Long]())
+
+  private def offer(
+      heap: java.util.PriorityQueue[java.lang.Long], v: Long): Unit =
+    if (heap.size < k) heap.add(v)
+    else if (heap.peek() > v) { heap.poll(); heap.add(v) }
+
+  override def update(
+      heap: java.util.PriorityQueue[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.PriorityQueue[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(heap, v.asInstanceOf[Long])
+    heap
+  }
+
+  override def merge(
+      a: java.util.PriorityQueue[java.lang.Long],
+      b: java.util.PriorityQueue[java.lang.Long])
+      : java.util.PriorityQueue[java.lang.Long] = {
+    b.forEach(v => offer(a, v))
+    a
+  }
+
+  override def eval(heap: java.util.PriorityQueue[java.lang.Long]): Any = {
+    val arr = new Array[Long](heap.size)
+    var i = 0
+    val it = heap.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(heap: java.util.PriorityQueue[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(8 * (heap.size + 1))
+    val out = new DataOutputStream(bos)
+    out.writeInt(heap.size)
+    heap.forEach(v => out.writeLong(v))
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val heap = createAggregationBuffer()
+    var i = 0
+    while (i < n) { heap.add(in.readLong()); i += 1 }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKMin =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKMin =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKMin =
+    copy(child = newChildren.head)
+}
+
+object TopKMin {
+  /** Hard cap on per-group state (8 bytes × MaxK = 8 MB). */
+  val MaxK: Int = 1000000
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_top_k_min"))) return
+    reg.registerFunction(
+      FunctionIdentifier("graft_top_k_min"),
+      new ExpressionInfo(classOf[TopKMin].getName, "graft_top_k_min"),
+      { children: Seq[Expression] =>
+        require(children.size == 2 && children(1).foldable,
+          "graft_top_k_min(col, k) takes a column and a literal k")
+        val v = children(1).eval()
+        require(v != null, "graft_top_k_min: k must not be NULL")
+        TopKMin(children.head, v.asInstanceOf[Number].intValue)
+          .toAggregateExpression()
+      })
+  }
+
+  /** Column API (aggregate): `df.groupBy(...).agg(topKMin($"id", 50))`. */
+  def topKMin(c: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      TopKMin(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+}

@@ -82,6 +82,39 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition ratios (Gopher-style quality filters): fraction of
+    // duplicate words and duplicate word-3-grams per doc — high values
+    // flag boilerplate/spam for LLM training-data selection. Pure
+    // Column arithmetic over the same tokenization the oracle uses.
+    "x_repetition" -> ((s, dir) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val nToks = size(toks)
+      val nShingles = greatest(nToks - 2, lit(0))
+      val nDistinctShingles =
+        size(graft.functions.TextSignatures.shingleHashesCol(col("text"), 3))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1.0) - size(array_distinct(toks)).cast("double") /
+            greatest(nToks, lit(1)).cast("double")).as("dup_word_ratio"),
+          when(nShingles === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              nDistinctShingles.cast("double") / nShingles.cast("double"))
+            .as("dup_3gram_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-key quota sampling ("keep the first N docs per language" —
+    // the C4-style per-domain cap): a bounded-heap TypedImperative
+    // aggregate, NOT a row_number window — a 5-value key column would
+    // concentrate a full-corpus sort on 5 tasks; the heap shuffles at
+    // most N ids per (mapper, key).
+    "x_quota_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(graft.functions.TopKMin.topKMin(col("doc_id"), 40).as("_ids"))
+        .select(col("lang"), explode(col("_ids")).as("doc_id"))
+        .orderBy("lang", "doc_id")),
+
     // Corpus length distribution: exact interpolated percentiles per
     // language (the p50/p95 doc-length stats every corpus report has).
     "x_quantiles" -> ((s, dir) => {
@@ -160,6 +193,32 @@ object TextQueries {
          |  ${punctRatioSql("text")} AS punct_ratio,
          |  ${stopwordRatioSql("text")} AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quota_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 40 ORDER BY lang, doc_id""".stripMargin,
+    "x_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct([array_to_string(t[i:i+2], ' ')
+        |        for i in generate_series(1, len(t)-2)])
+        |    ELSE [] END AS s
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+        |      / greatest(len(t), 1) AS dup_word_ratio,
+        |  CASE WHEN len(t) - 2 <= 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(s) AS DOUBLE) / (len(t) - 2) END
+        |    AS dup_3gram_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "x_quantiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS q50,
         |  quantile_cont(n_chars, 0.95) AS q95, count(*) AS n_docs

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TopKSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("topKMin returns the k smallest per group, sorted — partial-merge path included") {
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(5000)((rnd.nextInt(4), rnd.nextInt(100000).toLong))
+    // repartition(8) forces map-side partial heaps + merge
+    val df = data.toDF("g", "v").repartition(8)
+    val got = df.groupBy("g").agg(TopKMin.topKMin($"v", 25).as("top"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val expected = data.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(25).toSeq).toMap
+    assert(got == expected)
+  }
+
+  test("k larger than the group returns the whole group; nulls skipped") {
+    val df = Seq[(Int, Option[Long])](
+      (1, Some(5L)), (1, Some(3L)), (1, None), (2, Some(9L))
+    ).toDF("g", "v")
+    val got = df.groupBy("g").agg(TopKMin.topKMin($"v", 10).as("top"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(got == Map(1 -> Seq(3L, 5L), 2 -> Seq(9L)))
+  }
+
+  test("duplicate values are kept with multiplicity") {
+    val df = Seq((1, 7L), (1, 7L), (1, 8L)).toDF("g", "v")
+    val got = df.groupBy("g").agg(TopKMin.topKMin($"v", 2).as("top"))
+      .head.getSeq[Long](1)
+    assert(got == Seq(7L, 7L))
+  }
+
+  test("SQL surface via registration") {
+    TopKMin.register(spark)
+    Seq((1, 4L), (1, 2L), (1, 9L)).toDF("g", "v").createOrReplaceTempView("tk")
+    val got = spark.sql(
+      "SELECT graft_top_k_min(v, 2) FROM tk GROUP BY g").head.getSeq[Long](0)
+    assert(got == Seq(2L, 4L))
+  }
+
+  test("k bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      Seq((1, 1L)).toDF("g", "v").groupBy("g")
+        .agg(TopKMin.topKMin($"v", 0)).collect()
+    }
+  }
+}
