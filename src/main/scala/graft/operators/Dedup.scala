@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *    buckets → hamming rerank
   *  - n-gram Jaccard: rarity-ordered prefix-filtered inverted index
   *    (Bayardo AllPairs) + length filter → exact rerank
+  * plus the resolution step that turns pairs into decisions:
+  * [[connectedComponents]] (transitive clusters) and
+  * [[dropNearDuplicates]] (keep one representative per cluster).
   *
   * Everything is Column-expression based (codegen-friendly, no UDFs);
   * the only shuffles are the bucket joins, keyed so identical docs
