@@ -62,6 +62,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("quota sampling combines map-side — no Window, bounded heap per mapper-key") {
+    val p = plan("x_quota_sample")
+    assert(!p.contains("Window"), "quota sampling planned a per-key sort window:\n" + p.take(3000))
+    // TypedImperativeAggregate partials print as partial_graft_top_k_min
+    // inside ObjectHashAggregate — the map-side combine that caps
+    // shuffle volume at k ids per (mapper, key)
+    assert(p.contains("partial_graft_top_k_min"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE finalizes the plan only on execution — run it, then inspect.
     val df = SparkEntry.queries("t_derived_column")(spark, dir)
