@@ -43,6 +43,23 @@ object Multimodal {
       lit(null).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
 
+  /** REAL metadata probe: fill width/height (and a sniffed format
+    * column) from the media bytes via [[graft.functions.ImageDims]] —
+    * PNG/JPEG/GIF/BMP headers parsed with zero image libraries.
+    * Unrecognized bytes keep null dims. This is the genuine first pass
+    * of a media pipeline (format stats, aspect/size filters); pixel
+    * decode remains the marked stub below.
+    */
+  def probeMetadata(media: DataFrame): DataFrame = {
+    val dims = graft.functions.ImageDims.imageDims(col("media"))
+    media
+      .withColumn("_dims", dims)
+      .withColumn("format", col("_dims.format"))
+      .withColumn("width", coalesce(col("_dims.width"), col("width")))
+      .withColumn("height", coalesce(col("_dims.height"), col("height")))
+      .drop("_dims")
+  }
+
   /** STUB DECODE — deterministic fake feature extraction.
     *
     * Real implementation would decode `media` and run a feature
