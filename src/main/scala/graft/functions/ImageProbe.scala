@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,28 +80,37 @@ object ImageDims {
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", le16(b, 6), le16(b, 8))
-    // BMP: "BM", DIB header size at 14 decides the field layout
+    // BMP: "BM", DIB header size at 14 decides the field layout —
+    // 40+ (BITMAPINFOHEADER and successors, 32-bit fields) and 12
+    // (BITMAPCOREHEADER, 16-bit fields) are parseable; other legacy
+    // OS/2 variants yield null rather than misread halves.
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
       val dib = le32(b, 14)
       return if (dib >= 40) row("bmp", le32(b, 18), math.abs(le32(b, 22)))
-      else row("bmp", le16(b, 18), le16(b, 20)) // BITMAPCOREHEADER
+      else if (dib == 12) row("bmp", le16(b, 18), le16(b, 20))
+      else null
     }
     // JPEG: FF D8, walk segments to the first SOFn (C0-CF minus C4/C8/CC)
     if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 9 <= b.length) { // SOF dims end at i+8 inclusive
         if ((b(i) & 0xff) != 0xff) return null // broken marker stream
-        val marker = b(i + 1) & 0xff
+        // spec-legal fill bytes: any run of 0xFF before the marker id
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j + 8 > b.length) return null
+        val marker = b(j) & 0xff
+        if (marker == 0xd9) return null // EOI before any SOF
         if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
-          i += 2 // standalone markers carry no length
+          i = j + 1 // standalone markers carry no length
         } else if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
           // SOFn: [len][precision][height][width]
-          return row("jpeg", be16(b, i + 7), be16(b, i + 5))
+          return row("jpeg", be16(b, j + 6), be16(b, j + 4))
         } else {
-          val len = be16(b, i + 2)
+          val len = be16(b, j + 1)
           if (len < 2) return null
-          i += 2 + len
+          i = j + 1 + len
         }
       }
       return null

@@ -98,7 +98,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      { children: Seq[Expression] => RollingHash(children.head) }))
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_rolling_hash takes exactly 1 argument")
+        RollingHash(children.head) }))
     // same arity/foldability guards as TextSignatures.register — a bad
     // SQL call gets the clear message, not an IndexOutOfBounds/NPE
     def litInt(children: Seq[Expression], fn: String): Int = {
@@ -121,12 +123,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
-      { children: Seq[Expression] => SimHash64Expr(children.head) }))
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_simhash64 takes exactly 1 argument")
+        SimHash64Expr(children.head) }))
     // text-metric expressions (TextMetrics)
     def metric(name: String, cls: Class[_], b: Expression => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
-        { children: Seq[Expression] => b(children.head) }))
+        { children: Seq[Expression] =>
+          require(children.size == 1, s"$name takes exactly 1 argument")
+          b(children.head) }))
     metric("graft_collapse_ws", classOf[CollapseWs], CollapseWs.apply)
     metric("graft_ws_token_count", classOf[WsTokenCount], WsTokenCount.apply)
     metric("graft_bpe_token_count", classOf[BpeTokenCount], BpeTokenCount.apply)
@@ -135,6 +141,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     metric("graft_has_han", classOf[HasHan], HasHan.apply)
     ext.injectFunction((FunctionIdentifier("graft_image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
-      { children: Seq[Expression] => ImageDims(children.head) }))
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_image_dims takes exactly 1 argument")
+        ImageDims(children.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_top_k_min"),
+      new ExpressionInfo(classOf[TopKMin].getName, "graft_top_k_min"),
+      { children: Seq[Expression] =>
+        TopKMin(children.head, litInt(children, "graft_top_k_min"))
+          .toAggregateExpression() }))
   }
 }

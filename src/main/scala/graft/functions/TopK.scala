@@ -110,8 +110,14 @@ case class TopKMin(
 }
 
 object TopKMin {
-  /** Hard cap on per-group state (8 bytes × MaxK = 8 MB). */
-  val MaxK: Int = 1000000
+  /** Hard cap on per-group state. The LIVE heap costs ~40-50 bytes per
+    * entry (boxed Long + PriorityQueue slot + object header), so
+    * MaxK=100k is ~5 MB per group on the mapper — and ObjectHash-
+    * Aggregate holds one buffer per concurrent group, so the real
+    * bound is k × #groups-per-mapper, not k alone. The serialized
+    * shuffle form is the compact one (8 bytes/entry).
+    */
+  val MaxK: Int = 100000
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -67,6 +67,31 @@ class ImageProbeSpec extends AnyFunSuite {
     assert(got("junk") == None)
   }
 
+  test("JPEG edge cases: fill bytes before SOF, EOI-first, truncation at the width field") {
+    // fill bytes (extra 0xFF) before the SOF marker are spec-legal
+    val filled = {
+      val base = jpeg(64, 32)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, 10) // SOI + APP0
+      out.write(0xff); out.write(0xff) // padding run
+      out.write(base, 10, base.length - 10) // FF C0 ...
+      out.toByteArray
+    }
+    // buffer ending exactly after the SOF width bytes is sufficient
+    val truncated = jpeg(64, 32).dropRight(3)
+    // EOI before any SOF → honestly unparseable
+    val eoiFirst = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    val got = Seq(("filled", filled), ("trunc", truncated), ("eoi", eoiFirst))
+      .toDF("label", "media")
+      .select($"label", ImageDims.imageDims($"media").as("d")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)))))
+      .toMap
+    assert(got("filled") == Some((64, 32)))
+    assert(got("trunc") == Some((64, 32)))
+    assert(got("eoi") == None)
+  }
+
   test("probeMetadata fills media dims; non-images keep nulls") {
     val media = graft.multimodal.Multimodal.asMedia(
       Seq((1L, png(32, 16)), (2L, "not an image".getBytes))
