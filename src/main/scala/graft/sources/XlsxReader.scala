@@ -48,7 +48,8 @@ object XlsxReader {
     val types = Array.tabulate(width)(i => inferType(data.map(_(i))))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row](data.length)
     data.foreach { r =>
-      rows.add(Row.fromSeq(Array.tabulate[Any](width)(i => convert(r(i), types(i)))))
+      rows.add(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array.tabulate[Any](width)(i => convert(r(i), types(i))))))
     }
     val schema = StructType(header.zip(types).map {
       case (n, t) => StructField(n, t, nullable = true)
