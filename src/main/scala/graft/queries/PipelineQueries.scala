@@ -74,6 +74,27 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // The hot-key-parallel ASOF variant against the SAME DuckDB ASOF
+    // oracle: proves the time-bucketed seed-carry rewrite is
+    // result-identical to the 1-shuffle window formulation on real
+    // data (1-hour buckets cut across session boundaries freely).
+    "q_asof_bucketed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"), max("value").as("click_value"))
+      graft.operators.AsOfJoin.lastPriorBucketed(
+          purchases, clicks, "user_id", "user_id", "ts", "ts",
+          Seq("click_id", "click_value"),
+          bucketWidth = 3600L * 1000000L) // 1h in micros
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("pts"),
+          col("click_id_asof"), col("click_value_asof"))
+        .orderBy("event_id")
+    }),
+
     // Batch gap sessionization over the events table — the bounded
     // twin of the streaming sessionizer, oracle-checked end to end.
     "q_sessionize" -> ((s, dir) =>
@@ -134,6 +155,21 @@ object PipelineQueries {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // identical SQL twin as q_asof_join: the bucketed rewrite must be
+    // result-identical to DuckDB's native ASOF join
+    "q_asof_bucketed" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value
