@@ -18,7 +18,7 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Default worker threads = cores/2 (floor 8): local[n] with n ==
+    // Default worker threads = cores/2 (floor 1): local[n] with n ==
     // ALL physical cores leaves zero headroom for the DAG scheduler,
     // listener bus and GC — measured 3x the per-stage floor of n/2 on
     // a 32-core box (0.19 s vs 0.06 s per job). Cluster deployments

@@ -52,9 +52,14 @@ object Multimodal {
     */
   def probeMetadata(media: DataFrame): DataFrame = {
     val dims = graft.functions.ImageDims.imageDims(col("media"))
+    // coalesce with any pre-existing column (same rule for format as
+    // for width/height: a failed probe must not erase prior metadata)
+    val fmt =
+      if (media.columns.contains("format")) coalesce(col("_dims.format"), col("format"))
+      else col("_dims.format")
     media
       .withColumn("_dims", dims)
-      .withColumn("format", col("_dims.format"))
+      .withColumn("format", fmt)
       .withColumn("width", coalesce(col("_dims.width"), col("width")))
       .withColumn("height", coalesce(col("_dims.height"), col("height")))
       .drop("_dims")

@@ -257,9 +257,30 @@ object Dedup {
     * Returns (id, component) for every id present in `pairs`, where
     * component = min id of the connected component.
     */
+  /** `collectLimit`: adaptive small-graph fast path — when the
+    * DISTINCT pair list fits under this bound it is collected once and
+    * solved with driver-side union-find, and the result returns as a
+    * LocalRelation (so the downstream anti-join broadcasts for free).
+    * This is the connected-components analogue of the broadcast join:
+    * a near-dup pair list is a tiny fraction of the corpus (bounded by
+    * the upstream `maxBucketSize` guards), and the iterative
+    * star-contraction costs ~2 scheduled jobs + 2 shuffles PER ROUND —
+    * pure fixed cost when the whole graph fits in one task. Graphs over
+    * the bound take the distributed path unchanged. Set 0 to force
+    * distributed.
+    */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, collectLimit: Int = 1 << 20): DataFrame = {
+    if (collectLimit > 0) {
+      // ONE job: collect at most limit+1 distinct pairs; overflow ⇒
+      // the graph is genuinely large ⇒ fall through to distributed.
+      val head = pairs.select(col(aCol), col(bCol)).distinct()
+        .limit(collectLimit + 1).collect()
+      if (head.length <= collectLimit)
+        return localComponents(pairs.sparkSession, head,
+          pairs.schema(aCol).dataType)
+    }
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -328,6 +349,75 @@ object Dedup {
       .localCheckpoint()
     edges.unpersist()
     out
+  }
+
+  /** Driver-side union-find behind [[connectedComponents]]'s
+    * small-graph fast path. Same contract as the distributed
+    * star-contraction: every non-null id in `pairs` appears exactly
+    * once, component = min id of its connected component. For string
+    * ids the min is taken in UTF-8 BINARY order to agree with the
+    * distributed path (Spark's `least`/`min` compare UTF8Strings
+    * byte-wise; `String.compareTo` sorts UTF-16 code units, which
+    * diverges above the BMP).
+    */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val ord: Ordering[Any] = idType match {
+      case StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
+      case _ => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def add(x: Any): Unit = if (!parent.contains(x)) parent(x) = x
+    pairs.foreach { row =>
+      val a = row.get(0)
+      val b = row.get(1)
+      if (a != null) add(a)
+      if (b != null) add(b)
+      if (a != null && b != null && a != b) {
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keysIterator.foreach { id =>
+      val r = find(id)
+      if (!minOf.get(r).exists(m => ord.lteq(m, id))) minOf(r) = id
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+    parent.keysIterator.foreach { id =>
+      rows.add(org.apache.spark.sql.Row(id, minOf(find(id))))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("component", idType, nullable = false))))
   }
 
   /** Drop every non-representative member of each near-dup cluster:

@@ -168,7 +168,13 @@ object TransformStep {
         // tells the caller to widen the input decimal.
         val pinned = df.schema.fields.find(_.name == c) match {
           case Some(fld) if f.equalsIgnoreCase("sum") &&
-              fld.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+              fld.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+              // p-s >= 38 would need a precision-39 literal (over Spark's
+              // 38 max) for the headroom bound; there the sum's own
+              // DECIMAL(38,s) result already raises on overflow, so the
+              // guarded pin is unnecessary — plain cast is exact.
+              fld.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType].precision -
+                fld.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType].scale < 38 =>
             val dt = fld.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
             val headroom = lit(BigDecimal(10).pow(dt.precision - dt.scale))
             when(base.isNull, base.cast(fld.dataType))

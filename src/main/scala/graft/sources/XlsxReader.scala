@@ -99,7 +99,14 @@ object XlsxReader {
               case "c" =>
                 val raw = text.toString
                 val value = cellType match {
-                  case "s" => sst(raw.trim.toInt)
+                  // some writers emit self-closed shared-string cells
+                  // (<c r="A1" t="s"/>) with no <v> — treat as empty
+                  case "s" =>
+                    if (raw.trim.isEmpty) null
+                    else try sst(raw.trim.toInt) catch {
+                      case e: Exception => throw new IllegalArgumentException(
+                        s"bad shared-string index '$raw' at cell col $cellCol", e)
+                    }
                   case "inlineStr" => raw
                   case "b" => if (raw.trim == "1") "true" else "false"
                   case _ => if (raw.isEmpty && !inIs) null else raw

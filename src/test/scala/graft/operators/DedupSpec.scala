@@ -108,10 +108,17 @@ class DedupSpec extends AnyFunSuite {
     val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min.toLong }
     val oracle = nodes.map(x => x.toLong -> minOfRoot(find(x))).toMap
 
-    val got = Dedup.connectedComponents(
+    // both paths must agree with the oracle: driver union-find
+    // (default collectLimit) and distributed star-contraction
+    // (collectLimit = 0 forces it)
+    val local = Dedup.connectedComponents(
         edges.toDF("id_a", "id_b"), maxIter = 50)
       .as[(Long, Long)].collect.toMap
-    assert(got == oracle)
+    assert(local == oracle)
+    val dist = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), maxIter = 50, collectLimit = 0)
+      .as[(Long, Long)].collect.toMap
+    assert(dist == oracle)
   }
 
   test("connectedComponents covers self-pairs and null-partner ids as singletons") {
@@ -120,18 +127,31 @@ class DedupSpec extends AnyFunSuite {
       (None, Some(7L)),       // dirty pair: 7 exists, partner unknown
       (Some(1L), Some(2L))
     ).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(edges)
-      .as[(Long, Long)].collect.toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L))
+    for (limit <- Seq(1 << 20, 0)) { // local and distributed paths
+      val comp = Dedup.connectedComponents(edges, collectLimit = limit)
+        .as[(Long, Long)].collect.toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L))
+    }
   }
 
   test("connectedComponents works with non-numeric (string) ids") {
     val edges = Seq(("docB", "docA"), ("docB", "docC"), ("docX", "docY"))
       .toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(edges)
-      .as[(String, String)].collect.toMap
-    assert(comp == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
-      "docX" -> "docX", "docY" -> "docX"))
+    for (limit <- Seq(1 << 20, 0)) {
+      val comp = Dedup.connectedComponents(edges, collectLimit = limit)
+        .as[(String, String)].collect.toMap
+      assert(comp == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+        "docX" -> "docX", "docY" -> "docX"))
+    }
+  }
+
+  test("connectedComponents collect overflow falls through to the distributed path") {
+    // 40 edges with collectLimit = 10: head probe overflows, the
+    // star-contraction runs, answer unchanged
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, collectLimit = 10)
+      .as[(Long, Long)].collect()
+    assert(comp.length == 41 && comp.forall(_._2 == 0L))
   }
 
   test("connectedComponents converges on a 2000-node path graph (worst case for label propagation)") {
