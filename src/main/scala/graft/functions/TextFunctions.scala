@@ -123,4 +123,58 @@ object TextFunctions {
 
   def fingerprintSql(c: String): String =
     s"md5(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')))"
+
+  /** Bag-of-words fingerprint: md5 over the SORTED distinct lowercase
+    * tokens. Word-order permutations and repetition-only edits collide
+    * on purpose — the standard "same content, reshuffled boilerplate"
+    * dedup key used alongside the exact fingerprint in training-data
+    * pipelines. Sort order is UTF-8 byte order in both engines
+    * (Spark `sort_array` on UTF8String vs DuckDB `list_sort` on
+    * VARCHAR are both binary collations).
+    */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(
+      sort_array(array_distinct(split(lower(trim(text)), "\\s+"))), " ")
+      .cast("binary"))
+
+  def bagFingerprintSql(c: String): String =
+    s"""md5(array_to_string(list_sort(list_distinct(
+       |  regexp_split_to_array(lower(trim($c)), '\\s+'))), ' '))""".stripMargin
+
+  /** PII redaction patterns, applied IN ORDER (earlier replacements
+    * mask text from later patterns — e.g. SSNs are consumed before the
+    * phone pattern sees them). One definition drives both engines: the
+    * patterns avoid lookaround and backreferences so Java regex
+    * (Spark) and RE2 (DuckDB) agree on every match.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Chained global regexp_replace over [[piiPatterns]] — pure codegen
+    * Column expression, one pass per pattern.
+    */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  def piiRedactSql(c: String): String =
+    piiPatterns.foldLeft(c) { case (s, (_, pat, repl)) =>
+      s"regexp_replace($s, '$pat', '$repl', 'g')"
+    }
+
+  /** Per-kind PII match count (long), for audit summaries. */
+  def piiCount(text: Column, kind: String): Column = {
+    val pat = piiPatterns.find(_._1 == kind).getOrElse(
+      throw new IllegalArgumentException(s"unknown PII kind '$kind'"))._2
+    size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+  }
+
+  def piiCountSql(c: String, kind: String): String = {
+    val pat = piiPatterns.find(_._1 == kind).get._2
+    s"len(regexp_extract_all($c, '$pat'))"
+  }
 }

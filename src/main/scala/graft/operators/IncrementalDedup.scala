@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomMightContain
+
+/** Incremental (batch-vs-corpus) deduplication: drop every row of a
+  * NEW batch whose key already exists in the standing corpus — the
+  * "dedup tonight's crawl against the 100 TB lake" operation, which
+  * the whole-corpus operators in [[Dedup]] deliberately don't cover.
+  *
+  * The naive plan shuffles BOTH sides on the key (`batch LEFT ANTI
+  * JOIN corpus`): re-shuffling the entire corpus for every incoming
+  * batch is the scale killer. Here the corpus never shuffles:
+  *
+  *  1. build a Bloom filter of the batch's key hashes (one
+  *     `treeAggregate` over the SMALL side; ~1.2 MB per million keys
+  *     at 1% fpp);
+  *  2. probe it map-side inside the corpus scan via the codegen'd
+  *     [[BloomMightContain]] expression — only the tiny maybe-matching
+  *     slice survives;
+  *  3. broadcast those candidate keys back for an exact anti join
+  *     against the batch.
+  *
+  * The result is EXACT: Bloom false positives are eliminated by the
+  * exact anti join in step 3, and false negatives are impossible. At
+  * 1% fpp the candidate set is ≤ |batch| + 1% of corpus-distinct-keys
+  * — broadcastable whenever the batch itself is.
+  */
+object IncrementalDedup {
+
+  /** Rows of `batch` whose `key` does NOT appear in `corpus`.
+    * `key` is evaluated against both sides' columns (e.g. a fingerprint
+    * of a text column present in both). `expectedBatchKeys`/`fpp` size
+    * the Bloom filter — overestimating costs memory, underestimating
+    * only inflates the candidate set (still exact).
+    */
+  def dropExisting(
+      batch: DataFrame, corpus: DataFrame, key: Column,
+      expectedBatchKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val keyed = batch.withColumn("_ik", key)
+    // stat.bloomFilter NPEs on zero rows (null aggregate); an empty
+    // batch dedups to itself. limit-1 probe — cheap next to the
+    // treeAggregate that follows.
+    if (keyed.isEmpty) return keyed.drop("_ik")
+    val bloom = keyed.stat.bloomFilter(xxhash64(col("_ik")), expectedBatchKeys, fpp)
+    val candidates = corpus
+      .select(key.as("_ik"))
+      .filter(BloomMightContain.mightContain(xxhash64(col("_ik")), bloom))
+      .distinct()
+    keyed.join(broadcast(candidates), Seq("_ik"), "left_anti").drop("_ik")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without a nested-loop plan.
+  *
+  * Spark has no native range-join strategy: a bare
+  * `points JOIN intervals ON p BETWEEN lo AND hi` has no equi-key, so
+  * the planner falls back to BroadcastNestedLoopJoin (every point
+  * tested against every interval — O(|P|·|I|) work even when the
+  * output is linear) or, worse, a cartesian product when neither side
+  * broadcasts. Fine for 25 intervals; fatal for a big-big join at
+  * scale.
+  *
+  * The standard fix (used by range-join support in other engines) is
+  * bucketing the join axis: chop the axis into fixed-width buckets,
+  * explode each interval to every bucket it overlaps, map each point
+  * to its single bucket, equi-join on the bucket id, and re-check the
+  * exact predicate. Each (point, interval) match is found in exactly
+  * one bucket — the point's — so no post-join dedup is needed. The
+  * plan becomes a plain shuffle/broadcast HASH join: both sides
+  * partition by bucket, AQE's skew handling applies to hot buckets.
+  *
+  * `bucketWidth` tuning: ~the median interval length. Too small
+  * explodes intervals into many copies (interval-side blowup is
+  * `len/width + 1`); too large piles unrelated points and intervals
+  * into the same bucket (the residual filter discards them after the
+  * join). Both failure modes degrade gracefully — correctness never
+  * depends on the width.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to every row of `intervals` whose
+    * `[loCol, hiCol]` (inclusive) contains `pointCol`. The three
+    * columns must be integral (day numbers, epoch seconds, keys —
+    * callers convert dates via `datediff`). Output columns = points ++
+    * intervals. Bucket math is exact long arithmetic (`div` after a
+    * `pmod` correction, not floating floor), so negative axes work.
+    */
+  def intervalJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    def bucketOf(c: String) = // floor division on longs
+      expr(s"(CAST($c AS BIGINT) - pmod(CAST($c AS BIGINT), $bucketWidth)) DIV $bucketWidth")
+    val iv = intervals.withColumn("_rj_b",
+      explode(sequence(bucketOf(loCol), bucketOf(hiCol))))
+    val pt = points.withColumn("_rj_b", bucketOf(pointCol))
+    pt.alias("_p").join(iv.alias("_i"),
+        col("_p._rj_b") === col("_i._rj_b") &&
+          col(s"_p.$pointCol") >= col(s"_i.$loCol") &&
+          col(s"_p.$pointCol") <= col(s"_i.$hiCol"))
+      .drop("_rj_b")
+  }
+}

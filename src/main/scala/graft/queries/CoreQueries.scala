@@ -293,10 +293,49 @@ object CoreQueries {
         SELECT n_name, count(*) AS n_customers
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name""")
+    }),
+
+    // Range (interval-containment) join: orders matched to overlapping
+    // 200-day promo windows (derived deterministically from nation
+    // keys), then aggregated per window. Spark plans a bare BETWEEN
+    // join as BroadcastNestedLoop — fine for 25 windows, O(|P|·|I|) at
+    // scale — so this goes through RangeJoin.intervalJoin: bucket the
+    // date axis (64-day buckets ≈ window width/3), explode windows to
+    // overlapped buckets, equi-join on bucket + residual BETWEEN. The
+    // plan is a plain hash join AQE can treat like any other.
+    "q_range_join" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val win = t(s, dir, "nation")
+        .select(col("n_nationkey").as("win_id"),
+          date_add(lit("1995-01-01").cast("date"),
+            (col("n_nationkey") * 90).cast("int")).as("lo"))
+        .withColumn("hi", date_add(col("lo"), 200))
+        .select(col("win_id"),
+          datediff(col("lo"), epoch).as("lo_d"),
+          datediff(col("hi"), epoch).as("hi_d"))
+      val pts = t(s, dir, "orders")
+        .select(col("o_totalprice"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("d"))
+      graft.operators.RangeJoin.intervalJoin(pts, "d", win, "lo_d", "hi_d", 64)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("total_price"))
+        .orderBy("win_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH win AS (
+        |  SELECT n_nationkey AS win_id,
+        |    DATE '1995-01-01' + CAST(n_nationkey * 90 AS INTEGER) AS lo,
+        |    DATE '1995-01-01' + CAST(n_nationkey * 90 + 200 AS INTEGER) AS hi
+        |  FROM nation)
+        |SELECT win_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM win JOIN orders ON CAST(o_orderdate AS DATE) BETWEEN lo AND hi
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
     "t_rename_column" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

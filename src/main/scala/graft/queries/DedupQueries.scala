@@ -200,6 +200,23 @@ object DedupQueries {
         .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
       Similarity.lshTopK(vecs, "vec_id", "embedding", query, k = 10,
         numPlanes = 8, probeHamming = 8)
+    }),
+
+    // Incremental dedup: tonight's batch (doc_id % 10 == 7) against
+    // the standing corpus (the rest), keyed on the bag-of-words
+    // fingerprint — word-salad permutations of a corpus doc ARE
+    // duplicates here, so real drops occur in the synthetic data. The
+    // corpus side is probed map-side through a broadcast Bloom filter
+    // of the batch keys and never shuffles (see IncrementalDedup);
+    // result is exact, so the DuckDB NOT EXISTS oracle applies.
+    "d_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = graft.functions.TextFunctions.bagFingerprint(col("text"))
+      graft.operators.IncrementalDedup.dropExisting(
+          batch = docs.filter(col("doc_id") % 10 === 7),
+          corpus = docs.filter(col("doc_id") % 10 =!= 7),
+          key = fp)
+        .select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -207,6 +224,15 @@ object DedupQueries {
     * the same double-precision dot/norm formula via list lambdas.
     */
   val oracles: Map[String, String] = Map(
+    "d_incremental" -> {
+      val fp = graft.functions.TextFunctions.bagFingerprintSql _
+      s"""SELECT b.doc_id FROM documents b
+         |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
+         |  SELECT 1 FROM documents c
+         |  WHERE c.doc_id % 10 != 7
+         |    AND ${fp("c.text")} = ${fp("b.text")})
+         |ORDER BY doc_id""".stripMargin
+    },
     "d_minhash_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

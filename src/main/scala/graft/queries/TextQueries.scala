@@ -154,6 +154,49 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction (email/SSN/phone/IPv4 → placeholder tokens) plus a
+    // per-kind audit count — the scrub step every training-data
+    // pipeline runs before tokenization. The synthetic corpus has no
+    // PII, so the text is salted with deterministic doc_id-derived PII
+    // by the SAME expression the oracle uses; the redactor then has
+    // real matches to erase. Chained codegen'd regexp_replace, one
+    // scan, zero shuffles.
+    "x_pii_redact" -> ((s, dir) => {
+      val salted = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com, call 555-867-5309, ssn 123-45-6789, ip 10.0.0."),
+        (col("doc_id") % 256).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), salted.as("_t"))
+        .select(col("doc_id"),
+          piiRedact(col("_t")).as("redacted"),
+          piiCount(col("_t"), "email").as("n_email"),
+          piiCount(col("_t"), "ssn").as("n_ssn"),
+          piiCount(col("_t"), "phone").as("n_phone"),
+          piiCount(col("_t"), "ipv4").as("n_ipv4"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination (GPT-3 appendix C style): flag every
+    // corpus doc sharing ANY word-8-gram with the benchmark set (here
+    // doc_id % 7 == 0 stands in for the eval benchmark). Benchmark
+    // n-gram sets are tiny next to a 100 TB corpus, so the distinct
+    // benchmark grams BROADCAST into a semi join against the corpus
+    // gram stream — the corpus-side grams are generated and probed
+    // map-side, never shuffled; only the handful of flagged doc_ids
+    // pay a distinct. Gram hashing reuses the codegen'd shingle
+    // expression from the MinHash path.
+    "x_decontaminate" -> ((s, dir) => {
+      val grams = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.TextSignatures
+          .shingleHashesCol(col("text"), 8)).as("g"))
+      val bench = grams.filter(col("doc_id") % 7 === 0).select("g").distinct()
+      grams.filter(col("doc_id") % 7 =!= 0)
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup: one hash-aggregate, keep min doc_id per normalized
     // fingerprint. The 100 TB shape: a single shuffle on the hash.
     "d_exact_dedup" -> ((s, dir) => {
@@ -239,6 +282,37 @@ object TextQueries {
     "d_exact_dedup" ->
       s"""SELECT ${fingerprintSql("text")} AS fp, min(doc_id) AS keep_id,
          |  count(*) AS n_copies
-         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "x_pii_redact" -> {
+      val salt = "text || ' Contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com, call 555-867-5309, ssn 123-45-6789, ip 10.0.0.' || " +
+        "CAST(doc_id % 256 AS VARCHAR)"
+      s"""WITH salted AS (SELECT doc_id, $salt AS t FROM documents)
+         |SELECT doc_id, ${piiRedactSql("t")} AS redacted,
+         |  ${piiCountSql("t", "email")} AS n_email,
+         |  ${piiCountSql("t", "ssn")} AS n_ssn,
+         |  ${piiCountSql("t", "phone")} AS n_phone,
+         |  ${piiCountSql("t", "ipv4")} AS n_ipv4
+         |FROM salted ORDER BY doc_id""".stripMargin
+    },
+    // The oracle compares gram STRINGS where the Spark side semi-joins
+    // on 64-bit gram hashes — equivalent absent an xxhash64 collision
+    // between distinct grams (~10^-10 at these cardinalities).
+    "x_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      [array_to_string(t[i:i+7], ' ')
+        |       for i in generate_series(1, len(t)-7)]
+        |    ELSE [] END) AS g
+        |  FROM toks
+        |)
+        |SELECT DISTINCT doc_id FROM grams
+        |WHERE doc_id % 7 != 0
+        |  AND g IN (SELECT g FROM grams WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin
   )
 }

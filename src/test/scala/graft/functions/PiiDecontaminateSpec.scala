@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions._
+
+class PiiDecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(piiRedact(col("t")).as("r")).head.getString(0)
+
+  test("piiRedact masks email, ssn, phone, ipv4") {
+    assert(redact("mail a.b+c@foo-bar.example.org now") == "mail <EMAIL> now")
+    assert(redact("ssn 123-45-6789.") == "ssn <SSN>.")
+    assert(redact("call 555-867-5309 or 555.867.5309") == "call <PHONE> or <PHONE>")
+    assert(redact("host 192.168.0.1:8080") == "host <IP>:8080")
+    assert(redact("clean text stays clean") == "clean text stays clean")
+  }
+
+  test("pattern order: SSN is consumed before the phone pattern sees it") {
+    assert(redact("id 123-45-6789 tel 123-456-7890") == "id <SSN> tel <PHONE>")
+  }
+
+  test("word boundaries: digits embedded in longer tokens do not match") {
+    assert(redact("version 1.2.3.4567890 stays") == "version 1.2.3.4567890 stays")
+    assert(redact("x1234-56-7890y") == "x1234-56-7890y")
+  }
+
+  test("piiCount counts per kind on the raw text") {
+    val df = Seq("a@b.co and c@d.io, ip 10.0.0.1").toDF("t")
+    val row = df.select(
+      piiCount(col("t"), "email").as("e"),
+      piiCount(col("t"), "ipv4").as("i"),
+      piiCount(col("t"), "ssn").as("s")).head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 1L, 0L)))
+  }
+
+  test("decontamination flags docs sharing an 8-gram with the benchmark set") {
+    // doc 0: benchmark (8 tokens); doc 1 embeds the same 8-gram inside
+    // longer text; doc 2 shares only 7 consecutive tokens; doc 3 disjoint
+    val docs = Seq(
+      (0L, "one two three four five six seven eight"),
+      (1L, "prefix one two three four five six seven eight suffix"),
+      (2L, "one two three four five six seven DIFFERENT tail pad pad"),
+      (3L, "totally unrelated words that overlap with nothing at all ok")
+    ).toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"),
+      explode(TextSignatures.shingleHashesCol(col("text"), 8)).as("g"))
+    val bench = grams.filter(col("doc_id") === 0).select("g").distinct()
+    val flagged = grams.filter(col("doc_id") =!= 0)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().sorted
+    assert(flagged.toSeq == Seq(1L))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // oracle: brute-force containment over the cross product
+  private def bruteForce(
+      pts: Seq[(Long, Long)], ivs: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (pid, p) <- pts
+      (iid, lo, hi) <- ivs
+      if p >= lo && p <= hi
+    } yield (pid, iid)).toSet
+
+  test("intervalJoin matches brute force, overlapping + touching intervals") {
+    val pts = (0L until 200L).map(i => (i, i * 7 % 500))
+    val ivs = Seq((1L, 0L, 100L), (2L, 50L, 150L), (3L, 150L, 150L),
+      (4L, 400L, 9999L), (5L, 480L, 520L))
+    val got = RangeJoin.intervalJoin(
+        pts.toDF("pid", "p"), "p", ivs.toDF("iid", "lo", "hi"), "lo", "hi",
+        bucketWidth = 64)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == bruteForce(pts, ivs))
+  }
+
+  test("negative axis values bucket correctly (floor, not truncation)") {
+    val pts = Seq((1L, -130L), (2L, -1L), (3L, 0L), (4L, 65L))
+    val ivs = Seq((1L, -200L, -100L), (2L, -10L, 10L), (3L, 60L, 70L))
+    val got = RangeJoin.intervalJoin(
+        pts.toDF("pid", "p"), "p", ivs.toDF("iid", "lo", "hi"), "lo", "hi",
+        bucketWidth = 64)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == bruteForce(pts, ivs))
+  }
+
+  test("each match appears exactly once even when an interval spans many buckets") {
+    val pts = Seq((1L, 500L))
+    val ivs = Seq((1L, 0L, 1000L)) // spans 16 buckets at width 64
+    val got = RangeJoin.intervalJoin(
+        pts.toDF("pid", "p"), "p", ivs.toDF("iid", "lo", "hi"), "lo", "hi",
+        bucketWidth = 64)
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L)))
+  }
+
+  test("plan is a hash join on the bucket key, not nested-loop or cartesian") {
+    val pts = spark.range(0, 10000).select(col("id").as("pid"), (col("id") % 997).as("p"))
+    val ivs = spark.range(0, 2000)
+      .select(col("id").as("iid"), (col("id") % 900).as("lo"))
+      .withColumn("hi", col("lo") + 50)
+    val joined = RangeJoin.intervalJoin(pts, "p", ivs, "lo", "hi", bucketWidth = 50)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested-loop plan:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+    // sanity: the result is still the exact containment join
+    val n = joined.count()
+    val brute = pts.as("a").join(ivs.as("b"),
+      col("a.p") >= col("b.lo") && col("a.p") <= col("b.hi")).count()
+    assert(n == brute)
+  }
+}
