@@ -18,16 +18,19 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Default worker threads = cores/2 (floor 1): local[n] with n ==
-    // ALL physical cores leaves zero headroom for the DAG scheduler,
+    // Worker threads = cores/2 (floor 1): local[n] with n == ALL
+    // physical cores leaves zero headroom for the DAG scheduler,
     // listener bus and GC — measured 3x the per-stage floor of n/2 on
     // a 32-core box (0.19 s vs 0.06 s per job). Cluster deployments
     // size executors the same way: never 1 task-slot per hardware
-    // thread with nothing left for the runtime.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", {
-      val n = Runtime.getRuntime.availableProcessors
-      math.min(32, math.max(1, n / 2)).toString
-    })
+    // thread with nothing left for the runtime. SPARK_GRAFT_CPUS is
+    // the CORE BUDGET (the harness passes the box's core count) and
+    // gets the same halving; SPARK_GRAFT_THREADS pins the worker
+    // count exactly for profiling.
+    val coreBudget = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS",
+      math.min(32, math.max(1, coreBudget / 2)).toString)
     // 5 full-suite iterations by default: run-to-run swings on a
     // shared box measured ±25-30%; the median of 5 is markedly more
     // stable than of 3, and the budget projection below sheds
@@ -89,7 +92,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$ran,"cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$ran,"cpus":$coreBudget,"threads":$cpus}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     println(json)
     spark.stop()

@@ -6,8 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.min(32).toString)
+    // same core-budget halving as Bench: SPARK_GRAFT_CPUS is the box's
+    // core count; running local[allCores] triples the per-job floor
+    val coreBudget = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS",
+      math.min(32, math.max(1, coreBudget / 2)).toString)
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
