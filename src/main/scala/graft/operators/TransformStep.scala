@@ -191,6 +191,28 @@ object TransformStep {
     }
   }
 
+  /** Unpivot (melt): turn `values` columns into (metric, value) rows,
+    * keeping `ids`. Beyond the reference's step list — the wide→long
+    * reshape every feature pipeline needs. Spark's native `unpivot`
+    * emits one output row per (input row × value column) in a single
+    * projection (a generate, no join, no shuffle); value columns are
+    * cast to a common type up front because unpivot requires it.
+    */
+  final case class Unpivot(
+      ids: Seq[String], values: Seq[String],
+      varCol: String = "metric", valCol: String = "value",
+      valueType: String = "double",
+      includeNulls: Boolean = false) extends TransformStep {
+    def apply(df: DataFrame): DataFrame = {
+      val casted = values.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(valueType)))
+      val long = casted.unpivot(
+        ids.map(col).toArray, values.map(col).toArray, varCol, valCol)
+      // SQL UNPIVOT (DuckDB, SQL Server) drops NULL cells; Spark's
+      // unpivot keeps them — default to the SQL semantics
+      if (includeNulls) long else long.filter(col(valCol).isNotNull)
+    }
+  }
+
   /** Run a step list as one composed lazy plan. */
   def applyAll(df: DataFrame, steps: Seq[TransformStep]): DataFrame =
     steps.foldLeft(df)((d, s) => s(d))

@@ -322,6 +322,40 @@ object CoreQueries {
           sum(col("o_totalprice").cast("decimal(18,4)"))
             .cast("double").as("total_price"))
         .orderBy("win_id")
+    }),
+
+    // Rolling time-RANGE window: per customer, each order's trailing
+    // 90-day order count and average spend — the moving-aggregate
+    // shape (sessionless trailing metrics) the frame-less windows
+    // above don't cover. RANGE BETWEEN over a day-number axis:
+    // partitioned by customer, so the sort is per-key and distributes;
+    // the decimal sum is exact, making the double division
+    // order-independent across engines.
+    "q_rolling_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).as("d"),
+          col("o_totalprice").cast("decimal(18,4)").as("p"))
+        .select(col("o_orderkey"),
+          count(lit(1)).over(w).as("n_win"),
+          (sum(col("p")).over(w).cast("double") / count(lit(1)).over(w))
+            .as("avg_win"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Unpivot/melt (wide → long) as a TransformStep; one generate
+    // projection, no shuffle.
+    "t_unpivot" -> ((s, dir) => {
+      graft.operators.TransformStep.Unpivot(
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .apply(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
     })
   )
 
@@ -336,6 +370,23 @@ object CoreQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         |FROM win JOIN orders ON CAST(o_orderdate AS DATE) BETWEEN lo AND hi
         |GROUP BY win_id ORDER BY win_id""".stripMargin,
+    "q_rolling_avg" ->
+      """SELECT o_orderkey,
+        |  count(*) OVER w AS n_win,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS avg_win
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "t_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |                 l_extendedprice, l_discount FROM lineitem)
+        |      ON l_quantity, l_extendedprice, l_discount
+        |      INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "t_rename_column" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -113,4 +113,20 @@ class TransformStepSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("overflows DECIMAL(6,2)")))
   }
+
+  test("Unpivot melts wide to long; SQL semantics drop null cells by default") {
+    val wide = Seq((1L, 2.0, 3.0), (2L, 5.0, 7.0)).toDF("id", "a", "b")
+      .withColumn("b", when(col("id") === 2, col("b"))) // row 1: b = null
+    val long = Unpivot(Seq("id"), Seq("a", "b"))(wide)
+      .orderBy("id", "metric")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(long.toSeq == Seq((1L, "a", 2.0), (2L, "a", 5.0), (2L, "b", 7.0)))
+    val kept = Unpivot(Seq("id"), Seq("a", "b"), includeNulls = true)(wide)
+    assert(kept.count() == 4)
+    // int values unify to the requested type
+    val ints = Seq((1L, 2, 3)).toDF("id", "x", "y")
+    val melted = Unpivot(Seq("id"), Seq("x", "y"))(ints)
+    assert(melted.schema("value").dataType.sql == "DOUBLE")
+    assert(melted.count() == 2)
+  }
 }
