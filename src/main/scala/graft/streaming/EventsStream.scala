@@ -145,6 +145,32 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Watermarked stream-stream interval join: each `left` event is
+    * matched to `right` events with the same key whose timestamp falls
+    * in `[left.ts - lookback, left.ts]` — the click→view attribution
+    * shape. Both inputs get watermarks and the join condition carries
+    * the time range, which is what lets Spark BOUND BOTH JOIN STATES:
+    * a right event can be dropped from state once the left watermark
+    * passes its ts + lookback, so the job runs forever on unbounded
+    * inputs. Without the range condition (or the watermarks) the state
+    * grows without limit — the planner would accept it, then the
+    * cluster would die slowly; this wrapper makes the bounded form the
+    * only one expressible.
+    */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame, joinKey: String = "user_id",
+      lookback: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"l.$joinKey = r.$joinKey AND " +
+        s"r.ts BETWEEN l.ts - INTERVAL $lookback AND l.ts"))
+      .select(col(s"l.$joinKey").as(joinKey),
+        col("l.ts").as("left_ts"), col("l.event_type").as("left_type"),
+        col("r.ts").as("right_ts"), col("r.event_type").as("right_type"))
+  }
+
   /** File-source streaming read of an events directory (schema
     * must be supplied — streaming sources don't infer).
     */

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: incremental dedup at sf1-equivalent scale — Bloom
+  * map-side probe (IncrementalDedup.dropExisting) vs the naive
+  * both-sides-shuffle LEFT ANTI join, on an N-fold corpus built from
+  * sf0.1 documents. Also records corpus-side shuffle bytes via the
+  * listener API (the naive plan shuffles the whole corpus; the Bloom
+  * plan shuffles only the candidate slice). Results go to BASELINE.md.
+  * Not part of the library surface.
+  */
+object ProfileIncremental {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(25)
+
+    val base = graft.Tables.load(spark, dir, "documents")
+    val corpusPath = s"/tmp/graft_incr_corpus_x$mult"
+    (0 until mult).map { k =>
+      base.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$k")).as("text"))
+    }.reduce(_ unionByName _)
+      .repartition(16).write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    println(s"[incr] corpus x$mult = ${corpus.count()} docs")
+
+    // batch: 5k docs, half replica0 dups (present in corpus), half fresh
+    val batch = base.filter(col("doc_id") < 2500)
+      .select((col("doc_id") + 90000000L).as("doc_id"),
+        concat(col("text"), lit(" replica0")).as("text"))
+      .unionByName(base.filter(col("doc_id") < 2500)
+        .select((col("doc_id") + 91000000L).as("doc_id"),
+          concat(col("text"), lit(" freshbatch")).as("text")))
+    println(s"[incr] batch = ${batch.count()} docs")
+
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+
+    var shuffleRead0 = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleRead0 += e.taskMetrics.shuffleReadMetrics.totalBytesRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def time(label: String)(body: => Long): Unit = {
+      Thread.sleep(500) // let the async listener bus drain
+      shuffleRead0 = 0L
+      val t0 = System.nanoTime()
+      val n = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"[incr] $label%-28s $dt%7.1f s  ($n kept, ${shuffleRead0 / 1024 / 1024}%5d MiB shuffled)")
+      spark.catalog.clearCache()
+    }
+
+    for (round <- 1 to 2) { // round 1 warms the page cache
+      println(s"[incr] --- round $round ---")
+      time("naive anti-join") {
+        batch.withColumn("_ik", fp)
+          .join(corpus.select(fp.as("_ik")).distinct(), Seq("_ik"), "left_anti")
+          .count()
+      }
+      time("bloom map-side probe") {
+        graft.operators.IncrementalDedup.dropExisting(batch, corpus, fp).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -170,4 +170,34 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(s.user_id == 1L && s.n_events == 2L && s.total_value == 3.0)
     assert(s.end_ts - s.start_ts == 60 * 1000L)
   }
+
+  test("stream-stream interval join matches within lookback, same key only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val query = intervalJoinStreams(
+        clicks.toDF(), views.toDF(), lookback = "5 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+
+    views.addData(
+      Event(ts(1), 1L, "view_a", 0.0),  // 9 min before click: outside
+      Event(ts(7), 1L, "view_b", 0.0),  // 3 min before click: inside
+      Event(ts(9), 2L, "view_c", 0.0))  // right key, wrong user
+    clicks.addData(Event(ts(10), 1L, "click", 1.0))
+    query.processAllAvailable()
+    // advance both watermarks so the joined results finalize in append
+    // mode (distinct keys so the noise rows can't join each other)
+    views.addData(Event(ts(59), 8L, "noise", 0.0))
+    clicks.addData(Event(ts(59), 9L, "noise", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("attrib")
+      .select("user_id", "left_type", "right_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "click", "view_b")))
+  }
 }
