@@ -87,13 +87,19 @@ object Similarity {
 
   def ivfIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 20): IvfIndex = {
+      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 20,
+      initMode: String = "k-means||"): IvfIndex = {
     import org.apache.spark.ml.feature.{VectorAssembler => _}
     import org.apache.spark.ml.linalg.Vectors
     val toMl = org.apache.spark.ml.functions.array_to_vector(col(vecCol).cast("array<double>"))
     val features = df.withColumn("_features", toMl)
+    // initMode "random" skips k-means||'s extra distributed init
+    // passes — centroid quality only shifts WHICH cells hold which
+    // vectors (recall of the pruned path), never top-k correctness,
+    // and faiss-style IVF training routinely uses cheap init + few
+    // iterations on a sample at scale.
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
       .setFeaturesCol("_features").setPredictionCol("_cell")
     val model = km.fit(features)
     val assigned = model.transform(features).drop("_features")

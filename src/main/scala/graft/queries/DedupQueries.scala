@@ -172,7 +172,8 @@ object DedupQueries {
         .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
       // at full probe the cell layout can't change the result, so a
       // couple of KMeans iterations are plenty for the index build
-      val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8, maxIter = 3)
+      val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8,
+        maxIter = 3, initMode = "random")
       Similarity.ivfTopK(idx, "vec_id", "embedding", query, k = 10, nprobe = 8)
     }),
 

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property tests: RangeJoin must equal brute-force containment for
+  * ANY bucket width and any point/interval distribution (the width is
+  * a pure performance knob), and PII redaction must be idempotent and
+  * deterministic on arbitrary text.
+  */
+class RangeJoinPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("intervalJoin == brute force for arbitrary widths and data (100 cases)") {
+    val genCase = for {
+      width <- Gen.choose(1L, 300L)
+      nPts <- Gen.choose(0, 40)
+      nIvs <- Gen.choose(0, 15)
+      pts <- Gen.listOfN(nPts, Gen.choose(-500L, 500L))
+      ivs <- Gen.listOfN(nIvs, for {
+        lo <- Gen.choose(-500L, 500L)
+        len <- Gen.choose(0L, 400L)
+      } yield (lo, lo + len))
+    } yield (width, pts, ivs)
+
+    val prop = Prop.forAll(genCase) { case (width, pts, ivs) =>
+      val ptsDf = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+      val ivsDf = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = RangeJoin.intervalJoin(ptsDf, "p", ivsDf, "lo", "hi", width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (p, pi) <- pts.zipWithIndex
+        ((lo, hi), ii) <- ivs.zipWithIndex
+        if p >= lo && p <= hi
+      } yield (pi.toLong, ii.toLong)).toSet
+      got == want
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("piiRedact is idempotent and deterministic on adversarial digit/dot/at soup") {
+    import graft.functions.TextFunctions.piiRedact
+    val genText = Gen.listOfN(30, Gen.oneOf(
+      Gen.numStr.map(_.take(4)), Gen.const("."), Gen.const("-"), Gen.const("@"),
+      Gen.alphaStr.map(_.take(5)), Gen.const(" "), Gen.const("10.0.0.1"),
+      Gen.const("a@b.co"), Gen.const("123-45-6789"))).map(_.mkString)
+    val prop = Prop.forAll(genText) { text =>
+      val df = Seq(text).toDF("t")
+      val once = df.select(piiRedact(col("t"))).head.getString(0)
+      val twice = df.select(piiRedact(piiRedact(col("t")))).head.getString(0)
+      val again = df.select(piiRedact(col("t"))).head.getString(0)
+      once == twice && once == again
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
