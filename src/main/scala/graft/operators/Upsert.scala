@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-set application (upsert/merge): apply a batch of keyed
+  * inserts/updates/deletes to a base table — the MERGE INTO shape,
+  * expressed with vanilla operators so it runs on plain parquet
+  * without a table format.
+  *
+  * Plan shape: ONE shuffle join + a union —
+  * `base LEFT ANTI changes` removes every touched key (updates
+  * replace, deletes disappear), then non-delete change rows union in.
+  * The anti join shuffles on the key like any equi-join (broadcastable
+  * when the change batch is small — the common case: nightly changes
+  * vs a full-history base), and the union is free (no shuffle).
+  * Column-level partial updates would need the full outer join
+  * variant; the reference's db_insert supports only append/replace,
+  * so whole-row semantics match what its users upgrade to first.
+  */
+object Upsert {
+
+  /** Apply `changes` to `base`. `changes` carries base's columns plus
+    * `opCol` ∈ {I, U, D} (insert / update-replace / delete). Unknown
+    * ops raise at plan build. Duplicate keys WITHIN the change batch
+    * are the caller's bug (last-writer-wins needs an order column);
+    * this keeps them all, same as SQL MERGE raises.
+    */
+  def applyChanges(
+      base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], opCol: String = "op",
+      broadcastChanges: Boolean = true): DataFrame = {
+    // plan-time guard would need an action; enforce per-row instead —
+    // raise_error folds into the projection, costs nothing when clean
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(lit(s"unknown $opCol: "), col(opCol)))))
+    val touched =
+      if (broadcastChanges) broadcast(checked.select(keyCols.map(col): _*))
+      else checked.select(keyCols.map(col): _*)
+    base.join(touched, keyCols, "left_anti")
+      .unionByName(checked.filter(col(opCol) =!= "D").drop(opCol))
+  }
+}

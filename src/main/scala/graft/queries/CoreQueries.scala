@@ -346,6 +346,26 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Upsert / change-set merge (the MERGE INTO shape on plain
+    // parquet): a deterministic change batch — updates for custkey
+    // % 100 == 0 (+100 acctbal), deletes for % 97 == 0, inserts
+    // shifted by 10^6 — applied as ONE anti join (broadcast: nightly
+    // changes are small next to a full-history base) + a free union.
+    "t_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+      val updates = base.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("op", lit("U"))
+      val deletes = base.filter(col("c_custkey") % 97 === 0)
+        .withColumn("op", lit("D"))
+      val inserts = base.filter(col("c_custkey") % 150 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("op", lit("I"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.operators.Upsert.applyChanges(base, changes, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
     // Unpivot/melt (wide → long) as a TransformStep; one generate
     // projection, no shuffle.
     "t_unpivot" -> ((s, dir) => {
@@ -380,6 +400,26 @@ object CoreQueries {
         |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "t_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment, 'U' AS op
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+        |  FROM customer WHERE c_custkey % 97 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 150 = 0
+        |)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM changes WHERE op != 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "t_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value
         |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,

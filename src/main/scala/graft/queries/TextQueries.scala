@@ -197,6 +197,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Training-sequence packing: assign docs to fixed-token-budget
+    // bins (budget 2048) by start offset — bin = (running token count
+    // BEFORE this doc) div budget, per language. The streaming
+    // approximation of first-fit packing used when assembling
+    // pretraining batches; one windowed cumsum, partitioned by lang so
+    // the sort distributes.
+    "x_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("_cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin_id", expr("(_cum - n_tokens) DIV 2048"))
+        .drop("_cum")
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup: one hash-aggregate, keep min doc_id per normalized
     // fingerprint. The 100 TB shape: a single shuffle on the hash.
     "d_exact_dedup" -> ((s, dir) => {
@@ -283,6 +301,14 @@ object TextQueries {
       s"""SELECT ${fingerprintSql("text")} AS fp, min(doc_id) AS keep_id,
          |  count(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "x_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(${wsTokenCountSql("text")} AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+         |        - n_tokens) // 2048 AS BIGINT) AS bin_id
+         |FROM t ORDER BY doc_id""".stripMargin,
     "x_pii_redact" -> {
       val salt = "text || ' Contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@example.com, call 555-867-5309, ssn 123-45-6789, ip 10.0.0.' || " +

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class UpsertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "name", "bal")
+
+  test("applyChanges: insert, update-replace, delete, untouched") {
+    val changes = Seq(
+      (2L, "b2", 99.0, "U"), // replace row 2
+      (3L, "c", 30.0, "D"),  // delete row 3
+      (9L, "new", 5.0, "I")  // insert
+    ).toDF("k", "name", "bal", "op")
+    val got = Upsert.applyChanges(base, changes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "b2", 99.0), (4L, "d", 40.0), (9L, "new", 5.0)))
+  }
+
+  test("unknown op raises loudly at execution") {
+    val changes = Seq((2L, "x", 0.0, "X")).toDF("k", "name", "bal", "op")
+    val e = intercept[Exception] {
+      Upsert.applyChanges(base, changes, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unknown op")))
+  }
+
+  test("empty change batch is the identity") {
+    val changes = Seq.empty[(Long, String, Double, String)]
+      .toDF("k", "name", "bal", "op")
+    val got = Upsert.applyChanges(base, changes, Seq("k"))
+    assert(got.orderBy("k").collect().toSeq == base.orderBy("k").collect().toSeq)
+  }
+
+  test("change batch broadcasts by default (no shuffle of the base)") {
+    val changes = Seq((2L, "b2", 99.0, "U")).toDF("k", "name", "bal", "op")
+    val plan = Upsert.applyChanges(base, changes, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast anti join:\n$plan")
+  }
+}
