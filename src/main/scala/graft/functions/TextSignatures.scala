@@ -81,6 +81,29 @@ object TextSignatures {
     new GenericArrayData(java.util.Arrays.copyOf(buf, cnt))
   }
 
+  /** ALL n-token shingles as strings (space-joined lowercase tokens),
+    * multiplicity KEPT — the corpus-frequency variant of
+    * [[shingleHashes]] (which dedups within the doc for set
+    * signatures). Same tokenization, so the DuckDB list-comprehension
+    * twin is exact.
+    */
+  def shingleStrings(s: UTF8String, n: Int): ArrayData = {
+    val str = s.trim().toLowerCase.toString
+    val toks = WS.split(str, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val m = toks.length - n + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-wide MinHash signature over a doc's shingle-hash array.
     * Values are bit-identical to `transform(sequence(0, k-1), s =>
     * array_min(transform(hs, h => xxhash64(s, h))))`. An empty input
@@ -151,6 +174,11 @@ object TextSignatures {
       { children: Seq[Expression] =>
         ShingleHashes(children.head, litInt(children, "graft_shingle_hashes")) })
     reg.registerFunction(
+      FunctionIdentifier("graft_shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStringsExpr].getName, "graft_shingle_strings"),
+      { children: Seq[Expression] =>
+        ShingleStringsExpr(children.head, litInt(children, "graft_shingle_strings")) })
+    reg.registerFunction(
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
       { children: Seq[Expression] =>
@@ -176,6 +204,34 @@ object TextSignatures {
 
   def simHash64Col(text: Column): Column =
     ncol(SimHash64Expr(ex(text)))
+
+  def shingleStringsCol(text: Column, n: Int): Column =
+    ncol(ShingleStringsExpr(ex(text), n))
+}
+
+/** `graft_shingle_strings(text, n)` → array<string>: ALL word n-grams
+  * as strings, multiplicity kept (corpus-frequency variant of
+  * [[ShingleHashes]]).
+  */
+case class ShingleStringsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_strings requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_strings"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextSignatures.shingleStrings(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextSignatures.shingleStrings($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStringsExpr =
+    copy(child = newChild)
 }
 
 /** `graft_shingle_hashes(text, n)` → array<bigint>: distinct hashed

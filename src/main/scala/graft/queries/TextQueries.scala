@@ -197,6 +197,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus n-gram frequency table (top 100 word-3-grams): the
+    // vocabulary/boilerplate analysis pass of any corpus report.
+    // Grams generated by the codegen'd ShingleStrings expression
+    // (multiplicity kept); the count is a hash aggregate with map-side
+    // combine, and the top-100 runs as TakeOrdered — no global sort.
+    "x_ngram_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(graft.functions.TextSignatures
+          .shingleStringsCol(col("text"), 3)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(100)
+    }),
+
     // Training-sequence packing: assign docs to fixed-token-budget
     // bins (budget 2048) by start offset — bin = (running token count
     // BEFORE this doc) div budget, per language. The streaming
@@ -301,6 +314,19 @@ object TextQueries {
       s"""SELECT ${fingerprintSql("text")} AS fp, min(doc_id) AS keep_id,
          |  count(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "x_ngram_stats" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT unnest(CASE WHEN len(t) >= 3 THEN
+        |      [array_to_string(t[i:i+2], ' ')
+        |       for i in generate_series(1, len(t)-2)]
+        |    ELSE [] END) AS gram
+        |  FROM toks
+        |)
+        |SELECT gram, count(*) AS n FROM grams
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "x_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(${wsTokenCountSql("text")} AS BIGINT) AS n_tokens

@@ -105,4 +105,17 @@ class TextSignaturesSpec extends AnyFunSuite {
       .collect().head
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("shingleStrings keeps multiplicity and matches tokenization") {
+    val grams = Seq("  The cat AND the cat  ").toDF("text")
+      .select(TextSignatures.shingleStringsCol(col("text"), 2))
+      .head.getSeq[String](0)
+    // lowercased, trimmed, ALL consecutive pairs incl. the repeat
+    assert(grams == Seq("the cat", "cat and", "and the", "the cat"))
+    // shorter than n → empty, not null; null → null
+    val edge = Seq[Option[String]](Some("one two"), None).toDF("text")
+      .select(TextSignatures.shingleStringsCol(col("text"), 3))
+      .collect()
+    assert(edge(0).getSeq[String](0).isEmpty && edge(1).isNullAt(0))
+  }
 }
