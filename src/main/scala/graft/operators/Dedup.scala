@@ -256,27 +256,36 @@ object Dedup {
     *
     * Returns (id, component) for every id present in `pairs`, where
     * component = min id of the connected component.
-    */
-  /** `collectLimit`: adaptive small-graph fast path — when the
-    * DISTINCT pair list fits under this bound it is collected once and
+    *
+    * `collectLimit`: adaptive small-graph fast path — when the
+    * CANONICALIZED pair list (orientation-deduped, so (a,b)/(b,a)
+    * count once) fits under this bound it is collected once and
     * solved with driver-side union-find, and the result returns as a
     * LocalRelation (so the downstream anti-join broadcasts for free).
     * This is the connected-components analogue of the broadcast join:
     * a near-dup pair list is a tiny fraction of the corpus (bounded by
     * the upstream `maxBucketSize` guards), and the iterative
     * star-contraction costs ~2 scheduled jobs + 2 shuffles PER ROUND —
-    * pure fixed cost when the whole graph fits in one task. Graphs over
-    * the bound take the distributed path unchanged. Set 0 to force
-    * distributed.
+    * pure fixed cost when the whole graph fits in one task. The
+    * default bound (262k pairs ≈ tens of MB on the driver) is sized
+    * for an UNTUNED driver heap. Graphs over the bound take the
+    * distributed path unchanged — at the cost of the probe's wasted
+    * distinct: callers that KNOW the graph is huge pass 0 to skip the
+    * probe entirely.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 50, collectLimit: Int = 1 << 20): DataFrame = {
+      maxIter: Int = 50, collectLimit: Int = 1 << 18): DataFrame = {
     if (collectLimit > 0) {
-      // ONE job: collect at most limit+1 distinct pairs; overflow ⇒
-      // the graph is genuinely large ⇒ fall through to distributed.
-      val head = pairs.select(col(aCol), col(bCol)).distinct()
-        .limit(collectLimit + 1).collect()
+      // ONE job: collect at most limit+1 canonicalized pairs; overflow
+      // ⇒ the graph is genuinely large ⇒ fall through to distributed.
+      // greatest/least skip NULLs, so a null-partner row (a, null)
+      // canonicalizes to the self-pair (a, a) — singleton membership
+      // survives the orientation dedup (the contract covers every id).
+      val head = pairs
+        .select(greatest(col(aCol), col(bCol)).as(aCol),
+          least(col(aCol), col(bCol)).as(bCol))
+        .distinct().limit(collectLimit + 1).collect()
       if (head.length <= collectLimit)
         return localComponents(pairs.sparkSession, head,
           pairs.schema(aCol).dataType)

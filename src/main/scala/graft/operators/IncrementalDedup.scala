@@ -39,12 +39,16 @@ object IncrementalDedup {
   def dropExisting(
       batch: DataFrame, corpus: DataFrame, key: Column,
       expectedBatchKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    // persist: the keyed batch is read twice (bloom build + anti join)
+    // and the key expression (e.g. a full-text fingerprint) dominates
+    // the batch-side cost — compute it once, not per consumer
     val keyed = batch.withColumn("_ik", key)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stat.bloomFilter NPEs on zero rows (null aggregate); an empty
-    // batch dedups to itself. limit-1 probe — cheap next to the
-    // treeAggregate that follows.
-    if (keyed.isEmpty) return keyed.drop("_ik")
-    val bloom = keyed.stat.bloomFilter(xxhash64(col("_ik")), expectedBatchKeys, fpp)
+    // batch dedups to itself
+    val bloom =
+      try keyed.stat.bloomFilter(xxhash64(col("_ik")), expectedBatchKeys, fpp)
+      catch { case _: NullPointerException => return keyed.drop("_ik") }
     val candidates = corpus
       .select(key.as("_ik"))
       .filter(BloomMightContain.mightContain(xxhash64(col("_ik")), bloom))

@@ -45,7 +45,11 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     def bucketOf(c: String) = // floor division on longs
       expr(s"(CAST($c AS BIGINT) - pmod(CAST($c AS BIGINT), $bucketWidth)) DIV $bucketWidth")
-    val iv = intervals.withColumn("_rj_b",
+    // an inverted interval (hi < lo) matches nothing under BETWEEN —
+    // drop it BEFORE the explode, where Spark's sequence() would
+    // otherwise generate a DESCENDING bucket range: O(span) junk rows
+    // per malformed interval that the residual filter silently eats
+    val iv = intervals.filter(col(loCol) <= col(hiCol)).withColumn("_rj_b",
       explode(sequence(bucketOf(loCol), bucketOf(hiCol))))
     val pt = points.withColumn("_rj_b", bucketOf(pointCol))
     pt.alias("_p").join(iv.alias("_i"),

@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** Apply `changes` to `base`. `changes` carries base's columns plus
-    * `opCol` ∈ {I, U, D} (insert / update-replace / delete). Unknown
-    * ops raise at plan build. Duplicate keys WITHIN the change batch
-    * are the caller's bug (last-writer-wins needs an order column);
-    * this keeps them all, same as SQL MERGE raises.
+    * `opCol` ∈ {I, U, D}: I and U are BOTH replace-or-insert (the op
+    * letter is audit metadata from the CDC source, not a behavioral
+    * switch — an 'I' whose key already exists replaces the base row,
+    * it does not error or duplicate; strict WHEN-NOT-MATCHED-only
+    * semantics would need a key-conflict check against the base,
+    * i.e. a second join), and D deletes. Unknown ops raise at
+    * execution. Duplicate keys WITHIN the change batch are the
+    * caller's bug (last-writer-wins needs an order column); this
+    * keeps them all, same as SQL MERGE raises.
     */
   def applyChanges(
       base: DataFrame, changes: DataFrame,

@@ -39,6 +39,16 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == bruteForce(pts, ivs))
   }
 
+  test("inverted intervals (hi < lo) match nothing and do not explode") {
+    val pts = Seq((1L, 50L))
+    val ivs = Seq((1L, 100000L, -100000L), (2L, 40L, 60L))
+    val got = RangeJoin.intervalJoin(
+        pts.toDF("pid", "p"), "p", ivs.toDF("iid", "lo", "hi"), "lo", "hi",
+        bucketWidth = 1) // width 1: an unguarded inverted span = 200k rows
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
   test("each match appears exactly once even when an interval spans many buckets") {
     val pts = Seq((1L, 500L))
     val ivs = Seq((1L, 0L, 1000L)) // spans 16 buckets at width 64

@@ -25,6 +25,13 @@ class UpsertSpec extends AnyFunSuite {
       (1L, "a", 10.0), (2L, "b2", 99.0), (4L, "d", 40.0), (9L, "new", 5.0)))
   }
 
+  test("'I' on an existing key replaces (op letter is audit metadata, not a switch)") {
+    val changes = Seq((2L, "b_ins", 77.0, "I")).toDF("k", "name", "bal", "op")
+    val got = Upsert.applyChanges(base, changes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b_ins"), (3L, "c"), (4L, "d")))
+  }
+
   test("unknown op raises loudly at execution") {
     val changes = Seq((2L, "x", 0.0, "X")).toDF("k", "name", "bal", "op")
     val e = intercept[Exception] {
