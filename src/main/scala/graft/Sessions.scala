@@ -21,6 +21,8 @@ object Sessions {
   /** Apply the standard configs to any builder (driver-owned sessions too). */
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // graft's SQL functions + the auto range-join optimizer rule
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

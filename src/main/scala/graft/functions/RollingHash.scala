@@ -95,6 +95,9 @@ object RollingHash {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rules: auto range-join rewrite (BETWEEN join with no
+    // equi-key → bucketed hash join; see plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),

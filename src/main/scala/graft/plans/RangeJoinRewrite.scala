@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+/** Auto range-join rewrite: a `Rule[LogicalPlan]` that detects the
+  * nested-loop trap `points JOIN intervals ON p BETWEEN lo AND hi`
+  * (an inner join whose condition has a one-sided point bounded by
+  * two other-side bounds and NO equi-key) and rewrites it into the
+  * bucketed form [[graft.operators.RangeJoin]] exposes as an API:
+  * explode the interval side to the buckets it overlaps, equi-join on
+  * the bucket id, keep the original predicate as the residual. Users
+  * write the natural SQL; the optimizer picks the scalable plan — the
+  * same contract Spark's own join selection provides for equi-joins.
+  *
+  * Injected via [[graft.functions.GraftExtensions]] (so
+  * `spark.sql.extensions=graft.functions.GraftExtensions` turns it on
+  * for every session) or ad hoc through
+  * `spark.experimental.extraOptimizations`. Config:
+  *  - `spark.graft.rangeJoin.enabled` (default true)
+  *  - `spark.graft.rangeJoin.bucketWidth` (default 64 axis units)
+  *
+  * Scope guards (anything outside them is left to Spark):
+  *  - inner joins only — outer variants need null-extension the
+  *    bucketed rewrite would have to re-derive;
+  *  - integral axes (byte/short/int/long) — date/timestamp callers
+  *    pre-convert (`datediff`/`unix_timestamp`), keeping bucket math
+  *    in exact long arithmetic;
+  *  - no equi-conjunct present — if one exists Spark already plans a
+  *    hash join and the bucket would only add overhead;
+  *  - matches are found in exactly ONE bucket (the point's), so the
+  *    rewrite needs no dedup and is safe for any extra residual
+  *    conjuncts, which ride along unchanged.
+  */
+case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    session.conf.get("spark.graft.rangeJoin.enabled", "true").toBoolean
+  private def width: Long = {
+    val w = session.conf.get("spark.graft.rangeJoin.bucketWidth", "64").toLong
+    require(w > 0, s"spark.graft.rangeJoin.bucketWidth must be > 0, got $w")
+    w
+  }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  // exact floor division on longs: (x - pmod(x, w)) div w
+  private def bucketOf(e: Expression, w: Long): Expression = {
+    val x = Cast(e, LongType)
+    val wl = Literal(w, LongType)
+    IntegralDivide(Subtract(x, Pmod(x, wl)), wl)
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    val w = width
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        val conjuncts = splitConj(cond)
+        val hasEquiKey = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+          case _ => false
+        }
+        // (point expr, lo, hi, points-side-is-left) for p >= lo AND p <= hi
+        def boundsOf(pSide: LogicalPlan, iSide: LogicalPlan): Option[(Expression, Expression, Expression)] = {
+          def oneSided(e: Expression, side: LogicalPlan) =
+            e.references.nonEmpty && e.references.subsetOf(side.outputSet) && e.deterministic
+          val lower = conjuncts.collectFirst {
+            case GreaterThanOrEqual(p, lo) if oneSided(p, pSide) && oneSided(lo, iSide) => (p, lo)
+            case LessThanOrEqual(lo, p) if oneSided(p, pSide) && oneSided(lo, iSide) => (p, lo)
+          }
+          lower.flatMap { case (p, lo) =>
+            conjuncts.collectFirst {
+              case LessThanOrEqual(p2, hi) if p2.semanticEquals(p) && oneSided(hi, iSide) => hi
+              case GreaterThanOrEqual(hi, p2) if p2.semanticEquals(p) && oneSided(hi, iSide) => hi
+            }.map(hi => (p, lo, hi))
+          }
+        }
+        val hit: Option[(Expression, Expression, Expression, Boolean)] =
+          if (hasEquiKey) None
+          else boundsOf(left, right).map { case (p, lo, hi) => (p, lo, hi, true) }
+            .orElse(boundsOf(right, left).map { case (p, lo, hi) => (p, lo, hi, false) })
+        hit match {
+          case Some((p, lo, hi, pointsLeft))
+              if integral(p.dataType) && integral(lo.dataType) && integral(hi.dataType) =>
+            val (points, intervals) = if (pointsLeft) (left, right) else (right, left)
+            val pB = Alias(bucketOf(p, w), "_graft_rjb_p")()
+            val newPoints = Project(points.output :+ pB, points)
+            // inverted/null bounds yield an empty/null sequence → no
+            // rows from the generator, matching BETWEEN semantics
+            val guarded = Filter(LessThanOrEqual(lo, hi), intervals)
+            val seq = Sequence(bucketOf(lo, w), bucketOf(hi, w),
+              Some(Literal(1L, LongType)), Some(session.sessionState.conf.sessionLocalTimeZone))
+            val genAttr = AttributeReference("_graft_rjb_i", LongType, nullable = false)()
+            val newIntervals = Generate(Explode(seq), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None, generatorOutput = Seq(genAttr), guarded)
+            val bucketEq = EqualTo(pB.toAttribute, genAttr)
+            val (nl, nr) =
+              if (pointsLeft) (newPoints, newIntervals) else (newIntervals, newPoints)
+            Project(j.output, Join(nl, nr, Inner, Some(And(bucketEq, cond)), hint))
+          case _ => j
+        }
+    }
+  }
+}

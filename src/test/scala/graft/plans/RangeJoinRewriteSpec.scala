@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The injected optimizer rule: TestSpark's session is built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (via
+  * Sessions.tune), so a plain BETWEEN join written in SQL or the
+  * DataFrame API must come out as a bucketed HASH join — no
+  * BroadcastNestedLoopJoin — with the result unchanged.
+  */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pts = spark.range(0, 5000)
+    .select(col("id").as("pid"), (col("id") % 997).as("p"))
+  private def ivs = spark.range(0, 800)
+    .select(col("id").as("iid"), (col("id") % 900).as("lo"))
+    .withColumn("hi", col("lo") + 40)
+
+  test("natural BETWEEN join is rewritten to a bucketed hash join") {
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"BETWEEN join was not rewritten:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+    // identical result to the unrewritten plan
+    val n = joined.count()
+    val expected = {
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      try pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi")).count()
+      finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    }
+    assert(n == expected && n > 0)
+  }
+
+  test("SQL-surface BETWEEN gets the same rewrite") {
+    pts.createOrReplaceTempView("rjr_pts")
+    ivs.createOrReplaceTempView("rjr_ivs")
+    val q = spark.sql(
+      "SELECT pid, iid FROM rjr_pts JOIN rjr_ivs ON p BETWEEN lo AND hi")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("join with an equi-key is left alone") {
+    val l = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("p"))
+    val r = spark.range(0, 100)
+      .select(col("id").as("k"), col("id").as("lo"), (col("id") + 500).as("hi"))
+    val joined = l.join(r, l("k") === r("k") && l("p") >= r("lo") && l("p") <= r("hi"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("_graft_rjb"),
+      s"equi-key join should not be bucket-rewritten:\n$optimized")
+  }
+
+  test("mirrored orientation (intervals on the left) rewrites too") {
+    val joined = ivs.join(pts, col("p") >= col("lo") && col("p") <= col("hi"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("_graft_rjb"), s"mirror not rewritten:\n$optimized")
+    assert(joined.count() ==
+      pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi")).count())
+  }
+
+  test("non-integral axes are left to Spark") {
+    val l = Seq(("2024-01-05", 1L)).toDF("d", "pid")
+      .select(col("d").cast("date").as("d"), col("pid"))
+    val r = Seq(("2024-01-01", "2024-01-31", 1L)).toDF("lo", "hi", "iid")
+      .select(col("lo").cast("date").as("lo"), col("hi").cast("date").as("hi"), col("iid"))
+    val joined = l.join(r, col("d") >= col("lo") && col("d") <= col("hi"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("_graft_rjb"))
+    assert(joined.count() == 1) // still correct via Spark's own plan
+  }
+
+  test("inverted and null bounds produce no matches, no blowup") {
+    val l = Seq((1L, 50L)).toDF("pid", "p")
+    val r = Seq((1L, Some(100000L), Some(-100000L)), (2L, Some(40L), Some(60L)),
+      (3L, None, Some(60L))).toDF("iid", "lo", "hi")
+    val got = l.join(r, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+}
