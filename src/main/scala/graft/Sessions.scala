@@ -16,9 +16,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cpus: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession =
-    tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    activate(tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
 
-  /** Apply the standard configs to any builder (driver-owned sessions too). */
+  /** Belt-and-braces extension load for an ALREADY-RUNNING session:
+    * `spark.sql.extensions` is static conf, a no-op when getOrCreate
+    * returns an existing session — this registers the optimizer rule
+    * through the runtime hook instead (idempotent; a double
+    * application is harmless anyway: the rewritten join carries an
+    * equi-key, which the rule skips).
+    */
+  def activate(spark: SparkSession): SparkSession = {
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeJoinRewrite(spark))
+    spark
+  }
+
+  /** Apply the standard configs to any builder (driver-owned sessions
+    * too). NOTE: sets `spark.sql.extensions` — a caller composing its
+    * own extensions should append `graft.functions.GraftExtensions`
+    * to its comma-separated list instead of calling tune, or call
+    * [[activate]] on the built session.
+    */
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     // graft's SQL functions + the auto range-join optimizer rule

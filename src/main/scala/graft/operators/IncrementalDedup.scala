@@ -39,16 +39,23 @@ object IncrementalDedup {
   def dropExisting(
       batch: DataFrame, corpus: DataFrame, key: Column,
       expectedBatchKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
-    // persist: the keyed batch is read twice (bloom build + anti join)
-    // and the key expression (e.g. a full-text fingerprint) dominates
-    // the batch-side cost — compute it once, not per consumer
+    // The key expression is evaluated twice (bloom build + final anti
+    // join) — deliberately NOT persisted here: an operator-owned
+    // persist with no unpersist hook would pin every batch in executor
+    // storage for the session's lifetime. Callers whose key dominates
+    // (full-text fingerprints on a huge batch) should pre-compute the
+    // key column and persist/checkpoint it themselves.
     val keyed = batch.withColumn("_ik", key)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stat.bloomFilter NPEs on zero rows (null aggregate); an empty
-    // batch dedups to itself
+    // batch dedups to itself. The catch re-checks emptiness so a
+    // DIFFERENT NPE (driver-side key bug, Spark behavior change) still
+    // propagates instead of silently skipping the dedup.
     val bloom =
       try keyed.stat.bloomFilter(xxhash64(col("_ik")), expectedBatchKeys, fpp)
-      catch { case _: NullPointerException => return keyed.drop("_ik") }
+      catch {
+        case e: NullPointerException =>
+          if (keyed.isEmpty) return keyed.drop("_ik") else throw e
+      }
     val candidates = corpus
       .select(key.as("_ik"))
       .filter(BloomMightContain.mightContain(xxhash64(col("_ik")), bloom))

@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor division of an integral axis value into bucket ids:
+    * `(x - pmod(x, w)) div w` on longs — floor (not truncation) for
+    * negative axes, no floating point. The SINGLE definition shared by
+    * this API and the [[graft.plans.RangeJoinRewrite]] optimizer rule:
+    * both sides of either path must agree bit-for-bit on bucket
+    * boundaries.
+    */
+  private[graft] def bucketExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      w: Long): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Literal, Pmod, Subtract}
+    import org.apache.spark.sql.types.LongType
+    val x = Cast(e, LongType)
+    val wl = Literal(w, LongType)
+    IntegralDivide(Subtract(x, Pmod(x, wl)), wl)
+  }
+
   /** Inner-join `points` to every row of `intervals` whose
     * `[loCol, hiCol]` (inclusive) contains `pointCol`. The three
     * columns must be integral (day numbers, epoch seconds, keys —
@@ -43,8 +60,9 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
-    def bucketOf(c: String) = // floor division on longs
-      expr(s"(CAST($c AS BIGINT) - pmod(CAST($c AS BIGINT), $bucketWidth)) DIV $bucketWidth")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def bucketOf(c: String) =
+      ColumnBridge.column(bucketExpr(ColumnBridge.expression(col(c)), bucketWidth))
     // an inverted interval (hi < lo) matches nothing under BETWEEN —
     // drop it BEFORE the explode, where Spark's sequence() would
     // otherwise generate a DESCENDING bucket range: O(span) junk rows

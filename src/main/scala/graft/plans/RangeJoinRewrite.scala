@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Auto range-join rewrite: a `Rule[LogicalPlan]` that detects the
   * nested-loop trap `points JOIN intervals ON p BETWEEN lo AND hi`
@@ -23,6 +24,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * `spark.experimental.extraOptimizations`. Config:
   *  - `spark.graft.rangeJoin.enabled` (default true)
   *  - `spark.graft.rangeJoin.bucketWidth` (default 64 axis units)
+  *  - `spark.graft.rangeJoin.maxBucketsPerInterval` (default 4096):
+  *    RUNTIME guard — an interval spanning more buckets than this
+  *    raises with a message naming the knobs, instead of silently
+  *    generating millions of bucket rows per interval (or tripping
+  *    Sequence's element cap) when the axis units are much finer than
+  *    the bucket width, e.g. epoch millis under the default width.
   *
   * Scope guards (anything outside them is left to Spark):
   *  - inner joins only — outer variants need null-extension the
@@ -40,10 +47,17 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     session.conf.get("spark.graft.rangeJoin.enabled", "true").toBoolean
+  // read lazily inside the matched-join case: a malformed conf value
+  // must fail BETWEEN-join queries, not every query in the session
   private def width: Long = {
     val w = session.conf.get("spark.graft.rangeJoin.bucketWidth", "64").toLong
     require(w > 0, s"spark.graft.rangeJoin.bucketWidth must be > 0, got $w")
     w
+  }
+  private def maxBuckets: Long = {
+    val m = session.conf.get("spark.graft.rangeJoin.maxBucketsPerInterval", "4096").toLong
+    require(m > 0, s"spark.graft.rangeJoin.maxBucketsPerInterval must be > 0, got $m")
+    m
   }
 
   private def integral(dt: DataType): Boolean = dt match {
@@ -51,12 +65,9 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  // exact floor division on longs: (x - pmod(x, w)) div w
-  private def bucketOf(e: Expression, w: Long): Expression = {
-    val x = Cast(e, LongType)
-    val wl = Literal(w, LongType)
-    IntegralDivide(Subtract(x, Pmod(x, wl)), wl)
-  }
+  // the ONE bucket definition, shared with the explicit API
+  private def bucketOf(e: Expression, w: Long): Expression =
+    graft.operators.RangeJoin.bucketExpr(e, w)
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConj(a) ++ splitConj(b)
@@ -65,14 +76,17 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
-    val w = width
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjuncts = splitConj(cond)
+        def spansBothSides(a: Expression, b: Expression): Boolean =
+          (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+            (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+        // EqualNullSafe is a join key for ExtractEquiJoinKeys too — a
+        // <=> conjunct means Spark already plans a hash join
         val hasEquiKey = conjuncts.exists {
-          case EqualTo(a, b) =>
-            (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+          case EqualTo(a, b) => spansBothSides(a, b)
+          case EqualNullSafe(a, b) => spansBothSides(a, b)
           case _ => false
         }
         // (point expr, lo, hi, points-side-is-left) for p >= lo AND p <= hi
@@ -97,14 +111,33 @@ case class RangeJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         hit match {
           case Some((p, lo, hi, pointsLeft))
               if integral(p.dataType) && integral(lo.dataType) && integral(hi.dataType) =>
+            val w = width
+            val maxB = maxBuckets
             val (points, intervals) = if (pointsLeft) (left, right) else (right, left)
             val pB = Alias(bucketOf(p, w), "_graft_rjb_p")()
             val newPoints = Project(points.output :+ pB, points)
             // inverted/null bounds yield an empty/null sequence → no
             // rows from the generator, matching BETWEEN semantics
             val guarded = Filter(LessThanOrEqual(lo, hi), intervals)
-            val seq = Sequence(bucketOf(lo, w), bucketOf(hi, w),
+            val bLo = bucketOf(lo, w)
+            val bHi = bucketOf(hi, w)
+            val rawSeq = Sequence(bLo, bHi,
               Some(Literal(1L, LongType)), Some(session.sessionState.conf.sessionLocalTimeZone))
+            // runtime blowup guard: raise loudly (naming the knobs)
+            // instead of exploding a huge interval into millions of
+            // bucket rows or tripping Sequence's element cap
+            val span = Add(Subtract(bHi, bLo), Literal(1L, LongType))
+            val seq = If(GreaterThan(span, Literal(maxB, LongType)),
+              Cast(new RaiseError(Concat(Seq(
+                Literal(UTF8String.fromString(
+                  "graft range-join rewrite: interval spans "), org.apache.spark.sql.types.StringType),
+                Cast(span, org.apache.spark.sql.types.StringType),
+                Literal(UTF8String.fromString(
+                  s" buckets (max $maxB) — raise spark.graft.rangeJoin.bucketWidth, " +
+                    "raise spark.graft.rangeJoin.maxBucketsPerInterval, or disable " +
+                    "spark.graft.rangeJoin.enabled"), org.apache.spark.sql.types.StringType)))),
+                rawSeq.dataType),
+              rawSeq)
             val genAttr = AttributeReference("_graft_rjb_i", LongType, nullable = false)()
             val newIntervals = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None, generatorOutput = Seq(genAttr), guarded)

@@ -76,6 +76,23 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(joined.count() == 1) // still correct via Spark's own plan
   }
 
+  test("huge interval spans raise loudly with the knob names, not OOM") {
+    val l = Seq((1L, 500L)).toDF("pid", "p")
+    // epoch-milli-style span: 10^7 axis units = ~156k buckets at width 64
+    val r = Seq((1L, 0L, 10000000L)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      l.join(r, col("p") >= col("lo") && col("p") <= col("hi")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("graft range-join rewrite")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+    // raising maxBucketsPerInterval clears it
+    spark.conf.set("spark.graft.rangeJoin.maxBucketsPerInterval", "1000000")
+    try assert(l.join(r, col("p") >= col("lo") && col("p") <= col("hi")).count() == 1)
+    finally spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerInterval")
+  }
+
   test("inverted and null bounds produce no matches, no blowup") {
     val l = Seq((1L, 50L)).toDF("pid", "p")
     val r = Seq((1L, Some(100000L), Some(-100000L)), (2L, Some(40L), Some(60L)),
