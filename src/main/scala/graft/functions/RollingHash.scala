@@ -142,6 +142,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     metric("graft_punct_count", classOf[PunctCount], PunctCount.apply)
     metric("graft_stopword_hits", classOf[StopwordHits], StopwordHits.apply)
     metric("graft_has_han", classOf[HasHan], HasHan.apply)
+    metric("graft_nfc", classOf[NfcNormalize], NfcNormalize.apply)
     ext.injectFunction((FunctionIdentifier("graft_image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
       { children: Seq[Expression] =>

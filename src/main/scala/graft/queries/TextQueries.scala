@@ -197,6 +197,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC normalization — the prerequisite for byte-level
+    // dedup on multilingual corpora ("é" arrives both precomposed and
+    // decomposed in real crawls; hash operators treat those as
+    // different docs without this). The ASCII corpus is salted with a
+    // deterministic decomposed sequence (e + combining acute) by the
+    // same expression the oracle uses; the codegen'd graft_nfc
+    // expression (JDK Normalizer, isNormalized fast path) must
+    // compose it back — char count shrinks by exactly 1.
+    "x_nfc" -> ((s, dir) => {
+      // NOTE: Spark's chr() is ASCII-mod-256 (chr(769) wraps to
+      // chr(1), not the combining acute) — the decomposed literal is
+      // built via a unicode escape instead; the oracle's DuckDB
+      // chr(769) IS codepoint-based
+      val salted = concat(col("text"), lit(" cafe\u0301"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), salted.as("_t"))
+        .select(col("doc_id"),
+          graft.functions.NfcNormalize.nfcNormalize(col("_t")).as("norm"),
+          (length(col("_t")) - length(
+            graft.functions.NfcNormalize.nfcNormalize(col("_t"))))
+            .cast("long").as("composed_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus n-gram frequency table (top 100 word-3-grams): the
     // vocabulary/boilerplate analysis pass of any corpus report.
     // Grams generated by the codegen'd ShingleStrings expression
@@ -314,6 +338,12 @@ object TextQueries {
       s"""SELECT ${fingerprintSql("text")} AS fp, min(doc_id) AS keep_id,
          |  count(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "x_nfc" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text || ' cafe' || chr(769) AS t FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS norm,
+        |  CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS composed_chars
+        |FROM salted ORDER BY doc_id""".stripMargin,
     "x_ngram_stats" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
