@@ -64,6 +64,39 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(hits.count(_ >= 1000L) <= 200) // ~3% fpp, generous bound
   }
 
+  test("foreachBatch streaming dedup: each microbatch dedups against the growing corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_stream")
+    val corpusDir = dir.resolve("corpus").toString
+    corpus.write.parquet(corpusDir)
+
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val lake = spark.read.parquet(corpusDir)
+        IncrementalDedup.dropExisting(
+            batch, lake, TextFunctions.bagFingerprint(col("text")))
+          .write.mode("append").parquet(corpusDir)
+      }
+      .start()
+
+    // batch 1: one dup of the standing corpus, one fresh doc
+    input.addData((10L, "alpha beta gamma delta"), (11L, "nu xi omicron pi"))
+    query.processAllAvailable()
+    // batch 2: a permutation-dup of batch 1's fresh doc — must be
+    // dropped because the corpus has grown to include doc 11
+    input.addData((12L, "pi omicron xi nu"), (13L, "rho sigma tau upsilon"))
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 11L, 13L))
+  }
+
   test("corpus side of the plan has no shuffle (map-side bloom probe)") {
     val fp = TextFunctions.bagFingerprint(col("text"))
     val keyed = batch.withColumn("_ik", fp)
