@@ -39,23 +39,6 @@ class PiiDecontaminateSpec extends AnyFunSuite {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 1L, 0L)))
   }
 
-  test("graft_nfc composes decomposed sequences, identity elsewhere, null-safe") {
-    val decomposed = "cafe\u0301" // e + combining acute, 5 chars
-    val composed = "caf\u00e9"    // precomposed e-acute, 4 chars
-    val rows = Seq(Some(decomposed), Some(composed), Some("plain ascii"), None)
-      .toDF("t")
-      .select(NfcNormalize.nfcNormalize(col("t")).as("n"),
-        length(col("t")).as("lin"))
-      .collect()
-    assert(rows(0).getString(0) == composed && rows(0).getInt(1) == 5)
-    assert(rows(1).getString(0) == composed) // already NFC: identity
-    assert(rows(2).getString(0) == "plain ascii")
-    assert(rows(3).isNullAt(0))
-    // SQL surface (extensions-injected name)
-    val viaSql = spark.sql(s"SELECT graft_nfc('$decomposed')").head.getString(0)
-    assert(viaSql == composed)
-  }
-
   test("decontamination flags docs sharing an 8-gram with the benchmark set") {
     // doc 0: benchmark (8 tokens); doc 1 embeds the same 8-gram inside
     // longer text; doc 2 shares only 7 consecutive tokens; doc 3 disjoint

@@ -85,4 +85,22 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getBoolean(2))
     assert(r.getInt(3) == 3 && r.getDouble(4) == 1.0 && r.getString(5) == "a b")
   }
+
+  test("graft_nfc composes decomposed sequences, identity elsewhere, null-safe") {
+    val decomposed = "cafe\u0301" // e + combining acute, 5 chars
+    val composed = "caf\u00e9"    // precomposed e-acute, 4 chars
+    val rows = Seq(Some(decomposed), Some(composed), Some("plain ascii"), None)
+      .toDF("t")
+      .select(NfcNormalize.nfcNormalize(col("t")).as("n"),
+        length(col("t")).as("lin"))
+      .collect()
+    assert(rows(0).getString(0) == composed && rows(0).getInt(1) == 5)
+    assert(rows(1).getString(0) == composed) // already NFC: identity
+    assert(rows(2).getString(0) == "plain ascii")
+    assert(rows(3).isNullAt(0))
+    // SQL surface (extensions-injected name)
+    val viaSql = spark.sql(s"SELECT graft_nfc('$decomposed')").head.getString(0)
+    assert(viaSql == composed)
+  }
+
 }

@@ -76,15 +76,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .writeStream
       .option("checkpointLocation", dir.resolve("ckpt").toString)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fp = TextFunctions.bagFingerprint(col("text"))
+        // WITHIN-batch dedup first (keep min doc_id per key — two
+        // copies co-arriving in one microbatch must not both land),
+        // then the cross-batch Bloom probe against the lake
+        val batchDeduped = batch
+          .groupBy(fp.as("_bk"))
+          .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("_w"))
+          .select(col("_w.doc_id").as("doc_id"), col("_w.text").as("text"))
         val lake = spark.read.parquet(corpusDir)
-        IncrementalDedup.dropExisting(
-            batch, lake, TextFunctions.bagFingerprint(col("text")))
+        IncrementalDedup.dropExisting(batchDeduped, lake, fp)
           .write.mode("append").parquet(corpusDir)
       }
       .start()
 
-    // batch 1: one dup of the standing corpus, one fresh doc
-    input.addData((10L, "alpha beta gamma delta"), (11L, "nu xi omicron pi"))
+    // batch 1: one dup of the standing corpus, one fresh doc, and a
+    // WITHIN-batch permutation-dup pair (only min id 14 may land)
+    input.addData((10L, "alpha beta gamma delta"), (11L, "nu xi omicron pi"),
+      (14L, "phi chi psi omega"), (15L, "omega psi chi phi"))
     query.processAllAvailable()
     // batch 2: a permutation-dup of batch 1's fresh doc — must be
     // dropped because the corpus has grown to include doc 11
@@ -94,7 +103,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
     val ids = spark.read.parquet(corpusDir)
       .select("doc_id").as[Long].collect().sorted
-    assert(ids.toSeq == Seq(1L, 2L, 3L, 11L, 13L))
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 11L, 13L, 14L), s"got ${ids.toSeq}")
   }
 
   test("corpus side of the plan has no shuffle (map-side bloom probe)") {
