@@ -80,4 +80,42 @@ class PlanSpec extends AnyFunSuite {
     // codegen stages print as "*(n) Operator" in the final AQE plan
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(3000))
   }
+
+  test("r4 text operators are map-only: no shuffle before the output sort") {
+    // PII redaction, NFC, unpivot: one scan, one projection/generate —
+    // the only Exchange allowed is the final ORDER BY's range partition
+    for (name <- Seq("x_pii_redact", "x_nfc", "t_unpivot")) {
+      val p = plan(name)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      val rangeParts = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+      assert(exchanges == rangeParts,
+        s"$name shuffles beyond the output sort:\n" + p.take(3000))
+    }
+  }
+
+  test("decontamination broadcasts the benchmark grams; corpus grams never shuffle") {
+    val p = plan("x_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(3000))
+  }
+
+  test("range join plans a hash join on the bucket key") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("HashJoin"), p.take(3000))
+  }
+
+  test("rolling window partitions by customer — a distributed per-key sort") {
+    val p = plan("q_rolling_avg")
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.toLowerCase.contains("hashpartitioning(o_custkey"),
+      "window must partition by key, not sort globally:\n" + p.take(3000))
+  }
+
+  test("ngram stats: map-side partial count + TakeOrdered, no global sort") {
+    val p = plan("x_ngram_stats")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }
