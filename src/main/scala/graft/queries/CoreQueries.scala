@@ -324,6 +324,33 @@ object CoreQueries {
         .orderBy("win_id")
     }),
 
+    // The SAME range join written as the NATURAL BETWEEN condition —
+    // no explicit RangeJoin call. The injected optimizer rule
+    // (plans.RangeJoinRewrite, via spark.sql.extensions) must rewrite
+    // it to the bucketed hash join; this entry puts the rule itself
+    // under the driver's oracle gate (identical SQL twin to
+    // q_range_join).
+    "q_range_join_auto" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val win = t(s, dir, "nation")
+        .select(col("n_nationkey").as("win_id"),
+          date_add(lit("1995-01-01").cast("date"),
+            (col("n_nationkey") * 90).cast("int")).as("lo"))
+        .withColumn("hi", date_add(col("lo"), 200))
+        .select(col("win_id"),
+          datediff(col("lo"), epoch).as("lo_d"),
+          datediff(col("hi"), epoch).as("hi_d"))
+      val pts = t(s, dir, "orders")
+        .select(col("o_totalprice"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("d"))
+      pts.join(win, col("d") >= col("lo_d") && col("d") <= col("hi_d"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("total_price"))
+        .orderBy("win_id")
+    }),
+
     // Rolling time-RANGE window: per customer, each order's trailing
     // 90-day order count and average spend — the moving-aggregate
     // shape (sessionless trailing metrics) the frame-less windows
@@ -381,6 +408,16 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q_range_join" ->
+      """WITH win AS (
+        |  SELECT n_nationkey AS win_id,
+        |    DATE '1995-01-01' + CAST(n_nationkey * 90 AS INTEGER) AS lo,
+        |    DATE '1995-01-01' + CAST(n_nationkey * 90 + 200 AS INTEGER) AS hi
+        |  FROM nation)
+        |SELECT win_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM win JOIN orders ON CAST(o_orderdate AS DATE) BETWEEN lo AND hi
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
+    "q_range_join_auto" ->
       """WITH win AS (
         |  SELECT n_nationkey AS win_id,
         |    DATE '1995-01-01' + CAST(n_nationkey * 90 AS INTEGER) AS lo,
