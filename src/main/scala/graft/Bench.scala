@@ -95,6 +95,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$ran,"cpus":$coreBudget,"threads":$cpus}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     println(json)
+    // The driver captures only a ~2 KB stdout TAIL: the full line above
+    // outgrew it at 71 queries (r4's record shows it truncated
+    // mid-JSON, "parsed": null). The per-query map lives in BENCH.json;
+    // the LAST stdout line is a compact summary that fits any tail.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":$ran}""")
     spark.stop()
   }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: assign each doc to a fixed-token-budget
+  * bin by running start offset — bin = (running token count BEFORE
+  * this doc, in `orderCol` order within `keyCol`) div `budget`. The
+  * streaming approximation of first-fit packing used when assembling
+  * pretraining batches.
+  *
+  * The naive formulation is one window cumsum partitioned by the key
+  * (language) alone — and language is a ~5-value column where English
+  * holds ~90% of a real corpus, so at scale ONE task sorts ~90% of the
+  * data (the same hot-key trap quota sampling avoids with a bounded
+  * heap). Here the cumsum is a TWO-PHASE DISTRIBUTED PREFIX SUM over
+  * `bucketWidth`-sized ranges of `orderCol` (the AsOfJoin
+  * lastPriorBucketed seed shape, AsOfJoin.scala:148-162):
+  *
+  *  1. per-(key, bucket) token totals — ONE hash aggregate with
+  *     map-side partial combine (never a sort);
+  *  2. exclusive prefix sum of those totals along the bucket axis —
+  *     a window over the per-bucket table, which holds one row per
+  *     (key, bucket): thousands of times smaller than the data;
+  *  3. within-(key, bucket) window cumsum + the bucket's offset —
+  *     a hot key now spreads across as many tasks as it spans buckets,
+  *     and each task sorts only its own bucket slice.
+  *
+  * Identical output to the single-window formulation by construction:
+  * buckets are `orderCol` ranges, so bucket order ∘ within-bucket
+  * order IS the global per-key order.
+  *
+  * Cost: 1 wide shuffle + 1 tiny one (the per-bucket table) vs 1 wide
+  * — the price of unbounded per-key parallelism. The offsets table is
+  * one row per (key, bucket); size `bucketWidth` so it stays millions
+  * of rows at most (it broadcasts back into the wide side).
+  */
+object SequencePack {
+
+  /** Adds `binCol` to `df`. `orderCol` must be numeric (doc ids,
+    * offsets); `weightCol` must be a non-negative long (token counts).
+    */
+  def assignBins(
+      df: DataFrame,
+      keyCol: String, orderCol: String, weightCol: String,
+      budget: Long, bucketWidth: Long,
+      binCol: String = "bin_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+
+    val tagged = df.withColumn("_bkt", floorDiv(col(orderCol).cast("long"), bucketWidth))
+
+    // Phase 1+2: per-(key, bucket) totals, then the exclusive prefix
+    // sum of STRICTLY EARLIER buckets. The window here runs over the
+    // per-bucket table — one row per (key, bucket) — not the data.
+    val wb = Window.partitionBy(keyCol).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged
+      .groupBy(keyCol, "_bkt")
+      .agg(sum(col(weightCol)).as("_bsum"))
+      .withColumn("_off", coalesce(sum(col("_bsum")).over(wb), lit(0L)))
+      .drop("_bsum")
+
+    // Phase 3: within-bucket cumsum; the window partitions by
+    // (key, bucket) so no task ever sorts more than one bucket slice.
+    val ww = Window.partitionBy(keyCol, "_bkt").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .join(broadcast(offsets), Seq(keyCol, "_bkt"))
+      .withColumn("_cum", col("_off") + sum(col(weightCol)).over(ww))
+      .withColumn(binCol,
+        floorDiv(col("_cum") - col(weightCol), budget))
+      .drop("_bkt", "_off", "_cum")
+  }
+
+  /** Exact floor division on longs: `(a - pmod(a, b)) / b` with the
+    * decimal detour (the numerator is exactly divisible; a double `/`
+    * would truncate past 2⁵³). Same shape as AsOfJoin.floorDiv.
+    */
+  private def floorDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b).cast("decimal(38,0)"))
+      .cast("long")
+}

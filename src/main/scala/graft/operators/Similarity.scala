@@ -55,8 +55,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed top-k: prune to the query's bucket ∪ buckets within
+  /** LSH-bucketed top-k over a raw DataFrame: compute `_bucket` on
+    * scan, filter to the query's bucket ∪ buckets within
     * `probeHamming` sign flips, exact-cosine rerank inside.
+    *
+    * ONE-SHOT shape: the bucket expression runs over every row, so
+    * this still reads the whole corpus per query. For repeated queries
+    * at scale, build an [[lshIndex]] once — its probes prune parquet
+    * PARTITIONS instead of rescanning (mirroring [[IvfIndex]]).
     */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
@@ -69,6 +75,54 @@ object Similarity {
       .filter(b => Integer.bitCount(b ^ qBucket) <= probeHamming)
     val q = query.map(_.toDouble)
     df.withColumn("_bucket", bucketExpr(col(vecCol), planes))
+      .filter(col("_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosineConst(col(vecCol), q), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** A PERSISTED hyperplane-LSH index: the corpus written to parquet
+    * hive-partitioned by `_bucket`, so a probe's `_bucket IN (...)`
+    * filter becomes a PARTITION filter — the scan reads only the
+    * candidate buckets' files, never the corpus. This is the LSH twin
+    * of [[IvfIndex.assigned]]: build once, query many times.
+    */
+  final case class LshIndex(
+      path: String,
+      planes: Array[Array[Double]],
+      numPlanes: Int)
+
+  /** Build the index: assign buckets (one codegen'd map-only pass —
+    * the single full read the corpus ever pays), cluster rows by
+    * bucket, and write partitioned by `_bucket`. The pre-write
+    * `repartition` lines each parquet partition directory up with one
+    * writer task instead of `numPartitions` small files per bucket.
+    */
+  def lshIndex(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      numPlanes: Int = 8, seed: Long = 42L, dim: Option[Int] = None): LshIndex = {
+    val d = dim.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
+    val planes = hyperplanes(numPlanes, d, seed)
+    df.select(col(idCol), col(vecCol),
+        bucketExpr(col(vecCol), planes).as("_bucket"))
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    LshIndex(path, planes, numPlanes)
+  }
+
+  /** Query a persisted LSH index: the bucket filter prunes partitions
+    * at planning time (PlanSpec pins this), exact-cosine rerank on the
+    * candidate slice only.
+    */
+  def lshTopK(
+      spark: org.apache.spark.sql.SparkSession, index: LshIndex,
+      idCol: String, vecCol: String,
+      query: Array[Float], k: Int, probeHamming: Int): DataFrame = {
+    val qBucket = bucketOf(query, index.planes)
+    val probes = (0 until (1 << index.numPlanes))
+      .filter(b => Integer.bitCount(b ^ qBucket) <= probeHamming)
+    val q = query.map(_.toDouble)
+    spark.read.parquet(index.path)
       .filter(col("_bucket").isin(probes: _*))
       .select(col(idCol), round(cosineConst(col(vecCol), q), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)

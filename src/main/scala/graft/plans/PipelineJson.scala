@@ -159,10 +159,16 @@ object PipelineJson {
         // mutating ones get exactly one attempt (a lost RESPONSE after
         // a server-side commit would otherwise duplicate the mutation)
         val retries = if (method == "GET" || method == "HEAD") 3 else 1
+        // the body is a DRIVER-SIDE materialization — unbounded input
+        // (a fact table mis-wired into invoke_http) would OOM the
+        // driver, so the collect is capped and raises with the node id
+        val maxBodyRows =
+          if (config.has("max_body_rows")) config.path("max_body_rows").asLong
+          else 100000L
         HttpCall { (sp, input) =>
           val body = input match {
             case Some(df) if method == "POST" || method == "PUT" =>
-              Some(toCsvString(df))
+              Some(toCsvString(df, maxBodyRows, id))
             case _ => configBody
           }
           PipelineDag.withRetries(retries) {
@@ -232,8 +238,19 @@ object PipelineJson {
   /** Render a (bounded) DataFrame as CSV text for an invoke_http
     * request body — header row + RFC-4180-quoted cells, matching the
     * reference's "input file content as body" behavior.
+    *
+    * The collect is capped at `maxRows` (one `limit(max+1)` job, so
+    * the overflow check itself never pulls the full input): beyond the
+    * cap the node raises instead of silently OOMing the driver.
     */
-  private def toCsvString(df: org.apache.spark.sql.DataFrame): String = {
+  private def toCsvString(
+      df: org.apache.spark.sql.DataFrame, maxRows: Long, nodeId: String): String = {
+    val capped = df.limit(math.min(maxRows, Int.MaxValue - 1L).toInt + 1).collect()
+    if (capped.length > maxRows)
+      throw new IllegalStateException(
+        s"invoke_http node '$nodeId': input exceeds max_body_rows=$maxRows — " +
+          "the request body is materialized on the driver; raise max_body_rows " +
+          "only for genuinely bounded inputs, or use webhook_send for bulk export")
     def cell(v: Any): String = {
       val s = if (v == null) "" else v.toString
       if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
@@ -241,7 +258,7 @@ object PipelineJson {
       else s
     }
     val sb = new StringBuilder(df.columns.mkString(","))
-    df.collect().foreach { row =>
+    capped.foreach { row =>
       sb.append('\n')
       sb.append((0 until row.length).map(i => cell(row.get(i))).mkString(","))
     }

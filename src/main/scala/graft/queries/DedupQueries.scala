@@ -203,6 +203,29 @@ object DedupQueries {
         numPlanes = 8, probeHamming = 8)
     }),
 
+    // The PERSISTED LSH index path: build the bucket-partitioned
+    // parquet index, then query it at full probe — every partition is
+    // a candidate, so the result ≡ brute force and the same cosine
+    // oracle applies. The partition-PRUNING property (a 1-flip probe
+    // reads only candidate-bucket files) is pinned in PlanSpec /
+    // SimilaritySpec; this entry proves the index roundtrip exactly.
+    // 2^5 buckets: partition-dir count is sized to the corpus (file
+    // commit overhead is per-directory; 256 dirs for 5k vectors would
+    // pay ~10× the write cost for nothing), and the measured time is
+    // dominated by the one-off index BUILD — the probe itself reads
+    // only candidate partitions and is the amortized per-query cost.
+    "s_lsh_indexed" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val path = java.nio.file.Files.createTempDirectory("graft_lsh")
+        .resolve("idx").toString
+      val idx = Similarity.lshIndex(vecs, "vec_id", "embedding", path,
+        numPlanes = 5, dim = Some(query.length))
+      Similarity.lshTopK(s, idx, "vec_id", "embedding", query, k = 10,
+        probeHamming = 5)
+    }),
+
     // Incremental dedup: tonight's batch (doc_id % 10 == 7) against
     // the standing corpus (the rest), keyed on the bag-of-words
     // fingerprint — word-salad permutations of a corpus doc ARE
@@ -333,6 +356,21 @@ object DedupQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s_lsh_indexed" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "s_lsh_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (

@@ -236,19 +236,21 @@ object TextQueries {
 
     // Training-sequence packing: assign docs to fixed-token-budget
     // bins (budget 2048) by start offset — bin = (running token count
-    // BEFORE this doc) div budget, per language. The streaming
-    // approximation of first-fit packing used when assembling
-    // pretraining batches; one windowed cumsum, partitioned by lang so
-    // the sort distributes.
+    // BEFORE this doc) div budget, per language. A naive per-lang
+    // window cumsum would serialize each language onto ONE task (lang
+    // is a ~5-value column; real corpora are English-dominant) — this
+    // runs SequencePack's two-phase distributed prefix sum instead:
+    // per-(lang, doc_id-range) partial sums, a tiny window over the
+    // per-bucket table, offsets broadcast back. Same output by
+    // construction; the oracle is the single-window SQL.
     "x_pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      t(s, dir, "documents")
+      val weighted = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           wsTokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("_cum", sum(col("n_tokens")).over(w))
-        .withColumn("bin_id", expr("(_cum - n_tokens) DIV 2048"))
-        .drop("_cum")
+      graft.operators.SequencePack.assignBins(weighted,
+          keyCol = "lang", orderCol = "doc_id", weightCol = "n_tokens",
+          budget = 2048, bucketWidth = 64)
+        .select("doc_id", "lang", "n_tokens", "bin_id")
         .orderBy("doc_id")
     }),
 

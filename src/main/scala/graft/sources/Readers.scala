@@ -19,6 +19,15 @@ object Readers {
       spark: SparkSession, path: String, format: String,
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty): DataFrame = {
+    // Presigned-URL / bare-https inputs (reference parity: it installs
+    // DuckDB httpfs — duckdb_engine.py:25 — and preview_file documents
+    // "Local path or presigned URL", :31): spool the response to a temp
+    // file, then read locally. A driver-side bounded download — the
+    // right shape for an API payload or a presigned preview, NOT the
+    // 100 TB path (that's s3a/abfss object-store URIs, which Spark's
+    // own FileSystem layer handles without touching this branch).
+    if (path.startsWith("http://") || path.startsWith("https://"))
+      return read(spark, spoolUrl(path), format, schema, options)
     val fmt = format.toLowerCase
     val base = fmt match {
       case "csv" | "txt" =>
@@ -64,12 +73,32 @@ object Readers {
     read(spark, path, format).schema.fields.toSeq
       .map(f => (f.name, f.dataType.sql, f.nullable))
 
-  /** Format detection by extension (duckdb_engine.py:283-287). */
+  /** Format detection by extension (duckdb_engine.py:283-287).
+    * URL query strings are stripped first so a presigned URL's
+    * `?X-Amz-...` tail can't hide the real extension.
+    */
   def detectFormat(path: String): String = {
-    val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+    val clean = path.takeWhile(c => c != '?' && c != '#')
+    val ext = clean.reverse.takeWhile(_ != '.').reverse.toLowerCase
     // "xls" maps to itself so a legacy Excel file hits the loud
     // unsupported error in read() instead of silently misparsing as csv
     if (Set("csv", "json", "parquet", "txt", "xlsx", "xls", "xml").contains(ext)) ext
     else "csv"
+  }
+
+  /** Download an http(s) URL to a temp spool file (extension kept so
+    * downstream format detection still works) and return its path.
+    */
+  private def spoolUrl(url: String): String = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() < 400, s"HTTP ${resp.statusCode()} fetching $url")
+    val ext = detectFormat(url)
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft_url").resolve(s"payload.$ext")
+    java.nio.file.Files.write(spool, resp.body())
+    spool.toString
   }
 }

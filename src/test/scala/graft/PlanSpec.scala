@@ -118,4 +118,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
+
+  test("LSH index probe prunes parquet partitions, not a full-corpus scan") {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val query = vecs.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val path = java.nio.file.Files.createTempDirectory("graft_lshplan")
+      .resolve("idx").toString
+    val idx = operators.Similarity.lshIndex(vecs, "vec_id", "embedding", path,
+      numPlanes = 8)
+    val probe = operators.Similarity.lshTopK(spark, idx, "vec_id", "embedding",
+      query, k = 5, probeHamming = 1)
+    val p = probe.queryExecution.executedPlan.toString
+    // the bucket filter must land in PartitionFilters (planning-time
+    // file pruning), NOT as a data filter over a full scan
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters in plan:\n" + p.take(3000)))
+    assert(scanLine.contains("_bucket"), scanLine)
+    // and the probe set (9 of 256 buckets at hamming<=1) prunes to a
+    // strict subset of the partition directories on disk
+    val dirsOnDisk = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_bucket="))
+    val qBucket = operators.Similarity.bucketOf(query, idx.planes)
+    val probes = (0 until 256)
+      .filter(b => Integer.bitCount(b ^ qBucket) <= 1).toSet
+    val probedDirs = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_bucket=") &&
+        probes.contains(f.getName.stripPrefix("_bucket=").toInt))
+    assert(probedDirs < dirsOnDisk,
+      s"probe covers all $dirsOnDisk partitions — nothing would be pruned")
+    probe.collect() // the pruned plan actually runs
+  }
 }

@@ -89,6 +89,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(TestSpark.spark.read.parquet(dir).columns.toSet == Set("_id", "_hsh"))
   }
 
+  test("sequence packing distributes a dominant language across bucket tasks") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.sum
+    // 95% of docs in ONE language — the real-corpus shape where a
+    // per-lang window would serialize the whole corpus onto one task
+    val docs = (1 to 2000).map { i =>
+      val lang = if (i % 20 == 0) "de" else "en"
+      (i.toLong, lang, (i % 37 + 1).toLong)
+    }.toDF("doc_id", "lang", "n_tokens")
+
+    val packed = SequencePack.assignBins(docs,
+      keyCol = "lang", orderCol = "doc_id", weightCol = "n_tokens",
+      budget = 256, bucketWidth = 128)
+
+    // identical output to the single-window formulation by construction
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val naive = docs.withColumn("_cum", sum($"n_tokens").over(w))
+      .withColumn("bin_id", org.apache.spark.sql.functions.expr("(_cum - n_tokens) DIV 256"))
+      .drop("_cum")
+    val got = packed.select("doc_id", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = naive.select("doc_id", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+
+    // plan pin: the DATA-side window (the one ordered by doc_id)
+    // partitions by (lang, _bkt) — the dominant language spreads
+    // across its ~16 doc_id-range buckets. A window partitioned by
+    // lang alone and ordered by doc_id would be the hot-key trap (one
+    // task sorting 95% of the rows). Phase 2's window IS lang-alone
+    // but runs over the per-bucket aggregate (ordered by _bkt, one row
+    // per bucket) — allowed. Window prints partition/order specs as
+    // `], [partCols], [orderCols]`.
+    val p = packed.queryExecution.executedPlan.toString
+    val dataWindowBucketed = """\[lang#\d+, _bkt#\d+L?\], \[doc_id#""".r
+    val dataWindowHotKey = """\[lang#\d+\], \[doc_id#""".r
+    assert(dataWindowBucketed.findFirstIn(p).isDefined,
+      "no (lang, _bkt)-partitioned data window:\n" + p.take(4000))
+    assert(dataWindowHotKey.findFirstIn(p).isEmpty,
+      "a window partitions by lang alone over the data:\n" + p.take(4000))
+  }
+
   test("bucketed tables join without an exchange") {
     // warehouse dir is a static conf — default ./spark-warehouse is fine
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")

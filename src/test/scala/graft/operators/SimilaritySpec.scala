@@ -61,6 +61,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_ % 2 == 0)) // only the e1 cluster
   }
 
+  test("persisted LSH index: pruned probe matches the one-shot path, files isolate by bucket") {
+    // 64 vectors spread over all 16 sign-orthants of 4 planes
+    val many = (0 until 64).map { i =>
+      val s = Array.tabulate(4)(d => if (((i % 16) >> d & 1) == 1) 1.0f else -1.0f)
+      (i.toLong, Array(s(0) * (1 + i * 0.01f), s(1), s(2), s(3)))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_lshidx")
+      .resolve("idx").toString
+    val idx = Similarity.lshIndex(many, "vec_id", "embedding", path, numPlanes = 4)
+
+    // same planes (same seed) ⇒ the indexed probe and the on-scan
+    // probe must return IDENTICAL rows at every probeHamming
+    for (ph <- Seq(0, 1, 4)) {
+      val indexed = Similarity.lshTopK(spark, idx, "vec_id", "embedding", q, 5, ph)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val onScan = Similarity.lshTopK(many, "vec_id", "embedding", q, 5,
+        numPlanes = 4, probeHamming = ph)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(indexed == onScan, s"probeHamming=$ph")
+    }
+
+    // the layout is hive-partitioned by _bucket: one bucket's rows
+    // never share a file with another's, so a bucket filter prunes at
+    // the FILE level (the pruning itself is pinned in PlanSpec)
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val filesPerBucket = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("_bucket")).as("nb"))
+      .collect()
+    assert(filesPerBucket.nonEmpty && filesPerBucket.forall(_.getLong(1) == 1L))
+  }
+
   test("bucketExpr and bucketOf agree (query routing = data bucketing)") {
     val planes = Similarity.hyperplanes(4, 4)
     val sparkBuckets = vecs

@@ -239,6 +239,39 @@ class PipelineJsonSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("invoke_http caps the driver-side request body at max_body_rows") {
+    import java.net.InetSocketAddress
+    // the body is materialized on the driver: a mis-wired fact table
+    // must raise with the node id, not OOM the driver
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sink", { ex =>
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val dir = Files.createTempDirectory("graft_cap")
+      val in = dir.resolve("big.csv").toString
+      Writers.write((1 to 50).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+        in, "csv")
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/sink"
+      def json(maxRows: Int) = s"""{
+        "nodes": [
+          {"id": "n1", "type": "file_input", "data": {"config": {"path": "$in", "format": "csv"}}},
+          {"id": "nhttp", "type": "invoke_http",
+           "data": {"config": {"url": "$url", "method": "POST", "max_body_rows": $maxRows}}}
+        ],
+        "edges": [{"source": "n1", "target": "nhttp"}]
+      }"""
+      val e = intercept[IllegalStateException] { PipelineJson.run(spark, json(10)) }
+      assert(e.getMessage.contains("nhttp") && e.getMessage.contains("max_body_rows"),
+        e.getMessage)
+      // at or under the cap the call goes through
+      assert(PipelineJson.run(spark, json(50)).nodeLog.contains("nhttp" -> "http ok"))
+    } finally server.stop(0)
+  }
+
   test("connector_input dispatches on the reference's 'type' key when connector_type is absent") {
     // engine.py:196 reads config.get("type", "csv") — a reference-
     // authored pipeline must not fall into the file branch with an

@@ -90,6 +90,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(df2.collect().map(_.getAs[String]("sku")).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("Readers.read takes an http(s) URL as a file path (presigned-URL parity)") {
+    // reference installs DuckDB httpfs (duckdb_engine.py:25) and
+    // preview_file accepts "Local path or presigned URL" — Readers.read
+    // must accept a bare https:// input the same way
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "id,s\n1,a\n2,b\n".getBytes(StandardCharsets.UTF_8)
+    server.createContext("/files/table.csv", { ex =>
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/files/table.csv"
+      val df = Readers.read(spark, base, "csv")
+      assert(df.count() == 2 && df.columns.toSet == Set("id", "s"))
+      // presigned-style URL: format detection must see through the query string
+      val presigned = s"$base?X-Amz-Signature=abc123&X-Amz-Expires=3600"
+      assert(Readers.detectFormat(presigned) == "csv")
+      val df2 = Readers.read(spark, presigned, Readers.detectFormat(presigned))
+      assert(df2.count() == 2)
+      // a 404 raises loudly instead of parsing an error page as csv
+      intercept[IllegalArgumentException] {
+        Readers.read(spark,
+          s"http://127.0.0.1:${server.getAddress.getPort}/missing.csv", "csv")
+      }
+    } finally server.stop(0)
+  }
+
   test("FileConnector test() and read()") {
     val dir = Files.createTempDirectory("graft_fc")
     val p = dir.resolve("c.csv").toString
