@@ -5,9 +5,10 @@ import org.apache.spark.sql.types.StructType
 
 /** File-format readers — the reference's `_read_function`
   * (duckdb_engine.py:266-281) surface: csv, json, parquet, txt, plus
-  * REAL xlsx ([[XlsxReader]], JDK-only) and xml (Spark 4 built-in
-  * source) reads where the reference either shells out to DuckDB
-  * st_read or silently misparses xml as csv. Legacy .xls raises.
+  * REAL xlsx ([[XlsxReader]]) and legacy xls ([[XlsReader]]) reads
+  * (both JDK-only) and xml (Spark 4 built-in source) where the
+  * reference either shells out to DuckDB st_read or silently
+  * misparses xml as csv.
   *
   * Scale defaults: schema inference is opt-in (at 100 TB an inference
   * pass is a full extra scan — callers pass a schema); csv/json are
@@ -57,11 +58,15 @@ object Readers {
         val r = spark.read.options(Map("rowTag" -> "row") ++ options)
         schema.fold(r)(r.schema).xml(path)
       case "xls" =>
-        // pre-2007 binary Excel (BIFF) genuinely needs POI — only the
-        // OOXML .xlsx container is implementable JDK-only.
-        throw new IllegalArgumentException(
-          "Legacy .xls (BIFF) input is unsupported without POI; " +
-            "save as .xlsx, csv or parquet.")
+        // pre-2007 binary Excel: JDK-only BIFF8 reader over the CFB
+        // container (see [[XlsReader]] — [MS-CFB]/[MS-XLS] are public
+        // specs; the reference reads it through DuckDB st_read/GDAL).
+        // Same schema-override contract as the xlsx branch.
+        val inferred = XlsReader.read(spark, path)
+        schema.fold(inferred) { st =>
+          inferred.select(st.fields.toSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+        }
       case other =>
         throw new IllegalArgumentException(s"Unsupported input format: $other")
     }

@@ -1,0 +1,400 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDK-only legacy `.xls` (BIFF8) reader — closes the last reference
+  * input-format gap (duckdb_engine.py:258-259 reads Excel through
+  * DuckDB's spatial `st_read`, which handles .xls via GDAL; this build
+  * is offline, so no POI). Both layers of the format are publicly
+  * documented ([MS-CFB] and [MS-XLS]) and the tabular subset an ETL
+  * input needs is small:
+  *
+  *  - the Compound File Binary container: FAT-chained 512-byte
+  *    sectors, a directory of streams, and the mini-FAT for streams
+  *    under the 4096-byte cutoff (where real small workbooks live);
+  *  - the `Workbook` stream's BIFF8 records: the shared-string table
+  *    (SST, including Continue-record splits with their re-stated
+  *    compression flag), BOUNDSHEET to locate the first worksheet
+  *    substream, and the cell records LABELSST / NUMBER / RK / MULRK /
+  *    LABEL / BOOLERR / FORMULA(+STRING).
+  *
+  * Same scope contract as [[XlsxReader]]: first worksheet, first row =
+  * header, driver-side parse (the format caps a sheet at 65 536 rows —
+  * an ingest convenience, never the 100 TB path), types inferred by
+  * [[SheetTable]] so .xls and .xlsx can't diverge. Date STYLES are not
+  * resolved (a date cell yields its raw serial number, as st_read does
+  * without GDAL's date mapping). BIFF5/7 (Excel 95) raises.
+  */
+object XlsReader {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val wb =
+      try Cfb.findStream(bytes, Set("Workbook", "Book"))
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"xls $path: ${e.getMessage}", e)
+      }
+    val table = Biff8.worksheetRows(wb)
+    require(table.nonEmpty, s"xls $path: first worksheet has no rows")
+    SheetTable.toDataFrame(spark, table)
+  }
+
+  // ---------------------------------------------------------------
+  // [MS-CFB] compound file container
+  // ---------------------------------------------------------------
+  private[sources] object Cfb {
+    private val Signature = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte)
+    private val EndOfChain = 0xFFFFFFFE // -2
+    private val FreeSect = 0xFFFFFFFF // -1
+
+    /** Bytes of the first stream whose name is in `names`. */
+    def findStream(file: Array[Byte], names: Set[String]): Array[Byte] = {
+      require(file.length >= 512 &&
+        file.take(8).sameElements(Signature),
+        "not a compound (OLE2) file — is this really a legacy .xls?")
+      val h = ByteBuffer.wrap(file).order(ByteOrder.LITTLE_ENDIAN)
+      val sectorShift = h.getShort(30).toInt // 9 (512 B) for v3, 12 for v4
+      val miniShift = h.getShort(32).toInt // 6 → 64 B mini sectors
+      val sectorSize = 1 << sectorShift
+      val numFat = h.getInt(44)
+      val firstDir = h.getInt(48)
+      val miniCutoff = h.getInt(56)
+      val firstMiniFat = h.getInt(60)
+      var difatSector = h.getInt(68)
+
+      def sectorBytes(s: Int): Array[Byte] = {
+        val start = (s + 1) * sectorSize
+        require(start >= 0 && start + sectorSize <= file.length,
+          s"sector $s out of bounds")
+        java.util.Arrays.copyOfRange(file, start, start + sectorSize)
+      }
+      def ints(b: Array[Byte]): Array[Int] = {
+        val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        Array.fill(b.length / 4)(bb.getInt)
+      }
+
+      // DIFAT: 109 header entries + chained DIFAT sectors → FAT sectors
+      val difat = scala.collection.mutable.ArrayBuffer[Int]()
+      for (i <- 0 until 109) difat += h.getInt(76 + i * 4)
+      var guard = 0
+      while (difatSector != EndOfChain && difatSector != FreeSect && guard < (1 << 16)) {
+        val e = ints(sectorBytes(difatSector))
+        difat ++= e.dropRight(1)
+        difatSector = e.last
+        guard += 1
+      }
+      val fat = difat.filter(_ >= 0).take(numFat).toArray
+        .flatMap(s => ints(sectorBytes(s)))
+
+      def chain(start: Int): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        var s = start
+        var g = 0
+        while (s != EndOfChain && g < (1 << 22)) {
+          require(s >= 0 && s < fat.length, s"broken FAT chain at sector $s")
+          out.write(sectorBytes(s))
+          s = fat(s)
+          g += 1
+        }
+        out.toByteArray
+      }
+
+      // directory entries are 128 bytes each
+      val dir = chain(firstDir)
+      final case class Entry(name: String, tpe: Int, start: Int, size: Long)
+      val entries = (0 until dir.length / 128).map { i =>
+        val bb = ByteBuffer.wrap(dir, i * 128, 128).order(ByteOrder.LITTLE_ENDIAN)
+        val nameLen = bb.getShort(i * 128 + 64) & 0xFFFF
+        val name =
+          if (nameLen < 2) ""
+          else new String(dir, i * 128, nameLen - 2, StandardCharsets.UTF_16LE)
+        Entry(name, dir(i * 128 + 66) & 0xFF, bb.getInt(i * 128 + 116),
+          bb.getLong(i * 128 + 120) & 0xFFFFFFFFL) // v3: low 32 bits only
+      }
+      val root = entries.find(_.tpe == 5).getOrElse(
+        throw new IllegalArgumentException("compound file has no root entry"))
+      val target = entries.find(e => e.tpe == 2 && names.contains(e.name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no ${names.mkString("/")} stream (streams: " +
+            entries.filter(_.tpe == 2).map(_.name).mkString(", ") + ")"))
+
+      val data: Array[Byte] =
+        if (target.size >= miniCutoff) chain(target.start)
+        else {
+          // small streams live in the MINI stream: the root entry's
+          // chain is the container; the mini-FAT chains 64-byte
+          // sectors within it
+          val container = chain(root.start)
+          val miniFat = ints(chain(firstMiniFat))
+          val miniSize = 1 << miniShift
+          val out = new java.io.ByteArrayOutputStream()
+          var s = target.start
+          var g = 0
+          while (s != EndOfChain && g < (1 << 22)) {
+            require(s >= 0 && s < miniFat.length, s"broken mini-FAT chain at $s")
+            out.write(container, s * miniSize, miniSize)
+            s = miniFat(s)
+            g += 1
+          }
+          out.toByteArray
+        }
+      require(data.length >= target.size, "stream shorter than directory size")
+      java.util.Arrays.copyOfRange(data, 0, target.size.toInt)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // [MS-XLS] BIFF8 Workbook stream
+  // ---------------------------------------------------------------
+  private[sources] object Biff8 {
+    // record ids
+    private val BOF = 0x0809
+    private val EOF = 0x000A
+    private val SST = 0x00FC
+    private val CONTINUE = 0x003C
+    private val BOUNDSHEET = 0x0085
+    private val LABELSST = 0x00FD
+    private val NUMBER = 0x0203
+    private val RK = 0x027E
+    private val MULRK = 0x00BD
+    private val LABEL = 0x0204
+    private val BOOLERR = 0x0205
+    private val FORMULA = 0x0006
+    private val STRING = 0x0207
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], o: Int): Int =
+      u16(b, o) | (u16(b, o + 2) << 16)
+
+    /** All cells of the first worksheet as strings (null = gap). */
+    def worksheetRows(wb: Array[Byte]): Seq[Array[String]] = {
+      require(wb.length >= 8 && u16(wb, 0) == BOF,
+        "Workbook stream does not start with BOF")
+      require(u16(wb, 4) == 0x0600,
+        f"BIFF version 0x${u16(wb, 4)}%04x unsupported (only BIFF8 / " +
+          "Excel 97+; re-save older files as .xlsx or csv)")
+
+      // ---- globals substream: SST + BOUNDSHEET ----
+      var pos = 0
+      var sst: IndexedSeq[String] = IndexedSeq.empty
+      // (lbPlyPos, dt) — dt 0 = worksheet
+      val sheets = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var done = false
+      while (!done && pos + 4 <= wb.length) {
+        val id = u16(wb, pos)
+        val len = u16(wb, pos + 2)
+        val body = pos + 4
+        id match {
+          case SST =>
+            // gather the SST body plus every immediately-following
+            // Continue record: strings may split across them
+            val chunks = scala.collection.mutable.ArrayBuffer(
+              java.util.Arrays.copyOfRange(wb, body, body + len))
+            var p = body + len
+            while (p + 4 <= wb.length && u16(wb, p) == CONTINUE) {
+              val cl = u16(wb, p + 2)
+              chunks += java.util.Arrays.copyOfRange(wb, p + 4, p + 4 + cl)
+              p += 4 + cl
+            }
+            sst = parseSst(chunks.toIndexedSeq)
+          case BOUNDSHEET =>
+            sheets += ((u32(wb, body), (u16(wb, body + 4) >> 8) & 0xFF))
+          case EOF => done = true
+          case _ =>
+        }
+        pos = body + len
+      }
+      val sheetPos = sheets.find(_._2 == 0).orElse(sheets.headOption)
+        .map(_._1)
+        .getOrElse(throw new IllegalArgumentException("no worksheet BOUNDSHEET"))
+
+      // ---- first worksheet substream: cell records ----
+      val cells = scala.collection.mutable.TreeMap[Int,
+        scala.collection.mutable.TreeMap[Int, String]]()
+      def put(rw: Int, col: Int, v: String): Unit =
+        cells.getOrElseUpdate(rw,
+          scala.collection.mutable.TreeMap[Int, String]()) += col -> v
+
+      pos = sheetPos
+      require(pos + 4 <= wb.length && u16(wb, pos) == BOF,
+        "worksheet substream does not start with BOF")
+      done = false
+      var pendingStringCell: Option[(Int, Int)] = None // FORMULA string result
+      while (!done && pos + 4 <= wb.length) {
+        val id = u16(wb, pos)
+        val len = u16(wb, pos + 2)
+        val b = pos + 4
+        id match {
+          case LABELSST =>
+            put(u16(wb, b), u16(wb, b + 2), sst(u32(wb, b + 6)))
+          case NUMBER =>
+            put(u16(wb, b), u16(wb, b + 2), numToString(
+              java.lang.Double.longBitsToDouble(
+                ByteBuffer.wrap(wb, b + 6, 8).order(ByteOrder.LITTLE_ENDIAN).getLong)))
+          case RK =>
+            put(u16(wb, b), u16(wb, b + 2), numToString(decodeRk(u32(wb, b + 6))))
+          case MULRK =>
+            // rw, colFirst, n×(ixfe + rk), colLast
+            val rw = u16(wb, b)
+            val colFirst = u16(wb, b + 2)
+            val n = (len - 6) / 6
+            for (i <- 0 until n)
+              put(rw, colFirst + i, numToString(decodeRk(u32(wb, b + 4 + i * 6 + 2))))
+          case LABEL => // inline (non-SST) string cell
+            put(u16(wb, b), u16(wb, b + 2), readUnicodeString(wb, b + 6)._1)
+          case BOOLERR =>
+            val isErr = (wb(b + 7) & 0xFF) != 0
+            if (!isErr) // error cells become null gaps
+              put(u16(wb, b), u16(wb, b + 2), if (wb(b + 6) != 0) "true" else "false")
+          case FORMULA =>
+            val rw = u16(wb, b)
+            val col = u16(wb, b + 2)
+            if ((wb(b + 12) & 0xFF) == 0xFF && (wb(b + 13) & 0xFF) == 0xFF)
+              wb(b + 6) & 0xFF match {
+                case 0 => pendingStringCell = Some((rw, col)) // STRING follows
+                case 1 => put(rw, col, if (wb(b + 8) != 0) "true" else "false")
+                case _ => // error / empty-string cached result → null gap
+              }
+            else
+              put(rw, col, numToString(java.lang.Double.longBitsToDouble(
+                ByteBuffer.wrap(wb, b + 6, 8).order(ByteOrder.LITTLE_ENDIAN).getLong)))
+          case STRING =>
+            pendingStringCell.foreach { case (rw, col) =>
+              put(rw, col, readUnicodeString(wb, b)._1)
+            }
+            pendingStringCell = None
+          case EOF => done = true
+          case _ =>
+        }
+        pos = b + len
+      }
+
+      if (cells.isEmpty) Seq.empty
+      else {
+        // dense rows in row order; per-row width = last occupied cell
+        val firstRow = cells.firstKey
+        val lastRow = cells.lastKey
+        (firstRow to lastRow).map { r =>
+          cells.get(r) match {
+            case Some(m) =>
+              val row = new Array[String](m.lastKey + 1)
+              m.foreach { case (c, v) => row(c) = v }
+              row
+            case None => Array.empty[String]
+          }
+        }
+      }
+    }
+
+    /** RKNumber: 30-bit payload, bit1 = integer, bit0 = ×1/100. */
+    private[sources] def decodeRk(rk: Int): Double = {
+      val raw =
+        if ((rk & 2) != 0) (rk >> 2).toDouble // signed 30-bit int
+        else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
+      if ((rk & 1) != 0) raw / 100.0 else raw
+    }
+
+    /** Render a BIFF double like the xlsx reader sees raw text:
+      * integral values print without the trailing ".0" so type
+      * inference can land on BIGINT.
+      */
+    private def numToString(d: Double): String =
+      if (d == scala.math.rint(d) && scala.math.abs(d) <= 1e15) d.toLong.toString
+      else d.toString
+
+    /** XLUnicodeString at a fixed offset (LABEL / STRING records):
+      * cch, option flags, chars. Returns (string, bytesConsumed).
+      */
+    private def readUnicodeString(b: Array[Byte], o: Int): (String, Int) = {
+      val cch = u16(b, o)
+      val high = (b(o + 2) & 1) != 0
+      if (high)
+        (new String(b, o + 3, cch * 2, StandardCharsets.UTF_16LE), 3 + cch * 2)
+      else {
+        val sb = new java.lang.StringBuilder(cch)
+        var i = 0
+        while (i < cch) { sb.append((b(o + 3 + i) & 0xFF).toChar); i += 1 }
+        (sb.toString, 3 + cch)
+      }
+    }
+
+    /** SST = cstTotal, cstUnique, then cstUnique
+      * XLUnicodeRichExtendedStrings, split across Continue records.
+      * The cursor below crosses chunk (Continue) boundaries byte-wise;
+      * the one format quirk is that CHARACTER data resuming in a new
+      * Continue record re-states its compression flag byte first —
+      * rich-run and ext-rst payloads cross raw ([MS-XLS] 2.5.293).
+      */
+    private[sources] def parseSst(chunks: IndexedSeq[Array[Byte]]): IndexedSeq[String] = {
+      var ci = 0
+      var off = 0
+      def atEnd(): Boolean = { // skip exhausted chunks
+        while (ci < chunks.length && off >= chunks(ci).length) { ci += 1; off = 0 }
+        ci >= chunks.length
+      }
+      def u8(): Int = {
+        require(!atEnd(), "SST truncated")
+        val v = chunks(ci)(off) & 0xFF; off += 1; v
+      }
+      def u16c(): Int = u8() | (u8() << 8)
+      def u32c(): Int = u16c() | (u16c() << 16)
+      def skip(n: Int): Unit = {
+        var left = n
+        while (left > 0) {
+          require(!atEnd(), "SST truncated in skip")
+          val take = math.min(left, chunks(ci).length - off)
+          off += take; left -= take
+        }
+      }
+      def readString(): String = {
+        val cch = u16c()
+        var flags = u8()
+        val fRich = (flags & 8) != 0
+        val fExt = (flags & 4) != 0
+        val cRun = if (fRich) u16c() else 0
+        val cbExt = if (fExt) u32c() else 0
+        val sb = new java.lang.StringBuilder(cch)
+        var remaining = cch
+        while (remaining > 0) {
+          // crossing into a Continue record with characters still
+          // pending: the continued section re-states its compression
+          // flag byte ([MS-XLS] 2.5.293) — a boundary BETWEEN strings
+          // has no flag byte and never enters this loop
+          if (off >= chunks(ci).length) {
+            ci += 1; off = 0
+            require(ci < chunks.length && chunks(ci).nonEmpty,
+              "SST truncated in string characters")
+            flags = chunks(ci)(0) & 0xFF
+            off = 1
+          }
+          val high = (flags & 1) != 0
+          val charBytes = if (high) 2 else 1
+          val avail = chunks(ci).length - off
+          val n = math.min(remaining, avail / charBytes)
+          if (n == 0) off = chunks(ci).length // forces the advance above
+          else {
+            if (high) {
+              sb.append(new String(chunks(ci), off, n * 2, StandardCharsets.UTF_16LE))
+              off += n * 2
+            } else {
+              var k = 0
+              while (k < n) { sb.append((chunks(ci)(off + k) & 0xFF).toChar); k += 1 }
+              off += n
+            }
+            remaining -= n
+          }
+        }
+        skip(cRun * 4 + cbExt)
+        sb.toString
+      }
+      skip(4) // cstTotal
+      val unique = u32c()
+      (0 until unique).map(_ => readString())
+    }
+  }
+}

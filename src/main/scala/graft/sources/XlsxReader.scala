@@ -32,29 +32,7 @@ object XlsxReader {
   def read(spark: SparkSession, path: String): DataFrame = {
     val table = readRows(path)
     require(table.nonEmpty, s"xlsx $path: first worksheet has no rows")
-    val headerRaw = table.head
-    // width = the WIDEST row, not the header: a data row carrying more
-    // cells than the header names (blank header cell trimmed away)
-    // must not be silently truncated — extra columns get colN names.
-    val width = table.map(_.length).max
-    val header = Array.tabulate(width) { i =>
-      val h = if (i < headerRaw.length) headerRaw(i) else null
-      if (h == null || h.isEmpty) s"col$i" else h
-    }
-    val data = table.tail.map { r =>
-      if (r.length == width) r
-      else r ++ Array.fill[String](width - r.length)(null)
-    }
-    val types = Array.tabulate(width)(i => inferType(data.map(_(i))))
-    val rows: java.util.List[Row] = new java.util.ArrayList[Row](data.length)
-    data.foreach { r =>
-      rows.add(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        Array.tabulate[Any](width)(i => convert(r(i), types(i))))))
-    }
-    val schema = StructType(header.zip(types).map {
-      case (n, t) => StructField(n, t, nullable = true)
-    })
-    spark.createDataFrame(rows, schema)
+    SheetTable.toDataFrame(spark, table)
   }
 
   /** All cells of the first worksheet as strings (null = missing). */
@@ -219,6 +197,44 @@ object XlsxReader {
       i += 1
     }
     acc - 1
+  }
+
+}
+
+/** Shared string-table → typed DataFrame assembly for the Excel
+  * readers ([[XlsxReader]], [[XlsReader]]): first row = header, width
+  * = widest row (extra data columns get colN names, short rows pad
+  * with nulls), column types inferred bottom-up over the non-null
+  * cells (BIGINT ⊂ DOUBLE ⊂ BOOLEAN ⊂ STRING) — the same inference
+  * contract as the csv reader. One code path so the two Excel formats
+  * can never diverge on header/type semantics.
+  */
+private[sources] object SheetTable {
+
+  def toDataFrame(spark: SparkSession, table: Seq[Array[String]]): DataFrame = {
+    val headerRaw = table.head
+    // width = the WIDEST row, not the header: a data row carrying more
+    // cells than the header names (blank header cell trimmed away)
+    // must not be silently truncated — extra columns get colN names.
+    val width = table.map(_.length).max
+    val header = Array.tabulate(width) { i =>
+      val h = if (i < headerRaw.length) headerRaw(i) else null
+      if (h == null || h.isEmpty) s"col$i" else h
+    }
+    val data = table.tail.map { r =>
+      if (r.length == width) r
+      else r ++ Array.fill[String](width - r.length)(null)
+    }
+    val types = Array.tabulate(width)(i => inferType(data.map(_(i))))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row](data.length)
+    data.foreach { r =>
+      rows.add(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array.tabulate[Any](width)(i => convert(r(i), types(i))))))
+    }
+    val schema = StructType(header.zip(types).map {
+      case (n, t) => StructField(n, t, nullable = true)
+    })
+    spark.createDataFrame(rows, schema)
   }
 
   private val LongRe = "^-?\\d{1,19}$".r

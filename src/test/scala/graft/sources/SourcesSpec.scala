@@ -57,10 +57,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("unsupported formats raise instead of guessing") {
-    intercept[IllegalArgumentException] {
-      Readers.read(spark, "/tmp/none.xls", "xls") // legacy BIFF needs POI
-    }
-    // .xls must DETECT as xls (→ loud error), never silently as csv
+    // .xls detects as xls (→ XlsReader), never silently as csv
     assert(Readers.detectFormat("/x/legacy.xls") == "xls")
     intercept[IllegalArgumentException] {
       Writers.write(Seq(1).toDF("x"), "/tmp/none.xlsx", "xlsx")
