@@ -26,13 +26,42 @@ object Engine {
 
   /** preview_file (duckdb_engine.py:31-64): first `limit` rows (by
     * `orderBy`, for determinism) + schema + total count.
+    *
+    * `approxTotal = true` swaps the exact `COUNT(*)` (reference
+    * parity — its preview runs one per call, duckdb_engine.py:45) for
+    * a metadata/sampled estimate: at 100 TB an interactive preview
+    * should not pay a full scan for its row-count footer. Parquet
+    * answers the count from footers either way; the approx switch
+    * matters for csv/json/xls sources where counting means reading.
     */
   def previewFile(
       spark: SparkSession, path: String, format: String,
-      limit: Int = 200, orderBy: Seq[String] = Nil): Preview = {
+      limit: Int = 200, orderBy: Seq[String] = Nil,
+      approxTotal: Boolean = false): Preview = {
     val df = Readers.read(spark, path, format)
     val ordered = if (orderBy.nonEmpty) df.orderBy(orderBy.head, orderBy.tail: _*) else df
-    Preview(df.columns.toSeq, ordered.limit(limit).collect().toSeq, df.count())
+    val total =
+      if (!approxTotal) df.count()
+      else {
+        // rows-per-byte measured by COUNTING ONE input file, scaled by
+        // the input's total on-disk size — a thousandth of the scan
+        // when the input has thousands of splits, and exact for a
+        // single-file input (the probe is then the whole read).
+        def sizeOf(uri: String): Long =
+          try java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(uri)))
+          catch { case _: Exception => 0L }
+        val files = df.inputFiles
+        val bytesTotal = files.map(sizeOf).sum
+        if (files.length <= 1 || bytesTotal == 0L) df.count()
+        else {
+          val probe = files.minBy(sizeOf) // cheapest representative split
+          val probeRows = Readers.read(spark, probe, format).count()
+          val probeBytes = math.max(1L, sizeOf(probe))
+          (BigDecimal(probeRows) * bytesTotal / probeBytes)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+      }
+    Preview(df.columns.toSeq, ordered.limit(limit).collect().toSeq, total)
   }
 
   /** infer_schema (duckdb_engine.py:66-86): (name, type, nullable). */

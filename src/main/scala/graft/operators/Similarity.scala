@@ -160,6 +160,32 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Persist an IVF index: the assignment parquet hive-partitioned by
+    * `_cell` (so [[ivfTopK]]'s `_cell IN (...)` probe prunes partition
+    * directories at planning time, like [[LshIndex]]), centroids in a
+    * sidecar parquet. Build once on a cluster, query from anywhere.
+    */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index; `assigned` reads the bucket-partitioned
+    * layout, so probes prune files.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    IvfIndex(spark.read.parquet(s"$path/assigned"), centroids)
+  }
+
   /** Query an IVF index: rank cells by centroid distance, brute-force
     * only the nprobe nearest cells.
     */

@@ -25,6 +25,20 @@ class EngineSpec extends AnyFunSuite {
     assert(p.rows.head.getAs[Int]("id") == 1)
   }
 
+  test("previewFile approxTotal: exact on one file, bytes-scaled across files") {
+    // single-file input: the probe IS the whole read → exact
+    val p1 = Engine.previewFile(spark, csvPath, "csv", limit = 1, approxTotal = true)
+    assert(p1.totalCount == 4L)
+    // multi-file input: one file counted, scaled by total bytes —
+    // uniform rows, so the estimate lands on the exact count
+    val dir = Files.createTempDirectory("graft_engine_multi")
+    val p = dir.resolve("m.csv").toString
+    Writers.write((1 to 400).map(i => (1000 + i, "xx")).toDF("id", "s")
+      .repartition(4), p, "csv")
+    val est = Engine.previewFile(spark, p, "csv", limit = 1, approxTotal = true)
+    assert(est.totalCount >= 360 && est.totalCount <= 440, est.totalCount)
+  }
+
   test("executeSql resolves {{name}} placeholders") {
     val out = Engine.executeSql(spark,
       "SELECT tag, count(*) AS n FROM {{data}} GROUP BY tag ORDER BY n DESC, tag",

@@ -93,6 +93,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(filesPerBucket.nonEmpty && filesPerBucket.forall(_.getLong(1) == 1L))
   }
 
+  test("persisted IVF index roundtrips and prunes by cell partition") {
+    val many = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f, 0.0f))
+      else (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val built = Similarity.ivfIndex(many, "vec_id", "embedding", nlist = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      .resolve("idx").toString
+    Similarity.saveIvfIndex(built, path)
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    val probe = Similarity.ivfTopK(loaded, "vec_id", "embedding",
+      Array(1.0f, 0.0f, 0.0f, 0.0f), k = 3, nprobe = 1)
+    // pruning: the cell filter lands in PartitionFilters of the scan
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters:\n" + plan.take(3000)))
+    assert(scanLine.contains("_cell"), scanLine)
+    val top = probe.select("vec_id").as[Long].collect()
+    assert(top.length == 3 && top.forall(_ % 2 == 0)) // only the e1 cluster
+  }
+
   test("bucketExpr and bucketOf agree (query routing = data bucketing)") {
     val planes = Similarity.hyperplanes(4, 4)
     val sparkBuckets = vecs
