@@ -141,6 +141,36 @@ object TextFunctions {
     s"""md5(array_to_string(list_sort(list_distinct(
        |  regexp_split_to_array(lower(trim($c)), '\\s+'))), ' '))""".stripMargin
 
+  /** URL parsing for domain-level corpus filtering (the blocklist
+    * filter every crawl pipeline runs before content filters).
+    * Patterns are the Java/RE2 common subset, shared verbatim with
+    * the DuckDB twins: host = the authority between `://` and the
+    * first `/?#`, userinfo and port stripped; registrable domain =
+    * the last two dot-labels, lowercased. (A two-label approximation
+    * — co.uk-style suffixes need the public-suffix list, the usual
+    * trade every quick pipeline makes; swap in a PSL-backed expression
+    * for production crawls.)
+    */
+  val urlHostPattern = "://([^/?#]+)"
+  val urlUserInfoPattern = "^[^@]*@"
+  val urlPortPattern = ":[0-9]+$"
+  val registrableDomainPattern = "[^.]+\\.[^.]+$"
+
+  def urlHost(url: Column): Column =
+    regexp_replace(regexp_replace(
+        regexp_extract(url, urlHostPattern, 1), urlUserInfoPattern, ""),
+      urlPortPattern, "")
+
+  def registrableDomain(url: Column): Column =
+    lower(regexp_extract(urlHost(url), registrableDomainPattern, 0))
+
+  def urlHostSql(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_extract($c, '://([^/?#]+)', 1), " +
+      "'^[^@]*@', ''), ':[0-9]+$', '')"
+
+  def registrableDomainSql(c: String): String =
+    s"lower(regexp_extract(${urlHostSql(c)}, '[^.]+\\.[^.]+$$', 0))"
+
   /** PII redaction patterns, applied IN ORDER (earlier replacements
     * mask text from later patterns — e.g. SSNs are consumed before the
     * phone pattern sees them). One definition drives both engines: the

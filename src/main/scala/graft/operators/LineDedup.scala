@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level (paragraph-level) corpus deduplication — the CCNet /
+  * RefinedWeb boilerplate scrub: a line that recurs across ≥
+  * `minDocs` documents (cookie banners, nav menus, footers, "subscribe"
+  * prompts) is removed from EVERY document, keeping each document's
+  * unique content. Document-level dedup cannot catch these — the
+  * documents differ; their lines don't.
+  *
+  * Plan shape (the 100 TB question):
+  *  1. explode docs into (doc_id, line_no, line) — a generate, no
+  *     shuffle;
+  *  2. count DISTINCT docs per normalized line hash — one hash
+  *     aggregate with map-side partial (the only wide shuffle over
+  *     line granularity);
+  *  3. the frequent-line set is tiny relative to the corpus
+  *     (boilerplate is by definition few distinct strings) → it
+  *     BROADCASTS into a left-anti probe of the line stream — the
+  *     corpus lines are filtered map-side, never shuffled again;
+  *  4. reassemble per doc: one shuffle on doc_id, in-row sort by
+  *     line_no (array_sort on a collected struct — no per-key sort
+  *     task, line counts per doc are bounded).
+  *
+  * Documents whose every line was boilerplate drop out entirely
+  * (CCNet behavior — nothing unique remains).
+  */
+object LineDedup {
+
+  /** Normalized identity for line comparison: case-folded,
+    * whitespace-collapsed. Shared with the oracle SQL.
+    */
+  def lineKey(line: Column): Column =
+    xxhash64(regexp_replace(lower(trim(line)), "\\s+", " "))
+
+  /** @param minDocs a line appearing in at least this many DISTINCT
+    *                documents is boilerplate and removed everywhere.
+    * @return (idCol, clean_text, n_lines_kept, n_lines_removed); docs
+    *         with zero surviving lines are dropped.
+    */
+  def dropCommonLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(
+        col(idCol).as("_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("_line_no", "_line")))
+      .withColumn("_key", lineKey(col("_line")))
+
+    // distinct doc count per line key: map-side partial agg; the
+    // output (distinct boilerplate candidates) is small by definition
+    val frequent = lines
+      .groupBy("_key")
+      .agg(count_distinct(col("_id")).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_key")
+
+    // tag (not anti-join) so kept/removed counts come from the SAME
+    // single doc-side aggregate — no per-doc side table to join back
+    lines
+      .join(broadcast(frequent.withColumn("_bl", lit(true))), Seq("_key"), "left")
+      .groupBy("_id")
+      .agg(
+        array_join(
+          transform(
+            // collect_list skips nulls: boilerplate lines vanish here
+            array_sort(collect_list(
+              when(col("_bl").isNull, struct(col("_line_no"), col("_line"))))),
+            e => e.getField("_line")),
+          sep).as("clean_text"),
+        sum(when(col("_bl").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("_bl").isNotNull, 1L).otherwise(0L)).as("n_lines_removed"))
+      .filter(col("n_lines_kept") > 0)
+      .select(col("_id").as(idCol), col("clean_text"),
+        col("n_lines_kept"), col("n_lines_removed"))
+  }
+}

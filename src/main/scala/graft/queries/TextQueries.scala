@@ -254,6 +254,50 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Domain blocklist filter — the crawl pipeline's first gate: drop
+    // every doc whose REGISTRABLE domain (userinfo/port stripped, last
+    // two labels) is blocklisted. URLs are salted deterministically
+    // from doc_id by the same expression the oracle uses (subdomain /
+    // tld / optional userinfo+port variants exercise every strip);
+    // the tiny blocklist broadcasts into a left-anti probe — the
+    // corpus never shuffles.
+    "x_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val sub = element_at(
+        array(lit("www"), lit("cdn"), lit("ads"), lit("news")),
+        ((col("doc_id") % 4) + 1).cast("int"))
+      val tld = element_at(array(lit("com"), lit("org")),
+        ((col("doc_id") % 2) + 1).cast("int"))
+      val auth = when(col("doc_id") % 5 === 0, lit("user:pw@")).otherwise(lit(""))
+      val port = when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit(""))
+      val url = concat(lit("https://"), auth, sub, lit(".site"),
+        (col("doc_id") % 7).cast("string"), lit("."), tld, port,
+        lit("/p/"), col("doc_id").cast("string"))
+      val withDomain = t(s, dir, "documents")
+        .select(col("doc_id"), registrableDomain(url).as("domain"))
+      val block = Seq("site0.com", "site3.org", "site5.com").toDF("domain")
+      withDomain.join(broadcast(block), Seq("domain"), "left_anti")
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet/RefinedWeb-style line-level dedup: lines recurring across
+    // >= 30 docs (cookie banners, footers) removed from EVERY doc.
+    // The single-line corpus is salted with deterministic boilerplate
+    // lines by the SAME expression the oracle uses (the x_pii_redact
+    // pattern): a promo line shared by doc_id%5 cohorts and a footer
+    // shared by all — both must vanish; each doc's unique body stays.
+    "x_line_dedup" -> ((s, dir) => {
+      val salted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("promo banner variant "), (col("doc_id") % 5).cast("string")),
+          col("text"),
+          lit("copyright footer example")).as("text"))
+      graft.operators.LineDedup.dropCommonLines(salted, "doc_id", "text",
+          minDocs = 30)
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup: one hash-aggregate, keep min doc_id per normalized
     // fingerprint. The 100 TB shape: a single shuffle on the hash.
     "d_exact_dedup" -> ((s, dir) => {
@@ -379,6 +423,54 @@ object TextQueries {
          |  ${piiCountSql("t", "ipv4")} AS n_ipv4
          |FROM salted ORDER BY doc_id""".stripMargin
     },
+    "x_url_filter" -> {
+      val urlSql =
+        "'https://' || (CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END) || " +
+          "['www','cdn','ads','news'][CAST(doc_id % 4 AS INTEGER) + 1] || '.site' || " +
+          "CAST(doc_id % 7 AS VARCHAR) || '.' || " +
+          "['com','org'][CAST(doc_id % 2 AS INTEGER) + 1] || " +
+          "(CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) || " +
+          "'/p/' || CAST(doc_id AS VARCHAR)"
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |d AS (SELECT doc_id, ${registrableDomainSql("url")} AS domain FROM u)
+         |SELECT doc_id, domain FROM d
+         |WHERE domain NOT IN ('site0.com', 'site3.org', 'site5.com')
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // The oracle compares normalized line STRINGS where the Spark side
+    // groups on 64-bit line hashes — equivalent absent an xxhash64
+    // collision (same note as x_decontaminate).
+    "x_line_dedup" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    'promo banner variant ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+        |    text || chr(10) || 'copyright footer example' AS t
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, u.line_no, u.line FROM (
+        |    SELECT doc_id,
+        |      unnest([{'line_no': i, 'line': l[i]}
+        |        for i in generate_series(1, len(l))]) AS u
+        |    FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM salted))
+        |), keyed AS (
+        |  SELECT doc_id, line_no, line,
+        |    regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS k
+        |  FROM lines
+        |), freq AS (
+        |  SELECT k FROM keyed GROUP BY k HAVING count(DISTINCT doc_id) >= 30
+        |)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN k NOT IN (SELECT k FROM freq) THEN line END,
+        |             chr(10) ORDER BY line_no) AS clean_text,
+        |  CAST(sum(CASE WHEN k NOT IN (SELECT k FROM freq) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_lines_kept,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM freq) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_lines_removed
+        |FROM keyed GROUP BY doc_id
+        |HAVING n_lines_kept > 0
+        |ORDER BY doc_id""".stripMargin,
+
     // The oracle compares gram STRINGS where the Spark side semi-joins
     // on 64-bit gram hashes — equivalent absent an xxhash64 collision
     // between distinct grams (~10^-10 at these cardinalities).

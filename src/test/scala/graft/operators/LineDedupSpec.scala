@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class LineDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], minDocs: Long) =
+    LineDedup.dropCommonLines(docs.toDF("doc_id", "text"), "doc_id", "text",
+        minDocs = minDocs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_removed")))
+      .sortBy(_._1).toSeq
+
+  test("boilerplate lines vanish everywhere; unique bodies survive in order") {
+    val docs = (1 to 5).map { i =>
+      (i.toLong, s"COOKIE BANNER\nbody first $i\nbody second $i\nfooter text")
+    }
+    val out = run(docs, minDocs = 3)
+    assert(out.size == 5)
+    out.foreach { case (id, text, kept, removed) =>
+      assert(text == s"body first $id\nbody second $id") // order preserved
+      assert(kept == 2 && removed == 2)
+    }
+  }
+
+  test("line identity is case- and whitespace-normalized") {
+    val docs = Seq(
+      (1L, "Cookie  Banner\nunique a"),
+      (2L, "cookie banner\nunique b"),
+      (3L, "COOKIE\tBANNER \nunique c"))
+    val out = run(docs, minDocs = 3)
+    assert(out.map(_._2) == Seq("unique a", "unique b", "unique c"))
+    assert(out.forall(_._4 == 1L))
+  }
+
+  test("a document of pure boilerplate drops out entirely") {
+    val docs = Seq(
+      (1L, "shared line\nkeep me 1"),
+      (2L, "shared line\nkeep me 2"),
+      (3L, "shared line")) // nothing unique
+    val out = run(docs, minDocs = 2)
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.map(_._2) == Seq("keep me 1", "keep me 2"))
+  }
+
+  test("below-threshold repeats are NOT boilerplate") {
+    val docs = Seq(
+      (1L, "rare pair\nbody 1"),
+      (2L, "rare pair\nbody 2"),
+      (3L, "solo\nbody 3"))
+    val out = run(docs, minDocs = 3)
+    assert(out.map(_._4).sum == 0L) // nothing removed
+    assert(out.head._2 == "rare pair\nbody 1")
+  }
+
+  test("plan: frequent-line probe broadcasts; no second wide shuffle of lines") {
+    val docs = (1 to 50).map(i => (i.toLong, s"banner\nbody $i")).toDF("doc_id", "text")
+    val df = LineDedup.dropCommonLines(docs, "doc_id", "text", minDocs = 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+}
