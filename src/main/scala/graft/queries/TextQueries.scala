@@ -254,6 +254,47 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality gate (Rae et al. 2021, Appendix A1.1 —
+    // public rules): token-count window, mean-word-length window,
+    // duplicate-word ceiling, each from the SAME shared formula as its
+    // oracle twin. Output keeps every doc with its verdict + the FIRST
+    // failed rule (pipelines log why docs die); one scan, no shuffle
+    // beyond the output sort.
+    "x_gopher_filter" -> ((s, dir) => {
+      val toks = wsTokenCount(col("text")).cast("long")
+      val arr = split(lower(trim(col("text"))), "\\s+")
+      val dupRatio = lit(1.0) -
+        size(array_distinct(arr)).cast("double") /
+          greatest(size(arr), lit(1)).cast("double")
+      val meanWlen = length(col("text")).cast("double") /
+        greatest(toks, lit(1L)).cast("double")
+      val reason = when(toks < 50, "too_short")
+        .when(toks > 100000, "too_long")
+        .when(meanWlen < 3.0 || meanWlen > 10.0, "word_length")
+        .when(dupRatio > 0.6, "repetitive")
+      t(s, dir, "documents")
+        .select(col("doc_id"), reason.isNull.as("keep"), reason.as("fail_reason"))
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-aware train/val/test split: the split key is the
+    // BAG-OF-WORDS fingerprint, not the doc id — exact duplicates and
+    // word-order reshuffles land in the SAME split by construction, so
+    // a val doc can never have a near-twin in train (the leakage the
+    // naive random split ships). Assignment = lexicographic buckets of
+    // the md5 hex prefix (~90/5/5), deterministic and identical in
+    // both engines (lowercase hex both sides); zero shuffles — a pure
+    // projection.
+    "x_train_split" -> ((s, dir) => {
+      val fp = bagFingerprint(col("text"))
+      val b = substring(fp, 1, 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(b < "e6", "train").when(b < "f3", "val").otherwise("test")
+            .as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Domain blocklist filter — the crawl pipeline's first gate: drop
     // every doc whose REGISTRABLE domain (userinfo/port stripped, last
     // two labels) is blocklisted. URLs are salted deterministically
@@ -423,6 +464,31 @@ object TextQueries {
          |  ${piiCountSql("t", "ipv4")} AS n_ipv4
          |FROM salted ORDER BY doc_id""".stripMargin
     },
+    "x_gopher_filter" -> {
+      val toks = s"CAST(${wsTokenCountSql("text")} AS BIGINT)"
+      val dup = "1.0 - CAST(len(list_distinct(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) / " +
+        "greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1)"
+      val mean = s"CAST(length(text) AS DOUBLE) / greatest($toks, 1)"
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $toks < 50 THEN 'too_short'
+         |         WHEN $toks > 100000 THEN 'too_long'
+         |         WHEN $mean < 3.0 OR $mean > 10.0 THEN 'word_length'
+         |         WHEN $dup > 0.6 THEN 'repetitive'
+         |    END AS fail_reason
+         |  FROM documents)
+         |SELECT doc_id, fail_reason IS NULL AS keep, fail_reason
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "x_train_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(${bagFingerprintSql("text")}, 1, 2) < 'e6' THEN 'train'
+         |       WHEN substr(${bagFingerprintSql("text")}, 1, 2) < 'f3' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "x_url_filter" -> {
       val urlSql =
         "'https://' || (CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END) || " +

@@ -40,4 +40,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a == b)
     assert(one("hello worlds", fingerprint($"t")) != a)
   }
+
+  test("url host and registrable domain strip userinfo, port, subdomains") {
+    def dom(u: String) = one(u, registrableDomain($"t"))
+    assert(dom("https://www.News.Example.com/p/1") == "example.com")
+    assert(dom("http://user:pw@cdn.site3.org:8080/x?q=1#f") == "site3.org")
+    assert(dom("https://example.org") == "example.org")
+    assert(one("http://a.b.co:443/", urlHost($"t")) == "a.b.co")
+    assert(dom("not a url") == "") // no scheme → empty, never a false block
+  }
+
+  test("bag-fingerprint split key: duplicates and reshuffles share a split") {
+    // the leakage guarantee behind x_train_split — any doc pair with
+    // equal token bags gets an identical split assignment
+    val a = one("alpha beta gamma delta", bagFingerprint($"t"))
+    val reshuffled = one("delta gamma  Beta alpha", bagFingerprint($"t"))
+    val repeated = one("alpha alpha beta gamma delta", bagFingerprint($"t"))
+    assert(a == reshuffled && a == repeated)
+    assert(one("alpha beta gamma epsilon", bagFingerprint($"t")) != a)
+  }
 }
