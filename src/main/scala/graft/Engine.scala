@@ -52,12 +52,21 @@ object Engine {
           catch { case _: Exception => 0L }
         val files = df.inputFiles
         val bytesTotal = files.map(sizeOf).sum
-        if (files.length <= 1 || bytesTotal == 0L) df.count()
+        // probe candidates: smallest file with a KNOWN nonzero size
+        // (an empty/header-only part or an unstat-able URI must not be
+        // the representative — probeRows=0 would estimate 0 for the
+        // whole dataset, and probeBytes=0 would blow the scale-up)
+        val candidates = files.filter(sizeOf(_) > 0L)
+        if (files.length <= 1 || candidates.isEmpty) df.count()
         else {
-          val probe = files.minBy(sizeOf) // cheapest representative split
-          val probeRows = Readers.read(spark, probe, format).count()
-          val probeBytes = math.max(1L, sizeOf(probe))
-          (BigDecimal(probeRows) * bytesTotal / probeBytes)
+          val probe = candidates.minBy(sizeOf) // cheapest representative split
+          // re-use the already-inferred schema: a csv probe would
+          // otherwise pay a second inference scan of the same file
+          val probeRows = Readers.read(spark, probe, format,
+            schema = Some(df.schema)).count()
+          val probeBytes = sizeOf(probe)
+          if (probeRows == 0L) df.count() // degenerate probe: be exact
+          else (BigDecimal(probeRows) * bytesTotal / probeBytes)
             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         }
       }

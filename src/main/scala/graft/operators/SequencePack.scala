@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   *
   * Cost: 1 wide shuffle + 1 tiny one (the per-bucket table) vs 1 wide
   * — the price of unbounded per-key parallelism. The offsets table is
-  * one row per (key, bucket); size `bucketWidth` so it stays millions
-  * of rows at most (it broadcasts back into the wide side).
+  * one row per (key, OCCUPIED bucket) — with dense order values it is
+  * thousands of times smaller than the data (AQE broadcasts the join
+  * back); with sparse values (snowflake ids) it can approach the
+  * input size, which is why the join is left to the planner rather
+  * than broadcast-hinted, and why `bucketWidth` should be sized to
+  * the order column's actual density.
   */
 object SequencePack {
 
@@ -64,10 +68,17 @@ object SequencePack {
 
     // Phase 3: within-bucket cumsum; the window partitions by
     // (key, bucket) so no task ever sorts more than one bucket slice.
+    // The offsets join is NOT broadcast-hinted: with dense orderCol
+    // values the table is tiny and AQE broadcasts it anyway, but with
+    // SPARSE values (snowflake ids, timestamps) it approaches one row
+    // per input row — a forced broadcast would OOM exactly at the
+    // scale this operator exists for. A sort-merge join here shuffles
+    // on (key, _bkt), the same partitioning the window needs, so the
+    // exchange is reused, not added.
     val ww = Window.partitionBy(keyCol, "_bkt").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .join(broadcast(offsets), Seq(keyCol, "_bkt"))
+      .join(offsets, Seq(keyCol, "_bkt"))
       .withColumn("_cum", col("_off") + sum(col(weightCol)).over(ww))
       .withColumn(binCol,
         floorDiv(col("_cum") - col(weightCol), budget))

@@ -89,8 +89,11 @@ object Similarity {
     */
   final case class LshIndex(
       path: String,
-      planes: Array[Array[Double]],
-      numPlanes: Int)
+      planes: Array[Array[Double]]) {
+    /** Bucket-id width — derived, so it can never disagree with the
+      * planes that actually built the layout. */
+    def numPlanes: Int = planes.length
+  }
 
   /** Build the index: assign buckets (one codegen'd map-only pass —
     * the single full read the corpus ever pays), cluster rows by
@@ -107,7 +110,7 @@ object Similarity {
         bucketExpr(col(vecCol), planes).as("_bucket"))
       .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(path)
-    LshIndex(path, planes, numPlanes)
+    LshIndex(path, planes)
   }
 
   /** Query a persisted LSH index: the bucket filter prunes partitions

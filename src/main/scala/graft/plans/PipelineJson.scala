@@ -161,10 +161,19 @@ object PipelineJson {
         val retries = if (method == "GET" || method == "HEAD") 3 else 1
         // the body is a DRIVER-SIDE materialization — unbounded input
         // (a fact table mis-wired into invoke_http) would OOM the
-        // driver, so the collect is capped and raises with the node id
+        // driver, so the collect is capped and raises with the node id.
+        // Validated at PARSE time: Jackson's asLong returns 0 for a
+        // non-numeric value, which would reject every nonempty body
+        // with a misleading "cap exceeded" error at run time.
         val maxBodyRows =
-          if (config.has("max_body_rows")) config.path("max_body_rows").asLong
-          else 100000L
+          if (!config.has("max_body_rows")) 100000L
+          else {
+            val n = config.path("max_body_rows")
+            require(n.canConvertToLong && n.asLong > 0,
+              s"invoke_http node '$id': max_body_rows must be a positive " +
+                s"integer, got ${n.toString}")
+            n.asLong
+          }
         HttpCall { (sp, input) =>
           val body = input match {
             case Some(df) if method == "POST" || method == "PUT" =>

@@ -79,11 +79,16 @@ object Readers {
       .map(f => (f.name, f.dataType.sql, f.nullable))
 
   /** Format detection by extension (duckdb_engine.py:283-287).
-    * URL query strings are stripped first so a presigned URL's
-    * `?X-Amz-...` tail can't hide the real extension.
+    * For URLs the query string / fragment is stripped first so a
+    * presigned URL's `?X-Amz-...` tail can't hide the real extension;
+    * LOCAL paths are taken verbatim (`#` and `?` are legal filename
+    * characters there).
     */
   def detectFormat(path: String): String = {
-    val clean = path.takeWhile(c => c != '?' && c != '#')
+    val clean =
+      if (path.startsWith("http://") || path.startsWith("https://"))
+        path.takeWhile(c => c != '?' && c != '#')
+      else path
     val ext = clean.reverse.takeWhile(_ != '.').reverse.toLowerCase
     // "xls" maps to itself so a legacy Excel file hits the loud
     // unsupported error in read() instead of silently misparsing as csv
@@ -93,17 +98,26 @@ object Readers {
 
   /** Download an http(s) URL to a temp spool file (extension kept so
     * downstream format detection still works) and return its path.
+    * The body STREAMS to disk (never buffered on the heap — a
+    * presigned parquet download can be multi-GB); redirects are
+    * followed (the JDK default is NEVER, and an S3-style 307 would
+    * otherwise "succeed" with an empty body); only 2xx is success.
     */
   private def spoolUrl(url: String): String = {
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-    val resp = HttpClient.newHttpClient().send(
-      HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
-      HttpResponse.BodyHandlers.ofByteArray())
-    require(resp.statusCode() < 400, s"HTTP ${resp.statusCode()} fetching $url")
     val ext = detectFormat(url)
     val spool = java.nio.file.Files
       .createTempDirectory("graft_url").resolve(s"payload.$ext")
-    java.nio.file.Files.write(spool, resp.body())
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL).build()
+    val resp = client.send(
+      HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofFile(spool))
+    if (resp.statusCode() / 100 != 2) {
+      java.nio.file.Files.deleteIfExists(spool) // error page is not data
+      throw new IllegalArgumentException(
+        s"HTTP ${resp.statusCode()} fetching $url")
+    }
     spool.toString
   }
 }

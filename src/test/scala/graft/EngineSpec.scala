@@ -37,6 +37,11 @@ class EngineSpec extends AnyFunSuite {
       .repartition(4), p, "csv")
     val est = Engine.previewFile(spark, p, "csv", limit = 1, approxTotal = true)
     assert(est.totalCount >= 360 && est.totalCount <= 440, est.totalCount)
+    // a header-only part file must not be the probe representative:
+    // probeRows=0 falls back to the exact count, never estimates 0
+    Files.writeString(java.nio.file.Paths.get(p).resolve("empty-part.csv"), "id,s\n")
+    val guarded = Engine.previewFile(spark, p, "csv", limit = 1, approxTotal = true)
+    assert(guarded.totalCount == 400L, guarded.totalCount)
   }
 
   test("executeSql resolves {{name}} placeholders") {

@@ -269,6 +269,19 @@ class PipelineJsonSpec extends AnyFunSuite {
         e.getMessage)
       // at or under the cap the call goes through
       assert(PipelineJson.run(spark, json(50)).nodeLog.contains("nhttp" -> "http ok"))
+      // a non-numeric or non-positive cap is rejected at PARSE time
+      // (Jackson asLong would silently read a string as 0 and reject
+      // every nonempty body with a misleading cap error)
+      for (bad <- Seq("\"50000\"", "0", "-5")) {
+        val err = intercept[IllegalArgumentException] {
+          PipelineJson.parse(s"""{
+            "nodes": [{"id": "nbad", "type": "invoke_http",
+             "data": {"config": {"url": "http://x/", "max_body_rows": $bad}}}],
+            "edges": []
+          }""")
+        }
+        assert(err.getMessage.contains("nbad"), err.getMessage)
+      }
     } finally server.stop(0)
   }
 

@@ -107,6 +107,16 @@ class SourcesSpec extends AnyFunSuite {
       assert(Readers.detectFormat(presigned) == "csv")
       val df2 = Readers.read(spark, presigned, Readers.detectFormat(presigned))
       assert(df2.count() == 2)
+      // ...but LOCAL paths keep '#'/'?' verbatim (legal filename chars)
+      assert(Readers.detectFormat("/data/file#1.parquet") == "parquet")
+      // a 3xx redirect is FOLLOWED (S3-style 307), not spooled as data
+      server.createContext("/moved.csv", { ex =>
+        ex.getResponseHeaders.add("Location", "/files/table.csv")
+        ex.sendResponseHeaders(302, -1); ex.close()
+      })
+      val viaRedirect = Readers.read(spark,
+        s"http://127.0.0.1:${server.getAddress.getPort}/moved.csv", "csv")
+      assert(viaRedirect.count() == 2)
       // a 404 raises loudly instead of parsing an error page as csv
       intercept[IllegalArgumentException] {
         Readers.read(spark,
