@@ -529,4 +529,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Exact substring-SPAN dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a document sharing
+    * ANY `spanTokens`-word span with an earlier document is a
+    * duplicate — catches partial overlap and containment that
+    * whole-document fingerprints miss (quoted articles, template
+    * wrappers around copied bodies).
+    *
+    * Shape: explode each doc's distinct span hashes (codegen'd shingle
+    * expression, 8-byte longs) → min-id per span (ONE hash aggregate,
+    * map-side partial) → join back and keep ids greater than their
+    * span's first owner. The gram-granularity join is the inverted-
+    * index shape shared with [[ngramJaccardPairs]]; at 100 TB the
+    * posting table is the thing you stage/bucket, not the documents.
+    * Suffix-array spans (arbitrary alignment) reduce to this with
+    * stride-1 windows, which is exactly what word-shingles are.
+    */
+  def spanDuplicateIds(
+      df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol).as("_id"),
+      explode(graft.functions.TextSignatures
+        .shingleHashesCol(col(textCol), spanTokens)).as("_g"))
+    val firstPerSpan = grams.groupBy("_g").agg(min(col("_id")).as("_first"))
+    grams.join(firstPerSpan, "_g")
+      .filter(col("_id") > col("_first"))
+      .select(col("_id").as(idCol)).distinct()
+  }
+
+  /** [[spanDuplicateIds]] complement: the corpus with every
+    * later-duplicate-span document dropped.
+    */
+  def dropSpanDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8): DataFrame =
+    df.join(spanDuplicateIds(df, idCol, textCol, spanTokens),
+      Seq(idCol), "left_anti")
 }

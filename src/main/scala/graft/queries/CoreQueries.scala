@@ -245,6 +245,35 @@ object CoreQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Ordered-sequence funnel (view → click AFTER it → purchase AFTER
+    // that): the event-analytics staple. Formulated as THREE chained
+    // per-user hash aggregates (each with map-side partial combine)
+    // instead of a per-user sort window or a collect_list — no task
+    // ever materializes a user's full event history, so a hot user
+    // (bot traffic) costs only its partial-agg updates. The stage
+    // joins are per-user (one row each side past stage 1) and AQE
+    // broadcasts the later, strictly-shrinking stages.
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      // epoch-micros BIGINT output: Spark's parquet INT96 timestamps
+      // read back as nanos where the DuckDB oracle emits micros — the
+      // value is identical, so pin the representation, not the clock
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("t_view")).as("t_view_us"),
+          unix_micros(col("t_click")).as("t_click_us"),
+          unix_micros(col("t_purchase")).as("t_purchase_us"))
+        .orderBy("user_id")
+    }),
+
     // Anti join: customers with no orders (NOT EXISTS).
     "q_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -560,6 +589,24 @@ object CoreQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+        |)
+        |SELECT v.user_id, epoch_us(v.t_view) AS t_view_us,
+        |  epoch_us(c.t_click) AS t_click_us,
+        |  epoch_us(p.t_purchase) AS t_purchase_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

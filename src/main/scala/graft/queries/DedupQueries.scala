@@ -226,6 +226,24 @@ object DedupQueries {
         probeHamming = 5)
     }),
 
+    // Span-overlap dedup (Lee et al. 2021): docs sharing ANY 8-word
+    // span with an earlier doc are dropped. The planted clones are
+    // NOT exact duplicates (trailing tokens appended, so whole-doc
+    // fingerprints differ) yet share every original span — exactly
+    // the containment case this operator exists for. Deterministic ⇒
+    // the gram-string comprehension oracle applies (hashes vs strings:
+    // same xxhash64-collision note as x_decontaminate).
+    "d_span_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clones = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + CloneShift)
+        .withColumn("text", concat(col("text"), lit(" zz extra trailing tokens")))
+      val corpus = docs.unionByName(clones)
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.dropSpanDuplicates(corpus, "doc_id", "text", spanTokens = 8)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Incremental dedup: tonight's batch (doc_id % 10 == 7) against
     // the standing corpus (the rest), keyed on the bag-of-words
     // fingerprint — word-salad permutations of a corpus doc ARE
@@ -257,6 +275,28 @@ object DedupQueries {
          |    AND ${fp("c.text")} = ${fp("b.text")})
          |ORDER BY doc_id""".stripMargin
     },
+    "d_span_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' zz extra trailing tokens'
+        |  FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM corpus
+        |), grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      [array_to_string(t[i:i+7], ' ')
+        |       for i in generate_series(1, len(t)-7)]
+        |    ELSE [] END) AS g
+        |  FROM toks
+        |), flagged AS (
+        |  SELECT DISTINCT g1.doc_id
+        |  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g2.doc_id < g1.doc_id
+        |)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
     "d_minhash_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

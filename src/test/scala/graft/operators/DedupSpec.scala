@@ -175,4 +175,23 @@ class DedupSpec extends AnyFunSuite {
       .head.getSeq[String](0)
     assert(sh.isEmpty)
   }
+
+  test("span dedup drops containment/partial overlap that whole-doc dedup misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // original
+      // doc 1's full text wrapped in a template — different fingerprint,
+      // shares every 4-word span of the original
+      (2L, "header line alpha beta gamma delta epsilon zeta footer line"),
+      (3L, "totally different words about other things entirely here"),
+      // shares a 3-word run with doc 1 but never 4 in a row → kept
+      (4L, "alpha beta gamma XYZ delta epsilon unrelated tail words")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropSpanDuplicates(docs, "doc_id", "text", spanTokens = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+    val flagged = Dedup.spanDuplicateIds(docs, "doc_id", "text", spanTokens = 4)
+      .as[Long].collect().toSeq
+    assert(flagged == Seq(2L))
+  }
 }
