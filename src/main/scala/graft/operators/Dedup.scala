@@ -549,9 +549,14 @@ object Dedup {
   def spanDuplicateIds(
       df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 8): DataFrame = {
+    // persisted: the posting stream feeds BOTH the min-per-span
+    // aggregate and the join probe — without it the shingle expression
+    // recomputes over the full corpus twice (same rationale as
+    // ngramJaccardPairs' staged index)
     val grams = df.select(col(idCol).as("_id"),
       explode(graft.functions.TextSignatures
         .shingleHashesCol(col(textCol), spanTokens)).as("_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstPerSpan = grams.groupBy("_g").agg(min(col("_id")).as("_first"))
     grams.join(firstPerSpan, "_g")
       .filter(col("_id") > col("_first"))

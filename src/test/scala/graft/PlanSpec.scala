@@ -119,6 +119,21 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("funnel plans chained hash aggregates — no per-user sort window") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Window"), "funnel planned a per-user sort window:\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 6, // 3 stages × partial+final
+      p.take(3000))
+  }
+
+  test("span dedup joins the inverted index — no cartesian, no nested loop") {
+    val p = plan("d_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(3000))
+  }
+
   test("LSH index probe prunes parquet partitions, not a full-corpus scan") {
     import org.apache.spark.sql.functions.col
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
