@@ -148,6 +148,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_image_dims takes exactly 1 argument")
         ImageDims(children.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "graft_audio_meta"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_audio_meta takes exactly 1 argument")
+        AudioMeta(children.head) }))
     ext.injectFunction((FunctionIdentifier("graft_top_k_min"),
       new ExpressionInfo(classOf[TopKMin].getName, "graft_top_k_min"),
       { children: Seq[Expression] =>

@@ -65,6 +65,28 @@ object Multimodal {
       .drop("_dims")
   }
 
+  /** REAL audio metadata probe (the audio twin of [[probeMetadata]]):
+    * fill format/channels/sample_rate/bits and duration_ms from the
+    * media bytes via [[graft.functions.AudioMeta]] — WAV/AIFF/FLAC
+    * headers parsed with zero audio libraries. Existing metadata wins
+    * over a failed probe (coalesce), exactly like the image dims.
+    */
+  def probeAudioMetadata(media: DataFrame): DataFrame = {
+    val am = graft.functions.AudioMeta.audioMeta(col("media"))
+    def keep(field: String, tpe: String): Column =
+      if (media.columns.contains(field))
+        coalesce(col(s"_am.$field"), col(field)).cast(tpe)
+      else col(s"_am.$field").cast(tpe)
+    media
+      .withColumn("_am", am)
+      .withColumn("format", keep("format", "string"))
+      .withColumn("channels", keep("channels", "int"))
+      .withColumn("sample_rate", keep("sample_rate", "int"))
+      .withColumn("bits", keep("bits", "int"))
+      .withColumn("duration_ms", keep("duration_ms", "long"))
+      .drop("_am")
+  }
+
   /** STUB DECODE — deterministic fake feature extraction.
     *
     * Real implementation would decode `media` and run a feature

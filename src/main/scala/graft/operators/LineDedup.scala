@@ -44,11 +44,15 @@ object LineDedup {
       docs: DataFrame, idCol: String, textCol: String,
       minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // persisted: the line stream feeds BOTH the frequency aggregate
+    // and the flagging join — unpersisted, the explode + normalization
+    // would recompute over the whole corpus twice
     val lines = docs.select(
         col(idCol).as("_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("_line_no", "_line")))
       .withColumn("_key", lineKey(col("_line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // distinct doc count per line key: map-side partial agg; the
     // output (distinct boilerplate candidates) is small by definition
