@@ -153,6 +153,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { children: Seq[Expression] =>
         require(children.size == 1, "graft_audio_meta takes exactly 1 argument")
         AudioMeta(children.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "graft_video_meta"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_video_meta takes exactly 1 argument")
+        VideoMeta(children.head) }))
     ext.injectFunction((FunctionIdentifier("graft_top_k_min"),
       new ExpressionInfo(classOf[TopKMin].getName, "graft_top_k_min"),
       { children: Seq[Expression] =>

@@ -87,6 +87,26 @@ object Multimodal {
       .drop("_am")
   }
 
+  /** REAL video metadata probe (completing the image/audio/video
+    * trio): format + duration_ms + dimensions from MP4 `moov` boxes
+    * via [[graft.functions.VideoMeta]]; WebM is format-sniffed only.
+    * Same coalesce-don't-erase contract as the other probes.
+    */
+  def probeVideoMetadata(media: DataFrame): DataFrame = {
+    val vm = graft.functions.VideoMeta.videoMeta(col("media"))
+    def keep(field: String, tpe: String): Column =
+      if (media.columns.contains(field))
+        coalesce(col(s"_vm.$field"), col(field)).cast(tpe)
+      else col(s"_vm.$field").cast(tpe)
+    media
+      .withColumn("_vm", vm)
+      .withColumn("format", keep("format", "string"))
+      .withColumn("duration_ms", keep("duration_ms", "long"))
+      .withColumn("width", keep("width", "int"))
+      .withColumn("height", keep("height", "int"))
+      .drop("_vm")
+  }
+
   /** STUB DECODE — deterministic fake feature extraction.
     *
     * Real implementation would decode `media` and run a feature
