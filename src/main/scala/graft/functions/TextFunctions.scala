@@ -141,6 +141,29 @@ object TextFunctions {
     s"""md5(array_to_string(list_sort(list_distinct(
        |  regexp_split_to_array(lower(trim($c)), '\\s+'))), ' '))""".stripMargin
 
+  /** Gopher-style quality verdict (Rae et al. 2021, A1.1): null when
+    * the doc passes every rule, else the FIRST failed rule's name —
+    * pipelines log why docs die. Shared by the `x_gopher_filter`
+    * oracle query and [[graft.streaming.CorpusIngest]]'s gate.
+    */
+  def gopherFailReason(
+      text: Column,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanWlen: Double = 3.0, maxMeanWlen: Double = 10.0,
+      maxDupWordRatio: Double = 0.6): Column = {
+    val toks = wsTokenCount(text).cast("long")
+    val arr = split(lower(trim(text)), "\\s+")
+    val dupRatio = lit(1.0) -
+      size(array_distinct(arr)).cast("double") /
+        greatest(size(arr), lit(1)).cast("double")
+    val meanWlen = length(text).cast("double") /
+      greatest(toks, lit(1L)).cast("double")
+    when(toks < minTokens, "too_short")
+      .when(toks > maxTokens, "too_long")
+      .when(meanWlen < minMeanWlen || meanWlen > maxMeanWlen, "word_length")
+      .when(dupRatio > maxDupWordRatio, "repetitive")
+  }
+
   /** URL parsing for domain-level corpus filtering (the blocklist
     * filter every crawl pipeline runs before content filters).
     * Patterns are the Java/RE2 common subset, shared verbatim with

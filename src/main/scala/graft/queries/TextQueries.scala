@@ -261,17 +261,7 @@ object TextQueries {
     // failed rule (pipelines log why docs die); one scan, no shuffle
     // beyond the output sort.
     "x_gopher_filter" -> ((s, dir) => {
-      val toks = wsTokenCount(col("text")).cast("long")
-      val arr = split(lower(trim(col("text"))), "\\s+")
-      val dupRatio = lit(1.0) -
-        size(array_distinct(arr)).cast("double") /
-          greatest(size(arr), lit(1)).cast("double")
-      val meanWlen = length(col("text")).cast("double") /
-        greatest(toks, lit(1L)).cast("double")
-      val reason = when(toks < 50, "too_short")
-        .when(toks > 100000, "too_long")
-        .when(meanWlen < 3.0 || meanWlen > 10.0, "word_length")
-        .when(dupRatio > 0.6, "repetitive")
+      val reason = gopherFailReason(col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"), reason.isNull.as("keep"), reason.as("fail_reason"))
         .orderBy("doc_id")

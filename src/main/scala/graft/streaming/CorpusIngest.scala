@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.TextFunctions
+import graft.operators.IncrementalDedup
+
+/** Streaming corpus ingestion — the full training-data intake loop as
+  * one reusable operator: each microbatch of raw documents is
+  *
+  *  1. QUALITY-GATED (Gopher rules, [[TextFunctions.gopherFailReason]]);
+  *  2. deduped WITHIN the batch (min-id per bag-of-words fingerprint —
+  *     two copies co-arriving in one microbatch must not both land);
+  *  3. deduped AGAINST THE LAKE via the Bloom-prefiltered incremental
+  *     path ([[IncrementalDedup.dropExisting]] — the standing corpus
+  *     is probed map-side and NEVER shuffles, so ingestion cost stays
+  *     proportional to the batch as the lake grows to 100 TB);
+  *  4. appended to the lake.
+  *
+  * [[cleanBatch]] is the per-batch recipe, directly usable in batch
+  * backfills; [[ingestStream]] wires it into foreachBatch with a
+  * checkpoint. Exactly-once caveat: foreachBatch gives at-least-once
+  * on crash-retry; a retried batch re-dedups against the lake, so
+  * cross-batch duplicates stay impossible, but a crash BETWEEN the
+  * within-batch dedup and the append can re-admit that one batch's
+  * docs with different ids — pass a deterministic id upstream if
+  * replays must be idempotent.
+  */
+object CorpusIngest {
+
+  /** The per-batch recipe: gate → within-batch dedup → lake dedup.
+    * `lake` may be empty (first ingestion).
+    */
+  def cleanBatch(
+      batch: DataFrame, lake: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      key: Column => Column = TextFunctions.bagFingerprint,
+      failReason: Column => Column = c => TextFunctions.gopherFailReason(c)): DataFrame = {
+    val gated = batch.filter(failReason(col(textCol)).isNull)
+    val withinDeduped = gated
+      .groupBy(key(col(textCol)).as("_bk"))
+      .agg(min_by(struct(gated.columns.map(col): _*), col(idCol)).as("_w"))
+      .select(gated.columns.map(c => col(s"_w.$c").as(c)): _*)
+    IncrementalDedup.dropExisting(withinDeduped, lake, key(col(textCol)))
+  }
+
+  /** Read the lake, tolerating the not-yet-created first-batch case. */
+  private def readLake(
+      spark: org.apache.spark.sql.SparkSession, lakeDir: String,
+      template: DataFrame): DataFrame =
+    try spark.read.parquet(lakeDir)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        template.filter(lit(false)) // empty lake with the batch schema
+    }
+
+  /** Start the ingestion stream: every microbatch runs [[cleanBatch]]
+    * against the current lake and appends the survivors.
+    */
+  def ingestStream(
+      docs: DataFrame, lakeDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      key: Column => Column = TextFunctions.bagFingerprint,
+      failReason: Column => Column = c => TextFunctions.gopherFailReason(c)): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val lake = readLake(batch.sparkSession, lakeDir, batch)
+        cleanBatch(batch, lake, idCol, textCol, key, failReason)
+          .write.mode("append").parquet(lakeDir)
+      }
+      .start()
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.TextFunctions
+
+class CorpusIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // relaxed gate for short fixture docs: min 3 tokens, no dup-ratio cap
+  private val gate = (c: org.apache.spark.sql.Column) =>
+    TextFunctions.gopherFailReason(c, minTokens = 3, maxDupWordRatio = 1.0)
+
+  test("cleanBatch: gate → within-batch dedup → lake dedup, in that order") {
+    val lake = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "too short"),                      // gated: 2 tokens
+      (11L, "delta gamma beta alpha"),         // bag-dup of lake doc 1
+      (12L, "epsilon zeta eta theta"),         // fresh
+      (13L, "theta eta zeta epsilon"),         // within-batch dup of 12
+      (14L, "iota kappa lambda mu")            // fresh
+    ).toDF("doc_id", "text")
+    val kept = CorpusIngest.cleanBatch(batch, lake, failReason = gate)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 14L))
+  }
+
+  test("cleanBatch works against an empty lake and keeps all batch columns") {
+    val lake = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((5L, "one two three four five")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val out = CorpusIngest.cleanBatch(batch, lake, failReason = gate)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(out.count() == 1)
+  }
+
+  test("ingestStream: lake starts empty, grows, and later batches dedup against it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val lakeDir = dir.resolve("lake").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusIngest.ingestStream(
+      input.toDF().toDF("doc_id", "text"), lakeDir,
+      dir.resolve("ckpt").toString, failReason = gate)
+    try {
+      // batch 1: fresh doc + a too-short reject; lake dir doesn't exist yet
+      input.addData((1L, "alpha beta gamma delta"), (2L, "no"))
+      q.processAllAvailable()
+      // batch 2: bag-dup of batch 1's doc + a fresh doc
+      input.addData((3L, "delta gamma beta alpha"), (4L, "epsilon zeta eta theta"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.read.parquet(lakeDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 4L))
+  }
+}
