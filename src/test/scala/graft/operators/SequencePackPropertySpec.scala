@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property test: the two-phase distributed prefix sum must equal the
+  * naive single-window cumsum for ANY key skew, weight distribution,
+  * id spacing and bucket width — bucketWidth is a pure parallelism
+  * knob, never a semantics knob. Bucket boundaries (ids straddling
+  * multiples of the width, empty buckets from sparse ids, single-row
+  * buckets) are exactly where prefix-sum implementations break, and
+  * random data hits them far more often than hand-picked cases.
+  */
+class SequencePackPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("assignBins == single-window cumsum for arbitrary data (60 cases)") {
+    val genCase = for {
+      bucketWidth <- Gen.choose(1L, 40L)
+      budget <- Gen.choose(1L, 300L)
+      n <- Gen.choose(0, 60)
+      // sparse, clustered ids: multiply a dense index by a random
+      // stride so some buckets are empty and others dense
+      stride <- Gen.choose(1L, 30L)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.oneOf("en", "de", "zh") // skew comes from oneOf bias
+        w <- Gen.choose(0L, 100L)
+      } yield (key, w))
+    } yield (bucketWidth, budget, stride, rows)
+
+    val prop = Prop.forAll(genCase) { case (bucketWidth, budget, stride, rows) =>
+      val df = rows.zipWithIndex.map { case ((k, w), i) =>
+        (i.toLong * stride, k, w)
+      }.toDF("doc_id", "lang", "n_tokens")
+
+      val got = SequencePack.assignBins(df, "lang", "doc_id", "n_tokens",
+          budget = budget, bucketWidth = bucketWidth)
+        .select("doc_id", "bin_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val want = df
+        .withColumn("_cum", sum($"n_tokens").over(w))
+        .withColumn("bin_id", expr(s"(_cum - n_tokens) DIV $budget"))
+        .select("doc_id", "bin_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+      got == want
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
