@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property test: LineDedup must equal a brute-force local reference
+  * on arbitrary corpora — shared-line pools guarantee both frequent
+  * (boilerplate) and rare lines appear, and random thresholds exercise
+  * the >= boundary.
+  */
+class LineDedupPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def normalize(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  test("dropCommonLines == local brute force on random corpora (40 cases)") {
+    val linePool = Vector("cookie banner", "subscribe now", "footer text",
+      "body aa", "body bb", "body cc", "body dd", "Body  AA") // normalizes to "body aa"
+    val genCase = for {
+      minDocs <- Gen.choose(2L, 5L)
+      nDocs <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(nDocs, Gen.choose(1, 4).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf(linePool))))
+    } yield (minDocs, docs)
+
+    val prop = Prop.forAll(genCase) { case (minDocs, docLines) =>
+      val docs = docLines.zipWithIndex.map { case (ls, i) =>
+        (i.toLong, ls.mkString("\n"))
+      }
+      val got = LineDedup.dropCommonLines(
+          docs.toDF("doc_id", "text"), "doc_id", "text", minDocs)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+          r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_removed")))
+        .sortBy(_._1).toSeq
+
+      // local reference: distinct-doc counts per normalized line
+      val counts = docLines.zipWithIndex
+        .flatMap { case (ls, i) => ls.map(normalize).distinct.map(_ -> i) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val want = docLines.zipWithIndex.flatMap { case (ls, i) =>
+        val kept = ls.filter(l => counts(normalize(l)) < minDocs)
+        if (kept.isEmpty) None
+        else Some((i.toLong, kept.mkString("\n"),
+          kept.size.toLong, (ls.size - kept.size).toLong))
+      }.sortBy(_._1)
+
+      got == want
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
