@@ -78,23 +78,28 @@ object AudioMeta {
   def probe(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
 
-    // WAV: "RIFF" <size> "WAVE", then chunk walk for "fmt " and "data"
+    // WAV: "RIFF" <size> "WAVE", then chunk walk for "fmt " and "data".
+    // The cursor is a LONG and every advance is bounds-checked FIRST:
+    // a junk 32-bit chunk size near Int.MaxValue must make the probe
+    // return null, never wrap the index negative and throw (the
+    // contract is garbage bytes → null, and one corrupt file must not
+    // kill a corpus-wide scan).
     if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      var i = 12
+      var i = 12L
       var ch = 0; var rate = 0; var bits = 0; var byteRate = 0
       var dataSize = -1L
       while (i + 8 <= b.length) {
-        val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
-        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
-          if (i + 8 + 16 > b.length) return null
-          ch = le16(b, i + 10); rate = le32(b, i + 12)
-          byteRate = le32(b, i + 16); bits = le16(b, i + 22)
-        } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        val p = i.toInt
+        val size = le32(b, p + 4).toLong & 0xFFFFFFFFL
+        if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+          if (p + 8 + 16 > b.length) return null
+          ch = le16(b, p + 10); rate = le32(b, p + 12)
+          byteRate = le32(b, p + 16); bits = le16(b, p + 22)
+        } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
           dataSize = size
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-        if (size > Int.MaxValue - 16) return null
+        i += 8L + size + (size & 1L) // long arithmetic: cannot wrap
       }
       if (ch == 0) return null
       val dur: java.lang.Long =
@@ -104,24 +109,25 @@ object AudioMeta {
     }
 
     // AIFF: "FORM" <size> "AIFF", COMM chunk carries channels, frame
-    // count, sample size and an 80-bit extended-float sample rate
+    // count, sample size and an 80-bit extended-float sample rate.
+    // Same long-cursor rule as the WAV walk.
     if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
         b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') {
-      var i = 12
+      var i = 12L
       while (i + 8 <= b.length) {
-        val size = be32(b, i + 4)
-        if (b(i) == 'C' && b(i + 1) == 'O' && b(i + 2) == 'M' && b(i + 3) == 'M') {
-          if (i + 8 + 18 > b.length || size < 18) return null
-          val ch = be16(b, i + 8)
-          val frames = be32(b, i + 10).toLong & 0xFFFFFFFFL
-          val bits = be16(b, i + 14)
-          val rate = extended80(b, i + 16)
+        val p = i.toInt
+        val size = be32(b, p + 4).toLong & 0xFFFFFFFFL
+        if (b(p) == 'C' && b(p + 1) == 'O' && b(p + 2) == 'M' && b(p + 3) == 'M') {
+          if (p + 8 + 18 > b.length || size < 18) return null
+          val ch = be16(b, p + 8)
+          val frames = be32(b, p + 10).toLong & 0xFFFFFFFFL
+          val bits = be16(b, p + 14)
+          val rate = extended80(b, p + 16)
           if (rate <= 0) return null
           val dur = java.lang.Long.valueOf((frames * 1000.0 / rate).toLong)
           return row("aiff", ch, math.round(rate).toInt, bits, dur)
         }
-        if (size < 0) return null
-        i += 8 + size + (size & 1)
+        i += 8L + size + (size & 1L)
       }
       return null
     }

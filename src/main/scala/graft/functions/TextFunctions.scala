@@ -158,7 +158,11 @@ object TextFunctions {
         greatest(size(arr), lit(1)).cast("double")
     val meanWlen = length(text).cast("double") /
       greatest(toks, lit(1L)).cast("double")
-    when(toks < minTokens, "too_short")
+    // NULL text must REJECT: every arithmetic rule evaluates to null
+    // on null input, the CASE would fall through to null (= pass), and
+    // a no-text document would sail through CorpusIngest's gate
+    when(text.isNull, "too_short")
+      .when(toks < minTokens, "too_short")
       .when(toks > maxTokens, "too_long")
       .when(meanWlen < minMeanWlen || meanWlen > maxMeanWlen, "word_length")
       .when(dupRatio > maxDupWordRatio, "repetitive")

@@ -65,6 +65,13 @@ object VideoMeta {
   private def be64(b: Array[Byte], i: Int): Long =
     (be32(b, i) << 32) | be32(b, i + 4)
 
+  /** ftyp major brands that are VIDEO containers; audio (M4A/M4B) and
+    * image (heic/avif) ISO-BMFF brands are deliberately absent.
+    */
+  private val VideoBrands = Set(
+    "isom", "iso2", "iso4", "iso5", "iso6", "mp41", "mp42", "mp4v",
+    "m4v ", "qt  ", "avc1", "dash", "3gp4", "3gp5", "3gp6", "mmp4")
+
   /** Null for anything that isn't a recognizable video container. */
   def probe(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
@@ -74,9 +81,18 @@ object VideoMeta {
         (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3)
       return InternalRow(UTF8String.fromString("webm"), null, null, null)
 
-    // ISO-BMFF: the first box should be ftyp (or a moov-first stream)
-    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') &&
-        !(b(4) == 'm' && b(5) == 'o' && b(6) == 'o' && b(7) == 'v'))
+    // ISO-BMFF: the first box should be ftyp (or a moov-first stream).
+    // The ftyp MAJOR BRAND (bytes 8-11) decides whether this is VIDEO:
+    // M4A/M4B (audio) and heic/avif/mif1 (images) are also ISO-BMFF,
+    // and reporting them as "mp4" would let probeVideoMetadata's
+    // coalesce overwrite a correct pre-existing format (the
+    // coalesce-don't-erase contract only protects against NULL probes,
+    // not wrong non-null ones).
+    if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      if (b.length < 12) return null
+      val brand = new String(b, 8, 4, "US-ASCII")
+      if (!VideoBrands.contains(brand)) return null
+    } else if (!(b(4) == 'm' && b(5) == 'o' && b(6) == 'o' && b(7) == 'v'))
       return null
 
     var durMs: java.lang.Long = null
@@ -96,7 +112,7 @@ object VideoMeta {
         t match {
           case "moov" | "trak" | "mdia" =>
             walk(i + header, (i + size).toInt, depth + 1)
-          case "mvhd" if durMs == null =>
+          case "mvhd" if durMs == null && size > header =>
             val v = b(i + header) & 0xff
             if (v == 1 && i + header + 32 <= to) {
               val timescale = be32(b, i + header + 20)
@@ -107,7 +123,7 @@ object VideoMeta {
               val duration = be32(b, i + header + 16)
               if (timescale > 0) durMs = java.lang.Long.valueOf(duration * 1000L / timescale)
             }
-          case "tkhd" if w == null =>
+          case "tkhd" if w == null && size > header =>
             // width/height are the LAST two 16.16 fixed-point fields;
             // full body is 84 bytes (v0) / 96 (v1)
             val v = b(i + header) & 0xff

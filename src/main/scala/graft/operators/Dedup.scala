@@ -37,7 +37,7 @@ object Dedup {
     * upstream persists can be released immediately; a parquet write is
     * always eager.
     */
-  private def stage(
+  private[operators] def stage(
       d: DataFrame, stageDir: Option[String], eager: Boolean = false): DataFrame =
     stageDir match {
       case Some(dir) =>
@@ -548,19 +548,25 @@ object Dedup {
     */
   def spanDuplicateIds(
       df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 8): DataFrame = {
-    // persisted: the posting stream feeds BOTH the min-per-span
-    // aggregate and the join probe — without it the shingle expression
-    // recomputes over the full corpus twice (same rationale as
-    // ngramJaccardPairs' staged index)
+      spanTokens: Int = 8,
+      stageDir: Option[String] = None): DataFrame = {
+    // the posting stream feeds BOTH the min-per-span aggregate and the
+    // join probe: persist it for the computation, eagerly stage the
+    // SMALL output (just the duplicate ids), then RELEASE the explode —
+    // the ngramJaccardPairs pattern (persist-and-forget would pin a
+    // corpus-sized cache per call for the session lifetime; stageDir
+    // spools the result to parquet instead of executor storage)
     val grams = df.select(col(idCol).as("_id"),
       explode(graft.functions.TextSignatures
         .shingleHashesCol(col(textCol), spanTokens)).as("_g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firstPerSpan = grams.groupBy("_g").agg(min(col("_id")).as("_first"))
-    grams.join(firstPerSpan, "_g")
-      .filter(col("_id") > col("_first"))
-      .select(col("_id").as(idCol)).distinct()
+    val flagged = stage(
+      grams.join(grams.groupBy("_g").agg(min(col("_id")).as("_first")), "_g")
+        .filter(col("_id") > col("_first"))
+        .select(col("_id").as(idCol)).distinct(),
+      stageDir, eager = true)
+    grams.unpersist()
+    flagged
   }
 
   /** [[spanDuplicateIds]] complement: the corpus with every
@@ -568,7 +574,8 @@ object Dedup {
     */
   def dropSpanDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 8): DataFrame =
-    df.join(spanDuplicateIds(df, idCol, textCol, spanTokens),
+      spanTokens: Int = 8,
+      stageDir: Option[String] = None): DataFrame =
+    df.join(spanDuplicateIds(df, idCol, textCol, spanTokens, stageDir),
       Seq(idCol), "left_anti")
 }

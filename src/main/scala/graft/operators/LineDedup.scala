@@ -44,9 +44,12 @@ object LineDedup {
       docs: DataFrame, idCol: String, textCol: String,
       minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // persisted: the line stream feeds BOTH the frequency aggregate
-    // and the flagging join — unpersisted, the explode + normalization
-    // would recompute over the whole corpus twice
+    // the line stream feeds BOTH the frequency aggregate and the
+    // flagging join: persist it while the TINY frequent set is built
+    // eagerly, then release — Dedup.stage's eager mode materializes
+    // `frequent` so the final (lazy) plan re-reads only the source,
+    // never a corpus-sized retained cache (the spanDuplicateIds /
+    // ngramJaccardPairs release pattern)
     val lines = docs.select(
         col(idCol).as("_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
@@ -56,11 +59,14 @@ object LineDedup {
 
     // distinct doc count per line key: map-side partial agg; the
     // output (distinct boilerplate candidates) is small by definition
-    val frequent = lines
-      .groupBy("_key")
-      .agg(count_distinct(col("_id")).as("_docs"))
-      .filter(col("_docs") >= minDocs)
-      .select("_key")
+    val frequent = Dedup.stage(
+      lines
+        .groupBy("_key")
+        .agg(count_distinct(col("_id")).as("_docs"))
+        .filter(col("_docs") >= minDocs)
+        .select("_key"),
+      None, eager = true)
+    lines.unpersist()
 
     // tag (not anti-join) so kept/removed counts come from the SAME
     // single doc-side aggregate — no per-doc side table to join back

@@ -462,7 +462,8 @@ object TextQueries {
       val mean = s"CAST(length(text) AS DOUBLE) / greatest($toks, 1)"
       s"""WITH r AS (
          |  SELECT doc_id,
-         |    CASE WHEN $toks < 50 THEN 'too_short'
+         |    CASE WHEN text IS NULL THEN 'too_short'
+         |         WHEN $toks < 50 THEN 'too_short'
          |         WHEN $toks > 100000 THEN 'too_long'
          |         WHEN $mean < 3.0 OR $mean > 10.0 THEN 'word_length'
          |         WHEN $dup > 0.6 THEN 'repetitive'

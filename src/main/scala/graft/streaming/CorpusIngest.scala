@@ -45,15 +45,22 @@ object CorpusIngest {
     IncrementalDedup.dropExisting(withinDeduped, lake, key(col(textCol)))
   }
 
-  /** Read the lake, tolerating the not-yet-created first-batch case. */
+  /** Read the lake, tolerating ONLY the not-yet-created first-batch
+    * case: the empty-template fallback fires on a genuinely missing
+    * path, checked through the Hadoop FileSystem (DFS-correct). Any
+    * other read failure — corrupt files, schema drift, permissions —
+    * PROPAGATES: silently deduping against an empty frame would
+    * re-admit the entire standing corpus, the exact invariant this
+    * operator exists to enforce.
+    */
   private def readLake(
       spark: org.apache.spark.sql.SparkSession, lakeDir: String,
-      template: DataFrame): DataFrame =
-    try spark.read.parquet(lakeDir)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        template.filter(lit(false)) // empty lake with the batch schema
-    }
+      template: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(lakeDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) template.filter(lit(false))
+    else spark.read.parquet(lakeDir)
+  }
 
   /** Start the ingestion stream: every microbatch runs [[cleanBatch]]
     * against the current lake and appends the survivors.

@@ -73,6 +73,16 @@ class AudioProbeSpec extends AnyFunSuite {
     assert(probe(flac).contains(("flac", 2, 48000, 16, 2000L)))
   }
 
+  test("malformed chunk sizes near Int.MaxValue yield null, never a crash") {
+    // a junk 32-bit chunk size must not wrap the cursor negative
+    val badAiff = ascii("FORM") ++ be32(100) ++ ascii("AIFF") ++
+      ascii("XXXX") ++ be32(0x7FFFFFF4)
+    val badWav = ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32(0x7FFFFFF0)
+    assert(probe(badAiff).isEmpty)
+    assert(probe(badWav).isEmpty)
+  }
+
   test("garbage and images yield null, never a fake row") {
     val r = Seq(Tuple1("not audio at all padding bytes".getBytes)).toDF("media")
       .select(AudioMeta.audioMeta(col("media")).as("m")).collect().head

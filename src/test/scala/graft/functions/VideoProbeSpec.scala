@@ -71,6 +71,25 @@ class VideoProbeSpec extends AnyFunSuite {
     assert(probe(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("truncated boxes never crash: empty mvhd/tkhd at the buffer end") {
+    // size == header (no body) ending exactly at the buffer end — the
+    // version-byte read must not index past the array
+    val ftyp = box("ftyp", ascii("isom") ++ be32(512))
+    val emptyMvhd = be32(8) ++ ascii("mvhd")
+    val r = probe(ftyp ++ box("moov", emptyMvhd))
+    assert(r.contains(("mp4", -1L, -1, -1))) // recognized, fields unknown
+  }
+
+  test("non-video ISO-BMFF brands (M4A audio, HEIC image) are rejected") {
+    def withBrand(brand: String) =
+      box("ftyp", ascii(brand) ++ be32(0)) ++
+        box("moov", box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+          be32(1000) ++ be32(5000) ++ new Array[Byte](80)))
+    assert(probe(withBrand("M4A ")).isEmpty) // audio-only container
+    assert(probe(withBrand("heic")).isEmpty) // image container
+    assert(probe(withBrand("mp42")).contains(("mp4", 5000L, -1, -1)))
+  }
+
   test("SQL name resolves via registration") {
     VideoMeta.register(spark)
     Seq(Tuple1(mp4)).toDF("b").createOrReplaceTempView("graft_video_t")

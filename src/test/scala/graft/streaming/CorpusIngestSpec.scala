@@ -27,6 +27,33 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(kept == Seq(12L, 14L))
   }
 
+  test("null-text documents are rejected by the gate, not admitted") {
+    val lake = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "alpha beta gamma delta"), (2L, null))
+      .toDF("doc_id", "text")
+    val kept = CorpusIngest.cleanBatch(batch, lake, failReason = gate)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("an unreadable (corrupt) lake PROPAGATES instead of silently re-admitting dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_bad")
+    val lakeDir = dir.resolve("lake")
+    java.nio.file.Files.createDirectories(lakeDir)
+    java.nio.file.Files.writeString(lakeDir.resolve("junk.parquet"), "not parquet")
+
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusIngest.ingestStream(
+      input.toDF().toDF("doc_id", "text"), lakeDir.toString,
+      dir.resolve("ckpt").toString, failReason = gate)
+    try {
+      input.addData((1L, "alpha beta gamma delta"))
+      intercept[Exception] { q.processAllAvailable() }
+    } finally q.stop()
+  }
+
   test("cleanBatch works against an empty lake and keeps all batch columns") {
     val lake = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val batch = Seq((5L, "one two three four five")).toDF("doc_id", "text")
