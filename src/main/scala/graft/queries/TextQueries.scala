@@ -254,6 +254,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Context-window chunking (the RAG / training preprocessing step):
+    // split each doc into 32-token windows with stride 16 (50%
+    // overlap), emitting (doc_id, chunk_id, chunk, n_chunk_tokens).
+    // All in-row array math — ONE generate per doc, no shuffle beyond
+    // the output sort; short docs yield exactly one whole-doc chunk.
+    "x_chunk_docs" -> ((s, dir) => {
+      val W = 32
+      val S = 16
+      val toks = split(trim(col("text")), "\\s+")
+      val n = size(toks)
+      val lastStart = greatest(
+        ceil((n - lit(W)).cast("double") / lit(S)).cast("long"), lit(0L))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0L), lastStart), i =>
+            struct(i.as("chunk_id"),
+              array_join(slice(toks, (i * S + 1).cast("int"), lit(W)), " ").as("chunk"),
+              size(slice(toks, (i * S + 1).cast("int"), lit(W))).cast("long")
+                .as("n_chunk_tokens")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"),
+          col("c.n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Gopher-style quality gate (Rae et al. 2021, Appendix A1.1 —
     // public rules): token-count window, mean-word-length window,
     // duplicate-word ceiling, each from the SAME shared formula as its
@@ -454,6 +478,23 @@ object TextQueries {
          |  ${piiCountSql("t", "ipv4")} AS n_ipv4
          |FROM salted ORDER BY doc_id""".stripMargin
     },
+    "x_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, unnest([
+        |      {'chunk_id': i,
+        |       'chunk': array_to_string(t[(i*16+1):(i*16+32)], ' '),
+        |       'n': len(t[(i*16+1):(i*16+32)])}
+        |      for i in generate_series(0,
+        |        greatest(CAST(ceil((len(t) - 32) / 16.0) AS BIGINT), 0))]) AS u
+        |  FROM toks
+        |)
+        |SELECT doc_id, u.chunk_id AS chunk_id, u.chunk AS chunk,
+        |  CAST(u.n AS BIGINT) AS n_chunk_tokens
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
     "x_gopher_filter" -> {
       val toks = s"CAST(${wsTokenCountSql("text")} AS BIGINT)"
       val dup = "1.0 - CAST(len(list_distinct(" +
