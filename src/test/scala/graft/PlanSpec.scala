@@ -134,6 +134,15 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("chunking is map-only: one generate, no shuffle beyond the output sort") {
+    val p = plan("x_chunk_docs")
+    assert(p.contains("Generate"), p.take(3000))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val rangeParts = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+    assert(exchanges == rangeParts,
+      "chunking shuffles beyond the output sort:\n" + p.take(3000))
+  }
+
   test("LSH index probe prunes parquet partitions, not a full-corpus scan") {
     import org.apache.spark.sql.functions.col
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
