@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence funnel over an ARBITRARY stage list: for each key,
+  * the earliest stage-1 event, then the earliest stage-2 event
+  * STRICTLY AFTER it, and so on — the event-analytics staple
+  * (signup → activate → purchase), generalized from the `q_funnel`
+  * query.
+  *
+  * Formulated as CHAINED per-key hash aggregates (each with map-side
+  * partial combine) + per-key joins whose input strictly SHRINKS at
+  * every stage — never a per-key sort window, never a collect_list, so
+  * a hot key (bot traffic) costs only its partial-agg updates and the
+  * plan survives arbitrarily skewed keys. AQE broadcasts the shrinking
+  * stage tables.
+  */
+object Funnel {
+
+  /** @return one row per key that completed stage 1, with a `t_<stage>`
+    *         timestamp column per stage — null where the key's journey
+    *         stopped (LEFT joins preserve partial progress).
+    */
+  def stages(
+      events: DataFrame, stageSeq: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stageSeq.nonEmpty, "funnel needs at least one stage")
+    require(stageSeq.distinct.size == stageSeq.size,
+      s"duplicate stage names: ${stageSeq.mkString(",")}")
+
+    def tcol(stage: String) = s"t_$stage"
+
+    val first = events.filter(col(typeCol) === stageSeq.head)
+      .groupBy(keyCol).agg(min(col(tsCol)).as(tcol(stageSeq.head)))
+
+    // stage tables: each is (key, t_stage) for keys whose stage-k event
+    // happened strictly after their stage-(k-1) completion
+    val tables = stageSeq.tail.scanLeft(first -> stageSeq.head) {
+      case ((prev, prevStage), stage) =>
+        val next = events.filter(col(typeCol) === stage)
+          .join(prev.select(col(keyCol), col(tcol(prevStage))), keyCol)
+          .filter(col(tsCol) > col(tcol(prevStage)))
+          .groupBy(keyCol).agg(min(col(tsCol)).as(tcol(stage)))
+        next -> stage
+    }.map(_._1)
+
+    tables.reduceLeft((acc, t) => acc.join(t, Seq(keyCol), "left"))
+  }
+
+  /** Per-stage completion counts — the funnel report itself. */
+  def report(
+      events: DataFrame, stageSeq: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val wide = stages(events, stageSeq, keyCol, tsCol, typeCol)
+    val counts = stageSeq.map(s => count(col(s"t_$s")).as(s"n_$s"))
+    wide.agg(counts.head, counts.tail: _*)
+  }
+}

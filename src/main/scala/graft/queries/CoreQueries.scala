@@ -254,19 +254,11 @@ object CoreQueries {
     // joins are per-user (one row each side past stage 1) and AQE
     // broadcasts the later, strictly-shrinking stages.
     "q_funnel" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t_view"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("t_view"))
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("t_click"))
-        .groupBy("user_id").agg(min("ts").as("t_purchase"))
       // epoch-micros BIGINT output: Spark's parquet INT96 timestamps
       // read back as nanos where the DuckDB oracle emits micros — the
       // value is identical, so pin the representation, not the clock
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      graft.operators.Funnel.stages(t(s, dir, "events"),
+          Seq("view", "click", "purchase"))
         .select(col("user_id"),
           unix_micros(col("t_view")).as("t_view_us"),
           unix_micros(col("t_click")).as("t_click_us"),

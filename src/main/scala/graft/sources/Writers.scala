@@ -44,6 +44,26 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Token-budget shard writer — [[graft.operators.SequencePack]]'s
+    * downstream: assign each doc to a fixed-token-budget bin via the
+    * two-phase distributed prefix sum, then write hive-partitioned by
+    * (key, bin) so every shard directory holds ~`budget` tokens of one
+    * key. This is the layout a training job reads: shard directories
+    * ARE the batches, pruned by partition filter, no repacking scan.
+    */
+  def writeTokenShards(
+      df: DataFrame, path: String,
+      keyCol: String, orderCol: String, weightCol: String,
+      budget: Long, bucketWidth: Long,
+      mode: String = "overwrite"): Unit =
+    graft.operators.SequencePack
+      .assignBins(df, keyCol, orderCol, weightCol, budget, bucketWidth)
+      .repartition(org.apache.spark.sql.functions.col(keyCol),
+        org.apache.spark.sql.functions.col("bin_id"))
+      .write.mode(mode)
+      .partitionBy(keyCol, "bin_id")
+      .parquet(path)
+
   /** db_insert via Spark's JDBC sink (connectors/builtin.py:133-204
     * MySQLConnector.write_data — there: CSV → DuckDB → MySQL; here: a
     * direct distributed JDBC write, `numPartitions` bounding the

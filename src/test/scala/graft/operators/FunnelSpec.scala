@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  private def events = Seq(
+    // user 1 completes A → B → C in order
+    (1L, ts(10), "A"), (1L, ts(20), "B"), (1L, ts(30), "C"),
+    // user 2: B arrives BEFORE A — B must not count; journey stops at A
+    (2L, ts(10), "B"), (2L, ts(20), "A"),
+    // user 3: A then C but no B — C must not count (ordered semantics)
+    (3L, ts(10), "A"), (3L, ts(20), "C"),
+    // user 4 never does A — excluded entirely
+    (4L, ts(10), "B"), (4L, ts(20), "C"),
+    // user 5: repeated stages — earliest valid each time
+    (5L, ts(10), "A"), (5L, ts(5), "A"), (5L, ts(8), "B"), (5L, ts(12), "B")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("stages enforce strict order per key") {
+    val out = Funnel.stages(events, Seq("A", "B", "C"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime / 1000),
+        Option(r.getTimestamp(2)).map(_.getTime / 1000),
+        Option(r.getTimestamp(3)).map(_.getTime / 1000)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Some(10L), Some(20L), Some(30L)),
+      (2L, Some(20L), None, None),      // pre-A "B" doesn't count
+      (3L, Some(10L), None, None),      // C without B doesn't count
+      (5L, Some(5L), Some(8L), None)))  // earliest A=5, earliest B after it=8
+  }
+
+  test("report counts per-stage completions") {
+    val r = Funnel.report(events, Seq("A", "B", "C")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1L)))
+  }
+
+  test("single-stage funnel and duplicate-stage rejection") {
+    val one = Funnel.stages(events, Seq("C"))
+    assert(one.count() == 3) // users 1, 3, 4 have a C
+    intercept[IllegalArgumentException] {
+      Funnel.stages(events, Seq("A", "A"))
+    }
+  }
+}

@@ -131,6 +131,30 @@ class ScaleSpec extends AnyFunSuite {
       "a window partitions by lang alone over the data:\n" + p.take(4000))
   }
 
+  test("token-shard writer: hive layout by (lang, bin), bin totals near budget") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, if (i % 10 == 0) "de" else "en", (i % 29 + 1).toLong))
+      .toDF("doc_id", "lang", "n_tokens")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .resolve("out").toString
+    Writers.writeTokenShards(docs, dir, "lang", "doc_id", "n_tokens",
+      budget = 128, bucketWidth = 32)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("lang=en", "lang=de"))
+    // a bin holds the docs STARTING inside its budget window, so its
+    // total is < budget + the max single-doc weight
+    val sums = back.groupBy("lang", "bin_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("s")).collect()
+    assert(sums.nonEmpty && sums.forall(_.getAs[Long]("s") <= 128 + 29))
+    // and shards are pruned by partition filter when reading one bin
+    val one = back.filter(col("lang") === "en" && col("bin_id") === 0)
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("bin_id")), p.take(3000))
+  }
+
   test("bucketed tables join without an exchange") {
     // warehouse dir is a static conf — default ./spark-warehouse is fine
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
