@@ -18,14 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** @return one row per key that completed stage 1, with a `t_<stage>`
+  /** @param maxGap optional conversion window: stage k counts only
+    *                within `maxGap` of stage k-1's completion (the
+    *                "purchase within 7 days of the click" attribution
+    *                rule). Interval string, e.g. `"7 days"`.
+    * @return one row per key that completed stage 1, with a `t_<stage>`
     *         timestamp column per stage — null where the key's journey
     *         stopped (LEFT joins preserve partial progress).
     */
   def stages(
       events: DataFrame, stageSeq: Seq[String],
       keyCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      maxGap: Option[String] = None): DataFrame = {
     require(stageSeq.nonEmpty, "funnel needs at least one stage")
     require(stageSeq.distinct.size == stageSeq.size,
       s"duplicate stage names: ${stageSeq.mkString(",")}")
@@ -36,12 +41,16 @@ object Funnel {
       .groupBy(keyCol).agg(min(col(tsCol)).as(tcol(stageSeq.head)))
 
     // stage tables: each is (key, t_stage) for keys whose stage-k event
-    // happened strictly after their stage-(k-1) completion
+    // happened strictly after (and within maxGap of) their stage-(k-1)
+    // completion
     val tables = stageSeq.tail.scanLeft(first -> stageSeq.head) {
       case ((prev, prevStage), stage) =>
+        val inOrder = col(tsCol) > col(tcol(prevStage))
+        val inWindow = maxGap.fold(lit(true))(g =>
+          col(tsCol) <= col(tcol(prevStage)) + expr(s"INTERVAL $g"))
         val next = events.filter(col(typeCol) === stage)
           .join(prev.select(col(keyCol), col(tcol(prevStage))), keyCol)
-          .filter(col(tsCol) > col(tcol(prevStage)))
+          .filter(inOrder && inWindow)
           .groupBy(keyCol).agg(min(col(tsCol)).as(tcol(stage)))
         next -> stage
     }.map(_._1)

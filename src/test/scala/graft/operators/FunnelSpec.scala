@@ -41,6 +41,17 @@ class FunnelSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1L)))
   }
 
+  test("conversion window: stage counts only within maxGap of the previous stage") {
+    // user 1: B at t=20, 10s after A — inside a 15-second window,
+    // outside a 5-second one (B exists but converted too late)
+    val within = Funnel.stages(events, Seq("A", "B"), maxGap = Some("15 seconds"))
+      .filter($"user_id" === 1L).collect().head
+    assert(!within.isNullAt(2))
+    val outside = Funnel.stages(events, Seq("A", "B"), maxGap = Some("5 seconds"))
+      .filter($"user_id" === 1L).collect().head
+    assert(outside.isNullAt(2))
+  }
+
   test("single-stage funnel and duplicate-stage rejection") {
     val one = Funnel.stages(events, Seq("C"))
     assert(one.count() == 3) // users 1, 3, 4 have a C
