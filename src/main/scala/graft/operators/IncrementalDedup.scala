@@ -35,10 +35,21 @@ object IncrementalDedup {
     * of a text column present in both). `expectedBatchKeys`/`fpp` size
     * the Bloom filter — overestimating costs memory, underestimating
     * only inflates the candidate set (still exact).
+    *
+    * `corpusKey`: when the corpus has the key MATERIALIZED as a column
+    * (e.g. the `_fp` column [[graft.streaming.CorpusIngest]] writes at
+    * append time), pass that column and the corpus-side probe reads
+    * ONLY it — an 8–32-byte column instead of recomputing `key` over
+    * the lake's full text column every batch. At a 100 TB lake that is
+    * the difference between a ~1 % column scan and a full-corpus read
+    * per microbatch. The column must equal `key` evaluated on the
+    * corpus row (the caller owns that invariant; CorpusIngest writes
+    * it with the same expression it probes with).
     */
   def dropExisting(
       batch: DataFrame, corpus: DataFrame, key: Column,
-      expectedBatchKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedBatchKeys: Long = 1L << 20, fpp: Double = 0.01,
+      corpusKey: Option[Column] = None): DataFrame = {
     // The key expression is evaluated twice (bloom build + final anti
     // join) — deliberately NOT persisted here: an operator-owned
     // persist with no unpersist hook would pin every batch in executor
@@ -57,7 +68,7 @@ object IncrementalDedup {
           if (keyed.isEmpty) return keyed.drop("_ik") else throw e
       }
     val candidates = corpus
-      .select(key.as("_ik"))
+      .select(corpusKey.getOrElse(key).as("_ik"))
       .filter(BloomMightContain.mightContain(xxhash64(col("_ik")), bloom))
       .distinct()
     keyed.join(broadcast(candidates), Seq("_ik"), "left_anti").drop("_ik")

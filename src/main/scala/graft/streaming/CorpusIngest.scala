@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.functions.TextFunctions
@@ -16,21 +17,49 @@ import graft.operators.IncrementalDedup
   *     path ([[IncrementalDedup.dropExisting]] — the standing corpus
   *     is probed map-side and NEVER shuffles, so ingestion cost stays
   *     proportional to the batch as the lake grows to 100 TB);
-  *  4. appended to the lake.
+  *  4. appended to the lake WITH the fingerprint materialized as a
+  *     [[FingerprintCol]] column, so step 3 of every LATER batch
+  *     probes a schema-pruned scan of that one short column instead of
+  *     re-reading and re-hashing the lake's full text column — at a
+  *     100 TB lake that turns the per-batch probe from a full-corpus
+  *     read into a ~1 % column scan.
   *
   * [[cleanBatch]] is the per-batch recipe, directly usable in batch
   * backfills; [[ingestStream]] wires it into foreachBatch with a
-  * checkpoint. Exactly-once caveat: foreachBatch gives at-least-once
-  * on crash-retry; a retried batch re-dedups against the lake, so
-  * cross-batch duplicates stay impossible, but a crash BETWEEN the
-  * within-batch dedup and the append can re-admit that one batch's
-  * docs with different ids — pass a deterministic id upstream if
-  * replays must be idempotent.
+  * checkpoint.
+  *
+  * EXACTLY-ONCE: [[ingestBatch]] records a commit marker per Structured
+  * Streaming batch id under `lakeDir/_graft_commits/` AFTER the append
+  * lands (the parquet job commit itself is atomic — task outputs stage
+  * in `_temporary` until job commit). A crash-replay of a batch whose
+  * marker exists skips the batch outright; a crash BEFORE the marker
+  * replays the batch, whose docs then dedup against the
+  * already-appended copies (same deterministic fingerprints), so the
+  * lake still does not grow. Net: appended-exactly-once in both crash
+  * windows.
   */
 object CorpusIngest {
 
+  /** Fingerprint column [[ingestStream]] materializes in the lake at
+    * append time. When present, [[cleanBatch]] probes it directly
+    * (schema-pruned) instead of recomputing the key over the lake's
+    * text; lakes written before this column existed fall back to the
+    * recompute path transparently — and [[ingestBatch]] keeps such
+    * legacy lakes UNSTAMPED so the directory's schema stays
+    * homogeneous (a mixed lake would read `_fp = null` for legacy rows
+    * and silently re-admit their duplicates).
+    */
+  val FingerprintCol = "_fp"
+
+  /** Directory (under the lake, underscore-prefixed so parquet readers
+    * ignore it) holding one empty marker file per committed batch id.
+    */
+  val CommitDirName = "_graft_commits"
+
   /** The per-batch recipe: gate → within-batch dedup → lake dedup.
-    * `lake` may be empty (first ingestion).
+    * `lake` may be empty (first ingestion). If the lake carries
+    * [[FingerprintCol]] (written by [[ingestStream]] with the same
+    * `key` expression), the lake-side probe reads ONLY that column.
     */
   def cleanBatch(
       batch: DataFrame, lake: DataFrame,
@@ -42,28 +71,74 @@ object CorpusIngest {
       .groupBy(key(col(textCol)).as("_bk"))
       .agg(min_by(struct(gated.columns.map(col): _*), col(idCol)).as("_w"))
       .select(gated.columns.map(c => col(s"_w.$c").as(c)): _*)
-    IncrementalDedup.dropExisting(withinDeduped, lake, key(col(textCol)))
+    val lakeKey =
+      if (lake.columns.contains(FingerprintCol)) Some(col(FingerprintCol)) else None
+    IncrementalDedup.dropExisting(
+      withinDeduped, lake, key(col(textCol)), corpusKey = lakeKey)
   }
 
-  /** Read the lake, tolerating ONLY the not-yet-created first-batch
-    * case: the empty-template fallback fires on a genuinely missing
-    * path, checked through the Hadoop FileSystem (DFS-correct). Any
-    * other read failure — corrupt files, schema drift, permissions —
-    * PROPAGATES: silently deduping against an empty frame would
-    * re-admit the entire standing corpus, the exact invariant this
-    * operator exists to enforce.
+  private def fileSystem(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val path = new Path(dir)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  /** Does the lake hold any parquet DATA file? Hidden entries
+    * (`_temporary` from a crashed job, `_SUCCESS`, the commit-marker
+    * dir, dotfiles) don't count — a directory containing only those is
+    * the "crashed during the very first append" case and must re-read
+    * as empty so first-batch retries self-heal instead of wedging on
+    * schema inference.
     */
-  private def readLake(
-      spark: org.apache.spark.sql.SparkSession, lakeDir: String,
-      template: DataFrame): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(lakeDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) template.filter(lit(false))
-    else spark.read.parquet(lakeDir)
+  private def hasDataFiles(fs: FileSystem, path: Path): Boolean = {
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    def walk(p: Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        visible(st.getPath) && (st.isFile || walk(st.getPath))
+      }
+    fs.exists(path) && walk(path)
   }
 
-  /** Start the ingestion stream: every microbatch runs [[cleanBatch]]
-    * against the current lake and appends the survivors.
+  /** One idempotent ingestion step: skip if `batchId`'s commit marker
+    * exists, else gate/dedup/append and write the marker. Public so
+    * batch backfills and tests can drive the exactly-once path without
+    * a streaming query.
+    *
+    * The lake read tolerates ONLY the not-yet-created first-batch
+    * case: the empty-template fallback fires on a missing path or a
+    * path with no visible data files (e.g. only a `_temporary` left by
+    * a crashed first append), checked through the Hadoop FileSystem
+    * (DFS-correct). Any other read failure — corrupt files, schema
+    * drift, permissions — PROPAGATES: silently deduping against an
+    * empty frame would re-admit the entire standing corpus, the exact
+    * invariant this operator exists to enforce.
+    */
+  def ingestBatch(
+      batch: DataFrame, batchId: Long, lakeDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      key: Column => Column = TextFunctions.bagFingerprint,
+      failReason: Column => Column = c => TextFunctions.gopherFailReason(c)): Unit = {
+    val spark = batch.sparkSession
+    val (fs, lakePath) = fileSystem(spark, lakeDir)
+    val marker = new Path(new Path(lakePath, CommitDirName), batchId.toString)
+    if (fs.exists(marker)) return // replayed batch, append already landed
+    val hasData = hasDataFiles(fs, lakePath)
+    val lake =
+      if (hasData) spark.read.parquet(lakeDir) else batch.filter(lit(false))
+    val cleaned = cleanBatch(batch, lake, idCol, textCol, key, failReason)
+    // Stamp _fp on fresh lakes and on lakes already carrying it; leave
+    // a legacy (pre-_fp) lake unstamped to keep its schema homogeneous.
+    val stamp = !hasData || lake.columns.contains(FingerprintCol)
+    val out =
+      if (stamp) cleaned.withColumn(FingerprintCol, key(col(textCol))) else cleaned
+    out.write.mode("append").parquet(lakeDir)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
+  /** Start the ingestion stream: every microbatch runs [[ingestBatch]]
+    * — exactly-once via the commit marker, with the next batch's lake
+    * probe a pruned one-column scan over [[FingerprintCol]].
     */
   def ingestStream(
       docs: DataFrame, lakeDir: String, checkpointDir: String,
@@ -72,10 +147,8 @@ object CorpusIngest {
       failReason: Column => Column = c => TextFunctions.gopherFailReason(c)): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val lake = readLake(batch.sparkSession, lakeDir, batch)
-        cleanBatch(batch, lake, idCol, textCol, key, failReason)
-          .write.mode("append").parquet(lakeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, lakeDir, idCol, textCol, key, failReason)
       }
       .start()
 }
