@@ -10,14 +10,15 @@ final case class MediaFeatures(media_id: Long, features: Array[Float])
 /** Multimodal column handling for training-data pipelines.
   *
   * Media (image/audio/video) travels as an opaque `binary` column plus
-  * typed metadata — the schema, partitioning, and batch plumbing are
-  * REAL and tested; the actual codec step is a clearly marked
-  * deterministic stand-in (`decodeStub*`), because no image/audio
-  * libraries exist in this environment. Swapping in a real decoder
-  * means replacing ONE function body (see [[decodeStubFeatures]]) —
-  * in production that body would call the native decode inside
-  * `mapPartitions` (JVM) or `mapInPandas`/`mapInArrow` (Python libs),
-  * batched per partition exactly like the stub.
+  * typed metadata. The IMAGE decode is real: [[decodeImage]] reads
+  * PNG/BMP/GIF/JPEG pixels through the JDK's `javax.imageio` (no
+  * external libraries) and [[imageFeatures]] reduces them to
+  * mean-RGB/luma + coarse spatial-luma features. Payloads that don't
+  * decode as images (audio, video, junk) fall back to a deterministic
+  * byte-fold featurization ([[fallbackFeatures]]) so mixed-media rows
+  * keep flowing through one pipeline — a real audio/video codec slots
+  * into that same batch-decode point (`mapPartitions` on the JVM,
+  * `mapInPandas`/`mapInArrow` for Python codecs).
   */
 object Multimodal {
 
@@ -107,24 +108,70 @@ object Multimodal {
       .drop("_vm")
   }
 
-  /** STUB DECODE — deterministic fake feature extraction.
-    *
-    * Real implementation would decode `media` and run a feature
-    * network; here features are seeded xxhash64 projections of the
-    * bytes, scaled to [-0.5, 0.5). Deterministic, codegen'd, and shaped
-    * exactly like a real embedding column (`array<double>` of `dim`).
+  /** REAL pixel decode via the JDK's `javax.imageio` — PNG, BMP, GIF
+    * and JPEG, zero external libraries. Returns None for null bytes,
+    * unrecognized formats, and corrupt streams (the caller decides the
+    * fallback). Disk caching is off: executors must not spill decode
+    * temp files.
     */
-  def decodeStubFeatures(media: Column, dim: Int): Column =
-    array((0 until dim).map { i =>
-      (xxhash64(lit(i), media).cast("double") / lit(Long.MaxValue.toDouble)) / 2.0
-    }: _*)
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real image features, one pass over the pixels:
+    * `[meanR, meanG, meanB, meanLuma]` in [0,1] (Rec.601 luma), then
+    * `dim - 4` mean-luma values over equal-width vertical bands — a
+    * coarse spatial signature that distinguishes left-dark/right-light
+    * images the global means cannot. `dim <= 4` truncates the prefix.
+    */
+  private[multimodal] def imageFeatures(
+      img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val bands = math.max(0, dim - 4)
+    var r = 0.0; var g = 0.0; var b = 0.0; var luma = 0.0
+    val bandLuma = new Array[Double](bands)
+    val bandN = new Array[Long](bands)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+        val l = 0.299 * pr + 0.587 * pg + 0.114 * pb
+        r += pr; g += pg; b += pb; luma += l
+        if (bands > 0) {
+          val band = math.min(bands - 1, x * bands / w)
+          bandLuma(band) += l; bandN(band) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val global = Array(r / n / 255.0, g / n / 255.0, b / n / 255.0, luma / n / 255.0)
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < math.min(4, dim)) { out(i) = global(i).toFloat; i += 1 }
+    var k = 0
+    while (k < bands) {
+      out(4 + k) =
+        (if (bandN(k) == 0) 0.0 else bandLuma(k) / bandN(k) / 255.0).toFloat
+      k += 1
+    }
+    out
+  }
 
   /** Batched partition-wise decode — the Scala equivalent of a
     * `mapInPandas` media UDF: rows stream through `mapPartitions`,
     * grouped `batchSize` at a time, and each batch goes to the decoder
     * IN ONE CALL (real codecs amortize model/codec setup per batch,
-    * not per row). The decoder body is the single swap point; the
-    * batching, schema, and encoder plumbing are production-shaped.
+    * not per row). Image payloads get REAL pixel features
+    * ([[decodeImage]] + [[imageFeatures]]); everything else falls back
+    * to [[fallbackFeatures]].
     */
   def decodeBatched(
       media: DataFrame, dim: Int, batchSize: Int = 32): org.apache.spark.sql.Dataset[MediaFeatures] = {
@@ -133,18 +180,28 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // STUB batch decode: deterministic features from the bytes.
-          // A real implementation calls the native decoder here with
-          // the whole batch and returns its feature matrix.
           batch.map { case (id, bytes) =>
-            MediaFeatures(id, stubFeatures(bytes, dim))
+            MediaFeatures(id, decodeFeatures(bytes, dim))
           }
         }
       }
   }
 
-  /** Deterministic stand-in feature vector (seeded byte-fold). */
-  private[multimodal] def stubFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** Decode-or-fallback for one payload: real pixel features when the
+    * bytes parse as an image, deterministic byte-fold otherwise.
+    */
+  private[multimodal] def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(img) => imageFeatures(img, dim)
+      case None      => fallbackFeatures(bytes, dim)
+    }
+
+  /** Deterministic featurization for payloads that don't decode as
+    * images (audio/video/corrupt bytes): a seeded byte-fold, so
+    * mixed-media rows keep a uniformly-shaped feature column. A real
+    * audio/video decoder replaces this branch, not the plumbing.
+    */
+  private[multimodal] def fallbackFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
@@ -178,17 +235,30 @@ object Multimodal {
       .drop("media")
 
   /** End-to-end media pipeline used by the `mm_pipeline` query:
-    * binary ingest → stub decode → feature column → per-type stats.
+    * binary ingest → REAL pixel decode (fallback featurization for
+    * non-image payloads) → feature norm → per-type stats. One
+    * `mapPartitions` pass carries type + byte length alongside the
+    * features, so no join is needed to reunite them — the aggregate
+    * after it is map-side partial as usual.
     */
   def featurePipeline(media: DataFrame, dim: Int = 8): DataFrame = {
-    val withFeatures = media.withColumn(
-      "features", decodeStubFeatures(col("media"), dim))
-    withFeatures
-      .withColumn("feat_norm",
-        sqrt(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x)))
+    import media.sparkSession.implicits._
+    val decoded = media
+      .select(col("media_type"), col("media_id"), col("media"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (tpe, _, bytes) =>
+          val f = decodeFeatures(bytes, dim)
+          var s = 0.0; var i = 0
+          while (i < f.length) { s += f(i).toDouble * f(i); i += 1 }
+          (tpe, if (bytes == null) 0 else bytes.length, math.sqrt(s))
+        }
+      }
+      .toDF("media_type", "nbytes", "feat_norm")
+    decoded
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_items"),
-        round(avg(length(col("media"))), 2).as("avg_bytes"),
+        round(avg(col("nbytes")), 2).as("avg_bytes"),
         round(avg(col("feat_norm")), 6).as("avg_feat_norm"))
   }
 }

@@ -20,12 +20,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(media.count() == 2)
   }
 
-  test("stub decode is deterministic and correctly shaped") {
-    val f1 = media.select(Multimodal.decodeStubFeatures($"media", 4)).collect()
-    val f2 = media.select(Multimodal.decodeStubFeatures($"media", 4)).collect()
-    assert(f1.map(_.getSeq[Double](0)).toSeq == f2.map(_.getSeq[Double](0)).toSeq)
-    assert(f1.head.getSeq[Double](0).size == 4)
-    assert(f1.head.getSeq[Double](0).forall(v => v >= -0.5 && v < 0.5))
+  /** Encode a real image through the JDK itself — pixels are known, the
+    * decoder under test has to recover them from actual PNG/BMP bytes.
+    */
+  private def encoded(fmt: String, w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, px(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, fmt, out), s"no $fmt encoder")
+    out.toByteArray
+  }
+
+  test("real decode: solid-red PNG recovers exact mean RGB and Rec.601 luma") {
+    val f = Multimodal.decodeFeatures(encoded("png", 8, 8)((_, _) => 0xff0000), 4)
+    assert(f.length == 4)
+    assert(math.abs(f(0) - 1.0f) < 1e-3, s"meanR ${f(0)}")
+    assert(math.abs(f(1)) < 1e-3 && math.abs(f(2)) < 1e-3)
+    assert(math.abs(f(3) - 0.299f) < 1e-3, s"luma ${f(3)}")
+  }
+
+  test("real decode: BMP with dark-left/light-right splits the band lumas") {
+    // left half black, right half white: global luma 0.5, band lumas 0 / 1
+    val bytes = encoded("bmp", 16, 4)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val f = Multimodal.decodeFeatures(bytes, 6)
+    assert(math.abs(f(3) - 0.5f) < 1e-3, s"global luma ${f(3)}")
+    assert(math.abs(f(4)) < 1e-3, s"left band ${f(4)}")
+    assert(math.abs(f(5) - 1.0f) < 1e-3, s"right band ${f(5)}")
+  }
+
+  test("non-image payloads fall back deterministically, same shape") {
+    val junk = "just some text bytes".getBytes
+    val f1 = Multimodal.decodeFeatures(junk, 4)
+    val f2 = Multimodal.decodeFeatures(junk, 4)
+    assert(f1.toSeq == f2.toSeq && f1.length == 4)
+    assert(Multimodal.decodeImage(junk).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
   }
 
   test("resize stub stamps metadata; frame sampling explodes by step") {
@@ -53,11 +83,34 @@ class MultimodalSpec extends AnyFunSuite {
       again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
 
-  test("featurePipeline aggregates per media type") {
+  test("decodeBatched gives real images real features, distributed") {
+    val green = encoded("png", 4, 4)((_, _) => 0x00ff00)
+    val mixed = Multimodal.asMedia(
+      Seq((1L, green), (2L, "not an image".getBytes)).toDF("id", "blob"),
+      "id", "blob", "image")
+    val out = Multimodal.decodeBatched(mixed, dim = 4)
+      .collect().map(m => m.media_id -> m.features).toMap
+    // the Spark path must agree with the local decode exactly
+    assert(out(1L).toSeq == Multimodal.decodeFeatures(green, 4).toSeq)
+    assert(math.abs(out(1L)(1) - 1.0f) < 1e-3, s"meanG ${out(1L)(1)}")
+    assert(out(2L).toSeq ==
+      Multimodal.decodeFeatures("not an image".getBytes, 4).toSeq)
+  }
+
+  test("featurePipeline aggregates per media type with real pixel norms") {
     val out = Multimodal.featurePipeline(media, dim = 8).collect()
     assert(out.length == 1)
     val r = out.head
     assert(r.getAs[String]("media_type") == "image")
     assert(r.getAs[Long]("n_items") == 2L)
+
+    // a solid-white image has meanR=meanG=meanB=luma=1 and every band
+    // luma 1 → norm over dim=8 is sqrt(8); pin the real-decode path
+    val white = encoded("png", 4, 4)((_, _) => 0xffffff)
+    val whiteMedia = Multimodal.asMedia(
+      Seq((1L, white)).toDF("id", "blob"), "id", "blob", "image")
+    val norm = Multimodal.featurePipeline(whiteMedia, dim = 8)
+      .head.getAs[Double]("avg_feat_norm")
+    assert(math.abs(norm - math.sqrt(8.0)) < 1e-3, s"norm $norm")
   }
 }
