@@ -47,24 +47,30 @@ object Engine {
         // the input's total on-disk size — a thousandth of the scan
         // when the input has thousands of splits, and exact for a
         // single-file input (the probe is then the whole read).
-        def sizeOf(uri: String): Long =
-          try java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(uri)))
-          catch { case _: Exception => 0L }
+        // None = size UNKNOWN (non-file:// scheme, stat failure) —
+        // distinct from a known-zero (genuinely empty) file.
+        def sizeOf(uri: String): Option[Long] =
+          try Some(java.nio.file.Files.size(
+            java.nio.file.Paths.get(new java.net.URI(uri))))
+          catch { case _: Exception => None }
         val files = df.inputFiles
-        val bytesTotal = files.map(sizeOf).sum
+        val sizes = files.map(f => f -> sizeOf(f))
+        val known = sizes.collect { case (f, Some(s)) => (f, s) }
         // probe candidates: smallest file with a KNOWN nonzero size
-        // (an empty/header-only part or an unstat-able URI must not be
-        // the representative — probeRows=0 would estimate 0 for the
-        // whole dataset, and probeBytes=0 would blow the scale-up)
-        val candidates = files.filter(sizeOf(_) > 0L)
-        if (files.length <= 1 || candidates.isEmpty) df.count()
+        // (an empty/header-only part must not be the representative —
+        // probeRows=0 would estimate 0 for the whole dataset). ANY
+        // unknown size forces the exact count: scaling by a partial
+        // bytesTotal would silently deflate the estimate.
+        val candidates = known.filter(_._2 > 0L)
+        if (files.length <= 1 || known.length != files.length || candidates.isEmpty)
+          df.count()
         else {
-          val probe = candidates.minBy(sizeOf) // cheapest representative split
+          val bytesTotal = known.map(_._2).sum
+          val (probe, probeBytes) = candidates.minBy(_._2) // cheapest split
           // re-use the already-inferred schema: a csv probe would
           // otherwise pay a second inference scan of the same file
           val probeRows = Readers.read(spark, probe, format,
             schema = Some(df.schema)).count()
-          val probeBytes = sizeOf(probe)
           if (probeRows == 0L) df.count() // degenerate probe: be exact
           else (BigDecimal(probeRows) * bytesTotal / probeBytes)
             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong

@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.IntervalUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.CalendarIntervalType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Ordered-sequence funnel over an ARBITRARY stage list: for each key,
   * the earliest stage-1 event, then the earliest stage-2 event
@@ -9,19 +14,61 @@ import org.apache.spark.sql.functions._
   * (signup → activate → purchase), generalized from the `q_funnel`
   * query.
   *
-  * Formulated as CHAINED per-key hash aggregates (each with map-side
-  * partial combine) + per-key joins whose input strictly SHRINKS at
-  * every stage — never a per-key sort window, never a collect_list, so
-  * a hot key (bot traffic) costs only its partial-agg updates and the
-  * plan survives arbitrarily skewed keys. AQE broadcasts the shrinking
-  * stage tables.
+  * Two formulations with identical semantics:
+  *
+  *  - [[stages]] (default): CHAINED per-key hash aggregates (each with
+  *    map-side partial combine) + per-key joins whose input strictly
+  *    SHRINKS at every stage — never a per-key sort window, never a
+  *    collect_list, so a hot key (bot traffic) costs only its
+  *    partial-agg updates and the plan survives arbitrarily skewed
+  *    keys. The cost is one source scan per stage — each pushes
+  *    `event_type = stage` into the parquet reader (dictionary/
+  *    row-group pruning) so it reads only its stage's slice; stage k
+  *    also re-embeds stage k-1's sub-plan, which the ReuseExchange
+  *    rule deduplicates at runtime (identical subtrees share one
+  *    execution).
+  *  - [[stagesOneScan]]: ONE scan + ONE shuffle; per key, per stage,
+  *    the sorted event-timestamp array, then a row-level fold walks
+  *    the strict-order recursion with codegen'd array expressions. For
+  *    long funnels (many stages) over sources where scans dominate,
+  *    this wins — but a hot key materializes its FULL per-stage
+  *    timestamp arrays in the aggregation buffer, so it trades skew
+  *    resilience for scan count. Pick per workload; the default is the
+  *    skew-safe one.
   */
 object Funnel {
+
+  /** Parse `maxGap` EAGERLY into an interval literal. Malformed input
+    * fails here with the offending value named — not as a cryptic
+    * parser error at analysis time — and because the result is a
+    * Literal, no caller-supplied string is ever interpolated into SQL.
+    */
+  private def parseGap(maxGap: String): Column = {
+    val iv =
+      try IntervalUtils.stringToInterval(UTF8String.fromString(maxGap))
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"invalid funnel maxGap '$maxGap': ${e.getMessage}", e)
+      }
+    if (iv == null)
+      throw new IllegalArgumentException(s"invalid funnel maxGap '$maxGap'")
+    ColumnBridge.column(Literal(iv, CalendarIntervalType))
+  }
+
+  private def requireStages(stageSeq: Seq[String]): Unit = {
+    require(stageSeq.nonEmpty, "funnel needs at least one stage")
+    require(stageSeq.distinct.size == stageSeq.size,
+      s"duplicate stage names: ${stageSeq.mkString(",")}")
+  }
+
+  private def tcol(stage: String) = s"t_$stage"
 
   /** @param maxGap optional conversion window: stage k counts only
     *                within `maxGap` of stage k-1's completion (the
     *                "purchase within 7 days of the click" attribution
-    *                rule). Interval string, e.g. `"7 days"`.
+    *                rule). Interval string, e.g. `"7 days"`, validated
+    *                eagerly.
     * @return one row per key that completed stage 1, with a `t_<stage>`
     *         timestamp column per stage — null where the key's journey
     *         stopped (LEFT joins preserve partial progress).
@@ -31,11 +78,8 @@ object Funnel {
       keyCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type",
       maxGap: Option[String] = None): DataFrame = {
-    require(stageSeq.nonEmpty, "funnel needs at least one stage")
-    require(stageSeq.distinct.size == stageSeq.size,
-      s"duplicate stage names: ${stageSeq.mkString(",")}")
-
-    def tcol(stage: String) = s"t_$stage"
+    requireStages(stageSeq)
+    val gap = maxGap.map(parseGap)
 
     val first = events.filter(col(typeCol) === stageSeq.head)
       .groupBy(keyCol).agg(min(col(tsCol)).as(tcol(stageSeq.head)))
@@ -46,8 +90,8 @@ object Funnel {
     val tables = stageSeq.tail.scanLeft(first -> stageSeq.head) {
       case ((prev, prevStage), stage) =>
         val inOrder = col(tsCol) > col(tcol(prevStage))
-        val inWindow = maxGap.fold(lit(true))(g =>
-          col(tsCol) <= col(tcol(prevStage)) + expr(s"INTERVAL $g"))
+        val inWindow = gap.fold(lit(true))(g =>
+          col(tsCol) <= col(tcol(prevStage)) + g)
         val next = events.filter(col(typeCol) === stage)
           .join(prev.select(col(keyCol), col(tcol(prevStage))), keyCol)
           .filter(inOrder && inWindow)
@@ -58,12 +102,50 @@ object Funnel {
     tables.reduceLeft((acc, t) => acc.join(t, Seq(keyCol), "left"))
   }
 
+  /** One-scan / one-shuffle funnel, same semantics as [[stages]] (see
+    * the object doc for the tradeoff): group once on the key with a
+    * sorted timestamp array per stage, then walk the recursion with
+    * `get`/`filter` array expressions — t_k is the first stage-k
+    * timestamp strictly after (and within `maxGap` of) t_(k-1).
+    */
+  def stagesOneScan(
+      events: DataFrame, stageSeq: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      maxGap: Option[String] = None): DataFrame = {
+    requireStages(stageSeq)
+    val gap = maxGap.map(parseGap)
+    def acol(stage: String) = s"_a_$stage"
+
+    val aggs = stageSeq.map(s =>
+      sort_array(collect_list(when(col(typeCol) === s, col(tsCol)))).as(acol(s)))
+    val grouped = events
+      .filter(col(typeCol).isin(stageSeq: _*))
+      .groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+
+    val walked = stageSeq.zipWithIndex.foldLeft(grouped) {
+      case (df, (stage, 0)) =>
+        df.withColumn(tcol(stage), get(col(acol(stage)), lit(0)))
+      case (df, (stage, i)) =>
+        val prev = col(tcol(stageSeq(i - 1)))
+        // a null prev nulls the lambda predicate → element dropped →
+        // empty array → get(..., 0) is null: stalled journeys stay null
+        val hit = filter(col(acol(stage)), x =>
+          gap.fold(x > prev)(g => x > prev && x <= prev + g))
+        df.withColumn(tcol(stage), get(hit, lit(0)))
+    }
+    walked
+      .filter(col(tcol(stageSeq.head)).isNotNull)
+      .select(col(keyCol) +: stageSeq.map(s => col(tcol(s))): _*)
+  }
+
   /** Per-stage completion counts — the funnel report itself. */
   def report(
       events: DataFrame, stageSeq: Seq[String],
       keyCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
-    val wide = stages(events, stageSeq, keyCol, tsCol, typeCol)
+      typeCol: String = "event_type",
+      maxGap: Option[String] = None): DataFrame = {
+    val wide = stages(events, stageSeq, keyCol, tsCol, typeCol, maxGap)
     val counts = stageSeq.map(s => count(col(s"t_$s")).as(s"n_$s"))
     wide.agg(counts.head, counts.tail: _*)
   }

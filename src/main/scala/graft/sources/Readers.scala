@@ -44,8 +44,8 @@ object Readers {
         // (duckdb_engine.py:258); here a JDK-only zip+StAX reader
         // (no POI on the offline classpath) — see [[XlsxReader]].
         // A caller-supplied schema overrides inference (cast by name,
-        // like the csv branch); the xlsx reader has no options.
-        val inferred = XlsxReader.read(spark, path)
+        // like the csv branch); options("sheet") selects a worksheet.
+        val inferred = XlsxReader.read(spark, path, options.get("sheet"))
         schema.fold(inferred) { st =>
           inferred.select(st.fields.toSeq.map(f =>
             org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
@@ -61,8 +61,8 @@ object Readers {
         // pre-2007 binary Excel: JDK-only BIFF8 reader over the CFB
         // container (see [[XlsReader]] — [MS-CFB]/[MS-XLS] are public
         // specs; the reference reads it through DuckDB st_read/GDAL).
-        // Same schema-override contract as the xlsx branch.
-        val inferred = XlsReader.read(spark, path)
+        // Same schema-override and sheet-option contract as xlsx.
+        val inferred = XlsReader.read(spark, path, options.get("sheet"))
         schema.fold(inferred) { st =>
           inferred.select(st.fields.toSeq.map(f =>
             org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
@@ -106,12 +106,22 @@ object Readers {
   private def spoolUrl(url: String): String = {
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
     val ext = detectFormat(url)
-    val spool = java.nio.file.Files
-      .createTempDirectory("graft_url").resolve(s"payload.$ext")
+    val spoolDir = java.nio.file.Files.createTempDirectory("graft_url")
+    val spool = spoolDir.resolve(s"payload.$ext")
+    // JVM-exit cleanup (reverse order: file before dir) — the spool
+    // must outlive this call because Spark re-reads the path lazily,
+    // so eager deletion isn't possible; without this, repeated URL
+    // reads accumulate temp files for the life of the machine.
+    spoolDir.toFile.deleteOnExit()
+    spool.toFile.deleteOnExit()
     val client = HttpClient.newBuilder()
-      .followRedirects(HttpClient.Redirect.NORMAL).build()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      // a stalled server must fail the read, not hang it forever; the
+      // body timeout is generous — presigned downloads can be multi-GB
+      .connectTimeout(java.time.Duration.ofSeconds(30)).build()
     val resp = client.send(
-      HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMinutes(15)).GET().build(),
       HttpResponse.BodyHandlers.ofFile(spool))
     if (resp.statusCode() / 100 != 2) {
       java.nio.file.Files.deleteIfExists(spool) // error page is not data

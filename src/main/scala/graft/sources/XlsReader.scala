@@ -20,8 +20,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    substream, and the cell records LABELSST / NUMBER / RK / MULRK /
   *    LABEL / BOOLERR / FORMULA(+STRING).
   *
-  * Same scope contract as [[XlsxReader]]: first worksheet, first row =
-  * header, driver-side parse (the format caps a sheet at 65 536 rows —
+  * Same scope contract as [[XlsxReader]]: first worksheet by default
+  * (a `sheet` name selects another), first row = header, driver-side
+  * parse (the format caps a sheet at 65 536 rows —
   * an ingest convenience, never the 100 TB path), types inferred by
   * [[SheetTable]] so .xls and .xlsx can't diverge. Date STYLES are not
   * resolved (a date cell yields its raw serial number, as st_read does
@@ -29,7 +30,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object XlsReader {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** @param sheet worksheet NAME to read; None = the first worksheet.
+    *               An unknown name raises, listing the available sheets.
+    */
+  def read(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val wb =
       try Cfb.findStream(bytes, Set("Workbook", "Book"))
@@ -37,8 +41,9 @@ object XlsReader {
         case e: IllegalArgumentException => throw new IllegalArgumentException(
           s"xls $path: ${e.getMessage}", e)
       }
-    val table = Biff8.worksheetRows(wb)
-    require(table.nonEmpty, s"xls $path: first worksheet has no rows")
+    val table = Biff8.worksheetRows(wb, sheet)
+    require(table.nonEmpty,
+      s"xls $path: worksheet ${sheet.getOrElse("(first)")} has no rows")
     SheetTable.toDataFrame(spark, table)
   }
 
@@ -171,8 +176,11 @@ object XlsReader {
     private def u32(b: Array[Byte], o: Int): Int =
       u16(b, o) | (u16(b, o + 2) << 16)
 
-    /** All cells of the first worksheet as strings (null = gap). */
-    def worksheetRows(wb: Array[Byte]): Seq[Array[String]] = {
+    /** All cells of the selected worksheet (by BOUNDSHEET name; None =
+      * first worksheet) as strings (null = gap).
+      */
+    def worksheetRows(
+        wb: Array[Byte], sheet: Option[String] = None): Seq[Array[String]] = {
       require(wb.length >= 8 && u16(wb, 0) == BOF,
         "Workbook stream does not start with BOF")
       require(u16(wb, 4) == 0x0600,
@@ -182,8 +190,9 @@ object XlsReader {
       // ---- globals substream: SST + BOUNDSHEET ----
       var pos = 0
       var sst: IndexedSeq[String] = IndexedSeq.empty
-      // (lbPlyPos, dt) — dt 0 = worksheet
-      val sheets = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      // (lbPlyPos, dt, name) — dt 0 = worksheet; name is a
+      // ShortXLUnicodeString at body+6 (cch u8, flags u8, chars)
+      val sheets = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
       var done = false
       while (!done && pos + 4 <= wb.length) {
         val id = u16(wb, pos)
@@ -203,15 +212,31 @@ object XlsReader {
             }
             sst = parseSst(chunks.toIndexedSeq)
           case BOUNDSHEET =>
-            sheets += ((u32(wb, body), (u16(wb, body + 4) >> 8) & 0xFF))
+            val cch = wb(body + 6) & 0xFF
+            val high = (wb(body + 7) & 1) != 0
+            val name =
+              if (high) new String(wb, body + 8, cch * 2, StandardCharsets.UTF_16LE)
+              else {
+                val sb = new java.lang.StringBuilder(cch)
+                var i = 0
+                while (i < cch) { sb.append((wb(body + 8 + i) & 0xFF).toChar); i += 1 }
+                sb.toString
+              }
+            sheets += ((u32(wb, body), (u16(wb, body + 4) >> 8) & 0xFF, name))
           case EOF => done = true
           case _ =>
         }
         pos = body + len
       }
-      val sheetPos = sheets.find(_._2 == 0).orElse(sheets.headOption)
-        .map(_._1)
-        .getOrElse(throw new IllegalArgumentException("no worksheet BOUNDSHEET"))
+      val sheetPos = sheet match {
+        case None =>
+          sheets.find(_._2 == 0).orElse(sheets.headOption).map(_._1)
+            .getOrElse(throw new IllegalArgumentException("no worksheet BOUNDSHEET"))
+        case Some(n) =>
+          sheets.find(s => s._3 == n && s._2 == 0).map(_._1)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no sheet named '$n' (sheets: ${sheets.map(_._3).mkString(", ")})"))
+      }
 
       // ---- first worksheet substream: cell records ----
       val cells = scala.collection.mutable.TreeMap[Int,

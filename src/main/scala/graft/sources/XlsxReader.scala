@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   * inline strings, numbers, booleans, sparse rows (gaps become nulls).
   *
   * Scope and scale notes:
-  *  - The FIRST worksheet is read (workbook order, resolved through the
-  *    workbook relationships part), first row = header — `st_read`'s
-  *    default behavior.
+  *  - By default the FIRST worksheet is read (workbook order, resolved
+  *    through the workbook relationships part), first row = header —
+  *    `st_read`'s default behavior; a `sheet` name selects another.
   *  - Parsing is driver-side: the format itself hard-caps a sheet at
   *    2^20 rows, so an .xlsx is never the 100 TB path (that's
   *    parquet/csv); it's an ingest convenience. The StAX stream never
@@ -29,18 +29,24 @@ import org.apache.spark.sql.types._
   */
 object XlsxReader {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val table = readRows(path)
-    require(table.nonEmpty, s"xlsx $path: first worksheet has no rows")
+  /** @param sheet worksheet NAME to read; None = the workbook's first
+    *               sheet (`st_read`'s default). An unknown name raises,
+    *               listing the available sheets.
+    */
+  def read(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame = {
+    val table = readRows(path, sheet)
+    require(table.nonEmpty,
+      s"xlsx $path: worksheet ${sheet.getOrElse("(first)")} has no rows")
     SheetTable.toDataFrame(spark, table)
   }
 
-  /** All cells of the first worksheet as strings (null = missing). */
-  private[sources] def readRows(path: String): Seq[Array[String]] = {
+  /** All cells of the selected worksheet as strings (null = missing). */
+  private[sources] def readRows(
+      path: String, sheet: Option[String] = None): Seq[Array[String]] = {
     val zip = new ZipFile(path)
     try {
       val sst = sharedStrings(zip)
-      val sheetPath = firstSheetPath(zip)
+      val sheetPath = resolveSheetPath(zip, sheet)
       val entry = zip.getEntry(sheetPath)
       require(entry != null, s"xlsx $path: missing worksheet part $sheetPath")
       val in = zip.getInputStream(entry)
@@ -137,30 +143,43 @@ object XlsxReader {
     out.toIndexedSeq
   }
 
-  /** Zip path of the workbook's first sheet, via workbook.xml's sheet
-    * order and the workbook rels (r:id → worksheets/sheetN.xml).
-    * Falls back to xl/worksheets/sheet1.xml when parts are missing.
+  /** Zip path of the selected sheet (by name, or the workbook's first
+    * when `sheet` is None), via workbook.xml's sheet order and the
+    * workbook rels (r:id → worksheets/sheetN.xml). Falls back to
+    * xl/worksheets/sheet1.xml when the workbook parts are missing —
+    * unless a specific sheet was requested, which then raises.
     */
-  private def firstSheetPath(zip: ZipFile): String = {
+  private def resolveSheetPath(zip: ZipFile, sheet: Option[String]): String = {
     val fallback = "xl/worksheets/sheet1.xml"
     val wb = zip.getEntry("xl/workbook.xml")
     val relsEntry = zip.getEntry("xl/_rels/workbook.xml.rels")
-    if (wb == null || relsEntry == null) return fallback
-    var firstRid: String = null
+    if (wb == null || relsEntry == null) {
+      require(sheet.isEmpty,
+        s"cannot select sheet '${sheet.getOrElse("")}': workbook has no sheet index parts")
+      return fallback
+    }
+    // (name, r:id) in workbook order
+    val sheets = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val wr = xmlReader(zip.getInputStream(wb))
     try {
-      while (wr.hasNext && firstRid == null) {
+      while (wr.hasNext) {
         if (wr.next() == XMLStreamConstants.START_ELEMENT && wr.getLocalName == "sheet")
-          firstRid = attr(wr, "id") // r:id — matched by local name
+          sheets += ((attr(wr, "name"), attr(wr, "id"))) // r:id — by local name
       }
     } finally wr.close()
-    if (firstRid == null) return fallback
+    val rid = sheet match {
+      case None => sheets.headOption.map(_._2).getOrElse(return fallback)
+      case Some(n) => sheets.find(_._1 == n).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"no sheet named '$n' (sheets: ${sheets.map(_._1).mkString(", ")})"))
+    }
+    if (rid == null) return fallback
     var target: String = null
     val rr = xmlReader(zip.getInputStream(relsEntry))
     try {
       while (rr.hasNext && target == null) {
         if (rr.next() == XMLStreamConstants.START_ELEMENT &&
-            rr.getLocalName == "Relationship" && attr(rr, "Id") == firstRid)
+            rr.getLocalName == "Relationship" && attr(rr, "Id") == rid)
           target = attr(rr, "Target")
       }
     } finally rr.close()

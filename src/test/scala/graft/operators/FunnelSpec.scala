@@ -59,4 +59,66 @@ class FunnelSpec extends AnyFunSuite {
       Funnel.stages(events, Seq("A", "A"))
     }
   }
+
+  test("malformed maxGap fails eagerly, naming the bad value") {
+    val e = intercept[IllegalArgumentException] {
+      Funnel.stages(events, Seq("A", "B"), maxGap = Some("7 parsecs"))
+    }
+    assert(e.getMessage.contains("7 parsecs"), e.getMessage)
+    // eagerly = before any action; also through report()
+    intercept[IllegalArgumentException] {
+      Funnel.report(events, Seq("A", "B"), maxGap = Some(") DROP TABLE x"))
+    }
+  }
+
+  test("report accepts maxGap and counts only in-window conversions") {
+    // user 1 converts A→B 10s apart; a 5-second window drops that B
+    val r5 = Funnel.report(events, Seq("A", "B"), maxGap = Some("5 seconds"))
+      .collect().head
+    assert((r5.getLong(0), r5.getLong(1)) == ((4L, 1L))) // only user 5 (gap 3s)
+    val r15 = Funnel.report(events, Seq("A", "B"), maxGap = Some("15 seconds"))
+      .collect().head
+    assert((r15.getLong(0), r15.getLong(1)) == ((4L, 2L)))
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("user_id").collect().map(_.toSeq).toSeq
+
+  test("one-scan formulation matches the chained one on the fixture, with and without maxGap") {
+    for (gap <- Seq(None, Some("5 seconds"), Some("15 seconds"))) {
+      val chained = Funnel.stages(events, Seq("A", "B", "C"), maxGap = gap)
+      val oneScan = Funnel.stagesOneScan(events, Seq("A", "B", "C"), maxGap = gap)
+      assert(oneScan.columns.toSeq == chained.columns.toSeq)
+      assert(sortedRows(oneScan) == sortedRows(chained), s"maxGap=$gap")
+    }
+  }
+
+  test("one-scan matches chained on a randomized event log") {
+    val rnd = new scala.util.Random(0xf0e1)
+    val stageNames = Seq("A", "B", "C", "D")
+    val rows = Seq.tabulate(600) { i =>
+      (rnd.nextInt(40).toLong, ts(rnd.nextInt(500).toLong),
+        stageNames(rnd.nextInt(stageNames.size)))
+    }
+    val df = rows.toDF("user_id", "ts", "event_type")
+    for (gap <- Seq(None, Some("100 seconds"))) {
+      val chained = Funnel.stages(df, stageNames, maxGap = gap)
+      val oneScan = Funnel.stagesOneScan(df, stageNames, maxGap = gap)
+      assert(sortedRows(oneScan) == sortedRows(chained), s"maxGap=$gap")
+    }
+  }
+
+  test("one-scan plans exactly one source scan; chained plans one per stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_plan")
+    events.write.parquet(dir.resolve("events").toString)
+    val src = spark.read.parquet(dir.resolve("events").toString)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans(Funnel.stagesOneScan(src, Seq("A", "B", "C"))) == 1)
+    // chained: one scan leaf per stage PLUS each stage re-embedding its
+    // predecessor's sub-plan (identical subtrees — the ReuseExchange
+    // rule collapses them at runtime, but the static leaf count is
+    // what motivates stagesOneScan for long funnels)
+    assert(scans(Funnel.stages(src, Seq("A", "B", "C"))) >= 3)
+  }
 }

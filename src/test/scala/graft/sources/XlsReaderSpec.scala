@@ -217,6 +217,35 @@ class XlsReaderSpec extends AnyFunSuite {
     assert(XlsReader.Biff8.decodeRk(rkFloat(-2.5)) == -2.5)
   }
 
+  test("sheet option selects a worksheet by BOUNDSHEET name") {
+    val strings = Seq("a", "b")
+    val sheetA = bof(0x0010) ++ labelSst(0, 0, 0) ++ number(1, 0, 1.0) ++ eof
+    val sheetB = bof(0x0010) ++ labelSst(0, 0, 1) ++ number(1, 0, 2.0) ++ eof
+    def globals2(posA: Int, posB: Int): Array[Byte] = {
+      val sstBody = u32(2) ++ u32(2) ++ strings.flatMap(sstStr).toArray
+      val bsA = rec(0x0085, u32(posA) ++ u16(0) ++
+        Array(6.toByte, 0.toByte) ++ latin1("SheetA"))
+      val bsB = rec(0x0085, u32(posB) ++ u16(0) ++
+        Array(6.toByte, 0.toByte) ++ latin1("SheetB"))
+      bof(0x0005) ++ bsA ++ bsB ++ rec(0x00FC, sstBody) ++ eof
+    }
+    val gLen = globals2(0, 0).length
+    val path = writeFixture(
+      globals2(gLen, gLen + sheetA.length) ++ sheetA ++ sheetB)
+
+    val first = XlsReader.read(spark, path) // default = first worksheet
+    assert(first.columns.toSeq == Seq("a"))
+    assert(first.head.getLong(0) == 1L)
+    val second = Readers.read(spark, path, "xls", options = Map("sheet" -> "SheetB"))
+    assert(second.columns.toSeq == Seq("b"))
+    assert(second.head.getLong(0) == 2L)
+    val e = intercept[IllegalArgumentException] {
+      XlsReader.read(spark, path, Some("Nope"))
+    }
+    assert(e.getMessage.contains("SheetA") && e.getMessage.contains("SheetB"),
+      e.getMessage)
+  }
+
   test("BIFF5 and non-OLE2 files raise actionable errors") {
     val biff5 = rec(0x0809, u16(0x0500) ++ u16(0x0005) ++ u16(0) ++ u16(0) ++
       u32(0) ++ u32(0)) ++ eof

@@ -112,6 +112,18 @@ class XlsxReaderSpec extends AnyFunSuite {
     assert(schema.map(_._1) == Seq("id", "name", "active", "score"))
   }
 
+  test("sheet option selects a worksheet by name; unknown name lists sheets") {
+    val p = writeFixture()
+    val other = Readers.read(spark, p, "xlsx", options = Map("sheet" -> "Other"))
+    assert(other.columns.toSeq == Seq("WRONG SHEET")) // header-only sheet
+    assert(other.count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Readers.read(spark, p, "xlsx", options = Map("sheet" -> "Nope"))
+    }
+    assert(e.getMessage.contains("Data") && e.getMessage.contains("Other"),
+      e.getMessage)
+  }
+
   test("detectFormat routes .xlsx; colIndex decodes multi-letter refs") {
     assert(Readers.detectFormat("/data/report.xlsx") == "xlsx")
     assert(XlsxReader.colIndex("A1") == 0)
