@@ -43,7 +43,41 @@ object Bench {
 
     val wall0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wall0) / 1e9
-    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // PROBE-ONLY ANN entries (bench-only; not SparkEntry queries, so
+    // the correctness surface is unchanged): `s_lsh_indexed` /
+    // `s_ivf_topk` deliberately time build + probe, but a 100×-scale
+    // user builds an index ONCE and pays only the probe per query.
+    // These fixtures build each index here (outside any measured
+    // iteration) and the entries measure the amortized per-query cost:
+    // a partition-pruned read of the candidate buckets/cells only.
+    val probeOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Similarity
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val lshPath = Files.createTempDirectory("graft_bench_lsh")
+        .resolve("idx").toString
+      val lshIdx = Similarity.lshIndex(vecs, "vec_id", "embedding", lshPath,
+        numPlanes = 5, dim = Some(query.length))
+      val ivfPath = Files.createTempDirectory("graft_bench_ivf")
+        .resolve("idx").toString
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8,
+          maxIter = 3, initMode = "random"), ivfPath)
+      val ivfIdx = Similarity.loadIvfIndex(spark, ivfPath)
+      Map(
+        // pruned multiprobe (1 bit flip): the realistic repeated-query path
+        "s_lsh_probe_only" -> ((s: SparkSession, _: String) =>
+          Similarity.lshTopK(s, lshIdx, "vec_id", "embedding", query, k = 10,
+            probeHamming = 1)),
+        "s_ivf_probe_only" -> ((_: SparkSession, _: String) =>
+          Similarity.ivfTopK(ivfIdx, "vec_id", "embedding", query, k = 10,
+            nprobe = 2)))
+    }
+    val allQueries = SparkEntry.queries ++ probeOnly
+    val names = allQueries.keys.toSeq.sorted
 
     // Warm-up pass over the FULL suite (not recorded): each query's
     // first execution pays one-time whole-stage-codegen compilation +
@@ -55,7 +89,7 @@ object Bench {
       // warm-up degrades to a subset if the box is so slow that even
       // one pass threatens the budget (a measured iteration still runs)
       if (elapsedSec < budgetSec * 0.4) {
-        try SparkEntry.queries(name)(spark, sfDir).count()
+        try allQueries(name)(spark, sfDir).count()
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
@@ -74,7 +108,7 @@ object Bench {
     // harness's patience.
     while (ran < iters && (ran == 0 || elapsedSec + iterSec / ran < budgetSec)) {
       names.foreach { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = allQueries(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
