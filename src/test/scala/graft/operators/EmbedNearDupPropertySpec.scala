@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property test for embedding near-dup detection (LSH orthant
+  * buckets + exact cosine rerank). Bucket recall is probabilistic for
+  * merely-similar vectors, so the guarantees on random corpora are:
+  *
+  *  1. PRECISION — every emitted pair carries the exact
+  *     double-precision cosine (same fold order as the Column
+  *     formulation, rounded HALF_UP to 4) and clears the threshold:
+  *     output ⊆ brute force with identical scores.
+  *  2. CLONE RECALL — identical vectors share every hyperplane sign,
+  *     hence the bucket, so planted exact clones MUST be found at any
+  *     threshold ≤ 1.
+  */
+class EmbedNearDupPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 6
+
+  private val genCase: Gen[(List[Array[Float]], Double)] = for {
+    n <- Gen.choose(2, 10)
+    base <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f)))
+    cloneOf <- Gen.listOfN(n, Gen.option(Gen.choose(0, n - 1)))
+    t <- Gen.choose(0.5, 0.99)
+  } yield (base.zip(cloneOf).map {
+    case (_, Some(i)) => base(i).toArray
+    case (v, None) => v.toArray
+  }, t)
+
+  /** Replicates VectorFunctions.cosine exactly: sequential left-fold
+    * dot product in doubles, 0 when either norm is 0, HALF_UP round.
+    */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    val n = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+    val c = if (n == 0.0) 0.0 else dot(a, b) / n
+    BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("output ⊆ brute force with exact scores; planted clones always found (20 cases)") {
+    val prop = Prop.forAll(genCase) { case (vecs, threshold) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      val got = Similarity.embeddingNearDups(df, "vec_id", "embedding",
+          threshold = threshold, numPlanes = 8, dim = Some(dim))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+
+      val ids = vecs.indices
+      val brute = (for {
+        i <- ids; j <- ids if i < j
+        c = cos(vecs(i), vecs(j)) if c >= threshold
+      } yield (i.toLong, j.toLong) -> c).toMap
+      val clonePairs = (for {
+        i <- ids; j <- ids if i < j
+        if vecs(i).sameElements(vecs(j))
+      } yield (i.toLong, j.toLong)).toSet
+
+      val subset = got.forall { case (p, c) => brute.get(p).contains(c) }
+      val clonesFound = clonePairs.forall(got.contains)
+      subset && clonesFound
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property test for MinHash-LSH near-dup detection on random corpora.
+  *
+  * LSH recall is probabilistic at thresholds below 1, so equality with
+  * brute force can't be demanded in general. What IS guaranteed:
+  *
+  *  1. PRECISION — every emitted pair carries the EXACT Jaccard of the
+  *     two docs' (hashed, distinct) shingle sets and clears the
+  *     threshold: the output is a subset of the brute-force answer
+  *     with identical scores.
+  *  2. FULL RECALL AT t = 1 — identical shingle sets give identical
+  *     signatures, so every band collides and no J=1 pair can be
+  *     missed (the same argument that makes the d_minhash_exact
+  *     oracle exact).
+  */
+class MinHashPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  /** Random docs; some are clones of earlier docs (J = 1 pairs). */
+  private val genDocs: Gen[List[String]] = for {
+    n <- Gen.choose(2, 10)
+    base <- Gen.listOfN(n,
+      Gen.choose(3, 9).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool))))
+    cloneOf <- Gen.listOfN(n, Gen.option(Gen.choose(0, n - 1)))
+  } yield base.zip(cloneOf).map {
+    case (_, Some(i)) => base(i).mkString(" ")
+    case (toks, None) => toks.mkString(" ")
+  }
+
+  /** The docs' hashed-shingle SETS, extracted through the same native
+    * expression the operator stages (itself pinned against hand-built
+    * shingles in TextSignaturesSpec) — the reference disagrees with
+    * the operator iff the banding/bucketing/rerank machinery is wrong.
+    */
+  private def shingleSets(docs: List[String]): Map[Long, Set[Long]] = {
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    df.select(col("doc_id"), graft.functions.TextSignatures
+        .shingleHashesCol(col("text"), 3).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty) // operator drops shingle-less docs too
+      .toMap
+  }
+
+  private def bruteForce(
+      sets: Map[Long, Set[Long]], threshold: Double): Map[(Long, Long), Double] = {
+    val ids = sets.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      jac = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size.toDouble
+      if jac >= threshold
+    } yield (a, b) -> jac).toMap
+  }
+
+  private def run(docs: List[String], threshold: Double): Map[(Long, Long), Double] =
+    Dedup.minHashNearDups(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text", threshold = threshold)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+
+  test("LSH output ⊆ brute force with exact Jaccard scores (20 cases)") {
+    val gen = for {
+      docs <- genDocs
+      t <- Gen.choose(0.2, 0.9)
+    } yield (docs, t)
+    val prop = Prop.forAll(gen) { case (docs, t) =>
+      val got = run(docs, t)
+      val want = bruteForce(shingleSets(docs), t)
+      got.forall { case (pair, jac) => want.get(pair).contains(jac) }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("full recall at threshold 1: equality with brute force (20 cases)") {
+    val prop = Prop.forAll(genDocs) { docs =>
+      run(docs, 1.0) == bruteForce(shingleSets(docs), 1.0)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property test for SimHash near-dup detection: unlike MinHash-LSH,
+  * the pigeonhole chunk scheme has a DETERMINISTIC recall guarantee —
+  * hamming ≤ maxHamming over maxHamming+1 chunks forces at least one
+  * equal chunk — so on random corpora (with the degenerate-bucket
+  * guard wide open) the operator must EQUAL the brute-force pairwise
+  * answer: every pair of docs whose 64-bit signatures differ in at
+  * most maxHamming bits, with the exact hamming distance.
+  *
+  * Signatures come from [[Dedup.simHash]] (the native expression,
+  * itself pinned bit-for-bit in TextSignaturesSpec); the local
+  * reference does the pairwise hamming on the driver, so the property
+  * isolates the chunking/bucketing/rerank machinery.
+  */
+class SimHashPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta")
+
+  // near-dup-rich corpora: clones and single-token edits of earlier
+  // docs land at small hamming distances; fresh docs land far away
+  private val genCase: Gen[(List[String], Int)] = for {
+    n <- Gen.choose(2, 10)
+    base <- Gen.listOfN(n,
+      Gen.choose(3, 10).flatMap(k => Gen.listOfN(k, Gen.oneOf(pool))))
+    variant <- Gen.listOfN(n, Gen.option(Gen.zip(Gen.choose(0, n - 1), Gen.oneOf(pool))))
+    maxHamming <- Gen.oneOf(0, 1, 3, 7)
+  } yield (base.zip(variant).map {
+    case (_, Some((i, extra))) => (base(i) :+ extra).mkString(" ")
+    case (toks, None) => toks.mkString(" ")
+  }, maxHamming)
+
+  test("simHashNearDups == brute-force pairwise hamming (25 cases)") {
+    val prop = Prop.forAll(genCase) { case (docs, maxHamming) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sigs = Dedup.simHash(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ids = sigs.keys.toSeq.sorted
+      val want = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = ids(i); b = ids(j)
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+        if h <= maxHamming
+      } yield (a, b, h)).toSet
+
+      val got = Dedup.simHashNearDups(df, "doc_id", "text",
+          maxHamming = maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      got == want
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
