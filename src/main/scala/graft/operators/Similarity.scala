@@ -207,18 +207,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Auto-size the hyperplane count so bucket occupancy stays CONSTANT
+    * as the corpus grows: 2^planes ≈ n / targetOccupancy. With fixed
+    * planes, occupancy grows with n and the in-row pair generation is
+    * quadratic in it — measured ×15 per data decade in the sf1 scaling
+    * audit before this rule; with buckets ∝ n the pair work is
+    * n·occupancy/2, i.e. linear. Clamped to [4, 24] (16 buckets floor;
+    * 16M buckets is plenty past any realistic per-executor slice).
+    */
+  def planesFor(n: Long, targetOccupancy: Int = 32): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** All-pairs near-duplicates by embedding cosine: bucket join on the
     * LSH sign pattern (identical bucket ⇒ candidate), exact rerank.
     * The 100 TB shape for embedding dedup — never all-pairs.
+    *
+    * `numPlanes <= 0` (the default) auto-sizes via [[planesFor]] — the
+    * scale-safe choice, since a FIXED plane count quietly goes
+    * quadratic as the corpus outgrows its 2^planes buckets. Recall for
+    * IDENTICAL vectors is 100% at any plane count (equal vectors share
+    * every sign); more planes trades recall on merely-similar pairs
+    * for bounded bucket cost, the standard LSH dial.
     */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 12, seed: Long = 42L,
+      threshold: Double = 0.95, numPlanes: Int = 0, seed: Long = 42L,
       maxBucketSize: Int = 1000, dim: Option[Int] = None): DataFrame = {
     // callers that know the embedding width pass it and skip a driver
     // head() job; the probe stays as the convenience fallback
     val d = dim.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
-    val planes = hyperplanes(numPlanes, d, seed)
+    val nPlanes = if (numPlanes > 0) numPlanes else planesFor(df.count())
+    val planes = hyperplanes(nPlanes, d, seed)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       bucketExpr(col(vecCol), planes).as("_bucket"))
     // Bucket-local pair generation with the degenerate-bucket guard

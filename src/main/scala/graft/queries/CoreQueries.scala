@@ -266,6 +266,22 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // The ONE-SCAN funnel formulation (per-key sorted timestamp
+    // arrays + an array-expression walk of the strict-order
+    // recursion — Funnel.stagesOneScan) against the SAME oracle as
+    // q_funnel: identical semantics, one source scan and one shuffle
+    // instead of one scan per stage. The skew tradeoff is documented
+    // on the operator; this entry proves the equivalence end-to-end.
+    "q_funnel_os" -> ((s, dir) => {
+      graft.operators.Funnel.stagesOneScan(t(s, dir, "events"),
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("t_view")).as("t_view_us"),
+          unix_micros(col("t_click")).as("t_click_us"),
+          unix_micros(col("t_purchase")).as("t_purchase_us"))
+        .orderBy("user_id")
+    }),
+
     // Anti join: customers with no orders (NOT EXISTS).
     "q_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -582,6 +598,25 @@ object CoreQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+        |)
+        |SELECT v.user_id, epoch_us(v.t_view) AS t_view_us,
+        |  epoch_us(c.t_click) AS t_click_us,
+        |  epoch_us(p.t_purchase) AS t_purchase_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // one-scan formulation, identical funnel semantics → same oracle
+    "q_funnel_os" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events
         |  WHERE event_type = 'view' GROUP BY 1

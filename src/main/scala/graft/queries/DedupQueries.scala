@@ -137,21 +137,25 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // numPlanes auto-sizes to the corpus (planesFor) — the sf1 scaling
+    // audit showed a fixed plane count going quadratic per decade as
+    // bucket occupancy grew with n
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(vecsWithClones(s, dir), "vec_id", "embedding",
-          threshold = 0.99, numPlanes = 8)
+          threshold = 0.99)
         .orderBy("id_a", "id_b")),
 
     // Embedding near-dup on IDENTICAL clones at threshold 1.0:
     // an identical vector lands in the same hyperplane bucket by
-    // construction (same signs) ⇒ recall is exactly 100%, and
-    // cosine(v,v) rounds to 1.0000 — oracle = vector-equality pairs.
+    // construction (same signs, at ANY auto-sized plane count) ⇒
+    // recall is exactly 100%, and cosine(v,v) rounds to 1.0000 —
+    // oracle = vector-equality pairs.
     "d_embed_exact" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val clones = vecs.filter(col("vec_id") < 50)
         .withColumn("vec_id", col("vec_id") + CloneShift)
       Similarity.embeddingNearDups(vecs.unionByName(clones), "vec_id", "embedding",
-          threshold = 1.0, numPlanes = 8)
+          threshold = 1.0)
         .orderBy("id_a", "id_b")
     }),
 

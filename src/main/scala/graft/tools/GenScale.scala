@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+final case class GenDoc(
+    doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+final case class GenVec(vec_id: Long, embedding: Array[Float], label: Int)
+
+/** Dev tool: generate an sf1-scale `documents` + `embeddings` star
+  * (10× the driver's sf0.1) under a writable dir, so ProfileScaling
+  * can extend the dedup/ANN scaling audit one more decade. The driver's
+  * testdata is read-only and tops out at sf0.1 — where nearly every
+  * query is job-floor-bound and a 10× ratio says little.
+  *
+  * Same shape as the driver's tables (TESTDATA.md, seed 42):
+  * documents = token-salad text over the OBSERVED sf0.1 vocabulary
+  * (10–100 tokens), lang/source with the observed skew; embeddings =
+  * 64-dim small-float vectors. Seeded PER ROW ID, so the output is
+  * deterministic under any partitioning. Not part of the library.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val nDocs = 50000L // 10× sf0.1's 5000
+    val nVecs = 20000L // 10× sf0.1's 2000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
+    val spark = Sessions.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val vocab = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().as[String].collect().sorted
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    // observed sf0.1 skew: ~41% en, the rest near-uniform
+    val langs = Array("en", "en", "en", "zh", "es", "fr", "de")
+
+    spark.range(0, nDocs).as[Long].map { id =>
+      val rnd = new scala.util.Random(42L * 1000003L + id)
+      val v = vocabB.value
+      val n = 10 + rnd.nextInt(91)
+      val text = Array.fill(n)(v(rnd.nextInt(v.length))).mkString(" ")
+      GenDoc(id, text, langs(rnd.nextInt(langs.length)),
+        s"src${rnd.nextInt(20)}", text.length.toLong)
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    spark.range(0, nVecs).as[Long].map { id =>
+      val rnd = new scala.util.Random(1042L * 1000003L + id)
+      GenVec(id, Array.fill(64)((rnd.nextGaussian() * 0.12).toFloat),
+        rnd.nextInt(5))
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"wrote $out: documents=$nDocs embeddings=$nVecs")
+    spark.stop()
+  }
+}

@@ -38,6 +38,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert((brute intersect lsh).nonEmpty)
   }
 
+  test("planesFor keeps bucket occupancy constant as the corpus grows") {
+    assert(Similarity.planesFor(0) == 4) // floor
+    assert(Similarity.planesFor(1000) == 5) // ceil(log2(31.25))
+    assert(Similarity.planesFor(32000) == 10)
+    assert(Similarity.planesFor(32L << 30) == 24) // clamp
+    // each decade of data adds ~log2(10) ≈ 3.3 planes — occupancy,
+    // and with it the per-bucket pair cost, stays bounded
+    assert(Similarity.planesFor(320000) - Similarity.planesFor(32000) == 4)
+  }
+
+  test("auto-sized planes (numPlanes = 0 default) still find identical clones") {
+    val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
   test("embeddingNearDups finds the scaled clone pair only") {
     val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
         threshold = 0.999, numPlanes = 4)
