@@ -51,31 +51,35 @@ object Bench {
     // These fixtures build each index here (outside any measured
     // iteration) and the entries measure the amortized per-query cost:
     // a partition-pruned read of the candidate buckets/cells only.
-    val probeOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
-      import org.apache.spark.sql.functions.col
-      import graft.operators.Similarity
-      val vecs = Tables.load(spark, sfDir, "embeddings")
-      val query = vecs.filter(col("vec_id") === 0)
-        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
-      val lshPath = Files.createTempDirectory("graft_bench_lsh")
-        .resolve("idx").toString
-      val lshIdx = Similarity.lshIndex(vecs, "vec_id", "embedding", lshPath,
-        numPlanes = 5, dim = Some(query.length))
-      val ivfPath = Files.createTempDirectory("graft_bench_ivf")
-        .resolve("idx").toString
-      Similarity.saveIvfIndex(
-        Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8,
-          maxIter = 3, initMode = "random"), ivfPath)
-      val ivfIdx = Similarity.loadIvfIndex(spark, ivfPath)
-      Map(
-        // pruned multiprobe (1 bit flip): the realistic repeated-query path
-        "s_lsh_probe_only" -> ((s: SparkSession, _: String) =>
-          Similarity.lshTopK(s, lshIdx, "vec_id", "embedding", query, k = 10,
-            probeHamming = 1)),
-        "s_ivf_probe_only" -> ((_: SparkSession, _: String) =>
-          Similarity.ivfTopK(ivfIdx, "vec_id", "embedding", query, k = 10,
-            nprobe = 2)))
-    }
+    // Guarded: a dataset without embeddings (or vec_id 0) degrades to
+    // the SparkEntry suite instead of killing the whole bench — the
+    // driver must always get its BENCH.json. Index dirs are deleted
+    // after the measured loop (see below); a crash-path leak is
+    // bounded to one run's indexes.
+    val benchTmp = Files.createTempDirectory("graft_bench_idx")
+    val probeOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      try {
+        import org.apache.spark.sql.functions.col
+        import graft.operators.Similarity
+        val vecs = Tables.load(spark, sfDir, "embeddings")
+        val query = vecs.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+        val lshIdx = Similarity.lshIndex(vecs, "vec_id", "embedding",
+          benchTmp.resolve("lsh").toString, numPlanes = 5, dim = Some(query.length))
+        val ivfPath = benchTmp.resolve("ivf").toString
+        Similarity.saveIvfIndex(
+          Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8,
+            maxIter = 3, initMode = "random"), ivfPath)
+        val ivfIdx = Similarity.loadIvfIndex(spark, ivfPath)
+        Map(
+          // pruned multiprobe (1 bit flip): the realistic repeated-query path
+          "s_lsh_probe_only" -> ((s: SparkSession, _: String) =>
+            Similarity.lshTopK(s, lshIdx, "vec_id", "embedding", query, k = 10,
+              probeHamming = 1)),
+          "s_ivf_probe_only" -> ((_: SparkSession, _: String) =>
+            Similarity.ivfTopK(ivfIdx, "vec_id", "embedding", query, k = 10,
+              nprobe = 2)))
+      } catch { case _: Throwable => Map.empty }
     val allQueries = SparkEntry.queries ++ probeOnly
     val names = allQueries.keys.toSeq.sorted
 
@@ -117,6 +121,16 @@ object Bench {
       }
       ran += 1
     }
+    // every probe iteration has run — the index files can go
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    try deleteTree(benchTmp) catch { case _: Exception => () }
+
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       s((s.length - 1) / 2) // lower median: min for n=2, middle for n=3
@@ -124,7 +138,12 @@ object Bench {
     val med = names.map(n => n -> median(samples(n)))
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = med.map(_._2).sum
+    // "total" stays like-for-like with the DuckDB baseline and earlier
+    // rounds: the probe-only entries have no counterpart in either, so
+    // they report in the per-query map but do not inflate the sum.
+    val total = med.collect {
+      case (k, v) if !probeOnly.contains(k) => v
+    }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$ran,"cpus":$coreBudget,"threads":$cpus}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")

@@ -251,7 +251,10 @@ object Multimodal {
           val f = decodeFeatures(bytes, dim)
           var s = 0.0; var i = 0
           while (i < f.length) { s += f(i).toDouble * f(i); i += 1 }
-          (tpe, if (bytes == null) 0 else bytes.length, math.sqrt(s))
+          // null payload → null bytes (NOT 0): avg(nbytes) must skip
+          // missing media like SQL avg(length(media)) always did
+          val nb: Option[Int] = Option(bytes).map(_.length)
+          (tpe, nb, math.sqrt(s))
         }
       }
       .toDF("media_type", "nbytes", "feat_norm")

@@ -117,8 +117,14 @@ object Funnel {
     val gap = maxGap.map(parseGap)
     def acol(stage: String) = s"_a_$stage"
 
+    // _nh counts stage-1 EVENTS (not timestamps): a key whose stage-1
+    // events all carry null ts must still appear (with t_head null),
+    // exactly as stages()'s min() aggregate keeps it — collect_list
+    // skips nulls, so the array alone can't tell "no event" from
+    // "null-ts event"
     val aggs = stageSeq.map(s =>
-      sort_array(collect_list(when(col(typeCol) === s, col(tsCol)))).as(acol(s)))
+      sort_array(collect_list(when(col(typeCol) === s, col(tsCol)))).as(acol(s))) :+
+      count(when(col(typeCol) === stageSeq.head, lit(1))).as("_nh")
     val grouped = events
       .filter(col(typeCol).isin(stageSeq: _*))
       .groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
@@ -135,7 +141,7 @@ object Funnel {
         df.withColumn(tcol(stage), get(hit, lit(0)))
     }
     walked
-      .filter(col(tcol(stageSeq.head)).isNotNull)
+      .filter(col("_nh") > 0)
       .select(col(keyCol) +: stageSeq.map(s => col(tcol(s))): _*)
   }
 

@@ -230,16 +230,23 @@ object Similarity {
     * quadratic as the corpus outgrows its 2^planes buckets. Recall for
     * IDENTICAL vectors is 100% at any plane count (equal vectors share
     * every sign); more planes trades recall on merely-similar pairs
-    * for bounded bucket cost, the standard LSH dial.
+    * for bounded bucket cost, the standard LSH dial. Auto-sizing needs
+    * the corpus size: pass `expectedRows` (an ESTIMATE is fine — the
+    * plane count only moves by one per 2× error) to skip the count()
+    * job, exactly as `dim` skips the width probe; the count stays as
+    * the convenience fallback.
     */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 0, seed: Long = 42L,
-      maxBucketSize: Int = 1000, dim: Option[Int] = None): DataFrame = {
+      maxBucketSize: Int = 1000, dim: Option[Int] = None,
+      expectedRows: Option[Long] = None): DataFrame = {
     // callers that know the embedding width pass it and skip a driver
     // head() job; the probe stays as the convenience fallback
     val d = dim.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
-    val nPlanes = if (numPlanes > 0) numPlanes else planesFor(df.count())
+    val nPlanes =
+      if (numPlanes > 0) numPlanes
+      else planesFor(expectedRows.getOrElse(df.count()))
     val planes = hyperplanes(nPlanes, d, seed)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       bucketExpr(col(vecCol), planes).as("_bucket"))

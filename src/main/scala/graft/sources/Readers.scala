@@ -116,17 +116,50 @@ object Readers {
     spool.toFile.deleteOnExit()
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
-      // a stalled server must fail the read, not hang it forever; the
-      // body timeout is generous — presigned downloads can be multi-GB
       .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+    // HttpRequest.timeout only bounds time-to-HEADERS in java.net.http
+    // — a server that stalls MID-BODY with the connection open would
+    // hang a file body handler forever. Stream the body and watchdog
+    // PROGRESS instead: a window with no bytes aborts the read (the
+    // timer closes the stream, failing the blocked read()); a slow but
+    // moving multi-GB presigned download is never killed.
     val resp = client.send(
       HttpRequest.newBuilder(java.net.URI.create(url))
-        .timeout(java.time.Duration.ofMinutes(15)).GET().build(),
-      HttpResponse.BodyHandlers.ofFile(spool))
+        .timeout(java.time.Duration.ofSeconds(60)).GET().build(),
+      HttpResponse.BodyHandlers.ofInputStream())
+    val in = resp.body()
     if (resp.statusCode() / 100 != 2) {
+      in.close()
       java.nio.file.Files.deleteIfExists(spool) // error page is not data
       throw new IllegalArgumentException(
         s"HTTP ${resp.statusCode()} fetching $url")
+    }
+    val stallNanos = 120L * 1000 * 1000 * 1000
+    val lastProgress = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val watchdog = new java.util.Timer("graft-spool-watchdog", true)
+    watchdog.schedule(new java.util.TimerTask {
+      def run(): Unit =
+        if (System.nanoTime() - lastProgress.get() > stallNanos)
+          try in.close() catch { case _: Exception => () }
+    }, 10000L, 10000L)
+    try {
+      val out = java.nio.file.Files.newOutputStream(spool)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          lastProgress.set(System.nanoTime())
+          n = in.read(buf)
+        }
+      } finally out.close()
+    } catch {
+      case e: Exception =>
+        java.nio.file.Files.deleteIfExists(spool) // partial body is not data
+        throw new IllegalArgumentException(s"download of $url failed or stalled", e)
+    } finally {
+      watchdog.cancel()
+      try in.close() catch { case _: Exception => () }
     }
     spool.toString
   }

@@ -173,7 +173,14 @@ object XlsxReader {
         throw new IllegalArgumentException(
           s"no sheet named '$n' (sheets: ${sheets.map(_._1).mkString(", ")})"))
     }
-    if (rid == null) return fallback
+    if (rid == null) {
+      // a <sheet> without r:id can't be resolved — for the default case
+      // the sheet1 fallback is the st_read-compatible guess, but a
+      // NAMED request must never silently return a different sheet
+      require(sheet.isEmpty,
+        s"sheet '${sheet.getOrElse("")}' has no r:id relationship to resolve")
+      return fallback
+    }
     var target: String = null
     val rr = xmlReader(zip.getInputStream(relsEntry))
     try {

@@ -99,10 +99,37 @@ object CorpusIngest {
     fs.exists(path) && walk(path)
   }
 
-  /** One idempotent ingestion step: skip if `batchId`'s commit marker
-    * exists, else gate/dedup/append and write the marker. Public so
-    * batch backfills and tests can drive the exactly-once path without
-    * a streaming query.
+  /** Commit-marker SCOPE for a stream incarnation. Batch ids restart
+    * at 0 whenever a stream gets a fresh checkpoint, so a marker keyed
+    * by the bare id would make a re-checkpointed stream silently SKIP
+    * its first batches (data loss dressed as dedup). The scope is a
+    * UUID stored INSIDE the checkpoint dir: same checkpoint
+    * (crash-retry) → same scope → replays skip correctly; deleted or
+    * new checkpoint → new scope → nothing is falsely skipped.
+    */
+  private def streamScope(spark: SparkSession, checkpointDir: String): String = {
+    val (fs, dir) = fileSystem(spark, checkpointDir)
+    val f = new Path(dir, "graft-scope")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      fs.mkdirs(dir)
+      val out = fs.create(f, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
+  }
+
+  /** One idempotent ingestion step: skip if `(scope, batchId)`'s
+    * commit marker exists, else gate/dedup/append and write the
+    * marker. Public so batch backfills and tests can drive the
+    * exactly-once path without a streaming query — backfill callers
+    * pick their own `scope` (a job/run name); two DIFFERENT jobs must
+    * not share one, or the second job's batch ids are skipped as
+    * replays.
     *
     * The lake read tolerates ONLY the not-yet-created first-batch
     * case: the empty-template fallback fires on a missing path or a
@@ -117,10 +144,11 @@ object CorpusIngest {
       batch: DataFrame, batchId: Long, lakeDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       key: Column => Column = TextFunctions.bagFingerprint,
-      failReason: Column => Column = c => TextFunctions.gopherFailReason(c)): Unit = {
+      failReason: Column => Column = c => TextFunctions.gopherFailReason(c),
+      scope: String = "batch"): Unit = {
     val spark = batch.sparkSession
     val (fs, lakePath) = fileSystem(spark, lakeDir)
-    val marker = new Path(new Path(lakePath, CommitDirName), batchId.toString)
+    val marker = new Path(new Path(lakePath, CommitDirName), s"$scope-$batchId")
     if (fs.exists(marker)) return // replayed batch, append already landed
     val hasData = hasDataFiles(fs, lakePath)
     val lake =
@@ -144,11 +172,13 @@ object CorpusIngest {
       docs: DataFrame, lakeDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       key: Column => Column = TextFunctions.bagFingerprint,
-      failReason: Column => Column = c => TextFunctions.gopherFailReason(c)): StreamingQuery =
+      failReason: Column => Column = c => TextFunctions.gopherFailReason(c)): StreamingQuery = {
+    val scope = streamScope(docs.sparkSession, checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, lakeDir, idCol, textCol, key, failReason)
+        ingestBatch(batch, batchId, lakeDir, idCol, textCol, key, failReason, scope)
       }
       .start()
+  }
 }

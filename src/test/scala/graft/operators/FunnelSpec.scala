@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -91,6 +92,19 @@ class FunnelSpec extends AnyFunSuite {
       assert(oneScan.columns.toSeq == chained.columns.toSeq)
       assert(sortedRows(oneScan) == sortedRows(chained), s"maxGap=$gap")
     }
+  }
+
+  test("one-scan matches chained when stage-1 events carry null timestamps") {
+    // user 7's only A has a null ts: both formulations must KEEP the
+    // key (stage 1 happened) with t_A null and no later stages
+    val withNull = events.unionByName(
+      Seq((7L, "A")).toDF("user_id", "event_type")
+        .withColumn("ts", lit(null).cast("timestamp"))
+        .select("user_id", "ts", "event_type"))
+    val chained = Funnel.stages(withNull, Seq("A", "B"))
+    val oneScan = Funnel.stagesOneScan(withNull, Seq("A", "B"))
+    assert(sortedRows(oneScan) == sortedRows(chained))
+    assert(oneScan.filter($"user_id" === 7L).count() == 1)
   }
 
   test("one-scan matches chained on a randomized event log") {

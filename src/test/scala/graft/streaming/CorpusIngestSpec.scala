@@ -121,9 +121,37 @@ class CorpusIngestSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(lakeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(
-      lakeDir + "/" + CorpusIngest.CommitDirName + "/7"), false)
+      lakeDir + "/" + CorpusIngest.CommitDirName + "/batch-7"), false)
     CorpusIngest.ingestBatch(batch, 7L, lakeDir, failReason = gate)
     assert(spark.read.parquet(lakeDir).count() == after1)
+  }
+
+  test("a fresh-checkpoint stream does not skip batches that reuse old batch ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_scope")
+    val lakeDir = dir.resolve("lake").toString
+
+    // incarnation 1, checkpoint A: its batch 0 ingests doc 1
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = CorpusIngest.ingestStream(in1.toDF().toDF("doc_id", "text"),
+      lakeDir, dir.resolve("ckptA").toString, failReason = gate)
+    try {
+      in1.addData((1L, "alpha beta gamma delta")); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // incarnation 2, checkpoint B (ops recreated it): batch ids restart
+    // at 0 — its fresh docs must NOT be skipped as replays
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = CorpusIngest.ingestStream(in2.toDF().toDF("doc_id", "text"),
+      lakeDir, dir.resolve("ckptB").toString, failReason = gate)
+    try {
+      in2.addData((2L, "epsilon zeta eta theta")); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = spark.read.parquet(lakeDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
   }
 
   test("first-batch retry self-heals a lake dir holding only crash debris") {
