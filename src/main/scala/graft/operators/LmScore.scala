@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language-model scoring — the CCNet-style
+  * "score each document by how probable a language model finds it"
+  * quality signal (Wenzek et al. 2020 filter by LM perplexity;
+  * Gopher/Llama data prep do the same with larger models). A web-scale
+  * pipeline scores every crawled doc and drops the tail.
+  *
+  * Model: add-k smoothed bigram conditionals trained on the corpus
+  * itself (or any reference corpus),
+  * `P(w2|w1) = (C(w1 w2) + k) / (C(w1 ·) + k·V)`, and each doc scores
+  * the MEAN natural-log probability of its bigrams (0 > score;
+  * closer to 0 = more typical text). Token-salad and boilerplate land
+  * far below normal prose.
+  *
+  * Scale shape: two hash aggregates build the model (bigram counts,
+  * first-word counts — both vocabulary-sized, partial-agg combined),
+  * one join brings counts to the doc bigrams (count tables are tiny
+  * next to the corpus, so AQE broadcasts them when they fit), one
+  * final per-doc aggregate. No window, no collect_list, no driver
+  * loop; a hot stopword first-token is absorbed by the partial
+  * aggregates before any shuffle.
+  *
+  * Determinism: the log-prob of each bigram is cast to
+  * DECIMAL(28,10) BEFORE the per-doc sum, so accumulation is exact
+  * decimal arithmetic (no FP reassociation across engines); the final
+  * mean is rounded to 6 places. The ln argument is a ratio of exact
+  * small integers, so both engines hand ln the identical double.
+  */
+object LmScore {
+
+  /** Score every doc with >= 2 tokens: (idCol, n_bigrams, lm_score).
+    * Docs shorter than one bigram carry no signal and are omitted —
+    * gate them with a length rule instead.
+    *
+    * @param train corpus to train the counts on; defaults to `docs`
+    *              (self-trained, the CCNet shape is "train on a clean
+    *              reference, score the crawl" — pass that reference).
+    */
+  def bigramScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 1.0, train: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+
+    def toks(df: DataFrame) = df
+      .select(col(idCol).as("_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("_t"))
+      .filter(size(col("_t")) >= 2)
+
+    def bigrams(df: DataFrame) = df.select(col("_id"),
+      explode(transform(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        (w, i) => concat_ws(" ", w, element_at(col("_t"), i + lit(2)))))
+        .as("_bg"))
+
+    val trainToks = toks(train.getOrElse(docs))
+    val trainBi = bigrams(trainToks)
+    // C(w1 w2) and C(w1 ·): the conditional's denominator counts w1 as
+    // a bigram FIRST element (not raw unigram occurrences — a doc-final
+    // token starts no bigram), keeping the model a proper conditional
+    val biCounts = trainBi.groupBy("_bg").agg(count(lit(1)).as("_c12"))
+    val w1Counts = trainBi
+      .groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
+      .agg(count(lit(1)).as("_c1"))
+    // V for smoothing: distinct tokens in the training slice. One tiny
+    // driver aggregate, amortized over the whole scoring pass.
+    val v = trainToks.select(explode(col("_t")).as("_w"))
+      .agg(count_distinct(col("_w"))).head().getLong(0)
+
+    bigrams(toks(docs))
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .join(biCounts, Seq("_bg"), "left")
+      .join(w1Counts, Seq("_w1"), "left")
+      // unseen bigrams/first-words (scoring ≠ training corpus) smooth
+      // to the add-k floor via coalesce-to-0 counts
+      .withColumn("_lp",
+        log((coalesce(col("_c12"), lit(0L)) + lit(k)) /
+            (coalesce(col("_c1"), lit(0L)) + lit(k) * lit(v.toDouble)))
+          .cast("decimal(28,10)"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("lm_score"))
+  }
+}

@@ -126,6 +126,15 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // CCNet-style bigram-LM quality score, self-trained on the corpus:
+    // per doc the mean add-1-smoothed log P(w2|w1). Exact-count model +
+    // decimal-summed log-probs ⇒ the DuckDB twin reproduces it
+    // bit-for-bit at 6 decimals.
+    "x_lm_score" -> ((s, dir) =>
+      graft.operators.LmScore.bigramScores(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Document fingerprint over normalized text.
     "x_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -364,6 +373,39 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors LmScore.bigramScores exactly: same tokenization, same
+    // conditional counts (w1 as bigram FIRST element), same add-1
+    // smoothing over distinct-token V, per-bigram ln cast to
+    // DECIMAL(28,10) before the sum (exact accumulation — no FP
+    // reassociation), mean rounded to 6.
+    "x_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, t FROM toks WHERE len(t) >= 2
+        |), bi AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS bg
+        |  FROM f
+        |), bc AS (
+        |  SELECT bg, count(*) AS c12 FROM bi GROUP BY 1
+        |), w1c AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bi GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT tok) AS nv
+        |  FROM (SELECT unnest(t) AS tok FROM f)
+        |), scored AS (
+        |  SELECT bi.doc_id,
+        |    CAST(ln((bc.c12 + 1.0) / (w1c.c1 + 1.0 * (SELECT nv FROM v)))
+        |         AS DECIMAL(28,10)) AS lp
+        |  FROM bi
+        |  JOIN bc USING (bg)
+        |  JOIN w1c ON split_part(bi.bg, ' ', 1) = w1c.w1
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

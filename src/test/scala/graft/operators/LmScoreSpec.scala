@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class LmScoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The operator's exact arithmetic, replicated locally: ln of the
+    * smoothed conditional, quantized to 10 decimals, summed exactly,
+    * mean rounded to 6.
+    */
+  private def score(lps: Seq[Double]): Double = {
+    val sum = lps.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+    (sum.toDouble / lps.size * 1e6).round / 1e6
+  }
+
+  test("self-trained bigram scores match the hand-built model") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: a b, b a, a b
+      (2L, "a b"),
+      (3L, "c") // single token → omitted
+    ).toDF("doc_id", "text")
+    val got = LmScore.bigramScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // counts: C(a b)=3, C(b a)=1; C(a ·)=3, C(b ·)=1; V={a,b,c wait —
+    // doc 3 is filtered, so V = {a, b} = 2
+    val pAB = (3 + 1.0) / (3 + 2.0) // 0.8
+    val pBA = (1 + 1.0) / (1 + 2.0)
+    assert(got.keySet == Set(1L, 2L)) // doc 3 carries no bigram
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == score(Seq(math.log(pAB), math.log(pBA), math.log(pAB))))
+    assert(got(2L) == ((1L, score(Seq(math.log(pAB))))))
+  }
+
+  test("separate training corpus: unseen bigrams smooth to the add-k floor") {
+    val train = Seq((10L, "x y")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = LmScore.bigramScores(docs, "doc_id", "text", train = Some(train))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // C(a b)=0, C(a ·)=0, V={x,y}=2 → p = 1/2
+    assert(got(1L) == score(Seq(math.log(0.5))))
+  }
+
+  test("token salad scores below repeated natural text") {
+    val prose = (1 to 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val rnd = new scala.util.Random(7)
+    val salad = (21 to 25).map(i => (i.toLong,
+      Seq.fill(9)(s"w${rnd.nextInt(400)}").mkString(" ")))
+    val df = (prose ++ salad).toDF("doc_id", "text")
+    val scores = LmScore.bigramScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val proseAvg = prose.map(p => scores(p._1)).sum / prose.size
+    val saladAvg = salad.map(p => scores(p._1)).sum / salad.size
+    assert(proseAvg > saladAvg + 1.0,
+      s"prose $proseAvg should score well above salad $saladAvg")
+  }
+
+  test("model build + scoring plan has no window, no collect_list") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val plan = LmScore.bigramScores(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("collect_list"), plan.take(2000))
+  }
+}
