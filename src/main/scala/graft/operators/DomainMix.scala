@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture reweighting — the "data mixing" step of LLM corpus
+  * prep (DoReMi, Llama-style recipes): given a TARGET share per domain
+  * (source, language, crawl snapshot...), compute the per-domain
+  * sampling rates that realize the target mixture without upsampling,
+  * then apply them deterministically.
+  *
+  * Math: with T_d tokens in domain d and target share w_d, the largest
+  * achievable mixture total under rates ≤ 1 is N = min_d(T_d / w_d)
+  * (the binding domain is sampled at rate 1); every domain then keeps
+  * `rate_d = w_d · N / T_d` of its tokens. Domains with a null target
+  * share are dropped from the mixture (rate null ⇒ filtered).
+  *
+  * Scale shape: one domain-sized hash aggregate (partial-combined), a
+  * 1-row cross join for N, and — for [[sampleToMix]] — a broadcast
+  * join of the tiny rate table back to the corpus with a map-side
+  * deterministic hash filter. The corpus never shuffles.
+  *
+  * Determinism: rates are IEEE double arithmetic over exact integer
+  * counts (order-independent min), and the sampling decision compares
+  * an md5-prefix of the id against a hex threshold — bit-identical
+  * across engines and runs, so the sample is reproducible and
+  * oracle-checkable (same device as `x_train_split`).
+  */
+object DomainMix {
+
+  /** Per-domain mixing plan: (domain, n_docs, tokens, target_share,
+    * rate, sampled_tokens). `tokens` is the per-doc weight to balance
+    * (token count, byte count...); `targetShare` must be row-constant
+    * per domain.
+    */
+  def mixReport(
+      docs: DataFrame, domainCol: String,
+      tokens: Column, targetShare: Column): DataFrame = {
+    val agg = docs
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens).cast("bigint").as("tokens"),
+        max(targetShare).as("target_share"))
+    // N = min_d(T_d / w_d): one row, joined back to the domain-sized
+    // aggregate. least(1.0, ...) clamps the binding domain's rate,
+    // which computes as 1.0 ± an ulp of FP noise.
+    val n = agg.select(min(col("tokens") / col("target_share")).as("_N"))
+    agg.crossJoin(n)
+      // explicit null guard: least() IGNORES nulls (both in Spark and
+      // SQL), which would silently promote an untargeted domain to
+      // rate 1.0 instead of dropping it
+      .withColumn("rate",
+        when(col("target_share").isNull, lit(null).cast("double"))
+          .otherwise(
+            least(lit(1.0), col("target_share") * col("_N") / col("tokens"))))
+      .withColumn("sampled_tokens",
+        round(col("rate") * col("tokens")).cast("bigint"))
+      .drop("_N")
+  }
+
+  /** Deterministic hex threshold for a [0,1] rate: an id whose
+    * md5-prefix (8 hex chars ⇒ uniform over 16^8) sorts below it is
+    * kept. rate ≥ 1 maps to "g", which exceeds every hex digit.
+    */
+  private def rateThreshold(rate: Column): Column =
+    when(rate >= 1.0, lit("g"))
+      .otherwise(lower(lpad(
+        hex(floor(rate * lit(4294967296.0)).cast("bigint")), 8, "0")))
+
+  /** Apply the plan: keep each doc iff md5(id)'s 8-hex prefix falls
+    * under its domain's rate threshold. The rate table is tiny
+    * (one row per domain) and broadcasts; the corpus-side decision is
+    * a map-side string compare — no corpus shuffle, reproducible
+    * sample.
+    */
+  def sampleToMix(
+      docs: DataFrame, domainCol: String, idCol: String,
+      tokens: Column, targetShare: Column): DataFrame = {
+    val rates = mixReport(docs, domainCol, tokens, targetShare)
+      .select(col("domain").as(domainCol), col("rate"))
+    docs.join(broadcast(rates), domainCol)
+      .filter(substring(md5(col(idCol).cast("string")), 1, 8) <
+        rateThreshold(col("rate")))
+      .drop("rate")
+  }
+}

@@ -126,6 +126,29 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Domain-mixture plan: target language shares (en-heavy corpus
+    // rebalanced toward a 40/15×4 mix) → per-domain sampling rates
+    // under the no-upsampling constraint. Pure integer-count + IEEE
+    // double arithmetic — the DuckDB twin reproduces it bit-for-bit.
+    "x_domain_mix" -> ((s, dir) => {
+      val share = when(col("lang") === "en", 0.4).otherwise(0.15)
+      val tokens = size(split(trim(col("text")), "\\s+"))
+      graft.operators.DomainMix.mixReport(
+          t(s, dir, "documents"), "lang", tokens, share)
+        .orderBy("domain")
+    }),
+
+    // Apply the plan: deterministic md5-prefix sampling against each
+    // domain's rate threshold (same engine-portable device as
+    // x_train_split), so the sampled id set is oracle-checkable.
+    "x_domain_sample" -> ((s, dir) => {
+      val share = when(col("lang") === "en", 0.4).otherwise(0.15)
+      val tokens = size(split(trim(col("text")), "\\s+"))
+      graft.operators.DomainMix.sampleToMix(
+          t(s, dir, "documents"), "lang", "doc_id", tokens, share)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // CCNet-style bigram-LM quality score, self-trained on the corpus:
     // per doc the mean add-1-smoothed log P(w2|w1). Exact-count model +
     // decimal-summed log-probs ⇒ the DuckDB twin reproduces it
@@ -373,6 +396,44 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same counts, same min-over-domains N, same IEEE double rate
+    // formula (exact integer inputs, order-independent min ⇒ the two
+    // engines compute identical doubles). DOUBLE casts pin DuckDB's
+    // decimal literals to Spark's double literals.
+    "x_domain_mix" ->
+      """WITH agg AS (
+        |  SELECT lang AS domain, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |    max(CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE)) AS target_share
+        |  FROM documents GROUP BY 1
+        |), n AS (SELECT min(tokens / target_share) AS nn FROM agg)
+        |SELECT domain, n_docs, tokens, target_share,
+        |  least(CAST(1.0 AS DOUBLE), target_share * (SELECT nn FROM n) / tokens) AS rate,
+        |  CAST(round(least(CAST(1.0 AS DOUBLE),
+        |    target_share * (SELECT nn FROM n) / tokens) * tokens) AS BIGINT) AS sampled_tokens
+        |FROM agg ORDER BY domain""".stripMargin,
+    "x_domain_sample" ->
+      """WITH agg AS (
+        |  SELECT lang AS domain,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |    max(CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE)) AS target_share
+        |  FROM documents GROUP BY 1
+        |), n AS (SELECT min(tokens / target_share) AS nn FROM agg),
+        |r AS (
+        |  SELECT domain,
+        |    least(CAST(1.0 AS DOUBLE), target_share * (SELECT nn FROM n) / tokens) AS rate
+        |  FROM agg
+        |), thr AS (
+        |  SELECT domain,
+        |    CASE WHEN rate >= 1.0 THEN 'g'
+        |         ELSE lower(lpad(printf('%x',
+        |           CAST(floor(rate * 4294967296.0) AS BIGINT)), 8, '0')) END AS th
+        |  FROM r
+        |)
+        |SELECT d.doc_id FROM documents d
+        |JOIN thr ON d.lang = thr.domain
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th
+        |ORDER BY doc_id""".stripMargin,
     // Mirrors LmScore.bigramScores exactly: same tokenization, same
     // conditional counts (w1 as bigram FIRST element), same add-1
     // smoothing over distinct-token V, per-bigram ln cast to

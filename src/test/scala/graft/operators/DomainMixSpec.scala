@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DomainMixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // domain a: 300 tokens over 3 docs; domain b: 100 tokens over 2 docs
+  private def docs = Seq(
+    (1L, "a", 100), (2L, "a", 150), (3L, "a", 50),
+    (4L, "b", 60), (5L, "b", 40)
+  ).toDF("doc_id", "domain", "n_tok")
+
+  private val share = when(col("domain") === "a", 0.5).otherwise(0.5)
+
+  test("mixReport: the binding domain rates 1.0, the rest scale to the target mix") {
+    // equal targets: N = min(300/0.5, 100/0.5) = 200 → a keeps
+    // 0.5*200/300 = 1/3 of its tokens, b keeps everything
+    val r = DomainMix.mixReport(docs, "domain", col("n_tok"), share)
+      .collect().map(x => x.getAs[String]("domain") ->
+        ((x.getAs[Long]("tokens"), x.getAs[Double]("rate"),
+          x.getAs[Long]("sampled_tokens")))).toMap
+    assert(r("a")._1 == 300L && r("b")._1 == 100L)
+    assert(r("b")._2 == 1.0)
+    assert(math.abs(r("a")._2 - 1.0 / 3.0) < 1e-12)
+    assert(r("a")._3 == 100L && r("b")._3 == 100L) // realized 50/50 mix
+  }
+
+  test("null target share drops the domain from plan and sample") {
+    val partial = when(col("domain") === "a", 1.0)
+    val sampled = DomainMix.sampleToMix(docs, "domain", "doc_id",
+        col("n_tok"), partial)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sampled == Set(1L, 2L, 3L)) // all of a (rate 1), none of b
+  }
+
+  test("sampling is the deterministic md5-prefix rule, reproducible") {
+    val sampled = DomainMix.sampleToMix(docs, "domain", "doc_id",
+        col("n_tok"), share)
+      .select("doc_id").as[Long].collect().toSet
+    // local replica of the rule: domain b rate 1 keeps 4,5; domain a
+    // keeps ids whose md5 8-hex prefix < floor(1/3 * 16^8) in hex
+    val rateA = 0.5 * 200.0 / 300.0
+    val th = f"${math.floor(rateA * 4294967296.0).toLong}%08x"
+    def md5p(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+    }
+    val wantA = Seq(1L, 2L, 3L).filter(id => md5p(id) < th).toSet
+    assert(sampled == wantA ++ Set(4L, 5L))
+    // stable across runs
+    val again = DomainMix.sampleToMix(docs, "domain", "doc_id",
+      col("n_tok"), share).select("doc_id").as[Long].collect().toSet
+    assert(again == sampled)
+  }
+
+  test("corpus side stays shuffle-free (broadcast rate join + map-side filter)") {
+    val plan = DomainMix.sampleToMix(docs, "domain", "doc_id",
+      col("n_tok"), share).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+}
