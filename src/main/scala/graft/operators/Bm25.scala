@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 scoring of every document against a query term list —
+  * the retrieval workhorse behind data-selection ("keep docs relevant
+  * to X"), benchmark decontamination sweeps, and quality dedup
+  * tie-breaking in corpus pipelines.
+  *
+  * `score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+  * with `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))` — the standard
+  * formulation (Robertson & Zaragoza 2009).
+  *
+  * Scale shape: ONE aggregate computes N, avgdl, and every term's
+  * document frequency in a single pass (a handful of scalars), which
+  * then cross-joins (1 row — a broadcast) back to the corpus; term
+  * frequencies and the score are in-row array expressions. One scan,
+  * no shuffle of the corpus, no per-term join.
+  *
+  * Determinism: every constant enters as a COLUMN expression (never a
+  * driver-precomputed double), so both engines evaluate the same IEEE
+  * op chain in the same order; term contributions sum in caller
+  * order; the score rounds to 6 places.
+  */
+object Bm25 {
+
+  /** (idCol, bm25) for every doc; ties broken downstream. Duplicate
+    * query terms are collapsed (first occurrence keeps its position —
+    * summation order is part of the FP contract).
+    */
+  def score(
+      docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val terms = query.distinct
+
+    val toks = docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_t"))
+      .withColumn("_dl", size(col("_t")))
+
+    val statCols = Seq(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("_t"), t).cast("long")).as(s"_df$i")
+      }
+    val stats = toks.agg(statCols.head, statCols.tail: _*)
+
+    val lenNorm =
+      lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / col("_avgdl")
+    val contribution = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("_t"), x => x === lit(t))).cast("double")
+      val dfT = col(s"_df$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("_n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * lenNorm)
+    }.reduce(_ + _)
+
+    toks.crossJoin(stats)
+      .select(col(idCol), round(contribution, 6).as("bm25"))
+  }
+
+  /** Top-k most relevant docs: score + TakeOrdered (no global sort). */
+  def topK(
+      docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    score(docs, idCol, textCol, query, k1, b)
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+}

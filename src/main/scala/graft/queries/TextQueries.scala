@@ -149,6 +149,17 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Okapi BM25 relevance of every doc against a fixed query — the
+    // retrieval scorer behind data selection / decontamination sweeps.
+    // One stats aggregate (N, avgdl, per-term df) cross-joined back;
+    // tf and the score are in-row array math. All constants enter as
+    // column expressions so both engines run the identical IEEE chain.
+    "x_bm25" -> ((s, dir) =>
+      graft.operators.Bm25.score(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "query", "filter"))
+        .orderBy("doc_id")),
+
     // CCNet-style bigram-LM quality score, self-trained on the corpus:
     // per doc the mean add-1-smoothed log P(w2|w1). Exact-count model +
     // decimal-summed log-probs ⇒ the DuckDB twin reproduces it
@@ -396,6 +407,38 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Generated per term to mirror Bm25.score's expression tree
+    // exactly: same operator precedence, same left-fold term order,
+    // every constant CAST AS DOUBLE (DuckDB literals are DECIMAL).
+    "x_bm25" -> {
+      val terms = Seq("spark", "query", "filter")
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      def contrib(t: String) = {
+        val tf = d(s"len(list_filter(t, x -> x = '$t'))")
+        val df = d(s"df_$t")
+        s"""ln(${d("1.0")} + (${d("n")} - $df + ${d("0.5")}) / ($df + ${d("0.5")}))
+           | * ($tf * (${d("1.2")} + ${d("1.0")}))
+           | / ($tf + ${d("1.2")} * (${d("1.0")} - ${d("0.75")} + ${d("0.75")} * ${d("dl")} / avgdl))"""
+          .stripMargin
+      }
+      val dfCols = terms.map(t =>
+        s"CAST(sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(",\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents
+         |), dd AS (
+         |  SELECT doc_id, t, len(t) AS dl FROM toks
+         |), s AS (
+         |  SELECT count(*) AS n, avg(dl) AS avgdl,
+         |    $dfCols
+         |  FROM dd
+         |)
+         |SELECT doc_id,
+         |  round(${terms.map(contrib).mkString("\n + ")}, 6) AS bm25
+         |FROM dd, s ORDER BY doc_id""".stripMargin
+    },
+
     // Same counts, same min-over-domains N, same IEEE double rate
     // formula (exact integer inputs, order-independent min ⇒ the two
     // engines compute identical doubles). DOUBLE casts pin DuckDB's

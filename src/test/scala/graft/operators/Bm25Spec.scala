@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark runs fast spark scales"),
+    (2L, "ducks swim in ponds"),
+    (3L, "spark streams data")
+  ).toDF("doc_id", "text")
+
+  /** Local BM25 replica with the operator's exact op order. */
+  private def local(
+      corpus: Seq[(Long, String)], terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / toks.size
+    val dfs = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    toks.map { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val score = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+      id -> (score * 1e6).round / 1e6
+    }.toMap
+  }
+
+  test("scores match a local BM25 replica exactly") {
+    val got = Bm25.score(docs, "doc_id", "text", Seq("spark", "ducks"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = local(
+      Seq((1L, "spark runs fast spark scales"),
+        (2L, "ducks swim in ponds"),
+        (3L, "spark streams data")),
+      Seq("spark", "ducks"))
+    assert(got == want, s"got $got want $want")
+    // repeated term in doc 1 outranks single occurrence in doc 3
+    assert(got(1L) > got(3L) && got(3L) > 0.0)
+    // doc 2 has no query-term overlap beyond 'ducks'
+    assert(got(2L) > 0.0)
+  }
+
+  test("topK returns the best-scoring docs with id tiebreak, via TakeOrdered") {
+    val top = Bm25.topK(docs, "doc_id", "text", Seq("spark"), k = 2)
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("corpus is never shuffled: stats broadcast back via a 1-row cross join") {
+    val plan = Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("duplicate query terms collapse; empty query rejected") {
+    val once = Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val duped = Bm25.score(docs, "doc_id", "text", Seq("spark", "spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(once == duped)
+    intercept[IllegalArgumentException] {
+      Bm25.score(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+}
