@@ -215,6 +215,62 @@ object Multimodal {
     out
   }
 
+  /** 64-bit average-hash (aHash) of one decoded image: mean luma over
+    * each cell of an 8×8 block grid, bit i set iff cell i's luma
+    * exceeds the grid mean. The classic perceptual near-dup signature
+    * — resilient to re-encoding, scaling, and mild brightness shifts;
+    * pair it with [[graft.operators.Dedup.hammingNearDups]] for
+    * corpus-scale image dedup.
+    */
+  private[multimodal] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cells = new Array[Double](64)
+    var c = 0
+    while (c < 64) {
+      val gx = c % 8; val gy = c / 8
+      val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+      val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+      var s = 0.0; var n = 0L
+      var y = math.min(y0, h - 1)
+      while (y < math.min(y1, h)) {
+        var x = math.min(x0, w - 1)
+        while (x < math.min(x1, w)) {
+          val p = img.getRGB(x, y)
+          s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      cells(c) = if (n == 0) 0.0 else s / n
+      c += 1
+    }
+    val mean = cells.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Perceptual hash column for a media frame: (idCol, ahash) with
+    * null for payloads that don't decode as images. Batched through
+    * the same `mapPartitions` decode path as [[decodeBatched]]; feed
+    * the result to `Dedup.hammingNearDups(out, idCol, "ahash", k)` for
+    * the bucketed near-dup join — the image twin of SimHash text
+    * dedup, and exactly as scale-safe (two shuffles, no all-pairs).
+    */
+  def imageAHash(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "media"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, decodeImage(bytes).map(aHash))
+      })
+      .toDF(idCol, "ahash")
+  }
+
   /** STUB resize: records the target box in metadata; the media bytes
     * pass through untouched (a real impl re-encodes inside the same
     * projection).

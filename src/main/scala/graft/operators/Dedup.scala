@@ -196,34 +196,53 @@ object Dedup {
     */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    hammingNearDups(simHash(df, idCol, textCol), idCol, "simhash",
+      maxHamming, maxBucketSize)
+
+  /** Pigeonhole hamming near-dup over ANY 64-bit signature column —
+    * the machinery behind [[simHashNearDups]], reusable for every
+    * signature family (text simhash, image average-hash, audio
+    * chromaprints...): rows with null signatures are skipped, the
+    * signature splits into `maxHamming + 1` near-equal chunks (hamming
+    * ≤ maxHamming ⇒ at least one chunk equal, so recall is
+    * deterministic), candidates share a chunk value, rerank is exact
+    * `bit_count(xor)`.
+    *
+    * Bucket-local pair generation: each (chunk, key) bucket collects
+    * (id, signature) structs — bounded by `maxBucketSize`, see
+    * [[simHashNearDups]] for the guard's recall tradeoff — and the
+    * ordered pairs + their hamming rerank happen IN-ROW. Two shuffles
+    * total (bucket agg + distinct), no join anywhere.
+    */
+  def hammingNearDups(
+      sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
     val numChunks = maxHamming + 1
     val bounds = (0 to numChunks).map(c => c * 64 / numChunks)
-    val sigs = simHash(df, idCol, textCol)
-    val chunked = sigs.select(col(idCol).as("_id"), col("simhash"),
-      explode(array((0 until numChunks).map { c =>
-        val start = bounds(c)
-        val width = bounds(c + 1) - bounds(c)
-        val sh = shiftrightunsigned(col("simhash"), start)
-        val key = if (width == 64) sh else sh.bitwiseAND(lit((1L << width) - 1))
-        struct(lit(c).as("chunk"), key.as("key"))
-      }: _*)).as("ck"))
-      .select(col("_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-    // Bucket-local pair generation: each (chunk, key) bucket collects
-    // (id, signature) structs — the guard bounds the list — and the
-    // ordered pairs + their hamming rerank happen IN-ROW. Two shuffles
-    // total (bucket agg + distinct), no join anywhere.
+    val chunked = sigs
+      .select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col("_id"), col("_sig"),
+        explode(array((0 until numChunks).map { c =>
+          val start = bounds(c)
+          val width = bounds(c + 1) - bounds(c)
+          val sh = shiftrightunsigned(col("_sig"), start)
+          val key = if (width == 64) sh else sh.bitwiseAND(lit((1L << width) - 1))
+          struct(lit(c).as("chunk"), key.as("key"))
+        }: _*)).as("ck"))
+      .select(col("_id"), col("_sig"), col("ck.chunk"), col("ck.key"))
     chunked.groupBy("chunk", "key")
-      .agg(collect_list(struct(col("_id"), col("simhash"))).as("_items"))
+      .agg(collect_list(struct(col("_id"), col("_sig"))).as("_items"))
       .filter(size(col("_items")).between(2, maxBucketSize))
       .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
       .select(explode(flatten(transform(col("_sorted"), (a, i) =>
         transform(slice(col("_sorted"), i + lit(2), size(col("_sorted"))),
           b => struct(
             a.getField("_id").as("id_a"), b.getField("_id").as("id_b"),
-            bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
+            bit_count(a.getField("_sig").bitwiseXOR(b.getField("_sig")))
               .as("hamming")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -97,6 +97,44 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeFeatures("not an image".getBytes, 4).toSeq)
   }
 
+  private def gray(v: Int): Int = { val c = v & 0xff; (c << 16) | (c << 8) | c }
+
+  test("aHash: format-invariant, near-dup-tolerant, distinct for different images") {
+    // horizontal luma gradient — structured, so the hash has real bits
+    val basePng = encoded("png", 32, 32)((x, _) => gray(x * 8))
+    val baseBmp = encoded("bmp", 32, 32)((x, _) => gray(x * 8))
+    // small local edit: brighten one 4×4 corner patch slightly
+    val near = encoded("png", 32, 32)((x, y) =>
+      if (x < 4 && y < 4) gray(x * 8 + 40) else gray(x * 8))
+    // mirrored gradient: structurally different image
+    val diff = encoded("png", 32, 32)((x, _) => gray((31 - x) * 8))
+
+    def h(b: Array[Byte]): Long =
+      Multimodal.aHash(Multimodal.decodeImage(b).get)
+    assert(h(basePng) == h(baseBmp)) // lossless formats, same pixels
+    val nearDist = java.lang.Long.bitCount(h(basePng) ^ h(near))
+    val diffDist = java.lang.Long.bitCount(h(basePng) ^ h(diff))
+    assert(nearDist <= 3, s"near edit moved $nearDist bits")
+    assert(diffDist > 16, s"different image only $diffDist bits apart")
+  }
+
+  test("image dedup e2e: aHash + hammingNearDups finds the re-encoded clone only") {
+    val basePng = encoded("png", 32, 32)((x, _) => gray(x * 8))
+    val baseBmp = encoded("bmp", 32, 32)((x, _) => gray(x * 8))
+    val diff = encoded("png", 32, 32)((x, _) => gray((31 - x) * 8))
+    val frame = Multimodal.asMedia(
+      Seq((1L, basePng), (2L, baseBmp), (3L, diff),
+        (4L, "not an image".getBytes)).toDF("id", "blob"),
+      "id", "blob", "image")
+    val hashes = Multimodal.imageAHash(frame)
+    // undecodable payload → null hash, skipped by the near-dup pass
+    assert(hashes.filter("media_id = 4").head.isNullAt(1))
+    val pairs = graft.operators.Dedup.hammingNearDups(
+        hashes, "media_id", "ahash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("featurePipeline aggregates per media type with real pixel norms") {
     val out = Multimodal.featurePipeline(media, dim = 8).collect()
     assert(out.length == 1)
