@@ -258,17 +258,23 @@ object Multimodal {
     * the result to `Dedup.hammingNearDups(out, idCol, "ahash", k)` for
     * the bucketed near-dup join — the image twin of SimHash text
     * dedup, and exactly as scale-safe (two shuffles, no all-pairs).
+    * The id column keeps its own type (string URIs work — a Row
+    * encoder carries it through, matching hammingNearDups'
+    * id-agnosticism).
     */
   def imageAHash(
       media: DataFrame, idCol: String = "media_id",
       binCol: String = "media"): DataFrame = {
-    import media.sparkSession.implicits._
-    media.select(col(idCol), col(binCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        (id, decodeImage(bytes).map(aHash))
-      })
-      .toDF(idCol, "ahash")
+    val projected = media.select(col(idCol), col(binCol).cast("binary"))
+    val outSchema = StructType(Seq(
+      projected.schema.head.copy(name = idCol),
+      StructField("ahash", LongType, nullable = true)))
+    projected.mapPartitions { rows =>
+      rows.map { r =>
+        val hash = decodeImage(r.getAs[Array[Byte]](1)).map(aHash)
+        org.apache.spark.sql.Row(r.get(0), hash.map(java.lang.Long.valueOf).orNull)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** STUB resize: records the target box in metadata; the media bytes

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: ONE aggregate computes N, avgdl, and every term's
   * document frequency in a single pass (a handful of scalars), which
   * then cross-joins (1 row — a broadcast) back to the corpus; term
-  * frequencies and the score are in-row array expressions. One scan,
-  * no shuffle of the corpus, no per-term join.
+  * frequencies and the score are in-row array expressions. TWO corpus
+  * scans total (the stats pass is a hard barrier before scoring — the
+  * unavoidable minimum for corpus-level IDF), zero corpus shuffles,
+  * no per-term join.
   *
   * Determinism: every constant enters as a COLUMN expression (never a
   * driver-precomputed double), so both engines evaluate the same IEEE
@@ -25,15 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** (idCol, bm25) for every doc; ties broken downstream. Duplicate
-    * query terms are collapsed (first occurrence keeps its position —
-    * summation order is part of the FP contract).
+  /** (idCol, bm25) for every doc; ties broken downstream. Query terms
+    * are normalized the same way document tokens are (trim +
+    * lowercase) BEFORE duplicate collapse — a mixed-case term would
+    * otherwise silently match nothing; first occurrence keeps its
+    * position (summation order is part of the FP contract).
     */
   def score(
       docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "BM25 needs at least one query term")
-    val terms = query.distinct
+    val terms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "BM25 query terms are all empty after normalization")
 
     val toks = docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_t"))
       .withColumn("_dl", size(col("_t")))

@@ -65,20 +65,22 @@ object LmScore {
     val w1Counts = trainBi
       .groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
       .agg(count(lit(1)).as("_c1"))
-    // V for smoothing: distinct tokens in the training slice. One tiny
-    // driver aggregate, amortized over the whole scoring pass.
-    val v = trainToks.select(explode(col("_t")).as("_w"))
-      .agg(count_distinct(col("_w"))).head().getLong(0)
+    // V for smoothing: distinct tokens in the training slice — kept
+    // LAZY as a 1-row aggregate cross-joined in (like Bm25's stats
+    // row), so building the plan never fires an eager driver job.
+    val vRow = trainToks.select(explode(col("_t")).as("_w"))
+      .agg(count_distinct(col("_w")).cast("double").as("_v"))
 
     bigrams(toks(docs))
       .withColumn("_w1", substring_index(col("_bg"), " ", 1))
       .join(biCounts, Seq("_bg"), "left")
       .join(w1Counts, Seq("_w1"), "left")
+      .crossJoin(vRow)
       // unseen bigrams/first-words (scoring ≠ training corpus) smooth
       // to the add-k floor via coalesce-to-0 counts
       .withColumn("_lp",
         log((coalesce(col("_c12"), lit(0L)) + lit(k)) /
-            (coalesce(col("_c1"), lit(0L)) + lit(k) * lit(v.toDouble)))
+            (coalesce(col("_c1"), lit(0L)) + lit(k) * col("_v")))
           .cast("decimal(28,10)"))
       .groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

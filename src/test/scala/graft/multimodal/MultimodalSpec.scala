@@ -135,6 +135,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("imageAHash keeps the id column's own type (string URIs)") {
+    val png = encoded("png", 16, 16)((x, _) => gray(x * 16))
+    val byUri = Seq(("s3://bucket/a.png", png),
+        ("s3://bucket/junk", "not an image".getBytes))
+      .toDF("uri", "media")
+    val out = Multimodal.imageAHash(byUri, idCol = "uri", binCol = "media")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out("s3://bucket/a.png").isDefined)
+    assert(out("s3://bucket/junk").isEmpty)
+  }
+
   test("featurePipeline aggregates per media type with real pixel norms") {
     val out = Multimodal.featurePipeline(media, dim = 8).collect()
     assert(out.length == 1)

@@ -72,4 +72,16 @@ class Bm25Spec extends AnyFunSuite {
       Bm25.score(docs, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("query terms normalize like doc tokens: case variants match and collapse") {
+    val once = Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cased = Bm25.score(docs, "doc_id", "text", Seq(" Spark ", "SPARK"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cased == once) // not silently zero, not double-counted
+    assert(cased(1L) > 0.0)
+    intercept[IllegalArgumentException] {
+      Bm25.score(docs, "doc_id", "text", Seq("  ", ""))
+    }
+  }
 }
