@@ -13,12 +13,16 @@ final case class MediaFeatures(media_id: Long, features: Array[Float])
   * typed metadata. The IMAGE decode is real: [[decodeImage]] reads
   * PNG/BMP/GIF/JPEG pixels through the JDK's `javax.imageio` (no
   * external libraries) and [[imageFeatures]] reduces them to
-  * mean-RGB/luma + coarse spatial-luma features. Payloads that don't
-  * decode as images (audio, video, junk) fall back to a deterministic
-  * byte-fold featurization ([[fallbackFeatures]]) so mixed-media rows
-  * keep flowing through one pipeline — a real audio/video codec slots
-  * into that same batch-decode point (`mapPartitions` on the JVM,
-  * `mapInPandas`/`mapInArrow` for Python codecs).
+  * mean-RGB/luma + coarse spatial-luma features; [[imageAHash]] feeds
+  * perceptual image dedup. The AUDIO decode is real for WAV PCM:
+  * [[decodeWavPcm]] parses RIFF + 8/16-bit samples and
+  * [[audioEnergyHash]] fingerprints clips volume-invariantly.
+  * Payloads that decode as neither (compressed codecs, video frames,
+  * junk) fall back to a deterministic byte-fold featurization
+  * ([[fallbackFeatures]]) so mixed-media rows keep flowing through one
+  * pipeline — a full codec slots into the same batch-decode point
+  * (`mapPartitions` on the JVM, `mapInPandas`/`mapInArrow` for Python
+  * codecs).
   */
 object Multimodal {
 
@@ -272,6 +276,110 @@ object Multimodal {
     projected.mapPartitions { rows =>
       rows.map { r =>
         val hash = decodeImage(r.getAs[Array[Byte]](1)).map(aHash)
+        org.apache.spark.sql.Row(r.get(0), hash.map(java.lang.Long.valueOf).orNull)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** REAL WAV PCM decode, zero audio libraries: RIFF chunk walk
+    * (same layout [[graft.functions.AudioMeta]] probes), PCM 16-bit LE
+    * or 8-bit unsigned samples, channels mono-mixed. Returns
+    * (sampleRate, samples in [-1, 1]); None for non-WAV/non-PCM/
+    * corrupt payloads — compressed formats need a codec, which is
+    * exactly the narrow gap left open (the fallback featurization
+    * covers them).
+    */
+  private[multimodal] def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    try {
+      def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def u32(o: Int) = u16(o).toLong | (u16(o + 2).toLong << 16)
+      var pos = 12
+      var fmt = Option.empty[(Int, Int, Int)] // channels, rate, bits
+      var data = Option.empty[(Int, Int)] // offset, length
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = ascii(pos, 4)
+        val len = u32(pos + 4).toInt
+        if (id == "fmt " && len >= 16) {
+          if (u16(pos + 8) != 1) return None // PCM only
+          fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+        } else if (id == "data") {
+          data = Some((pos + 8, math.min(len, bytes.length - pos - 8)))
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      for {
+        (channels, rate, bits) <- fmt
+        (off, len) <- data
+        if channels > 0 && (bits == 16 || bits == 8)
+      } yield {
+        val bytesPerFrame = channels * bits / 8
+        val n = len / bytesPerFrame
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val o = off + i * bytesPerFrame + c * bits / 8
+            acc +=
+              (if (bits == 16) ((bytes(o) & 0xff) | (bytes(o + 1) << 8)) / 32768.0
+               else ((bytes(o) & 0xff) - 128) / 128.0)
+            c += 1
+          }
+          out(i) = acc / channels
+          i += 1
+        }
+        (rate, out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Chromaprint-style 64-bit energy-delta hash of a PCM stream: 65
+    * equal frames, bit i set iff frame i+1 is louder (mean-square
+    * energy) than frame i. The SIGN of the energy delta is invariant
+    * to overall volume scaling — re-mastered copies of the same clip
+    * hash identically; pair with [[graft.operators.Dedup.hammingNearDups]]
+    * like the image aHash. None when the clip is too short to frame.
+    */
+  private[multimodal] def energyHash64(samples: Array[Double]): Option[Long] = {
+    val frames = 65
+    if (samples.length < frames * 2) return None
+    val energy = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      val x0 = f * samples.length / frames
+      val x1 = (f + 1) * samples.length / frames
+      var s = 0.0; var i = x0
+      while (i < x1) { s += samples(i) * samples(i); i += 1 }
+      energy(f) = s / math.max(1, x1 - x0)
+      f += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (energy(i + 1) > energy(i)) bits |= (1L << i); i += 1 }
+    Some(bits)
+  }
+
+  /** Audio fingerprint column: (idCol, ahash) with null for payloads
+    * that don't decode as framable WAV PCM. Same batched decode shape
+    * and id-type-agnostic Row encoder as [[imageAHash]]; feed to
+    * `Dedup.hammingNearDups(out, idCol, "ahash", k)` for corpus-scale
+    * audio dedup.
+    */
+  def audioEnergyHash(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "media"): DataFrame = {
+    val projected = media.select(col(idCol), col(binCol).cast("binary"))
+    val outSchema = StructType(Seq(
+      projected.schema.head.copy(name = idCol),
+      StructField("ahash", LongType, nullable = true)))
+    projected.mapPartitions { rows =>
+      rows.map { r =>
+        val hash = decodeWavPcm(r.getAs[Array[Byte]](1))
+          .flatMap { case (_, samples) => energyHash64(samples) }
         org.apache.spark.sql.Row(r.get(0), hash.map(java.lang.Long.valueOf).orNull)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -147,6 +147,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("s3://bucket/junk").isEmpty)
   }
 
+  /** Hand-built RIFF/WAVE with real 16-bit LE PCM samples. */
+  private def wavPcm(samples: Array[Short], rate: Int = 8000): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >>> 16) & 0xffff)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    val data = samples.flatMap(s => le16(s & 0xffff))
+    val fmt = ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(rate) ++ le32(rate * 2) ++ le16(2) ++ le16(16)
+    val body = ascii("WAVE") ++ fmt ++ ascii("data") ++ le32(data.length) ++ data
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("WAV PCM decode recovers real samples; energy hash is volume-invariant") {
+    // 260 samples: alternating loud/quiet blocks of 20
+    val loudQuiet = Array.tabulate(260)(i =>
+      (if ((i / 20) % 2 == 0) 16000 else 1000).toShort)
+    val Some((rate, samples)) = Multimodal.decodeWavPcm(wavPcm(loudQuiet))
+    assert(rate == 8000 && samples.length == 260)
+    assert(math.abs(samples(0) - 16000 / 32768.0) < 1e-9)
+
+    val h1 = Multimodal.energyHash64(samples).get
+    // same clip at quarter volume: delta SIGNS unchanged → same hash
+    val quiet = loudQuiet.map(s => (s / 4).toShort)
+    val h2 = Multimodal.energyHash64(
+      Multimodal.decodeWavPcm(wavPcm(quiet)).get._2).get
+    assert(h1 == h2)
+    // ramp instead of alternation: different energy profile
+    val ramp = Array.tabulate(260)(i => (i * 60).toShort)
+    val h3 = Multimodal.energyHash64(
+      Multimodal.decodeWavPcm(wavPcm(ramp)).get._2).get
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 16)
+    // too short to frame
+    assert(Multimodal.energyHash64(samples.take(100)).isEmpty)
+  }
+
+  test("audioEnergyHash: volume-scaled twins pair up, junk stays null") {
+    val loudQuiet = Array.tabulate(260)(i =>
+      (if ((i / 20) % 2 == 0) 16000 else 1000).toShort)
+    val frame = Seq(
+      (1L, wavPcm(loudQuiet)),
+      (2L, wavPcm(loudQuiet.map(s => (s / 4).toShort))),
+      (3L, wavPcm(Array.tabulate(260)(i => (i * 60).toShort))),
+      (4L, "not audio".getBytes)
+    ).toDF("media_id", "media")
+    val hashes = Multimodal.audioEnergyHash(frame)
+    assert(hashes.filter("media_id = 4").head.isNullAt(1))
+    val pairs = graft.operators.Dedup.hammingNearDups(
+        hashes, "media_id", "ahash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("featurePipeline aggregates per media type with real pixel norms") {
     val out = Multimodal.featurePipeline(media, dim = 8).collect()
     assert(out.length == 1)
