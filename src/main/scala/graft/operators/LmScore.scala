@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * far below normal prose.
   *
   * Scale shape: two hash aggregates build the model (bigram counts,
-  * first-word counts — both vocabulary-sized, partial-agg combined),
-  * one join brings counts to the doc bigrams (count tables are tiny
-  * next to the corpus, so AQE broadcasts them when they fit), one
-  * final per-doc aggregate. No window, no collect_list, no driver
-  * loop; a hot stopword first-token is absorbed by the partial
-  * aggregates before any shuffle.
+  * first-word counts — both vocabulary-sized, partial-agg combined).
+  * Self-trained, the count tables merge among themselves first
+  * (vocabulary-sized work only) so the corpus-scale bigram stream is
+  * joined exactly once (AQE broadcasts the merged table when it
+  * fits); cross-trained keeps a separate first-word join so unseen
+  * bigrams with seen first words smooth correctly. One final per-doc
+  * aggregate. No window, no collect_list, no driver loop; a hot
+  * stopword first-token is absorbed by the partial aggregates before
+  * any shuffle.
   *
   * Determinism: the log-prob of each bigram is cast to
   * DECIMAL(28,10) BEFORE the per-doc sum, so accumulation is exact
@@ -71,10 +74,29 @@ object LmScore {
     val vRow = trainToks.select(explode(col("_t")).as("_w"))
       .agg(count_distinct(col("_w")).cast("double").as("_v"))
 
-    bigrams(toks(docs))
-      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
-      .join(biCounts, Seq("_bg"), "left")
-      .join(w1Counts, Seq("_w1"), "left")
+    // SELF-TRAINED (the common case): every scored bigram is in the
+    // model, so merging the two count tables among themselves first
+    // (vocabulary-sized join — cheap, and every training bigram's
+    // first word is in w1Counts by construction) lets the
+    // corpus-scale bigram stream be joined ONCE instead of twice.
+    // CROSS-TRAINED: a scored-but-unseen bigram may still have a SEEN
+    // first word whose c1 must come from the model — that path keeps
+    // the separate w1 join.
+    val scored = bigrams(toks(docs))
+    val withCounts =
+      if (train.isEmpty) {
+        val counts = biCounts
+          .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+          .join(w1Counts, "_w1")
+          .select(col("_bg"), col("_c12"), col("_c1"))
+        scored.join(counts, Seq("_bg"), "left")
+      } else {
+        scored
+          .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+          .join(biCounts, Seq("_bg"), "left")
+          .join(w1Counts, Seq("_w1"), "left")
+      }
+    withCounts
       .crossJoin(vRow)
       // unseen bigrams/first-words (scoring ≠ training corpus) smooth
       // to the add-k floor via coalesce-to-0 counts
