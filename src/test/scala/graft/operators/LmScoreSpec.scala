@@ -44,6 +44,18 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got(1L) == score(Seq(math.log(0.5))))
   }
 
+  test("self-trained single-join fast path equals the general two-join path") {
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "b c a"), (3L, "c c b a b")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // train=Some(docs) forces the general path over the same corpus —
+    // the two plans must agree exactly
+    assert(rows(LmScore.bigramScores(docs, "doc_id", "text")) ==
+      rows(LmScore.bigramScores(docs, "doc_id", "text", train = Some(docs))))
+  }
+
   test("token salad scores below repeated natural text") {
     val prose = (1 to 20).map(i =>
       (i.toLong, "the quick brown fox jumps over the lazy dog"))
