@@ -77,5 +77,9 @@ class LmScoreSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(2000))
     assert(!plan.contains("collect_list"), plan.take(2000))
+    // self-trained: exactly 3 joins — count-table merge (vocab-sized),
+    // ONE corpus-bigram join, and the 1-row V cross join; the general
+    // path's second corpus-scale join must not reappear
+    assert("Join".r.findAllIn(plan).size == 3, plan.take(3000))
   }
 }
