@@ -263,6 +263,31 @@ object DedupQueries {
           corpus = docs.filter(col("doc_id") % 10 =!= 7),
           key = fp)
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // The MATERIALIZED-fingerprint variant of d_incremental: the
+    // corpus is written as a lake with CorpusIngest's `_fp` column and
+    // probed via `corpusKey` — the lake-side scan reads ONLY the
+    // 32-byte fingerprint column (pruning pinned in CorpusIngestSpec),
+    // never re-hashing the text. Same NOT EXISTS oracle: identical
+    // result by construction, now proven end-to-end through the
+    // parquet roundtrip. Like s_lsh_indexed, the measured time
+    // includes the one-off lake write; the probe is the amortized
+    // per-batch cost.
+    "d_incremental_fp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = graft.functions.TextFunctions.bagFingerprint(col("text"))
+      val lakeDir = java.nio.file.Files.createTempDirectory("graft_incr_fp")
+        .resolve("lake").toString
+      docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn(graft.streaming.CorpusIngest.FingerprintCol, fp)
+        .write.mode("overwrite").parquet(lakeDir)
+      graft.operators.IncrementalDedup.dropExisting(
+          batch = docs.filter(col("doc_id") % 10 === 7),
+          corpus = s.read.parquet(lakeDir),
+          key = fp,
+          corpusKey = Some(col(graft.streaming.CorpusIngest.FingerprintCol)))
+        .select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -271,6 +296,16 @@ object DedupQueries {
     */
   val oracles: Map[String, String] = Map(
     "d_incremental" -> {
+      val fp = graft.functions.TextFunctions.bagFingerprintSql _
+      s"""SELECT b.doc_id FROM documents b
+         |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
+         |  SELECT 1 FROM documents c
+         |  WHERE c.doc_id % 10 != 7
+         |    AND ${fp("c.text")} = ${fp("b.text")})
+         |ORDER BY doc_id""".stripMargin
+    },
+    // materialized-_fp variant: same semantics, same oracle
+    "d_incremental_fp" -> {
       val fp = graft.functions.TextFunctions.bagFingerprintSql _
       s"""SELECT b.doc_id FROM documents b
          |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
