@@ -462,6 +462,33 @@ object Dedup {
     df.join(losers, col(idCol) === col("_loser"), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with a QUALITY rule: per cluster keep the
+    * member maximizing `keepBy` (numeric; ties break to the smallest
+    * id, nulls rank worst), instead of blindly keeping the min id —
+    * real pipelines keep the longest / highest-LM-score / least-noisy
+    * copy of a near-dup group (Lee et al. 2021 keep one "best"
+    * member). One extra cluster-sized aggregate + join over the plain
+    * variant; the corpus itself still only pays the final anti join.
+    */
+  def dropNearDuplicatesBy(
+      df: DataFrame, idCol: String, pairs: DataFrame, keepBy: Column,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val members = df
+      .select(col(idCol).as("id"),
+        coalesce(keepBy.cast("double"), lit(Double.NegativeInfinity)).as("_q"))
+      .join(cc, "id")
+    // winner = min over (−quality, id): highest quality, then smallest
+    // id — the struct ordering makes the pick deterministic under ties
+    val winners = members.groupBy("component")
+      .agg(min_by(col("id"),
+        struct((col("_q") * lit(-1.0)).as("nq"), col("id").as("tb"))).as("_keep"))
+    val losers = members.join(winners, "component")
+      .filter(col("id") =!= col("_keep"))
+      .select(col("id").as("_loser"))
+    df.join(losers, col(idCol) === col("_loser"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the AllPairs
     * scheme of Bayardo/Ma/Srikant, WWW'07): order each doc's shingles
     * by global rarity and index only the first ⌊(1-t)·|doc|⌋+1 — any

@@ -140,6 +140,20 @@ object DedupQueries {
     // numPlanes auto-sizes to the corpus (planesFor) — the sf1 scaling
     // audit showed a fixed plane count going quadratic per decade as
     // bucket occupancy grew with n
+    // Quality-ruled cluster resolution: keep each near-dup cluster's
+    // HIGHEST-quality member (id tiebreak) instead of the min id —
+    // quality here is a deterministic salt (doc_id % 7) so clones
+    // disagree and the arg-max is exercised for real. Same t=1.0
+    // recall argument as d_dedup_apply ⇒ oracle-checkable.
+    "d_dedup_quality" -> ((s, dir) => {
+      val corpus = tripleCorpus(s, dir)
+      val pairs = Dedup.minHashNearDups(corpus, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
+      Dedup.dropNearDuplicatesBy(corpus, "doc_id", pairs,
+          keepBy = (col("doc_id") % 7).cast("double"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(vecsWithClones(s, dir), "vec_id", "embedding",
           threshold = 0.99)
@@ -395,6 +409,23 @@ object DedupQueries {
         |  FROM corpus
         |)
         |SELECT doc_id FROM grp WHERE doc_id = component
+        |ORDER BY doc_id""".stripMargin,
+    // winner per identical-text cluster by (quality DESC, id ASC) —
+    // the window replica of dropNearDuplicatesBy's min_by ordering
+    "d_dedup_quality" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 30
+        |), grp AS (
+        |  SELECT doc_id, first_value(doc_id) OVER (
+        |    PARTITION BY text
+        |    ORDER BY CAST(doc_id % 7 AS DOUBLE) DESC, doc_id ASC) AS keep
+        |  FROM corpus
+        |)
+        |SELECT doc_id FROM grp WHERE doc_id = keep
         |ORDER BY doc_id""".stripMargin,
     "d_simhash_exact" ->
       """WITH corpus AS (

@@ -169,6 +169,26 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("dropNearDuplicatesBy keeps the highest-quality member, id tiebreak, nulls worst") {
+    import org.apache.spark.sql.functions.{col, when}
+    val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val frame = Seq(
+      (1L, 5.0), (2L, 9.0), (4L, 9.0), // cluster {1,2,4}: max q=9, tie → id 2
+      (3L, 0.0),                        // unclustered → kept
+      (5L, 1.0), (6L, 2.0)              // cluster {5,6}: q favors 6 over min id
+    ).toDF("id", "q")
+    val kept = Dedup.dropNearDuplicatesBy(frame, "id", pairs, col("q"))
+      .select("id").as[Long].collect.toSet
+    assert(kept == Set(2L, 3L, 6L))
+    // null quality never beats a scored member
+    val withNull = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "q")
+    val k2 = Dedup.dropNearDuplicatesBy(withNull, "id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"),
+        when(col("q").isNotNull, col("q")))
+      .select("id").as[Long].collect.toSet
+    assert(k2 == Set(1L))
+  }
+
   test("shingles: fewer tokens than n → empty array") {
     val sh = corpus.limit(1)
       .select(Dedup.shingles(org.apache.spark.sql.functions.lit("one two"), 3))
