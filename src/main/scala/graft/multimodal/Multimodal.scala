@@ -296,17 +296,21 @@ object Multimodal {
     try {
       def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
       def u32(o: Int) = u16(o).toLong | (u16(o + 2).toLong << 16)
-      var pos = 12
+      // LONG cursor + unsigned chunk sizes, like AudioMeta.probe: a
+      // crafted size of 0xFFFFFFF8 truncated to a signed Int would
+      // advance the walk by ZERO and spin the task forever
+      var pos = 12L
       var fmt = Option.empty[(Int, Int, Int)] // channels, rate, bits
       var data = Option.empty[(Int, Int)] // offset, length
       while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
-        val id = ascii(pos, 4)
-        val len = u32(pos + 4).toInt
-        if (id == "fmt " && len >= 16) {
-          if (u16(pos + 8) != 1) return None // PCM only
-          fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+        val p = pos.toInt
+        val id = ascii(p, 4)
+        val len = u32(p + 4) // unsigned, kept as Long
+        if (id == "fmt " && len >= 16 && p + 24 <= bytes.length) {
+          if (u16(p + 8) != 1) return None // PCM only
+          fmt = Some((u16(p + 10), u32(p + 12).toInt, u16(p + 22)))
         } else if (id == "data") {
-          data = Some((pos + 8, math.min(len, bytes.length - pos - 8)))
+          data = Some((p + 8, math.min(len, (bytes.length - p - 8).toLong).toInt))
         }
         pos += 8 + len + (len & 1) // chunks are word-aligned
       }
@@ -350,8 +354,10 @@ object Multimodal {
     val energy = new Array[Double](frames)
     var f = 0
     while (f < frames) {
-      val x0 = f * samples.length / frames
-      val x1 = (f + 1) * samples.length / frames
+      // Long math: f * length overflows Int past ~33M samples (a
+      // 13-minute 44.1 kHz clip), which would index negatively
+      val x0 = (f.toLong * samples.length / frames).toInt
+      val x1 = ((f + 1).toLong * samples.length / frames).toInt
       var s = 0.0; var i = x0
       while (i < x1) { s += samples(i) * samples(i); i += 1 }
       energy(f) = s / math.max(1, x1 - x0)

@@ -137,9 +137,6 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    // numPlanes auto-sizes to the corpus (planesFor) — the sf1 scaling
-    // audit showed a fixed plane count going quadratic per decade as
-    // bucket occupancy grew with n
     // Quality-ruled cluster resolution: keep each near-dup cluster's
     // HIGHEST-quality member (id tiebreak) instead of the min id —
     // quality here is a deterministic salt (doc_id % 7) so clones
@@ -154,6 +151,9 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // numPlanes auto-sizes to the corpus (planesFor) — the sf1 scaling
+    // audit showed a fixed plane count going quadratic per decade as
+    // bucket occupancy grew with n
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(vecsWithClones(s, dir), "vec_id", "embedding",
           threshold = 0.99)
@@ -291,8 +291,11 @@ object DedupQueries {
     "d_incremental_fp" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val fp = graft.functions.TextFunctions.bagFingerprint(col("text"))
-      val lakeDir = java.nio.file.Files.createTempDirectory("graft_incr_fp")
-        .resolve("lake").toString
+      // FIXED path + overwrite: bench harnesses invoke each query many
+      // times, and a fresh temp dir per call would stack corpus-sized
+      // parquet copies in /tmp until the disk fills
+      val lakeDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_incr_fp_lake").toString
       docs.filter(col("doc_id") % 10 =!= 7)
         .withColumn(graft.streaming.CorpusIngest.FingerprintCol, fp)
         .write.mode("overwrite").parquet(lakeDir)
@@ -308,26 +311,22 @@ object DedupQueries {
   /** Brute-force cosine top-k IS oracle-expressible: DuckDB computes
     * the same double-precision dot/norm formula via list lambdas.
     */
+  // Shared by d_incremental and its materialized-_fp twin: the two
+  // queries are the same semantics through different probe paths, and
+  // binding ONE string keeps their oracles from silently diverging.
+  private val incrementalOracle: String = {
+    val fp = graft.functions.TextFunctions.bagFingerprintSql _
+    s"""SELECT b.doc_id FROM documents b
+       |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
+       |  SELECT 1 FROM documents c
+       |  WHERE c.doc_id % 10 != 7
+       |    AND ${fp("c.text")} = ${fp("b.text")})
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "d_incremental" -> {
-      val fp = graft.functions.TextFunctions.bagFingerprintSql _
-      s"""SELECT b.doc_id FROM documents b
-         |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
-         |  SELECT 1 FROM documents c
-         |  WHERE c.doc_id % 10 != 7
-         |    AND ${fp("c.text")} = ${fp("b.text")})
-         |ORDER BY doc_id""".stripMargin
-    },
-    // materialized-_fp variant: same semantics, same oracle
-    "d_incremental_fp" -> {
-      val fp = graft.functions.TextFunctions.bagFingerprintSql _
-      s"""SELECT b.doc_id FROM documents b
-         |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
-         |  SELECT 1 FROM documents c
-         |  WHERE c.doc_id % 10 != 7
-         |    AND ${fp("c.text")} = ${fp("b.text")})
-         |ORDER BY doc_id""".stripMargin
-    },
+    "d_incremental" -> incrementalOracle,
+    "d_incremental_fp" -> incrementalOracle,
     "d_span_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

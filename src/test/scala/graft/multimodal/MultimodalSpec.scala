@@ -182,6 +182,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.energyHash64(samples.take(100)).isEmpty)
   }
 
+  test("a crafted chunk size cannot spin the RIFF walk (unsigned Long cursor)") {
+    // 'LIST' chunk with size bytes F8 FF FF FF: as a signed Int that is
+    // -8 and the walk would advance by zero forever
+    val evil = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
+      "WAVE".getBytes ++ "LIST".getBytes ++
+      Array(0xF8, 0xFF, 0xFF, 0xFF).map(_.toByte) ++ new Array[Byte](32)
+    assert(Multimodal.decodeWavPcm(evil).isEmpty) // returns, not hangs
+  }
+
   test("audioEnergyHash: volume-scaled twins pair up, junk stays null") {
     val loudQuiet = Array.tabulate(260)(i =>
       (if ((i / 20) % 2 == 0) 16000 else 1000).toShort)
