@@ -83,4 +83,41 @@ object DomainMix {
         rateThreshold(col("rate")))
       .drop("rate")
   }
+
+  /** Realize the target mixture at a FIXED token budget, WITH
+    * upsampling: `rate_d = w_d · totalTokens / T_d` may exceed 1, and
+    * a doc then appears `floor(rate)` times plus one more when its
+    * md5-prefix clears the fractional threshold — the "repeat the
+    * small high-quality domain for several epochs" recipe (Llama-style
+    * Wikipedia upsampling). Output = the docs with an `_epoch` column
+    * (0-based copy index) so downstream packing/shuffling treats
+    * copies as distinct rows; deterministic like [[sampleToMix]].
+    * Domains with a null target share drop. Note upsampling repeats
+    * CONTENT — dedup must run before, not after, this step.
+    */
+  def upsampleToMix(
+      docs: DataFrame, domainCol: String, idCol: String,
+      tokens: Column, targetShare: Column, totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    val agg = docs
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokens).cast("bigint").as("tokens"),
+        max(targetShare).as("target_share"))
+    val rates = agg
+      .withColumn("rate",
+        when(col("target_share").isNull, lit(null).cast("double"))
+          .otherwise(
+            col("target_share") * lit(totalTokens.toDouble) / col("tokens")))
+      .select(col("domain").as(domainCol), col("rate"))
+    docs.join(broadcast(rates), domainCol)
+      .withColumn("_full", floor(col("rate")))
+      // candidates 0.._full: every index below _full is a guaranteed
+      // full copy; the last one survives iff the doc's hash clears the
+      // FRACTIONAL part's threshold (a null rate explodes nothing)
+      .withColumn("_epoch", explode(sequence(lit(0L), col("_full"))))
+      .filter(col("_epoch") < col("_full") ||
+        substring(md5(col(idCol).cast("string")), 1, 8) <
+          rateThreshold(col("rate") - col("_full")))
+      .drop("rate", "_full")
+  }
 }

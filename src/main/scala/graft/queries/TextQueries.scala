@@ -160,6 +160,20 @@ object TextQueries {
           Seq("spark", "query", "filter"))
         .orderBy("doc_id")),
 
+    // Mixture realization WITH upsampling at a fixed token budget:
+    // rates above 1 repeat a doc across epochs (deterministic md5
+    // fractional threshold). Budget 60000 >> the small languages'
+    // token mass, so real multi-epoch duplication is exercised.
+    "x_domain_upsample" -> ((s, dir) => {
+      val share = when(col("lang") === "en", 0.4).otherwise(0.15)
+      val tokens = size(split(trim(col("text")), "\\s+"))
+      graft.operators.DomainMix.upsampleToMix(
+          t(s, dir, "documents"), "lang", "doc_id", tokens, share,
+          totalTokens = 60000L)
+        .select(col("doc_id"), col("_epoch").as("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // CCNet-style bigram-LM quality score, self-trained on the corpus:
     // per doc the mean add-1-smoothed log P(w2|w1). Exact-count model +
     // decimal-summed log-probs ⇒ the DuckDB twin reproduces it
@@ -455,6 +469,33 @@ object TextQueries {
         |  CAST(round(least(CAST(1.0 AS DOUBLE),
         |    target_share * (SELECT nn FROM n) / tokens) * tokens) AS BIGINT) AS sampled_tokens
         |FROM agg ORDER BY domain""".stripMargin,
+    // same count/rate CTEs; per-doc COPY COUNT first (full copies +
+    // md5-gated fractional one), then an unnest(range(copies)) epoch
+    // expansion — semantically the filter-after-expand upsampleToMix
+    // runs, reassociated because DuckDB's binder can't filter on a
+    // SELECT-list unnest alias and generate_series takes no lateral
+    // column args
+    "x_domain_upsample" ->
+      """WITH agg AS (
+        |  SELECT lang AS domain,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |    max(CAST(CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE)) AS target_share
+        |  FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT domain, target_share * CAST(60000.0 AS DOUBLE) / tokens AS rate
+        |  FROM agg
+        |), c AS (
+        |  SELECT d.doc_id,
+        |    CAST(floor(r.rate) AS BIGINT) +
+        |    (CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |      (CASE WHEN r.rate - floor(r.rate) >= 1.0 THEN 'g'
+        |            ELSE lower(lpad(printf('%x',
+        |              CAST(floor((r.rate - floor(r.rate)) * 4294967296.0) AS BIGINT)), 8, '0')) END)
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN r ON d.lang = r.domain
+        |)
+        |SELECT doc_id, unnest(range(0, copies)) AS epoch FROM c
+        |ORDER BY doc_id, epoch""".stripMargin,
     "x_domain_sample" ->
       """WITH agg AS (
         |  SELECT lang AS domain,

@@ -58,6 +58,33 @@ class DomainMixSpec extends AnyFunSuite {
     assert(again == sampled)
   }
 
+  test("upsampleToMix repeats docs across epochs, deterministic fractional copy") {
+    import org.apache.spark.sql.functions.col
+    // budget 300 with 50/50 targets: rate_a = 0.5, rate_b = 1.5 —
+    // domain b genuinely upsamples
+    val got = DomainMix.upsampleToMix(docs, "domain", "doc_id",
+        col("n_tok"), share, totalTokens = 300L)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def md5p(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+    }
+    def copies(id: Long, rate: Double): Long = {
+      val full = math.floor(rate).toLong
+      val th = f"${math.floor((rate - full) * 4294967296.0).toLong}%08x"
+      full + (if (md5p(id) < th) 1L else 0L)
+    }
+    val want = (Seq(1L, 2L, 3L).map(id => id -> copies(id, 0.5)) ++
+      Seq(4L, 5L).map(id => id -> copies(id, 1.5)))
+      .filter(_._2 > 0).toMap
+    assert(got == want, s"got $got want $want")
+    // every b doc appears at least once (rate > 1 guarantees a copy)
+    assert(got(4L) >= 1L && got(5L) >= 1L)
+  }
+
   test("corpus side stays shuffle-free (broadcast rate join + map-side filter)") {
     val plan = DomainMix.sampleToMix(docs, "domain", "doc_id",
       col("n_tok"), share).queryExecution.executedPlan.toString
