@@ -97,8 +97,10 @@ object DomainMix {
     */
   def upsampleToMix(
       docs: DataFrame, domainCol: String, idCol: String,
-      tokens: Column, targetShare: Column, totalTokens: Long): DataFrame = {
+      tokens: Column, targetShare: Column, totalTokens: Long,
+      maxRate: Double = 100.0): DataFrame = {
     require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(maxRate >= 1.0, s"maxRate must be >= 1, got $maxRate")
     val agg = docs
       .groupBy(col(domainCol).as("domain"))
       .agg(sum(tokens).cast("bigint").as("tokens"),
@@ -109,6 +111,18 @@ object DomainMix {
           .otherwise(
             col("target_share") * lit(totalTokens.toDouble) / col("tokens")))
       .select(col("domain").as(domainCol), col("rate"))
+    // A typoed budget must fail loudly, not explode 100k epoch copies
+    // per doc across the cluster: rates are domain-count-sized, so the
+    // sanity check is one tiny collect. Beyond ~10 epochs the
+    // literature repeats data past usefulness anyway — raise the cap
+    // deliberately if you really mean it.
+    val tooHigh = rates.filter(col("rate") > maxRate)
+      .select(domainCol, "rate").collect()
+    require(tooHigh.isEmpty,
+      s"upsampling rate exceeds maxRate=$maxRate for " +
+        tooHigh.map(r => s"${r.get(0)} (${"%.1f".format(r.getDouble(1))}×)")
+          .mkString(", ") +
+        " — shrink totalTokens or raise maxRate explicitly")
     docs.join(broadcast(rates), domainCol)
       .withColumn("_full", floor(col("rate")))
       // candidates 0.._full: every index below _full is a guaranteed

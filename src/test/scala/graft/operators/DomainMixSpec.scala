@@ -83,6 +83,13 @@ class DomainMixSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
     // every b doc appears at least once (rate > 1 guarantees a copy)
     assert(got(4L) >= 1L && got(5L) >= 1L)
+
+    // a runaway budget fails loudly instead of exploding epoch copies
+    val e = intercept[IllegalArgumentException] {
+      DomainMix.upsampleToMix(docs, "domain", "doc_id",
+        col("n_tok"), share, totalTokens = 10000000L)
+    }
+    assert(e.getMessage.contains("maxRate"), e.getMessage)
   }
 
   test("corpus side stays shuffle-free (broadcast rate join + map-side filter)") {
