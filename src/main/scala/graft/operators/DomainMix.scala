@@ -67,21 +67,51 @@ object DomainMix {
       .otherwise(lower(lpad(
         hex(floor(rate * lit(4294967296.0)).cast("bigint")), 8, "0")))
 
+  private def requireFreeColumns(docs: DataFrame, names: Seq[String]): Unit =
+    names.foreach(n => require(!docs.columns.contains(n),
+      s"input already has a column named '$n', which this operator reserves"))
+
+  /** Collect the domain-sized rate table ONCE, validate every rate on
+    * the driver (fail loudly, naming domains), and hand back a LOCAL
+    * frame for the broadcast join — the corpus-scale aggregation runs
+    * a single time per call instead of once for the check and again
+    * for the plan. Nulls pass through (null target = domain dropped
+    * downstream); negative/NaN rates are always an error (a negative
+    * share would otherwise sample garbage — Spark's sequence() even
+    * DESCENDS for a negative bound, duplicating rows).
+    */
+  private def validatedLocalRates(
+      rates: DataFrame, maxRate: Double): DataFrame = {
+    val rows = rates.collect()
+    val bad = rows.filter(r => !r.isNullAt(1) &&
+      (r.getDouble(1) < 0 || r.getDouble(1).isNaN || r.getDouble(1) > maxRate))
+    require(bad.isEmpty,
+      s"invalid sampling rate (negative, NaN, or > $maxRate) for " +
+        bad.map(r => s"${r.get(0)} (${r.get(1)})").mkString(", ") +
+        " — check the target shares / token budget (raise maxRate only deliberately)")
+    rates.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), rates.schema)
+  }
+
   /** Apply the plan: keep each doc iff md5(id)'s 8-hex prefix falls
     * under its domain's rate threshold. The rate table is tiny
-    * (one row per domain) and broadcasts; the corpus-side decision is
-    * a map-side string compare — no corpus shuffle, reproducible
+    * (one row per domain), validated driver-side, and broadcasts as a
+    * local relation; the corpus-side decision is a map-side string
+    * compare — no corpus shuffle, one corpus aggregation, reproducible
     * sample.
     */
   def sampleToMix(
       docs: DataFrame, domainCol: String, idCol: String,
       tokens: Column, targetShare: Column): DataFrame = {
-    val rates = mixReport(docs, domainCol, tokens, targetShare)
-      .select(col("domain").as(domainCol), col("rate"))
+    requireFreeColumns(docs, Seq("_gm_rate"))
+    val rates = validatedLocalRates(
+      mixReport(docs, domainCol, tokens, targetShare)
+        .select(col("domain").as(domainCol), col("rate").as("_gm_rate")),
+      maxRate = 1.0)
     docs.join(broadcast(rates), domainCol)
       .filter(substring(md5(col(idCol).cast("string")), 1, 8) <
-        rateThreshold(col("rate")))
-      .drop("rate")
+        rateThreshold(col("_gm_rate")))
+      .drop("_gm_rate")
   }
 
   /** Realize the target mixture at a FIXED token budget, WITH
@@ -94,6 +124,11 @@ object DomainMix {
     * copies as distinct rows; deterministic like [[sampleToMix]].
     * Domains with a null target share drop. Note upsampling repeats
     * CONTENT — dedup must run before, not after, this step.
+    *
+    * `maxRate` caps the epoch count: a typoed budget must fail loudly
+    * (naming the domains), not explode thousands of copies per doc
+    * across the cluster; beyond ~10 epochs the literature repeats data
+    * past usefulness anyway, so raise the cap only deliberately.
     */
   def upsampleToMix(
       docs: DataFrame, domainCol: String, idCol: String,
@@ -101,37 +136,27 @@ object DomainMix {
       maxRate: Double = 100.0): DataFrame = {
     require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
     require(maxRate >= 1.0, s"maxRate must be >= 1, got $maxRate")
+    requireFreeColumns(docs, Seq("_gm_rate", "_gm_full", "_epoch"))
     val agg = docs
       .groupBy(col(domainCol).as("domain"))
       .agg(sum(tokens).cast("bigint").as("tokens"),
         max(targetShare).as("target_share"))
-    val rates = agg
-      .withColumn("rate",
-        when(col("target_share").isNull, lit(null).cast("double"))
-          .otherwise(
-            col("target_share") * lit(totalTokens.toDouble) / col("tokens")))
-      .select(col("domain").as(domainCol), col("rate"))
-    // A typoed budget must fail loudly, not explode 100k epoch copies
-    // per doc across the cluster: rates are domain-count-sized, so the
-    // sanity check is one tiny collect. Beyond ~10 epochs the
-    // literature repeats data past usefulness anyway — raise the cap
-    // deliberately if you really mean it.
-    val tooHigh = rates.filter(col("rate") > maxRate)
-      .select(domainCol, "rate").collect()
-    require(tooHigh.isEmpty,
-      s"upsampling rate exceeds maxRate=$maxRate for " +
-        tooHigh.map(r => s"${r.get(0)} (${"%.1f".format(r.getDouble(1))}×)")
-          .mkString(", ") +
-        " — shrink totalTokens or raise maxRate explicitly")
+    val rates = validatedLocalRates(
+      agg.withColumn("_gm_rate",
+          when(col("target_share").isNull, lit(null).cast("double"))
+            .otherwise(
+              col("target_share") * lit(totalTokens.toDouble) / col("tokens")))
+        .select(col("domain").as(domainCol), col("_gm_rate")),
+      maxRate)
     docs.join(broadcast(rates), domainCol)
-      .withColumn("_full", floor(col("rate")))
-      // candidates 0.._full: every index below _full is a guaranteed
+      .withColumn("_gm_full", floor(col("_gm_rate")))
+      // candidates 0..full: every index below full is a guaranteed
       // full copy; the last one survives iff the doc's hash clears the
       // FRACTIONAL part's threshold (a null rate explodes nothing)
-      .withColumn("_epoch", explode(sequence(lit(0L), col("_full"))))
-      .filter(col("_epoch") < col("_full") ||
+      .withColumn("_epoch", explode(sequence(lit(0L), col("_gm_full"))))
+      .filter(col("_epoch") < col("_gm_full") ||
         substring(md5(col(idCol).cast("string")), 1, 8) <
-          rateThreshold(col("rate") - col("_full")))
-      .drop("rate", "_full")
+          rateThreshold(col("_gm_rate") - col("_gm_full")))
+      .drop("_gm_rate", "_gm_full")
   }
 }

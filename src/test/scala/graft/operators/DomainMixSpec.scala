@@ -89,7 +89,37 @@ class DomainMixSpec extends AnyFunSuite {
       DomainMix.upsampleToMix(docs, "domain", "doc_id",
         col("n_tok"), share, totalTokens = 10000000L)
     }
-    assert(e.getMessage.contains("maxRate"), e.getMessage)
+    assert(e.getMessage.contains("100.0"), e.getMessage)
+  }
+
+  test("negative target shares fail loudly in both appliers") {
+    import org.apache.spark.sql.functions.{col, when}
+    val badShare = when(col("domain") === "a", 0.5).otherwise(-0.5)
+    val e1 = intercept[IllegalArgumentException] {
+      DomainMix.sampleToMix(docs, "domain", "doc_id", col("n_tok"), badShare)
+    }
+    assert(e1.getMessage.contains("b"), e1.getMessage) // names the domain
+    val e2 = intercept[IllegalArgumentException] {
+      DomainMix.upsampleToMix(docs, "domain", "doc_id", col("n_tok"), badShare,
+        totalTokens = 300L)
+    }
+    assert(e2.getMessage.contains("b"), e2.getMessage)
+  }
+
+  test("reserved-column hygiene: user 'rate' survives, '_epoch' collision raises") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a pre-existing user column named `rate` must neither break the
+    // join nor be dropped (internals use _gm_-prefixed names)
+    val withRate = docs.withColumn("rate", lit(0.123))
+    val out = DomainMix.sampleToMix(withRate, "domain", "doc_id",
+      col("n_tok"), share)
+    assert(out.columns.contains("rate"))
+    assert(out.select("rate").head.getDouble(0) == 0.123)
+    // the output column name itself is reserved
+    intercept[IllegalArgumentException] {
+      DomainMix.upsampleToMix(docs.withColumn("_epoch", lit(0)),
+        "domain", "doc_id", col("n_tok"), share, totalTokens = 300L)
+    }
   }
 
   test("corpus side stays shuffle-free (broadcast rate join + map-side filter)") {
