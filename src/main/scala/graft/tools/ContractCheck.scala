@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: one-shot audit of the driver contract — every oracle key
+  * must name a real query (an orphan oracle would silently never be
+  * checked), the rows-only set must be exactly the declared four, and
+  * the flagship `entry` must return rows. Run before round end.
+  */
+object ContractCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.tune(
+      SparkSession.builder().master("local[8]"), 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    println(s"queries=${q.size} oracles=${o.size} orphanOracles=${(o -- q).mkString(",")}")
+    val rowsOnly = q -- o
+    println(s"rowsOnly(${rowsOnly.size})=${rowsOnly.toSeq.sorted.mkString(",")}")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"entry rows=$n")
+    spark.stop()
+  }
+}
