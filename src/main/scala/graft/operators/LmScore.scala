@@ -18,14 +18,28 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: two hash aggregates build the model (bigram counts,
   * first-word counts — both vocabulary-sized, partial-agg combined).
-  * Self-trained, the count tables merge among themselves first
-  * (vocabulary-sized work only) so the corpus-scale bigram stream is
-  * joined exactly once (AQE broadcasts the merged table when it
-  * fits); cross-trained keeps a separate first-word join so unseen
-  * bigrams with seen first words smooth correctly. One final per-doc
-  * aggregate. No window, no collect_list, no driver loop; a hot
-  * stopword first-token is absorbed by the partial aggregates before
-  * any shuffle.
+  * Self-trained and unpruned, the count tables merge among themselves
+  * first (vocabulary-sized work only) so the corpus-scale bigram
+  * stream is joined exactly once (AQE broadcasts the merged table
+  * when it fits); cross-trained keeps a separate first-word join so
+  * unseen bigrams with seen first words smooth correctly. One final
+  * per-doc aggregate. No window, no collect_list, no driver loop; a
+  * hot stopword first-token is absorbed by the partial aggregates
+  * before any shuffle.
+  *
+  * Model size bound (the 100 TB path): at web scale the RAW bigram
+  * vocabulary is corpus-sized — an unpruned count table stops
+  * broadcasting and the corpus-scale bigram stream shuffles on
+  * Zipf-skewed bigram keys. `minCount` prunes rows below a count
+  * floor (Zipf mass: a threshold T keeps ~N/T rows) and `topV` hard-
+  * caps the bigram table at the V most frequent entries (ties broken
+  * by bigram text, so the model is deterministic). A pruned-away
+  * entry scores as UNSEEN — the same add-k floor that already handles
+  * cross-trained scoring — which is exactly CCNet's shape: a
+  * fixed-size trained model scoring an unbounded crawl (Wenzek 2020).
+  * With `topV` set the model is hard-bounded, so both model tables
+  * are broadcast-hinted: the corpus-scale bigram stream never
+  * shuffles on a model key.
   *
   * Determinism: the log-prob of each bigram is cast to
   * DECIMAL(28,10) BEFORE the per-doc sum, so accumulation is exact
@@ -39,14 +53,27 @@ object LmScore {
     * Docs shorter than one bigram carry no signal and are omitted —
     * gate them with a length rule instead.
     *
-    * @param train corpus to train the counts on; defaults to `docs`
-    *              (self-trained, the CCNet shape is "train on a clean
-    *              reference, score the crawl" — pass that reference).
+    * @param train    corpus to train the counts on; defaults to `docs`
+    *                 (self-trained, the CCNet shape is "train on a
+    *                 clean reference, score the crawl" — pass that
+    *                 reference).
+    * @param minCount drop model rows (bigram AND first-word tables)
+    *                 whose count is below this floor; pruned entries
+    *                 score as unseen (add-k floor). 1 = no pruning.
+    * @param topV     hard cap: keep only the `topV` most frequent
+    *                 bigrams (count desc, bigram text asc tie-break)
+    *                 after the `minCount` floor; the first-word table
+    *                 is restricted to first words of retained bigrams,
+    *                 so BOTH model tables are bounded by `topV` and
+    *                 are broadcast-hinted.
     */
   def bigramScores(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Double = 1.0, train: Option[DataFrame] = None): DataFrame = {
+      k: Double = 1.0, train: Option[DataFrame] = None,
+      minCount: Long = 1L, topV: Option[Int] = None): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    topV.foreach(v => require(v > 0, s"topV must be positive, got $v"))
 
     def toks(df: DataFrame) = df
       .select(col(idCol).as("_id"),
@@ -74,27 +101,53 @@ object LmScore {
     val vRow = trainToks.select(explode(col("_t")).as("_w"))
       .agg(count_distinct(col("_w")).cast("double").as("_v"))
 
-    // SELF-TRAINED (the common case): every scored bigram is in the
-    // model, so merging the two count tables among themselves first
+    // Pruning: min-count floors first, then the top-V hard cap.
+    // c1 >= c12 for any bigram, so a retained bigram's first word
+    // always survives the same min-count floor — the retained bigram
+    // table never loses its denominator row.
+    val pruned = minCount > 1 || topV.nonEmpty
+    val (biModel, w1Model) = if (!pruned) (biCounts, w1Counts) else {
+      val biFloor =
+        if (minCount > 1) biCounts.filter(col("_c12") >= lit(minCount))
+        else biCounts
+      val biKept = topV.fold(biFloor)(v =>
+        biFloor.orderBy(col("_c12").desc, col("_bg").asc).limit(v))
+      val w1Floor =
+        if (minCount > 1) w1Counts.filter(col("_c1") >= lit(minCount))
+        else w1Counts
+      val w1Kept = topV.fold(w1Floor)(_ => w1Floor.join(
+        biKept.select(substring_index(col("_bg"), " ", 1).as("_w1"))
+          .distinct(),
+        Seq("_w1"), "left_semi"))
+      // topV hard-bounds both tables → force the broadcast; minCount
+      // alone only shrinks them, so leave the choice to AQE there.
+      if (topV.isDefined) (broadcast(biKept), broadcast(w1Kept))
+      else (biKept, w1Kept)
+    }
+
+    // SELF-TRAINED UNPRUNED: every scored bigram is in the model, so
+    // merging the two count tables among themselves first
     // (vocabulary-sized join — cheap, and every training bigram's
     // first word is in w1Counts by construction) lets the
     // corpus-scale bigram stream be joined ONCE instead of twice.
-    // CROSS-TRAINED: a scored-but-unseen bigram may still have a SEEN
-    // first word whose c1 must come from the model — that path keeps
-    // the separate w1 join.
+    // CROSS-TRAINED or PRUNED: a scored bigram may be absent from the
+    // model while its first word is present — its c1 must still come
+    // from the model, so that path keeps the separate w1 join (both
+    // joins broadcast once the model is bounded, so the corpus stream
+    // still never shuffles).
     val scored = bigrams(toks(docs))
     val withCounts =
-      if (train.isEmpty) {
-        val counts = biCounts
+      if (train.isEmpty && !pruned) {
+        val counts = biModel
           .withColumn("_w1", substring_index(col("_bg"), " ", 1))
-          .join(w1Counts, "_w1")
+          .join(w1Model, "_w1")
           .select(col("_bg"), col("_c12"), col("_c1"))
         scored.join(counts, Seq("_bg"), "left")
       } else {
         scored
           .withColumn("_w1", substring_index(col("_bg"), " ", 1))
-          .join(biCounts, Seq("_bg"), "left")
-          .join(w1Counts, Seq("_w1"), "left")
+          .join(biModel, Seq("_bg"), "left")
+          .join(w1Model, Seq("_w1"), "left")
       }
     withCounts
       .crossJoin(vRow)

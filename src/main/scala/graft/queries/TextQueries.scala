@@ -174,13 +174,15 @@ object TextQueries {
         .orderBy("doc_id", "epoch")
     }),
 
-    // CCNet-style bigram-LM quality score, self-trained on the corpus:
-    // per doc the mean add-1-smoothed log P(w2|w1). Exact-count model +
+    // CCNet-style bigram-LM quality score, self-trained on the corpus
+    // with the BOUNDED model (minCount=2 prunes singleton bigrams —
+    // the web-scale shape where the model must stay broadcastable;
+    // pruned entries smooth to the add-k floor). Exact-count model +
     // decimal-summed log-probs ⇒ the DuckDB twin reproduces it
     // bit-for-bit at 6 decimals.
     "x_lm_score" -> ((s, dir) =>
       graft.operators.LmScore.bigramScores(
-          t(s, dir, "documents"), "doc_id", "text")
+          t(s, dir, "documents"), "doc_id", "text", minCount = 2L)
         .orderBy("doc_id")),
 
     // Document fingerprint over normalized text.
@@ -520,7 +522,9 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
     // Mirrors LmScore.bigramScores exactly: same tokenization, same
     // conditional counts (w1 as bigram FIRST element), same add-1
-    // smoothing over distinct-token V, per-bigram ln cast to
+    // smoothing over distinct-token V, same minCount=2 pruning (both
+    // model tables floor at count >= 2, pruned entries LEFT-join to
+    // NULL and coalesce to the add-k floor), per-bigram ln cast to
     // DECIMAL(28,10) before the sum (exact accumulation — no FP
     // reassociation), mean rounded to 6.
     "x_lm_score" ->
@@ -534,19 +538,21 @@ object TextQueries {
         |    unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS bg
         |  FROM f
         |), bc AS (
-        |  SELECT bg, count(*) AS c12 FROM bi GROUP BY 1
+        |  SELECT bg, count(*) AS c12 FROM bi GROUP BY 1 HAVING count(*) >= 2
         |), w1c AS (
-        |  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bi GROUP BY 1
+        |  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |  FROM bi GROUP BY 1 HAVING count(*) >= 2
         |), v AS (
         |  SELECT count(DISTINCT tok) AS nv
         |  FROM (SELECT unnest(t) AS tok FROM f)
         |), scored AS (
         |  SELECT bi.doc_id,
-        |    CAST(ln((bc.c12 + 1.0) / (w1c.c1 + 1.0 * (SELECT nv FROM v)))
+        |    CAST(ln((coalesce(bc.c12, 0) + 1.0) /
+        |            (coalesce(w1c.c1, 0) + 1.0 * (SELECT nv FROM v)))
         |         AS DECIMAL(28,10)) AS lp
         |  FROM bi
-        |  JOIN bc USING (bg)
-        |  JOIN w1c ON split_part(bi.bg, ' ', 1) = w1c.w1
+        |  LEFT JOIN bc USING (bg)
+        |  LEFT JOIN w1c ON split_part(bi.bg, ' ', 1) = w1c.w1
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score

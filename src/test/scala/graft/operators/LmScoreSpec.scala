@@ -71,6 +71,81 @@ class LmScoreSpec extends AnyFunSuite {
       s"prose $proseAvg should score well above salad $saladAvg")
   }
 
+  /** Local replica of the PRUNED model: min-count floors on both
+    * tables, then the top-V cap (count desc, bigram asc tie-break)
+    * with the first-word table restricted to retained bigrams' first
+    * words — the exact rule bigramScores documents.
+    */
+  private def localScores(corpus: Seq[(Long, String)], k: Double,
+      minCount: Long, topV: Option[Int]): Map[Long, (Long, Double)] = {
+    val toks = corpus
+      .map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+      .filter(_._2.size >= 2)
+    val bis = toks.map { case (id, ts) =>
+      id -> ts.sliding(2).map(_.mkString(" ")).toSeq }
+    val all = bis.flatMap(_._2)
+    val bcFloor = all.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minCount).toMap
+    val bc = topV.fold(bcFloor)(v =>
+      bcFloor.toSeq.sortBy { case (b, c) => (-c, b) }.take(v).toMap)
+    val w1Floor = all.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minCount).toMap
+    val keptW1 = bc.keySet.map(_.split(" ")(0))
+    val w1 = topV.fold(w1Floor)(_ => w1Floor.filter(e => keptW1(e._1)))
+    val v = toks.flatMap(_._2).distinct.size
+    bis.map { case (id, bs) =>
+      val lps = bs.map(b => math.log(
+        (bc.getOrElse(b, 0L) + k) /
+        (w1.getOrElse(b.split(" ")(0), 0L) + k * v)))
+      id -> ((bs.size.toLong, score(lps)))
+    }.toMap
+  }
+
+  private def collected(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  test("minCount prunes rare model rows to the add-k floor") {
+    // bigrams: a b ×2, b a ×2, a c ×1; C(a ·)=3, C(b ·)=2; V=3.
+    // minCount=2 drops ONLY "a c" — its first word 'a' stays in the
+    // model, so the mixed case (pruned bigram, retained first word)
+    // is exercised: p(a c) = (0+1)/(3+3).
+    val docs = Seq((1L, "a b a b a c"), (2L, "b a")).toDF("doc_id", "text")
+    val got = collected(LmScore.bigramScores(docs, "doc_id", "text", minCount = 2L))
+    assert(got == localScores(Seq(1L -> "a b a b a c", 2L -> "b a"), 1.0, 2L, None))
+    // and the mixed-case floor is what the local model says it is:
+    // doc 2 is all-retained, doc 1 carries the pruned "a c"
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
+  test("minCount=1 with no topV is exactly the unpruned model") {
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "b c a"), (3L, "c c b a b")
+    ).toDF("doc_id", "text")
+    assert(collected(LmScore.bigramScores(docs, "doc_id", "text")) ==
+      collected(LmScore.bigramScores(docs, "doc_id", "text", minCount = 1L)))
+  }
+
+  test("topV hard cap matches the local model and broadcasts the scoring joins") {
+    // planted vocab: 40 docs over ~60 distinct bigrams with a skewed
+    // head; topV=8 keeps the 8 most frequent (bigram-text tie-break)
+    val rnd = new scala.util.Random(11)
+    val head = Seq("the cat", "cat sat", "sat down")
+    val corpus = (1 to 40).map { i =>
+      val tail = Seq.fill(3)(s"w${rnd.nextInt(12)} v${rnd.nextInt(12)}")
+      i.toLong -> (head ++ tail).mkString(" ")
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val scored = LmScore.bigramScores(docs, "doc_id", "text",
+      minCount = 2L, topV = Some(8))
+    assert(collected(scored) == localScores(corpus, 1.0, 2L, Some(8)))
+    // the 100 TB pin: both model joins on the scoring path broadcast —
+    // the corpus-scale bigram stream never sort-merge-shuffles on a
+    // model key
+    val plan = scored.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("model build + scoring plan has no window, no collect_list") {
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val plan = LmScore.bigramScores(docs, "doc_id", "text")
