@@ -118,12 +118,18 @@ object Multimodal {
     * fallback). Disk caching is off: executors must not spill decode
     * temp files.
     */
+  // JVM-global flag, flipped ONCE per executor JVM on first decode
+  // (lazy val): per-row writes from 32 threads would be redundant
+  // global-state churn, and the single site makes the behavior change
+  // auditable for any other ImageIO user sharing the JVM.
+  private lazy val imageIoCacheOff: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes == null || bytes.length == 0) return None
-    try {
-      javax.imageio.ImageIO.setUseCache(false)
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    imageIoCacheOff
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Real image features, one pass over the pixels:

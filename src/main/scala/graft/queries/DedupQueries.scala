@@ -293,9 +293,16 @@ object DedupQueries {
       val fp = graft.functions.TextFunctions.bagFingerprint(col("text"))
       // FIXED path + overwrite: bench harnesses invoke each query many
       // times, and a fresh temp dir per call would stack corpus-sized
-      // parquet copies in /tmp until the disk fills
+      // parquet copies in /tmp until the disk fills. The path is keyed
+      // by (pid, sfDir-hash) so a bench and a correctness run in
+      // SEPARATE processes never overwrite each other's lake mid-read;
+      // within one process the repeated overwrites are serial by
+      // construction. Bounded: one dir per (process, sf) pair, reused
+      // across that process's iterations.
       val lakeDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_incr_fp_lake").toString
+        System.getProperty("java.io.tmpdir"),
+        s"graft_incr_fp_lake_p${ProcessHandle.current.pid}" +
+          s"_${(dir.hashCode & 0xfffffff).toHexString}").toString
       docs.filter(col("doc_id") % 10 =!= 7)
         .withColumn(graft.streaming.CorpusIngest.FingerprintCol, fp)
         .write.mode("overwrite").parquet(lakeDir)

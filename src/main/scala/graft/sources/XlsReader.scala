@@ -212,8 +212,21 @@ object XlsReader {
             }
             sst = parseSst(chunks.toIndexedSeq)
           case BOUNDSHEET =>
+            // a truncated/crafted record must hit the reader's
+            // IllegalArgumentException contract, not a raw AIOOBE:
+            // the fixed header is 8 bytes, then cch (or cch*2) name
+            // bytes — all of it must sit inside both the declared
+            // record length and the stream
+            if (len < 8 || body + 8 > wb.length)
+              throw new IllegalArgumentException(
+                s"truncated BOUNDSHEET record (len=$len) in .xls workbook stream")
             val cch = wb(body + 6) & 0xFF
             val high = (wb(body + 7) & 1) != 0
+            val nameBytes = if (high) cch * 2 else cch
+            if (8 + nameBytes > len || body + 8 + nameBytes > wb.length)
+              throw new IllegalArgumentException(
+                s"BOUNDSHEET name (cch=$cch, unicode=$high) overruns its record " +
+                  s"(len=$len) or the workbook stream in .xls workbook stream")
             val name =
               if (high) new String(wb, body + 8, cch * 2, StandardCharsets.UTF_16LE)
               else {

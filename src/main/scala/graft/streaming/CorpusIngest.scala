@@ -126,10 +126,14 @@ object CorpusIngest {
   /** One idempotent ingestion step: skip if `(scope, batchId)`'s
     * commit marker exists, else gate/dedup/append and write the
     * marker. Public so batch backfills and tests can drive the
-    * exactly-once path without a streaming query — backfill callers
-    * pick their own `scope` (a job/run name); two DIFFERENT jobs must
-    * not share one, or the second job's batch ids are skipped as
-    * replays.
+    * exactly-once path without a streaming query.
+    *
+    * `scope` has NO default on purpose: replay detection is per
+    * `(scope, batchId)`, so two distinct jobs appending to the same
+    * lake under one shared scope would silently skip each other's
+    * batch ids as replays — data loss dressed as dedup. Every caller
+    * must name its own scope (a job/run id); [[ingestStream]] derives
+    * a checkpoint-resident UUID.
     *
     * The lake read tolerates ONLY the not-yet-created first-batch
     * case: the empty-template fallback fires on a missing path or a
@@ -145,7 +149,7 @@ object CorpusIngest {
       idCol: String = "doc_id", textCol: String = "text",
       key: Column => Column = TextFunctions.bagFingerprint,
       failReason: Column => Column = c => TextFunctions.gopherFailReason(c),
-      scope: String = "batch"): Unit = {
+      scope: String): Unit = {
     val spark = batch.sparkSession
     val (fs, lakePath) = fileSystem(spark, lakeDir)
     val marker = new Path(new Path(lakePath, CommitDirName), s"$scope-$batchId")

@@ -246,6 +246,23 @@ class XlsReaderSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("truncated BOUNDSHEET records raise the reader's contract, not AIOOBE") {
+    // record shorter than the 8-byte fixed header
+    val short = bof(0x0005) ++ rec(0x0085, u32(64)) ++ eof
+    val e = intercept[IllegalArgumentException] {
+      XlsReader.Biff8.worksheetRows(short)
+    }
+    assert(e.getMessage.contains("BOUNDSHEET"), e.getMessage)
+
+    // declared name length (cch=200) overruns the record body
+    val overrun = bof(0x0005) ++ rec(0x0085,
+      u32(64) ++ u16(0) ++ Array(200.toByte, 0.toByte) ++ latin1("Sh")) ++ eof
+    val e2 = intercept[IllegalArgumentException] {
+      XlsReader.Biff8.worksheetRows(overrun)
+    }
+    assert(e2.getMessage.contains("BOUNDSHEET"), e2.getMessage)
+  }
+
   test("BIFF5 and non-OLE2 files raise actionable errors") {
     val biff5 = rec(0x0809, u16(0x0500) ++ u16(0x0005) ++ u16(0) ++ u16(0) ++
       u32(0) ++ u32(0)) ++ eof

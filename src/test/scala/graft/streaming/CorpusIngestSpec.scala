@@ -95,7 +95,8 @@ class CorpusIngestSpec extends AnyFunSuite {
 
     val batch = Seq((10L, "delta gamma beta alpha"), (11L, "nu xi omicron pi"))
       .toDF("doc_id", "text")
-    CorpusIngest.ingestBatch(batch, 0L, lakeDir, failReason = gate)
+    CorpusIngest.ingestBatch(batch, 0L, lakeDir, failReason = gate,
+      scope = "legacy-backfill")
     val lake = spark.read.parquet(lakeDir)
     // appended via the recompute fallback; schema stays homogeneous —
     // a mixed lake would read _fp = null for legacy rows and silently
@@ -109,11 +110,13 @@ class CorpusIngestSpec extends AnyFunSuite {
     val lakeDir = dir.resolve("lake").toString
     val batch = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
       .toDF("doc_id", "text")
-    CorpusIngest.ingestBatch(batch, 7L, lakeDir, failReason = gate)
+    CorpusIngest.ingestBatch(batch, 7L, lakeDir, failReason = gate,
+      scope = "batch")
     val after1 = spark.read.parquet(lakeDir).count()
     assert(after1 == 2)
     // crash-replay AFTER the marker landed: same batch id → skipped
-    CorpusIngest.ingestBatch(batch, 7L, lakeDir, failReason = gate)
+    CorpusIngest.ingestBatch(batch, 7L, lakeDir, failReason = gate,
+      scope = "batch")
     assert(spark.read.parquet(lakeDir).count() == after1)
     // crash-replay BEFORE the marker landed: marker gone, batch re-runs
     // — content-level dedup against the already-appended copies still
@@ -122,7 +125,8 @@ class CorpusIngestSpec extends AnyFunSuite {
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(
       lakeDir + "/" + CorpusIngest.CommitDirName + "/batch-7"), false)
-    CorpusIngest.ingestBatch(batch, 7L, lakeDir, failReason = gate)
+    CorpusIngest.ingestBatch(batch, 7L, lakeDir, failReason = gate,
+      scope = "batch")
     assert(spark.read.parquet(lakeDir).count() == after1)
   }
 
@@ -163,7 +167,8 @@ class CorpusIngestSpec extends AnyFunSuite {
       lakeDir.resolve("_temporary").resolve("part-00000"), "partial")
 
     val batch = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
-    CorpusIngest.ingestBatch(batch, 0L, lakeDir.toString, failReason = gate)
+    CorpusIngest.ingestBatch(batch, 0L, lakeDir.toString, failReason = gate,
+      scope = "heal-test")
     assert(spark.read.parquet(lakeDir.toString)
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
