@@ -107,15 +107,50 @@ object Funnel {
     * sorted timestamp array per stage, then walk the recursion with
     * `get`/`filter` array expressions — t_k is the first stage-k
     * timestamp strictly after (and within `maxGap` of) t_(k-1).
+    *
+    * @param maxEventsPerKey opt-in hot-key guard (mirrors Dedup's
+    *                        `maxBucketSize`): this formulation
+    *                        materializes each key's FULL per-stage
+    *                        timestamp arrays in the aggregation
+    *                        buffer, so one bot key with 10^8 events
+    *                        can sink an executor. With the cap set, a
+    *                        cheap pre-count (map-side combined — the
+    *                        hot key costs only its partial-agg
+    *                        updates) finds offenders and the query
+    *                        RAISES naming the key before any array
+    *                        for it materializes — switch that
+    *                        workload to the skew-safe [[stages]].
     */
   def stagesOneScan(
       events: DataFrame, stageSeq: Seq[String],
       keyCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type",
-      maxGap: Option[String] = None): DataFrame = {
+      maxGap: Option[String] = None,
+      maxEventsPerKey: Option[Long] = None): DataFrame = {
     requireStages(stageSeq)
+    maxEventsPerKey.foreach(m => require(m >= 1,
+      s"maxEventsPerKey must be >= 1, got $m"))
     val gap = maxGap.map(parseGap)
     def acol(stage: String) = s"_a_$stage"
+
+    val filtered = events.filter(col(typeCol).isin(stageSeq: _*))
+    // Hot-key guard: count per key first (partial-agg combined — no
+    // arrays involved), keep only offenders (expected EMPTY, so the
+    // broadcast join below is a no-op probe), and raise with the key
+    // named the moment an offender's row flows toward the array agg.
+    val guarded = maxEventsPerKey.fold(filtered) { max =>
+      val hot = filtered.groupBy(keyCol).agg(count(lit(1)).as("_nev"))
+        .filter(col("_nev") > max)
+      filtered.join(broadcast(hot), Seq(keyCol), "left")
+        .withColumn("_hot_guard", when(col("_nev").isNotNull, raise_error(
+          concat(lit("funnel hot key '"), col(keyCol).cast("string"),
+            lit("' has "), col("_nev").cast("string"),
+            lit(s" funnel events (maxEventsPerKey=$max): stagesOneScan would " +
+              "materialize its full per-stage arrays — use the skew-safe " +
+              "chained stages() for this workload, or raise the cap")))))
+        .filter(col("_hot_guard").isNull)
+        .drop("_nev", "_hot_guard")
+    }
 
     // _nh counts stage-1 EVENTS (not timestamps): a key whose stage-1
     // events all carry null ts must still appear (with t_head null),
@@ -125,8 +160,7 @@ object Funnel {
     val aggs = stageSeq.map(s =>
       sort_array(collect_list(when(col(typeCol) === s, col(tsCol)))).as(acol(s))) :+
       count(when(col(typeCol) === stageSeq.head, lit(1))).as("_nh")
-    val grouped = events
-      .filter(col(typeCol).isin(stageSeq: _*))
+    val grouped = guarded
       .groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
 
     val walked = stageSeq.zipWithIndex.foldLeft(grouped) {
@@ -145,13 +179,28 @@ object Funnel {
       .select(col(keyCol) +: stageSeq.map(s => col(tcol(s))): _*)
   }
 
-  /** Per-stage completion counts — the funnel report itself. */
+  /** Per-stage completion counts — the funnel report itself.
+    *
+    * @param oneScan pick the [[stagesOneScan]] formulation for the
+    *                underlying wide table — wins for LONG funnels
+    *                (many stages) where the chained default's
+    *                one-scan-per-stage dominates; keep the skew-safe
+    *                default for bot-heavy keys (see the object doc).
+    * @param maxEventsPerKey forwarded to [[stagesOneScan]] when
+    *                `oneScan` is set; ignored otherwise.
+    */
   def report(
       events: DataFrame, stageSeq: Seq[String],
       keyCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type",
-      maxGap: Option[String] = None): DataFrame = {
-    val wide = stages(events, stageSeq, keyCol, tsCol, typeCol, maxGap)
+      maxGap: Option[String] = None,
+      oneScan: Boolean = false,
+      maxEventsPerKey: Option[Long] = None): DataFrame = {
+    val wide =
+      if (oneScan)
+        stagesOneScan(events, stageSeq, keyCol, tsCol, typeCol, maxGap,
+          maxEventsPerKey)
+      else stages(events, stageSeq, keyCol, tsCol, typeCol, maxGap)
     val counts = stageSeq.map(s => count(col(s"t_$s")).as(s"n_$s"))
     wide.agg(counts.head, counts.tail: _*)
   }

@@ -122,6 +122,44 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-key guard: a planted 100k-event key raises actionably; under the cap the result is correct") {
+    import org.apache.spark.sql.functions._
+    val hot = spark.range(100000).select(lit(99L).as("user_id"),
+      timestamp_seconds(col("id")).as("ts"), lit("A").as("event_type"))
+    val log = events.unionByName(hot)
+
+    def chainMsgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${chainMsgs(t.getCause)}"
+    val e = intercept[Exception] {
+      Funnel.stagesOneScan(log, Seq("A", "B", "C"),
+        maxEventsPerKey = Some(1000L)).collect()
+    }
+    assert(chainMsgs(e).contains("funnel hot key '99'"), chainMsgs(e))
+    assert(chainMsgs(e).contains("stages()"), chainMsgs(e))
+
+    // cap above the hot key: guard passes through and the result equals
+    // the skew-safe chained formulation on the same log
+    val guarded = Funnel.stagesOneScan(log, Seq("A", "B", "C"),
+      maxEventsPerKey = Some(200000L))
+    val chained = Funnel.stages(log, Seq("A", "B", "C"))
+    assert(guarded.orderBy("user_id").collect().map(_.toSeq).toSeq ==
+      chained.orderBy("user_id").collect().map(_.toSeq).toSeq)
+
+    intercept[IllegalArgumentException] {
+      Funnel.stagesOneScan(events, Seq("A"), maxEventsPerKey = Some(0L))
+    }
+  }
+
+  test("report formulation knob: chained and one-scan report identical counts") {
+    for (gap <- Seq(None, Some("8 seconds"))) {
+      val chained = Funnel.report(events, Seq("A", "B", "C"), maxGap = gap)
+      val oneScan = Funnel.report(events, Seq("A", "B", "C"), maxGap = gap,
+        oneScan = true, maxEventsPerKey = Some(1000L))
+      assert(chained.collect().map(_.toSeq).toSeq ==
+        oneScan.collect().map(_.toSeq).toSeq, s"maxGap=$gap")
+    }
+  }
+
   test("one-scan plans exactly one source scan; chained plans one per stage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel_plan")
     events.write.parquet(dir.resolve("events").toString)
