@@ -110,8 +110,53 @@ object Similarity {
         bucketExpr(col(vecCol), planes).as("_bucket"))
       .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    savePlanes(df.sparkSession, path, planes)
     LshIndex(path, planes)
   }
+
+  /** Persist the hyperplanes next to the data, under `_planes/` —
+    * underscore-prefixed paths without `=` are invisible to Spark's
+    * data-file discovery (like `_SUCCESS`), so probes reading the
+    * bucket-partitioned root never see the sidecar, while
+    * [[loadLshIndex]] reads it explicitly. The planes ARE the index
+    * identity: an append that re-derived them from (seed, dim) alone
+    * could silently diverge from the layout on disk.
+    */
+  private def savePlanes(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      planes: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    planes.toSeq.zipWithIndex.map { case (p, i) => (i, p.toSeq) }
+      .toDF("plane", "coeffs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_planes")
+  }
+
+  /** Load a persisted LSH index (data + `_planes` sidecar) built by
+    * [[lshIndex]] — possibly by another driver: build once on the
+    * cluster, append/probe from anywhere.
+    */
+  def loadLshIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    val planes = spark.read.parquet(s"$path/_planes").orderBy("plane")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("coeffs").toArray)
+    require(planes.nonEmpty, s"no _planes sidecar under $path — not an lshIndex layout")
+    LshIndex(path, planes)
+  }
+
+  /** Append a NEW batch to a persisted LSH index without rebuilding:
+    * assign buckets with the index's OWN persisted planes (identical
+    * layout law — old and new vectors are indistinguishable to a
+    * probe) and append into the bucket partition directories. A
+    * growing corpus pays one map-only assignment pass per batch, not
+    * a corpus-wide rewrite; partition pruning on probes is unchanged.
+    */
+  def lshAppend(
+      df: DataFrame, idCol: String, vecCol: String, index: LshIndex): Unit =
+    df.select(col(idCol), col(vecCol),
+        bucketExpr(col(vecCol), index.planes).as("_bucket"))
+      .repartition(col("_bucket"))
+      .write.mode("append").partitionBy("_bucket").parquet(index.path)
 
   /** Query a persisted LSH index: the bucket filter prunes partitions
     * at planning time (PlanSpec pins this), exact-cosine rerank on the
@@ -182,11 +227,38 @@ object Similarity {
   /** Load a persisted IVF index; `assigned` reads the bucket-partitioned
     * layout, so probes prune files.
     */
-  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/assigned"), loadCentroids(spark, path))
+
+  /** Append a NEW batch to a persisted IVF index without re-training:
+    * each vector goes to its nearest SAVED centroid — the assignment
+    * is `argmin ‖v−c‖²`, computed as `argmax (v·c − ‖c‖²/2)` (the
+    * `‖v‖²` term is constant per row), exactly KMeans' rule with the
+    * same first-index tie-break — and lands in that cell's partition
+    * directory. One map-only pass per batch; centroids stay fixed
+    * (the faiss IVF shape: train once, add forever), so probes prune
+    * identically over old and new vectors.
+    */
+  def ivfAppend(
+      df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val centroids = loadCentroids(df.sparkSession, path)
+    val scores = array(centroids.map(c =>
+      dotConst(col(vecCol), c) - lit(c.map(x => x * x).sum / 2)): _*)
+    df.withColumn("_scores", scores)
+      .withColumn("_cell",
+        (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
+      .drop("_scores")
+      .repartition(col("_cell"))
+      .write.mode("append").partitionBy("_cell").parquet(s"$path/assigned")
+  }
+
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    IvfIndex(spark.read.parquet(s"$path/assigned"), centroids)
+    require(centroids.nonEmpty, s"no centroids sidecar under $path — not a saved IVF index")
+    centroids
   }
 
   /** Query an IVF index: rank cells by centroid distance, brute-force

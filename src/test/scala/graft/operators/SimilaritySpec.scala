@@ -132,6 +132,99 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.length == 3 && top.forall(_ % 2 == 0)) // only the e1 cluster
   }
 
+  test("LSH append: probe finds old + new vectors, planes roundtrip, pruning intact") {
+    import org.apache.spark.sql.functions.col
+    val old = (0 until 32).map { i =>
+      val s = Array.tabulate(4)(d => if (((i % 16) >> d & 1) == 1) 1.0f else -1.0f)
+      (i.toLong, Array(s(0) * (1 + i * 0.01f), s(1), s(2), s(3)))
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_lshapp")
+      .resolve("idx").toString
+    Similarity.lshIndex(old.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, numPlanes = 4)
+
+    // append from a RELOADED index — the cross-driver path: planes come
+    // from the _planes sidecar, not from the builder's memory
+    val reloaded = Similarity.loadLshIndex(spark, path)
+    val batch = (100 until 132).map { i =>
+      val s = Array.tabulate(4)(d => if (((i % 16) >> d & 1) == 1) 1.0f else -1.0f)
+      (i.toLong, Array(s(0) * (1 + i * 0.01f), s(1), s(2), s(3)))
+    }
+    Similarity.lshAppend(batch.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", reloaded)
+
+    // full probe over the appended index ≡ brute force over the union
+    val union = (old ++ batch).toDF("vec_id", "embedding")
+    val brute = Similarity.cosineTopK(union, "vec_id", "embedding", q, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = Similarity.lshTopK(spark, reloaded, "vec_id", "embedding",
+      q, 64, probeHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == brute)
+    // and the probe sees vectors from BOTH generations
+    val ids = indexed.map(_._1).toSet
+    assert(ids.exists(_ < 100) && ids.exists(_ >= 100), ids.toString)
+
+    // partition pruning unchanged after the append: the 1-flip probe's
+    // bucket filter still lands in PartitionFilters
+    val probe = Similarity.lshTopK(spark, reloaded, "vec_id", "embedding",
+      q, 5, probeHamming = 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters:\n" + plan.take(3000)))
+    assert(scanLine.contains("_bucket"), scanLine)
+    probe.collect()
+  }
+
+  test("IVF append: nearest-saved-centroid assignment, probes span generations, pruning intact") {
+    import org.apache.spark.sql.functions.col
+    val old = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f, 0.0f))
+      else (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.0f, 0.0f))
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+      .resolve("idx").toString
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(old.toDF("vec_id", "embedding"), "vec_id",
+        "embedding", nlist = 2), path)
+
+    // new batch: two vectors clearly inside each cluster
+    val batch = Seq(
+      (100L, Array(1.05f, 0.01f, 0.0f, 0.0f)),
+      (101L, Array(0.01f, 1.05f, 0.0f, 0.0f)))
+    Similarity.ivfAppend(batch.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", path)
+
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    assert(loaded.assigned.count() == 42)
+    // each appended vector sits in the cell of its locally-nearest
+    // saved centroid — KMeans' own assignment rule
+    val cells = loaded.assigned.filter(col("vec_id") >= 100L)
+      .select("vec_id", "_cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def nearest(v: Array[Float]): Int =
+      loaded.centroids.zipWithIndex.minBy { case (c, _) =>
+        c.indices.map(j => { val d = c(j) - v(j); d * d }).sum }._2
+    assert(cells(100L) == nearest(batch(0)._2))
+    assert(cells(101L) == nearest(batch(1)._2))
+
+    // an nprobe=1 query near the e1 cluster finds old AND appended
+    // (k=25 > the 20 old cluster members, so the appended one fits)
+    val top = Similarity.ivfTopK(loaded, "vec_id", "embedding",
+      Array(1.0f, 0.0f, 0.0f, 0.0f), k = 25, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.contains(100L), top.toString)
+    assert(top.exists(_ < 100L), top.toString)
+    assert(!top.contains(101L)) // other cluster pruned
+    // pruning pin survives the append
+    val plan = Similarity.ivfTopK(loaded, "vec_id", "embedding",
+      Array(1.0f, 0.0f, 0.0f, 0.0f), k = 5, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters:\n" + plan.take(3000)))
+    assert(scanLine.contains("_cell"), scanLine)
+  }
+
   test("bucketExpr and bucketOf agree (query routing = data bucketing)") {
     val planes = Similarity.hyperplanes(4, 4)
     val sparkBuckets = vecs
