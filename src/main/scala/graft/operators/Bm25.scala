@@ -13,17 +13,31 @@ import org.apache.spark.sql.functions._
   * formulation (Robertson & Zaragoza 2009).
   *
   * Scale shape: ONE aggregate computes N, avgdl, and every term's
-  * document frequency in a single pass (a handful of scalars), which
-  * then cross-joins (1 row — a broadcast) back to the corpus; term
-  * frequencies and the score are in-row array expressions. TWO corpus
-  * scans total (the stats pass is a hard barrier before scoring — the
-  * unavoidable minimum for corpus-level IDF), zero corpus shuffles,
-  * no per-term join.
+  * document frequency in a single pass (count + avg + an elementwise
+  * vector sum over a per-doc 0/1 match vector — `Summarizer.sum`, a
+  * real partial-agg-combined aggregate), which then cross-joins
+  * (1 row — a broadcast) back to the corpus; term frequencies and the
+  * score are in-row array expressions. TWO corpus scans total (the
+  * stats pass is a hard barrier before scoring — the unavoidable
+  * minimum for corpus-level IDF), zero corpus shuffles, no per-term
+  * join.
+  *
+  * Term-count scaling: the terms enter the plan as ONE array literal
+  * and every per-term quantity is a lambda over it (`transform` /
+  * `zip_with` / `aggregate`), so the expression tree is CONSTANT-SIZE
+  * in the number of terms. The earlier one-expression-per-term
+  * formulation grew the generated code linearly and a ~500-term
+  * decontamination sweep would blow past janino's 64 KB method limit
+  * into interpreted fallback; now a 500-term query plans the same
+  * tree as a 3-term one (spec-pinned).
   *
   * Determinism: every constant enters as a COLUMN expression (never a
   * driver-precomputed double), so both engines evaluate the same IEEE
-  * op chain in the same order; term contributions sum in caller
-  * order; the score rounds to 6 places.
+  * op chain in the same order; term contributions sum in caller order
+  * (`aggregate` is a left fold over the caller-ordered terms array,
+  * exactly the old `reduce(_ + _)` chain); the df sums are
+  * integer-valued doubles, exact under any partition order; the score
+  * rounds to 6 places.
   */
 object Bm25 {
 
@@ -40,24 +54,41 @@ object Bm25 {
     val terms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "BM25 query terms are all empty after normalization")
 
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+
+    val termsArr = typedlit(terms)
     val toks = docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_t"))
       .withColumn("_dl", size(col("_t")))
 
-    val statCols = Seq(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl")) ++
-      terms.zipWithIndex.map { case (t, i) =>
-        sum(array_contains(col("_t"), t).cast("long")).as(s"_df$i")
-      }
-    val stats = toks.agg(statCols.head, statCols.tail: _*)
+    // per-doc 0/1 match vector aligned with the terms array; a
+    // null-text doc contributes a zero vector — exactly what the old
+    // per-term `sum(array_contains(null,t))` null-skip produced —
+    // while still counting in N (and not in avgdl: _dl stays null)
+    val zeroVec = typedlit(Seq.fill(terms.size)(0.0))
+    val matchVec = array_to_vector(coalesce(
+      transform(termsArr, t => array_contains(col("_t"), t).cast("double")),
+      zeroVec))
+    val stats = toks
+      .withColumn("_mv", matchVec)
+      .agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"),
+        Summarizer.sum(col("_mv")).as("_dfv"))
+      .select(col("_n"), col("_avgdl"),
+        vector_to_array(col("_dfv")).as("_dfs"))
 
     val lenNorm =
       lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / col("_avgdl")
-    val contribution = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("_t"), x => x === lit(t))).cast("double")
-      val dfT = col(s"_df$i").cast("double")
+    // one contribution per term, caller order: zip (term, df) pairs,
+    // then a left fold — the IEEE op chain per term is IDENTICAL to
+    // the per-term-expression formulation, just built from a lambda
+    val contributions = zip_with(termsArr, col("_dfs"), (t, dfT) => {
+      val tf = size(filter(col("_t"), x => x === t)).cast("double")
       val idf = log(lit(1.0) +
         (col("_n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
       idf * (tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * lenNorm)
-    }.reduce(_ + _)
+    })
+    val contribution =
+      aggregate(contributions, lit(0.0), (acc, x) => acc + x)
 
     toks.crossJoin(stats)
       .select(col(idCol), round(contribution, 6).as("bm25"))

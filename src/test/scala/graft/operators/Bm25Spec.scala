@@ -73,6 +73,39 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("500-term query: constant-size plan, codegen intact, exact scores") {
+    // a decontamination-sweep-sized term list: 500 distinct terms, a
+    // handful of which actually occur in the corpus
+    val terms = (0 until 490).map(i => s"probe$i") ++
+      Seq("spark", "ducks", "swim", "data", "fast", "ponds", "runs",
+        "scales", "streams", "in")
+    val corpus = Seq(
+      (1L, "spark runs fast spark scales"),
+      (2L, "ducks swim in ponds"),
+      (3L, "spark streams data"))
+    val scored = Bm25.score(corpus.toDF("doc_id", "text"), "doc_id", "text", terms)
+
+    // the plan must NOT grow one expression per term: the terms enter
+    // as one array literal, so a 500-term plan is the same tree as a
+    // 3-term plan (the old formulation inlined ~500 _df columns and
+    // blew janino's 64 KB method limit into interpreted fallback)
+    def planOf(ts: Seq[String]) = Bm25
+      .score(corpus.toDF("doc_id", "text"), "doc_id", "text", ts)
+      .queryExecution.executedPlan
+    val small = planOf(Seq("spark", "ducks", "swim")).toString
+    val big = scored.queryExecution.executedPlan.toString
+    assert("WholeStageCodegen".r.findAllIn(big).size ==
+      "WholeStageCodegen".r.findAllIn(small).size, big.take(3000))
+    // identical tree shape ⇒ near-identical plan text (the literals in
+    // the arrays differ; the node count must not scale with terms)
+    assert(big.linesIterator.size == small.linesIterator.size,
+      s"plan grew with term count: ${big.linesIterator.size} vs ${small.linesIterator.size} lines")
+
+    // and the scores are still exactly the local replica's
+    val got = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == local(corpus, terms.toSeq), s"got $got")
+  }
+
   test("query terms normalize like doc tokens: case variants match and collapse") {
     val once = Bm25.score(docs, "doc_id", "text", Seq("spark"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
