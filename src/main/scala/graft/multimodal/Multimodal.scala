@@ -397,24 +397,151 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
-  /** STUB resize: records the target box in metadata; the media bytes
-    * pass through untouched (a real impl re-encodes inside the same
-    * projection).
+  /** REAL image resize, zero external libraries: decode via
+    * `javax.imageio`, bilinear `Graphics2D` scale into the target box,
+    * re-encode as PNG. Returns `(idCol, media, width, height)` — the
+    * resized PNG bytes with their dimensions for decodable images;
+    * undecodable payloads pass their bytes through with null
+    * dimensions (the same None-fallback convention as the other
+    * decoders, so a mixed corpus never loses rows). Batched
+    * `mapPartitions`, like every decode path here.
     */
-  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
-    df.withColumn("width", lit(w)).withColumn("height", lit(h))
+  def resizeImages(
+      media: DataFrame, w: Int, h: Int,
+      idCol: String = "media_id", binCol: String = "media"): DataFrame = {
+    require(w > 0 && h > 0, s"resize box must be positive, got ${w}x$h")
+    val projected = media.select(col(idCol), col(binCol).cast("binary"))
+    val outSchema = StructType(Seq(
+      projected.schema.head.copy(name = idCol),
+      StructField("media", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    projected.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            org.apache.spark.sql.Row(r.get(0), buf.toByteArray,
+              Int.box(w), Int.box(h))
+          case None =>
+            org.apache.spark.sql.Row(r.get(0), bytes, null, null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 
-  /** Frame sampling plumbing: every `stepMs` within duration, emit
-    * (media_id, frame_ts_ms, frame_key). The per-frame `frame_key` is
-    * the stub for decoded frame bytes (a real impl extracts the frame
-    * in a `mapPartitions` batch at this exact spot).
+  /** Parse an AVI container and return its MJPEG video frames plus
+    * the header's frame period: RIFF walk (Long cursor + unsigned
+    * sizes, the same hardening as [[decodeWavPcm]]) recursing into
+    * `LIST` chunks, `avih` for dwMicroSecPerFrame, and every
+    * `##dc`/`##db` stream chunk whose payload starts with the JPEG
+    * SOI marker — MJPEG-in-AVI stores each frame as a complete JPEG,
+    * which is exactly what the JDK can decode. Non-AVI / corrupt
+    * payloads → no frames.
     */
-  def sampleFrames(df: DataFrame, stepMs: Long): DataFrame =
-    df.filter(col("duration_ms").isNotNull)
-      .select(col("media_id"), col("media"),
-        explode(sequence(lit(0L), col("duration_ms"), lit(stepMs))).as("frame_ts_ms"))
-      .withColumn("frame_key", xxhash64(col("media"), col("frame_ts_ms")))
-      .drop("media")
+  private[multimodal] def aviMjpegFrames(
+      bytes: Array[Byte]): (Option[Long], Vector[Array[Byte]]) = {
+    if (bytes == null || bytes.length < 12) return (None, Vector.empty)
+    def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return (None, Vector.empty)
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = u16(o).toLong | (u16(o + 2).toLong << 16)
+    var usPerFrame = Option.empty[Long]
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Long, end: Long): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val p = pos.toInt
+        val id = ascii(p, 4)
+        val len = u32(p + 4)
+        val bodyEnd = math.min(end, pos + 8 + len)
+        if (id == "LIST" && pos + 12 <= end) walk(pos + 12, bodyEnd)
+        else if (id == "avih" && len >= 4 && p + 12 <= bytes.length)
+          usPerFrame = Some(u32(p + 8))
+        else if ((id.endsWith("dc") || id.endsWith("db")) &&
+            pos + 10 <= bodyEnd &&
+            (bytes(p + 8) & 0xff) == 0xFF && (bytes(p + 9) & 0xff) == 0xD8)
+          frames += java.util.Arrays.copyOfRange(bytes, p + 8, bodyEnd.toInt)
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+    }
+    try walk(12L, math.min(bytes.length.toLong, 8L + u32(4)))
+    catch { case scala.util.control.NonFatal(_) => }
+    (usPerFrame, frames.result())
+  }
+
+  /** REAL frame sampling for MJPEG-in-AVI video: every `step`-th
+    * video frame becomes its own row `(media_id, frame_idx,
+    * frame_ts_ms, frame)` — the frame is a complete JPEG, directly
+    * consumable by [[decodeImage]]/[[imageAHash]] downstream (frame
+    * dedup composes with the image family for free). `frame_ts_ms`
+    * comes from the AVI header's frame period when present, else
+    * null. Payloads that aren't MJPEG-AVI emit no rows, the same
+    * convention as the other decoders. `mapPartitions` is the right
+    * tool — no Catalyst expression parses a container format.
+    */
+  def sampleFrames(
+      media: DataFrame, step: Int = 1,
+      idCol: String = "media_id", binCol: String = "media"): DataFrame = {
+    require(step >= 1, s"frame sampling step must be >= 1, got $step")
+    val projected = media.select(col(idCol), col(binCol).cast("binary"))
+    val outSchema = StructType(Seq(
+      projected.schema.head.copy(name = idCol),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_ts_ms", LongType, nullable = true),
+      StructField("frame", BinaryType, nullable = true)))
+    projected.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (usPerFrame, frames) = aviMjpegFrames(r.getAs[Array[Byte]](1))
+        frames.zipWithIndex.collect {
+          case (jpeg, idx) if idx % step == 0 =>
+            org.apache.spark.sql.Row(r.get(0), Int.box(idx),
+              usPerFrame.map(us => java.lang.Long.valueOf(idx * us / 1000L)).orNull,
+              jpeg)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Decode audio SAMPLES, or say exactly why not: WAV PCM decodes
+    * for real (via [[decodeWavPcm]]); a payload carrying a
+    * RECOGNIZED compressed-audio signature (MP3/Ogg/FLAC/M4A) RAISES
+    * — decoding those needs a codec this library deliberately does
+    * not ship, and a silent None here would let a caller mistake
+    * "skipped the whole corpus" for "no audio matched". Unrecognized
+    * junk returns None (the corpus-hygiene convention: not audio at
+    * all, nothing to warn about).
+    */
+  def audioSamples(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+    val decoded = decodeWavPcm(bytes)
+    if (decoded.isDefined || bytes == null || bytes.length < 12) return decoded
+    def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+    val compressed =
+      if (ascii(0, 3) == "ID3" ||
+        ((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xe0) == 0xe0)) Some("MP3")
+      else if (ascii(0, 4) == "OggS") Some("Ogg (Vorbis/Opus)")
+      else if (ascii(0, 4) == "fLaC") Some("FLAC")
+      else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") Some("MPEG-4 (AAC/ALAC)")
+      else None
+    compressed.foreach { fmt =>
+      throw new UnsupportedOperationException(
+        s"$fmt audio sample decode requires a codec this library does not " +
+          "ship — transcode to WAV PCM upstream (metadata probes and " +
+          "container-level dedup still work on the compressed bytes)")
+    }
+    None
+  }
 
   /** End-to-end media pipeline used by the `mm_pipeline` query:
     * binary ingest → REAL pixel decode (fallback featurization for

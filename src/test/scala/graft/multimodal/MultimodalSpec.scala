@@ -58,15 +58,91 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(null).isEmpty)
   }
 
-  test("resize stub stamps metadata; frame sampling explodes by step") {
-    val resized = Multimodal.resizeStub(media, 224, 224)
-    assert(resized.select("width").distinct.head.getInt(0) == 224)
+  test("real resize: decodable images re-encode at the target box, junk passes through") {
+    val rows = Seq(
+      (1L, encoded("png", 16, 8)((_, _) => 0xff0000)),
+      (2L, "not an image".getBytes)
+    ).toDF("media_id", "media")
+    val out = Multimodal.resizeImages(rows, 4, 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // the resized payload is a REAL 4x2 PNG that decodes back red
+    val (png, w, h) = out(1L)
+    assert((w, h) == ((Some(4), Some(2))))
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    val f = Multimodal.decodeFeatures(png, 4)
+    assert(math.abs(f(0) - 1.0f) < 2e-2 && f(1) < 2e-2, f.toSeq.toString)
+    // junk: bytes untouched, dimensions null
+    val (junk, jw, jh) = out(2L)
+    assert(junk.toSeq == "not an image".getBytes.toSeq && jw.isEmpty && jh.isEmpty)
+  }
 
-    val withDur = media.withColumn("duration_ms", lit(1000L))
-    val frames = Multimodal.sampleFrames(withDur, stepMs = 250)
-    // 0,250,500,750,1000 per item × 2 items
-    assert(frames.count() == 10)
-    assert(frames.columns.toSet == Set("media_id", "frame_ts_ms", "frame_key"))
+  // Minimal RIFF-AVI builders, same fixture-driven style as the WAV
+  // specs: known JPEG frames go in, the parser has to find them.
+  private def u32le(v: Long): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+  private def avList(tpe: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", tpe.getBytes("US-ASCII") ++ body)
+  private def aviOf(usPerFrame: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val hdrl = avList("hdrl",
+      chunk("avih", u32le(usPerFrame) ++ Array.fill(52)(0.toByte)))
+    val movi = avList("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body
+  }
+
+  test("real frame sampling: MJPEG-in-AVI frames decode, step and timestamps hold") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val avi = aviOf(40000L, // 25 fps
+      colors.map(c => encoded("jpg", 8, 8)((_, _) => c)))
+    val rows = Seq((7L, avi), (8L, "not a video".getBytes))
+      .toDF("media_id", "media")
+
+    val all = Multimodal.sampleFrames(rows).orderBy("frame_idx").collect()
+    assert(all.length == 4) // junk row emits nothing
+    assert(all.map(_.getLong(0)).toSet == Set(7L))
+    assert(all.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(all.map(_.getLong(2)).toSeq == Seq(0L, 40L, 80L, 120L))
+    // each sampled frame is a real JPEG recovering its color
+    val f0 = Multimodal.decodeFeatures(all(0).getAs[Array[Byte]](3), 4)
+    assert(math.abs(f0(0) - 1.0f) < 2e-2, s"frame 0 meanR ${f0(0)}")
+    val f2 = Multimodal.decodeFeatures(all(2).getAs[Array[Byte]](3), 4)
+    assert(math.abs(f2(2) - 1.0f) < 2e-2, s"frame 2 meanB ${f2(2)}")
+
+    val sampled = Multimodal.sampleFrames(rows, step = 2).collect()
+    assert(sampled.map(_.getInt(1)).toSeq.sorted == Seq(0, 2))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(rows, step = 0)
+    }
+  }
+
+  test("audioSamples: WAV decodes, recognized compressed formats raise, junk is None") {
+    // reuse the WAV fixture style: the spec-built PCM below decodes
+    val wav = {
+      val samples = Array.tabulate(64)(i => math.sin(i / 4.0))
+      val data = samples.flatMap { s =>
+        val v = (s * 32767).toInt; Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte) }
+      val fmt = chunk("fmt ", Array[Byte](1, 0, 1, 0) ++ u32le(8000L) ++
+        u32le(16000L) ++ Array[Byte](2, 0, 16, 0))
+      val body = "WAVE".getBytes ++ fmt ++ chunk("data", data)
+      "RIFF".getBytes ++ u32le(body.length.toLong) ++ body
+    }
+    val decoded = Multimodal.audioSamples(wav)
+    assert(decoded.isDefined && decoded.get._1 == 8000 && decoded.get._2.length == 64)
+
+    val mp3 = "ID3".getBytes ++ Array.fill(32)(0.toByte)
+    val e = intercept[UnsupportedOperationException] { Multimodal.audioSamples(mp3) }
+    assert(e.getMessage.contains("MP3") && e.getMessage.contains("WAV PCM"), e.getMessage)
+    val flac = "fLaC".getBytes ++ Array.fill(32)(0.toByte)
+    val e2 = intercept[UnsupportedOperationException] { Multimodal.audioSamples(flac) }
+    assert(e2.getMessage.contains("FLAC"), e2.getMessage)
+
+    assert(Multimodal.audioSamples("random junk bytes".getBytes).isEmpty)
+    assert(Multimodal.audioSamples(null).isEmpty)
   }
 
   test("decodeBatched streams partition batches through the decoder") {
