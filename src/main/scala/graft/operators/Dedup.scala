@@ -29,17 +29,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Session-level default staging base: when set, every staged-dedup
+    * call WITHOUT an explicit `stageDir` writes its stage under a
+    * unique subdirectory of this base instead of executor-storage
+    * persist. At cluster scale one `spark.conf.set` flips the whole
+    * dedup family to distributed-storage staging — no per-call plumbing
+    * — which is how a 100 TB deployment should run (the stage is an
+    * index: survives executor loss, shareable, spill-free). The caller
+    * owns cleanup of the base dir.
+    */
+  val StageDirConf = "graft.dedup.stageDir"
+
   /** Materialize a reusable operator stage: to parquet when `stageDir`
-    * is given (the 100 TB path — the stage is an index that belongs on
-    * distributed storage, survives executor loss, and is shareable
-    * across runs), else an executor-storage persist (interactive
-    * sizes). `eager` forces materialization in the persist branch so
-    * upstream persists can be released immediately; a parquet write is
-    * always eager.
+    * is given or [[StageDirConf]] is set (the 100 TB path — the stage
+    * is an index that belongs on distributed storage, survives
+    * executor loss, and is shareable across runs), else an
+    * executor-storage persist (interactive sizes). `eager` forces
+    * materialization in the persist branch so upstream persists can be
+    * released immediately; a parquet write is always eager.
     */
   private[operators] def stage(
       d: DataFrame, stageDir: Option[String], eager: Boolean = false): DataFrame =
-    stageDir match {
+    stageDir.orElse(
+      Option(d.sparkSession.conf.get(StageDirConf, null))
+        .map(base => s"$base/stage_${java.util.UUID.randomUUID()}")) match {
       case Some(dir) =>
         d.write.mode("overwrite").parquet(dir)
         d.sparkSession.read.parquet(dir)

@@ -314,11 +314,21 @@ object Similarity {
       maxBucketSize: Int = 1000, dim: Option[Int] = None,
       expectedRows: Option[Long] = None): DataFrame = {
     // callers that know the embedding width pass it and skip a driver
-    // head() job; the probe stays as the convenience fallback
-    val d = dim.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
+    // probe job; the probes stay as the convenience fallback. When
+    // BOTH the width and the row count must be probed, ONE full-scan
+    // aggregate answers both — the separate head() + count() pair
+    // costs a second driver job per call.
+    lazy val probed = {
+      val r = df.agg(first(size(col(vecCol)), ignoreNulls = true),
+        count(lit(1))).head()
+      (r.getInt(0), r.getLong(1))
+    }
+    val needN = numPlanes <= 0 && expectedRows.isEmpty
+    val d = dim.getOrElse(
+      if (needN) probed._1 else df.select(size(col(vecCol))).head().getInt(0))
     val nPlanes =
       if (numPlanes > 0) numPlanes
-      else planesFor(expectedRows.getOrElse(df.count()))
+      else planesFor(expectedRows.getOrElse(probed._2))
     val planes = hyperplanes(nPlanes, d, seed)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       bucketExpr(col(vecCol), planes).as("_bucket"))

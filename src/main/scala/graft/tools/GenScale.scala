@@ -14,6 +14,11 @@ final case class GenVec(vec_id: Long, embedding: Array[Float], label: Int)
   * testdata is read-only and tops out at sf0.1 — where nearly every
   * query is job-floor-bound and a 10× ratio says little.
   *
+  * Optional args 2/3 override the row counts — `GenScale
+  * /tmp/graft_sf10 500000 0` writes the sf10 documents-only star
+  * (nVecs = 0 skips embeddings) used for the dedup-family fifth
+  * decade.
+  *
   * Same shape as the driver's tables (TESTDATA.md, seed 42):
   * documents = token-salad text over the OBSERVED sf0.1 vocabulary
   * (10–100 tokens), lang/source with the observed skew; embeddings =
@@ -23,8 +28,8 @@ final case class GenVec(vec_id: Long, embedding: Array[Float], label: Int)
 object GenScale {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
-    val nDocs = 50000L // 10× sf0.1's 5000
-    val nVecs = 20000L // 10× sf0.1's 2000
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(50000L) // 10× sf0.1's 5000
+    val nVecs = args.lift(2).map(_.toLong).getOrElse(20000L) // 10× sf0.1's 2000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
@@ -47,11 +52,13 @@ object GenScale {
         s"src${rnd.nextInt(20)}", text.length.toLong)
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    spark.range(0, nVecs).as[Long].map { id =>
-      val rnd = new scala.util.Random(1042L * 1000003L + id)
-      GenVec(id, Array.fill(64)((rnd.nextGaussian() * 0.12).toFloat),
-        rnd.nextInt(5))
-    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (nVecs > 0) {
+      spark.range(0, nVecs).as[Long].map { id =>
+        val rnd = new scala.util.Random(1042L * 1000003L + id)
+        GenVec(id, Array.fill(64)((rnd.nextGaussian() * 0.12).toFloat),
+          rnd.nextInt(5))
+      }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
     println(s"wrote $out: documents=$nDocs embeddings=$nVecs")
     spark.stop()

@@ -73,6 +73,23 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getDouble(2) - 0.8) < 1e-12)
   }
 
+  test("session stageDir default engages: stages write parquet, same result") {
+    val plain = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.3)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_stagedef")
+    spark.conf.set(Dedup.StageDirConf, base.toString)
+    try {
+      val staged = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.3)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(staged == plain)
+      // the stage actually landed on storage under the base (one
+      // stage_<uuid> dir holding parquet), not in executor memory
+      val stages = base.toFile.listFiles().filter(_.getName.startsWith("stage_"))
+      assert(stages.nonEmpty, base.toFile.listFiles().mkString(", "))
+      assert(stages.forall(_.listFiles().exists(_.getName.endsWith(".parquet"))))
+    } finally spark.conf.unset(Dedup.StageDirConf)
+  }
+
   test("connectedComponents: transitive near-dup chain a~b~c with a≁c lands in ONE cluster") {
     // b differs from a at token 5; c differs from b at token 10 →
     // J(a,b) and J(b,c) pass the threshold, J(a,c) (two edits) fails —

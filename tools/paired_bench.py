@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Interleaved A/B/A/B benchmark protocol — Spark vs reference-config
+DuckDB under IDENTICAL box conditions.
+
+Usage: python3 tools/paired_bench.py <sfDir> <verifyOutDir> [rounds] [timeoutSec]
+
+Motivation (r6 verdict): the box swings ±25-30% across the day, so a
+DuckDB suite measured in one window vs a Spark suite measured in
+another mis-states the ratio by up to the swing itself (judge saw
+1.76x where the builder's window said 1.43x). This script alternates
+FULL-SUITE passes — D, S, D, S, ... — inside one run, so each engine's
+median sees the same minutes of box weather, and reports the PAIRED
+ratio per subset.
+
+Per pass:
+  - DuckDB: every oracle query once, reference config (fresh in-memory
+    connection per query, threads=2, memory_limit=1GB), per-query
+    subprocess timeout (a query that times out is excluded from BOTH
+    sides' totals and listed).
+  - Spark: one `graft.Bench` invocation with SPARK_GRAFT_BENCH_N=1
+    (its own warm-up pass + 1 measured iteration, steady-state per
+    query like the recorded BENCH numbers); per-query times read from
+    BENCH.json.
+
+d_ngram_jaccard is excluded up front: DuckDB needs >25 min on it at
+sf0.1 (measured r1) and every prior ratio is quoted ex-ngram.
+
+Output: one JSON line (medians, paired ratios, subsets) + a markdown
+table on stderr ready for BASELINE.md.
+NOT part of the Spark library — dev tooling only.
+"""
+import json, multiprocessing as mp, os, statistics, subprocess, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from baseline_duckdb import run_one  # same reference-config runner
+
+EXCLUDE = {"d_ngram_jaccard"}  # all-pairs: DuckDB timeout lower-bound
+# bench-only entries with no oracle (amortized probe cost) never enter
+# the like-for-like total on either side
+SPARK_ONLY_OK = {"s_lsh_probe_only", "s_ivf_probe_only"}
+
+# the scalar/relational subset used by BASELINE.md (everything that is
+# not an index-build/dedup-family query)
+NON_SCALAR_PREFIXES = ("d_", "s_", "x_line", "mm_")
+
+
+def duckdb_pass(sf_dir, oracles, timeout, timed_out):
+    out = {}
+    for name, sql in sorted(oracles.items()):
+        if name in EXCLUDE or name in timed_out:
+            continue
+        q = mp.Queue()
+        p = mp.Process(target=run_one, args=(sf_dir, sql, q))
+        p.start(); p.join(timeout)
+        if p.is_alive():
+            p.terminate(); p.join()
+            timed_out.add(name)
+            print(f"# duckdb {name} exceeded {timeout}s — excluded from both sides",
+                  file=sys.stderr)
+            continue
+        try:
+            r = q.get(timeout=5)
+        except Exception:
+            r = "error: no result"
+        if isinstance(r, float):
+            out[name] = r
+        else:
+            print(f"# duckdb {name} {r}", file=sys.stderr)
+    return out
+
+
+def spark_pass(sf_dir, repo):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_BENCH_N="1")
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=repo, env=env,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                   check=True, timeout=1800)
+    with open(os.path.join(repo, "BENCH.json")) as f:
+        return json.load(f)["queries"]
+
+
+def main(sf_dir, out_dir, rounds=3, timeout=60):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    duck, spark = {}, {}
+    timed_out = set()
+    t0 = time.time()
+    for r in range(rounds):
+        # D then S, strictly alternating: each engine's r-th sample sits
+        # in the same few minutes of box conditions as the other's
+        for name, v in duckdb_pass(sf_dir, oracles, timeout, timed_out).items():
+            duck.setdefault(name, []).append(v)
+        for name, v in spark_pass(sf_dir, repo).items():
+            spark.setdefault(name, []).append(v)
+        print(f"# round {r + 1}/{rounds} done at {time.time() - t0:.0f}s",
+              file=sys.stderr)
+
+    dmed = {k: statistics.median(v) for k, v in duck.items() if k not in timed_out}
+    smed = {k: statistics.median(v) for k, v in spark.items()}
+    common = sorted(set(dmed) & set(smed))
+    scalar = [k for k in common if not k.startswith(NON_SCALAR_PREFIXES)]
+
+    def tot(keys, med):
+        return sum(med[k] for k in keys)
+
+    # Amortized view: s_lsh_indexed / s_ivf_topk deliberately measure
+    # build + probe each call, but an index is built ONCE — the
+    # steady-state per-query cost is the probe-only twin (partition-
+    # pruned read, measured by Bench against the same data). Swap the
+    # Spark side only; DuckDB's oracle (a raw-parquet scan with no
+    # index to amortize) is already its steady state.
+    AMORTIZED = {"s_lsh_indexed": "s_lsh_probe_only",
+                 "s_ivf_topk": "s_ivf_probe_only"}
+    amort = {k: smed[AMORTIZED[k]] if k in AMORTIZED and AMORTIZED[k] in smed
+             else smed[k] for k in common}
+
+    result = {
+        "protocol": f"interleaved A/B full passes x{rounds}, per-query medians",
+        "sf": sf_dir,
+        "common_ex_ngram": {
+            "n": len(common), "spark_sec": round(tot(common, smed), 3),
+            "duckdb_sec": round(tot(common, dmed), 3),
+            "ratio": round(tot(common, smed) / tot(common, dmed), 3)},
+        "scalar_relational": {
+            "n": len(scalar), "spark_sec": round(tot(scalar, smed), 3),
+            "duckdb_sec": round(tot(scalar, dmed), 3),
+            "ratio": round(tot(scalar, smed) / tot(scalar, dmed), 3)},
+        "common_ex_ngram_amortized_index": {
+            "n": len(common), "spark_sec": round(tot(common, amort), 3),
+            "duckdb_sec": round(tot(common, dmed), 3),
+            "ratio": round(tot(common, amort) / tot(common, dmed), 3),
+            "swapped": sorted(k for k in AMORTIZED if k in common
+                              and AMORTIZED[k] in smed)},
+        "excluded_upfront": sorted(EXCLUDE),
+        "timed_out_excluded": sorted(timed_out),
+        "spark_only_unpaired": sorted((set(smed) - set(dmed)) - SPARK_ONLY_OK
+                                      | (SPARK_ONLY_OK & set(smed))),
+        # per-query ratios only mean something when at least one side
+        # is non-trivial — a 0.06s-vs-0.8ms pair is all fixed floor
+        "worst_paired": sorted(
+            ((k, round(smed[k] / dmed[k], 2))
+             for k in common if dmed[k] > 0 and max(smed[k], dmed[k]) >= 0.2),
+            key=lambda kv: -kv[1])[:8],
+    }
+    print(json.dumps(result))
+    c, s = result["common_ex_ngram"], result["scalar_relational"]
+    print("\n| subset | n | Spark s | DuckDB s | paired ratio |", file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
+    print(f"| common oracle ex-ngram | {c['n']} | {c['spark_sec']} | "
+          f"{c['duckdb_sec']} | {c['ratio']}x |", file=sys.stderr)
+    print(f"| scalar/relational | {s['n']} | {s['spark_sec']} | "
+          f"{s['duckdb_sec']} | {s['ratio']}x |", file=sys.stderr)
+    a = result["common_ex_ngram_amortized_index"]
+    print(f"| common, amortized index | {a['n']} | {a['spark_sec']} | "
+          f"{a['duckdb_sec']} | {a['ratio']}x |", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 60)
