@@ -295,13 +295,24 @@ object Multimodal {
     * exactly the narrow gap left open (the fallback featurization
     * covers them).
     */
+  // Little-endian byte primitives shared by every container walk in
+  // this object (WAV, AVI, audio signature sniffing): ONE definition,
+  // so a bounds or unsigned-size hardening lands in all of them at
+  // once instead of in three drifting private copies.
+  private def asciiAt(bytes: Array[Byte], o: Int, n: Int): String =
+    new String(bytes, o, n, "US-ASCII")
+  private def u16le(bytes: Array[Byte], o: Int): Int =
+    (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+  private def u32le(bytes: Array[Byte], o: Int): Long =
+    u16le(bytes, o).toLong | (u16le(bytes, o + 2).toLong << 16)
+
   private[multimodal] def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
     if (bytes == null || bytes.length < 44) return None
-    def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+    def ascii(o: Int, n: Int) = asciiAt(bytes, o, n)
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
     try {
-      def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-      def u32(o: Int) = u16(o).toLong | (u16(o + 2).toLong << 16)
+      def u16(o: Int) = u16le(bytes, o)
+      def u32(o: Int) = u32le(bytes, o)
       // LONG cursor + unsigned chunk sizes, like AudioMeta.probe: a
       // crafted size of 0xFFFFFFF8 truncated to a signed Int would
       // advance the walk by ZERO and spin the task forever
@@ -453,20 +464,26 @@ object Multimodal {
   private[multimodal] def aviMjpegFrames(
       bytes: Array[Byte]): (Option[Long], Vector[Array[Byte]]) = {
     if (bytes == null || bytes.length < 12) return (None, Vector.empty)
-    def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+    def ascii(o: Int, n: Int) = asciiAt(bytes, o, n)
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return (None, Vector.empty)
-    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-    def u32(o: Int) = u16(o).toLong | (u16(o + 2).toLong << 16)
+    def u32(o: Int) = u32le(bytes, o)
     var usPerFrame = Option.empty[Long]
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(start: Long, end: Long): Unit = {
+    // depth cap: real AVI nests LIST ~3 deep (hdrl/strl, movi/rec);
+    // a crafted payload of thousands of nested 12-byte LIST headers
+    // would otherwise recurse one stack frame per level into a
+    // StackOverflowError — a VirtualMachineError that sails past the
+    // NonFatal catch below and kills the whole task
+    val MaxListDepth = 64
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > MaxListDepth) return
       var pos = start
       while (pos + 8 <= end) {
         val p = pos.toInt
         val id = ascii(p, 4)
         val len = u32(p + 4)
         val bodyEnd = math.min(end, pos + 8 + len)
-        if (id == "LIST" && pos + 12 <= end) walk(pos + 12, bodyEnd)
+        if (id == "LIST" && pos + 12 <= end) walk(pos + 12, bodyEnd, depth + 1)
         else if (id == "avih" && len >= 4 && p + 12 <= bytes.length)
           usPerFrame = Some(u32(p + 8))
         else if ((id.endsWith("dc") || id.endsWith("db")) &&
@@ -476,7 +493,7 @@ object Multimodal {
         pos += 8 + len + (len & 1) // chunks are word-aligned
       }
     }
-    try walk(12L, math.min(bytes.length.toLong, 8L + u32(4)))
+    try walk(12L, math.min(bytes.length.toLong, 8L + u32(4)), 0)
     catch { case scala.util.control.NonFatal(_) => }
     (usPerFrame, frames.result())
   }
@@ -526,13 +543,27 @@ object Multimodal {
   def audioSamples(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
     val decoded = decodeWavPcm(bytes)
     if (decoded.isDefined || bytes == null || bytes.length < 12) return decoded
-    def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+    def ascii(o: Int, n: Int) = asciiAt(bytes, o, n)
+    // MP3 frame sync needs the full header to be VALID, not just the
+    // 11 sync bits — ~1 in 2000 random binary payloads starts 0xFF/0xEx
+    // and must stay "unrecognized junk → None", not a spurious raise:
+    // version != reserved, layer != reserved, bitrate != invalid,
+    // sample rate != reserved (ISO 11172-3 header layout)
+    def mp3FrameSync =
+      (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xe0) == 0xe0 &&
+        (bytes(1) & 0x18) != 0x08 && (bytes(1) & 0x06) != 0x00 &&
+        (bytes(2) & 0xf0) != 0xf0 && (bytes(2) & 0x0c) != 0x0c
+    // ftyp alone only says "ISO-BMFF container" — plain video .mp4
+    // shares it with M4A, and a video payload flowing through an audio
+    // stage is expected corpus mix, not a raise. Only the AUDIO major
+    // brands claim audio here.
+    def isoAudioBrand = ascii(4, 4) == "ftyp" &&
+      Set("M4A ", "M4B ", "M4P ").contains(ascii(8, 4))
     val compressed =
-      if (ascii(0, 3) == "ID3" ||
-        ((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xe0) == 0xe0)) Some("MP3")
+      if (ascii(0, 3) == "ID3" || mp3FrameSync) Some("MP3")
       else if (ascii(0, 4) == "OggS") Some("Ogg (Vorbis/Opus)")
       else if (ascii(0, 4) == "fLaC") Some("FLAC")
-      else if (bytes.length >= 12 && ascii(4, 4) == "ftyp") Some("MPEG-4 (AAC/ALAC)")
+      else if (isoAudioBrand) Some("MPEG-4 (AAC/ALAC)")
       else None
     compressed.foreach { fmt =>
       throw new UnsupportedOperationException(

@@ -64,11 +64,13 @@ object Bm25 {
     // per-doc 0/1 match vector aligned with the terms array; a
     // null-text doc contributes a zero vector — exactly what the old
     // per-term `sum(array_contains(null,t))` null-skip produced —
-    // while still counting in N (and not in avgdl: _dl stays null)
-    val zeroVec = typedlit(Seq.fill(terms.size)(0.0))
-    val matchVec = array_to_vector(coalesce(
-      transform(termsArr, t => array_contains(col("_t"), t).cast("double")),
-      zeroVec))
+    // while still counting in N (and not in avgdl: _dl stays null).
+    // The coalesce must sit INSIDE the transform: the outer array is
+    // built from the non-null terms literal and is never null itself —
+    // it's the ELEMENTS (`array_contains(null, t)`) that null out, and
+    // a null element crashes array_to_vector's non-null assert.
+    val matchVec = array_to_vector(transform(termsArr,
+      t => coalesce(array_contains(col("_t"), t), lit(false)).cast("double")))
     val stats = toks
       .withColumn("_mv", matchVec)
       .agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"),
@@ -87,8 +89,12 @@ object Bm25 {
         (col("_n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
       idf * (tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * lenNorm)
     })
-    val contribution =
-      aggregate(contributions, lit(0.0), (acc, x) => acc + x)
+    // A null-text doc's per-term chain nulls out (size(filter(null))
+    // is null, and lenNorm carries the null _dl) — score it 0.0
+    // explicitly, the "matches nothing" value the zero match vector
+    // already gave it on the stats side.
+    val contribution = when(col("_t").isNull, lit(0.0)).otherwise(
+      aggregate(contributions, lit(0.0), (acc, x) => acc + x))
 
     toks.crossJoin(stats)
       .select(col(idCol), round(contribution, 6).as("bm25"))

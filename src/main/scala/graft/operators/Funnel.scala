@@ -139,17 +139,23 @@ object Funnel {
     // broadcast join below is a no-op probe), and raise with the key
     // named the moment an offender's row flows toward the array agg.
     val guarded = maxEventsPerKey.fold(filtered) { max =>
+      // null-SAFE join (<=>): the most likely hot key in event data is
+      // the NULL key (anonymous/bot traffic), and an equi-join on the
+      // key column would never match it — the guard would silently
+      // wave the one key it most needs to catch into the array agg
       val hot = filtered.groupBy(keyCol).agg(count(lit(1)).as("_nev"))
         .filter(col("_nev") > max)
-      filtered.join(broadcast(hot), Seq(keyCol), "left")
+        .withColumnRenamed(keyCol, "_hot_key")
+      filtered.join(broadcast(hot), col(keyCol) <=> col("_hot_key"), "left")
         .withColumn("_hot_guard", when(col("_nev").isNotNull, raise_error(
-          concat(lit("funnel hot key '"), col(keyCol).cast("string"),
+          concat(lit("funnel hot key '"),
+            coalesce(col(keyCol).cast("string"), lit("NULL")),
             lit("' has "), col("_nev").cast("string"),
             lit(s" funnel events (maxEventsPerKey=$max): stagesOneScan would " +
               "materialize its full per-stage arrays — use the skew-safe " +
               "chained stages() for this workload, or raise the cap")))))
         .filter(col("_hot_guard").isNull)
-        .drop("_nev", "_hot_guard")
+        .drop("_nev", "_hot_guard", "_hot_key")
     }
 
     // _nh counts stage-1 EVENTS (not timestamps): a key whose stage-1

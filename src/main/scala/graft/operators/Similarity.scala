@@ -152,11 +152,41 @@ object Similarity {
     * a corpus-wide rewrite; partition pruning on probes is unchanged.
     */
   def lshAppend(
-      df: DataFrame, idCol: String, vecCol: String, index: LshIndex): Unit =
-    df.select(col(idCol), col(vecCol),
-        bucketExpr(col(vecCol), index.planes).as("_bucket"))
+      df: DataFrame, idCol: String, vecCol: String, index: LshIndex): Unit = {
+    val saved = df.sparkSession.read.parquet(index.path).schema
+    val batch = conformToLayout(df, saved, "_bucket", vecCol,
+      index.planes.head.length, "LSH")
+    batch.withColumn("_bucket", bucketExpr(col(vecCol), index.planes))
       .repartition(col("_bucket"))
       .write.mode("append").partitionBy("_bucket").parquet(index.path)
+  }
+
+  /** Layout law for index appends: an appended file must carry EXACTLY
+    * the columns the saved layout carries — the index readers are
+    * plain `spark.read.parquet` (no mergeSchema), which resolves the
+    * schema from ONE file footer, so a batch missing or renaming a
+    * build-time column would make that column silently vanish for
+    * every row whenever an appended footer wins. Missing columns raise
+    * up front; extras are projected away; a one-row dimension check
+    * against the saved geometry (planes/centroids) catches the
+    * wrong-embedding-column case before it poisons the layout.
+    */
+  private def conformToLayout(
+      df: DataFrame, saved: org.apache.spark.sql.types.StructType,
+      partCol: String, vecCol: String, dim: Int, what: String): DataFrame = {
+    val expect = saved.fieldNames.filterNot(_ == partCol)
+    val missing = expect.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$what append batch is missing saved-layout column(s) " +
+        s"${missing.mkString(", ")} — the persisted index carries " +
+        s"(${expect.mkString(", ")}), and mixed-schema files silently drop " +
+        "columns on read")
+    df.select(size(col(vecCol))).take(1).foreach { r =>
+      if (!r.isNullAt(0)) require(r.getInt(0) == dim,
+        s"$what append batch vector dimension ${r.getInt(0)} != index dimension $dim")
+    }
+    df.select(expect.map(col).toIndexedSeq: _*)
+  }
 
   /** Query a persisted LSH index: the bucket filter prunes partitions
     * at planning time (PlanSpec pins this), exact-cosine rerank on the
@@ -242,9 +272,12 @@ object Similarity {
   def ivfAppend(
       df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val centroids = loadCentroids(df.sparkSession, path)
+    val saved = df.sparkSession.read.parquet(s"$path/assigned").schema
+    val batch = conformToLayout(df, saved, "_cell", vecCol,
+      centroids.head.length, "IVF")
     val scores = array(centroids.map(c =>
       dotConst(col(vecCol), c) - lit(c.map(x => x * x).sum / 2)): _*)
-    df.withColumn("_scores", scores)
+    batch.withColumn("_scores", scores)
       .withColumn("_cell",
         (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
       .drop("_scores")

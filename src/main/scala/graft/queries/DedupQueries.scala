@@ -21,6 +21,42 @@ object DedupQueries {
 
   private val CloneShift = 1000000L
 
+  // Per-process tmp lakes (d_incremental_fp) are bounded WITHIN a
+  // process by the fixed overwrite path, but every fresh JVM (each
+  // paired-bench round spawns one) would otherwise leave its own
+  // corpus-sized dir behind forever. Two-part cleanup: a shutdown hook
+  // removes this process's lakes on exit, and first use sweeps
+  // siblings whose pid is no longer alive (debris from kill -9'd
+  // runs). Both only ever touch dirs matching our own naming pattern.
+  private val tmpLakeRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val TmpLakePattern = "graft_incr_fp_lake_p(\\d+)_.*".r
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private def registerTmpLake(path: String): String = {
+    if (tmpLakeRegistered.add(path)) {
+      if (tmpLakeRegistered.size == 1) { // first lake: sweep dead-pid debris
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+        val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
+          f.getName match {
+            case TmpLakePattern(pid) =>
+              scala.util.Try(ProcessHandle.of(pid.toLong).isEmpty).getOrElse(false)
+            case _ => false
+          }
+        }
+        stale.foreach(deleteRecursively)
+      }
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(new java.io.File(path))))
+    }
+    path
+  }
+
   /** documents ∪ TWO exact-clone generations of doc_id < 30 — every
     * cloned doc becomes a 3-clique under exact near-dup pairing, so
     * cluster outputs have a pure-SQL oracle (per-text-group min id).
@@ -297,12 +333,13 @@ object DedupQueries {
       // by (pid, sfDir-hash) so a bench and a correctness run in
       // SEPARATE processes never overwrite each other's lake mid-read;
       // within one process the repeated overwrites are serial by
-      // construction. Bounded: one dir per (process, sf) pair, reused
-      // across that process's iterations.
-      val lakeDir = java.nio.file.Paths.get(
+      // construction. Bounded ACROSS processes too: registerTmpLake
+      // deletes this pid's lakes at JVM exit and sweeps dead-pid
+      // debris, so repeated bench JVMs don't accrete one lake each.
+      val lakeDir = registerTmpLake(java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft_incr_fp_lake_p${ProcessHandle.current.pid}" +
-          s"_${(dir.hashCode & 0xfffffff).toHexString}").toString
+          s"_${(dir.hashCode & 0xfffffff).toHexString}").toString)
       docs.filter(col("doc_id") % 10 =!= 7)
         .withColumn(graft.streaming.CorpusIngest.FingerprintCol, fp)
         .write.mode("overwrite").parquet(lakeDir)

@@ -300,4 +300,46 @@ class MultimodalSpec extends AnyFunSuite {
       .head.getAs[Double]("avg_feat_norm")
     assert(math.abs(norm - math.sqrt(8.0)) < 1e-3, s"norm $norm")
   }
+
+  test("a crafted deep-nested LIST AVI returns no frames, not StackOverflow") {
+    // 30k nested 12-byte LIST headers would recurse one stack frame
+    // per level without the depth cap — a StackOverflowError is a
+    // VirtualMachineError that escapes NonFatal and kills the task
+    val depth = 30000
+    val nested = Array.fill(depth)(
+      "LIST".getBytes("US-ASCII") ++ u32le(0x0FFFFFFFL)).flatten
+    val body = "AVI ".getBytes("US-ASCII") ++ nested
+    val payload = "RIFF".getBytes("US-ASCII") ++
+      u32le(body.length.toLong) ++ body
+    val (us, frames) = Multimodal.aviMjpegFrames(payload)
+    assert(us.isEmpty && frames.isEmpty)
+  }
+
+  test("ISO-BMFF brands: video mp4 is None (corpus mix), audio M4A raises") {
+    def ftyp(brand: String) = u32le(24L).reverse ++
+      "ftyp".getBytes("US-ASCII") ++ brand.getBytes("US-ASCII") ++
+      Array.fill(12)(0.toByte)
+    // plain video containers share ftyp — they are NOT undecodable
+    // audio, they're not audio at all: hygiene-convention None
+    assert(Multimodal.audioSamples(ftyp("isom")).isEmpty)
+    assert(Multimodal.audioSamples(ftyp("mp42")).isEmpty)
+    val e = intercept[UnsupportedOperationException] {
+      Multimodal.audioSamples(ftyp("M4A "))
+    }
+    assert(e.getMessage.contains("MPEG-4"), e.getMessage)
+  }
+
+  test("MP3 sniff validates the full frame header, not just the sync bits") {
+    // sync bits present but bitrate index 1111 (invalid) → junk → None
+    val junk = Array(0xFF, 0xFB, 0xF0, 0x00).map(_.toByte) ++
+      Array.fill(16)(0.toByte)
+    assert(Multimodal.audioSamples(junk).isEmpty)
+    // a VALID MPEG-1 Layer III header (128 kbps, 44.1 kHz) → MP3 raise
+    val valid = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+      Array.fill(16)(0.toByte)
+    val e = intercept[UnsupportedOperationException] {
+      Multimodal.audioSamples(valid)
+    }
+    assert(e.getMessage.contains("MP3"), e.getMessage)
+  }
 }

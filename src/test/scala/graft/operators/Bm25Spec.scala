@@ -17,20 +17,25 @@ class Bm25Spec extends AnyFunSuite {
   private def local(
       corpus: Seq[(Long, String)], terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
-    val toks = corpus.map { case (id, t) =>
-      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    // null texts: count in N, excluded from avgdl, score 0.0 — the
+    // operator's documented null-skip semantics
+    val toksAll = corpus.map { case (id, t) =>
+      id -> Option(t).map(_.trim.toLowerCase.split("\\s+").toSeq)
     }
-    val n = toks.size.toDouble
+    val toks = toksAll.collect { case (id, Some(ts)) => id -> ts }
+    val n = corpus.size.toDouble
     val avgdl = toks.map(_._2.size.toLong).sum.toDouble / toks.size
     val dfs = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
-    toks.map { case (id, ts) =>
-      val dl = ts.size.toDouble
-      val score = terms.map { t =>
-        val tf = ts.count(_ == t).toDouble
-        val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
-        idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-      }.sum
-      id -> (score * 1e6).round / 1e6
+    toksAll.map {
+      case (id, None) => id -> 0.0
+      case (id, Some(ts)) =>
+        val dl = ts.size.toDouble
+        val score = terms.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+          idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }.sum
+        id -> (score * 1e6).round / 1e6
     }.toMap
   }
 
@@ -116,5 +121,20 @@ class Bm25Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Bm25.score(docs, "doc_id", "text", Seq("  ", ""))
     }
+  }
+
+  test("a null-text doc scores 0.0 and does not crash the corpus") {
+    // regression: the match-vector formulation built a non-null array
+    // OF null elements for a null text, crashing array_to_vector —
+    // one null doc killed the whole query
+    val corpus = Seq((1L, "spark runs fast spark scales"),
+      (2L, "ducks swim in ponds"), (3L, "spark streams data"),
+      (4L, null.asInstanceOf[String]))
+    val got = Bm25.score(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("spark", "ducks"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(4L) == 0.0)
+    val want = local(corpus, Seq("spark", "ducks"))
+    corpus.map(_._1).foreach(id => assert(got(id) == want(id), s"doc $id"))
   }
 }

@@ -173,4 +173,21 @@ class FunnelSpec extends AnyFunSuite {
     // what motivates stagesOneScan for long funnels)
     assert(scans(Funnel.stages(src, Seq("A", "B", "C"))) >= 3)
   }
+
+  test("hot-key guard catches a hot NULL key (null-safe join)") {
+    import org.apache.spark.sql.functions._
+    // the most likely hot key in real event data IS null (anonymous /
+    // bot traffic); an equi-join guard would never match it
+    val hotNull = spark.range(5000).select(
+      lit(null).cast("long").as("user_id"),
+      timestamp_seconds(col("id")).as("ts"), lit("A").as("event_type"))
+    val log = events.unionByName(hotNull)
+    def chainMsgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${chainMsgs(t.getCause)}"
+    val e = intercept[Exception] {
+      Funnel.stagesOneScan(log, Seq("A", "B", "C"),
+        maxEventsPerKey = Some(1000L)).collect()
+    }
+    assert(chainMsgs(e).contains("funnel hot key 'NULL'"), chainMsgs(e))
+  }
 }

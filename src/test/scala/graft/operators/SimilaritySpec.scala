@@ -237,4 +237,63 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sparkBuckets(id) == Similarity.bucketOf(v, planes))
     }
   }
+
+  test("index append enforces the saved layout: missing column / wrong dim raise, extras are projected away") {
+    import org.apache.spark.sql.functions.col
+    // IVF keeps ALL build-time columns — a batch missing one would
+    // write mixed-schema files and the no-mergeSchema reader could
+    // silently drop the column for every row
+    val old = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f, 0.0f), i % 5)
+      else (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.0f, 0.0f), i % 5)
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_appval")
+      .resolve("idx").toString
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(old.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", nlist = 2), path)
+
+    val noLabel = Seq((100L, Array(1.05f, 0.0f, 0.0f, 0.0f)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(noLabel.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("label"), e.getMessage)
+
+    val wrongDim = Seq((100L, Array(1.05f, 0.0f, 0.0f), 1))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(wrongDim.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", path)
+    }
+    assert(e2.getMessage.contains("dimension"), e2.getMessage)
+
+    // extra columns are projected away, and the good append lands with
+    // the saved layout intact (label survives for old AND new rows)
+    val withExtra = Seq((100L, Array(1.05f, 0.0f, 0.0f, 0.0f), 3, "junk"))
+    Similarity.ivfAppend(
+      withExtra.toDF("vec_id", "embedding", "label", "extra"),
+      "vec_id", "embedding", path)
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    assert(!loaded.assigned.columns.contains("extra"))
+    assert(loaded.assigned.filter(col("vec_id") === 100L)
+      .select("label").head.getInt(0) == 3)
+    assert(loaded.assigned.filter(col("label").isNull).count() == 0)
+
+    // LSH: same law (its layout is always (id, vec)); wrong dim raises
+    val lpath = java.nio.file.Files.createTempDirectory("graft_appval")
+      .resolve("lsh").toString
+    val lidx = Similarity.lshIndex(
+      old.map(r => (r._1, r._2)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", lpath, numPlanes = 4)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.lshAppend(noLabel.toDF("id", "emb"), "id", "emb", lidx)
+    }
+    assert(e3.getMessage.contains("vec_id"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.lshAppend(
+        Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", lidx)
+    }
+    assert(e4.getMessage.contains("dimension"), e4.getMessage)
+  }
 }
