@@ -513,10 +513,26 @@ object Dedup {
   /** `stageDir`: as in [[minHashNearDups]] — stages the per-doc
     * posting index to parquet instead of executor storage.
     */
+  /** `maxCandidatePairs`: opt-in saturation guard. Prefix filtering's
+    * whole premise is that SOME shingle in every doc is globally rare;
+    * a bounded vocabulary voids it — with |V| tokens the n-gram space
+    * is |V|ⁿ, and once the corpus saturates it EVERY pair shares
+    * prefix shingles, so candidate generation is Θ(n²) for any exact
+    * scheme (measured: the sf10 scaling star, a 31-token salad whose
+    * 29 791 = 31³ trigram space is fully saturated, went ×95 per data
+    * decade). With the cap set, one cheap aggregate over the prefix
+    * index computes the EXACT candidate-join row count first and
+    * raises actionably past the cap — pointing at [[minHashNearDups]],
+    * whose banded signatures stay bounded on exactly this data (×2.5
+    * per decade in the same audit) — instead of grinding quadratically.
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      stageDir: Option[String] = None): DataFrame = {
+      stageDir: Option[String] = None,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
+    maxCandidatePairs.foreach(m => require(m >= 1,
+      s"maxCandidatePairs must be >= 1, got $m"))
     // Postings carry the 64-bit shingle hash, never the string — every
     // downstream shuffle/persist moves 8-byte longs. Jaccard over
     // distinct-shingle hashes equals string Jaccard absent an in-pair
@@ -561,6 +577,22 @@ object Dedup {
       explode(transform(
         slice(col("_items"), lit(1), prefixLen),
         s => s.getField("_h"))).as("_h"))
+
+    maxCandidatePairs.foreach { cap =>
+      // exact size of the candidate self-join below: Σ_h c_h·(c_h−1)/2
+      // over prefix-posting frequencies — one aggregate over the
+      // (staged) prefix stream, negligible next to the join it guards
+      val est = Option(
+        prefix.groupBy("_h").agg(count(lit(1)).as("_c"))
+          .agg(sum(col("_c") * (col("_c") - lit(1)) / lit(2)).as("_p"))
+          .head().get(0)).fold(0L)(v => math.round(v.toString.toDouble))
+      require(est <= cap,
+        s"ngramJaccardPairs would generate $est candidate pairs " +
+          s"(maxCandidatePairs=$cap): the shingle space is saturated — no " +
+          "globally-rare prefixes exist, so exact pair generation is " +
+          "quadratic on this corpus. Use minHashNearDups (banded LSH stays " +
+          "bounded on saturated vocabularies) or raise the cap.")
+    }
 
     // Length filter (exact necessary condition): J ≥ t ⇒
     // min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes candidates before the

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextSignatures
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al.,
+  * NeurIPS 2023): score every raw document by how much more likely its
+  * hashed-n-gram bag is under a TARGET corpus distribution than under
+  * the raw distribution, then resample the raw corpus by those
+  * importance weights — the published recipe for "make the crawl look
+  * like the high-quality target" at pretraining scale.
+  *
+  * Model: unigram+bigram word shingles hash into `NumBuckets` buckets
+  * (3 hex chars of md5 — cross-engine reproducible, like every other
+  * md5-derived decision in this library). Each corpus fits a
+  * Laplace-smoothed categorical over buckets; a doc's importance
+  * log-weight is the sum over its gram OCCURRENCES of
+  * `ln p_target(b) − ln p_raw(b)`.
+  *
+  * 100 TB shape: the model is BOUNDED by construction — two
+  * bucket-sized aggregates (partial/map-side combined) fit both
+  * distributions, and the per-bucket log-ratios (NumBuckets entries,
+  * ~32 KB) embed in the scoring plan as one array literal, so scoring
+  * is a pure per-row expression: the corpus is scanned ONCE and never
+  * shuffles (no join, no window — cheaper than broadcasting). This is
+  * the same collect-once-validated-small-table pattern as
+  * [[DomainMix]], with the same justification: the collected side is
+  * fixed-size no matter how big the data gets.
+  *
+  * Determinism across engines (the oracle recipe proven by
+  * [[LmScore]]): counts are exact integers; each per-bucket log-ratio
+  * is computed from double divisions of those integers, then quantized
+  * to DECIMAL(28,10) — absorbing any 1-ulp `ln` library difference —
+  * and per-doc accumulation sums decimals exactly; the final score
+  * rounds to 6 places.
+  */
+object Dsir {
+
+  /** 16^3 buckets: 3 hex chars of md5. Fixed, not a knob — the oracle
+    * twin and [[logRatios]]' dense layout both bake it in.
+    */
+  val NumBuckets: Int = 4096
+
+  private val Dec = DecimalType(28, 10)
+
+  /** Unigram + bigram word shingles, multiplicity kept — DSIR's
+    * hashed n-gram feature stream.
+    */
+  def grams(text: Column): Column = concat(
+    TextSignatures.shingleStringsCol(text, 1),
+    TextSignatures.shingleStringsCol(text, 2))
+
+  /** Bucket index of one gram: first 3 md5 hex chars as an int. */
+  def bucketIdx(g: Column): Column =
+    conv(substring(md5(g), 1, 3), 16, 10).cast("int")
+
+  /** Fit both bucket distributions and return the DENSE per-bucket
+    * log-ratio table `ln p_target(b) − ln p_raw(b)` (Laplace +1 over
+    * `NumBuckets`), quantized to DECIMAL(28,10). Two bucket-bounded
+    * aggregates; the ln+quantize step runs through Spark expressions
+    * (not driver math) so the values are the engine's own.
+    */
+  def logRatios(
+      target: DataFrame, raw: DataFrame, textCol: String): Array[java.math.BigDecimal] = {
+    val spark = raw.sparkSession
+    def bucketCounts(df: DataFrame): Map[Int, Long] = df
+      .select(explode(grams(col(textCol))).as("_g"))
+      .groupBy(bucketIdx(col("_g")).as("_b")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cp = bucketCounts(target)
+    val cq = bucketCounts(raw)
+    val np = cp.valuesIterator.sum
+    val nq = cq.valuesIterator.sum
+    require(np > 0, "DSIR target corpus has no grams — cannot fit a target distribution")
+    require(nq > 0, "DSIR raw corpus has no grams — cannot fit a raw distribution")
+
+    import spark.implicits._
+    val rows = (0 until NumBuckets).map { b =>
+      (b, cp.getOrElse(b, 0L) + 1L, cq.getOrElse(b, 0L) + 1L)
+    }
+    rows.toDF("b", "cp1", "cq1")
+      .select(col("b"),
+        (log(col("cp1").cast("double") / lit((np + NumBuckets).toDouble)) -
+          log(col("cq1").cast("double") / lit((nq + NumBuckets).toDouble)))
+          .cast(Dec).as("lr"))
+      .orderBy("b")
+      .collect().map(_.getDecimal(1))
+  }
+
+  /** Per-doc importance log-weight from a prefitted ratio table, as a
+    * single in-row expression over the embedded array literal — one
+    * corpus scan, zero shuffles.
+    */
+  def scoreWith(
+      df: DataFrame, textCol: String,
+      ratios: Array[java.math.BigDecimal]): DataFrame = {
+    require(ratios.length == NumBuckets,
+      s"ratio table must have $NumBuckets entries, got ${ratios.length}")
+    // double round-trip is lossless here: the quantized values carry
+    // 10 decimals at magnitude ~1e1, well inside double's 15-16
+    // significant digits, and the cast back to DECIMAL(28,10)
+    // re-rounds to the identical quantum
+    val rlit = typedlit(ratios.map(_.doubleValue).toSeq)
+    val sumDec = aggregate(
+      grams(col(textCol)), lit(0).cast(Dec),
+      (acc, g) => (acc + element_at(rlit, bucketIdx(g) + 1).cast(Dec)).cast(Dec))
+    df.withColumn("dsir_logw", round(sumDec.cast("double"), 6))
+  }
+
+  /** Fit + score in one call: the DSIR importance log-weight of every
+    * `df` doc for steering `df` toward `target`.
+    */
+  def score(
+      df: DataFrame, target: DataFrame, textCol: String): DataFrame =
+    scoreWith(df, textCol, logRatios(target, df, textCol))
+
+  /** Deterministic Gumbel-top-k: md5-derived uniform per id (the
+    * library's standard reproducible-randomness device) feeds the
+    * Gumbel trick, so `k` docs are sampled WITHOUT replacement with
+    * probability proportional to their softmax importance weight —
+    * DSIR's actual resampling step, reproducible across runs and
+    * engines. The ranking key rounds to 6 places (ulp hygiene) with an
+    * id tiebreak; output is the sampled ids in id order.
+    */
+  def resample(
+      df: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"resample size must be >= 1, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = round(col("dsir_logw") + -log(-log(u)), 6)
+    score(df, target, textCol)
+      .orderBy(key.desc, col(idCol).asc)
+      .limit(k)
+      .select(idCol)
+      .orderBy(idCol)
+  }
+}

@@ -419,6 +419,29 @@ object TextQueries {
         .groupBy(fingerprint(col("text")).as("fp"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("fp")
+    }),
+
+    // DSIR importance scoring (Xie 2023): how much more likely each
+    // doc's hashed-gram bag is under the TARGET (here: the corpus's en
+    // slice) than under the raw corpus. Two bucket-bounded aggregates
+    // fit the model; the 4096-entry log-ratio table embeds in the plan
+    // as an array literal, so scoring is one corpus scan with ZERO
+    // shuffles — no join, no window.
+    "x_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dsir.score(docs, docs.filter(col("lang") === "en"), "text")
+        .select(col("doc_id"), col("dsir_logw"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR's resampling step: Gumbel-top-k over the importance weights
+    // (md5-derived uniforms — reproducible across runs and engines) =
+    // k docs sampled without replacement proportional to softmax
+    // weight. TakeOrdered (no global sort) over the zero-shuffle score.
+    "x_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dsir.resample(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 200)
     })
   )
 
@@ -780,6 +803,69 @@ object TextQueries {
         |SELECT DISTINCT doc_id FROM grams
         |WHERE doc_id % 7 != 0
         |  AND g IN (SELECT g FROM grams WHERE doc_id % 7 = 0)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full CTE twin of the DSIR model: same tokenization as the
+    // shingle expressions, same 3-hex-char md5 buckets, same Laplace
+    // smoothing, same ln-then-DECIMAL(28,10) quantization before the
+    // exact per-doc sum (the LmScore determinism recipe), same final
+    // 6-dp round.
+    "x_dsir_score" -> dsirScoreSql(
+      """SELECT d.doc_id, ROUND(CAST(COALESCE(s.v, 0) AS DOUBLE), 6) AS dsir_logw
+        |FROM documents d LEFT JOIN docsum s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // Same model; Gumbel keys from md5-derived uniforms, both engines
+    // rounding the ranking key to 6 places before the top-k.
+    "x_dsir_sample" -> dsirScoreSql(
+      """pick AS (
+        |  SELECT d.doc_id FROM documents d LEFT JOIN docsum s USING (doc_id)
+        |  ORDER BY ROUND(
+        |      ROUND(CAST(COALESCE(s.v, 0) AS DOUBLE), 6)
+        |      + (- ln(- ln(
+        |          (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           + 0.5) / 4294967296.0))), 6) DESC,
+        |    d.doc_id ASC
+        |  LIMIT 200
+        |)
+        |SELECT doc_id FROM pick ORDER BY doc_id""".stripMargin, extraCte = true)
   )
+
+  /** Shared CTE prefix for the two DSIR oracles: gram stream → md5
+    * buckets → smoothed per-bucket log-ratios → exact per-doc decimal
+    * sums (`docsum`). `extraCte = true` when the tail starts with its
+    * own CTE definition instead of a SELECT.
+    */
+  private def dsirScoreSql(tail: String, extraCte: Boolean = false): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, lang, unnest(t || CASE WHEN len(t) >= 2 THEN
+       |      [array_to_string(t[i:i+1], ' ')
+       |       for i in generate_series(1, len(t)-1)]
+       |    ELSE [] END) AS g
+       |  FROM toks
+       |), bg AS (
+       |  SELECT doc_id, lang, ('0x' || substr(md5(g), 1, 3))::INTEGER AS b
+       |  FROM grams
+       |), cp AS (
+       |  SELECT b, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY b
+       |), cq AS (
+       |  SELECT b, count(*) AS c FROM bg GROUP BY b
+       |), tot AS (
+       |  SELECT (SELECT count(*) FROM bg WHERE lang = 'en') AS np,
+       |         (SELECT count(*) FROM bg) AS nq
+       |), ratio AS (
+       |  SELECT q.b,
+       |    CAST(ln((COALESCE(p.c, 0) + 1)::DOUBLE / (tot.np + 4096)::DOUBLE)
+       |       - ln((q.c + 1)::DOUBLE / (tot.nq + 4096)::DOUBLE)
+       |      AS DECIMAL(28,10)) AS lr
+       |  FROM cq q CROSS JOIN tot LEFT JOIN cp p ON p.b = q.b
+       |), docsum AS (
+       |  SELECT bg.doc_id, sum(r.lr) AS v
+       |  FROM bg JOIN ratio r USING (b) GROUP BY bg.doc_id
+       |)${if (extraCte) "," else ""}
+       |$tail""".stripMargin
 }

@@ -231,4 +231,30 @@ class DedupSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(flagged == Seq(2L))
   }
+
+  test("ngramJaccard saturation guard: a tiny-vocab corpus raises actionably, generous cap is identity") {
+    // 3-token vocabulary → 27-shingle space, saturated by 60 docs:
+    // every doc pair shares prefix shingles, candidates are Θ(n²) —
+    // the sf10 audit's measured failure mode, in miniature
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c")
+    val salad = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(3))).mkString(" "))
+    }.toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(salad, "id", "text", threshold = 0.5,
+        maxCandidatePairs = Some(100L))
+    }
+    assert(e.getMessage.contains("saturated") &&
+      e.getMessage.contains("minHashNearDups"), e.getMessage)
+
+    // with a cap the corpus fits under, the guard is a pure no-op:
+    // identical pairs to the unguarded run
+    val guarded = Dedup.ngramJaccardPairs(corpus, "id", "text",
+        threshold = 0.3, maxCandidatePairs = Some(1000000L))
+      .collect().map(_.toSeq).toSet
+    val plain = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.3)
+      .collect().map(_.toSeq).toSet
+    assert(guarded == plain)
+  }
 }

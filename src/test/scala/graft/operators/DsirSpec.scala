@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val target = Seq(
+    (100L, "spark scales data pipelines fast"),
+    (101L, "spark jobs shuffle data across executors"),
+    (102L, "fast data jobs scale on spark"))
+  private val raw = Seq(
+    (1L, "spark scales data jobs fast"),      // target-like
+    (2L, "data pipelines shuffle on spark"),  // target-like
+    (3L, "ducks swim in quiet green ponds"),  // off-distribution
+    (4L, "green ponds host quiet swimming ducks"))
+
+  /** Local replica of the whole model with the operator's exact op
+    * order: md5 hex buckets, Laplace-smoothed double divisions,
+    * Math.log, DECIMAL(28,10) quantization of each ratio, exact
+    * decimal per-doc sums, final 6-dp round.
+    */
+  private def localScores(
+      tgt: Seq[(Long, String)], rw: Seq[(Long, String)]): Map[Long, Double] = {
+    val B = Dsir.NumBuckets
+    def grams(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      Integer.parseInt(d.take(2).map("%02x".format(_)).mkString.take(3), 16)
+    }
+    def counts(c: Seq[(Long, String)]): Map[Int, Long] =
+      c.flatMap(d => grams(d._2)).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val cp = counts(tgt); val cq = counts(rw)
+    val np = cp.values.sum; val nq = cq.values.sum
+    def ratio(b: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(
+        math.log((cp.getOrElse(b, 0L) + 1L).toDouble / (np + B).toDouble) -
+          math.log((cq.getOrElse(b, 0L) + 1L).toDouble / (nq + B).toDouble))
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+    rw.map { case (id, t) =>
+      val s = grams(t).map(g => ratio(bucket(g)))
+        .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      id -> java.math.BigDecimal.valueOf(s.doubleValue)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }.toMap
+  }
+
+  test("scores match a local replica of the full model exactly") {
+    val got = Dsir.score(
+        raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"), "text")
+      .select("doc_id", "dsir_logw")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = localScores(target, raw)
+    raw.map(_._1).foreach(id => assert(got(id) == want(id), s"doc $id"))
+  }
+
+  test("target-like docs outscore off-distribution docs") {
+    val got = Dsir.score(
+        raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logw")).toMap
+    assert(math.min(got(1L), got(2L)) > math.max(got(3L), got(4L)), got.toString)
+  }
+
+  test("scoring plan is one scan, zero shuffles, no joins") {
+    val plan = Dsir.score(
+        raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("resample: deterministic Gumbel-top-k, ids in order, subset of the corpus") {
+    val df = raw.toDF("doc_id", "text")
+    val tgt = target.toDF("doc_id", "text")
+    val a = Dsir.resample(df, tgt, "doc_id", "text", k = 2).as[Long].collect().toSeq
+    val b = Dsir.resample(df, tgt, "doc_id", "text", k = 2).as[Long].collect().toSeq
+    assert(a == b)
+    assert(a.size == 2 && a == a.sorted)
+    assert(a.toSet.subsetOf(raw.map(_._1).toSet))
+    intercept[IllegalArgumentException] {
+      Dsir.resample(df, tgt, "doc_id", "text", k = 0)
+    }
+  }
+
+  test("empty target or raw corpus raises actionably") {
+    val df = raw.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dsir.score(df, df.filter(lit(false)), "text")
+    }
+    assert(e.getMessage.contains("target"), e.getMessage)
+  }
+}
