@@ -1,0 +1,25 @@
+package graft
+
+/** Local-filesystem helpers for the library's few DRIVER-side tmp
+  * trees (per-process staging lakes, profiler stage dirs). Not for
+  * data-plane paths — those go through the Hadoop FileSystem API
+  * (e.g. CorpusIngest), which is DFS-correct.
+  */
+object LocalFs {
+
+  /** Recursively delete a local file tree; missing paths are a no-op.
+    * Does not follow symlinks out of the tree (listFiles on a symlink
+    * to a directory would, so callers own only trees they created).
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Delete a directory's CONTENTS, keeping the directory itself. */
+  def clearDirectory(dir: java.io.File): Unit = {
+    val children = dir.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+  }
+}

@@ -556,9 +556,12 @@ object Multimodal {
     // ftyp alone only says "ISO-BMFF container" — plain video .mp4
     // shares it with M4A, and a video payload flowing through an audio
     // stage is expected corpus mix, not a raise. Only the AUDIO major
-    // brands claim audio here.
+    // brands claim audio here; an audio-only file a muxer stamped
+    // isom/mp42 is indistinguishable from video without a moov parse
+    // and falls through to None (documented limitation of brand-level
+    // sniffing).
     def isoAudioBrand = ascii(4, 4) == "ftyp" &&
-      Set("M4A ", "M4B ", "M4P ").contains(ascii(8, 4))
+      Set("M4A ", "M4B ", "M4P ", "M4R ").contains(ascii(8, 4))
     val compressed =
       if (ascii(0, 3) == "ID3" || mp3FrameSync) Some("MP3")
       else if (ascii(0, 4) == "OggS") Some("Ogg (Vorbis/Opus)")

@@ -582,9 +582,15 @@ object Dedup {
       // exact size of the candidate self-join below: Σ_h c_h·(c_h−1)/2
       // over prefix-posting frequencies — one aggregate over the
       // (staged) prefix stream, negligible next to the join it guards
+      // counts go through double BEFORE the multiply: a saturated
+      // bucket past ~3e9 postings would wrap a Long product negative
+      // and could sneak the estimate under the cap on exactly the
+      // corpora the guard exists to catch (double loses ulps at that
+      // magnitude, which is irrelevant for a threshold estimate)
       val est = Option(
         prefix.groupBy("_h").agg(count(lit(1)).as("_c"))
-          .agg(sum(col("_c") * (col("_c") - lit(1)) / lit(2)).as("_p"))
+          .agg(sum(col("_c").cast("double") *
+            (col("_c") - lit(1)).cast("double") / lit(2.0)).as("_p"))
           .head().get(0)).fold(0L)(v => math.round(v.toString.toDouble))
       require(est <= cap,
         s"ngramJaccardPairs would generate $est candidate pairs " +

@@ -106,7 +106,12 @@ object Dsir {
     val sumDec = aggregate(
       grams(col(textCol)), lit(0).cast(Dec),
       (acc, g) => (acc + element_at(rlit, bucketIdx(g) + 1).cast(Dec)).cast(Dec))
-    df.withColumn("dsir_logw", round(sumDec.cast("double"), 6))
+    // null text → null gram array → null sum; score it 0.0 (the
+    // "matches nothing" value, same convention as Bm25 and the
+    // oracle's COALESCE) instead of leaking a null weight that would
+    // also silently sort out of any resample
+    df.withColumn("dsir_logw",
+      round(coalesce(sumDec, lit(0).cast(Dec)).cast("double"), 6))
   }
 
   /** Fit + score in one call: the DSIR importance log-weight of every

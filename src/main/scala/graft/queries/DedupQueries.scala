@@ -32,13 +32,8 @@ object DedupQueries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val TmpLakePattern = "graft_incr_fp_lake_p(\\d+)_.*".r
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
   private def registerTmpLake(path: String): String = {
+    import graft.LocalFs.deleteRecursively
     if (tmpLakeRegistered.add(path)) {
       if (tmpLakeRegistered.size == 1) { // first lake: sweep dead-pid debris
         val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))

@@ -327,6 +327,9 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.audioSamples(ftyp("M4A "))
     }
     assert(e.getMessage.contains("MPEG-4"), e.getMessage)
+    intercept[UnsupportedOperationException] {
+      Multimodal.audioSamples(ftyp("M4R ")) // AAC ringtone brand
+    }
   }
 
   test("MP3 sniff validates the full frame header, not just the sync bits") {

@@ -89,6 +89,20 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("a null-text doc scores 0.0, stays sampleable, and does not poison the corpus") {
+    val withNull = raw :+ (9L, null.asInstanceOf[String])
+    val got = Dsir.score(
+        withNull.toDF("doc_id", "text"), target.toDF("doc_id", "text"), "text")
+      .select("doc_id", "dsir_logw")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(9L).contains(0.0), got(9L).toString)
+    assert(raw.forall(d => got(d._1).isDefined))
+    // resample over the null-bearing corpus still returns k ids
+    val s = Dsir.resample(withNull.toDF("doc_id", "text"),
+      target.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+    assert(s.count() == 3)
+  }
+
   test("empty target or raw corpus raises actionably") {
     val df = raw.toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
