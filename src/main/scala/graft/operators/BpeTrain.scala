@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch,
+  * ACL 2016) — the "train the tokenizer on the corpus" step of a
+  * pretraining data pipeline.
+  *
+  * 100 TB shape: the ONLY corpus-scale work is one word-count
+  * aggregate (map-side combined, one shuffle on the word). BPE merges
+  * operate on the distinct-WORD table, whose size is the vocabulary —
+  * Zipf-bounded and `minCount`-pruned, NOT data-bounded — so the
+  * merge loop runs on the collected (word, count) model exactly like
+  * [[DomainMix]]'s rate table and [[Dsir]]'s ratio table: the
+  * collected side stays fixed-size as the data grows. A `maxWords`
+  * guard raises actionably instead of collecting an unbounded
+  * vocabulary (raise `minCount`, the standard Zipf lever). Driving
+  * the merge loop through Spark jobs instead (numMerges rounds of
+  * tiny aggregates) would pay the per-job floor thousands of times
+  * over for a model that fits in one executor's smallest slice.
+  *
+  * Determinism: pair counts are exact integers; the argmax tie-break
+  * is (count DESC, left ASC, right ASC) — byte-for-byte reproducible
+  * merges on any partitioning, any engine.
+  */
+object BpeTrain {
+
+  /** End-of-word sentinel (classic BPE): lets a merge learn that a
+    * subword is word-final, and makes decoding unambiguous. A
+    * private-use-area char (U+E000), so no real text symbol collides
+    * with it \u2014 the classic `</w>` STRING could be assembled by merges
+    * over a word that literally contains `<`, `/`, `w`, `>`.
+    */
+  val EndOfWord = "\uE000"
+
+  /** Distributed (word, count) aggregate — the corpus-scale step.
+    * Words are whitespace tokens of lowercased text, the same
+    * tokenization as every other text operator here.
+    */
+  def wordCounts(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
+      .filter(col("_w") =!= "")
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+  }
+
+  /** Learn `numMerges` merges. Returns them in rank order. */
+  def train(
+      df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 1L, maxWords: Int = 1000000): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val wc = wordCounts(df, textCol, minCount)
+    val n = wc.count()
+    require(n <= maxWords,
+      s"BPE vocabulary has $n distinct words (maxWords=$maxWords): raise " +
+        "minCount (Zipf: a count floor bounds the tail) or raise the cap")
+    val words = wc.collect().map(r => r.getString(0) -> r.getLong(1))
+    trainLocal(words, numMerges)
+  }
+
+  /** The merge loop over a collected (word, count) model — exposed for
+    * spec-level equivalence against reference implementations.
+    */
+  private[operators] def trainLocal(
+      words: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    // each distinct word as its symbol sequence (chars + sentinel)
+    var seqs: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ EndOfWord, c)
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (s, c) =>
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) i = numMerges // every word fully merged
+      else {
+        val best = counts.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        val fused = best._1 + best._2
+        seqs = seqs.map { case (s, c) =>
+          if (s.length < 2) (s, c)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2) {
+                out += fused; j += 2
+              } else { out += s(j); j += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Segment one word with a trained merge table: repeatedly apply the
+    * LOWEST-rank applicable merge (the standard BPE inference rule —
+    * train-order replay, so encoding a training word reproduces its
+    * training-time segmentation).
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var s: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+    var done = false
+    while (!done && s.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < s.length - 1) {
+        val r = ranks.getOrElse((s(j), s(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) done = true
+      else s = (s.take(bestAt) :+ (s(bestAt) + s(bestAt + 1))) ++ s.drop(bestAt + 2)
+    }
+    s
+  }
+
+  /** Tokenize a corpus with a trained merge table: adds `bpe_tokens`
+    * (array of subwords, sentinel kept on word-final pieces) and
+    * `bpe_n_tokens`. One `mapPartitions` pass with the merge table on
+    * the closure — the model is numMerges entries, broadcast-small by
+    * construction; per-word results are memoized per partition (Zipf:
+    * the same few words dominate every slice).
+    */
+  def encode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val spark = df.sparkSession
+    val ranksB = spark.sparkContext.broadcast(ranks)
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("bpe_tokens", ArrayType(StringType, containsNull = false)),
+      StructField("bpe_n_tokens", IntegerType, nullable = false)))
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      val memo = new java.util.HashMap[String, Seq[String]]()
+      val rk = ranksB.value
+      rows.map { r =>
+        val text = r.getString(idx)
+        val toks =
+          if (text == null) Seq.empty[String]
+          else text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+            .flatMap(w => memo.computeIfAbsent(w, encodeWord(_, rk)))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(toks, toks.size))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+}
