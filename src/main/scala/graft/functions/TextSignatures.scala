@@ -45,6 +45,16 @@ object TextSignatures {
   private val WS = java.util.regex.Pattern.compile("\\s+")
   private val XxSeed = 42L // Spark's xxhash64 default seed
 
+  /** JVM-side twin of the Column tokenization `split(lower(trim(c)),
+    * "\s+")` — routed through UTF8String so trim (ASCII space only,
+    * NOT Java's <= U+0020 sweep) and toLowerCase (locale-free) are
+    * BIT-IDENTICAL to what Spark executes: a JVM-side operator half
+    * (e.g. BPE encode) must segment exactly like its Column-side
+    * training half, on any default locale.
+    */
+  private[graft] def jvmTokens(s: String): Array[String] =
+    WS.split(UTF8String.fromString(s).trim().toLowerCase.toString, -1)
+
   /** Per-token xxhash64 values of `split(lower(trim(s)), "\s+")`. */
   def tokenHashes(s: UTF8String): Array[Long] = {
     val str = s.trim().toLowerCase.toString

@@ -72,6 +72,53 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out(2L)._1 == Nil && out(2L)._2 == 0)
   }
 
+  test("incremental merge loop equals a naive full-recount reference on random vocabularies") {
+    // the naive reference: recount every pair across every word each
+    // round — O(rounds × symbols), obviously correct
+    def naive(words: Array[(String, Long)], n: Int): Seq[(String, String)] = {
+      var seqs = words.map { case (w, c) => (w.map(_.toString).toVector :+ W, c) }
+      val out = Seq.newBuilder[(String, String)]
+      var i = 0
+      while (i < n) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        seqs.foreach { case (s, c) =>
+          s.sliding(2).filter(_.size == 2).foreach { p =>
+            val k = (p(0), p(1))
+            counts.update(k, counts.getOrElse(k, 0L) + c)
+          }
+        }
+        if (counts.isEmpty) i = n
+        else {
+          val best = counts.minBy { case ((l, r), c) => (-c, l, r) }._1
+          out += best
+          seqs = seqs.map { case (s, c) =>
+            val b = Vector.newBuilder[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2) {
+                b += (best._1 + best._2); j += 2
+              } else { b += s(j); j += 1 }
+            }
+            (b.result(), c)
+          }
+          i += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(0xbbe)
+    for (trial <- 1 to 8) {
+      val words = Array.tabulate(30) { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString,
+          (1 + rnd.nextInt(9)).toLong)
+      }.distinct
+      val got = BpeTrain.trainLocal(words, 25)
+      val want = naive(words, 25)
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
   test("vocabulary guard raises actionably; minCount prunes the tail") {
     val many = Seq.tabulate(50)(i => (i.toLong, s"w$i w$i common")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
