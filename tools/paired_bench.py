@@ -35,9 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from baseline_duckdb import run_one  # same reference-config runner
 
 EXCLUDE = {"d_ngram_jaccard"}  # all-pairs: DuckDB timeout lower-bound
-# bench-only entries with no oracle (amortized probe cost) never enter
-# the like-for-like total on either side
-SPARK_ONLY_OK = {"s_lsh_probe_only", "s_ivf_probe_only"}
+# bench-only entries with no oracle (amortized probe/prefit cost)
+# never enter the like-for-like total on either side
+SPARK_ONLY_OK = {"s_lsh_probe_only", "s_ivf_probe_only", "x_dsir_prefit"}
 
 # the scalar/relational subset used by BASELINE.md (everything that is
 # not an index-build/dedup-family query)
