@@ -108,6 +108,21 @@ object Dedup {
     * manager, reusable across runs); `persist` remains the default
     * for interactive sizes.
     */
+  /** One (band, bucket) struct per band over a minhash signature:
+    * bucket key = hash of the band's signature slice (band index mixed
+    * in so identical slices in different bands can't collide). Shared
+    * by the self-join and cross-corpus LSH paths — ONE definition
+    * keeps their banding bit-identical, which the cross operator's
+    * recall argument depends on.
+    */
+  private def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(Seq(lit(b)) ++ (0 until rowsPerBand)
+          .map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+          .as("bucket"))
+    }: _*)
+
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
@@ -137,12 +152,7 @@ object Dedup {
 
     // One row per band: bucket key = hash of the band's signature slice.
     val banded = sig.select(col("_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(Seq(lit(b)) ++ (0 until rowsPerBand)
-            .map(r => element_at(col("_sig"), b * rowsPerBand + r + 1)): _*)
-            .as("bucket"))
-      }: _*)).as("bb"))
+      explode(bandBuckets(col("_sig"), bands, rowsPerBand)).as("bb"))
       .select(col("_id"), col("bb.band"), col("bb.bucket"))
 
     // Candidate pairs are generated BUCKET-LOCALLY: one hash aggregate
