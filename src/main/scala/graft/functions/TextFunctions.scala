@@ -223,6 +223,43 @@ object TextFunctions {
       s"regexp_replace($s, '$pat', '$repl', 'g')"
     }
 
+  /** HTML boilerplate extraction — the crawl-to-text step before any
+    * quality/dedup filter sees a page (the WET-extraction shape):
+    * script/style blocks go first (`(?is)` inline flags — Java regex
+    * and RE2 both honor them, and the lazy `.*?` stops at the matching
+    * close tag, so a `"</p>"` inside the script body doesn't end the
+    * block), remaining tags are stripped, entities decode AFTER the
+    * tag strip (so a literal `&lt;b&gt;` in the source becomes visible
+    * text instead of a strippable tag — and `&amp;` decodes LAST, the
+    * standard order, so `&amp;lt;` yields `&lt;` not `<`), whitespace
+    * collapses. Patterns and the entity table are the Java/RE2 common
+    * subset, shared verbatim with the DuckDB twin.
+    */
+  val htmlBlockPattern = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+  val htmlTagPattern = "<[^>]+>"
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  def htmlExtract(html: Column): Column = {
+    val noBlocks = regexp_replace(html, htmlBlockPattern, " ")
+    val noTags = regexp_replace(noBlocks, htmlTagPattern, " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  def htmlExtractSql(c: String): String = {
+    val noBlocks = s"regexp_replace($c, '$htmlBlockPattern', ' ', 'g')"
+    val noTags = s"regexp_replace($noBlocks, '$htmlTagPattern', ' ', 'g')"
+    val decoded = htmlEntities.foldLeft(noTags) { case (s, (e, r)) =>
+      val rr = if (r == "'") "''" else r
+      s"replace($s, '$e', '$rr')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Per-kind PII match count (long), for audit summaries. */
   def piiCount(text: Column, kind: String): Column = {
     val pat = piiPatterns.find(_._1 == kind).getOrElse(

@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Timestamp-type-agnostic time helpers.
+  *
+  * Parquet writers flip between TIMESTAMP (instant, isAdjustedToUTC)
+  * and TIMESTAMP_NTZ (naive) for the same wall-clock data — the
+  * driver's synthetic `events.ts` arrived as an instant for six rounds
+  * and as NTZ in round 7, which silently broke every `unix_micros`
+  * call site at ANALYSIS time (the session's correctness harness
+  * swallowed the four failing queries instead of reporting them).
+  * These helpers accept either type: the session time zone is pinned
+  * UTC (Sessions.tune), so `cast("timestamp")` re-interprets a naive
+  * value as the SAME numeric instant and is a no-op on an instant.
+  */
+object TimeFunctions {
+
+  /** Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+}

@@ -110,13 +110,19 @@ object AsOfJoin {
 
     // time → long in native units for bucketing; ordering inside a
     // bucket uses the ORIGINAL value so fractional times keep precision
+    // NTZ timestamps bucket identically: the session zone is pinned
+    // UTC, so the instant cast is value-preserving both directions
+    // (see graft.functions.TimeFunctions)
     def ordLong(c: Column): Column = tType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        graft.functions.TimeFunctions.epochMicros(c)
       case _ => floor(c).cast("long")
     }
     def bucketStart(b: Column): Column = tType match {
-      case org.apache.spark.sql.types.TimestampType =>
-        timestamp_micros(b * bucketWidth)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(b * bucketWidth).cast(tType)
       case _ => (b * bucketWidth).cast(tType)
     }
 

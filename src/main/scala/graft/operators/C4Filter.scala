@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style page cleaning (Raffel et al. 2020, §2.2 — the public
+  * heuristics behind the C4 corpus; reference for the rules only):
+  *
+  *  - LINE level: keep only lines that end in a terminal punctuation
+  *    mark, carry at least [[MinLineWords]] words, and don't mention
+  *    "javascript";
+  *  - PAGE level: drop any page left with fewer than [[MinKeptLines]]
+  *    surviving lines, or whose surviving text contains a curly brace
+  *    (leaked code) or the phrase "lorem ipsum" (placeholder
+  *    boilerplate).
+  *
+  * The whole operator is in-row Column math over one `split` — one
+  * corpus scan, zero shuffles at any scale. [[cleanSql]] emits the
+  * DuckDB twin generated from the SAME constants, so the oracle
+  * compare is exact by construction (the x_pii_redact pattern).
+  */
+object C4Filter {
+
+  val MinLineWords = 5
+  val MinKeptLines = 3
+
+  /** End-of-line terminal punctuation, applied to the TRIMMED line —
+    * Java/RE2 common subset (no lookaround).
+    */
+  val TerminalPattern = "[.!?\"]$"
+  val BadLineMarker = "javascript"
+  val LoremMarker = "lorem ipsum"
+  val BraceMarker = "{"
+
+  /** Is one line kept? Shared shape with the SQL twin in [[cleanSql]]. */
+  private def lineKept(l: Column): Column =
+    trim(l).rlike(TerminalPattern) &&
+      size(split(trim(l), "\\s+")) >= MinLineWords &&
+      !lower(l).contains(BadLineMarker)
+
+  /** Per-doc verdict: (idCol, keep, clean_text — null when dropped,
+    * n_lines_kept, n_lines_dropped). Staged selects so the kept-lines
+    * array is computed once and reused, not re-derived per output
+    * column.
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    df.select(col(idCol), lines.as("_lines"),
+        filter(lines, lineKept _).as("_kept"))
+      .select(col(idCol), col("_lines"), col("_kept"),
+        (size(col("_kept")) >= MinKeptLines &&
+          !lower(array_join(col("_kept"), "\n")).contains(LoremMarker) &&
+          !array_join(col("_kept"), "\n").contains(BraceMarker)).as("keep"))
+      .select(col(idCol), col("keep"),
+        when(col("keep"), array_join(col("_kept"), "\n")).as("clean_text"),
+        size(col("_kept")).cast("long").as("n_lines_kept"),
+        (size(col("_lines")) - size(col("_kept"))).cast("long")
+          .as("n_lines_dropped"))
+  }
+
+  /** DuckDB twin of [[clean]]: `id`/`t` are SQL expressions over
+    * relation `from`; output sorted by doc_id.
+    */
+  def cleanSql(id: String, t: String, from: String): String =
+    s"""WITH _l AS (
+       |  SELECT $id AS _id, string_split($t, chr(10)) AS _lines FROM $from
+       |), _k AS (
+       |  SELECT _id, _lines,
+       |    list_filter(_lines, l ->
+       |      regexp_matches(trim(l), '$TerminalPattern')
+       |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= $MinLineWords
+       |      AND NOT contains(lower(l), '$BadLineMarker')) AS _kept
+       |  FROM _l
+       |), _v AS (
+       |  SELECT _id, _lines, _kept,
+       |    (len(_kept) >= $MinKeptLines
+       |      AND NOT contains(lower(array_to_string(_kept, chr(10))), '$LoremMarker')
+       |      AND NOT contains(array_to_string(_kept, chr(10)), '$BraceMarker')) AS keep
+       |  FROM _k
+       |)
+       |SELECT _id AS doc_id, keep,
+       |  CASE WHEN keep THEN array_to_string(_kept, chr(10)) END AS clean_text,
+       |  CAST(len(_kept) AS BIGINT) AS n_lines_kept,
+       |  CAST(len(_lines) - len(_kept) AS BIGINT) AS n_lines_dropped
+       |FROM _v ORDER BY doc_id""".stripMargin
+}

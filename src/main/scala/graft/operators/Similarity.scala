@@ -326,6 +326,53 @@ object Similarity {
     math.min(24, math.max(4, raw))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * SEMANTIC deduplication over embeddings. K-means bounds the
+    * pairwise search to within-cluster comparisons (the paper's trick
+    * for web-scale corpora — clusters follow the data's density, so
+    * semantically-close pairs co-locate with better recall than
+    * sign-pattern orthants at the same bucket count), then any member
+    * whose cluster holds a SMALLER-id member with cosine >= threshold
+    * is dropped — one deterministic representative survives per
+    * semantic group (the min id, mirroring Dedup.dropNearDuplicates;
+    * the paper keeps an arbitrary one).
+    *
+    * Pair testing is cell-local and in-row: collect the guarded cell,
+    * test each member against its predecessors — the same two-shuffle
+    * no-all-pairs shape as [[embeddingNearDups]], with k-means instead
+    * of hyperplanes choosing the buckets. Cells above `maxCellSize`
+    * skip pair generation entirely (bounded recall trade for a hard
+    * per-cell cost ceiling, mirroring the Dedup bucket guards — at
+    * 100 TB, raise `nlist` so expected occupancy stays under the cap;
+    * identical-member cells that big belong to exact dedup anyway).
+    *
+    * Returns the KEPT rows with their original schema.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 16,
+      maxCellSize: Int = 10000, seed: Long = 42L, maxIter: Int = 5,
+      initMode: String = "random"): DataFrame = {
+    // nlist = 1 is the brute-force degenerate (every pair is tested;
+    // Spark ML's KMeans requires k >= 2, and a single cell needs none)
+    val assigned =
+      if (nlist <= 1) df.withColumn("_cell", lit(0))
+      else ivfIndex(df, idCol, vecCol, nlist, seed, maxIter, initMode).assigned
+    val drops = assigned
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_cell"))
+      .groupBy("_cell")
+      .agg(collect_list(struct(col("_id"), col("_v"))).as("_items"))
+      .filter(size(col("_items")).between(2, maxCellSize))
+      .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
+      .select(explode(filter(
+        transform(col("_sorted"), (x, i) =>
+          when(exists(slice(col("_sorted"), lit(1), i), y =>
+            round(cosine(y.getField("_v"), x.getField("_v")), 4) >= threshold),
+            x.getField("_id"))),
+        c => c.isNotNull)).as("_drop_id"))
+    df.join(drops, df(idCol) === drops("_drop_id"), "left_anti")
+  }
+
   /** All-pairs near-duplicates by embedding cosine: bucket join on the
     * LSH sign pattern (identical bucket ⇒ candidate), exact rerank.
     * The 100 TB shape for embedding dedup — never all-pairs.

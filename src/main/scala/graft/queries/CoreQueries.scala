@@ -260,9 +260,9 @@ object CoreQueries {
       graft.operators.Funnel.stages(t(s, dir, "events"),
           Seq("view", "click", "purchase"))
         .select(col("user_id"),
-          unix_micros(col("t_view")).as("t_view_us"),
-          unix_micros(col("t_click")).as("t_click_us"),
-          unix_micros(col("t_purchase")).as("t_purchase_us"))
+          graft.functions.TimeFunctions.epochMicros(col("t_view")).as("t_view_us"),
+          graft.functions.TimeFunctions.epochMicros(col("t_click")).as("t_click_us"),
+          graft.functions.TimeFunctions.epochMicros(col("t_purchase")).as("t_purchase_us"))
         .orderBy("user_id")
     }),
 
@@ -276,9 +276,9 @@ object CoreQueries {
       graft.operators.Funnel.stagesOneScan(t(s, dir, "events"),
           Seq("view", "click", "purchase"))
         .select(col("user_id"),
-          unix_micros(col("t_view")).as("t_view_us"),
-          unix_micros(col("t_click")).as("t_click_us"),
-          unix_micros(col("t_purchase")).as("t_purchase_us"))
+          graft.functions.TimeFunctions.epochMicros(col("t_view")).as("t_view_us"),
+          graft.functions.TimeFunctions.epochMicros(col("t_click")).as("t_click_us"),
+          graft.functions.TimeFunctions.epochMicros(col("t_purchase")).as("t_purchase_us"))
         .orderBy("user_id")
     }),
 

@@ -204,6 +204,22 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup (Abbas 2023): k-means cells bound the pairwise search;
+    // within a cell, any member with a smaller-id cosine-near-twin
+    // drops. At threshold 1.0 on planted IDENTICAL clones the kept set
+    // is exact regardless of the cell layout (equal vectors always
+    // share a cell and cosine exactly 1.0), so it has a pure-SQL
+    // oracle; multi-cluster bounding, merely-similar recall, and the
+    // cell-size guard are spec'd in SimilaritySpec.
+    "d_semantic_dedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val clones = vecs.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + CloneShift)
+      Similarity.semanticDedup(vecs.unionByName(clones), "vec_id", "embedding",
+          threshold = 1.0, nlist = 8, maxIter = 3)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     "s_cosine_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val query = vecs.filter(col("vec_id") === 0)
@@ -474,6 +490,16 @@ object DedupQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
         |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50
+        |)
+        |SELECT a.vec_id FROM corpus a
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus b
+        |                  WHERE b.vec_id < a.vec_id AND b.embedding = a.embedding)
+        |ORDER BY vec_id""".stripMargin,
     "d_embed_exact" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

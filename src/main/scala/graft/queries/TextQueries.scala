@@ -434,6 +434,54 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // C4-style page cleaning (Raffel 2020 §2.2): line-level terminal-
+    // punctuation / min-words / javascript rules, then page-level
+    // min-kept-lines / lorem-ipsum / curly-brace drops. The single-line
+    // corpus is salted with deterministic lines by the SAME expression
+    // the oracle uses (the x_pii_redact pattern): a too-short line and
+    // a javascript line must always drop; doc_id%13 plants a kept
+    // lorem-ipsum line (page dies at page level), doc_id%17 a kept
+    // brace line (ditto). In-row Column math — one scan, no shuffle.
+    "x_c4_filter" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("tiny line."),
+        lit("Please enable javascript to view this site today."),
+        when(col("doc_id") % 13 === 0,
+            lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit("This second sentence keeps the page healthy and long.")),
+        when(col("doc_id") % 17 === 0,
+            lit("A config { brace } inside an otherwise fine sentence."))
+          .otherwise(lit("A third proper sentence closes out the document nicely.")))
+      graft.operators.C4Filter.clean(
+          t(s, dir, "documents").select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // HTML boilerplate extraction (the crawl-to-text step): each doc is
+    // wrapped in a deterministic page — title/heading, a style block, an
+    // entity-laden paragraph, and a script whose body contains a fake
+    // "</p>" close tag — by the SAME expression the oracle uses. The
+    // extractor must drop script/style bodies, strip tags, decode
+    // entities AFTER stripping, and collapse whitespace; shared
+    // Java/RE2 patterns make the result hash-exact across engines.
+    "x_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { color: red; }</style></head><body><h1>Heading "),
+        col("doc_id").cast("string"),
+        lit("</h1><p class=\"body\">"), col("text"),
+        lit(" &amp; entities &lt;kept&gt; &quot;quoted&quot; it&#39;s&nbsp;done</p>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2; console.log(\"</p>\");</script>"),
+        lit("</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), htmlExtract(page).as("extracted"))
+        .select(col("doc_id"), col("extracted"),
+          length(col("extracted")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR's resampling step: Gumbel-top-k over the importance weights
     // (md5-derived uniforms — reproducible across runs and engines) =
     // k docs sampled without replacement proportional to softmax
@@ -580,6 +628,33 @@ object TextQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Generated by the same C4Filter constants as the Spark side; the
+    // salt expression mirrors the query's concat_ws verbatim.
+    "x_c4_filter" -> {
+      val page =
+        "text || '.' || chr(10) || 'tiny line.' || chr(10) || " +
+          "'Please enable javascript to view this site today.' || chr(10) || " +
+          "(CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.' " +
+          "ELSE 'This second sentence keeps the page healthy and long.' END) || chr(10) || " +
+          "(CASE WHEN doc_id % 17 = 0 THEN 'A config { brace } inside an otherwise fine sentence.' " +
+          "ELSE 'A third proper sentence closes out the document nicely.' END)"
+      graft.operators.C4Filter.cleanSql("doc_id", page, "documents")
+    },
+
+    "x_html_extract" -> {
+      val page = "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</title><style>p { color: red; }</style></head><body><h1>Heading ' || " +
+        "CAST(doc_id AS VARCHAR) || " +
+        "'</h1><p class=\"body\">' || text || " +
+        "' &amp; entities &lt;kept&gt; &quot;quoted&quot; it&#39;s&nbsp;done</p>' || " +
+        "'<script type=\"text/javascript\">var x = 1 < 2; console.log(\"</p>\");</script>' || " +
+        "'</body></html>'"
+      s"""WITH p AS (SELECT doc_id, $page AS h FROM documents)
+         |SELECT doc_id, ${htmlExtractSql("h")} AS extracted,
+         |  CAST(length(${htmlExtractSql("h")}) AS BIGINT) AS n_chars
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

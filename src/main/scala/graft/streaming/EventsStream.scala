@@ -122,7 +122,8 @@ object EventsStream {
     events
       .withColumn("_prev", lag(col("ts"), 1).over(w))
       .withColumn("_new", when(col("_prev").isNull ||
-        unix_micros(col("ts")) - unix_micros(col("_prev")) > gapMs * 1000L, 1)
+        graft.functions.TimeFunctions.epochMicros(col("ts")) -
+        graft.functions.TimeFunctions.epochMicros(col("_prev")) > gapMs * 1000L, 1)
         .otherwise(0))
       .withColumn("session_id", sum(col("_new")).over(run))
       .groupBy("user_id", "session_id")

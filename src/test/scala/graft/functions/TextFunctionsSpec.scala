@@ -27,6 +27,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one("don't stop", bpeTokenCount($"t")) == 4) // don / ' / t / stop
   }
 
+  test("htmlExtract strips blocks and tags, decodes entities after stripping") {
+    val page = "<html><head><title>T</title>" +
+      "<style>p { color: red; }</style></head><body>" +
+      "<h1>Head</h1><p class=\"x\">Body &amp; more &lt;b&gt;bold&lt;/b&gt; " +
+      "it&#39;s&nbsp;fine</p>" +
+      "<script type=\"text/javascript\">var s = \"</p>\"; if (1 < 2) go();</script>" +
+      "</body></html>"
+    assert(one(page, htmlExtract($"t")) ==
+      "T Head Body & more <b>bold</b> it's fine")
+  }
+
+  test("htmlExtract decode order: &amp;lt; yields the literal entity, not a tag") {
+    // &amp; decodes LAST so a doubly-escaped entity surfaces as text
+    assert(one("<p>&amp;lt;script&amp;gt;</p>", htmlExtract($"t")) ==
+      "&lt;script&gt;")
+    // multiline script body: (?s) must let .*? cross newlines
+    assert(one("<script>\nvar a = 1;\nvar b = 2;\n</script>ok", htmlExtract($"t")) == "ok")
+    // case-insensitive: (?i) covers shouting markup
+    assert(one("<SCRIPT>x()</SCRIPT><P>kept</P>", htmlExtract($"t")) == "kept")
+    assert(one("plain text stays", htmlExtract($"t")) == "plain text stays")
+  }
+
   test("ratios") {
     assert(one("ab.", punctRatio($"t")) == 1.0 / 3)
     // " the cat the " → 2× " the " non-overlapping, 3 tokens... hand-check:

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class C4FilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def clean(rows: (Long, String)*) =
+    C4Filter.clean(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  private val good1 = "This is a perfectly reasonable first sentence."
+  private val good2 = "Another wholesome sentence keeps the page going!"
+  private val good3 = "And a third one finishes the page properly?"
+
+  test("line rules: terminal punctuation, min words, javascript") {
+    val r = clean(
+      1L -> Seq(good1, good2, good3,
+        "no terminal punctuation here",        // dropped: no [.!?"]
+        "Too short.",                          // dropped: < 5 words
+        "Please enable javascript to continue reading.") // dropped: marker
+        .mkString("\n"))
+    val (keep, text, kept, dropped) = r(1L)
+    assert(keep && kept == 3L && dropped == 3L)
+    assert(text.contains(Seq(good1, good2, good3).mkString("\n")))
+  }
+
+  test("page rules: min kept lines, lorem ipsum, curly brace") {
+    val r = clean(
+      1L -> Seq(good1, good2).mkString("\n"), // only 2 kept lines
+      2L -> Seq(good1, good2, good3,
+        "Lorem ipsum dolor sit amet consectetur elit.").mkString("\n"),
+      3L -> Seq(good1, good2, good3,
+        "A sentence smuggling a { brace into the page.").mkString("\n"),
+      4L -> Seq(good1, good2, good3).mkString("\n"))
+    assert(r(1L)._1 == false && r(1L)._2.isEmpty && r(1L)._3 == 2L)
+    assert(r(2L)._1 == false) // lorem ipsum in SURVIVING text
+    assert(r(3L)._1 == false) // brace in surviving text
+    assert(r(4L)._1 == true && r(4L)._2.contains(Seq(good1, good2, good3).mkString("\n")))
+  }
+
+  test("page-level markers only count against SURVIVING lines") {
+    // the brace lives on a line that line-level rules already drop
+    // (no terminal punctuation) — the page survives
+    val r = clean(1L -> Seq(good1, good2, good3, "function() { return }")
+      .mkString("\n"))
+    assert(r(1L)._1 == true && r(1L)._4 == 1L)
+  }
+
+  test("quoted dialogue line is kept (terminal quote)") {
+    val r = clean(1L -> Seq(good1, good2,
+      "\"A line of dialogue ending in a quote.\"").mkString("\n"))
+    assert(r(1L)._1 == true && r(1L)._3 == 3L)
+  }
+
+  test("single-line and empty docs") {
+    val r = clean(1L -> good1, 2L -> "")
+    assert(r(1L) == ((false, None, 1L, 0L))) // one kept line < 3
+    assert(r(2L) == ((false, None, 0L, 1L)))
+  }
+}

@@ -38,6 +38,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert((brute intersect lsh).nonEmpty)
   }
 
+  test("semanticDedup drops the later member of a similar pair, keeps distinct vectors") {
+    // vec 1 is cosine ~0.9939 to vec 0; vec 2 orthogonal; vec 3 opposite.
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nlist = 2, maxIter = 5)
+      .select("vec_id").as[Long].collect.toSet
+    // 4 is a scaled clone of 0 (cos 1.0) and 1 is within 0.99 of 0 —
+    // both must drop whenever k-means co-locates them with 0 (with
+    // k=2 on this geometry the positive-x group shares a cell);
+    // 0 (min id), 2, 3 survive.
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
+  test("semanticDedup at threshold 1.0 drops exactly identical clones across any layout") {
+    val clones = vecs.withColumn("vec_id", $"vec_id" + 100)
+    val corpus = vecs.unionByName(clones)
+    for (nlist <- Seq(1, 2, 4)) {
+      val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 1.0, nlist = nlist, maxIter = 3)
+        .select("vec_id").as[Long].collect.toSet
+      // identical vectors always share a cell (same nearest centroid)
+      // and cosine exactly 1.0 — every clone (id+100) drops. vec 4 is
+      // a SCALED clone of 0 (cos rounds to 1.0), so 4 and 104 drop
+      // too whenever they share 0's cell; with these tiny cell counts
+      // the positive-x group always co-locates.
+      assert(kept == Set(0L, 1L, 2L, 3L))
+    }
+  }
+
+  test("semanticDedup cell-size guard skips pair generation for over-full cells") {
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nlist = 1, maxCellSize = 3, maxIter = 2)
+      .select("vec_id").as[Long].collect.toSet
+    // the single cell holds all 5 vectors > maxCellSize=3: pair
+    // generation is skipped, nothing drops (bounded-cost contract)
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("planesFor keeps bucket occupancy constant as the corpus grows") {
     assert(Similarity.planesFor(0) == 4) // floor
     assert(Similarity.planesFor(1000) == 5) // ceil(log2(31.25))

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.TimeFunctions.epochMicros
+
+/** Regression pin for the round-7 testdata change: parquet writers
+  * flip between instant (TIMESTAMP) and naive (TIMESTAMP_NTZ) encodings
+  * of the same wall-clock data, and `unix_micros` REJECTS the naive
+  * type at analysis time — which silently dropped q_funnel,
+  * q_funnel_os, q_sessionize and q_asof_bucketed from the correctness
+  * suite when the driver's `events.ts` became NTZ. Every time-keyed
+  * operator must produce IDENTICAL results under either encoding
+  * (the session zone is pinned UTC, so the instant is the same).
+  */
+class TimestampNtzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def events: DataFrame = Seq(
+    (1L, "2024-01-01 00:00:00", 10L, "view", 1.0),
+    (2L, "2024-01-01 00:10:00", 10L, "click", 2.0),
+    (3L, "2024-01-01 02:00:00", 10L, "purchase", 3.0),
+    (4L, "2024-01-01 00:05:00", 20L, "view", 4.0),
+    (5L, "2024-01-01 03:00:00", 20L, "click", 5.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  private def ntz(df: DataFrame): DataFrame =
+    df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("epochMicros accepts both encodings and agrees") {
+    val ltz = events.select(epochMicros(col("ts")).as("us")).as[Long].collect.toSeq
+    val naive = ntz(events).select(epochMicros(col("ts")).as("us")).as[Long].collect.toSeq
+    assert(ltz == naive && ltz.head == 1704067200000000L)
+  }
+
+  test("funnel stages and one-scan run identically on NTZ events") {
+    def run(df: DataFrame, oneScan: Boolean) = rows(
+      (if (oneScan) Funnel.stagesOneScan(df, Seq("view", "click", "purchase"))
+       else Funnel.stages(df, Seq("view", "click", "purchase")))
+        .select(col("user_id"), epochMicros(col("t_view")).as("v"),
+          epochMicros(col("t_click")).as("c"),
+          epochMicros(col("t_purchase")).as("p"))
+        .orderBy("user_id"))
+    assert(run(events, false) == run(ntz(events), false))
+    assert(run(events, true) == run(ntz(events), true))
+    assert(run(ntz(events), false).nonEmpty)
+  }
+
+  test("sessionizeBatch runs identically on NTZ events") {
+    def run(df: DataFrame) = rows(
+      graft.streaming.EventsStream.sessionizeBatch(df, gapMs = 30 * 60 * 1000L)
+        .orderBy("user_id", "session_id"))
+    assert(run(events) == run(ntz(events)) && run(ntz(events)).size == 4)
+  }
+
+  test("bucketed as-of join runs identically on NTZ times") {
+    val trades = Seq((10L, "2024-01-01 00:20:00"), (20L, "2024-01-01 02:30:00"))
+      .toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    def run(t: DataFrame, e: DataFrame) = rows(
+      AsOfJoin.lastPriorBucketed(t, e, "user_id", "user_id", "ts", "ts",
+          rightVals = Seq("event_type"), bucketWidth = 3600L * 1000000L,
+          rightTiebreak = Some("event_id"))
+        // compare the INSTANT, not the row rendering (java.sql.Timestamp
+        // vs LocalDateTime stringify differently for the same value)
+        .select(col("user_id"), epochMicros(col("ts")).as("us"),
+          col("event_type_asof"))
+        .orderBy("user_id", "us"))
+    assert(run(trades, events) == run(ntz(trades), ntz(events)))
+    assert(run(ntz(trades), ntz(events)).size == 2)
+  }
+}
