@@ -168,6 +168,91 @@ object CorpusIngest {
     fs.create(marker, true).close()
   }
 
+  /** What [[compactLake]] did. `bytesMoved` files were re-homed by a
+    * metadata rename without being read.
+    */
+  final case class CompactStats(
+      filesBefore: Int, filesAfter: Int,
+      bytesRewritten: Long, bytesMoved: Long)
+
+  /** Compact the lake's accumulated small files. Streaming ingestion
+    * appends one parquet file set PER MICROBATCH, so a long-running
+    * stream turns the lake into thousands of files whose per-file
+    * open/footer cost eventually dominates every probe scan — the
+    * classic small-file problem, lethal at 100 TB.
+    *
+    * Cost is proportional to the SMALL tail only: files already >=
+    * `minFileBytes` (default `targetBytes / 2`) are MOVED into the new
+    * layout — a metadata rename, no read — and only the small files
+    * are read and rewritten into ~`targetBytes` outputs. Commit
+    * markers move with the lake, so exactly-once replay detection
+    * survives compaction, and the `_fp` fingerprint column rides along
+    * in the rewrite (full-schema read).
+    *
+    * OFFLINE operation: stop the ingest stream (or run between
+    * batches) — the directory swap is not atomic against concurrent
+    * writers or readers. Crash safety is conservative, not atomic: no
+    * file is ever DELETED before the new layout is fully installed, so
+    * a crash leaves every row present across `<lake>`,
+    * `<lake>.compact-tmp` and `<lake>.compact-old` for manual
+    * reassembly, never silently gone.
+    */
+  def compactLake(
+      spark: SparkSession, lakeDir: String,
+      targetBytes: Long = 128L << 20,
+      minFileBytes: Long = -1L): CompactStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val effMin = if (minFileBytes >= 0) minFileBytes else targetBytes / 2
+    val (fs, lakePath) = fileSystem(spark, lakeDir)
+    if (!hasDataFiles(fs, lakePath)) return CompactStats(0, 0, 0L, 0L)
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap { st =>
+        if (st.isFile) Seq(st) else dataFiles(st.getPath)
+      }
+    val files = dataFiles(lakePath)
+    val (big, small) = files.partition(_.getLen >= effMin)
+    if (small.size <= 1)
+      return CompactStats(files.size, files.size, 0L, 0L) // already compact
+    val staging = new Path(lakePath.getParent, lakePath.getName + ".compact-tmp")
+    fs.delete(staging, true)
+    fs.mkdirs(staging)
+    // 1. rewrite the small tail into ~targetBytes files (parquet part
+    //    names carry a job UUID — no collision with the moved files)
+    val smallBytes = small.map(_.getLen).sum
+    val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val rewrite = new Path(lakePath.getParent, lakePath.getName + ".compact-rw")
+    fs.delete(rewrite, true)
+    spark.read.parquet(small.map(_.getPath.toString): _*)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(rewrite.toString)
+    dataFiles(rewrite).foreach { st =>
+      require(fs.rename(st.getPath, new Path(staging, st.getPath.getName)),
+        s"compactLake: failed to stage rewritten ${st.getPath}")
+    }
+    fs.delete(rewrite, true)
+    // 2. move big files (metadata-only) and the commit markers
+    big.foreach { st =>
+      require(fs.rename(st.getPath, new Path(staging, st.getPath.getName)),
+        s"compactLake: failed to move ${st.getPath} into the new layout")
+    }
+    val markers = new Path(lakePath, CommitDirName)
+    if (fs.exists(markers))
+      require(fs.rename(markers, new Path(staging, CommitDirName)),
+        s"compactLake: failed to carry commit markers")
+    // 3. swap: retire the old dir, install the staged layout
+    val old = new Path(lakePath.getParent, lakePath.getName + ".compact-old")
+    fs.delete(old, true)
+    require(fs.rename(lakePath, old), s"compactLake: failed to retire $lakePath")
+    require(fs.rename(staging, lakePath),
+      s"compactLake: failed to install the compacted layout at $lakePath " +
+        s"(original data is intact under $old)")
+    fs.delete(old, true)
+    CompactStats(files.size, dataFiles(lakePath).size,
+      smallBytes, big.map(_.getLen).sum)
+  }
+
   /** Start the ingestion stream: every microbatch runs [[ingestBatch]]
     * — exactly-once via the commit marker, with the next batch's lake
     * probe a pruned one-column scan over [[FingerprintCol]].

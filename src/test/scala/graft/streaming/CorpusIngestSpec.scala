@@ -173,6 +173,74 @@ class CorpusIngestSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("compactLake merges microbatch small files, keeps rows, markers and dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val lakeDir = dir.resolve("lake").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // three committed microbatches → three parquet file sets
+    CorpusIngest.ingestBatch(batch((1L, "alpha beta gamma delta")), 0L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(batch((2L, "epsilon zeta eta theta")), 1L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(batch((3L, "iota kappa lambda mu")), 2L,
+      lakeDir, failReason = gate, scope = "s")
+    val before = spark.read.parquet(lakeDir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(before.size == 3)
+
+    val stats = CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    assert(stats.filesBefore >= 3 && stats.filesAfter == 1)
+
+    // rows (incl. the materialized _fp column) survive byte-identically
+    val after = spark.read.parquet(lakeDir)
+    assert(after.columns.contains(CorpusIngest.FingerprintCol))
+    assert(after.orderBy("doc_id").collect().map(_.toString).toSeq == before)
+
+    // commit markers traveled: replaying a committed batch id is a no-op
+    CorpusIngest.ingestBatch(batch((9L, "would be fresh data here")), 1L,
+      lakeDir, failReason = gate, scope = "s")
+    assert(spark.read.parquet(lakeDir).count() == 3)
+
+    // the compacted lake still dedups: dup drops, fresh doc lands via
+    // the pruned _fp probe path
+    CorpusIngest.ingestBatch(batch(
+      (10L, "delta gamma beta alpha"), // bag-dup of doc 1
+      (11L, "nu xi omicron pi")), 3L, lakeDir, failReason = gate, scope = "s")
+    assert(spark.read.parquet(lakeDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 11L))
+  }
+
+  test("compactLake moves already-big files by rename and only rewrites the small tail") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_big")
+    val lakeDir = dir.resolve("lake").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // one BIG batch (file tens of KB) + two tiny ones
+    val bigRows = (100L until 2100L).map(i =>
+      (i, s"unique document body number $i with several tokens"))
+    CorpusIngest.ingestBatch(batch(bigRows: _*), 0L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(batch((1L, "alpha beta gamma delta")), 1L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(batch((2L, "epsilon zeta eta theta")), 2L,
+      lakeDir, failReason = gate, scope = "s")
+    val before = spark.read.parquet(lakeDir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(before.size == 2002)
+    // threshold between the big file and the tiny ones: the big file
+    // must be MOVED (zero read), the two tiny ones rewritten into one
+    val stats = CorpusIngest.compactLake(spark, lakeDir,
+      targetBytes = 1L << 30, minFileBytes = 8192L)
+    assert(stats.bytesMoved >= 8192L && stats.bytesRewritten > 0L)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(spark.read.parquet(lakeDir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq == before)
+    // second call: nothing small remains → no-op fast path
+    val again = CorpusIngest.compactLake(spark, lakeDir,
+      targetBytes = 1L << 30, minFileBytes = 8192L)
+    assert(again.bytesMoved == 0L && again.bytesRewritten == 0L &&
+      again.filesAfter == again.filesBefore)
+  }
+
   test("ingestStream: lake starts empty, grows, and later batches dedup against it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -40,6 +40,14 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # An oracle with NO result dir means the Spark query itself crashed
+    # (Verify swallows per-query failures into stderr) — round 7 lost
+    # four queries this way without a single FAIL line. Count them.
+    dirs = {d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+    for name in sorted(set(oracles) - dirs):
+        print(f"FAIL {name}: no spark output dir (query crashed in Verify?)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir): continue
