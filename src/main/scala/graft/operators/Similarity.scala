@@ -350,28 +350,54 @@ object Similarity {
     */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nlist: Int = 16,
+      threshold: Double = 0.95, nlist: Int = 0,
       maxCellSize: Int = 10000, seed: Long = 42L, maxIter: Int = 5,
-      initMode: String = "random"): DataFrame = {
+      initMode: String = "random", expectedRows: Option[Long] = None): DataFrame = {
+    // nlist <= 0 (the default) auto-sizes via [[cellsFor]] — the
+    // planesFor lesson applies verbatim: a FIXED cell count means
+    // occupancy grows with n and the per-cell pair walk goes quadratic.
+    // Pass expectedRows (an estimate is fine) to skip the count() job.
+    val k =
+      if (nlist > 0) nlist
+      else cellsFor(expectedRows.getOrElse(df.count()))
     // nlist = 1 is the brute-force degenerate (every pair is tested;
     // Spark ML's KMeans requires k >= 2, and a single cell needs none)
     val assigned =
-      if (nlist <= 1) df.withColumn("_cell", lit(0))
-      else ivfIndex(df, idCol, vecCol, nlist, seed, maxIter, initMode).assigned
+      if (k <= 1) df.withColumn("_cell", lit(0))
+      else ivfIndex(df, idCol, vecCol, k, seed, maxIter, initMode).assigned
+    // norms precomputed ONCE per item: the pair test inside the cell
+    // walk is then a single dot product — the walk runs O(occupancy)
+    // tests per member, so per-test cost is the constant that matters
     val drops = assigned
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_cell"))
+      .withColumn("_nm", norm(col("_v")))
       .groupBy("_cell")
-      .agg(collect_list(struct(col("_id"), col("_v"))).as("_items"))
+      .agg(collect_list(struct(col("_id"), col("_v"), col("_nm"))).as("_items"))
       .filter(size(col("_items")).between(2, maxCellSize))
       .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
       .select(explode(filter(
         transform(col("_sorted"), (x, i) =>
-          when(exists(slice(col("_sorted"), lit(1), i), y =>
-            round(cosine(y.getField("_v"), x.getField("_v")), 4) >= threshold),
-            x.getField("_id"))),
+          when(exists(slice(col("_sorted"), lit(1), i), y => {
+            val nn = y.getField("_nm") * x.getField("_nm")
+            val cos = when(nn === 0.0, 0.0)
+              .otherwise(dot(y.getField("_v"), x.getField("_v")) / nn)
+            round(cos, 4) >= threshold
+          }), x.getField("_id"))),
         c => c.isNotNull)).as("_drop_id"))
     df.join(drops, df(idCol) === drops("_drop_id"), "left_anti")
   }
+
+  /** Auto-size the k-means cell count so cell occupancy stays CONSTANT
+    * as the corpus grows (cells ≈ n / targetOccupancy): the per-member
+    * pair walk inside [[semanticDedup]] tests O(occupancy) candidates,
+    * so bounded occupancy keeps total pair work LINEAR in n — the same
+    * rule [[planesFor]] applies to hyperplane buckets. Capped at 2^16
+    * cells (SemDeDup's published runs use ~50k clusters at LAION
+    * scale); past that, shard the corpus and dedup per shard.
+    */
+  def cellsFor(n: Long, targetOccupancy: Int = 64): Int =
+    math.min(1 << 16, math.max(2,
+      math.ceil(n.toDouble / targetOccupancy).toInt))
 
   /** All-pairs near-duplicates by embedding cosine: bucket join on the
     * LSH sign pattern (identical bucket ⇒ candidate), exact rerank.

@@ -216,7 +216,7 @@ object DedupQueries {
       val clones = vecs.filter(col("vec_id") < 50)
         .withColumn("vec_id", col("vec_id") + CloneShift)
       Similarity.semanticDedup(vecs.unionByName(clones), "vec_id", "embedding",
-          threshold = 1.0, nlist = 8, maxIter = 3)
+          threshold = 1.0, maxIter = 3)
         .select("vec_id").orderBy("vec_id")
     }),
 

@@ -434,6 +434,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Character-entropy quality filter: low entropy = repeated-char /
+    // template junk, high = base64 / minified blobs; natural text sits
+    // between the gates. The corpus is salted with a deterministic
+    // low-entropy tail for doc_id%11 by the same expression the oracle
+    // uses, so both branches of the gate fire. In-row decimal-exact
+    // math — one scan, zero shuffles (the oracle twin explodes chars
+    // instead; same values by exact decimal accumulation).
+    "x_entropy_filter" -> ((s, dir) => {
+      val salted = when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" "), lit("z" * 400)))
+        .otherwise(col("text"))
+      val ent = charEntropy(salted)
+      t(s, dir, "documents")
+        .select(col("doc_id"), ent.as("entropy"),
+          (ent >= 3.0 && ent <= 5.5).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style page cleaning (Raffel 2020 §2.2): line-level terminal-
     // punctuation / min-words / javascript rules, then page-level
     // min-kept-lines / lorem-ipsum / curly-brace drops. The single-line
@@ -628,6 +646,34 @@ object TextQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Explode-shape twin of the in-row Spark entropy: per-(doc, char)
+    // counts → the SAME -p·log2(p) terms quantized DECIMAL(28,10) →
+    // exact decimal sum → round 6. Values identical by construction.
+    "x_entropy_filter" -> {
+      val p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""WITH salted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' ' || repeat('z', 400)
+         |         ELSE text END AS t
+         |  FROM documents
+         |), chars AS (
+         |  SELECT doc_id, length(t) AS n,
+         |    unnest(regexp_split_to_array(t, '')) AS c
+         |  FROM salted
+         |), counts AS (
+         |  SELECT doc_id, n, c, count(*) AS k FROM chars GROUP BY 1, 2, 3
+         |), sums AS (
+         |  SELECT doc_id,
+         |    CAST(round(sum(CAST((-$p) * (ln($p) / ln(2)) AS DECIMAL(28,10))),
+         |         6) AS DOUBLE) AS e
+         |  FROM counts GROUP BY 1
+         |)
+         |SELECT s2.doc_id, coalesce(e, 0.0) AS entropy,
+         |  (coalesce(e, 0.0) >= 3.0 AND coalesce(e, 0.0) <= 5.5) AS keep
+         |FROM salted s2 LEFT JOIN sums USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // Generated by the same C4Filter constants as the Spark side; the
     // salt expression mirrors the query's concat_ws verbatim.
     "x_c4_filter" -> {

@@ -1,0 +1,31 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Throwaway: dump Spark-side entropy terms for one doc (dev tooling). */
+object DebugEntropy {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.tune(
+      SparkSession.builder().master("local[2]"), 2).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val t = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/tmp/doc455.txt")), "UTF-8")
+    val df = Seq(t).toDF("text")
+    val chars = filter(split(col("text"), ""), x => length(x) > 0)
+    val n = length(col("text")).cast("double")
+    val dist = array_sort(array_distinct(chars))
+    val terms = transform(dist, c => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      (-p * (log(p) / log(lit(2.0)))).cast("decimal(20,10)")
+    })
+    val row = df.select(dist.as("d"), terms.as("t"),
+      aggregate(terms, lit(0).cast("decimal(27,10)"),
+        (acc, x) => (acc + x).cast("decimal(27,10)")).as("sum")).head()
+    val ds = row.getAs[scala.collection.Seq[String]]("d")
+    val ts = row.getAs[scala.collection.Seq[java.math.BigDecimal]]("t")
+    ds.zip(ts).foreach { case (c, v) => println(s"STERM\t$c\t$v") }
+    println(s"SSUM\t${row.getAs[java.math.BigDecimal]("sum")}")
+    println(s"SENT\t${df.select(graft.functions.TextFunctions.charEntropy(col("text"))).head().getDouble(0)}")
+    spark.stop()
+  }
+}

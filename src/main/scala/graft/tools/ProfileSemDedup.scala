@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.operators.Similarity
+
+/** One-off cost split for semanticDedup: k-means fit vs pair-gen vs
+  * anti-join (dev tooling, not part of the library surface).
+  */
+object ProfileSemDedup {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val clones = vecs.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = vecs.unionByName(clones)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"PROFILE $label: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    corpus.count() // warm the scan
+    for (i <- 1 to 2) {
+      time(s"run$i full semanticDedup") {
+        Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 1.0, maxIter = 3).count()
+      }
+      time(s"run$i kmeans fit+assign only") {
+        Similarity.ivfIndex(corpus, "vec_id", "embedding",
+          nlist = 8, maxIter = 3, initMode = "random").assigned.count()
+      }
+    }
+    spark.stop()
+  }
+}

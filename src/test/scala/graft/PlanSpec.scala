@@ -93,6 +93,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r8 text operators are map-only: no shuffle before the output sort") {
+    // C4 page cleaning and HTML extraction are in-row Column math —
+    // one scan; the only Exchange allowed is the ORDER BY's range part
+    for (name <- Seq("x_c4_filter", "x_html_extract")) {
+      val p = plan(name)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      val rangeParts = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+      assert(exchanges == rangeParts,
+        s"$name shuffles beyond the output sort:\n" + p.take(3000))
+    }
+  }
+
+  test("semantic dedup pairs cell-locally: no self-join, no cartesian") {
+    val p = plan("d_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+    // cell-local pair generation is a hash aggregate over _cell plus an
+    // in-row explode — a corpus-side SortMergeJoin self-join would mean
+    // the all-pairs shape leaked back in (the anti join on _drop_id and
+    // the output sort are the only joins/exchanges expected)
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("decontamination broadcasts the benchmark grams; corpus grams never shuffle") {
     val p = plan("x_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

@@ -27,6 +27,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one("don't stop", bpeTokenCount($"t")) == 4) // don / ' / t / stop
   }
 
+  test("charEntropy: exact values on known distributions") {
+    assert(one("aabb", charEntropy($"t")) == 1.0)
+    assert(one("abcd", charEntropy($"t")) == 2.0)
+    assert(one("aaaa", charEntropy($"t")) == 0.0) // degenerate: -1·log2(1)
+    assert(one("", charEntropy($"t")) == 0.0)
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(charEntropy($"t")).head.getDouble(0)
+    assert(nullRow == 0.0)
+    // english prose sits in the natural-language band
+    val prose = one("the quick brown fox jumps over the lazy dog",
+      charEntropy($"t")).asInstanceOf[Double]
+    assert(prose > 3.0 && prose < 5.0, prose)
+  }
+
   test("htmlExtract strips blocks and tags, decodes entities after stripping") {
     val page = "<html><head><title>T</title>" +
       "<style>p { color: red; }</style></head><body>" +
