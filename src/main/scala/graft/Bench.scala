@@ -105,7 +105,29 @@ object Bench {
         System.err.println(
           s"[bench] dsir prefit fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
         Map.empty }
-    val benchOnly = probeOnly ++ dsirPrefit
+    // SemDeDup amortization: d_semantic_dedup fits its k-means cells
+    // INSIDE the measured query, but the paper's own workflow clusters
+    // ONCE and sweeps thresholds against the fixed clustering — this
+    // entry measures that steady-state: assignment + cell walk +
+    // anti-join with PREFITTED centroids.
+    val semPrefit: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      try {
+        import org.apache.spark.sql.functions.col
+        import graft.operators.Similarity
+        val vecs = Tables.load(spark, sfDir, "embeddings")
+        val clones = vecs.filter(col("vec_id") < 50)
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+        val corpus = vecs.unionByName(clones)
+        val k = Similarity.cellsFor(corpus.count())
+        val centroids = Similarity.sampleCentroids(corpus, "vec_id", "embedding", k, 3)
+        Map("d_semantic_prefit" -> ((_: SparkSession, _: String) =>
+          Similarity.semanticDedupWith(corpus, "vec_id", "embedding",
+            centroids, threshold = 1.0).select("vec_id")))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] semantic prefit fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        Map.empty }
+    val benchOnly = probeOnly ++ dsirPrefit ++ semPrefit
     val allQueries = SparkEntry.queries ++ benchOnly
     val names = allQueries.keys.toSeq.sorted
 
@@ -129,6 +151,7 @@ object Bench {
 
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val failed = scala.collection.mutable.Set.empty[String]
     var ran = 0
     // Start another iteration only if it's PROJECTED to finish inside
     // the budget (estimate = average of completed MEASURED iterations,
@@ -140,7 +163,16 @@ object Bench {
       names.foreach { name =>
         val fn = allQueries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // a failed query must be VISIBLE: an analysis exception takes
+        // ~ms, so swallowing it silently records a near-zero "time"
+        // and the totals shrink instead of screaming — exactly how
+        // round 7 under-reported four queries broken by a testdata
+        // type change
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          if (!failed.contains(name)) System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += name
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // persisted stages don't leak across queries
         samples(name) = dt :: samples(name)
@@ -171,8 +203,9 @@ object Bench {
     val total = med.collect {
       case (k, v) if !benchOnly.contains(k) => v
     }.sum
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$ran,"cpus":$coreBudget,"threads":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":$ran,"cpus":$coreBudget,"threads":$cpus}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     println(json)
     // The driver captures only a ~2 KB stdout TAIL: the full line above

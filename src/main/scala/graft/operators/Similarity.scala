@@ -360,14 +360,51 @@ object Similarity {
     val k =
       if (nlist > 0) nlist
       else cellsFor(expectedRows.getOrElse(df.count()))
-    // nlist = 1 is the brute-force degenerate (every pair is tested;
-    // Spark ML's KMeans requires k >= 2, and a single cell needs none)
-    val assigned =
-      if (k <= 1) df.withColumn("_cell", lit(0))
-      else ivfIndex(df, idCol, vecCol, k, seed, maxIter, initMode).assigned
-    // norms precomputed ONCE per item: the pair test inside the cell
-    // walk is then a single dot product — the walk runs O(occupancy)
-    // tests per member, so per-test cost is the constant that matters
+    // Clustering is the faiss/SemDeDup shape: fit centroids on a
+    // deterministic SAMPLE driver-side (nobody Lloyd-iterates over
+    // 100 TB — the fit only decides which vectors get COMPARED, a
+    // recall dial, never correctness), then assign the full corpus in
+    // one map-only pass via the codegen'd argmax(v·c − ‖c‖²/2)
+    // expression (KMeans' own rule, first-index tie-break — the
+    // ivfAppend formula). A distributed Spark ML fit would pay ~10
+    // driver-coordinated jobs per call for the same bucketing.
+    // Past ExprAssignMaxCells the assignment expression outgrows
+    // codegen budgets; fall back to the distributed ML fit.
+    if (k <= 1)
+      dropWithinCells(df, idCol, vecCol,
+        df.withColumn("_cell", lit(0)), threshold, maxCellSize)
+    else if (k <= ExprAssignMaxCells)
+      semanticDedupWith(df, idCol, vecCol,
+        sampleCentroids(df, idCol, vecCol, k, maxIter), threshold, maxCellSize)
+    else
+      dropWithinCells(df, idCol, vecCol,
+        ivfIndex(df, idCol, vecCol, k, seed, maxIter, initMode).assigned,
+        threshold, maxCellSize)
+  }
+
+  /** [[semanticDedup]] against PREFITTED centroids — the paper's own
+    * steady state (cluster once, sweep thresholds): one map-only
+    * argmax assignment + the cell walk, no fit in the hot path.
+    */
+  def semanticDedupWith(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double = 0.95,
+      maxCellSize: Int = 10000): DataFrame = {
+    val scores = array(centroids.map(c =>
+      dotConst(col(vecCol), c) - lit(c.map(x => x * x).sum / 2)): _*)
+    val assigned = df.withColumn("_cell",
+      (array_position(scores, array_max(scores)) - 1).cast("int"))
+    dropWithinCells(df, idCol, vecCol, assigned, threshold, maxCellSize)
+  }
+
+  /** The cell walk: norms precomputed ONCE per item so the pair test
+    * inside the walk is a single dot product — the walk runs
+    * O(occupancy) tests per member, so per-test cost is the constant
+    * that matters.
+    */
+  private def dropWithinCells(
+      df: DataFrame, idCol: String, vecCol: String, assigned: DataFrame,
+      threshold: Double, maxCellSize: Int): DataFrame = {
     val drops = assigned
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_cell"))
       .withColumn("_nm", norm(col("_v")))
@@ -385,6 +422,67 @@ object Similarity {
           }), x.getField("_id"))),
         c => c.isNotNull)).as("_drop_id"))
     df.join(drops, df(idCol) === drops("_drop_id"), "left_anti")
+  }
+
+  /** Widest centroid set the in-row argmax assignment expression may
+    * carry (k × dim literals); past this the ML fit + transform path
+    * takes over.
+    */
+  val ExprAssignMaxCells = 256
+
+  /** Default sample bound for [[sampleCentroids]]. */
+  val CentroidSampleSize = 100000
+
+  /** Deterministic sample fit: take the [[CentroidSampleSize]] rows
+    * with the smallest md5(id) (a seedless pseudo-random but
+    * REPRODUCIBLE sample — TakeOrdered, map-side partial top-k, no full
+    * sort), run Lloyd locally. Empty clusters keep their previous
+    * centroid; ties assign to the first index, matching KMeans.
+    */
+  private[graft] def sampleCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int): Array[Array[Double]] = {
+    val sample = df
+      .select(col(vecCol).cast("array<double>").as("_v"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .filter(col("_v").isNotNull)
+      .orderBy("_h").limit(CentroidSampleSize)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("_v").toArray)
+    require(sample.nonEmpty, "semanticDedup: no non-null vectors to fit on")
+    localLloyd(sample, math.min(k, sample.length), maxIter)
+  }
+
+  /** Plain Lloyd iterations on a driver-resident sample. Deterministic:
+    * init = first k sample vectors (the sample order is md5-shuffled),
+    * argmin ‖v−c‖² with first-index tie-break.
+    */
+  private[graft] def localLloyd(
+      sample: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var centroids = sample.take(k).map(_.clone)
+    for (_ <- 0 until maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
   }
 
   /** Auto-size the k-means cell count so cell occupancy stays CONSTANT

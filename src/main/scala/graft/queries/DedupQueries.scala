@@ -52,6 +52,16 @@ object DedupQueries {
     path
   }
 
+  /** Spread a narrow scan across cores WITHOUT paying a redundant
+    * full shuffle when the tuned scan already splits (openCostInBytes
+    * 128 KB gives ~15 splits at sf0.1 — the round-2 "one parquet
+    * split pins the signature compute to one core" problem no longer
+    * holds there, but small SFs still arrive as 1-2 splits).
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions * 2 >= s.sparkContext.defaultParallelism) df
+    else df.repartition(s.sparkContext.defaultParallelism)
+
   /** documents ∪ TWO exact-clone generations of doc_id < 30 — every
     * cloned doc becomes a 3-clique under exact near-dup pairing, so
     * cluster outputs have a pure-SQL oracle (per-text-group min id).
@@ -60,21 +70,20 @@ object DedupQueries {
     val docs = t(s, dir, "documents")
     def clone(shift: Long) = docs.filter(col("doc_id") < 30)
       .withColumn("doc_id", col("doc_id") + shift)
-    docs.unionByName(clone(CloneShift)).unionByName(clone(2 * CloneShift))
-      .repartition(s.sparkContext.defaultParallelism)
+    spread(s, docs.unionByName(clone(CloneShift)).unionByName(clone(2 * CloneShift)))
   }
 
   /** documents ∪ near-dup clones of doc_id < 50 (one appended token).
-    * Repartitioned: the source is one parquet split, which would pin
-    * all the shingle/signature compute to one core locally (a real
-    * corpus has thousands of splits and never hits this).
+    * [[spread]] keeps the signature compute off a single core when the
+    * scan arrives as one split (a real corpus has thousands of splits
+    * and never hits this).
     */
   def docsWithClones(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val clones = docs.filter(col("doc_id") < 50)
       .withColumn("doc_id", col("doc_id") + CloneShift)
       .withColumn("text", concat(col("text"), lit(" graftclone")))
-    docs.unionByName(clones).repartition(s.sparkContext.defaultParallelism)
+    spread(s, docs.unionByName(clones))
   }
 
   /** embeddings ∪ scaled clones of vec_id < 50 (cosine ≈ 1 to source). */
@@ -96,8 +105,7 @@ object DedupQueries {
       val docs = t(s, dir, "documents")
       val clones = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + CloneShift)
-      val corpus = docs.unionByName(clones)
-        .repartition(s.sparkContext.defaultParallelism)
+      val corpus = spread(s, docs.unionByName(clones))
       Dedup.minHashNearDups(corpus, "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
         .orderBy("id_a", "id_b")
@@ -127,8 +135,7 @@ object DedupQueries {
       val docs = t(s, dir, "documents")
       val clones = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + CloneShift)
-      val corpus = docs.unionByName(clones)
-        .repartition(s.sparkContext.defaultParallelism)
+      val corpus = spread(s, docs.unionByName(clones))
       val fps = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("_fp"))
       Dedup.simHashNearDups(corpus, "doc_id", "text", maxHamming = 0)
         .join(fps.select(col("doc_id").as("id_a"), col("_fp").as("_fa")), "id_a")
@@ -215,8 +222,11 @@ object DedupQueries {
       val vecs = t(s, dir, "embeddings")
       val clones = vecs.filter(col("vec_id") < 50)
         .withColumn("vec_id", col("vec_id") + CloneShift)
+      // expectedRows from the base table's metadata-only parquet count
+      // (+50 clones) skips the operator's union-scan count job — the
+      // cell count only needs an estimate
       Similarity.semanticDedup(vecs.unionByName(clones), "vec_id", "embedding",
-          threshold = 1.0, maxIter = 3)
+          threshold = 1.0, maxIter = 3, expectedRows = Some(vecs.count() + 50))
         .select("vec_id").orderBy("vec_id")
     }),
 

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.operators.Dedup
+
+/** Cost split for the clone-oracle dedup queries (dev tooling). */
+object ProfileDedupFloor {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, dir, "documents")
+    def clone(shift: Long) = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + shift)
+    val withRepart = docs.unionByName(clone(1000000L)).unionByName(clone(2000000L))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val noRepart = docs.unionByName(clone(1000000L)).unionByName(clone(2000000L))
+    println("scan partitions: " + noRepart.rdd.getNumPartitions)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"PROFILE $label: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    def quality(corpus: org.apache.spark.sql.DataFrame) = {
+      val pairs = Dedup.minHashNearDups(corpus, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
+      Dedup.dropNearDuplicatesBy(corpus, "doc_id", pairs,
+          keepBy = (col("doc_id") % 7).cast("double"))
+        .select("doc_id").orderBy("doc_id").count()
+    }
+    for (i <- 1 to 3) {
+      time(s"run$i d_dedup_quality WITH repartition") { quality(withRepart) }
+      time(s"run$i d_dedup_quality NO repartition") { quality(noRepart) }
+    }
+    // job-level breakdown of one warm run
+    val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val starts = scala.collection.mutable.Map.empty[Int, Long]
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts(j.jobId) = j.time
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs += ((j.jobId, j.time - starts.getOrElse(j.jobId, j.time)))
+    })
+    time("instrumented warm run (no repartition)") { quality(noRepart) }
+    Thread.sleep(500)
+    jobs.foreach { case (id, ms) => println(s"JOB $id: ${ms} ms") }
+    spark.stop()
+  }
+}

@@ -28,9 +28,19 @@ object ProfileSemDedup {
         Similarity.semanticDedup(corpus, "vec_id", "embedding",
           threshold = 1.0, maxIter = 3).count()
       }
-      time(s"run$i kmeans fit+assign only") {
-        Similarity.ivfIndex(corpus, "vec_id", "embedding",
-          nlist = 8, maxIter = 3, initMode = "random").assigned.count()
+      time(s"run$i sampleCentroids only") {
+        Similarity.sampleCentroids(corpus, "vec_id", "embedding", 33, 3).length
+      }
+      time(s"run$i count only") { corpus.count() }
+      time(s"run$i drops (no anti-join)") {
+        val centroids = Similarity.sampleCentroids(corpus, "vec_id", "embedding", 33, 3)
+        val scores = org.apache.spark.sql.functions.array(centroids.map(c =>
+          graft.functions.VectorFunctions.dotConst(col("embedding"), c) -
+            org.apache.spark.sql.functions.lit(c.map(x => x * x).sum / 2)).toIndexedSeq: _*)
+        corpus.withColumn("_cell",
+          (org.apache.spark.sql.functions.array_position(scores,
+            org.apache.spark.sql.functions.array_max(scores)) - 1).cast("int"))
+          .groupBy("_cell").count().count()
       }
     }
     spark.stop()

@@ -37,7 +37,8 @@ from baseline_duckdb import run_one  # same reference-config runner
 EXCLUDE = {"d_ngram_jaccard"}  # all-pairs: DuckDB timeout lower-bound
 # bench-only entries with no oracle (amortized probe/prefit cost)
 # never enter the like-for-like total on either side
-SPARK_ONLY_OK = {"s_lsh_probe_only", "s_ivf_probe_only", "x_dsir_prefit"}
+SPARK_ONLY_OK = {"s_lsh_probe_only", "s_ivf_probe_only", "x_dsir_prefit",
+                 "d_semantic_prefit"}
 
 # the scalar/relational subset used by BASELINE.md (everything that is
 # not an index-build/dedup-family query)
@@ -109,7 +110,8 @@ def main(sf_dir, out_dir, rounds=3, timeout=60):
     # Spark side only; DuckDB's oracle (a raw-parquet scan with no
     # index to amortize) is already its steady state.
     AMORTIZED = {"s_lsh_indexed": "s_lsh_probe_only",
-                 "s_ivf_topk": "s_ivf_probe_only"}
+                 "s_ivf_topk": "s_ivf_probe_only",
+                 "d_semantic_dedup": "d_semantic_prefit"}
     amort = {k: smed[AMORTIZED[k]] if k in AMORTIZED and AMORTIZED[k] in smed
              else smed[k] for k in common}
 
@@ -140,6 +142,10 @@ def main(sf_dir, out_dir, rounds=3, timeout=60):
             ((k, round(smed[k] / dmed[k], 2))
              for k in common if dmed[k] > 0 and max(smed[k], dmed[k]) >= 0.2),
             key=lambda kv: -kv[1])[:8],
+        # raw per-query medians: lets a later analysis re-slice the SAME
+        # window (e.g. the frozen previous-round subset) without rerunning
+        "spark_medians": {k: round(v, 4) for k, v in sorted(smed.items())},
+        "duckdb_medians": {k: round(v, 4) for k, v in sorted(dmed.items())},
     }
     print(json.dumps(result))
     c, s = result["common_ex_ngram"], result["scalar_relational"]
