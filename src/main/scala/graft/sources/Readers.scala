@@ -39,6 +39,7 @@ object Readers {
         val r = spark.read.options(options)
         schema.fold(r)(r.schema).json(path)
       case "parquet" => spark.read.options(options).parquet(path)
+      case "orc" => spark.read.options(options).orc(path)
       case "xlsx" =>
         // the reference reads Excel via DuckDB's spatial st_read
         // (duckdb_engine.py:258); here a JDK-only zip+StAX reader

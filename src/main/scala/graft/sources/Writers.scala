@@ -24,6 +24,7 @@ object Writers {
       case "csv" => w.option("header", "true").csv(path)
       case "json" => w.json(path)
       case "parquet" => w.parquet(path)
+      case "orc" => w.orc(path)
       case other =>
         throw new IllegalArgumentException(s"Unsupported output format: $other")
     }

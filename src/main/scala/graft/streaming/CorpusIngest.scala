@@ -211,6 +211,18 @@ object CorpusIngest {
       fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap { st =>
         if (st.isFile) Seq(st) else dataFiles(st.getPath)
       }
+    // hive-partitioned layouts carry column VALUES in their directory
+    // names — flattening their files into the staging root would
+    // silently erase those columns on read. CorpusIngest lakes are
+    // unpartitioned; partitioned datasets need a partition-aware
+    // compactor (compact per partition directory).
+    val partDirs = fs.listStatus(lakePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"compactLake: $lakeDir is hive-partitioned " +
+        s"(${partDirs.map(_.getPath.getName).take(3).mkString(", ")}…) — " +
+        "flattening would drop the partition columns; compact each " +
+        "partition directory instead")
     val files = dataFiles(lakePath)
     val (big, small) = files.partition(_.getLen >= effMin)
     if (small.size <= 1)

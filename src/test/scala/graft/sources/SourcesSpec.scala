@@ -34,10 +34,10 @@ class SourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("csv/json/parquet round-trip through Writers and Readers") {
+  test("csv/json/parquet/orc round-trip through Writers and Readers") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
     val dir = Files.createTempDirectory("graft_rt")
-    for (fmt <- Seq("csv", "json", "parquet")) {
+    for (fmt <- Seq("csv", "json", "parquet", "orc")) {
       val p = dir.resolve(fmt).toString
       Writers.write(df, p, fmt)
       val back = Readers.read(spark, p, fmt)

@@ -241,6 +241,17 @@ class CorpusIngestSpec extends AnyFunSuite {
       again.filesAfter == again.filesBefore)
   }
 
+  test("compactLake refuses hive-partitioned layouts instead of dropping partition columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_hive")
+    val lakeDir = dir.resolve("lake").toString
+    Seq((1L, "a", "en"), (2L, "b", "de")).toDF("doc_id", "text", "lang")
+      .write.partitionBy("lang").parquet(lakeDir)
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
+  }
+
   test("ingestStream: lake starts empty, grows, and later batches dedup against it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
