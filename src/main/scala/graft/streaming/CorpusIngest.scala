@@ -227,16 +227,29 @@ object CorpusIngest {
     val (big, small) = files.partition(_.getLen >= effMin)
     if (small.size <= 1)
       return CompactStats(files.size, files.size, 0L, 0L) // already compact
+    // the staging layout is FLAT: two data files from different nested
+    // subdirs with the same basename would overwrite each other on
+    // rename (Spark part names carry a job UUID, but nothing forces a
+    // lake's files to come from Spark)
+    val dupNames = files.groupBy(_.getPath.getName).filter(_._2.size > 1).keys
+    require(dupNames.isEmpty,
+      s"compactLake: duplicate data-file basenames across subdirectories " +
+        s"(${dupNames.take(3).mkString(", ")}) — flattening would collide; " +
+        "rename or compact the subdirectories separately")
     val staging = new Path(lakePath.getParent, lakePath.getName + ".compact-tmp")
     fs.delete(staging, true)
     fs.mkdirs(staging)
     // 1. rewrite the small tail into ~targetBytes files (parquet part
-    //    names carry a job UUID — no collision with the moved files)
+    //    names carry a job UUID — no collision with the moved files).
+    //    mergeSchema: a lake whose files drifted (e.g. legacy pre-_fp
+    //    next to stamped files) must union the columns, not silently
+    //    drop whichever schema loses the footer race
     val smallBytes = small.map(_.getLen).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     val rewrite = new Path(lakePath.getParent, lakePath.getName + ".compact-rw")
     fs.delete(rewrite, true)
-    spark.read.parquet(small.map(_.getPath.toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(small.map(_.getPath.toString): _*)
       .repartition(nOut)
       .write.mode("overwrite").parquet(rewrite.toString)
     dataFiles(rewrite).foreach { st =>
