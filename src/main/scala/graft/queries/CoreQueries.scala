@@ -301,6 +301,29 @@ object CoreQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // Arbitrary GROUPING SETS (beyond cube/rollup's fixed lattices):
+    // status×priority detail + status subtotal + grand total in ONE
+    // pass — the Spark 3.4+ groupingSets API, same expand-operator
+    // plan shape as rollup.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // The funnel's REPORT surface (per-stage completion counts) against
+    // the same CTE-chained oracle as q_funnel — one row, three counts.
+    "q_funnel_report" -> ((s, dir) =>
+      graft.operators.Funnel.report(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
     // Pivot: wide per-status counts + decimal sums (missing cells → 0
     // to match the oracle's FILTER semantics).
     "q_pivot" -> ((s, dir) => {
@@ -597,6 +620,32 @@ object CoreQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_funnel_report" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+        |)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+        |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase""".stripMargin,
+
     "q_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events
