@@ -27,6 +27,38 @@ import org.apache.spark.sql.functions._
   * stages (shingles, signatures) are the operator's index — at
   * cluster scale stage them to parquet instead of executor memory.
   */
+/** Candidate-volume budget for [[Dedup.ngramJaccardPairs]]'s exact
+  * inverted-index join. The default ([[CandidateCap.Auto]]) derives a
+  * linear budget from the corpus itself — 100 pair-candidates per
+  * document — so a saturated shingle space (where exact pair
+  * generation is Θ(n²) for ANY scheme) raises actionably instead of
+  * grinding quadratically on a 100 TB corpus. Opting OUT of the guard
+  * now takes an explicit [[CandidateCap.Unbounded]]; it is no longer
+  * the silent default.
+  */
+sealed trait CandidateCap
+object CandidateCap {
+  /** Default: budget = 100 × corpus-document-count. A healthy
+    * prefix-filtered corpus generates O(1) candidates per doc (the
+    * whole premise of AllPairs is that every doc owns some globally
+    * rare shingle); 100×n is an order of magnitude of slack above
+    * that, while a saturated corpus — candidates ~ n²/2 — crosses it
+    * as soon as n exceeds ~200.
+    */
+  case object Auto extends CandidateCap
+
+  /** Explicit budget in candidate pairs. */
+  final case class Max(pairs: Long) extends CandidateCap {
+    require(pairs >= 1, s"CandidateCap.Max must be >= 1, got $pairs")
+  }
+
+  /** Explicit opt-out: the caller accepts a possibly quadratic join
+    * (e.g. a corpus known small, or an audit that MEASURES the
+    * quadratic path on purpose).
+    */
+  case object Unbounded extends CandidateCap
+}
+
 object Dedup {
 
   /** Session-level default staging base: when set, every staged-dedup
@@ -315,22 +347,48 @@ object Dedup {
     * distinct: callers that KNOW the graph is huge pass 0 to skip the
     * probe entirely.
     */
-  def connectedComponents(
-      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 50, collectLimit: Int = 1 << 18): DataFrame = {
-    if (collectLimit > 0) {
-      // ONE job: collect at most limit+1 canonicalized pairs; overflow
-      // ⇒ the graph is genuinely large ⇒ fall through to distributed.
-      // greatest/least skip NULLs, so a null-partner row (a, null)
-      // canonicalizes to the self-pair (a, a) — singleton membership
-      // survives the orientation dedup (the contract covers every id).
-      val head = pairs
+  /** Small-graph probe shared by [[connectedComponents]] and the
+    * drop-duplicates fast paths: Some(pairs) when the pair list fits
+    * under `collectLimit`, None when it overflows (take the
+    * distributed path). `assumeCanonical` is for pair lists produced
+    * by this library's own generators (minhash/simhash/ngram/hamming
+    * all emit DISTINCT id_a < id_b rows): the probe then collects the
+    * raw rows map-only — no canonicalize+distinct shuffle — because
+    * raw row count already equals unique pair count. Union-find
+    * downstream tolerates duplicate or reversed rows either way; the
+    * flag only affects how the LIMIT bound is measured and what the
+    * probe costs.
+    */
+  private def probeLocalPairs(
+      pairs: DataFrame, aCol: String, bCol: String,
+      collectLimit: Int, assumeCanonical: Boolean)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    if (collectLimit <= 0) return None
+    // ONE job either way: collect at most limit+1 pairs; overflow ⇒
+    // the graph is genuinely large ⇒ distributed. In the canonicalized
+    // branch greatest/least skip NULLs, so a null-partner row
+    // (a, null) canonicalizes to the self-pair (a, a) — singleton
+    // membership survives the orientation dedup (the contract covers
+    // every id).
+    val probe =
+      if (assumeCanonical) pairs.select(col(aCol), col(bCol))
+      else pairs
         .select(greatest(col(aCol), col(bCol)).as(aCol),
           least(col(aCol), col(bCol)).as(bCol))
-        .distinct().limit(collectLimit + 1).collect()
-      if (head.length <= collectLimit)
+        .distinct()
+    val head = probe.limit(collectLimit + 1).collect()
+    if (head.length <= collectLimit) Some(head) else None
+  }
+
+  def connectedComponents(
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 50, collectLimit: Int = 1 << 18,
+      assumeCanonical: Boolean = false): DataFrame = {
+    probeLocalPairs(pairs, aCol, bCol, collectLimit, assumeCanonical) match {
+      case Some(head) =>
         return localComponents(pairs.sparkSession, head,
           pairs.schema(aCol).dataType)
+      case None => ()
     }
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -402,40 +460,40 @@ object Dedup {
     out
   }
 
-  /** Driver-side union-find behind [[connectedComponents]]'s
-    * small-graph fast path. Same contract as the distributed
-    * star-contraction: every non-null id in `pairs` appears exactly
-    * once, component = min id of its connected component. For string
-    * ids the min is taken in UTF-8 BINARY order to agree with the
-    * distributed path (Spark's `least`/`min` compare UTF8Strings
-    * byte-wise; `String.compareTo` sorts UTF-16 code units, which
-    * diverges above the BMP).
+  /** Id ordering matching the distributed path's `least`/`min`: Spark
+    * compares UTF8Strings byte-wise, so string ids sort in UTF-8 BINARY
+    * order (`String.compareTo` sorts UTF-16 code units, which diverges
+    * above the BMP).
     */
-  private def localComponents(
-      spark: org.apache.spark.sql.SparkSession,
-      pairs: Array[org.apache.spark.sql.Row],
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val ord: Ordering[Any] = idType match {
-      case StringType => new Ordering[Any] {
-        def compare(a: Any, b: Any): Int = {
-          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val n = math.min(x.length, y.length)
-          var i = 0
-          while (i < n) {
-            val c = (x(i) & 0xff) - (y(i) & 0xff)
-            if (c != 0) return c
-            i += 1
-          }
-          x.length - y.length
+  private def idOrdering(
+      idType: org.apache.spark.sql.types.DataType): Ordering[Any] = idType match {
+    case org.apache.spark.sql.types.StringType => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = {
+        val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
         }
-      }
-      case _ => new Ordering[Any] {
-        def compare(a: Any, b: Any): Int =
-          a.asInstanceOf[Comparable[Any]].compareTo(b)
+        x.length - y.length
       }
     }
+    case _ => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+  }
+
+  /** Driver-side union-find over a collected pair list: id →
+    * component-min for every non-null id present. Tolerates duplicate,
+    * reversed, self-, and null-partner pairs.
+    */
+  private def unionFindMap(
+      pairs: Array[org.apache.spark.sql.Row],
+      ord: Ordering[Any]): scala.collection.mutable.HashMap[Any, Any] = {
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -461,56 +519,160 @@ object Dedup {
       val r = find(id)
       if (!minOf.get(r).exists(m => ord.lteq(m, id))) minOf(r) = id
     }
+    val out = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keysIterator.foreach { id => out(id) = minOf(find(id)) }
+    out
+  }
+
+  /** Driver-side union-find behind [[connectedComponents]]'s
+    * small-graph fast path, materialized as a LocalRelation (so
+    * downstream joins broadcast for free). Same contract as the
+    * distributed star-contraction: every non-null id in `pairs`
+    * appears exactly once, component = min id of its connected
+    * component.
+    */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val comp = unionFindMap(pairs, idOrdering(idType))
     val rows: java.util.List[org.apache.spark.sql.Row] =
-      new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
-    parent.keysIterator.foreach { id =>
-      rows.add(org.apache.spark.sql.Row(id, minOf(find(id))))
+      new java.util.ArrayList[org.apache.spark.sql.Row](comp.size)
+    comp.foreach { case (id, c) =>
+      rows.add(org.apache.spark.sql.Row(id, c))
     }
     spark.createDataFrame(rows, StructType(Seq(
       StructField("id", idType, nullable = false),
       StructField("component", idType, nullable = false))))
   }
 
+  /** Anti-join `df` against a driver-resident loser id list via a
+    * LocalRelation (broadcasts for free; bounded by the CC probe's
+    * collectLimit).
+    */
+  private def dropIdsLocal(
+      df: DataFrame, idCol: String, losers: Iterable[Any],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    if (losers.isEmpty) return df
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row](losers.size)
+    losers.foreach(id => rows.add(org.apache.spark.sql.Row(id)))
+    val loserDf = df.sparkSession.createDataFrame(rows,
+      StructType(Seq(StructField("_loser", idType, nullable = false))))
+    df.join(loserDf, col(idCol) === col("_loser"), "left_anti")
+  }
+
   /** Drop every non-representative member of each near-dup cluster:
     * rows whose id maps to a component with a smaller min id. The
     * complete dedup recipe: pairs := minHashNearDups(...);
     * deduped := dropNearDuplicates(df, id, pairs).
+    *
+    * Small graphs (the normal case — a near-dup pair list is a tiny
+    * fraction of the corpus) resolve entirely on the driver: ONE job
+    * collects the pairs, union-find computes the losers, and the
+    * corpus pays a single broadcast anti-join — two jobs total.
+    * `assumeCanonical` (pair lists from this library's generators,
+    * which all emit distinct id_a < id_b) makes the probe collect
+    * map-only; see [[connectedComponents]].
     */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("_loser"))
-    df.join(losers, col(idCol) === col("_loser"), "left_anti")
-  }
+      aCol: String = "id_a", bCol: String = "id_b",
+      collectLimit: Int = 1 << 18, assumeCanonical: Boolean = false): DataFrame =
+    probeLocalPairs(pairs, aCol, bCol, collectLimit, assumeCanonical) match {
+      case Some(head) =>
+        val idType = pairs.schema(aCol).dataType
+        val comp = unionFindMap(head, idOrdering(idType))
+        val losers = comp.iterator.collect { case (id, c) if id != c => id }.toSeq
+        dropIdsLocal(df, idCol, losers, idType)
+      case None =>
+        val losers = connectedComponents(pairs, aCol, bCol, collectLimit = 0)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("_loser"))
+        df.join(losers, col(idCol) === col("_loser"), "left_anti")
+    }
 
   /** [[dropNearDuplicates]] with a QUALITY rule: per cluster keep the
     * member maximizing `keepBy` (numeric; ties break to the smallest
     * id, nulls rank worst), instead of blindly keeping the min id —
     * real pipelines keep the longest / highest-LM-score / least-noisy
     * copy of a near-dup group (Lee et al. 2021 keep one "best"
-    * member). One extra cluster-sized aggregate + join over the plain
-    * variant; the corpus itself still only pays the final anti join.
+    * member). Small graphs resolve the winners on the driver (one
+    * member-quality collect on top of [[dropNearDuplicates]]'s two
+    * jobs); past `collectLimit` the distributed branch pays one extra
+    * cluster-sized aggregate + join. Either way the corpus itself only
+    * pays the final anti join.
     */
   def dropNearDuplicatesBy(
       df: DataFrame, idCol: String, pairs: DataFrame, keepBy: Column,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol)
-    val members = df
-      .select(col(idCol).as("id"),
-        coalesce(keepBy.cast("double"), lit(Double.NegativeInfinity)).as("_q"))
-      .join(cc, "id")
-    // winner = min over (−quality, id): highest quality, then smallest
-    // id — the struct ordering makes the pick deterministic under ties
-    val winners = members.groupBy("component")
-      .agg(min_by(col("id"),
-        struct((col("_q") * lit(-1.0)).as("nq"), col("id").as("tb"))).as("_keep"))
-    val losers = members.join(winners, "component")
-      .filter(col("id") =!= col("_keep"))
-      .select(col("id").as("_loser"))
-    df.join(losers, col(idCol) === col("_loser"), "left_anti")
-  }
+      aCol: String = "id_a", bCol: String = "id_b",
+      collectLimit: Int = 1 << 18, assumeCanonical: Boolean = false): DataFrame =
+    probeLocalPairs(pairs, aCol, bCol, collectLimit, assumeCanonical) match {
+      case Some(head) =>
+        // driver fast path, 3 jobs total: pair collect (above) +
+        // member-quality collect (broadcast-semi-joined scan, cluster
+        // members only — bounded by 2·collectLimit ids) + the final
+        // broadcast anti-join. The distributed alternative pays the
+        // same scans PLUS a member join, a cluster aggregate, and a
+        // winner join — each a scheduled shuffle stage that costs more
+        // than this whole graph's worth of driver arithmetic.
+        val idType = pairs.schema(aCol).dataType
+        val ord = idOrdering(idType)
+        val comp = unionFindMap(head, ord)
+        if (comp.isEmpty) return df
+        val memberQ = df
+          .select(col(idCol).as("_id"),
+            coalesce(keepBy.cast("double"), lit(Double.NegativeInfinity)).as("_q"))
+        val members = {
+          import org.apache.spark.sql.types.{StructField, StructType}
+          val rows: java.util.List[org.apache.spark.sql.Row] =
+            new java.util.ArrayList[org.apache.spark.sql.Row](comp.size)
+          comp.keysIterator.foreach(id => rows.add(org.apache.spark.sql.Row(id)))
+          df.sparkSession.createDataFrame(rows,
+            StructType(Seq(StructField("_mid", idType, nullable = false))))
+        }
+        val quals = memberQ
+          .join(broadcast(members), col("_id") === col("_mid"), "left_semi")
+          .collect()
+        // winner per component = min over (−quality, id): highest
+        // quality, then smallest id — same total order the distributed
+        // branch's min_by(struct(nq, id)) induces (NaN sorts greatest
+        // in both Spark's struct ordering and Double.compare)
+        val best = scala.collection.mutable.HashMap.empty[Any, (Double, Any)]
+        quals.foreach { r =>
+          val id = r.get(0)
+          val nq = -r.getDouble(1)
+          val cmp = comp(id)
+          val better = best.get(cmp) match {
+            case None => true
+            case Some((bnq, bid)) =>
+              val c = java.lang.Double.compare(nq, bnq)
+              c < 0 || (c == 0 && ord.lt(id, bid))
+          }
+          if (better) best(cmp) = (nq, id)
+        }
+        val losers = quals.iterator.map(_.get(0))
+          .filter(id => best.get(comp(id)).exists(_._2 != id)).toSeq
+        dropIdsLocal(df, idCol, losers, idType)
+      case None =>
+        val cc = connectedComponents(pairs, aCol, bCol, collectLimit = 0)
+        val members = df
+          .select(col(idCol).as("id"),
+            coalesce(keepBy.cast("double"), lit(Double.NegativeInfinity)).as("_q"))
+          .join(cc, "id")
+        // winner = min over (−quality, id): highest quality, then
+        // smallest id — the struct ordering makes the pick
+        // deterministic under ties
+        val winners = members.groupBy("component")
+          .agg(min_by(col("id"),
+            struct((col("_q") * lit(-1.0)).as("nq"), col("id").as("tb"))).as("_keep"))
+        val losers = members.join(winners, "component")
+          .filter(col("id") =!= col("_keep"))
+          .select(col("id").as("_loser"))
+        df.join(losers, col(idCol) === col("_loser"), "left_anti")
+    }
 
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the AllPairs
     * scheme of Bayardo/Ma/Srikant, WWW'07): order each doc's shingles
@@ -523,26 +685,28 @@ object Dedup {
   /** `stageDir`: as in [[minHashNearDups]] — stages the per-doc
     * posting index to parquet instead of executor storage.
     */
-  /** `maxCandidatePairs`: opt-in saturation guard. Prefix filtering's
-    * whole premise is that SOME shingle in every doc is globally rare;
-    * a bounded vocabulary voids it — with |V| tokens the n-gram space
-    * is |V|ⁿ, and once the corpus saturates it EVERY pair shares
-    * prefix shingles, so candidate generation is Θ(n²) for any exact
-    * scheme (measured: the sf10 scaling star, a 31-token salad whose
-    * 29 791 = 31³ trigram space is fully saturated, went ×95 per data
-    * decade). With the cap set, one cheap aggregate over the prefix
-    * index computes the EXACT candidate-join row count first and
-    * raises actionably past the cap — pointing at [[minHashNearDups]],
-    * whose banded signatures stay bounded on exactly this data (×2.5
-    * per decade in the same audit) — instead of grinding quadratically.
+  /** `maxCandidatePairs`: DEFAULT-ON saturation guard. Prefix
+    * filtering's whole premise is that SOME shingle in every doc is
+    * globally rare; a bounded vocabulary voids it — with |V| tokens
+    * the n-gram space is |V|ⁿ, and once the corpus saturates it EVERY
+    * pair shares prefix shingles, so candidate generation is Θ(n²)
+    * for any exact scheme (measured: the sf10 scaling star, a
+    * 31-token salad whose 29 791 = 31³ trigram space is fully
+    * saturated, went ×95 per data decade). One cheap aggregate over
+    * the prefix index computes the EXACT candidate-join row count
+    * first and raises actionably past the budget — pointing at
+    * [[minHashNearDups]], whose banded signatures stay bounded on
+    * exactly this data (×2.5 per decade in the same audit) — instead
+    * of grinding quadratically. [[CandidateCap.Auto]] (the default)
+    * budgets 100 candidates per document; a 100 TB caller who passes
+    * nothing gets the guard, and switching it OFF takes an explicit
+    * [[CandidateCap.Unbounded]].
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       stageDir: Option[String] = None,
-      maxCandidatePairs: Option[Long] = None): DataFrame = {
-    maxCandidatePairs.foreach(m => require(m >= 1,
-      s"maxCandidatePairs must be >= 1, got $m"))
+      maxCandidatePairs: CandidateCap = CandidateCap.Auto): DataFrame = {
     // Postings carry the 64-bit shingle hash, never the string — every
     // downstream shuffle/persist moves 8-byte longs. Jaccard over
     // distinct-shingle hashes equals string Jaccard absent an in-pair
@@ -588,7 +752,15 @@ object Dedup {
         slice(col("_items"), lit(1), prefixLen),
         s => s.getField("_h"))).as("_h"))
 
-    maxCandidatePairs.foreach { cap =>
+    val capValue: Option[Long] = maxCandidatePairs match {
+      case CandidateCap.Unbounded => None
+      case CandidateCap.Max(m)    => Some(m)
+      // Auto sizes off the corpus itself: byDoc is already staged
+      // (parquet or eager persist), so the doc count is a scan of the
+      // compact per-doc index, not a recompute of the posting explode
+      case CandidateCap.Auto      => Some(100L * math.max(byDoc.count(), 1L))
+    }
+    capValue.foreach { cap =>
       // exact size of the candidate self-join below: Σ_h c_h·(c_h−1)/2
       // over prefix-posting frequencies — one aggregate over the
       // (staged) prefix stream, negligible next to the join it guards
@@ -604,10 +776,12 @@ object Dedup {
           .head().get(0)).fold(0L)(v => math.round(v.toString.toDouble))
       require(est <= cap,
         s"ngramJaccardPairs would generate $est candidate pairs " +
-          s"(maxCandidatePairs=$cap): the shingle space is saturated — no " +
-          "globally-rare prefixes exist, so exact pair generation is " +
-          "quadratic on this corpus. Use minHashNearDups (banded LSH stays " +
-          "bounded on saturated vocabularies) or raise the cap.")
+          s"(maxCandidatePairs=$cap, ${maxCandidatePairs}): the shingle " +
+          "space is saturated — no globally-rare prefixes exist, so exact " +
+          "pair generation is quadratic on this corpus. Use minHashNearDups " +
+          "(banded LSH stays bounded on saturated vocabularies), raise the " +
+          "cap with CandidateCap.Max, or opt out explicitly with " +
+          "CandidateCap.Unbounded.")
     }
 
     // Length filter (exact necessary condition): J ≥ t ⇒

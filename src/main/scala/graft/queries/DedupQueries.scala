@@ -161,7 +161,7 @@ object DedupQueries {
     "d_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minHashNearDups(tripleCorpus(s, dir), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
-      Dedup.connectedComponents(pairs).orderBy("id")
+      Dedup.connectedComponents(pairs, assumeCanonical = true).orderBy("id")
     }),
 
     // The full dedup recipe end-to-end: pairs → clusters → drop every
@@ -171,7 +171,8 @@ object DedupQueries {
       val corpus = tripleCorpus(s, dir)
       val pairs = Dedup.minHashNearDups(corpus, "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
-      Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      Dedup.dropNearDuplicates(corpus, "doc_id", pairs,
+          assumeCanonical = true) // minhash pairs are distinct id_a < id_b
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -185,7 +186,8 @@ object DedupQueries {
       val pairs = Dedup.minHashNearDups(corpus, "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
       Dedup.dropNearDuplicatesBy(corpus, "doc_id", pairs,
-          keepBy = (col("doc_id") % 7).cast("double"))
+          keepBy = (col("doc_id") % 7).cast("double"),
+          assumeCanonical = true) // minhash pairs are distinct id_a < id_b
         .select("doc_id").orderBy("doc_id")
     }),
 

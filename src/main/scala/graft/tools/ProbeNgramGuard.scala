@@ -1,0 +1,36 @@
+package graft.tools
+
+/** Dev scratch: runs d_ngram_jaccard (which now defaults to
+  * CandidateCap.Auto) at the verify and bench scale factors to confirm
+  * the auto budget (100 pairs/doc) clears the real corpora, and prints
+  * the est-vs-cap margin by probing with CandidateCap.Max(1).
+  * Not part of the library surface.
+  */
+object ProbeNgramGuard {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      // est surfaces in the guard's message when the cap is 1
+      val est =
+        try {
+          graft.operators.Dedup.ngramJaccardPairs(
+            graft.queries.DedupQueries.docsWithClones(spark, dir),
+            "doc_id", "text", shingleN = 3, threshold = 0.8,
+            maxCandidatePairs = graft.operators.CandidateCap.Max(1L)).count()
+          -1L
+        } catch {
+          case e: IllegalArgumentException =>
+            "would generate (\\d+)".r.findFirstMatchIn(e.getMessage)
+              .map(_.group(1).toLong).getOrElse(-2L)
+        }
+      val n = graft.queries.DedupQueries.docsWithClones(spark, dir).count()
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries("d_ngram_jaccard")(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[ngram-guard] $sf%-7s n=$n%6d est=$est%9d cap=${100L * n}%9d rows=$rows%5d  ${sec}%6.2f s  ${if (est <= 100L * n) "OK" else "WOULD RAISE"}")
+    }
+    spark.stop()
+  }
+}

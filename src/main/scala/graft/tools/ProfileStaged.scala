@@ -43,13 +43,17 @@ object ProfileStaged {
         bands = 8, rowsPerBand = 8, threshold = 0.7,
         stageDir = Some(s"/tmp/graft_stage_mh_x$mult")).count()
     }
+    // Unbounded on purpose: this tool MEASURES the exact path's growth
+    // (incl. the saturated-corpus quadratic the default guard now stops)
     time("ngram persist") {
       graft.operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
-        threshold = 0.8).count()
+        threshold = 0.8,
+        maxCandidatePairs = graft.operators.CandidateCap.Unbounded).count()
     }
     time("ngram stageDir") {
       graft.operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
-        threshold = 0.8, stageDir = Some(s"/tmp/graft_stage_ng_x$mult")).count()
+        threshold = 0.8, stageDir = Some(s"/tmp/graft_stage_ng_x$mult"),
+        maxCandidatePairs = graft.operators.CandidateCap.Unbounded).count()
     }
     spark.stop()
   }

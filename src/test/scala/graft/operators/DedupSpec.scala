@@ -206,6 +206,40 @@ class DedupSpec extends AnyFunSuite {
     assert(k2 == Set(1L))
   }
 
+  test("dropNearDuplicates/By: driver fast path ≡ distributed path (collectLimit=0), incl. assumeCanonical") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L), (7L, 7L)).toDF("id_a", "id_b")
+    val frame = Seq((1L, 5.0), (2L, 9.0), (4L, 9.0), (3L, 0.0),
+      (5L, 1.0), (6L, 2.0), (7L, 3.0)).toDF("id", "q")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").as[Long].collect.toSet
+    val fastPlain = ids(Dedup.dropNearDuplicates(frame, "id", pairs))
+    val fastCanon = ids(Dedup.dropNearDuplicates(frame, "id", pairs,
+      assumeCanonical = true))
+    val distPlain = ids(Dedup.dropNearDuplicates(frame, "id", pairs,
+      collectLimit = 0))
+    assert(fastPlain == distPlain && fastCanon == distPlain, fastPlain)
+    val fastBy = ids(Dedup.dropNearDuplicatesBy(frame, "id", pairs, col("q")))
+    val canonBy = ids(Dedup.dropNearDuplicatesBy(frame, "id", pairs, col("q"),
+      assumeCanonical = true))
+    val distBy = ids(Dedup.dropNearDuplicatesBy(frame, "id", pairs, col("q"),
+      collectLimit = 0))
+    assert(fastBy == distBy && canonBy == distBy, fastBy)
+    // a pair id ABSENT from the frame still resolves: cluster {8,9}
+    // with only 9 present keeps nothing from 9's side in the By
+    // variant (no competitor) and drops 9 in the plain variant
+    // (representative is 8 whether or not it exists in the frame)
+    val pairs2 = Seq((8L, 9L)).toDF("id_a", "id_b")
+    val partial = Seq((9L, 1.0)).toDF("id", "q")
+    assert(ids(Dedup.dropNearDuplicates(partial, "id", pairs2)).isEmpty)
+    assert(ids(Dedup.dropNearDuplicates(partial, "id", pairs2,
+      collectLimit = 0)).isEmpty)
+    assert(ids(Dedup.dropNearDuplicatesBy(partial, "id", pairs2, col("q")))
+      == Set(9L))
+    assert(ids(Dedup.dropNearDuplicatesBy(partial, "id", pairs2, col("q"),
+      collectLimit = 0)) == Set(9L))
+  }
+
   test("shingles: fewer tokens than n → empty array") {
     val sh = corpus.limit(1)
       .select(Dedup.shingles(org.apache.spark.sql.functions.lit("one two"), 3))
@@ -243,7 +277,7 @@ class DedupSpec extends AnyFunSuite {
     }.toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(salad, "id", "text", threshold = 0.5,
-        maxCandidatePairs = Some(100L))
+        maxCandidatePairs = CandidateCap.Max(100L))
     }
     assert(e.getMessage.contains("saturated") &&
       e.getMessage.contains("minHashNearDups"), e.getMessage)
@@ -251,10 +285,32 @@ class DedupSpec extends AnyFunSuite {
     // with a cap the corpus fits under, the guard is a pure no-op:
     // identical pairs to the unguarded run
     val guarded = Dedup.ngramJaccardPairs(corpus, "id", "text",
-        threshold = 0.3, maxCandidatePairs = Some(1000000L))
+        threshold = 0.3, maxCandidatePairs = CandidateCap.Max(1000000L))
       .collect().map(_.toSeq).toSet
-    val plain = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.3)
+    val plain = Dedup.ngramJaccardPairs(corpus, "id", "text",
+        threshold = 0.3, maxCandidatePairs = CandidateCap.Unbounded)
       .collect().map(_.toSeq).toSet
     assert(guarded == plain)
+  }
+
+  test("ngramJaccard saturation guard is DEFAULT-ON: saturated corpus raises with no arguments") {
+    // Auto budgets 100 candidates/doc; a saturated 3-token vocabulary
+    // generates ~n²/2, which crosses 100·n once n > ~200 — so a caller
+    // who passes NOTHING gets the raise, not the quadratic join
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c")
+    val salad = Seq.tabulate(400) { i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(3))).mkString(" "))
+    }.toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(salad, "id", "text", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("saturated") &&
+      e.getMessage.contains("CandidateCap.Unbounded"), e.getMessage)
+
+    // the explicit opt-out still computes the exact quadratic answer
+    val pairs = Dedup.ngramJaccardPairs(salad, "id", "text",
+      threshold = 0.5, maxCandidatePairs = CandidateCap.Unbounded)
+    assert(pairs.count() > 0)
   }
 }
