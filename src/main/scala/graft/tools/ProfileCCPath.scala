@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: warm-run job breakdown for the dedup-resolution
+  * queries after the r9 driver-side fast-path rework. Times each query
+  * 5x warm and prints per-job wall for one instrumented run.
+  * Not part of the library surface.
+  */
+object ProfileCCPath {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    def time[T](label: String)(f: => T): Unit = {
+      for (i <- 1 to 5) {
+        val t0 = System.nanoTime
+        f
+        println(f"PROFILE $label run$i: ${(System.nanoTime - t0) / 1e9}%.2f s")
+        spark.catalog.clearCache()
+      }
+    }
+    for (q <- args.drop(1) match {
+        case e if e.nonEmpty => e.toSeq
+        case _ => Seq("d_dedup_apply", "d_dedup_quality", "d_dedup_clusters")
+      }) {
+      time(q) { graft.SparkEntry.queries(q)(spark, dir).count() }
+    }
+    // job-level wall breakdown of one warm d_dedup_apply run
+    val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val starts = scala.collection.mutable.Map.empty[Int, Long]
+      val descs = scala.collection.mutable.Map.empty[Int, String]
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        starts(j.jobId) = j.time
+        descs(j.jobId) = Option(j.properties.getProperty("spark.job.description")).getOrElse("")
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs += ((j.jobId, j.time - starts.getOrElse(j.jobId, j.time),
+          descs.getOrElse(j.jobId, "")))
+    })
+    graft.SparkEntry.queries("d_dedup_apply")(spark, dir).count()
+    Thread.sleep(500)
+    jobs.foreach { case (id, ms, d) => println(s"JOB $id: ${ms} ms ${d.take(60)}") }
+    spark.stop()
+  }
+}
