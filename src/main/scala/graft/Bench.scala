@@ -199,9 +199,13 @@ object Bench {
     // "total" stays like-for-like with the DuckDB baseline and earlier
     // rounds: the bench-only entries (ANN probe-only, DSIR prefit)
     // have no counterpart in either, so they report in the per-query
-    // map but do not inflate the sum.
+    // map but do not inflate the sum. A FAILED query's samples are
+    // time-to-crash, not work — excluding them (on top of the visible
+    // `failed` list) keeps the headline from silently understating; a
+    // consumer that reads only `value` must cross-check `failed`,
+    // which stays machine-readable for exactly that reason.
     val total = med.collect {
-      case (k, v) if !benchOnly.contains(k) => v
+      case (k, v) if !benchOnly.contains(k) && !failed.contains(k) => v
     }.sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =

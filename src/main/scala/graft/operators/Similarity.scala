@@ -416,7 +416,11 @@ object Similarity {
         transform(col("_sorted"), (x, i) =>
           when(exists(slice(col("_sorted"), lit(1), i), y => {
             val nn = y.getField("_nm") * x.getField("_nm")
-            val cos = when(nn === 0.0, 0.0)
+            // zero-norm pairs have no defined cosine; an IDENTICAL
+            // zero vector is still a duplicate (exact equality ⇒
+            // cosine 1 by continuity), anything else is incomparable
+            val cos = when(nn === 0.0,
+                when(y.getField("_v") === x.getField("_v"), 1.0).otherwise(0.0))
               .otherwise(dot(y.getField("_v"), x.getField("_v")) / nn)
             round(cos, 4) >= threshold
           }), x.getField("_id"))),

@@ -461,8 +461,11 @@ object TextQueries {
     // lorem-ipsum line (page dies at page level), doc_id%17 a kept
     // brace line (ditto). In-row Column math — one scan, no shuffle.
     "x_c4_filter" -> ((s, dir) => {
+      // coalesce: concat_ws SKIPS a null first line while the oracle's
+      // || chain NULLS the whole page — pin both to '' so the twins
+      // agree even if a regenerated documents table grows NULL texts
       val page = concat_ws("\n",
-        concat(col("text"), lit(".")),
+        concat(coalesce(col("text"), lit("")), lit(".")),
         lit("tiny line."),
         lit("Please enable javascript to view this site today."),
         when(col("doc_id") % 13 === 0,
@@ -678,7 +681,7 @@ object TextQueries {
     // salt expression mirrors the query's concat_ws verbatim.
     "x_c4_filter" -> {
       val page =
-        "text || '.' || chr(10) || 'tiny line.' || chr(10) || " +
+        "coalesce(text, '') || '.' || chr(10) || 'tiny line.' || chr(10) || " +
           "'Please enable javascript to view this site today.' || chr(10) || " +
           "(CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.' " +
           "ELSE 'This second sentence keeps the page healthy and long.' END) || chr(10) || " +

@@ -215,12 +215,22 @@ object CorpusIngest {
     // names — flattening their files into the staging root would
     // silently erase those columns on read. CorpusIngest lakes are
     // unpartitioned; partitioned datasets need a partition-aware
-    // compactor (compact per partition directory).
-    val partDirs = fs.listStatus(lakePath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    // compactor (compact per partition directory). The sweep is
+    // RECURSIVE: a partitioned layout nested one level down
+    // (lake/sub/lang=en/…) loses its columns just as silently as one
+    // at the root.
+    def partStyleDirs(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && visible(st.getPath))
+        .flatMap { st =>
+          val self =
+            if (st.getPath.getName.contains("=")) Seq(st.getPath) else Nil
+          self ++ partStyleDirs(st.getPath)
+        }
+    val partDirs = partStyleDirs(lakePath)
     require(partDirs.isEmpty,
-      s"compactLake: $lakeDir is hive-partitioned " +
-        s"(${partDirs.map(_.getPath.getName).take(3).mkString(", ")}…) — " +
+      s"compactLake: $lakeDir contains hive-partition-style directories " +
+        s"(${partDirs.map(_.getName).take(3).mkString(", ")}…) — " +
         "flattening would drop the partition columns; compact each " +
         "partition directory instead")
     val files = dataFiles(lakePath)

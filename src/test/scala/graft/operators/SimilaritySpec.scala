@@ -333,4 +333,50 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("dimension"), e4.getMessage)
   }
+
+  test("semanticDedup treats identical zero vectors as duplicates, distinct zero-norm pairs as incomparable") {
+    // cosine is undefined at zero norm; EQUAL zero vectors are still
+    // duplicates (exact equality ⇒ cosine 1 by continuity) — this pins
+    // the operator to the same decision an embedding-equality oracle
+    // would make, instead of silently keeping both
+    val z = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),  // identical zero clone → drop
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f))   // zero-vs-nonzero → keep
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(z, "vec_id", "embedding",
+        threshold = 1.0, nlist = 1)
+      .select("vec_id").as[Long].collect.toSeq.sorted
+    assert(kept == Seq(0L, 2L))
+  }
+
+  test("d_semantic_dedup oracle precondition: the gate-SF embeddings have no NEAR-identical distinct pair") {
+    import org.apache.spark.sql.functions._
+    // The driver's DuckDB oracle drops exact embedding equality, while
+    // the operator drops round(cosine,4) >= 1.0 (cosine >= 0.99995).
+    // Those agree only while the base table contains no DISTINCT pair
+    // inside that band — a property of the data, not the code — so pin
+    // it here: if a regenerated testdata ever plants a natural
+    // near-twin, THIS fails with a diagnosis instead of the round's
+    // correctness gate failing with a bare hash mismatch.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = base.select(col("vec_id").as("ida"), col("v").as("va"))
+    val b = base.select(col("vec_id").as("idb"), col("v").as("vb"))
+    val distinctNearTwins = a.join(b, col("ida") < col("idb"))
+      .withColumn("cos",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(col("va"), lit(0.0), (acc, x) => acc + x * x)) *
+           sqrt(aggregate(col("vb"), lit(0.0), (acc, x) => acc + x * x))))
+      .filter(round(col("cos"), 4) >= 1.0 && !(col("va") === col("vb")))
+      .count()
+    assert(distinctNearTwins == 0L,
+      "embeddings.parquet now contains a distinct near-identical pair " +
+        "(cosine >= 0.99995): the d_semantic_dedup equality oracle no " +
+        "longer matches the operator — regenerate the oracle or exclude " +
+        "the pair")
+  }
 }

@@ -249,7 +249,20 @@ class CorpusIngestSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
     }
-    assert(e.getMessage.contains("hive-partitioned"))
+    assert(e.getMessage.contains("hive-partition"))
+  }
+
+  test("compactLake refuses partition-style directories NESTED below the lake root") {
+    // lake/sub/lang=en/… — the root's children carry no '=', but
+    // flattening would still erase the nested partition column
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_hive_nested")
+    val lakeDir = dir.resolve("lake").toString
+    Seq((1L, "a", "en"), (2L, "b", "de")).toDF("doc_id", "text", "lang")
+      .write.partitionBy("lang").parquet(dir.resolve("lake/sub").toString)
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("hive-partition"), e.getMessage)
   }
 
   test("ingestStream: lake starts empty, grows, and later batches dedup against it") {
