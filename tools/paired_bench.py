@@ -34,15 +34,22 @@ import json, multiprocessing as mp, os, statistics, subprocess, sys, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from baseline_duckdb import run_one  # same reference-config runner
 
-EXCLUDE = {"d_ngram_jaccard"}  # all-pairs: DuckDB timeout lower-bound
+# Subset definitions are FROZEN in bench_subsets.json (single source of
+# truth, referenced from BASELINE.md): the lists materially decide the
+# 2x pass/fail reading, so they must not drift silently with tooling
+# edits. Queries added after the freeze still enter common/scalar via
+# the rules; the frozen lists pin the historical composition.
+_SUBSETS = json.load(open(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_subsets.json")))
+
+EXCLUDE = set(_SUBSETS["excluded_upfront"]["queries"])
 # bench-only entries with no oracle (amortized probe/prefit cost)
 # never enter the like-for-like total on either side
-SPARK_ONLY_OK = {"s_lsh_probe_only", "s_ivf_probe_only", "x_dsir_prefit",
-                 "d_semantic_prefit"}
+SPARK_ONLY_OK = set(_SUBSETS["bench_only_unpaired"]["queries"])
 
 # the scalar/relational subset used by BASELINE.md (everything that is
 # not an index-build/dedup-family query)
-NON_SCALAR_PREFIXES = ("d_", "s_", "x_line", "mm_")
+NON_SCALAR_PREFIXES = tuple(_SUBSETS["scalar_relational"]["exclude_prefixes"])
 
 
 def duckdb_pass(sf_dir, oracles, timeout, timed_out):
