@@ -1,0 +1,160 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic REAL media generators — the driver-visible twin of
+  * the byte-level spec fixtures, in main scope so `mm_pipeline` can
+  * exercise the genuine decode paths (`javax.imageio` pixels, RIFF
+  * PCM samples, MJPEG-in-AVI frames) end to end instead of the
+  * byte-fold fallback. Everything is seeded per row id, so the
+  * synthesized corpus is identical under any partitioning, and every
+  * payload is a REAL container the decoders must actually parse:
+  * PNGs round-trip through the JDK encoder, WAVs carry genuine
+  * 16-bit PCM, AVIs hold complete JPEG frames.
+  *
+  * The reference treats media as opaque blobs end to end; this module
+  * exists so the decode plumbing mandated beyond reference parity is
+  * driven by the correctness/bench entries, not only by unit specs.
+  */
+object MediaFixtures {
+
+  // same JVM-global flip as Multimodal.decodeImage: without it every
+  // ImageIO.write goes through a FileCacheImageOutputStream — one
+  // TEMP FILE per encoded payload, measured ~20× the pure encode cost
+  // across 16 executor threads
+  private lazy val imageIoCacheOff: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic w×h RGB image for `id` — two channel ramps offset
+    * by a per-id phase (structured, so aHash gets real bits) —
+    * encoded as a real PNG through the JDK encoder.
+    */
+  def pngGradient(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    imageIoCacheOff
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val phase = ((id * 37) & 0xffL).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 255 / math.max(1, w - 1) + phase) & 0xff
+        val g = (y * 255 / math.max(1, h - 1) + phase) & 0xff
+        bi.setRGB(x, y, (r << 16) | (g << 8) | phase)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", out)
+    out.toByteArray
+  }
+
+  /** RIFF/WAVE container around real mono 16-bit LE PCM samples. */
+  def wavPcm(samples: Array[Short], rate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val body = ascii("WAVE") ++ ascii("fmt ") ++ le32(16) ++ le16(1) ++
+      le16(1) ++ le32(rate) ++ le32(rate * 2) ++ le16(2) ++ le16(16) ++
+      ascii("data") ++ le32(data.length) ++ data
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Deterministic WAV clip for `id`: a sine at an id-derived pitch
+    * with alternating loud/quiet blocks — enough samples to frame the
+    * 64-bit energy hash, and an energy PROFILE that varies by id so
+    * distinct clips hash apart.
+    */
+  def wavClip(id: Long, nSamples: Int = 400, rate: Int = 8000): Array[Byte] = {
+    val freq = 200.0 + (id % 16) * 50.0
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val amp = if ((i / 40 + id) % 2 == 0) 16000 else 2000
+      samples(i) = (math.sin(2 * math.Pi * freq * i / rate) * amp).toShort
+      i += 1
+    }
+    wavPcm(samples, rate)
+  }
+
+  /** Deterministic MJPEG-in-AVI clip for `id`: `nFrames` complete
+    * JPEG frames (per-frame gray ramps phased by id) in a RIFF AVI
+    * container at 25 fps — exactly the layout
+    * [[Multimodal.sampleFrames]] parses.
+    */
+  def aviClip(id: Long, nFrames: Int = 2, w: Int = 8, h: Int = 8): Array[Byte] = {
+    imageIoCacheOff
+    val frames = (0 until nFrames).map { f =>
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val phase = (((id + f) * 29) & 0xffL).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val c = (x * 255 / math.max(1, w - 1) + phase) & 0xff
+          bi.setRGB(x, y, (c << 16) | (c << 8) | c)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", out)
+      out.toByteArray
+    }
+    val hdrl = avList("hdrl", chunk("avih", le32(40000) ++ new Array[Byte](52)))
+    val movi = avList("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Synthesize a REAL mixed-media corpus keyed by an id column:
+    * id % 3 == 0 → PNG image, == 1 → WAV audio, == 2 → MJPEG-AVI
+    * video, in [[Multimodal.mediaSchema]] shape. Generation runs
+    * distributed (`mapPartitions`, one JDK encoder call per row) and
+    * is deterministic per id — the media twin of the seeded-text
+    * testdata generators.
+    */
+  def syntheticMedia(df: DataFrame, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    // the id column of a small parquet table scans as ONE task; the
+    // per-row JDK encodes are the cost here, so spread them across
+    // the executor threads (the shuffle moves only the id longs)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id % 3) match {
+            case 0 => (id, "image", pngGradient(id))
+            case 1 => (id, "audio", wavClip(id))
+            case _ => (id, "video", aviClip(id))
+          }
+        }
+      }
+      .toDF("media_id", "media_type", "blob")
+      .select(
+        col("media_id"),
+        col("media_type"),
+        col("blob").as("media"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"))
+  }
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] = le16(v & 0xffff) ++ le16(v >>> 16)
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    ascii(id) ++ le32(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+  private def avList(tpe: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", ascii(tpe) ++ body)
+}

@@ -197,14 +197,60 @@ object Multimodal {
       }
   }
 
-  /** Decode-or-fallback for one payload: real pixel features when the
-    * bytes parse as an image, deterministic byte-fold otherwise.
+  /** Real audio features from decoded PCM, the audio twin of
+    * [[imageFeatures]]: RMS energy over `dim` equal frames, each in
+    * [0, 1] — the clip's coarse energy envelope (volume profile over
+    * time), which distinguishes loud-then-quiet from ramping clips
+    * the way band lumas distinguish left-dark from right-dark images.
+    */
+  private[multimodal] def audioFeatures(samples: Array[Double], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty || dim == 0) return out
+    var f = 0
+    while (f < dim) {
+      val x0 = (f.toLong * samples.length / dim).toInt
+      val x1 = math.min(samples.length,
+        math.max(x0 + 1, ((f + 1).toLong * samples.length / dim).toInt))
+      var s = 0.0; var i = x0
+      while (i < x1) { s += samples(i) * samples(i); i += 1 }
+      out(f) = math.sqrt(s / math.max(1, x1 - x0)).toFloat
+      f += 1
+    }
+    out
+  }
+
+  /** One-pass decode of a payload to (features, perceptual hash,
+    * decoded kind): image pixels → [[imageFeatures]] + [[aHash]];
+    * WAV PCM → [[audioFeatures]] + [[energyHash64]]; MJPEG-AVI → the
+    * first frame's image features/hash (frame-level features compose
+    * video with the image family, matching [[sampleFrames]]'s design);
+    * anything else → byte-fold fallback, no hash, kind "opaque".
+    * Single decode per payload — the feature and the dedup hash come
+    * from the same pixels/samples, so a pipeline computing both never
+    * parses the container twice.
+    */
+  private[multimodal] def decodeAll(
+      bytes: Array[Byte], dim: Int): (Array[Float], Option[Long], String) =
+    decodeImage(bytes) match {
+      case Some(img) => (imageFeatures(img, dim), Some(aHash(img)), "image")
+      case None =>
+        decodeWavPcm(bytes) match {
+          case Some((_, samples)) =>
+            (audioFeatures(samples, dim), energyHash64(samples), "audio")
+          case None =>
+            aviMjpegFrames(bytes)._2.headOption.flatMap(decodeImage) match {
+              case Some(img) => (imageFeatures(img, dim), Some(aHash(img)), "video")
+              case None      => (fallbackFeatures(bytes, dim), None, "opaque")
+            }
+        }
+    }
+
+  /** Decode-or-fallback for one payload: real pixel/PCM/frame
+    * features when the bytes parse as a known container
+    * ([[decodeAll]]), deterministic byte-fold otherwise.
     */
   private[multimodal] def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
-    decodeImage(bytes) match {
-      case Some(img) => imageFeatures(img, dim)
-      case None      => fallbackFeatures(bytes, dim)
-    }
+    decodeAll(bytes, dim)._1
 
   /** Deterministic featurization for payloads that don't decode as
     * images (audio/video/corrupt bytes): a seeded byte-fold, so
@@ -578,11 +624,17 @@ object Multimodal {
   }
 
   /** End-to-end media pipeline used by the `mm_pipeline` query:
-    * binary ingest → REAL pixel decode (fallback featurization for
-    * non-image payloads) → feature norm → per-type stats. One
-    * `mapPartitions` pass carries type + byte length alongside the
-    * features, so no join is needed to reunite them — the aggregate
-    * after it is map-side partial as usual.
+    * binary ingest → REAL decode ([[decodeAll]]: pixels for images,
+    * PCM for WAV, first-frame pixels for MJPEG-AVI; byte-fold
+    * fallback for the rest) → feature norm + perceptual hash →
+    * per-type stats. One `mapPartitions` pass carries type + byte
+    * length + hash alongside the features, so no join is needed to
+    * reunite them — the aggregate after it is map-side partial as
+    * usual. `n_real_decoded` counts payloads whose bytes actually
+    * parsed as the type the row declared (a corpus-hygiene signal:
+    * anything less than n_items means mislabeled or corrupt media),
+    * and `n_distinct_hash` is the perceptual-dedup cardinality from
+    * the same single decode.
     */
   def featurePipeline(media: DataFrame, dim: Int = 8): DataFrame = {
     import media.sparkSession.implicits._
@@ -591,20 +643,23 @@ object Multimodal {
       .as[(String, Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (tpe, _, bytes) =>
-          val f = decodeFeatures(bytes, dim)
+          val (f, phash, kind) = decodeAll(bytes, dim)
           var s = 0.0; var i = 0
           while (i < f.length) { s += f(i).toDouble * f(i); i += 1 }
           // null payload → null bytes (NOT 0): avg(nbytes) must skip
           // missing media like SQL avg(length(media)) always did
           val nb: Option[Int] = Option(bytes).map(_.length)
-          (tpe, nb, math.sqrt(s))
+          (tpe, nb, math.sqrt(s), kind, phash)
         }
       }
-      .toDF("media_type", "nbytes", "feat_norm")
+      .toDF("media_type", "nbytes", "feat_norm", "decoded_kind", "phash")
     decoded
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_items"),
         round(avg(col("nbytes")), 2).as("avg_bytes"),
-        round(avg(col("feat_norm")), 6).as("avg_feat_norm"))
+        round(avg(col("feat_norm")), 6).as("avg_feat_norm"),
+        sum(when(col("decoded_kind") === col("media_type"), 1L)
+          .otherwise(0L)).as("n_real_decoded"),
+        countDistinct(col("phash")).as("n_distinct_hash"))
   }
 }

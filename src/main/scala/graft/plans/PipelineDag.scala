@@ -34,6 +34,12 @@ object PipelineDag {
   case object Merge extends NodeOp
   /** split_json: parse a JSON string column into typed fields (DDL schema). */
   final case class SplitJson(column: String, ddl: String) extends NodeOp
+  /** pdf_extract: extract text from a PDF binary column
+    * ([[graft.functions.PdfText]]) into `outputCol`, other columns
+    * untouched. Reference-declared node type (engine.py:26), stubbed
+    * there — real here.
+    */
+  final case class PdfExtract(column: String, outputCol: String) extends NodeOp
   /** invoke_http (engine.py:246-266): mid-DAG HTTP call whose RESPONSE
     * becomes the node's output for downstream nodes; the node's input
     * (if any) may feed the request body. Distinct from [[Sink]]-shaped
@@ -122,6 +128,14 @@ object PipelineDag {
         case SplitJson(column, ddl) =>
           one.withColumn("_parsed", from_json(col(column), ddl, Map.empty[String, String]))
             .select(col("*"), col("_parsed.*")).drop("_parsed", column)
+        case PdfExtract(column, outputCol) =>
+          // a UDF, deliberately: PdfText is a per-row JDK byte parse
+          // (Inflater + container walk) no Catalyst expression can
+          // codegen, and a UDF keeps the row's other columns intact
+          // without an encoder round-trip — same reasoning as the
+          // multimodal mapPartitions decoders
+          val extract = udf((b: Array[Byte]) => graft.functions.PdfText.extract(b))
+          one.withColumn(outputCol, extract(col(column).cast("binary")))
         case HttpCall(call) =>
           // retry policy belongs to the node body: a GET is safely
           // re-sent, but a mutating POST whose response was lost may

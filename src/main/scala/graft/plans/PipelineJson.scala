@@ -195,6 +195,47 @@ object PipelineJson {
           if (config.has("password")) props.put("password", config.path("password").asText)
           Writers.jdbcInsert(df, url, table, props)
         }
+      case "pdf_extract" =>
+        // declared in the reference's node-type list (engine.py:26)
+        // but stubbed to pass-through there (engine.py:178); real
+        // here: PdfText over a binary column (default "content", the
+        // payload column of Spark's binaryFile source).
+        PdfExtract(
+          config.path("column").asText("content"),
+          config.path("output_column").asText("text"))
+      case "email_notify" =>
+        // declared in the reference's node-type list (engine.py:25)
+        // but stubbed to pass-through there (engine.py:178); real
+        // here: a bounded preview of the node's input goes out over
+        // JDK SMTP, and the rows pass through downstream (Sink
+        // semantics). The preview collect is limit-bounded — never a
+        // corpus-sized driver materialization.
+        val host = config.path("host").asText("localhost")
+        val port = config.path("port").asInt(25)
+        val from = config.path("from").asText("graft@localhost")
+        val to =
+          if (config.path("to").isArray) strSeq(config.path("to"))
+          else config.path("to").asText("") match {
+            case "" => Seq.empty
+            case one => Seq(one)
+          }
+        require(to.nonEmpty, s"email_notify node '$id' requires 'to'")
+        val subject = config.path("subject").asText("Pipeline notification")
+        val bodyText = config.path("body").asText("")
+        val previewRows = config.path("preview_rows").asInt(10)
+        Sink { df =>
+          val preview = df.limit(previewRows + 1).collect()
+          val shown = preview.take(previewRows)
+          val note =
+            if (preview.length > previewRows) s"first $previewRows rows:"
+            else s"${preview.length} rows:"
+          val table = (df.columns.mkString("\t") +:
+            shown.map(r => (0 until r.length)
+              .map(i => String.valueOf(r.get(i))).mkString("\t"))).mkString("\n")
+          graft.sources.Smtp.send(host, port, graft.sources.Smtp.Message(
+            from, to, subject,
+            (if (bodyText.nonEmpty) bodyText + "\n\n" else "") + note + "\n" + table))
+        }
       case other =>
         // reference behavior: unknown node types pass through
         // (engine.py:188 "Pass-through node type")

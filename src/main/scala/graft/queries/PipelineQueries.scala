@@ -102,13 +102,17 @@ object PipelineQueries {
           t(s, dir, "events"), gapMs = 30 * 60 * 1000L)
         .orderBy("user_id", "session_id")),
 
-    // Multimodal plumbing: text bytes as stand-in media → canonical
-    // schema → stub decode → per-type feature stats. rows-only (the
-    // stub features are xxhash-based; no SQL oracle).
+    // Multimodal pipeline over REAL media: each documents row id
+    // synthesizes a genuine PNG / WAV-PCM / MJPEG-AVI payload
+    // (MediaFixtures, deterministic per id), and featurePipeline
+    // drives the actual decoders — javax.imageio pixels, RIFF PCM
+    // samples, AVI frame walk — plus the perceptual hashes, end to
+    // end. rows-only (pixel/PCM feature norms have no SQL oracle);
+    // n_real_decoded == n_items in every row is the in-band proof
+    // that no payload fell back to the byte-fold featurizer.
     "mm_pipeline" -> ((s, dir) => {
-      val media = Multimodal.asMedia(
-        t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
-        "doc_id", "blob", "image")
+      val media = graft.multimodal.MediaFixtures.syntheticMedia(
+        t(s, dir, "documents"), "doc_id")
       Multimodal.featurePipeline(media, dim = 8).orderBy("media_type")
     }),
 

@@ -1,0 +1,106 @@
+package graft.sources
+
+/** Minimal RFC 5321 SMTP client over a plain `java.net.Socket` — the
+  * transport behind the `email_notify` pipeline node (the reference
+  * declares the node type but stubs it to a pass-through —
+  * executor/engine.py:25,178; a real JDK-only sender goes beyond
+  * reference parity). Plaintext submission only: EHLO → MAIL FROM →
+  * RCPT TO → DATA → QUIT, multiline replies handled, message bodies
+  * CRLF-normalized and dot-stuffed. No TLS/AUTH — the node targets an
+  * in-network relay (or a test stub); a credentialed provider sits
+  * behind a relay, not behind this client.
+  */
+object Smtp {
+
+  final case class Message(
+      from: String, to: Seq[String], subject: String, body: String)
+
+  /** Send one message. Throws `java.io.IOException` with the server's
+    * reply line on any non-success status — the pipeline retry policy
+    * wraps this call at the node layer.
+    */
+  def send(host: String, port: Int, msg: Message, timeoutMs: Int = 10000): Unit = {
+    require(msg.to.nonEmpty, "email_notify requires at least one recipient")
+    // envelope + header validation BEFORE any socket is opened: an
+    // injection attempt must fail without touching the network
+    val fromAddr = addr(msg.from)
+    val rcpts = msg.to.map(addr)
+    val rendered = render(msg)
+    val socket = new java.net.Socket()
+    try {
+      socket.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      socket.setSoTimeout(timeoutMs)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(socket.getInputStream, "ISO-8859-1"))
+      val out = new java.io.OutputStreamWriter(
+        socket.getOutputStream, "ISO-8859-1")
+
+      // one reply = one or more "NNN-text" continuation lines ending
+      // in "NNN text"; the CODE of the final line decides
+      def expect(ok: Set[Int], after: String): Unit = {
+        var line = in.readLine()
+        if (line == null)
+          throw new java.io.IOException(s"SMTP: connection closed after $after")
+        while (line.length >= 4 && line.charAt(3) == '-') {
+          val next = in.readLine()
+          if (next == null)
+            throw new java.io.IOException(s"SMTP: connection closed mid-reply after $after")
+          line = next
+        }
+        val code =
+          try line.take(3).toInt
+          catch { case _: NumberFormatException =>
+            throw new java.io.IOException(s"SMTP: malformed reply '$line' after $after") }
+        if (!ok.contains(code))
+          throw new java.io.IOException(s"SMTP: '$after' rejected: $line")
+      }
+      def cmd(c: String, ok: Set[Int]): Unit = {
+        out.write(c); out.write("\r\n"); out.flush(); expect(ok, c)
+      }
+
+      expect(Set(220), "greeting")
+      cmd("EHLO graft", Set(250))
+      cmd(s"MAIL FROM:<$fromAddr>", Set(250))
+      rcpts.foreach(r => cmd(s"RCPT TO:<$r>", Set(250, 251)))
+      cmd("DATA", Set(354))
+      out.write(rendered)
+      out.write("\r\n.\r\n")
+      out.flush()
+      expect(Set(250), "message body")
+      cmd("QUIT", Set(221))
+    } finally socket.close()
+  }
+
+  /** Angle-bracket hygiene: accept both `a@b` and `<a@b>` configs,
+    * and refuse CR/LF in any envelope value (header injection).
+    */
+  private def addr(a: String): String = {
+    val trimmed = a.trim.stripPrefix("<").stripSuffix(">")
+    require(!trimmed.exists(c => c == '\r' || c == '\n'),
+      s"SMTP address must not contain line breaks: ${trimmed.take(40)}")
+    trimmed
+  }
+
+  /** RFC 5322 headers + CRLF-normalized, dot-stuffed body. */
+  private[sources] def render(msg: Message): String = {
+    def hdr(v: String): String = {
+      require(!v.exists(c => c == '\r' || c == '\n'),
+        s"SMTP header value must not contain line breaks: ${v.take(40)}")
+      v
+    }
+    val headers =
+      s"From: ${hdr(msg.from)}\r\n" +
+        s"To: ${msg.to.map(hdr).mkString(", ")}\r\n" +
+        s"Subject: ${hdr(msg.subject)}\r\n" +
+        "MIME-Version: 1.0\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n\r\n"
+    // normalize any EOL convention to CRLF, then dot-stuff: a body
+    // line beginning with '.' gets one prepended (RFC 5321 §4.5.2) so
+    // it cannot terminate DATA early
+    val normalized = msg.body.replace("\r\n", "\n").replace('\r', '\n')
+    val stuffed = normalized.split("\n", -1).map { line =>
+      if (line.startsWith(".")) "." + line else line
+    }.mkString("\r\n")
+    headers + stuffed
+  }
+}

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{Sessions, SparkEntry}
+
+/** Dev scratch: time + print the mm_pipeline entry at a given SF dir
+  * (warm median of 3) — verifies the real-decode media path stays
+  * under the bench floor after the MediaFixtures switch.
+  */
+object ProbeMm {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 16).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries("mm_pipeline")
+    fn(spark, dir).show(false)
+    // stage breakdown: generation-only vs full pipeline
+    val docs = graft.Tables.load(spark, dir, "documents")
+    def med(body: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    val genOnly = med(graft.multimodal.MediaFixtures
+      .syntheticMedia(docs, "doc_id").count())
+    println(f"[mm] generate-only $genOnly%.3f s")
+    def localGen(n: Int)(mk: Long => Array[Byte]): Double = {
+      val t0 = System.nanoTime()
+      (0 until n).foreach(i => mk(i.toLong))
+      (System.nanoTime() - t0) / 1e9
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    println(f"[mm] encode500 png=${localGen(500)(graft.multimodal.MediaFixtures.pngGradient(_))}%.3f " +
+      f"wav=${localGen(500)(graft.multimodal.MediaFixtures.wavClip(_))}%.3f " +
+      f"avi=${localGen(500)(graft.multimodal.MediaFixtures.aviClip(_))}%.3f")
+    // local single-thread decode cost per kind, 500 each
+    def local(n: Int)(mk: Long => Array[Byte]): Double = {
+      val payloads = (0 until n).map(i => mk(i.toLong * 3))
+      val t0 = System.nanoTime()
+      payloads.foreach(b => graft.multimodal.Multimodal.decodeImage(b)
+        .orElse { graft.multimodal.Multimodal.audioSamples(b); None })
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[mm] local500 png=${local(500)(graft.multimodal.MediaFixtures.pngGradient(_))}%.3f " +
+      f"wav=${local(500)(id => graft.multimodal.MediaFixtures.wavClip(id + 1))}%.3f " +
+      f"avi=${local(500)(id => graft.multimodal.MediaFixtures.aviClip(id + 2))}%.3f")
+    val ts = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"[mm] runs ${ts.map(t => f"$t%.3f").mkString(" ")}")
+    println(f"[mm] median ${ts.sorted.apply(2)}%.3f s over $dir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfTextSpec extends AnyFunSuite {
+
+  /** Hand-built single-page PDF around one content stream — the same
+    * fixture-driven style as the Xls/WAV specs: known operators go
+    * in, the extractor has to recover the text from real PDF bytes.
+    */
+  private def pdfOf(content: Array[Byte], filter: Option[String]): Array[Byte] = {
+    val filterEntry = filter.map(f => s" /Filter /$f").getOrElse("")
+    val head =
+      "%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${content.length}$filterEntry >> stream\n"
+    val tail = "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    head.getBytes("ISO-8859-1") ++ content ++ tail.getBytes("ISO-8859-1")
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def contentOf(ops: String): Array[Byte] = ops.getBytes("ISO-8859-1")
+
+  test("uncompressed content stream: Tj text with Td line breaks") {
+    val pdf = pdfOf(contentOf(
+      "BT /F1 12 Tf 72 720 Td (Hello) Tj ( World) Tj 0 -14 Td (Line two) Tj ET"),
+      None)
+    assert(PdfText.extract(pdf) == "Hello World\nLine two")
+  }
+
+  test("FlateDecode content stream inflates and extracts identically") {
+    val ops = contentOf(
+      "BT 72 720 Td (Compressed) Tj ( payload) Tj T* (next) Tj ET")
+    val plain = PdfText.extract(pdfOf(ops, None))
+    val flate = PdfText.extract(pdfOf(deflate(ops), Some("FlateDecode")))
+    assert(plain == "Compressed payload\nnext")
+    assert(flate == plain)
+  }
+
+  test("literal-string escapes: parens, backslash, octal, continuation") {
+    val pdf = pdfOf(contentOf(
+      """BT (paren \( inside \)) Tj ( back\\slash) Tj ( octal\101) Tj ( contin\
+ued) Tj ET"""), None)
+    assert(PdfText.extract(pdf) ==
+      "paren ( inside ) back\\slash octalA continued")
+  }
+
+  test("nested parens without escapes balance") {
+    val pdf = pdfOf(contentOf("BT ((nested (deep)) ok) Tj ET"), None)
+    assert(PdfText.extract(pdf) == "(nested (deep)) ok")
+  }
+
+  test("hex strings decode, odd trailing digit pads low nibble") {
+    // 48 65 6C 6C 6F = Hello; <7> pads to 0x70 = p
+    val pdf = pdfOf(contentOf("BT <48656C6C6F> Tj <7> Tj ET"), None)
+    assert(PdfText.extract(pdf) == "Hellop")
+  }
+
+  test("TJ arrays concatenate string elements, kerning numbers ignored") {
+    val pdf = pdfOf(contentOf(
+      "BT [(Kern) -120 (ed) 28 ( te) <7874>] TJ ET"), None)
+    assert(PdfText.extract(pdf) == "Kerned text")
+  }
+
+  test("' and \" show-text operators emit on new lines") {
+    val pdf = pdfOf(contentOf(
+      "BT (first) Tj (second) ' (third) \" ET"), None)
+    assert(PdfText.extract(pdf) == "first\nsecond\nthird")
+  }
+
+  test("non-PDF, null, and textless payloads extract to empty") {
+    assert(PdfText.extract(null) == "")
+    assert(PdfText.extract("just text".getBytes) == "")
+    assert(PdfText.extract("%PDF-1.4\n%%EOF\n".getBytes) == "")
+    // a PDF whose only stream is an image filter: skipped, no text
+    val img = pdfOf(Array[Byte](1, 2, 3, 4), Some("DCTDecode"))
+    assert(PdfText.extract(img) == "")
+  }
+
+  test("a corrupt Flate stream is skipped; later streams still extract") {
+    val good = "5 0 obj << /Length 30 >> stream\nBT (survives) Tj ET\nendstream endobj\n"
+    val bad = pdfOf("not actually deflate data!!".getBytes, Some("FlateDecode"))
+    val pdf = bad ++ good.getBytes("ISO-8859-1")
+    assert(PdfText.extract(pdf) == "survives")
+  }
+
+  test("comments inside content streams are ignored") {
+    val pdf = pdfOf(contentOf(
+      "BT % this (comment) mentions Tj\n(real) Tj ET"), None)
+    assert(PdfText.extract(pdf) == "real")
+  }
+
+  test("pdf_extract node wires the extractor over a binary column") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val pdf = pdfOf(contentOf("BT (From the node) Tj ET"), None)
+    val df = Seq((1L, pdf), (2L, "not a pdf".getBytes))
+      .toDF("id", "content")
+    df.createOrReplaceTempView("pdf_input")
+    val json =
+      """{"nodes": [
+        |  {"id": "src", "type": "sql_source_for_test"},
+        |  {"id": "ex", "type": "pdf_extract", "data": {"config": {}}}
+        |], "edges": [{"source": "src", "target": "ex"}]}""".stripMargin
+    // parse the node through PipelineJson, then execute with a real source
+    val (nodes, edges) = graft.plans.PipelineJson.parse(json)
+    val wired = nodes.map {
+      case n if n.id == "src" =>
+        n.copy(op = graft.plans.PipelineDag.Source(_ => df))
+      case n => n
+    }
+    val out = graft.plans.PipelineDag.execute(spark, wired, edges)
+      .outputs("ex").orderBy("id").collect()
+    assert(out.map(_.getAs[String]("text")).toSeq == Seq("From the node", ""))
+    assert(out.head.schema.fieldNames.toSeq == Seq("id", "content", "text"))
+  }
+}

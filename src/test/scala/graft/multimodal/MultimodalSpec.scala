@@ -332,6 +332,60 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MediaFixtures payloads are REAL containers their decoders parse") {
+    // image: the generated PNG decodes to the generator's exact pixels
+    val img = Multimodal.decodeImage(MediaFixtures.pngGradient(0L)).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    assert(((img.getRGB(7, 0) >> 16) & 0xff) == 255) // red ramp right edge
+    assert((img.getRGB(0, 0) & 0xffffff) == 0)        // id-0 phase: black corner
+    // audio: the WAV decodes to genuine 16-bit PCM, framable for the hash
+    val Some((rate, samples)) = Multimodal.decodeWavPcm(MediaFixtures.wavClip(1L))
+    assert(rate == 8000 && samples.length == 400)
+    assert(samples.exists(s => math.abs(s) > 0.1)) // real sine, not silence
+    assert(Multimodal.energyHash64(samples).isDefined)
+    // video: the AVI holds complete JPEG frames at the declared rate
+    val (us, frames) = Multimodal.aviMjpegFrames(MediaFixtures.aviClip(2L))
+    assert(us.contains(40000L) && frames.length == 2)
+    assert(Multimodal.decodeImage(frames(0)).isDefined)
+  }
+
+  test("decodeAll: WAV features are the real PCM energy envelope") {
+    val clip = MediaFixtures.wavClip(1L)
+    val (f, phash, kind) = Multimodal.decodeAll(clip, 8)
+    assert(kind == "audio" && phash.isDefined)
+    // recompute frame-0 RMS from the independently-decoded samples
+    val samples = Multimodal.decodeWavPcm(clip).get._2
+    val rms = math.sqrt(samples.take(50).map(s => s * s).sum / 50)
+    assert(math.abs(f(0) - rms) < 1e-6, s"feature ${f(0)} vs PCM rms $rms")
+    // and the video branch rides the image feature path via frame 0
+    val (fv, vhash, vkind) = Multimodal.decodeAll(MediaFixtures.aviClip(2L), 4)
+    assert(vkind == "video" && vhash.isDefined)
+    val frame0 = Multimodal.aviMjpegFrames(MediaFixtures.aviClip(2L))._2.head
+    assert(fv.toSeq == Multimodal.decodeFeatures(frame0, 4).toSeq)
+  }
+
+  test("featurePipeline on syntheticMedia real-decodes every payload") {
+    val ids = spark.range(0, 30).toDF("doc_id")
+    val media = MediaFixtures.syntheticMedia(ids, "doc_id")
+    assert(media.schema.fieldNames.toSeq == Multimodal.mediaSchema.fieldNames.toSeq)
+    val out = Multimodal.featurePipeline(media, dim = 8).collect()
+      .map(r => r.getAs[String]("media_type") -> r).toMap
+    assert(out.keySet == Set("image", "audio", "video"))
+    for ((tpe, r) <- out) {
+      assert(r.getAs[Long]("n_items") == 10L, tpe)
+      // n_real_decoded == n_items: NOTHING fell back to byte-fold
+      assert(r.getAs[Long]("n_real_decoded") == 10L, s"$tpe fell back")
+      // per-id phases vary, so perceptual hashes are not degenerate
+      assert(r.getAs[Long]("n_distinct_hash") >= 2L, s"$tpe hashes degenerate")
+    }
+    // determinism under partitioning: same corpus from a differently-
+    // partitioned id frame aggregates identically
+    val again = Multimodal.featurePipeline(
+      MediaFixtures.syntheticMedia(ids.repartition(7), "doc_id"), dim = 8)
+      .collect().map(r => r.getAs[String]("media_type") -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("MP3 sniff validates the full frame header, not just the sync bits") {
     // sync bits present but bitrate index 1111 (invalid) → junk → None
     val junk = Array(0xFF, 0xFB, 0xF0, 0x00).map(_.toByte) ++
