@@ -47,11 +47,23 @@ object PdfText {
           var dataStart = s + 6
           if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
           if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-          // data ends before the EOL that precedes `endstream`
-          var dataEnd = e
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
           val dict = dictBefore(bytes, s)
+          // a DIRECT /Length is authoritative (the EOL-trim heuristic
+          // below would chop a real byte off a Flate stream that
+          // happens to END in 0x0A when the writer omitted the EOL
+          // before `endstream`); an indirect "/Length 12 0 R" or a
+          // length inconsistent with the endstream position falls back
+          // to the heuristic
+          val directLen = lengthOf(dict).filter { n =>
+            dataStart + n <= e && dataStart + n >= e - 2
+          }
+          val dataEnd = directLen.map(dataStart + _).getOrElse {
+            // data ends before the EOL that precedes `endstream`
+            var de = e
+            if (de > dataStart && bytes(de - 1) == '\n') de -= 1
+            if (de > dataStart && bytes(de - 1) == '\r') de -= 1
+            de
+          }
           try {
             val decoded: Option[Array[Byte]] =
               if (dict.contains("/FlateDecode"))
@@ -95,6 +107,61 @@ object PdfText {
       } else j -= 1
     }
     ""
+  }
+
+  /** Direct `/Length N` from a stream dictionary; None for the
+    * indirect-reference form (`/Length 12 0 R`) or no entry.
+    */
+  private def lengthOf(dict: String): Option[Int] =
+    "/Length\\s+(\\d+)".r.findFirstMatchIn(dict).flatMap { m =>
+      // "/Length 12 0 R" is an indirect REFERENCE, not a byte count:
+      // reject when the next token is the generation+R pair
+      val tail = dict.substring(m.end(1)).trim
+      if (tail.matches("^\\d+\\s+R(\\s|>|/).*")) None
+      else scala.util.Try(m.group(1).toInt).toOption
+    }
+
+  /** Build a minimal one-page PDF showing `text` through a single
+    * `Tj` — the WRITER twin of [[extract]], used by the oracle-checked
+    * round-trip query (`p_pdf_roundtrip`) and available as a smoke
+    * fixture. Parens/backslashes escape per spec; callers should
+    * restrict text to Latin-1 (PDF literal strings are byte-based —
+    * this writer declares no encoding beyond the viewer default).
+    */
+  def minimalPdf(text: String, flate: Boolean = false): Array[Byte] = {
+    val escaped = new StringBuilder(text.length + 8)
+    text.foreach {
+      case '('  => escaped ++= "\\("
+      case ')'  => escaped ++= "\\)"
+      case '\\' => escaped ++= "\\\\"
+      case c    => escaped += c
+    }
+    val content =
+      s"BT /F1 12 Tf 72 720 Td ($escaped) Tj ET".getBytes("ISO-8859-1")
+    val stream = if (flate) deflateBytes(content) else content
+    val filterEntry = if (flate) " /Filter /FlateDecode" else ""
+    val head = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >> >> >> /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${stream.length}$filterEntry >> stream\n")
+      .getBytes("ISO-8859-1")
+    val tail = "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+      .getBytes("ISO-8859-1")
+    head ++ stream ++ tail
+  }
+
+  private def deflateBytes(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
   }
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {

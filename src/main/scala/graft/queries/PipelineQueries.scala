@@ -116,6 +116,25 @@ object PipelineQueries {
       Multimodal.featurePipeline(media, dim = 8).orderBy("media_type")
     }),
 
+    // pdf_extract, oracle-checked end to end: every documents row is
+    // rendered into a REAL one-page PDF (even ids FlateDecode-
+    // compressed, odd ids raw — both decode paths under the oracle)
+    // and extracted back; the result must hash-match the sanitized
+    // source text computed by DuckDB. Sanitize = strip non-printable-
+    // ASCII on BOTH sides (PDF literal strings are byte-based; the
+    // regex is engine-portable) + trim (the extractor trims page
+    // edges).
+    "p_pdf_roundtrip" -> ((s, dir) => {
+      val clean = trim(regexp_replace(
+        coalesce(col("text"), lit("")), "[^ -~]", ""))
+      val roundtrip = udf((t: String, id: Long) =>
+        graft.functions.PdfText.extract(
+          graft.functions.PdfText.minimalPdf(t, flate = id % 2 == 0)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), roundtrip(clean, col("doc_id")).as("pdf_text"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal metadata stats — the oracle-able half of the media
     // pipeline (byte lengths survive the binary cast bit-for-bit).
     "mm_meta" -> ((s, dir) => {
@@ -131,6 +150,13 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the Spark side PHYSICALLY renders + re-extracts each text
+    // through a real PDF (see queries); equality with this direct
+    // projection proves the writer/extractor pair loses nothing
+    "p_pdf_roundtrip" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g')) AS pdf_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Output types pinned: DuckDB sum(BIGINT) is HUGEINT and
     // max(octet_length) is INTEGER — cast both to BIGINT to match
     // Spark's LONG exactly (the driver compare is type-strict).

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Sessions, SparkEntry, Tables}
+
+/** Dev scratch: x_dsir_score vs x_dsir_sample timing (warm median of
+  * 5) — isolates the resample step's cost over the scoring scan.
+  */
+object ProbeDsir {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 16).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def med(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count()
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(2)
+    }
+    println(f"[dsir] score=${med("x_dsir_score")}%.3f sample=${med("x_dsir_sample")}%.3f")
+    // sanity: sample output unchanged by the key-projection rewrite
+    val docs = Tables.load(spark, dir, "documents")
+    val ids = graft.operators.Dsir.resample(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 10)
+      .collect().map(_.get(0)).mkString(",")
+    println(s"[dsir] top10 ids: $ids")
+    spark.stop()
+  }
+}

@@ -10,8 +10,11 @@ object ProbeNgramGuard {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local(16)
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.01", "sf0.1")) {
-      val dir = s"/root/testdata/$sf"
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (dir <- dirs) {
+      val sf = dir.split('/').last
       // est surfaces in the guard's message when the cap is 1
       val est =
         try {

@@ -45,6 +45,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("DSIR resample is a TakeOrdered over in-row scores, not a full sort") {
+    // Dsir.resample = orderBy(gumbel key).limit(k): the k winners must
+    // come from a TakeOrderedAndProject (per-partition heaps, k rows
+    // per partition cross the wire) — a global Sort before the limit
+    // would shuffle the whole scored corpus at 100 TB
+    val p = plan("x_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("top-1-per-key is a partial aggregate, not a sort window") {
     // q_window and keyed dedup-with-tiebreak plan max_by/min_by
     // AGGREGATES with a map-side partial phase: only one row per key

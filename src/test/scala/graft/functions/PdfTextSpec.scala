@@ -102,6 +102,38 @@ ued) Tj ET"""), None)
     assert(PdfText.extract(pdf) == "real")
   }
 
+  test("minimalPdf round-trips arbitrary printable text, raw and Flate") {
+    val nasty = """parens (deep (nested)) \ backslash \\ double .. dots"""
+    for (flate <- Seq(false, true)) {
+      val out = PdfText.extract(PdfText.minimalPdf(nasty, flate))
+      assert(out == nasty, s"flate=$flate: '$out'")
+    }
+    assert(PdfText.extract(PdfText.minimalPdf("", flate = true)) == "")
+  }
+
+  test("a direct /Length overrides the EOL-trim heuristic for Flate data") {
+    // find a payload whose DEFLATE output legitimately ends in 0x0A
+    // (the adler32 tail makes this ~1/256 per variant), then write it
+    // with NO EOL before `endstream`: the heuristic alone would chop
+    // the last byte and corrupt the stream — /Length must win
+    val (text, stream) = (0 until 4096).iterator
+      .map { i => val t = s"length authority variant $i"
+        (t, deflate(s"BT ($t) Tj ET".getBytes("ISO-8859-1"))) }
+      .find(_._2.last == 0x0A.toByte)
+      .getOrElse(fail("no deflate variant ended in 0x0A"))
+    val pdf = ("%PDF-1.4\n" +
+      s"4 0 obj << /Length ${stream.length} /Filter /FlateDecode >> stream\n")
+      .getBytes("ISO-8859-1") ++ stream ++
+      "endstream endobj\n%%EOF".getBytes("ISO-8859-1")
+    assert(PdfText.extract(pdf) == text)
+    // an INDIRECT /Length (12 0 R) is not a byte count: heuristic path
+    val pdf2 = ("%PDF-1.4\n" +
+      "4 0 obj << /Length 12 0 R >> stream\n").getBytes("ISO-8859-1") ++
+      "BT (indirect ok) Tj ET\n".getBytes("ISO-8859-1") ++
+      "endstream endobj\n%%EOF".getBytes("ISO-8859-1")
+    assert(PdfText.extract(pdf2) == "indirect ok")
+  }
+
   test("pdf_extract node wires the extractor over a binary column") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
