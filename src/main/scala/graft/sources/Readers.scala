@@ -68,6 +68,21 @@ object Readers {
           inferred.select(st.fields.toSeq.map(f =>
             org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
         }
+      case "pdf" =>
+        // PDFs read as (path, length, text): Spark's binaryFile source
+        // streams the bytes (splittable by FILE — the right unit for
+        // documents) and PdfText extracts per row on the executors.
+        // Callers wanting the raw bytes read format "binaryfile".
+        val extract = org.apache.spark.sql.functions.udf(
+          (b: Array[Byte]) => graft.functions.PdfText.extract(b))
+        spark.read.format("binaryFile")
+          .options(Map("pathGlobFilter" -> "*.pdf") ++ options).load(path)
+          .select(
+            org.apache.spark.sql.functions.col("path"),
+            org.apache.spark.sql.functions.col("length"),
+            extract(org.apache.spark.sql.functions.col("content")).as("text"))
+      case "binaryfile" =>
+        spark.read.format("binaryFile").options(options).load(path)
       case other =>
         throw new IllegalArgumentException(s"Unsupported input format: $other")
     }
@@ -93,7 +108,8 @@ object Readers {
     val ext = clean.reverse.takeWhile(_ != '.').reverse.toLowerCase
     // "xls" maps to itself so a legacy Excel file hits the loud
     // unsupported error in read() instead of silently misparsing as csv
-    if (Set("csv", "json", "parquet", "txt", "xlsx", "xls", "xml").contains(ext)) ext
+    if (Set("csv", "json", "parquet", "txt", "xlsx", "xls", "xml", "pdf")
+        .contains(ext)) ext
     else "csv"
   }
 

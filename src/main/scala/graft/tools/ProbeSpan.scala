@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+/** Dev scratch: stage-by-stage timing of spanDuplicateIds at the
+  * GenScale sf1/sf10 stars — isolates the sf10 superlinear knee
+  * (explode? aggregate? join strategy?).
+  */
+object ProbeSpan {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 16).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- Seq("/tmp/graft_sf1", "/tmp/graft_sf10")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def timeIt(label: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"[span] $dir $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      }
+      val grams = docs.select(col("doc_id").as("_id"),
+        explode(graft.functions.TextSignatures
+          .shingleHashesCol(col("text"), 8)).as("_g"))
+      timeIt("explode")(grams.count())
+      timeIt("group-min")(grams.groupBy("_g").agg(min(col("_id"))).count())
+      val dupSpans = grams.groupBy("_g")
+        .agg(min(col("_id")).as("_first"), max(col("_id")).as("_last"))
+        .filter(col("_last") > col("_first"))
+      timeIt("dup-spans")(dupSpans.count())
+      timeIt("probe-join")(grams.join(dupSpans.select("_g", "_first"), "_g")
+        .filter(col("_id") > col("_first")).count())
+      timeIt("full")(graft.operators.Dedup
+        .spanDuplicateIds(docs, "doc_id", "text", 8).count())
+      if (args.contains("explain"))
+        graft.operators.Dedup.spanDuplicateIds(docs, "doc_id", "text", 8)
+          .explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -46,6 +46,23 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("pdf format reads files as (path, length, text) via binaryFile") {
+    val dir = Files.createTempDirectory("graft_pdf")
+    Files.write(dir.resolve("a.pdf"),
+      graft.functions.PdfText.minimalPdf("alpha document"))
+    Files.write(dir.resolve("b.pdf"),
+      graft.functions.PdfText.minimalPdf("beta document", flate = true))
+    Files.write(dir.resolve("notes.txt"), "not a pdf".getBytes)
+    assert(Readers.detectFormat("/x/report.PDF") == "pdf")
+    val out = Readers.read(spark, dir.toString, "pdf")
+      .orderBy("path").collect()
+    // the glob filter keeps the txt out; both PDFs extract real text
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("text")).toSeq ==
+      Seq("alpha document", "beta document"))
+    assert(out.forall(_.getAs[Long]("length") > 0))
+  }
+
   test("inferSchema and detectFormat") {
     val dir = Files.createTempDirectory("graft_schema")
     val p = dir.resolve("t.csv").toString
