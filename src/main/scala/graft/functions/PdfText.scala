@@ -40,29 +40,43 @@ object PdfText {
       val s = indexOf(bytes, "stream", pos)
       if (s < 0) pos = -1
       else {
-        val e = indexOf(bytes, "endstream", s + 6)
-        if (e < 0) pos = -1
-        else {
-          // stream data starts after CRLF or LF following the keyword
-          var dataStart = s + 6
-          if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
-          if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-          val dict = dictBefore(bytes, s)
-          // a DIRECT /Length is authoritative (the EOL-trim heuristic
-          // below would chop a real byte off a Flate stream that
-          // happens to END in 0x0A when the writer omitted the EOL
-          // before `endstream`); an indirect "/Length 12 0 R" or a
-          // length inconsistent with the endstream position falls back
-          // to the heuristic
-          val directLen = lengthOf(dict).filter { n =>
-            dataStart + n <= e && dataStart + n >= e - 2
+        // stream data starts after CRLF or LF following the keyword
+        var dataStart = s + 6
+        if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
+        if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
+        val dict = dictBefore(bytes, s)
+        // a DIRECT /Length is authoritative (the EOL-trim heuristic
+        // below would chop a real byte off a Flate stream that
+        // happens to END in 0x0A when the writer omitted the EOL
+        // before `endstream`) — and the `endstream` KEYWORD must be
+        // located from the declared data end, never by first-match:
+        // stream DATA may itself contain the bytes `endstream` (an
+        // uncompressed content stream drawing that very word), and a
+        // first-match scan would truncate the stream inside the data.
+        // An indirect "/Length 12 0 R", or a length not followed by
+        // (at most an EOL and) the keyword, falls back to the scan.
+        val direct: Option[(Int, Int)] = lengthOf(dict).flatMap { n =>
+          val de = dataStart.toLong + n
+          if (de > bytes.length) None
+          else {
+            val e2 = indexOf(bytes, "endstream", de.toInt)
+            if (e2 >= 0 && e2 - de <= 2 &&
+                (de.toInt until e2).forall(k =>
+                  bytes(k) == '\r' || bytes(k) == '\n'))
+              Some((de.toInt, e2))
+            else None
           }
-          val dataEnd = directLen.map(dataStart + _).getOrElse {
+        }
+        val eFallback =
+          if (direct.isDefined) 0 else indexOf(bytes, "endstream", s + 6)
+        if (direct.isEmpty && eFallback < 0) pos = -1
+        else {
+          val (dataEnd, e) = direct.getOrElse {
             // data ends before the EOL that precedes `endstream`
-            var de = e
+            var de = eFallback
             if (de > dataStart && bytes(de - 1) == '\n') de -= 1
             if (de > dataStart && bytes(de - 1) == '\r') de -= 1
-            de
+            (de, eFallback)
           }
           try {
             val decoded: Option[Array[Byte]] =

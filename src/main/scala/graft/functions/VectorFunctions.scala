@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Vector math over `array<float>` embedding columns.
   *
@@ -52,9 +52,12 @@ object VectorFunctions {
 
   /** JVM kernel behind [[DotProductExpr]]: boxed null on length
     * mismatch or null element, else the left-to-right double sum.
-    * Element kinds: 0=double, 1=float, 2=long, 3=int.
+    * Element kinds: 0=double, 1=float, 2=long, 3=int, 4=short,
+    * 5=byte, 6=decimal (reads via `aElem`/`bElem` — the only kind
+    * that needs the element DataType).
     */
-  def dotProduct(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): java.lang.Double = {
+  def dotProduct(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int,
+      aElem: DataType, bElem: DataType): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var s = 0.0
@@ -65,13 +68,21 @@ object VectorFunctions {
         case 0 => a.getDouble(i)
         case 1 => a.getFloat(i).toDouble
         case 2 => a.getLong(i).toDouble
-        case _ => a.getInt(i).toDouble
+        case 3 => a.getInt(i).toDouble
+        case 4 => a.getShort(i).toDouble
+        case 5 => a.getByte(i).toDouble
+        case _ => a.get(i, aElem)
+          .asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
       }
       val y = bKind match {
         case 0 => b.getDouble(i)
         case 1 => b.getFloat(i).toDouble
         case 2 => b.getLong(i).toDouble
-        case _ => b.getInt(i).toDouble
+        case 3 => b.getInt(i).toDouble
+        case 4 => b.getShort(i).toDouble
+        case 5 => b.getByte(i).toDouble
+        case _ => b.get(i, bElem)
+          .asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
       }
       s += x * y
       i += 1
@@ -84,7 +95,15 @@ object VectorFunctions {
     case ArrayType(FloatType, _) => 1
     case ArrayType(LongType, _) => 2
     case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _) => 4
+    case ArrayType(ByteType, _) => 5
+    case ArrayType(_: DecimalType, _) => 6
     case _ => -1
+  }
+
+  private[graft] def elementTypeOf(t: DataType): DataType = t match {
+    case ArrayType(e, _) => e
+    case other => other
   }
 }
 
@@ -97,13 +116,15 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   private lazy val leftKind = VectorFunctions.elementKind(left.dataType)
   private lazy val rightKind = VectorFunctions.elementKind(right.dataType)
+  private lazy val leftElem = VectorFunctions.elementTypeOf(left.dataType)
+  private lazy val rightElem = VectorFunctions.elementTypeOf(right.dataType)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (VectorFunctions.elementKind(left.dataType) >= 0 &&
         VectorFunctions.elementKind(right.dataType) >= 0)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_dot requires two numeric arrays (float/double/int/bigint), " +
+      "graft_dot requires two numeric arrays, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
   // nullable beyond the children: length mismatch / null element → null
@@ -112,16 +133,22 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val r = VectorFunctions.dotProduct(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftKind, rightKind)
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftKind, rightKind,
+      leftElem, rightElem)
     if (r == null) null else r.doubleValue()
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("dotRes")
+      // the element DataTypes ride along as reference objects — only
+      // the decimal kind reads them, the primitive kinds dispatch on
+      // the embedded int alone
+      val aT = ctx.addReferenceObj("dotAElem", leftElem)
+      val bT = ctx.addReferenceObj("dotBElem", rightElem)
       s"""
          |java.lang.Double $r = graft.functions.VectorFunctions.dotProduct(
-         |  $a, $b, $leftKind, $rightKind);
+         |  $a, $b, $leftKind, $rightKind, $aT, $bT);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })

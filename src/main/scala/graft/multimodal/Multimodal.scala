@@ -230,20 +230,28 @@ object Multimodal {
     * parses the container twice.
     */
   private[multimodal] def decodeAll(
-      bytes: Array[Byte], dim: Int): (Array[Float], Option[Long], String) =
-    decodeImage(bytes) match {
-      case Some(img) => (imageFeatures(img, dim), Some(aHash(img)), "image")
-      case None =>
-        decodeWavPcm(bytes) match {
-          case Some((_, samples)) =>
-            (audioFeatures(samples, dim), energyHash64(samples), "audio")
-          case None =>
-            aviMjpegFrames(bytes)._2.headOption.flatMap(decodeImage) match {
-              case Some(img) => (imageFeatures(img, dim), Some(aHash(img)), "video")
-              case None      => (fallbackFeatures(bytes, dim), None, "opaque")
-            }
-        }
+      bytes: Array[Byte], dim: Int): (Array[Float], Option[Long], String) = {
+    // container sniff first: the 4-byte RIFF check is free, while a
+    // FAILED ImageIO.read probes every registered reader SPI against
+    // the stream — per row, on corpora that are mostly WAV/AVI, that
+    // probe is pure waste. No standard ImageIO reader accepts RIFF,
+    // so trying audio/video first cannot change any result; an
+    // unrecognized RIFF (e.g. WebP) still falls through to the image
+    // attempt below, preserving the exact pre-sniff semantics.
+    def tryAudio() = decodeWavPcm(bytes).map { case (_, samples) =>
+      (audioFeatures(samples, dim), energyHash64(samples), "audio")
     }
+    def tryVideo() = aviMjpegFrames(bytes)._2.headOption.flatMap(decodeImage)
+      .map(img => (imageFeatures(img, dim), Some(aHash(img)), "video"))
+    def tryImage() = decodeImage(bytes)
+      .map(img => (imageFeatures(img, dim), Some(aHash(img)), "image"))
+    val isRiff = bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'
+    val decoded =
+      if (isRiff) tryAudio().orElse(tryVideo()).orElse(tryImage())
+      else tryImage().orElse(tryAudio()).orElse(tryVideo())
+    decoded.getOrElse((fallbackFeatures(bytes, dim), None, "opaque"))
+  }
 
   /** Decode-or-fallback for one payload: real pixel/PCM/frame
     * features when the bytes parse as a known container

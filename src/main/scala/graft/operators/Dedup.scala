@@ -622,8 +622,13 @@ object Dedup {
         val ord = idOrdering(idType)
         val comp = unionFindMap(head, ord)
         if (comp.isEmpty) return df
+        // cast the corpus id to the PAIRS' id type: the semi join
+        // below coerces for SQL equality either way, but the collected
+        // values feed JVM HashMap lookups against comp's keys — an
+        // int-id corpus probed with long-id pairs (e.g. pairs re-read
+        // from parquet) must collect Longs, not Integers
         val memberQ = df
-          .select(col(idCol).as("_id"),
+          .select(col(idCol).cast(idType).as("_id"),
             coalesce(keepBy.cast("double"), lit(Double.NegativeInfinity)).as("_q"))
         val members = {
           import org.apache.spark.sql.types.{StructField, StructType}

@@ -229,9 +229,22 @@ object PipelineJson {
           val note =
             if (preview.length > previewRows) s"first $previewRows rows:"
             else s"${preview.length} rows:"
+          // readable cells for non-scalar columns: raw String.valueOf
+          // prints '[B@1a2b3c' for binary and 'WrappedArray(...)' for
+          // arrays — exactly the columns a media/embedding pipeline
+          // feeds this node
+          def cell(v: Any): String = v match {
+            case null => "null"
+            case b: Array[Byte] => s"<${b.length} bytes>"
+            case a: Array[_] => a.take(8).map(cell).mkString("[", ", ",
+              if (a.length > 8) ", …]" else "]")
+            case s: scala.collection.Seq[_] => s.take(8).map(cell)
+              .mkString("[", ", ", if (s.length > 8) ", …]" else "]")
+            case other => String.valueOf(other)
+          }
           val table = (df.columns.mkString("\t") +:
             shown.map(r => (0 until r.length)
-              .map(i => String.valueOf(r.get(i))).mkString("\t"))).mkString("\n")
+              .map(i => cell(r.get(i))).mkString("\t"))).mkString("\n")
           graft.sources.Smtp.send(host, port, graft.sources.Smtp.Message(
             from, to, subject,
             (if (bodyText.nonEmpty) bodyText + "\n\n" else "") + note + "\n" + table))

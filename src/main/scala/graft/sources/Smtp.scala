@@ -32,8 +32,13 @@ object Smtp {
       socket.setSoTimeout(timeoutMs)
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(socket.getInputStream, "ISO-8859-1"))
+      // UTF-8 on the wire: the rendered message declares
+      // charset=utf-8, so the writer must encode it that way — a
+      // Latin-1 writer would mangle every non-ASCII body byte (and
+      // drop chars above U+00FF to '?'). Protocol commands are ASCII,
+      // identical in both encodings.
       val out = new java.io.OutputStreamWriter(
-        socket.getOutputStream, "ISO-8859-1")
+        socket.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
 
       // one reply = one or more "NNN-text" continuation lines ending
       // in "NNN text"; the CODE of the final line decides
@@ -67,7 +72,12 @@ object Smtp {
       out.write("\r\n.\r\n")
       out.flush()
       expect(Set(250), "message body")
-      cmd("QUIT", Set(221))
+      // past the 250 the message IS delivered: a relay that drops the
+      // connection instead of answering QUIT (common) must not throw —
+      // the node-layer retry would re-send an already-accepted message
+      // to every recipient
+      try cmd("QUIT", Set(221))
+      catch { case _: java.io.IOException => () }
     } finally socket.close()
   }
 
@@ -93,7 +103,8 @@ object Smtp {
         s"To: ${msg.to.map(hdr).mkString(", ")}\r\n" +
         s"Subject: ${hdr(msg.subject)}\r\n" +
         "MIME-Version: 1.0\r\n" +
-        "Content-Type: text/plain; charset=utf-8\r\n\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n" +
+        "Content-Transfer-Encoding: 8bit\r\n\r\n"
     // normalize any EOL convention to CRLF, then dot-stuff: a body
     // line beginning with '.' gets one prepended (RFC 5321 §4.5.2) so
     // it cannot terminate DATA early

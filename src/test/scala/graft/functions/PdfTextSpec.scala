@@ -57,6 +57,20 @@ ued) Tj ET"""), None)
       "paren ( inside ) back\\slash octalA continued")
   }
 
+  test("stream data containing the literal word endstream is not truncated") {
+    // the `endstream` KEYWORD must be located from the declared
+    // /Length, not by first-match: an uncompressed content stream
+    // drawing the word `endstream` contains those bytes as DATA
+    val pdf = pdfOf(contentOf(
+      "BT 72 720 Td (see endstream marker) Tj ( and more) Tj ET"), None)
+    assert(PdfText.extract(pdf) == "see endstream marker and more")
+    // same content through Flate: the compressed bytes could also
+    // collide, and the round-trip must still hold
+    val ops = contentOf("BT (endstream in flate) Tj ET")
+    assert(PdfText.extract(pdfOf(deflate(ops), Some("FlateDecode"))) ==
+      "endstream in flate")
+  }
+
   test("nested parens without escapes balance") {
     val pdf = pdfOf(contentOf("BT ((nested (deep)) ok) Tj ET"), None)
     assert(PdfText.extract(pdf) == "(nested (deep)) ok")

@@ -64,6 +64,25 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 0.5 * 2.0 + (-1.5) * 4.0)
   }
 
+  test("native dot accepts every numeric element type the HOF form accepted (short/byte/decimal)") {
+    // quantized embeddings are commonly stored narrow — the native
+    // expr must not reject at analysis what cast-inside-zip_with took
+    val df = spark.sql(
+      """SELECT array(CAST(1 AS SMALLINT), CAST(-2 AS SMALLINT)) AS s,
+        |       array(CAST(3 AS TINYINT), CAST(4 AS TINYINT)) AS t,
+        |       array(CAST(1.50 AS DECIMAL(5,2)), CAST(-0.25 AS DECIMAL(5,2))) AS d,
+        |       array(2.0D, 10.0D) AS w""".stripMargin)
+    val r = df.select(
+      VectorFunctions.dot(col("s"), col("w")).as("ds"),
+      VectorFunctions.dot(col("t"), col("w")).as("dt"),
+      VectorFunctions.dot(col("d"), col("w")).as("dd"),
+      hofDot(col("d"), col("w")).as("hof")).head()
+    assert(r.getDouble(0) == 1 * 2.0 + -2 * 10.0)
+    assert(r.getDouble(1) == 3 * 2.0 + 4 * 10.0)
+    assert(r.getDouble(2) == 1.5 * 2.0 + -0.25 * 10.0)
+    assert(r.getDouble(2) == r.getDouble(3)) // decimal path ≡ HOF
+  }
+
   test("dot survives whole-stage codegen (no fallback) in a realistic plan") {
     val rnd = new scala.util.Random(7)
     val df = Seq.tabulate(50) { i =>

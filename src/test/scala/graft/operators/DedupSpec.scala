@@ -240,6 +240,19 @@ class DedupSpec extends AnyFunSuite {
       collectLimit = 0)) == Set(9L))
   }
 
+  test("dropNearDuplicates/By: int-id corpus against long-id pairs (cross-type)") {
+    import org.apache.spark.sql.functions.col
+    // SQL equality coerces int↔long in the joins, but the By fast
+    // path also feeds collected ids into JVM map lookups keyed by the
+    // PAIRS' type — this pins the cast that aligns them
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val frame = Seq((1, 5.0), (2, 9.0), (4, 9.0), (3, 0.0)).toDF("id", "q")
+    assert(Dedup.dropNearDuplicates(frame, "id", pairs)
+      .select("id").as[Int].collect.toSet == Set(1, 3))
+    assert(Dedup.dropNearDuplicatesBy(frame, "id", pairs, col("q"))
+      .select("id").as[Int].collect.toSet == Set(2, 3))
+  }
+
   test("shingles: fewer tokens than n → empty array") {
     val sh = corpus.limit(1)
       .select(Dedup.shingles(org.apache.spark.sql.functions.lit("one two"), 3))

@@ -10,7 +10,8 @@ class SmtpSpec extends AnyFunSuite {
     */
   private def stubServer(
       greeting: Seq[String] = Seq("220 stub ready"),
-      rejectAt: Option[String] = None): (Int, () => Seq[String]) = {
+      rejectAt: Option[String] = None,
+      dropAfterData: Boolean = false): (Int, () => Seq[String]) = {
     val server = new java.net.ServerSocket(0)
     val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val done = new java.util.concurrent.CountDownLatch(1)
@@ -19,7 +20,7 @@ class SmtpSpec extends AnyFunSuite {
         val s = server.accept()
         s.setSoTimeout(10000)
         val in = new java.io.BufferedReader(
-          new java.io.InputStreamReader(s.getInputStream, "ISO-8859-1"))
+          new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
         val out = new java.io.PrintWriter(
           new java.io.OutputStreamWriter(s.getOutputStream, "ISO-8859-1"))
         def reply(lines: String*): Unit = {
@@ -34,7 +35,10 @@ class SmtpSpec extends AnyFunSuite {
           else {
             received.add(line)
             if (inData) {
-              if (line == ".") { inData = false; reply("250 queued") }
+              if (line == ".") {
+                inData = false; reply("250 queued")
+                if (dropAfterData) open = false // vanish before QUIT
+              }
             } else if (rejectAt.exists(p => line.toUpperCase.startsWith(p))) {
               reply("550 no")
             } else if (line.toUpperCase.startsWith("EHLO")) {
@@ -73,6 +77,25 @@ class SmtpSpec extends AnyFunSuite {
     assert(got.last == "QUIT")
   }
 
+  test("non-ASCII subject/body arrive as UTF-8 (matching the declared charset)") {
+    val (port, lines) = stubServer()
+    Smtp.send("127.0.0.1", port, Smtp.Message(
+      "f@x.test", Seq("r@x.test"), "résumé ✓", "café → naïve"))
+    val got = lines()
+    assert(got.contains("Subject: résumé ✓"), got.filter(_.startsWith("Subject")))
+    assert(got.contains("café → naïve"))
+    assert(got.contains("Content-Transfer-Encoding: 8bit"))
+  }
+
+  test("a relay that drops the connection after accepting DATA does not raise (no duplicate re-send)") {
+    val (port, lines) = stubServer(dropAfterData = true)
+    // the message was accepted (250 after '.') — a QUIT failure past
+    // that point must be swallowed, or the node retry would re-send
+    Smtp.send("127.0.0.1", port, Smtp.Message(
+      "f@x.test", Seq("r@x.test"), "s", "accepted body"))
+    assert(lines().contains("accepted body"))
+  }
+
   test("a rejected recipient raises with the server's reply") {
     val (port, _) = stubServer(rejectAt = Some("RCPT"))
     val e = intercept[java.io.IOException] {
@@ -97,7 +120,9 @@ class SmtpSpec extends AnyFunSuite {
     val spark = graft.TestSpark.spark
     import spark.implicits._
     val (port, lines) = stubServer()
-    val df = (1 to 25).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    val df = (1 to 25).map(i =>
+        (i.toLong, s"name$i", Array.fill(4)(i.toByte), Seq(i.toFloat, 2f)))
+      .toDF("id", "name", "blob", "vec")
     val json =
       s"""{"nodes": [
          |  {"id": "src", "type": "stub"},
@@ -120,7 +145,10 @@ class SmtpSpec extends AnyFunSuite {
     assert(got.contains("Subject: run done"))
     assert(got.contains("pipeline finished"))
     assert(got.contains("first 3 rows:")) // bounded, not the whole frame
-    assert(got.exists(_.startsWith("1\tname1")))
+    // binary renders as a byte count, arrays as bracketed values —
+    // not JVM identity strings ('[B@…', 'WrappedArray(…)')
+    assert(got.exists(_.startsWith("1\tname1\t<4 bytes>\t[1.0, 2.0]")),
+      got.filter(_.startsWith("1\t")))
     assert(!got.exists(_.startsWith("4\t"))) // preview cap respected
   }
 
