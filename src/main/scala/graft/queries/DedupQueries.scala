@@ -68,9 +68,18 @@ object DedupQueries {
     */
   private def tripleCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    def clone(shift: Long) = docs.filter(col("doc_id") < 30)
-      .withColumn("doc_id", col("doc_id") + shift)
-    spread(s, docs.unionByName(clone(CloneShift)).unionByName(clone(2 * CloneShift)))
+    // ONE scan, clones planted by an in-row fan-out: each doc_id<30
+    // row explodes into its two shifted generations. The union-of-
+    // filtered-scans formulation read the parquet three times and
+    // tripled both the scan work and the Catalyst plan it drags into
+    // every downstream job of the dedup recipe.
+    spread(s, docs
+      .withColumn("_shift",
+        explode(when(col("doc_id") < 30,
+            array(lit(0L), lit(CloneShift), lit(2 * CloneShift)))
+          .otherwise(array(lit(0L)))))
+      .withColumn("doc_id", col("doc_id") + col("_shift"))
+      .drop("_shift"))
   }
 
   /** documents ∪ near-dup clones of doc_id < 50 (one appended token).
@@ -80,36 +89,62 @@ object DedupQueries {
     */
   def docsWithClones(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val clones = docs.filter(col("doc_id") < 50)
-      .withColumn("doc_id", col("doc_id") + CloneShift)
-      .withColumn("text", concat(col("text"), lit(" graftclone")))
-    spread(s, docs.unionByName(clones))
+    // one scan, near-dup clones planted in-row (see tripleCorpus)
+    spread(s, docs
+      .withColumn("_shift",
+        explode(when(col("doc_id") < 50, array(lit(0L), lit(CloneShift)))
+          .otherwise(array(lit(0L)))))
+      .withColumn("doc_id", col("doc_id") + col("_shift"))
+      .withColumn("text", when(col("_shift") === 0L, col("text"))
+        .otherwise(concat(col("text"), lit(" graftclone"))))
+      .drop("_shift"))
   }
+
+  /** embeddings ∪ IDENTICAL clones of vec_id < 50 — one scan, clones
+    * planted in-row (see tripleCorpus).
+    */
+  private def vecsWithExactClones(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("_shift",
+        explode(when(col("vec_id") < 50, array(lit(0L), lit(CloneShift)))
+          .otherwise(array(lit(0L)))))
+      .withColumn("vec_id", col("vec_id") + col("_shift"))
+      .drop("_shift")
 
   /** embeddings ∪ scaled clones of vec_id < 50 (cosine ≈ 1 to source). */
   def vecsWithClones(s: SparkSession, dir: String): DataFrame = {
     val vecs = t(s, dir, "embeddings")
-    val clones = vecs.filter(col("vec_id") < 50)
-      .withColumn("vec_id", col("vec_id") + CloneShift)
-      .withColumn("embedding",
-        transform(col("embedding"), x => (x * lit(1.01f)).cast("float")))
-    vecs.unionByName(clones)
+    // one scan, scaled clones planted in-row (see tripleCorpus)
+    vecs
+      .withColumn("_shift",
+        explode(when(col("vec_id") < 50, array(lit(0L), lit(CloneShift)))
+          .otherwise(array(lit(0L)))))
+      .withColumn("vec_id", col("vec_id") + col("_shift"))
+      .withColumn("embedding", when(col("_shift") === 0L, col("embedding"))
+        .otherwise(transform(col("embedding"), x => (x * lit(1.01f)).cast("float"))))
+      .drop("_shift")
   }
+
+  /** documents ∪ IDENTICAL clones of doc_id < 50 — one scan, clones
+    * planted in-row (see tripleCorpus).
+    */
+  private def docsWithExactClones(s: SparkSession, dir: String): DataFrame =
+    spread(s, t(s, dir, "documents")
+      .withColumn("_shift",
+        explode(when(col("doc_id") < 50, array(lit(0L), lit(CloneShift)))
+          .otherwise(array(lit(0L)))))
+      .withColumn("doc_id", col("doc_id") + col("_shift"))
+      .drop("_shift"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash at threshold 1.0: identical shingle sets ⇒ identical
     // signatures ⇒ every band collides — recall is exactly 100%, so
     // the probabilistic operator becomes deterministically
     // oracle-checkable (exact-duplicate pairs by text equality).
-    "d_minhash_exact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val clones = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + CloneShift)
-      val corpus = spread(s, docs.unionByName(clones))
-      Dedup.minHashNearDups(corpus, "doc_id", "text",
+    "d_minhash_exact" -> ((s, dir) =>
+      Dedup.minHashNearDups(docsWithExactClones(s, dir), "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // 8 bands × 8 rows: the S-curve knee sits at J≈0.7 — candidates
     // from looser overlap (which this word-salad corpus generates en
@@ -132,10 +167,7 @@ object DedupQueries {
     // collide — observed in this very corpus). Deterministic ⇒
     // oracle = text-equality pairs.
     "d_simhash_exact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val clones = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + CloneShift)
-      val corpus = spread(s, docs.unionByName(clones))
+      val corpus = docsWithExactClones(s, dir)
       val fps = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("_fp"))
       Dedup.simHashNearDups(corpus, "doc_id", "text", maxHamming = 0)
         .join(fps.select(col("doc_id").as("id_a"), col("_fp").as("_fa")), "id_a")
@@ -204,14 +236,10 @@ object DedupQueries {
     // construction (same signs, at ANY auto-sized plane count) ⇒
     // recall is exactly 100%, and cosine(v,v) rounds to 1.0000 —
     // oracle = vector-equality pairs.
-    "d_embed_exact" -> ((s, dir) => {
-      val vecs = t(s, dir, "embeddings")
-      val clones = vecs.filter(col("vec_id") < 50)
-        .withColumn("vec_id", col("vec_id") + CloneShift)
-      Similarity.embeddingNearDups(vecs.unionByName(clones), "vec_id", "embedding",
+    "d_embed_exact" -> ((s, dir) =>
+      Similarity.embeddingNearDups(vecsWithExactClones(s, dir), "vec_id", "embedding",
           threshold = 1.0)
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // SemDeDup (Abbas 2023): k-means cells bound the pairwise search;
     // within a cell, any member with a smaller-id cosine-near-twin
@@ -221,14 +249,12 @@ object DedupQueries {
     // oracle; multi-cluster bounding, merely-similar recall, and the
     // cell-size guard are spec'd in SimilaritySpec.
     "d_semantic_dedup" -> ((s, dir) => {
-      val vecs = t(s, dir, "embeddings")
-      val clones = vecs.filter(col("vec_id") < 50)
-        .withColumn("vec_id", col("vec_id") + CloneShift)
       // expectedRows from the base table's metadata-only parquet count
       // (+50 clones) skips the operator's union-scan count job — the
       // cell count only needs an estimate
-      Similarity.semanticDedup(vecs.unionByName(clones), "vec_id", "embedding",
-          threshold = 1.0, maxIter = 3, expectedRows = Some(vecs.count() + 50))
+      val baseRows = t(s, dir, "embeddings").count()
+      Similarity.semanticDedup(vecsWithExactClones(s, dir), "vec_id", "embedding",
+          threshold = 1.0, maxIter = 3, expectedRows = Some(baseRows + 50))
         .select("vec_id").orderBy("vec_id")
     }),
 
@@ -311,11 +337,15 @@ object DedupQueries {
     // the gram-string comprehension oracle applies (hashes vs strings:
     // same xxhash64-collision note as x_decontaminate).
     "d_span_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val clones = docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + CloneShift)
-        .withColumn("text", concat(col("text"), lit(" zz extra trailing tokens")))
-      val corpus = docs.unionByName(clones)
+      // one scan, containment clones planted in-row (see tripleCorpus)
+      val corpus = t(s, dir, "documents")
+        .withColumn("_shift",
+          explode(when(col("doc_id") < 50, array(lit(0L), lit(CloneShift)))
+            .otherwise(array(lit(0L)))))
+        .withColumn("doc_id", col("doc_id") + col("_shift"))
+        .withColumn("text", when(col("_shift") === 0L, col("text"))
+          .otherwise(concat(col("text"), lit(" zz extra trailing tokens"))))
+        .drop("_shift")
         .repartition(s.sparkContext.defaultParallelism)
       Dedup.dropSpanDuplicates(corpus, "doc_id", "text", spanTokens = 8)
         .select("doc_id").orderBy("doc_id")
