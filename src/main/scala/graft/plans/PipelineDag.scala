@@ -103,11 +103,112 @@ object PipelineDag {
     * nodes run (retried) actions. Returns every node's DataFrame and a
     * per-node status log.
     */
-  def execute(spark: SparkSession, nodes: Seq[Node], edges: Seq[Edge]): RunResult = {
+  def execute(spark: SparkSession, nodes: Seq[Node], edges: Seq[Edge]): RunResult =
+    executeCore(spark, nodes, edges, state = None, stageNodes = Set.empty)
+
+  /** Durable-state execution for long pipelines: re-running the same
+    * DAG with the same `stateDir` RESUMES instead of redoing.
+    *
+    * What the reference gets from materializing a temp file between
+    * every node (executor/engine.py — each node writes CSV before the
+    * next starts) is crash isolation: work before the failure isn't
+    * lost. This executor keeps nodes lazy (one Catalyst plan per sink)
+    * and moves the isolation into explicit, durable state instead:
+    *
+    *  - every completed Sink/Validation writes a marker under
+    *    `stateDir/_done/`; on re-run those actions are SKIPPED — a
+    *    sink that already committed is never double-written (an
+    *    external webhook/db/export must not fire twice);
+    *  - node ids in `stageNodes` additionally persist their output to
+    *    `stateDir/_stage/<id>` parquet; on re-run the stage is read
+    *    back and the node's ENTIRE upstream subgraph is neither
+    *    recomputed nor re-fired (mid-DAG HttpCall included).
+    *
+    * Execution is demand-driven: only ancestors of still-pending
+    * effectful nodes run, and ancestor traversal stops at a valid
+    * stage. State lives on whatever filesystem `stateDir` names
+    * (HDFS/S3A/local via the Hadoop FS API) — on a cluster, durable
+    * storage survives driver loss. The caller owns invalidation:
+    * state is only meaningful while the DAG and its inputs are
+    * unchanged (delete the dir to force a fresh run), matching the
+    * contract of every file-based workflow checkpoint.
+    */
+  def executeResumable(
+      spark: SparkSession, nodes: Seq[Node], edges: Seq[Edge],
+      stateDir: String, stageNodes: Set[String] = Set.empty): RunResult =
+    executeCore(spark, nodes, edges,
+      state = Some(new RunState(spark, stateDir)), stageNodes = stageNodes)
+
+  /** Durable run state: done-markers + parquet stages under one dir. */
+  private final class RunState(spark: SparkSession, dir: String) {
+    import org.apache.hadoop.fs.Path
+    private val root = new Path(dir)
+    private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ids are caller-chosen strings — encode so they can't escape the
+    // state dir or collide ("a/b" vs "a%2Fb")
+    private def enc(id: String) =
+      java.net.URLEncoder.encode(id, "UTF-8")
+    private def doneMark(id: String) = new Path(root, s"_done/${enc(id)}")
+    def stagePath(id: String): String =
+      new Path(root, s"_stage/${enc(id)}").toString
+    def isDone(id: String): Boolean = fs.exists(doneMark(id))
+    def markDone(id: String): Unit = {
+      fs.mkdirs(new Path(root, "_done"))
+      fs.create(doneMark(id), true).close()
+    }
+    /** A stage is valid only when its parquet commit finished —
+      * `_SUCCESS` guards against a half-written stage from a crashed
+      * run being read back as truth.
+      */
+    def hasStage(id: String): Boolean =
+      fs.exists(new Path(stagePath(id) + "/_SUCCESS"))
+    def writeStage(id: String, df: DataFrame): DataFrame = {
+      df.write.mode("overwrite").parquet(stagePath(id))
+      df.sparkSession.read.parquet(stagePath(id))
+    }
+    def readStage(id: String): DataFrame = spark.read.parquet(stagePath(id))
+  }
+
+  private def executeCore(
+      spark: SparkSession, nodes: Seq[Node], edges: Seq[Edge],
+      state: Option[RunState], stageNodes: Set[String]): RunResult = {
+    val order = topoSort(nodes, edges)
+    // demand-driven node set: ancestors of every still-pending
+    // effectful node (Sink / Validation without a done-marker), with
+    // traversal cut at valid stages — nothing upstream of a stage
+    // needs to exist to serve its consumers
+    val needed: Set[String] = state match {
+      case None => order.map(_.id).toSet
+      case Some(st) =>
+        val parents = edges.groupBy(_.target).map { case (t, es) => t -> es.map(_.source) }
+        val pending = order.collect {
+          case Node(id, _: Sink) if !st.isDone(id) => id
+          case Node(id, _: Validation) if !st.isDone(id) => id
+        }
+        val seen = scala.collection.mutable.Set[String]()
+        def walk(id: String): Unit = if (seen.add(id)) {
+          if (!st.hasStage(id)) // stage cuts the upstream walk
+            parents.getOrElse(id, Nil).foreach(walk)
+        }
+        pending.foreach(walk)
+        seen.toSet
+    }
+
     val outputs = scala.collection.mutable.Map[String, DataFrame]()
     val log = scala.collection.mutable.ArrayBuffer[(String, String)]()
 
-    topoSort(nodes, edges).foreach { node =>
+    order.foreach { node =>
+      if (!needed.contains(node.id)) {
+        state.foreach { st =>
+          // not demanded this run — still expose a lazy view of any
+          // stage so the caller's RunResult.outputs stays useful
+          if (st.hasStage(node.id)) outputs(node.id) = st.readStage(node.id)
+          if (st.isDone(node.id)) log += node.id -> "skipped (already done)"
+        }
+      } else if (state.exists(_.hasStage(node.id))) {
+        outputs(node.id) = state.get.readStage(node.id)
+        log += node.id -> "resumed from stage"
+      } else {
       val inputs: Seq[DataFrame] = edges.filter(_.target == node.id)
         .map(e => outputs(e.source))
       def one: DataFrame = {
@@ -118,8 +219,15 @@ object PipelineDag {
         case Source(read) => read(spark)
         case Transform(steps) => TransformStep.applyAll(one, steps)
         case Validation(minScore) =>
-          val score = withRetries()(Quality.validate(one, minScore))
-          log += node.id -> f"quality $score%.1f >= $minScore%.1f"
+          // a done-marked gate is an ancestor pass-through on resume:
+          // it already passed, re-scoring would re-scan the data
+          if (state.exists(_.isDone(node.id))) {
+            log += node.id -> "validation skipped (already done)"
+          } else {
+            val score = withRetries()(Quality.validate(one, minScore))
+            state.foreach(_.markDone(node.id))
+            log += node.id -> f"quality $score%.1f >= $minScore%.1f"
+          }
           one
         case Conditional(predicate) => one.filter(predicate)
         case Merge =>
@@ -146,13 +254,27 @@ object PipelineDag {
           log += node.id -> "http ok"
           out
         case Sink(write) =>
-          withRetries()(write(one))
-          log += node.id -> "sink ok"
+          // committed sinks NEVER re-fire on resume — an external
+          // webhook/db/export write is not idempotent; the node still
+          // passes its input through for downstream consumers
+          if (state.exists(_.isDone(node.id))) {
+            log += node.id -> "sink skipped (already done)"
+          } else {
+            withRetries()(write(one))
+            state.foreach(_.markDone(node.id))
+            log += node.id -> "sink ok"
+          }
           one
       }
-      outputs(node.id) = out
+      val staged =
+        if (state.isDefined && stageNodes.contains(node.id)) {
+          log += node.id -> "staged"
+          state.get.writeStage(node.id, out)
+        } else out
+      outputs(node.id) = staged
       if (!log.lastOption.exists(_._1 == node.id))
         log += node.id -> "ok"
+      }
     }
     RunResult(outputs.toMap, log.toSeq)
   }

@@ -39,6 +39,18 @@ object PipelineJson {
     PipelineDag.execute(spark, nodes, edges)
   }
 
+  /** Parse + resumable execute ([[PipelineDag.executeResumable]]):
+    * re-running the same document with the same `stateDir` resumes
+    * after a mid-run failure — committed sinks are skipped, node ids
+    * in `stageNodes` restart from their durable parquet stage.
+    */
+  def runResumable(
+      spark: SparkSession, json: String,
+      stateDir: String, stageNodes: Set[String] = Set.empty): RunResult = {
+    val (nodes, edges) = parse(json)
+    PipelineDag.executeResumable(spark, nodes, edges, stateDir, stageNodes)
+  }
+
   private def strSeq(n: JsonNode): Seq[String] =
     n.elements.asScala.map(_.asText).toSeq
 

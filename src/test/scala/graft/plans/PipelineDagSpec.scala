@@ -70,6 +70,69 @@ class PipelineDagSpec extends AnyFunSuite {
     assert(res.nodeLog.contains("sink" -> "sink ok"))
   }
 
+  test("executeResumable: committed sink never re-fires, pending sink completes") {
+    val state = java.nio.file.Files.createTempDirectory("graft_dag_state").toString
+    val okWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+    val badWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+    var failing = true
+    val nodes = Seq(
+      Node("src", Source(s => { import s.implicits._; Seq(1, 2, 3).toDF("v") })),
+      Node("ok_sink", Sink(df => { okWrites.incrementAndGet(); df.count(); () })),
+      Node("bad_sink", Sink { df =>
+        badWrites.incrementAndGet()
+        if (failing) throw new RuntimeException("downstream outage")
+        df.count(); ()
+      }))
+    val edges = Seq(Edge("src", "ok_sink"), Edge("ok_sink", "bad_sink"))
+
+    val crash = intercept[IllegalStateException] {
+      executeResumable(spark, nodes, edges, state)
+    }
+    assert(crash.getMessage.contains("attempts"))
+    assert(okWrites.get == 1) // committed before the crash
+    failing = false
+    val resumed = executeResumable(spark, nodes, edges, state)
+    assert(okWrites.get == 1, "committed sink must not re-fire on resume")
+    assert(badWrites.get > 3, "pending sink must re-run on resume")
+    assert(resumed.nodeLog.contains("ok_sink" -> "sink skipped (already done)"))
+    assert(resumed.nodeLog.contains("bad_sink" -> "sink ok"))
+    // third run: everything done — no action fires at all
+    val idle = executeResumable(spark, nodes, edges, state)
+    assert(okWrites.get == 1 && badWrites.get == 4)
+    assert(idle.nodeLog.count(_._2.contains("already done")) == 2)
+  }
+
+  test("executeResumable: a staged node cuts upstream recompute and re-fires") {
+    val state = java.nio.file.Files.createTempDirectory("graft_dag_state").toString
+    val sourceReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    var failing = true
+    def nodes = Seq(
+      Node("src", Source { s =>
+        sourceReads.incrementAndGet()
+        import s.implicits._; Seq(1, 2, 3).toDF("v")
+      }),
+      Node("double", Transform(Seq(
+        graft.operators.TransformStep.AddDerivedColumn("v2", "v * 2")))),
+      Node("sink", Sink { df =>
+        if (failing) throw new RuntimeException("flaky")
+        df.count(); ()
+      }))
+    val edges = Seq(Edge("src", "double"), Edge("double", "sink"))
+
+    intercept[IllegalStateException] {
+      executeResumable(spark, nodes, edges, state, stageNodes = Set("double"))
+    }
+    val readsAfterCrash = sourceReads.get
+    assert(readsAfterCrash >= 1) // staged before the sink failed
+    failing = false
+    val resumed = executeResumable(spark, nodes, edges, state, stageNodes = Set("double"))
+    assert(sourceReads.get == readsAfterCrash,
+      "upstream of a valid stage must not be re-invoked on resume")
+    assert(resumed.nodeLog.contains("double" -> "resumed from stage"))
+    assert(resumed.outputs("double").select("v2").as[Int].collect().sorted
+      === Array(2, 4, 6))
+  }
+
   test("withRetries gives up after max attempts") {
     var n = 0
     val e = intercept[IllegalStateException] {
