@@ -197,10 +197,22 @@ object CorpusIngest {
     * `<lake>.compact-tmp` and `<lake>.compact-old` for manual
     * reassembly, never silently gone.
     */
+  /** `clusterBy`: optional sort-on-write clustering. Non-empty ⇒ EVERY
+    * file is read and rewritten range-partitioned + sorted on the
+    * given columns, so each output file covers a narrow value range
+    * and parquet min/max footer stats let any later filtered scan skip
+    * the files that can't match (the poor man's Z-order — exact for
+    * one column, prefix-ordered for several). Size-only compaction
+    * (`clusterBy = Nil`) moves big files by metadata rename and only
+    * reads the small tail; clustering necessarily pays a full-lake
+    * read+shuffle — run it at the cadence of an index rebuild, not
+    * every ingest pause.
+    */
   def compactLake(
       spark: SparkSession, lakeDir: String,
       targetBytes: Long = 128L << 20,
-      minFileBytes: Long = -1L): CompactStats = {
+      minFileBytes: Long = -1L,
+      clusterBy: Seq[String] = Nil): CompactStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val effMin = if (minFileBytes >= 0) minFileBytes else targetBytes / 2
     val (fs, lakePath) = fileSystem(spark, lakeDir)
@@ -234,8 +246,13 @@ object CorpusIngest {
         "flattening would drop the partition columns; compact each " +
         "partition directory instead")
     val files = dataFiles(lakePath)
-    val (big, small) = files.partition(_.getLen >= effMin)
-    if (small.size <= 1)
+    // clustering rewrites everything (a moved file keeps its old value
+    // spread — min/max stats would stay useless); size-only compaction
+    // rewrites only the small tail
+    val (big, small) =
+      if (clusterBy.nonEmpty) (Seq.empty, files)
+      else files.partition(_.getLen >= effMin)
+    if (small.size <= 1 && clusterBy.isEmpty)
       return CompactStats(files.size, files.size, 0L, 0L) // already compact
     // the staging layout is FLAT: two data files from different nested
     // subdirs with the same basename would overwrite each other on
@@ -258,10 +275,14 @@ object CorpusIngest {
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     val rewrite = new Path(lakePath.getParent, lakePath.getName + ".compact-rw")
     fs.delete(rewrite, true)
-    spark.read.option("mergeSchema", "true")
+    val toRewrite = spark.read.option("mergeSchema", "true")
       .parquet(small.map(_.getPath.toString): _*)
-      .repartition(nOut)
-      .write.mode("overwrite").parquet(rewrite.toString)
+    val laidOut =
+      if (clusterBy.isEmpty) toRewrite.repartition(nOut)
+      else toRewrite
+        .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    laidOut.write.mode("overwrite").parquet(rewrite.toString)
     dataFiles(rewrite).foreach { st =>
       require(fs.rename(st.getPath, new Path(staging, st.getPath.getName)),
         s"compactLake: failed to stage rewritten ${st.getPath}")

@@ -241,6 +241,53 @@ class CorpusIngestSpec extends AnyFunSuite {
       again.filesAfter == again.filesBefore)
   }
 
+  test("compactLake clusterBy rewrites into disjoint key ranges parquet stats can prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_cluster")
+    val lakeDir = dir.resolve("lake").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // two batches with fully INTERLEAVED id ranges: before clustering,
+    // every file spans (almost) the whole id domain, so a point filter
+    // can never skip a file on min/max stats
+    CorpusIngest.ingestBatch(
+      batch((0L until 400L by 2).map(i => (i, s"even doc $i")): _*), 0L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(
+      batch((1L until 400L by 2).map(i => (i, s"odd doc $i")): _*), 1L,
+      lakeDir, failReason = gate, scope = "s")
+    val before = spark.read.parquet(lakeDir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    val stats = CorpusIngest.compactLake(spark, lakeDir,
+      targetBytes = 8192L, clusterBy = Seq("doc_id"))
+    // clustering rewrites EVERYTHING — no metadata-move shortcut
+    assert(stats.bytesMoved == 0L && stats.bytesRewritten > 0L)
+
+    // rows survive exactly
+    assert(spark.read.parquet(lakeDir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq == before)
+
+    // per-file id ranges are now DISJOINT — the property parquet
+    // min/max footer skipping needs (read each data file separately)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(lakeDir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    assert(parts.length > 1, "want multiple output files to prove disjointness")
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(org.apache.spark.sql.functions.min("doc_id"),
+          org.apache.spark.sql.functions.max("doc_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: hi=$hi lo=$lo")
+      case _ =>
+    }
+  }
+
   test("compactLake refuses hive-partitioned layouts instead of dropping partition columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_hive")
     val lakeDir = dir.resolve("lake").toString
