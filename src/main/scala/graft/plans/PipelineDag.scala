@@ -184,6 +184,13 @@ object PipelineDag {
         val pending = order.collect {
           case Node(id, _: Sink) if !st.isDone(id) => id
           case Node(id, _: Validation) if !st.isDone(id) => id
+          // HttpCall is effectful but marker-less (its RESULT is what
+          // matters downstream, not a completion flag): without a
+          // durable stage it must re-run on resume — otherwise a leaf
+          // HttpCall that never executed before the crash would be
+          // silently dropped. Staging it is the caller's way to say
+          // "fired once is enough".
+          case Node(id, _: HttpCall) if !st.hasStage(id) => id
         }
         val seen = scala.collection.mutable.Set[String]()
         def walk(id: String): Unit = if (seen.add(id)) {

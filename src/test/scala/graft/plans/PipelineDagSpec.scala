@@ -133,6 +133,45 @@ class PipelineDagSpec extends AnyFunSuite {
       === Array(2, 4, 6))
   }
 
+  test("executeResumable: an unstaged HttpCall re-runs on resume; a staged one does not") {
+    val state = java.nio.file.Files.createTempDirectory("graft_dag_state").toString
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    var failing = true
+    def nodes(stage: Boolean) = Seq(
+      Node("src", Source(s => { import s.implicits._; Seq(1).toDF("v") })),
+      Node("http", HttpCall { (s, _) =>
+        calls.incrementAndGet()
+        import s.implicits._; Seq("resp").toDF("body")
+      }),
+      Node("sink", Sink { df =>
+        if (failing) throw new RuntimeException("flaky")
+        df.count(); ()
+      }))
+    val edges = Seq(Edge("src", "http"), Edge("http", "sink"))
+
+    intercept[IllegalStateException] {
+      executeResumable(spark, nodes(false), edges, state)
+    }
+    assert(calls.get == 1)
+    failing = false
+    // unstaged: the call is effectful state the run cannot prove it
+    // kept — it must re-fire
+    executeResumable(spark, nodes(false), edges, state)
+    assert(calls.get == 2, "unstaged HttpCall must re-run on resume")
+
+    // staged variant in a fresh state dir: second run reads the stage
+    val state2 = java.nio.file.Files.createTempDirectory("graft_dag_state").toString
+    failing = true
+    intercept[IllegalStateException] {
+      executeResumable(spark, nodes(true), edges, state2, stageNodes = Set("http"))
+    }
+    val afterCrash = calls.get
+    failing = false
+    val resumed = executeResumable(spark, nodes(true), edges, state2, stageNodes = Set("http"))
+    assert(calls.get == afterCrash, "staged HttpCall must not re-fire")
+    assert(resumed.nodeLog.contains("http" -> "resumed from stage"))
+  }
+
   test("withRetries gives up after max attempts") {
     var n = 0
     val e = intercept[IllegalStateException] {
