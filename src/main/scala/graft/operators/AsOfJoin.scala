@@ -68,6 +68,121 @@ object AsOfJoin {
         rightVals.map(v => col("_rvc").getField(v).as(s"$v$suffix"))): _*)
   }
 
+  /** FORWARD as-of join — for every left row, the single EARLIEST
+    * right row with `rightTime >= leftTime` on the same key (pandas
+    * `merge_asof(direction="forward")`). Same 1-shuffle union+window
+    * shape as [[lastPrior]], ordered by time DESCENDING so the carry
+    * sees future rows first; a right row at exactly `leftTime`
+    * matches. Ties on (key, time): the right row ordered LAST by
+    * `rightTiebreak` wins, matching [[lastPrior]]'s contract.
+    */
+  def firstAfter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String],
+      suffix: String = "_asof",
+      rightTiebreak: Option[String] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v)))
+
+    val lTagged = left.select(
+      (leftCols.map(col) ++ Seq(
+        col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_m"),
+        lit(null).cast("long").as("_tb"),
+        lit(null).cast(rvType).as("_rv"))): _*)
+    val rTagged = right.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_m"),
+        rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb"),
+        struct(rightVals.map(col): _*).as("_rv"))): _*)
+
+    // time DESC; right rows (_m=0) still sort before left rows at
+    // equal time (>= semantics looking forward)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").desc, col("_m").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("_rvc", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_m") === 1)
+      .select((leftCols.map(col) ++
+        rightVals.map(v => col("_rvc").getField(v).as(s"$v$suffix"))): _*)
+  }
+
+  /** NEAREST as-of join — for every left row, the right row with the
+    * smallest |rightTime − leftTime| on the same key (pandas
+    * `merge_asof(direction="nearest")`); equal distances break
+    * BACKWARD (the prior row wins), pandas semantics. One shuffle:
+    * both the backward and forward carries ride the same key-
+    * partitioned union — two window sorts, no second exchange.
+    *
+    * Distances are EXACT where exact ties are representable:
+    * timestamps compare in integer epoch-micros and integral axes as
+    * longs (a double detour rounds ~0.5 µs at today's epoch — enough
+    * to flip an exact tie to the wrong side); fractional axes compare
+    * as doubles.
+    */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String],
+      suffix: String = "_asof",
+      rightTiebreak: Option[String] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // carry the matched right row's TIME with its values: the pick
+    // between prior and next needs the distance, and both sides must
+    // come from one struct so every output column is the same row
+    val rvType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "_rt", right.schema(rightTime).dataType) +:
+      rightVals.map(v => right.schema(v)))
+
+    val lTagged = left.select(
+      (leftCols.map(col) ++ Seq(
+        col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_m"),
+        lit(null).cast("long").as("_tb"),
+        lit(null).cast(rvType).as("_rv"))): _*)
+    val rTagged = right.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_m"),
+        rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb"),
+        struct(col(rightTime).as("_rt") +: rightVals.map(col): _*).as("_rv"))): _*)
+
+    val wPrior = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_m").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("_k")
+      .orderBy(col("_t").desc, col("_m").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    import org.apache.spark.sql.types._
+    def axis(c: Column): Column = right.schema(rightTime).dataType match {
+      case TimestampType | TimestampNTZType =>
+        graft.functions.TimeFunctions.epochMicros(c)
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case _ => c.cast("double")
+    }
+    val lt = axis(col("_t"))
+    val pt = axis(col("_pc").getField("_rt"))
+    val nt = axis(col("_nc").getField("_rt"))
+    lTagged.unionByName(rTagged)
+      .withColumn("_pc", last(col("_rv"), ignoreNulls = true).over(wPrior))
+      .withColumn("_nc", last(col("_rv"), ignoreNulls = true).over(wNext))
+      .filter(col("_m") === 1)
+      .withColumn("_chosen",
+        when(col("_pc").isNull, col("_nc"))
+          .when(col("_nc").isNull, col("_pc"))
+          .when(lt - pt <= nt - lt, col("_pc")) // backward wins ties
+          .otherwise(col("_nc")))
+      .select((leftCols.map(col) ++
+        rightVals.map(v => col("_chosen").getField(v).as(s"$v$suffix"))): _*)
+  }
+
   /** [[lastPrior]] with TIME-BUCKETED parallelism for hot keys.
     *
     * `lastPrior` partitions its window by key alone: one pathological

@@ -95,6 +95,44 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of (pandas direction="forward"): earliest click at or
+    // after each purchase — DuckDB's ASOF with the inequality flipped.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"), max("value").as("click_value"))
+      graft.operators.AsOfJoin.firstAfter(
+          purchases, clicks, "user_id", "user_id", "ts", "ts",
+          Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("pts"),
+          col("click_id_asof"), col("click_value_asof"))
+        .orderBy("event_id")
+    }),
+
+    // NEAREST as-of (pandas direction="nearest", ties break backward):
+    // the closest click either side of each purchase. The oracle
+    // computes both directional ASOF matches and picks by exact
+    // interval comparison; Spark compares integer epoch-micros.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"), max("value").as("click_value"))
+      graft.operators.AsOfJoin.nearest(
+          purchases, clicks, "user_id", "user_id", "ts", "ts",
+          Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("pts"),
+          col("click_id_asof"), col("click_value_asof"))
+        .orderBy("event_id")
+    }),
+
     // Batch gap sessionization over the events table — the bounded
     // twin of the streaming sessionizer, oracle-checked end to end.
     "q_sessionize" -> ((s, dir) =>
@@ -212,6 +250,42 @@ object PipelineQueries {
         |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  c.click_id AS click_id_asof, c.click_value AS click_value_asof
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  CASE WHEN cb.ts IS NULL THEN cf.click_id
+        |       WHEN cf.ts IS NULL THEN cb.click_id
+        |       WHEN (p.ts - cb.ts) <= (cf.ts - p.ts) THEN cb.click_id
+        |       ELSE cf.click_id END AS click_id_asof,
+        |  CASE WHEN cb.ts IS NULL THEN cf.click_value
+        |       WHEN cf.ts IS NULL THEN cb.click_value
+        |       WHEN (p.ts - cb.ts) <= (cf.ts - p.ts) THEN cb.click_value
+        |       ELSE cf.click_value END AS click_value_asof
+        |FROM p
+        |  ASOF LEFT JOIN clicks cb
+        |    ON p.user_id = cb.user_id AND p.ts >= cb.ts
+        |  ASOF LEFT JOIN clicks cf
+        |    ON p.user_id = cf.user_id AND p.ts <= cf.ts
         |ORDER BY p.event_id""".stripMargin,
     "p_pipeline_dag" ->
       """SELECT l_linestatus,

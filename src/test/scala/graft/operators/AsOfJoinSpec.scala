@@ -28,6 +28,49 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("p3") == None)        // LEFT semantics: no prior right row
   }
 
+  test("firstAfter picks the earliest right row at or after left time, per key") {
+    val left = Seq(
+      (1L, ts(10), "p1"), (1L, ts(30), "p2"), (2L, ts(50), "p3")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts(10), 100.0), (1L, ts(25), 200.0), (1L, ts(40), 300.0),
+      (2L, ts(5), 999.0) // before every left row of key 2
+    ).toDF("k", "t", "v")
+
+    val out = AsOfJoin.firstAfter(left, right, "k", "k", "t", "t", Seq("v"))
+      .select("name", "v_asof").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+
+    assert(out("p1") == Some(100.0)) // equal timestamp matches (>=)
+    assert(out("p2") == Some(300.0)) // earliest following, not latest
+    assert(out("p3") == None)        // LEFT semantics: no following right row
+  }
+
+  test("nearest picks the closest right row either side; exact ties break backward") {
+    val left = Seq(
+      (1L, ts(10), "closer_before"),  // right at 8 (d=2) and 15 (d=5)
+      (1L, ts(14), "closer_after"),   // right at 8 (d=6) and 15 (d=1)
+      (1L, ts(40), "exact_tie"),      // right at 35 and 45, both d=5
+      (2L, ts(10), "only_after"),     // right only at 20
+      (3L, ts(10), "no_right")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts(8), 100.0), (1L, ts(15), 200.0),
+      (1L, ts(35), 300.0), (1L, ts(45), 400.0),
+      (2L, ts(20), 500.0)
+    ).toDF("k", "t", "v")
+
+    val out = AsOfJoin.nearest(left, right, "k", "k", "t", "t", Seq("v"))
+      .select("name", "v_asof").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+
+    assert(out("closer_before") == Some(100.0))
+    assert(out("closer_after") == Some(200.0))
+    assert(out("exact_tie") == Some(300.0)) // backward wins, pandas semantics
+    assert(out("only_after") == Some(500.0))
+    assert(out("no_right") == None)
+  }
+
   test("matched row's genuine NULLs are preserved — no stale values from older rows") {
     // The matched (latest prior) right row has v2 = NULL; a per-column
     // carry would leak 7.0 from the OLDER row into v2_asof and mix two
