@@ -30,18 +30,53 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightVals: Seq[String],
       suffix: String = "_asof",
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None,
+      tolerance: Option[Long] = None): DataFrame =
+    directional(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, suffix, rightTiebreak, forward = false, tolerance)
+
+  /** Time axis in an exactly-comparable representation: integer
+    * epoch-micros for timestamps, longs for integral columns, doubles
+    * otherwise (a double detour on timestamps rounds ~0.5 µs at
+    * today's epoch — enough to flip an exact comparison). `tolerance`
+    * is in these units: MICROSECONDS for timestamps, the column's own
+    * unit for numerics.
+    */
+  private def axisOf(
+      t: org.apache.spark.sql.types.DataType): Column => Column = {
+    import org.apache.spark.sql.types._
+    t match {
+      case TimestampType | TimestampNTZType =>
+        c => graft.functions.TimeFunctions.epochMicros(c)
+      case ByteType | ShortType | IntegerType | LongType => c => c.cast("long")
+      case _ => c => c.cast("double")
+    }
+  }
+
+  /** Shared backward/forward implementation.
+    *
+    * The right values travel as ONE struct and are carried by a single
+    * last(_, ignoreNulls) — so every output column comes from the SAME
+    * matched right row, and that row's genuine NULL fields are
+    * preserved (per-column carries would backfill a NULL field from an
+    * OLDER right row, silently mixing rows). The struct also carries
+    * the matched row's TIME so a `tolerance` bound can reject a match
+    * that is too far away (the whole struct nulls — LEFT semantics, no
+    * partial rows).
+    */
+  private def directional(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String],
+      suffix: String, rightTiebreak: Option[String],
+      forward: Boolean, tolerance: Option[Long]): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    val rightSchema = right.schema
-
-    // The right values travel as ONE struct and are carried by a single
-    // last(_, ignoreNulls) — so every output column comes from the SAME
-    // matched right row, and that row's genuine NULL fields are
-    // preserved (per-column carries would backfill a NULL field from an
-    // OLDER right row, silently mixing rows).
     val rvType = org.apache.spark.sql.types.StructType(
-      rightVals.map(v => rightSchema(v)))
+      org.apache.spark.sql.types.StructField(
+        "_rt", right.schema(rightTime).dataType) +:
+      rightVals.map(v => right.schema(v)))
 
     val lTagged = left.select(
       (leftCols.map(col) ++ Seq(
@@ -53,19 +88,27 @@ object AsOfJoin {
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_m"),
         rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb"),
-        struct(rightVals.map(col): _*).as("_rv"))): _*)
+        struct(col(rightTime).as("_rt") +: rightVals.map(col): _*).as("_rv"))): _*)
 
     // right rows (_m=0) sort BEFORE left rows at equal time → a right
-    // row at exactly leftTime matches (<= semantics).
+    // row at exactly leftTime matches in either direction.
+    val timeOrd = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_m").asc, col("_tb").asc)
+      .orderBy(timeOrd, col("_m").asc, col("_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lTagged.unionByName(rTagged)
+    val carried = lTagged.unionByName(rTagged)
       .withColumn("_rvc", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_m") === 1)
-      .select((leftCols.map(col) ++
-        rightVals.map(v => col("_rvc").getField(v).as(s"$v$suffix"))): _*)
+    val bounded = tolerance.fold(carried) { tol =>
+      val ax = axisOf(right.schema(rightTime).dataType)
+      val dist =
+        if (forward) ax(col("_rvc").getField("_rt")) - ax(col("_t"))
+        else ax(col("_t")) - ax(col("_rvc").getField("_rt"))
+      carried.withColumn("_rvc", when(dist <= lit(tol), col("_rvc")))
+    }
+    bounded.select((leftCols.map(col) ++
+      rightVals.map(v => col("_rvc").getField(v).as(s"$v$suffix"))): _*)
   }
 
   /** FORWARD as-of join — for every left row, the single EARLIEST
@@ -82,35 +125,10 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightVals: Seq[String],
       suffix: String = "_asof",
-      rightTiebreak: Option[String] = None): DataFrame = {
-
-    val leftCols = left.columns.toSeq
-    val rvType = org.apache.spark.sql.types.StructType(
-      rightVals.map(v => right.schema(v)))
-
-    val lTagged = left.select(
-      (leftCols.map(col) ++ Seq(
-        col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_m"),
-        lit(null).cast("long").as("_tb"),
-        lit(null).cast(rvType).as("_rv"))): _*)
-    val rTagged = right.select(
-      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
-        col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_m"),
-        rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tb"),
-        struct(rightVals.map(col): _*).as("_rv"))): _*)
-
-    // time DESC; right rows (_m=0) still sort before left rows at
-    // equal time (>= semantics looking forward)
-    val w = Window.partitionBy("_k")
-      .orderBy(col("_t").desc, col("_m").asc, col("_tb").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    lTagged.unionByName(rTagged)
-      .withColumn("_rvc", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_m") === 1)
-      .select((leftCols.map(col) ++
-        rightVals.map(v => col("_rvc").getField(v).as(s"$v$suffix"))): _*)
-  }
+      rightTiebreak: Option[String] = None,
+      tolerance: Option[Long] = None): DataFrame =
+    directional(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, suffix, rightTiebreak, forward = true, tolerance)
 
   /** NEAREST as-of join — for every left row, the right row with the
     * smallest |rightTime − leftTime| on the same key (pandas
@@ -123,7 +141,9 @@ object AsOfJoin {
     * timestamps compare in integer epoch-micros and integral axes as
     * longs (a double detour rounds ~0.5 µs at today's epoch — enough
     * to flip an exact tie to the wrong side); fractional axes compare
-    * as doubles.
+    * as doubles. `tolerance` bounds the match distance PER SIDE (a
+    * too-far prior still loses to an in-range next), units as in
+    * [[axisOf]].
     */
   def nearest(
       left: DataFrame, right: DataFrame,
@@ -131,7 +151,8 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightVals: Seq[String],
       suffix: String = "_asof",
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None,
+      tolerance: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
     // carry the matched right row's TIME with its values: the pick
@@ -160,20 +181,22 @@ object AsOfJoin {
       .orderBy(col("_t").desc, col("_m").asc, col("_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    import org.apache.spark.sql.types._
-    def axis(c: Column): Column = right.schema(rightTime).dataType match {
-      case TimestampType | TimestampNTZType =>
-        graft.functions.TimeFunctions.epochMicros(c)
-      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
-      case _ => c.cast("double")
-    }
+    val axis = axisOf(right.schema(rightTime).dataType)
     val lt = axis(col("_t"))
     val pt = axis(col("_pc").getField("_rt"))
     val nt = axis(col("_nc").getField("_rt"))
+    // a side beyond `tolerance` drops out of the pick entirely (its
+    // rival may still match) — same bound semantics as the
+    // directional joins
+    val pc = tolerance.fold(col("_pc"))(tol =>
+      when(lt - pt <= lit(tol), col("_pc")))
+    val nc = tolerance.fold(col("_nc"))(tol =>
+      when(nt - lt <= lit(tol), col("_nc")))
     lTagged.unionByName(rTagged)
       .withColumn("_pc", last(col("_rv"), ignoreNulls = true).over(wPrior))
       .withColumn("_nc", last(col("_rv"), ignoreNulls = true).over(wNext))
       .filter(col("_m") === 1)
+      .withColumn("_pc", pc).withColumn("_nc", nc)
       .withColumn("_chosen",
         when(col("_pc").isNull, col("_nc"))
           .when(col("_nc").isNull, col("_pc"))

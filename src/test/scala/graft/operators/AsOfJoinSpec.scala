@@ -71,6 +71,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("no_right") == None)
   }
 
+  test("tolerance bounds the match distance in every direction") {
+    val left = Seq((1L, ts(30), "p")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts(10), 100.0), // 20 min before
+      (1L, ts(33), 200.0)  // 3 min after
+    ).toDF("k", "t", "v")
+    val fiveMinUs = Some(5L * 60 * 1000000)
+
+    def one(df: org.apache.spark.sql.DataFrame): Option[Any] =
+      Option(df.select("v_asof").head().get(0))
+
+    // backward: only match is 20 min away — beyond tolerance, nulls
+    assert(one(AsOfJoin.lastPrior(left, right, "k", "k", "t", "t",
+      Seq("v"), tolerance = fiveMinUs)) == None)
+    // forward: 3 min away — within tolerance
+    assert(one(AsOfJoin.firstAfter(left, right, "k", "k", "t", "t",
+      Seq("v"), tolerance = fiveMinUs)) == Some(200.0))
+    // nearest without tolerance would ALSO pick the 3-min row; shrink
+    // the bound to 2 min and both sides drop
+    assert(one(AsOfJoin.nearest(left, right, "k", "k", "t", "t",
+      Seq("v"), tolerance = fiveMinUs)) == Some(200.0))
+    assert(one(AsOfJoin.nearest(left, right, "k", "k", "t", "t",
+      Seq("v"), tolerance = Some(2L * 60 * 1000000))) == None)
+    // and a one-sided bound: prior (20 min) out, next (3 min) in — the
+    // surviving side wins even though the prior would win unbounded…
+    // distances: 20 min vs 3 min — next wins anyway; flip the data
+    val left2 = Seq((1L, ts(30), "p")).toDF("k", "t", "name")
+    val right2 = Seq(
+      (1L, ts(28), 100.0), // 2 min before (closest)
+      (1L, ts(40), 200.0)  // 10 min after
+    ).toDF("k", "t", "v")
+    assert(one(AsOfJoin.nearest(left2, right2, "k", "k", "t", "t",
+      Seq("v"), tolerance = Some(60L * 1000000))) == None) // both out at 1 min
+    assert(one(AsOfJoin.nearest(left2, right2, "k", "k", "t", "t",
+      Seq("v"), tolerance = Some(3L * 60 * 1000000))) == Some(100.0))
+  }
+
   test("matched row's genuine NULLs are preserved — no stale values from older rows") {
     // The matched (latest prior) right row has v2 = NULL; a per-column
     // carry would leak 7.0 from the OLDER row into v2_asof and mix two
