@@ -52,7 +52,12 @@ object PipelineDag {
 
   final case class RunResult(
       outputs: Map[String, DataFrame],
-      nodeLog: Seq[(String, String)]) // (nodeId, status message)
+      nodeLog: Seq[(String, String)], // (nodeId, status message)
+      // per-sink observed metrics (currently rows written), collected
+      // FREE via Spark's Observation API during the sink's own action —
+      // no extra counting job; the reference logs per-node row counts
+      // by materializing between nodes, this keeps the lazy plan
+      observed: Map[String, Map[String, Any]] = Map.empty)
 
   /** Retry with linear backoff — reference policy (engine.py:84-96):
     * attempt 1..max, sleep delay*attempt between failures.
@@ -203,6 +208,7 @@ object PipelineDag {
 
     val outputs = scala.collection.mutable.Map[String, DataFrame]()
     val log = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val observed = scala.collection.mutable.Map[String, Map[String, Any]]()
 
     order.foreach { node =>
       if (!needed.contains(node.id)) {
@@ -267,7 +273,24 @@ object PipelineDag {
           if (state.exists(_.isDone(node.id))) {
             log += node.id -> "sink skipped (already done)"
           } else {
-            withRetries()(write(one))
+            // observe rides the sink's own action: rows counted as they
+            // flow, zero extra jobs. Each retry attempt gets a fresh
+            // Observation (one registration per dataset instance).
+            val rows = withRetries() {
+              val obs = org.apache.spark.sql.Observation()
+              write(one.observe(obs, count(lit(1)).as("rows")))
+              // the metric posts via the (async) listener bus after the
+              // action returns — bounded wait, then give up quietly (a
+              // sink that never executed its input has no metric)
+              try {
+                val row = scala.concurrent.Await.result(obs.future,
+                  scala.concurrent.duration.Duration(2, "s"))
+                row.schema.fieldNames.zip(row.toSeq).toMap[String, Any]
+              } catch {
+                case _: java.util.concurrent.TimeoutException => Map.empty[String, Any]
+              }
+            }
+            if (rows.nonEmpty) observed(node.id) = rows
             state.foreach(_.markDone(node.id))
             log += node.id -> "sink ok"
           }
@@ -283,6 +306,6 @@ object PipelineDag {
         log += node.id -> "ok"
       }
     }
-    RunResult(outputs.toMap, log.toSeq)
+    RunResult(outputs.toMap, log.toSeq, observed.toMap)
   }
 }

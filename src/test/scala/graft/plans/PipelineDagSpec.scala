@@ -172,6 +172,16 @@ class PipelineDagSpec extends AnyFunSuite {
     assert(resumed.nodeLog.contains("http" -> "resumed from stage"))
   }
 
+  test("sink row counts are observed during the sink's own action") {
+    val nodes = Seq(
+      Node("src", Source(s => { import s.implicits._; (1 to 7).toDF("v") })),
+      Node("keep_small", Conditional("v <= 3")),
+      Node("out", Sink(df => { df.count(); () })))
+    val edges = Seq(Edge("src", "keep_small"), Edge("keep_small", "out"))
+    val r = PipelineDag.execute(spark, nodes, edges)
+    assert(r.observed("out")("rows") == 3L)
+  }
+
   test("withRetries gives up after max attempts") {
     var n = 0
     val e = intercept[IllegalStateException] {
