@@ -163,5 +163,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { children: Seq[Expression] =>
         TopKMin(children.head, litInt(children, "graft_top_k_min"))
           .toAggregateExpression() }))
+    ext.injectFunction((FunctionIdentifier("graft_top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_top_k_pairs"),
+      { children: Seq[Expression] =>
+        require(children.size == 3 && children(2).foldable,
+          "graft_top_k_pairs(score, id, k) takes two columns and a literal k")
+        val kv = children(2).eval()
+        require(kv != null, "graft_top_k_pairs: k must not be NULL")
+        TopKPairs(children(0), children(1), kv.asInstanceOf[Number].intValue)
+          .toAggregateExpression() }))
   }
 }

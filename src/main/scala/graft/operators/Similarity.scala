@@ -55,6 +55,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN JOIN: for EVERY query row, the corpus's top-k by cosine —
+    * the batch shape of [[cosineTopK]] (one query vector at a time is
+    * not how retrieval pipelines run). Output: one row per (query,
+    * neighbor), `cos_sim` rounded to 4 places, id tiebreak — same
+    * well-defined-set contract as [[cosineTopK]].
+    *
+    * Shape for scale: the query batch BROADCASTS into the corpus scan
+    * (one pass, no corpus shuffle) and per-query top-k reduces through
+    * [[graft.functions.TopKPairs]] — a bounded heap combined map-side,
+    * so the shuffle carries ≤ k pairs per (mapper, query) instead of
+    * the `row_number() OVER (PARTITION BY query)` plan's full scored
+    * corpus (nQ corpus-sized sorts on nQ tasks). For corpus×corpus
+    * self-joins where the "batch" IS the corpus, broadcast no longer
+    * applies — bucket through [[lshIndex]]/[[ivfIndex]] probes
+    * instead.
+    */
+  def cosineTopKJoin(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(qIdCol).as("_qid"), col(qVecCol).as("_qv")))
+    corpus.select(col(cIdCol).as("_cid"), col(cVecCol).as("_cv"))
+      .crossJoin(q)
+      .select(col("_qid"), col("_cid"),
+        round(cosine(col("_cv"), col("_qv")), 4).as("_cos"))
+      .groupBy("_qid")
+      .agg(graft.functions.TopKPairs
+        .topKPairs(col("_cos"), col("_cid").cast("long"), k,
+          bestIsLargest = true).as("_top"))
+      .select(col("_qid").as("q_id"), explode(col("_top")).as("_p"))
+      .select(col("q_id"), col("_p.id").as("n_id"), col("_p.score").as("cos_sim"))
+  }
+
   /** LSH-bucketed top-k over a raw DataFrame: compute `_bucket` on
     * scan, filter to the query's bucket ∪ buckets within
     * `probeHamming` sign flips, exact-cosine rerank inside.

@@ -265,6 +265,17 @@ object DedupQueries {
       Similarity.cosineTopK(vecs, "vec_id", "embedding", query, k = 20)
     }),
 
+    // k-NN JOIN (batch retrieval): 5 query vectors × whole corpus,
+    // top-10 each through the bounded-heap pair aggregate — exact, so
+    // the QUALIFY row_number oracle applies directly.
+    "s_knn_join" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.cosineTopKJoin(
+          vecs.filter(col("vec_id") < 5), "vec_id", "embedding",
+          vecs, "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("cos_sim").desc, col("n_id"))
+    }),
+
     // IVF at nprobe = nlist: every cell is scanned, so IVF top-k ≡
     // brute force and the cosine oracle applies exactly (the KMeans
     // cell layout affects only WHICH rows are pruned — at full probe,
@@ -602,6 +613,24 @@ object DedupQueries {
         |  FROM embeddings)
         |SELECT vec_id, cos_sim FROM scored
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT q_id, n_id, cos_sim FROM scored
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) <= 10
+        |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin,
     "s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (

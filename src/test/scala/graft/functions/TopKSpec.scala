@@ -36,6 +36,57 @@ class TopKSpec extends AnyFunSuite {
     assert(got == Seq(7L, 7L))
   }
 
+  test("topKPairs keeps the k best pairs, both orderings, merge path included") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(4000)(
+      (rnd.nextInt(3), rnd.nextInt(1000) / 10.0, rnd.nextLong() & 0xffffL))
+    val df = data.toDF("g", "s", "id").repartition(8)
+    def brute(largest: Boolean) = data.groupBy(_._1).view.mapValues { rows =>
+      val ord = if (largest) Ordering.by[(Int, Double, Long), (Double, Long)](
+        r => (-r._2, r._3)) else Ordering.by[(Int, Double, Long), (Double, Long)](
+        r => (r._2, r._3))
+      rows.sorted(ord).take(15).map(r => (r._2, r._3)).toSeq
+    }.toMap
+    for (largest <- Seq(false, true)) {
+      val got = df.groupBy("g")
+        .agg(TopKPairs.topKPairs($"s", $"id", 15, bestIsLargest = largest).as("top"))
+        .collect().map { r =>
+          r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1)))
+        }.toMap
+      assert(got == brute(largest), s"bestIsLargest=$largest")
+    }
+  }
+
+  test("topKPairs ranks NaN scores worst under both orderings") {
+    val df = Seq((1, Double.NaN, 1L), (1, 0.5, 2L), (1, -0.5, 3L))
+      .toDF("g", "s", "id")
+    def ids(largest: Boolean) = df.groupBy("g")
+      .agg(TopKPairs.topKPairs($"s", $"id", 2, bestIsLargest = largest).as("top"))
+      .head.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
+    assert(ids(largest = true) == Seq(2L, 3L))
+    assert(ids(largest = false) == Seq(3L, 2L))
+  }
+
+  test("cosineTopKJoin equals per-query brute-force cosineTopK") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val joined = Similarity.cosineTopKJoin(
+        vecs.filter($"vec_id" < 4), "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val q = vecs.filter($"vec_id" === qid)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, k = 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(qid) == brute, s"query $qid")
+    }
+  }
+
   test("SQL surface via registration") {
     TopKMin.register(spark)
     Seq((1, 4L), (1, 2L), (1, 9L)).toDF("g", "v").createOrReplaceTempView("tk")
