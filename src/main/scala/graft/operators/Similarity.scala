@@ -346,6 +346,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-bucketed k-NN JOIN — [[cosineTopKJoin]]'s scale path for big
+    * corpora: each query probes only its `nprobe` nearest cells
+    * instead of scanning everything. Same recall trade as [[ivfTopK]]
+    * (exact at `nprobe = nlist`, approximate below). Two broadcast
+    * joins + two bounded-heap aggregates, corpus never shuffles:
+    * queries × centroids (tiny, broadcast) → per-query nearest cells
+    * via [[graft.functions.TopKPairs]] → (query, cell) probe list
+    * broadcasts into the assignment scan (partition-pruned when the
+    * index is the persisted hive-partitioned layout) → per-query
+    * top-k, again heap-combined map-side.
+    */
+  def ivfTopKJoin(
+      index: IvfIndex, queries: DataFrame, qIdCol: String, qVecCol: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val np = math.min(nprobe, index.centroids.length)
+    val centDf = index.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("_cellc", "_cv")
+    // nearest cells per query by squared L2: |q|²+|c|²−2q·c (the |q|²
+    // term is constant per query — kept so the score is a true
+    // distance, which costs nothing at nlist scale)
+    val qCells = queries.select(col(qIdCol).as("_qid"), col(qVecCol).as("_qv"))
+      .crossJoin(broadcast(centDf))
+      .select(col("_qid"), col("_qv"), col("_cellc"),
+        (dot(col("_qv"), col("_qv")) + dot(col("_cv"), col("_cv"))
+          - lit(2.0) * dot(col("_qv"), col("_cv"))).as("_d2"))
+      .groupBy("_qid")
+      .agg(first(col("_qv")).as("_qv"),
+        graft.functions.TopKPairs.topKPairs(col("_d2"), col("_cellc"), np).as("_nc"))
+      .select(col("_qid"), col("_qv"),
+        explode(col("_nc")).as("_p"))
+      .select(col("_qid"), col("_qv"), col("_p.id").as("_probe"))
+    index.assigned
+      .join(broadcast(qCells), col("_cell").cast("long") === col("_probe"))
+      .select(col("_qid"), col(idCol).cast("long").as("_cid"),
+        round(cosine(col(vecCol), col("_qv")), 4).as("_cos"))
+      .groupBy("_qid")
+      .agg(graft.functions.TopKPairs
+        .topKPairs(col("_cos"), col("_cid"), k, bestIsLargest = true).as("_top"))
+      .select(col("_qid").as("q_id"), explode(col("_top")).as("_p"))
+      .select(col("q_id"), col("_p.id").as("n_id"), col("_p.score").as("cos_sim"))
+  }
+
   /** Auto-size the hyperplane count so bucket occupancy stays CONSTANT
     * as the corpus grows: 2^planes ≈ n / targetOccupancy. With fixed
     * planes, occupancy grows with n and the in-row pair generation is
