@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Incremental aggregation over an append-only lake: compute each
+  * batch's PARTIAL aggregates once, store them as small parquet
+  * state, and answer the query by merging partials — never by
+  * rescanning the corpus.
+  *
+  * The reference recomputes every aggregate from scratch per run
+  * (duckdb_engine.py re-executes the step chain on the full file each
+  * time). At 100 TB that shape is untenable: a daily metrics query
+  * would rescan the whole lake. This operator is the standard
+  * algebraic-aggregate decomposition instead (partial/merge/finalize,
+  * the same split Spark's own hash aggregate uses between map and
+  * reduce sides — see `Partial`/`Final` in Spark's
+  * AggregateExpression): state size is O(groups), append cost is
+  * O(new batch) with ZERO reads of existing state, and the full
+  * result is a merge over O(batches × groups) partial rows.
+  *
+  * Layout under `statePath` (any Hadoop FS — local/HDFS/S3A):
+  * {{{
+  *   _meta.json            // groupCols, metrics, pinned partial/final types
+  *   batch=<id>/part-....parquet   // partial rows, one directory per batch
+  * }}}
+  * Underscore-prefixed entries are invisible to Spark's file index, so
+  * `result` can read the whole directory tree as one partitioned
+  * dataset while `_meta.json` (and any in-flight `_compact_tmp`) ride
+  * alongside; the `batch=` hive key records provenance for free.
+  *
+  * Supported metrics are the algebraic five (count/sum/min/max/avg —
+  * avg decomposed into sum+count). Types are PINNED at fit time: the
+  * merge re-sum would silently widen `sum(DECIMAL(12,2))` partials
+  * from DECIMAL(22,2) to DECIMAL(32,2) per fold, so merged columns are
+  * cast back to the partial type recorded in the sidecar and finals to
+  * the type a direct one-shot aggregate would produce — `result` is
+  * schema-identical to `df.groupBy(...).agg(...)` no matter how many
+  * batches the state accumulated.
+  */
+object IncrementalAgg {
+
+  sealed trait Metric { def as: String }
+  /** count(*) — rows per group, nulls included. */
+  final case class Count(as: String) extends Metric
+  final case class Sum(column: String, as: String) extends Metric
+  final case class Min(column: String, as: String) extends Metric
+  final case class Max(column: String, as: String) extends Metric
+  /** Null-ignoring mean, decomposed as sum + non-null count. */
+  final case class Avg(column: String, as: String) extends Metric
+
+  /** Initialize state from the first batch: write `_meta.json` (the
+    * schema contract every later append is checked against) and the
+    * batch's partial rows. `statePath` must not already hold state.
+    */
+  def fit(df: DataFrame, groupCols: Seq[String], metrics: Seq[Metric],
+      statePath: String, batchId: String = "00000"): Unit = {
+    require(metrics.nonEmpty, "incrementalAgg: no metrics")
+    checkBatchId(batchId)
+    val dups = metrics.groupBy(_.as).collect { case (a, ms) if ms.size > 1 => a }
+    require(dups.isEmpty, s"incrementalAgg: duplicate output names ${dups.mkString(", ")}")
+    val spark = df.sparkSession
+    val metaPath = new Path(statePath, MetaFile)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(metaPath),
+      s"incrementalAgg: $statePath already holds state — append to it or choose a new path")
+    val part = partials(df, groupCols, metrics)
+    // final types = what a direct one-shot aggregate would resolve to
+    val finalTypes = df.groupBy(groupCols.map(col): _*)
+      .agg(directExprs(metrics).head, directExprs(metrics).tail: _*)
+      .schema.fields.map(f => f.name -> f.dataType).toMap
+    val partialTypes = part.schema.fields
+      .filter(f => !groupCols.contains(f.name))
+      .map(f => f.name -> f.dataType)
+    writeMeta(fs, metaPath, Meta(groupCols, metrics,
+      partialTypes.toMap, metrics.map(m => m.as -> finalTypes(m.as)).toMap))
+    // partial rows are O(groups) — land each batch as one file (the
+    // aggregation itself still runs at full parallelism; only the
+    // group-bounded output narrows)
+    part.coalesce(1).write.mode("errorifexists").parquet(batchDir(statePath, batchId))
+  }
+
+  /** Append one new batch: ONE aggregation over the batch, one write,
+    * zero reads of existing partial state. Raises if the batch's
+    * partial schema disagrees with the fitted contract (a type drift
+    * here would poison every later merge) or if `batchId` was already
+    * committed (re-running a batch must not double-count).
+    */
+  def append(statePath: String, batch: DataFrame, batchId: String): Unit = {
+    checkBatchId(batchId)
+    val spark = batch.sparkSession
+    val (fs, meta) = readMeta(spark, statePath)
+    val dir = new Path(batchDir(statePath, batchId))
+    require(!fs.exists(dir),
+      s"incrementalAgg: batch '$batchId' already committed under $statePath")
+    val part = partials(batch, meta.groupCols, meta.metrics)
+    part.schema.fields.filterNot(f => meta.groupCols.contains(f.name)).foreach { f =>
+      val want = meta.partialTypes(f.name)
+      require(f.dataType == want,
+        s"incrementalAgg: batch partial '${f.name}' is ${f.dataType.sql}, " +
+          s"state expects ${want.sql} — input column types changed since fit")
+    }
+    part.coalesce(1).write.mode("errorifexists").parquet(dir.toString)
+  }
+
+  /** The full aggregate from state alone: read every batch's partial
+    * rows (O(batches × groups) — never the corpus), merge, finalize.
+    * Schema-identical to the direct `groupBy(...).agg(...)` on the
+    * concatenation of all appended batches.
+    */
+  def result(spark: SparkSession, statePath: String): DataFrame = {
+    val (_, meta) = readMeta(spark, statePath)
+    finalize(merge(readPartials(spark, statePath), meta), meta)
+  }
+
+  /** Fold all batch directories into one (bounding `result`'s read at
+    * O(groups) again after many appends — the state twin of
+    * CorpusIngest.compactLake). Merged partials are cast back to the
+    * fitted partial types, so a compacted state is indistinguishable
+    * from a freshly fitted one. Write-then-swap: the fold lands in an
+    * underscore-prefixed temp dir (invisible to readers), old batch
+    * dirs are dropped, then the temp renames in as `batchId`.
+    */
+  def compact(spark: SparkSession, statePath: String,
+      batchId: String = "compacted"): Unit = {
+    checkBatchId(batchId)
+    val (fs, meta) = readMeta(spark, statePath)
+    val merged = merge(readPartials(spark, statePath), meta)
+    val tmp = new Path(statePath, "_compact_tmp")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.parquet(tmp.toString)
+    val root = new Path(statePath)
+    fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch="))
+      .foreach(st => fs.delete(st.getPath, true))
+    require(fs.rename(tmp, new Path(batchDir(statePath, batchId))),
+      s"incrementalAgg: rename of compacted state failed under $statePath")
+  }
+
+  // ---- partial / merge / finalize ----------------------------------
+
+  private def partials(df: DataFrame, groupCols: Seq[String],
+      metrics: Seq[Metric]): DataFrame = {
+    val exprs = metrics.zipWithIndex.flatMap { case (m, i) =>
+      m match {
+        case Count(_) => Seq(count(lit(1)).as(p(i)))
+        case Sum(c, _) => Seq(sum(col(c)).as(p(i)))
+        case Min(c, _) => Seq(min(col(c)).as(p(i)))
+        case Max(c, _) => Seq(max(col(c)).as(p(i)))
+        case Avg(c, _) => Seq(sum(col(c)).as(p(i)), count(col(c)).as(p(i) + "n"))
+      }
+    }
+    df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  private def merge(parts: DataFrame, meta: Meta): DataFrame = {
+    val exprs = meta.metrics.zipWithIndex.flatMap { case (m, i) =>
+      def re(name: String, f: Column => Column) =
+        f(col(name)).cast(meta.partialTypes(name)).as(name)
+      m match {
+        case Count(_) => Seq(re(p(i), sum))
+        case Sum(_, _) => Seq(re(p(i), sum))
+        case Min(_, _) => Seq(re(p(i), min))
+        case Max(_, _) => Seq(re(p(i), max))
+        case Avg(_, _) => Seq(re(p(i), sum), re(p(i) + "n", sum))
+      }
+    }
+    parts.groupBy(meta.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  private def finalize(merged: DataFrame, meta: Meta): DataFrame = {
+    val outs = meta.metrics.zipWithIndex.map { case (m, i) =>
+      val t = meta.finalTypes(m.as)
+      val v = m match {
+        case Avg(_, _) =>
+          when(col(p(i) + "n") > 0, col(p(i)) / col(p(i) + "n"))
+        // a group in state always carries ≥1 non-null count partial, so
+        // the coalesce never fires — it only restores count(*)'s
+        // non-nullable type, which the merge re-sum made nullable
+        case Count(_) => coalesce(col(p(i)), lit(0L))
+        case _ => col(p(i))
+      }
+      v.cast(t).as(m.as)
+    }
+    merged.select(meta.groupCols.map(col) ++ outs: _*)
+  }
+
+  private def directExprs(metrics: Seq[Metric]): Seq[Column] = metrics.map {
+    case Count(a) => count(lit(1)).as(a)
+    case Sum(c, a) => sum(col(c)).as(a)
+    case Min(c, a) => min(col(c)).as(a)
+    case Max(c, a) => max(col(c)).as(a)
+    case Avg(c, a) => avg(col(c)).as(a)
+  }
+
+  private def readPartials(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).drop("batch")
+
+  private def p(i: Int) = s"_p$i"
+  private val MetaFile = "_meta.json"
+  private def batchDir(statePath: String, batchId: String) =
+    s"$statePath/batch=$batchId"
+  private def checkBatchId(id: String): Unit =
+    require(id.nonEmpty && id.forall(ch => ch.isLetterOrDigit ||
+        ch == '.' || ch == '_' || ch == '-'),
+      s"incrementalAgg: batch id '$id' — use letters, digits, '.', '_', '-'")
+
+  // ---- sidecar -----------------------------------------------------
+
+  private final case class Meta(groupCols: Seq[String], metrics: Seq[Metric],
+      partialTypes: Map[String, DataType], finalTypes: Map[String, DataType])
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, at: Path,
+      meta: Meta): Unit = {
+    def strArr(xs: Seq[String]) = xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+    def typeMap(m: Map[String, DataType]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${esc(k)}":"${esc(v.json)}"""" }.mkString("{", ",", "}")
+    val ms = meta.metrics.map { m =>
+      val (kind, colName) = m match {
+        case Count(_) => ("count", "")
+        case Sum(c, _) => ("sum", c)
+        case Min(c, _) => ("min", c)
+        case Max(c, _) => ("max", c)
+        case Avg(c, _) => ("avg", c)
+      }
+      s"""{"kind":"$kind","column":"${esc(colName)}","as":"${esc(m.as)}"}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"groupCols":${strArr(meta.groupCols)},"metrics":$ms,""" +
+        s""""partialTypes":${typeMap(meta.partialTypes)},""" +
+        s""""finalTypes":${typeMap(meta.finalTypes)}}"""
+    val out = fs.create(at, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession,
+      statePath: String): (org.apache.hadoop.fs.FileSystem, Meta) = {
+    val at = new Path(statePath, MetaFile)
+    val fs = at.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(at),
+      s"incrementalAgg: no $MetaFile under $statePath — fit() first")
+    val in = fs.open(at)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+    // the sidecar is machine-written with a fixed field order — parse
+    // with Spark's own JSON reader to stay dependency-free
+    import spark.implicits._
+    val row = spark.read.json(Seq(json).toDS()).head()
+    val groupCols = row.getAs[scala.collection.Seq[String]]("groupCols").toSeq
+    val metrics = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("metrics")
+      .map { r =>
+        val as = r.getAs[String]("as"); val c = r.getAs[String]("column")
+        r.getAs[String]("kind") match {
+          case "count" => Count(as)
+          case "sum" => Sum(c, as)
+          case "min" => Min(c, as)
+          case "max" => Max(c, as)
+          case "avg" => Avg(c, as)
+          case other => throw new IllegalArgumentException(
+            s"incrementalAgg: unknown metric kind '$other' in $at")
+        }
+      }.toSeq
+    def types(field: String): Map[String, DataType] = {
+      val r = row.getAs[org.apache.spark.sql.Row](field)
+      r.schema.fieldNames.map(n =>
+        n -> DataType.fromJson(r.getAs[String](n))).toMap
+    }
+    (fs, Meta(groupCols, metrics, types("partialTypes"), types("finalTypes")))
+  }
+}

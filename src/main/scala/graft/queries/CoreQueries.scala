@@ -453,6 +453,41 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // Incremental aggregation over an append-only lake: lineitem
+    // arrives as three "daily" batches (orderkey residue classes);
+    // each batch is reduced ONCE to partial aggregates in parquet
+    // state, and the answer merges the partials — the corpus is never
+    // rescanned. avg rides the operator's own sum+count partials
+    // through the q1_agg determinism trick (exact decimal sum →
+    // double, ONE IEEE division), so the oracle compare is
+    // order-independent across engines.
+    "e_incr_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      // decimal accumulation: sum(double) reassociates across
+      // partitions — same pinning as q1_agg, on both engines
+      val li = t(s, dir, "lineitem")
+        .withColumn("l_quantity", col("l_quantity").cast("decimal(18,4)"))
+        .withColumn("l_discount", col("l_discount").cast("decimal(18,4)"))
+      val state = java.nio.file.Files.createTempDirectory("graft_incr").toString
+      val metrics = Seq(
+        IncrementalAgg.Count("n_rows"),
+        IncrementalAgg.Sum("l_quantity", "sum_qty"),
+        IncrementalAgg.Min("l_extendedprice", "min_price"),
+        IncrementalAgg.Max("l_extendedprice", "max_price"),
+        IncrementalAgg.Sum("l_discount", "sum_disc"))
+      IncrementalAgg.fit(li.filter(col("l_orderkey") % 3 === 0),
+        Seq("l_returnflag", "l_linestatus"), metrics, state, "d0")
+      IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 1), "d1")
+      IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 2), "d2")
+      IncrementalAgg.result(s, state)
+        .withColumn("avg_disc", col("sum_disc").cast("double") / col("n_rows"))
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+        .withColumn("min_price", col("min_price").cast("double"))
+        .withColumn("max_price", col("max_price").cast("double"))
+        .withColumn("sum_disc", col("sum_disc").cast("double"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Unpivot/melt (wide → long) as a TransformStep; one generate
     // projection, no shuffle.
     "t_unpivot" -> ((s, dir) => {
@@ -497,6 +532,17 @@ object CoreQueries {
         |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "e_incr_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "t_upsert" ->
       """WITH changes AS (
         |  SELECT c_custkey, c_name, c_nationkey,

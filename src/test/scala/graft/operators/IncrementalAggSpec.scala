@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.IncrementalAgg._
+
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+
+  private def corpus: DataFrame = Seq(
+    ("a", 1L, "2.50", "x"), ("a", 2L, "1.25", "m"), ("b", 3L, "9.00", "z"),
+    ("a", 4L, "0.75", "k"), ("b", 5L, "3.10", "a"), ("c", 6L, "7.77", "q"),
+    ("b", 7L, "2.22", "b"), ("c", 8L, "0.01", "y")
+  ).toDF("g", "n", "amt", "tag")
+    .withColumn("amt", col("amt").cast("decimal(12,2)"))
+
+  private val metrics = Seq(
+    Count("rows"), Sum("amt", "amt_sum"), Min("amt", "amt_min"),
+    Max("amt", "amt_max"), Avg("amt", "amt_avg"), Min("tag", "tag_min"))
+
+  private def direct(df: DataFrame) = df.groupBy("g").agg(
+    count(lit(1)).as("rows"), sum("amt").as("amt_sum"), min("amt").as("amt_min"),
+    max("amt").as("amt_max"), avg("amt").as("amt_avg"), min("tag").as("tag_min"))
+
+  private def assertSame(got: DataFrame, want: DataFrame): Unit = {
+    assert(got.schema == want.schema,
+      s"schema drift:\n  got  ${got.schema.sql}\n  want ${want.schema.sql}")
+    assert(got.orderBy("g").collect().toSeq ==
+      want.orderBy("g").collect().toSeq)
+  }
+
+  test("fit + appends ≡ direct one-shot aggregate (values AND schema)") {
+    val state = tmp()
+    fit(corpus.filter($"n" % 3 === 0), Seq("g"), metrics, state, "b0")
+    append(state, corpus.filter($"n" % 3 === 1), "b1")
+    append(state, corpus.filter($"n" % 3 === 2), "b2")
+    assertSame(result(spark, state), direct(corpus))
+  }
+
+  test("disjoint group keys across batches merge correctly") {
+    val state = tmp()
+    fit(corpus.filter($"g" === "a"), Seq("g"), metrics, state, "b0")
+    append(state, corpus.filter($"g" =!= "a"), "b1")
+    assertSame(result(spark, state), direct(corpus))
+  }
+
+  test("an empty batch is a no-op on the result") {
+    val state = tmp()
+    fit(corpus, Seq("g"), metrics, state, "b0")
+    append(state, corpus.filter(lit(false)), "empty")
+    assertSame(result(spark, state), direct(corpus))
+  }
+
+  test("avg ignores nulls while count(*) counts them, across batches") {
+    val df = Seq(("a", Some(10.0)), ("a", None), ("b", None), ("a", Some(20.0)))
+      .toDF("g", "v")
+    val state = tmp()
+    val ms = Seq(Count("rows"), Avg("v", "v_avg"))
+    fit(df.limit(2), Seq("g"), ms, state, "b0")
+    append(state, df.except(df.limit(2)), "b1")
+    val got = result(spark, state).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSeq
+    // 'a': 3 rows, avg of {10,20}; 'b': 1 all-null row, avg null
+    assert(got == Seq(("a", 3L, Some(15.0)), ("b", 1L, None)))
+  }
+
+  test("compact folds batches into one without changing the result") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 3), Seq("g"), metrics, state, "b0")
+    append(state, corpus.filter($"n" > 3 && $"n" <= 6), "b1")
+    append(state, corpus.filter($"n" > 6), "b2")
+    val before = result(spark, state).orderBy("g").collect().toSeq
+    compact(spark, state)
+    val dirs = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.length == 1 && dirs.head.getName == "batch=compacted")
+    assertSame(result(spark, state), direct(corpus))
+    assert(result(spark, state).orderBy("g").collect().toSeq == before)
+    // compacted state accepts further appends
+    append(state, corpus.withColumn("n", $"n" + 100), "b3")
+    assert(result(spark, state).filter($"g" === "a").head().getLong(1) == 6L)
+  }
+
+  test("re-committing a batch id raises (no double counting)") {
+    val state = tmp()
+    fit(corpus, Seq("g"), metrics, state, "b0")
+    val e = intercept[IllegalArgumentException] {
+      append(state, corpus, "b0")
+    }
+    assert(e.getMessage.contains("already committed"))
+  }
+
+  test("input type drift since fit raises naming the partial column") {
+    val state = tmp()
+    fit(corpus, Seq("g"), metrics, state, "b0")
+    val drifted = corpus.withColumn("amt", col("amt").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      append(state, drifted, "b1")
+    }
+    assert(e.getMessage.contains("column types changed since fit"))
+  }
+
+  test("fit refuses an already-fitted path; result refuses an unfitted one") {
+    val state = tmp()
+    fit(corpus, Seq("g"), metrics, state, "b0")
+    assert(intercept[IllegalArgumentException] {
+      fit(corpus, Seq("g"), metrics, state, "again")
+    }.getMessage.contains("already holds state"))
+    assert(intercept[IllegalArgumentException] {
+      result(spark, tmp())
+    }.getMessage.contains("fit() first"))
+  }
+
+  test("duplicate output names and malformed batch ids raise") {
+    assert(intercept[IllegalArgumentException] {
+      fit(corpus, Seq("g"), Seq(Count("x"), Sum("amt", "x")), tmp(), "b0")
+    }.getMessage.contains("duplicate output names"))
+    assert(intercept[IllegalArgumentException] {
+      fit(corpus, Seq("g"), metrics, tmp(), "a/b")
+    }.getMessage.contains("batch id"))
+  }
+
+  test("state is partial-sized: one row per (batch, group), not per input row") {
+    val state = tmp()
+    fit(corpus, Seq("g"), metrics, state, "b0")
+    append(state, corpus, "b1")
+    val stateRows = spark.read.parquet(state).count()
+    assert(stateRows == 6L) // 3 groups × 2 batches, vs 16 input rows
+  }
+
+  test("global (no group columns) aggregate works across batches") {
+    val state = tmp()
+    val ms = Seq(Count("rows"), Sum("n", "n_sum"))
+    fit(corpus.filter($"n" <= 4), Nil, ms, state, "b0")
+    append(state, corpus.filter($"n" > 4), "b1")
+    val r = result(spark, state).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 36L)
+  }
+}
