@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011): a vector splits into
+  * `nsub` subvectors, each quantized to its nearest per-subspace
+  * centroid, leaving an `nsub`-BYTE code in place of a `dim`-float
+  * vector (64 floats → 8 bytes at nsub=8). Query-time ADC (asymmetric
+  * distance computation) scores a code against a query with `nsub`
+  * table lookups — no vector arithmetic at all on the scan.
+  *
+  * Both stages are native codegen'd expressions for the same reason as
+  * [[DotProductExpr]]: they run once per corpus row, and a
+  * CodegenFallback or UDF there would break the whole-stage pipeline
+  * around the scan. The model rides into generated code as reference
+  * objects (`addReferenceObj`), so the hot loop is a plain JVM loop
+  * over primitive arrays.
+  */
+object PqFunctions {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  /** Encode a vector column to its `nsub`-byte PQ code. */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean): Column =
+    ncol(PqEncodeExpr(ex(v), codebooks, normalize))
+
+  /** ADC score of a code column against a flattened `nsub`×`k` query
+    * distance table (lower = closer).
+    */
+  def pqAdc(code: Column, table: Array[Double], nsub: Int, k: Int): Column =
+    ncol(PqAdcExpr(ex(code), table, nsub, k))
+
+  /** JVM kernel behind [[PqEncodeExpr]]: argmin ‖subvector − c‖² per
+    * subspace, first-index tie-break (the same rule as
+    * Similarity.localLloyd). Null element → boxed null; a wrong-width
+    * vector RAISES — silently emitting a null code would let a
+    * mis-dimensioned corpus dedup/search as "no neighbors" without
+    * anyone noticing.
+    */
+  def encode(arr: ArrayData, kind: Int, elem: DataType,
+      codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean): Array[Byte] = {
+    val nsub = codebooks.length
+    val subdim = codebooks(0)(0).length
+    val dim = nsub * subdim
+    val n = arr.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"graft_pq_encode: vector has $n elements, model expects $dim " +
+        s"($nsub subspaces × $subdim)")
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      v(i) = readDouble(arr, i, kind, elem)
+      i += 1
+    }
+    if (normalize) {
+      var ss = 0.0
+      i = 0
+      while (i < dim) { ss += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm > 0) { i = 0; while (i < dim) { v(i) /= nrm; i += 1 } }
+    }
+    val code = new Array[Byte](nsub)
+    var s = 0
+    while (s < nsub) {
+      val cb = codebooks(s)
+      val off = s * subdim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < subdim) { val t = v(off + j) - cent(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(s) = best.toByte
+      s += 1
+    }
+    code
+  }
+
+  /** JVM kernel behind [[PqAdcExpr]]: Σₛ table[s·k + code[s]]. Raises
+    * on a code whose width or byte range disagrees with the table —
+    * that is a code column from a DIFFERENT model, and scoring it
+    * would be silent garbage.
+    */
+  def adc(code: Array[Byte], table: Array[Double], nsub: Int,
+      k: Int): Double = {
+    if (code.length != nsub) throw new IllegalArgumentException(
+      s"graft_pq_adc: code is ${code.length} bytes, query table expects " +
+        s"$nsub — codes from a different PQ model?")
+    var s = 0
+    var d = 0.0
+    while (s < nsub) {
+      val cid = code(s) & 0xff
+      if (cid >= k) throw new IllegalArgumentException(
+        s"graft_pq_adc: code byte $cid out of range (k=$k) — codes from " +
+          "a different PQ model?")
+      d += table(s * k + cid)
+      s += 1
+    }
+    d
+  }
+
+  private def readDouble(a: ArrayData, i: Int, kind: Int, elem: DataType): Double =
+    kind match {
+      case 0 => a.getDouble(i)
+      case 1 => a.getFloat(i).toDouble
+      case 2 => a.getLong(i).toDouble
+      case 3 => a.getInt(i).toDouble
+      case 4 => a.getShort(i).toDouble
+      case 5 => a.getByte(i).toDouble
+      case _ => a.get(i, elem)
+        .asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    }
+}
+
+/** `graft_pq_encode(vec)` → binary: the vector's `nsub`-byte PQ code. */
+case class PqEncodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]], normalize: Boolean)
+    extends UnaryExpression {
+
+  private lazy val kind = VectorFunctions.elementKind(child.dataType)
+  private lazy val elem = VectorFunctions.elementTypeOf(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorFunctions.elementKind(child.dataType) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode requires a numeric array, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // null element → null code
+  override def prettyName: String = "graft_pq_encode"
+
+  protected override def nullSafeEval(v: Any): Any =
+    PqFunctions.encode(v.asInstanceOf[ArrayData], kind, elem, codebooks, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("pqCode")
+      val cb = ctx.addReferenceObj("pqCodebooks", codebooks)
+      val el = ctx.addReferenceObj("pqElem", elem)
+      s"""
+         |byte[] $r = graft.functions.PqFunctions.encode(
+         |  $v, $kind, $el, $cb, $normalize);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_pq_adc(code)` → double: table-lookup distance of a PQ code
+  * against one query's distance table (lower = closer).
+  */
+case class PqAdcExpr(child: Expression, table: Array[Double], nsub: Int, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc requires a binary code column, got ${child.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  protected override def nullSafeEval(v: Any): Any =
+    PqFunctions.adc(v.asInstanceOf[Array[Byte]], table, nsub, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val t = ctx.addReferenceObj("pqTable", table)
+      s"${ev.value} = graft.functions.PqFunctions.adc($v, $t, $nsub, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcExpr =
+    copy(child = newChild)
+}

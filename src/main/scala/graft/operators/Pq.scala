@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PqFunctions
+
+/** Product-quantization ANN (Jégou 2011): compress each `dim`-float
+  * vector to an `nsub`-BYTE code, scan the codes with table-lookup
+  * distances (ADC), exact-rerank only a bounded candidate pool.
+  *
+  * This is the memory/IO leg of the ANN family ([[Similarity]] holds
+  * the partition-pruning legs): at 100 TB of embeddings the limiting
+  * cost is READING vectors, and a 64-float vector is 256 bytes against
+  * an 8-byte code — the candidate scan touches ~3% of the bytes, from
+  * a parquet table holding only (id, code). The probes compose: an IVF
+  * or LSH bucket bounds WHICH rows are scanned, PQ bounds the bytes
+  * per row.
+  *
+  * Pipeline: [[fit]] (sample k-means per subspace, driver-local — the
+  * same sample-fit shape as SemDeDup's centroids) → [[encode]] /
+  * [[savePqIndex]] (one map-only pass over the corpus) → [[topK]]
+  * (ADC scan of the code table → pool of candidate ids → exact cosine
+  * rerank of the pool only). With `pool` ≥ corpus size the rerank sees
+  * every row and the result EQUALS brute force — the oracle-checked
+  * configuration; the pruned pool's recall is spec'd on planted
+  * clones.
+  *
+  * `metric="cosine"` (default) normalizes vectors before encoding, so
+  * ADC's L2² on codes is monotone in cosine (‖a−b‖² = 2−2·cos on the
+  * unit sphere) and a vector and its scaled copy share a code; rerank
+  * is always exact cosine on the ORIGINAL vectors, so pool selection
+  * is the only approximation. `metric="l2"` encodes raw vectors.
+  */
+object Pq {
+
+  /** `codebooks(s)(c)` = centroid `c` of subspace `s` (length dim/nsub). */
+  final case class PqModel(nsub: Int, k: Int, subdim: Int,
+      normalize: Boolean, codebooks: Array[Array[Array[Double]]]) {
+    def dim: Int = nsub * subdim
+  }
+
+  /** Fit per-subspace codebooks on a deterministic md5-ordered sample
+    * (driver-local Lloyd, model-sized — never a corpus-sized collect).
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+      nsub: Int = 8, k: Int = 16, maxIter: Int = 10,
+      metric: String = "cosine"): PqModel = {
+    require(k >= 1 && k <= 256, s"pq: k=$k — codes are one byte, need 1..256")
+    require(nsub >= 1, s"pq: nsub=$nsub")
+    require(metric == "cosine" || metric == "l2", s"pq: unknown metric '$metric'")
+    val normalize = metric == "cosine"
+    val sample = df
+      .select(col(vecCol).cast("array<double>").as("_v"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .filter(col("_v").isNotNull)
+      .orderBy("_h").limit(Similarity.CentroidSampleSize)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("_v").toArray)
+    require(sample.nonEmpty, "pq: no non-null vectors to fit on")
+    val dim = sample.head.length
+    require(dim % nsub == 0,
+      s"pq: dim $dim not divisible by nsub=$nsub")
+    val subdim = dim / nsub
+    val prepared =
+      if (!normalize) sample
+      else sample.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+    val codebooks = Array.tabulate(nsub) { s =>
+      val sub = prepared.map(v => java.util.Arrays.copyOfRange(v, s * subdim, (s + 1) * subdim))
+      Similarity.localLloyd(sub, math.min(k, sub.length), maxIter)
+    }
+    PqModel(nsub, k, subdim, normalize, codebooks)
+  }
+
+  /** Map-only: add the `nsub`-byte `codeCol` to every row. */
+  def encode(df: DataFrame, vecCol: String, model: PqModel,
+      codeCol: String = "_code"): DataFrame =
+    df.withColumn(codeCol,
+      PqFunctions.pqEncode(col(vecCol), model.codebooks, model.normalize))
+
+  /** Persist the code table — (id, `_code`) parquet, ~nsub bytes/row —
+    * plus the model sidecar. Encode once on a cluster, query forever.
+    */
+  def savePqIndex(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, path: String): Unit = {
+    encode(df, vecCol, model)
+      .select(col(idCol), col("_code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    saveModel(df.sparkSession, model, path)
+  }
+
+  def saveModel(spark: SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- model.codebooks.indices
+      c <- model.codebooks(s).indices
+    } yield (s, c, model.codebooks(s)(c).toSeq, model.normalize)
+    rows.toDF("sub", "cid", "centroid", "normalize")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  def loadModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path/model")
+      .orderBy("sub", "cid").collect()
+    require(rows.nonEmpty, s"pq: no model sidecar under $path — not a saved PQ index")
+    val bySub = rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
+    val codebooks = bySub.map { case (_, rs) =>
+      rs.sortBy(_.getAs[Int]("cid"))
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    }.toArray
+    val k = codebooks.map(_.length).max
+    PqModel(codebooks.length, k, codebooks(0)(0).length,
+      rows.head.getAs[Boolean]("normalize"), codebooks)
+  }
+
+  /** Query a saved index: ADC over the CODE table (never the vectors)
+    * selects the `pool` best candidate ids — a TakeOrdered, no global
+    * sort — then only those rows' true vectors are fetched (broadcast
+    * join of the pool into the corpus scan) for the exact cosine
+    * rerank. Same output contract as [[Similarity.cosineTopK]]:
+    * `cos_sim` rounded to 4, id tiebreak, well-defined set.
+    */
+  def topK(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, pool: Int = 1024): DataFrame = {
+    val model = loadModel(spark, indexPath)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    topKFromCodes(codes, model, corpus, idCol, vecCol, query, k, pool)
+  }
+
+  /** One-shot twin (no saved index): encodes on the fly — same result,
+    * but the scan reads full vectors, so prefer [[savePqIndex]] +
+    * [[topK]] for repeated queries.
+    */
+  def topKOneShot(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, query: Array[Float], k: Int, pool: Int = 1024): DataFrame =
+    topKFromCodes(
+      encode(df, vecCol, model).select(col(idCol), col("_code")),
+      model, df, idCol, vecCol, query, k, pool)
+
+  private def topKFromCodes(codes: DataFrame, model: PqModel,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, pool: Int): DataFrame = {
+    require(pool >= k, s"pq: pool=$pool must be ≥ k=$k")
+    val table = adcTable(query, model)
+    val cand = codes
+      .select(col(idCol),
+        PqFunctions.pqAdc(col("_code"), table, model.nsub, model.k).as("_adc"))
+      .orderBy(col("_adc").asc, col(idCol).asc)
+      .limit(pool)
+      .select(col(idCol).as("_cand_id"))
+    val q = query.map(_.toDouble)
+    corpus.join(broadcast(cand), col(idCol) === col("_cand_id"))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.cosineConst(col(vecCol), q), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Flattened `nsub`×`k` table: table[s·k+c] = ‖q_s − codebook[s][c]‖². */
+  private[graft] def adcTable(query: Array[Float], model: PqModel): Array[Double] = {
+    require(query.length == model.dim,
+      s"pq: query has ${query.length} elements, model expects ${model.dim}")
+    var q = query.map(_.toDouble)
+    if (model.normalize) {
+      val n = math.sqrt(q.map(x => x * x).sum)
+      if (n > 0) q = q.map(_ / n)
+    }
+    val table = new Array[Double](model.nsub * model.k)
+    var s = 0
+    while (s < model.nsub) {
+      val cb = model.codebooks(s)
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var j = 0
+        while (j < model.subdim) {
+          val t = q(s * model.subdim + j) - cb(c)(j)
+          d += t * t
+          j += 1
+        }
+        table(s * model.k + c) = d
+        c += 1
+      }
+      // unused table slots (k > trained centroids) stay 0 but are
+      // unreachable: encode never emits a code ≥ cb.length
+      s += 1
+    }
+    table
+  }
+}

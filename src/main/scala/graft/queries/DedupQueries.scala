@@ -265,6 +265,26 @@ object DedupQueries {
       Similarity.cosineTopK(vecs, "vec_id", "embedding", query, k = 20)
     }),
 
+    // Product quantization (Jégou 2011) at pool ≥ corpus: the ADC
+    // code scan admits every row into the exact-cosine rerank, so the
+    // result ≡ brute force and the cosine oracle applies exactly —
+    // the codebook layout only decides which rows a SMALLER pool
+    // would prune (spec'd on planted clones in PqSpec). The measured
+    // path is the production one: fit + encode to a persisted
+    // (id, 8-byte code) table, then query the codes, never the
+    // vectors, until the pool fetch.
+    "s_pq_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 1)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val model = graft.operators.Pq.fit(vecs, "vec_id", "embedding",
+        nsub = 8, k = 16, maxIter = 4)
+      val path = java.nio.file.Files.createTempDirectory("graft_pq").toString
+      graft.operators.Pq.savePqIndex(vecs, "vec_id", "embedding", model, path)
+      graft.operators.Pq.topK(s, path, vecs, "vec_id", "embedding",
+        query, k = 20, pool = 1 << 20)
+    }),
+
     // k-NN JOIN (batch retrieval): 5 query vectors × whole corpus,
     // top-10 each through the bounded-heap pair aggregate — exact, so
     // the QUALIFY row_number oracle applies directly.
@@ -633,6 +653,21 @@ object DedupQueries {
         |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin,
     "s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "s_pq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
         |scored AS (
         |  SELECT vec_id,
         |    round(

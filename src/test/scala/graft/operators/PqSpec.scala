@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+
+  private def randVecs(n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq))
+  }
+
+  private def corpus(n: Int = 300, seed: Long = 7L) =
+    randVecs(n, seed).toDF("id", "vec")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_pq").toString
+
+  test("full-pool PQ top-k ≡ brute-force cosine top-k (pool ≥ corpus)") {
+    val df = corpus()
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 4)
+    val query = randVecs(1, 99L).head._2.map(_.toFloat).toArray
+    val got = Pq.topKOneShot(df, "id", "vec", model, query, k = 10, pool = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.cosineTopK(df, "id", "vec", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("saved index roundtrip: topK over persisted codes ≡ one-shot") {
+    val df = corpus()
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 4)
+    val path = tmp()
+    Pq.savePqIndex(df, "id", "vec", model, path)
+    val query = randVecs(1, 99L).head._2.map(_.toFloat).toArray
+    val fromIndex = Pq.topK(spark, path, df, "id", "vec", query, k = 10, pool = 1000)
+      .collect().toSeq
+    val oneShot = Pq.topKOneShot(df, "id", "vec", model, query, k = 10, pool = 1000)
+      .collect().toSeq
+    assert(fromIndex == oneShot)
+    val loaded = Pq.loadModel(spark, path)
+    assert(loaded.normalize == model.normalize &&
+      loaded.nsub == model.nsub && loaded.subdim == model.subdim)
+    assert(loaded.codebooks.map(_.toSeq.map(_.toSeq)).toSeq ==
+      model.codebooks.map(_.toSeq.map(_.toSeq)).toSeq)
+  }
+
+  test("pruned pool still finds a planted exact clone of the query (cos 1.0 top)") {
+    val df = corpus(500)
+    val query = randVecs(1, 123L).head._2.map(_.toFloat).toArray
+    val withClone = df.union(Seq((9999L, query.map(_.toDouble).toSeq))
+      .toDF("id", "vec").select($"id", $"vec".cast("array<float>")))
+    val model = Pq.fit(withClone, "id", "vec", nsub = 4, k = 16, maxIter = 5)
+    // pool of 25 out of 501 rows — a 20× pruning — must keep the clone:
+    // its code equals the query's own encoding, so its ADC distance is
+    // the query's self-quantization error, at the floor of the table
+    val got = Pq.topKOneShot(withClone, "id", "vec", model, query, k = 5, pool = 25)
+      .collect()
+    assert(got.head.getLong(0) == 9999L && got.head.getDouble(1) == 1.0)
+  }
+
+  test("codes are nsub bytes; cosine metric makes scaled copies share a code") {
+    val df = corpus(50)
+    val model = Pq.fit(df, "id", "vec", nsub = 8, k = 8, maxIter = 3)
+    val codes = Pq.encode(df, "vec", model).select("_code").collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(codes.forall(_.length == 8))
+    // scale invariance on the unit sphere: v and 10·v encode equal
+    val scaled = df.select($"id",
+      transform($"vec", x => x * lit(10.0f)).as("vec"))
+    val scaledCodes = Pq.encode(scaled, "vec", model).select("_code").collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(codes.zip(scaledCodes).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) })
+  }
+
+  test("l2 metric skips normalization (scaled copy may differ)") {
+    val df = corpus(50)
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 3, metric = "l2")
+    assert(!model.normalize)
+    // deterministic encode: two runs agree
+    val a = Pq.encode(df, "vec", model).select("_code").collect()
+      .map(_.getAs[Array[Byte]](0))
+    val b = Pq.encode(df, "vec", model).select("_code").collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) })
+  }
+
+  test("mis-dimensioned vectors and foreign codes raise, never silently drop") {
+    val df = corpus(20)
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 2)
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Pq.encode(short, "vec", model).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("model expects")))
+    // a code column from a wider model fails the ADC guard
+    val wide = Pq.fit(corpus(20, 9L), "id", "vec", nsub = 8, k = 8, maxIter = 2)
+    val wideCodes = Pq.encode(df, "vec", wide).select($"id", $"_code")
+    val e2 = intercept[Exception] {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+      wideCodes.select(ncol(graft.functions.PqAdcExpr(
+        ex($"_code"), new Array[Double](4 * 8), 4, 8))).collect()
+    }
+    assert(messages(e2).exists(_.contains("different PQ model")))
+  }
+
+  test("fit guards: k range, nsub divisibility, unknown metric") {
+    val df = corpus(20)
+    assert(intercept[IllegalArgumentException] {
+      Pq.fit(df, "id", "vec", nsub = 4, k = 300)
+    }.getMessage.contains("one byte"))
+    assert(intercept[IllegalArgumentException] {
+      Pq.fit(df, "id", "vec", nsub = 5)
+    }.getMessage.contains("not divisible"))
+    assert(intercept[IllegalArgumentException] {
+      Pq.fit(df, "id", "vec", metric = "cityblock")
+    }.getMessage.contains("unknown metric"))
+  }
+
+  test("candidate stage is a TakeOrdered over the codes scan, not a global sort") {
+    val df = corpus()
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 2)
+    val path = tmp()
+    Pq.savePqIndex(df, "id", "vec", model, path)
+    val query = randVecs(1, 99L).head._2.map(_.toFloat).toArray
+    val plan = Pq.topK(spark, path, df, "id", "vec", query, k = 5, pool = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+}
