@@ -160,6 +160,54 @@ object Pq {
       .limit(k)
   }
 
+  /** IVF×PQ composed index (the faiss IVFPQ shape): vectors are
+    * k-means-assigned to `nlist` cells AND PQ-encoded, and the code
+    * table persists hive-partitioned by `_cell` — so a probe prunes
+    * to `nprobe` partition DIRECTORIES (which rows), and inside them
+    * the scan reads only `nsub`-byte codes (which bytes). At 100 TB
+    * both bounds matter: IVF cuts rows ~nlist/nprobe-fold, PQ cuts
+    * bytes/row ~32-fold, and they multiply.
+    */
+  def saveIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, path: String, nlist: Int = 16, seed: Long = 42L,
+      maxIter: Int = 10, initMode: String = "k-means||"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = Similarity.ivfIndex(df, idCol, vecCol, nlist, seed, maxIter, initMode)
+    encode(idx.assigned, vecCol, model)
+      .select(col(idCol), col("_code"), col("_cell"))
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/codes")
+    idx.centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    saveModel(spark, model, path)
+  }
+
+  /** Query an IVF×PQ index: rank cells by centroid distance
+    * driver-side (exactly [[Similarity.ivfTopK]]'s rule), read only
+    * the `nprobe` nearest cells' code partitions, ADC-select the
+    * candidate pool, exact-rerank the pool's true vectors. Exact at
+    * `nprobe = nlist` with `pool` ≥ corpus (the oracle config);
+    * everything below trades recall for the multiplied pruning.
+    */
+  def ivfPqTopK(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int = 4,
+      pool: Int = 1024): DataFrame = {
+    val model = loadModel(spark, indexPath)
+    val centroids = Similarity.loadCentroids(spark, indexPath)
+    val qd = query.map(_.toDouble)
+    def dist2(c: Array[Double]): Double =
+      c.indices.map(j => { val d = c(j) - qd(j); d * d }).sum
+    val cells = centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }.take(nprobe).map(_._2)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("_cell").isin(cells.toSeq: _*))
+      .select(col(idCol), col("_code"))
+    topKFromCodes(codes, model, corpus, idCol, vecCol, query, k, pool)
+  }
+
   /** Flattened `nsub`×`k` table: table[s·k+c] = ‖q_s − codebook[s][c]‖². */
   private[graft] def adcTable(query: Array[Float], model: PqModel): Array[Double] = {
     require(query.length == model.dim,

@@ -319,7 +319,7 @@ object Similarity {
       .write.mode("append").partitionBy("_cell").parquet(s"$path/assigned")
   }
 
-  private def loadCentroids(
+  private[graft] def loadCentroids(
       spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()

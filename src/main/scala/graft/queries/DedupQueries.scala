@@ -285,6 +285,24 @@ object DedupQueries {
         query, k = 20, pool = 1 << 20)
     }),
 
+    // IVF×PQ composed index at nprobe = nlist AND pool ≥ corpus:
+    // every cell is probed and every candidate reranked exactly, so
+    // the result ≡ brute force — cell layout and codebooks only
+    // decide what a SMALLER probe/pool would prune (spec'd in
+    // PqSpec: partition-pruned plan, clone recall at nprobe=1).
+    "s_ivfpq_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 2)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val model = graft.operators.Pq.fit(vecs, "vec_id", "embedding",
+        nsub = 8, k = 16, maxIter = 4)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      graft.operators.Pq.saveIvfPqIndex(vecs, "vec_id", "embedding", model,
+        path, nlist = 8, maxIter = 3, initMode = "random")
+      graft.operators.Pq.ivfPqTopK(s, path, vecs, "vec_id", "embedding",
+        query, k = 20, nprobe = 8, pool = 1 << 20)
+    }),
+
     // k-NN JOIN (batch retrieval): 5 query vectors × whole corpus,
     // top-10 each through the bounded-heap pair aggregate — exact, so
     // the QUALIFY row_number oracle applies directly.
@@ -653,6 +671,21 @@ object DedupQueries {
         |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin,
     "s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "s_ivfpq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
         |scored AS (
         |  SELECT vec_id,
         |    round(

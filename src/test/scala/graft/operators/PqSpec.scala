@@ -126,6 +126,57 @@ class PqSpec extends AnyFunSuite {
     }.getMessage.contains("unknown metric"))
   }
 
+  test("IVF×PQ at full probe + full pool ≡ brute-force cosine top-k") {
+    val df = corpus()
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 4)
+    val path = tmp()
+    Pq.saveIvfPqIndex(df, "id", "vec", model, path, nlist = 6, maxIter = 3,
+      initMode = "random")
+    val query = randVecs(1, 99L).head._2.map(_.toFloat).toArray
+    val got = Pq.ivfPqTopK(spark, path, df, "id", "vec", query,
+        k = 10, nprobe = 6, pool = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.cosineTopK(df, "id", "vec", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("IVF×PQ pruned probe: clone of the query found at nprobe=1, small pool") {
+    val df = corpus(400)
+    val query = randVecs(1, 321L).head._2.map(_.toFloat).toArray
+    val withClone = df.union(Seq((8888L, query.map(_.toDouble).toSeq))
+      .toDF("id", "vec").select($"id", $"vec".cast("array<float>")))
+    val model = Pq.fit(withClone, "id", "vec", nsub = 4, k = 16, maxIter = 4)
+    val path = tmp()
+    Pq.saveIvfPqIndex(withClone, "id", "vec", model, path, nlist = 8,
+      maxIter = 5, initMode = "random")
+    // the clone assigns to its own nearest cell — which is also the
+    // query's first probe (identical vector, same argmin)
+    val got = Pq.ivfPqTopK(spark, path, withClone, "id", "vec", query,
+      k = 3, nprobe = 1, pool = 20).collect()
+    assert(got.head.getLong(0) == 8888L && got.head.getDouble(1) == 1.0)
+  }
+
+  test("IVF×PQ probe prunes code PARTITIONS and reads only id+code bytes") {
+    val df = corpus()
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 2)
+    val path = tmp()
+    Pq.saveIvfPqIndex(df, "id", "vec", model, path, nlist = 6, maxIter = 3,
+      initMode = "random")
+    val query = randVecs(1, 99L).head._2.map(_.toFloat).toArray
+    val p = Pq.ivfPqTopK(spark, path, df, "id", "vec", query,
+      k = 5, nprobe = 2, pool = 50).queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters in plan:\n" + p.take(3000)))
+    assert(scanLine.contains("_cell"), scanLine)
+    // the code scan's ReadSchema must be the code column only — the
+    // whole point is never touching vector bytes before the pool fetch
+    val codeScan = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("_code"))
+      .getOrElse(fail("no code-table scan in plan:\n" + p.take(3000)))
+    assert(!codeScan.contains("vec"), codeScan)
+  }
+
   test("candidate stage is a TakeOrdered over the codes scan, not a global sort") {
     val df = corpus()
     val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 2)
