@@ -67,15 +67,7 @@ object IncrementalAgg {
     require(!fs.exists(metaPath),
       s"incrementalAgg: $statePath already holds state — append to it or choose a new path")
     val part = partials(df, groupCols, metrics)
-    // final types = what a direct one-shot aggregate would resolve to
-    val finalTypes = df.groupBy(groupCols.map(col): _*)
-      .agg(directExprs(metrics).head, directExprs(metrics).tail: _*)
-      .schema.fields.map(f => f.name -> f.dataType).toMap
-    val partialTypes = part.schema.fields
-      .filter(f => !groupCols.contains(f.name))
-      .map(f => f.name -> f.dataType)
-    writeMeta(fs, metaPath, Meta(groupCols, metrics,
-      partialTypes.toMap, metrics.map(m => m.as -> finalTypes(m.as)).toMap))
+    writeMeta(fs, metaPath, buildMeta(df, groupCols, metrics))
     // partial rows are O(groups) — land each batch as one file (the
     // aggregation itself still runs at full parallelism; only the
     // group-bounded output narrows)
@@ -103,6 +95,51 @@ object IncrementalAgg {
           s"state expects ${want.sql} — input column types changed since fit")
     }
     part.coalesce(1).write.mode("errorifexists").parquet(dir.toString)
+  }
+
+  /** Idempotent, crash-safe append for at-least-once callers
+    * (Structured Streaming's foreachBatch re-runs a batch id after
+    * recovery): a batch directory bearing parquet's `_SUCCESS` commit
+    * marker is COMMITTED — re-delivery returns false untouched — while
+    * a marker-less directory is a torn write from a crash mid-batch
+    * and is overwritten. Exactly-once state from at-least-once
+    * delivery, the same marker discipline as CorpusIngest.ingestBatch.
+    */
+  def appendCommitted(statePath: String, batch: DataFrame,
+      batchId: String): Boolean = {
+    checkBatchId(batchId)
+    val spark = batch.sparkSession
+    val (fs, meta) = readMeta(spark, statePath)
+    val dir = new Path(batchDir(statePath, batchId))
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return false
+    fs.delete(dir, true)
+    partials(batch, meta.groupCols, meta.metrics)
+      .coalesce(1).write.parquet(dir.toString)
+    true
+  }
+
+  /** Streaming metrics: every microbatch folds into the partial state
+    * under `statePath` — exactly-once via [[appendCommitted]]'s marker
+    * discipline — and [[result]] serves the running aggregate from
+    * state alone at any moment, without touching the stream. The
+    * first-ever microbatch fits the type contract; `df` must be a
+    * streaming DataFrame.
+    */
+  def streamAgg(df: DataFrame, groupCols: Seq[String], metrics: Seq[Metric],
+      statePath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val metaPath = new Path(statePath, MetaFile)
+        val fs = metaPath.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(metaPath))
+          writeMeta(fs, metaPath, buildMeta(batch, groupCols, metrics))
+        appendCommitted(statePath, batch, f"b$id%09d")
+        ()
+      }
+      .start()
   }
 
   /** The full aggregate from state alone: read every batch's partial
@@ -140,6 +177,23 @@ object IncrementalAgg {
   }
 
   // ---- partial / merge / finalize ----------------------------------
+
+  /** Resolve the type contract from a representative batch: partial
+    * types as the partial aggregation yields them, final types as a
+    * direct one-shot aggregate would resolve them (schema-only — no
+    * job runs).
+    */
+  private def buildMeta(df: DataFrame, groupCols: Seq[String],
+      metrics: Seq[Metric]): Meta = {
+    val finalTypes = df.groupBy(groupCols.map(col): _*)
+      .agg(directExprs(metrics).head, directExprs(metrics).tail: _*)
+      .schema.fields.map(f => f.name -> f.dataType).toMap
+    val partialTypes = partials(df, groupCols, metrics).schema.fields
+      .filter(f => !groupCols.contains(f.name))
+      .map(f => f.name -> f.dataType)
+    Meta(groupCols, metrics, partialTypes.toMap,
+      metrics.map(m => m.as -> finalTypes(m.as)).toMap)
+  }
 
   private def partials(df: DataFrame, groupCols: Seq[String],
       metrics: Seq[Metric]): DataFrame = {

@@ -135,6 +135,42 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(stateRows == 6L) // 3 groups × 2 batches, vs 16 input rows
   }
 
+  test("appendCommitted: re-delivery skips, torn (marker-less) writes are repaired") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
+    assert(appendCommitted(state, corpus.filter($"n" > 4), "b1"))
+    val once = result(spark, state).orderBy("g").collect().toSeq
+    // re-delivery of a committed batch: no-op, no double counting
+    assert(!appendCommitted(state, corpus.filter($"n" > 4), "b1"))
+    assert(result(spark, state).orderBy("g").collect().toSeq == once)
+    // a torn write (directory exists, no _SUCCESS) is overwritten
+    val torn = new java.io.File(state, "batch=b2")
+    assert(torn.mkdir())
+    java.nio.file.Files.write(torn.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(appendCommitted(state, corpus.filter($"n" <= 2), "b2"))
+    val a = result(spark, state).filter($"g" === "a").head()
+    assert(a.getLong(1) == 5L) // 3 'a' rows from b0 + 2 from the repaired b2
+  }
+
+  test("streamAgg: microbatches fold into state, result serves the running aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val state = tmp()
+    val ckpt = tmp()
+    val input = MemoryStream[(String, Long)]
+    val q = streamAgg(input.toDF().toDF("g", "n"), Seq("g"),
+      Seq(Count("rows"), Sum("n", "n_sum"), Avg("n", "n_avg")),
+      state, ckpt)
+    try {
+      input.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+      input.addData(("a", 3L)); q.processAllAvailable()
+      val got = result(spark, state).orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == Seq(("a", 2L, 4L, 2.0), ("b", 1L, 2L, 2.0)))
+    } finally q.stop()
+  }
+
   test("global (no group columns) aggregate works across batches") {
     val state = tmp()
     val ms = Seq(Count("rows"), Sum("n", "n_sum"))
