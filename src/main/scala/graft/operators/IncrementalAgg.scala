@@ -50,6 +50,16 @@ object IncrementalAgg {
   final case class Max(column: String, as: String) extends Metric
   /** Null-ignoring mean, decomposed as sum + non-null count. */
   final case class Avg(column: String, as: String) extends Metric
+  /** Approximate COUNT(DISTINCT col) via a Datasketches HLL sketch —
+    * the metric that makes sketch state worth having: exact distinct
+    * is NOT algebraic (partials can't merge), but HLL registers are a
+    * max-lattice, so union-of-batch-sketches equals the single-pass
+    * sketch EXACTLY (same registers, same estimate) — incremental ≡
+    * one-shot, not merely close. Estimate accuracy vs the true
+    * distinct count is the usual HLL ±~1.6% at the default lgK=12;
+    * the sketch is ~2–4 KB per group in state.
+    */
+  final case class ApproxDistinct(column: String, as: String) extends Metric
 
   /** Initialize state from the first batch: write `_meta.json` (the
     * schema contract every later append is checked against) and the
@@ -204,6 +214,7 @@ object IncrementalAgg {
         case Min(c, _) => Seq(min(col(c)).as(p(i)))
         case Max(c, _) => Seq(max(col(c)).as(p(i)))
         case Avg(c, _) => Seq(sum(col(c)).as(p(i)), count(col(c)).as(p(i) + "n"))
+        case ApproxDistinct(c, _) => Seq(hll_sketch_agg(col(c)).as(p(i)))
       }
     }
     df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -219,6 +230,7 @@ object IncrementalAgg {
         case Min(_, _) => Seq(re(p(i), min))
         case Max(_, _) => Seq(re(p(i), max))
         case Avg(_, _) => Seq(re(p(i), sum), re(p(i) + "n", sum))
+        case ApproxDistinct(_, _) => Seq(re(p(i), hll_union_agg(_)))
       }
     }
     parts.groupBy(meta.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -234,6 +246,7 @@ object IncrementalAgg {
         // the coalesce never fires — it only restores count(*)'s
         // non-nullable type, which the merge re-sum made nullable
         case Count(_) => coalesce(col(p(i)), lit(0L))
+        case ApproxDistinct(_, _) => hll_sketch_estimate(col(p(i)))
         case _ => col(p(i))
       }
       v.cast(t).as(m.as)
@@ -247,6 +260,7 @@ object IncrementalAgg {
     case Min(c, a) => min(col(c)).as(a)
     case Max(c, a) => max(col(c)).as(a)
     case Avg(c, a) => avg(col(c)).as(a)
+    case ApproxDistinct(c, a) => hll_sketch_estimate(hll_sketch_agg(col(c))).as(a)
   }
 
   private def readPartials(spark: SparkSession, statePath: String): DataFrame =
@@ -286,6 +300,7 @@ object IncrementalAgg {
         case Min(c, _) => ("min", c)
         case Max(c, _) => ("max", c)
         case Avg(c, _) => ("avg", c)
+        case ApproxDistinct(c, _) => ("approx_distinct", c)
       }
       s"""{"kind":"$kind","column":"${esc(colName)}","as":"${esc(m.as)}"}"""
     }.mkString("[", ",", "]")
@@ -325,6 +340,7 @@ object IncrementalAgg {
           case "min" => Min(c, as)
           case "max" => Max(c, as)
           case "avg" => Avg(c, as)
+          case "approx_distinct" => ApproxDistinct(c, as)
           case other => throw new IllegalArgumentException(
             s"incrementalAgg: unknown metric kind '$other' in $at")
         }

@@ -135,6 +135,30 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(stateRows == 6L) // 3 groups × 2 batches, vs 16 input rows
   }
 
+  test("approx-distinct sketches: incremental union ≡ one-shot sketch, estimate near exact") {
+    val n = 5000
+    val df = spark.range(n).selectExpr("id % 3 as g", "cast(id % 997 as string) as v",
+      "id as n")
+    val ms = Seq(Count("rows"), ApproxDistinct("v", "v_nd"))
+    val state = tmp()
+    fit(df.filter($"n" % 4 === 0), Seq("g"), ms, state, "b0")
+    (1 to 3).foreach(r => append(state, df.filter($"n" % 4 === r), s"b$r"))
+    val got = result(spark, state)
+    val want = df.groupBy("g").agg(count(lit(1)).as("rows"),
+      hll_sketch_estimate(hll_sketch_agg($"v")).as("v_nd"))
+    // HLL registers are a max-lattice: the 4-batch union must equal the
+    // single-pass sketch EXACTLY, not approximately
+    assert(got.schema("v_nd").dataType == want.schema("v_nd").dataType)
+    assert(got.orderBy("g").select("g", "v_nd").collect().toSeq ==
+      want.orderBy("g").select("g", "v_nd").collect().toSeq)
+    // and the estimate lands within HLL tolerance of the exact count
+    val exact = df.groupBy("g").agg(countDistinct($"v").as("x"))
+      .orderBy("g").collect().map(_.getLong(1))
+    val est = got.orderBy("g").collect().map(_.getLong(2))
+    exact.zip(est).foreach { case (x, e) =>
+      assert(math.abs(e - x).toDouble / x < 0.05, s"estimate $e vs exact $x") }
+  }
+
   test("appendCommitted: re-delivery skips, torn (marker-less) writes are repaired") {
     val state = tmp()
     fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
