@@ -164,9 +164,16 @@ object Bench {
           maxIter = 4)
         val pqPath = benchTmp.resolve("pq").toString
         Pq.savePqIndex(vecs, "vec_id", "embedding", model, pqPath)
-        Map("s_pq_probe_only" -> ((s: SparkSession, _: String) =>
-          Pq.topK(s, pqPath, vecs, "vec_id", "embedding", query, k = 10,
-            pool = 100)))
+        val ivfpqPath = benchTmp.resolve("ivfpq").toString
+        Pq.saveIvfPqIndex(vecs, "vec_id", "embedding", model, ivfpqPath,
+          nlist = 8, maxIter = 3, initMode = "random")
+        Map(
+          "s_pq_probe_only" -> ((s: SparkSession, _: String) =>
+            Pq.topK(s, pqPath, vecs, "vec_id", "embedding", query, k = 10,
+              pool = 100)),
+          "s_ivfpq_probe_only" -> ((s: SparkSession, _: String) =>
+            Pq.ivfPqTopK(s, ivfpqPath, vecs, "vec_id", "embedding", query,
+              k = 10, nprobe = 2, pool = 100)))
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[bench] pq probe fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")

@@ -37,6 +37,22 @@ object PqFunctions {
   def pqAdc(code: Column, table: Array[Double], nsub: Int, k: Int): Column =
     ncol(PqAdcExpr(ex(code), table, nsub, k))
 
+  /** ADC score of a code column against the `qIdx`-th of a BATCH of
+    * query distance tables (k-NN join: one scan of the code table
+    * scores every query).
+    */
+  def pqAdcBatch(code: Column, qIdx: Column, tables: Array[Array[Double]],
+      nsub: Int, k: Int): Column =
+    ncol(PqAdcBatchExpr(ex(code), ex(qIdx), tables, nsub, k))
+
+  /** JVM kernel behind [[PqAdcBatchExpr]]. */
+  def adcBatch(code: Array[Byte], qIdx: Int, tables: Array[Array[Double]],
+      nsub: Int, k: Int): Double = {
+    if (qIdx < 0 || qIdx >= tables.length) throw new IllegalArgumentException(
+      s"graft_pq_adc_batch: query index $qIdx out of range (${tables.length} tables)")
+    adc(code, tables(qIdx), nsub, k)
+  }
+
   /** JVM kernel behind [[PqEncodeExpr]]: argmin ‖subvector − c‖² per
     * subspace, first-index tie-break (the same rule as
     * Similarity.localLloyd). Null element → boxed null; a wrong-width
@@ -160,6 +176,39 @@ case class PqEncodeExpr(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
     copy(child = newChild)
+}
+
+/** `graft_pq_adc_batch(code, qIdx)` → double: table-lookup distance of
+  * a PQ code against query `qIdx`'s table from a broadcast batch of
+  * tables — the k-NN-join form of [[PqAdcExpr]].
+  */
+case class PqAdcBatchExpr(left: Expression, right: Expression,
+    tables: Array[Array[Double]], nsub: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType &&
+        right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_pq_adc_batch requires (binary code, int query index), got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_batch"
+
+  protected override def nullSafeEval(code: Any, qi: Any): Any =
+    PqFunctions.adcBatch(code.asInstanceOf[Array[Byte]],
+      qi.asInstanceOf[Int], tables, nsub, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, qi) => {
+      val t = ctx.addReferenceObj("pqTables", tables)
+      s"${ev.value} = graft.functions.PqFunctions.adcBatch($code, $qi, $t, $nsub, $k);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcBatchExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_pq_adc(code)` → double: table-lookup distance of a PQ code

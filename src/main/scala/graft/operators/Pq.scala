@@ -208,6 +208,82 @@ object Pq {
     topKFromCodes(codes, model, corpus, idCol, vecCol, query, k, pool)
   }
 
+  /** k-NN JOIN over a saved PQ index — the batch-retrieval shape of
+    * [[topK]] ([[Similarity.cosineTopKJoin]]'s compressed twin): ONE
+    * scan of the byte-code table scores EVERY query via a broadcast
+    * batch of ADC tables ([[graft.functions.PqAdcBatchExpr]]), so the
+    * scan reads ~nsub bytes/row instead of the full vectors no matter
+    * how many queries ride along. Per-query candidate pools reduce
+    * through the bounded-heap pair aggregate (map-side combined, ≤
+    * pool pairs per mapper×query cross the shuffle), then only pool
+    * members' true vectors are fetched for the exact cosine rerank.
+    * Same output contract as `cosineTopKJoin` (q_id, n_id long,
+    * cos_sim rounded 4, id tiebreak); with `pool` ≥ corpus the result
+    * EQUALS it exactly.
+    *
+    * The query batch collects to the driver (tables are the
+    * broadcast) — the same small-batch contract as `cosineTopKJoin`'s
+    * broadcast side, guarded at [[MaxJoinQueries]]; corpus×corpus
+    * self-retrieval belongs on the IVF/LSH bucket paths.
+    */
+  def pqTopKJoin(spark: SparkSession, indexPath: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, pool: Int = 1024): DataFrame = {
+    import graft.functions.{PqFunctions, TopKPairs, VectorFunctions}
+    require(pool >= k, s"pq: pool=$pool must be ≥ k=$k")
+    val model = loadModel(spark, indexPath)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val qRows = queries
+      .select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<float>").as("_qv"))
+      .limit(MaxJoinQueries + 1).collect()
+    require(qRows.length <= MaxJoinQueries,
+      s"pq: query batch exceeds $MaxJoinQueries — for corpus-scale " +
+        "retrieval use the IVF/LSH bucket joins instead of a broadcast batch")
+    require(qRows.nonEmpty, "pq: empty query batch")
+    val tables = qRows.map(r =>
+      adcTable(r.getAs[scala.collection.Seq[Float]]("_qv").toArray, model))
+    import spark.implicits._
+    val qIdx = qRows.zipWithIndex.map { case (r, i) => (i, r.get(0)) }
+    val qMeta = spark.createDataFrame(
+      spark.sparkContext.parallelize(qIdx.toSeq.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_qidx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_qid",
+          queries.schema(qIdCol).dataType))))
+    val pooled = codes
+      .crossJoin(broadcast(qMeta))
+      .select(col("_qid"),
+        col(cIdCol).cast("long").as("_cid"),
+        PqFunctions.pqAdcBatch(col("_code"), col("_qidx"),
+          tables, model.nsub, model.k).as("_adc"))
+      .groupBy("_qid")
+      .agg(TopKPairs.topKPairs(col("_adc"), col("_cid"), pool).as("_pool"))
+      .select(col("_qid"), explode(col("_pool")).as("_p"))
+      .select(col("_qid"), col("_p.id").as("_cid"))
+    val qVecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows.toSeq, 1), qRows.head.schema)
+      .withColumnRenamed("_qid", "_qid2")
+    corpus
+      .select(col(cIdCol).cast("long").as("_cid2"), col(cVecCol).as("_cv"))
+      .join(broadcast(pooled), col("_cid2") === col("_cid"))
+      .join(broadcast(qVecs), col("_qid") === col("_qid2"))
+      .select(col("_qid"), col("_cid"),
+        round(VectorFunctions.cosine(col("_cv"), col("_qv")), 4).as("_cos"))
+      .groupBy("_qid")
+      .agg(TopKPairs.topKPairs(col("_cos"), col("_cid"), k,
+        bestIsLargest = true).as("_top"))
+      .select(col("_qid").as("q_id"), explode(col("_top")).as("_p"))
+      .select(col("q_id"), col("_p.id").as("n_id"), col("_p.score").as("cos_sim"))
+  }
+
+  /** Broadcast-batch bound for [[pqTopKJoin]] (tables are ~nsub·k·8 B
+    * each — 10k queries ≈ 10 MB broadcast at the defaults).
+    */
+  val MaxJoinQueries = 10000
+
   /** Flattened `nsub`×`k` table: table[s·k+c] = ‖q_s − codebook[s][c]‖². */
   private[graft] def adcTable(query: Array[Float], model: PqModel): Array[Double] = {
     require(query.length == model.dim,

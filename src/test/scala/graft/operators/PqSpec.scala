@@ -177,6 +177,55 @@ class PqSpec extends AnyFunSuite {
     assert(!codeScan.contains("vec"), codeScan)
   }
 
+  test("PQ k-NN join at full pool ≡ exact cosineTopKJoin") {
+    val df = corpus()
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 4)
+    val path = tmp()
+    Pq.savePqIndex(df, "id", "vec", model, path)
+    val queries = df.filter($"id" < 5)
+    val got = Pq.pqTopKJoin(spark, path, queries, "id", "vec",
+        df, "id", "vec", k = 10, pool = 1000)
+      .orderBy($"q_id", $"cos_sim".desc, $"n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Similarity.cosineTopKJoin(queries, "id", "vec",
+        df, "id", "vec", k = 10)
+      .orderBy($"q_id", $"cos_sim".desc, $"n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("PQ k-NN join, pruned pool: every query's planted clone comes back top-1") {
+    val df = corpus(400)
+    val queries = randVecs(4, 777L).map { case (i, v) => (i + 500L, v) }
+    val clones = queries.map { case (qid, v) => (qid + 1000L, v) }
+    val all = df.union(queries.toDF("id", "vec")).union(clones.toDF("id", "vec"))
+    val model = Pq.fit(all, "id", "vec", nsub = 4, k = 16, maxIter = 4)
+    val path = tmp()
+    Pq.savePqIndex(all, "id", "vec", model, path)
+    val got = Pq.pqTopKJoin(spark, path, queries.toDF("id", "vec"), "id", "vec",
+        all, "id", "vec", k = 2, pool = 30)
+      .filter($"cos_sim" === 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each query finds BOTH itself (planted in the corpus) and its clone
+    queries.foreach { case (qid, _) =>
+      assert(got.contains((qid, qid)) && got.contains((qid, qid + 1000L)),
+        s"query $qid missing its planted matches in $got")
+    }
+  }
+
+  test("PQ k-NN join: an over-limit query batch raises toward the bucket joins") {
+    val df = corpus(50)
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 2)
+    val path = tmp()
+    Pq.savePqIndex(df, "id", "vec", model, path)
+    val big = spark.range(Pq.MaxJoinQueries + 1)
+      .selectExpr("id", "array_repeat(cast(0.1 as float), 16) as vec")
+    val e = intercept[IllegalArgumentException] {
+      Pq.pqTopKJoin(spark, path, big, "id", "vec", df, "id", "vec", k = 1)
+    }
+    assert(e.getMessage.contains("IVF/LSH bucket joins"))
+  }
+
   test("candidate stage is a TakeOrdered over the codes scan, not a global sort") {
     val df = corpus()
     val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 2)

@@ -116,9 +116,7 @@ def main(sf_dir, out_dir, rounds=3, timeout=60):
     # pruned read, measured by Bench against the same data). Swap the
     # Spark side only; DuckDB's oracle (a raw-parquet scan with no
     # index to amortize) is already its steady state.
-    AMORTIZED = {"s_lsh_indexed": "s_lsh_probe_only",
-                 "s_ivf_topk": "s_ivf_probe_only",
-                 "d_semantic_dedup": "d_semantic_prefit"}
+    AMORTIZED = _SUBSETS["amortized_swaps"]["swaps"]
     amort = {k: smed[AMORTIZED[k]] if k in AMORTIZED and AMORTIZED[k] in smed
              else smed[k] for k in common}
 
