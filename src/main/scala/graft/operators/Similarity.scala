@@ -309,12 +309,9 @@ object Similarity {
     val saved = df.sparkSession.read.parquet(s"$path/assigned").schema
     val batch = conformToLayout(df, saved, "_cell", vecCol,
       centroids.head.length, "IVF")
-    val scores = array(centroids.map(c =>
-      dotConst(col(vecCol), c) - lit(c.map(x => x * x).sum / 2)): _*)
-    batch.withColumn("_scores", scores)
+    batch
       .withColumn("_cell",
-        (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
-      .drop("_scores")
+        graft.functions.CentroidFunctions.nearestCell(col(vecCol), centroids))
       .repartition(col("_cell"))
       .write.mode("append").partitionBy("_cell").parquet(s"$path/assigned")
   }
@@ -446,8 +443,8 @@ object Similarity {
     // expression (KMeans' own rule, first-index tie-break — the
     // ivfAppend formula). A distributed Spark ML fit would pay ~10
     // driver-coordinated jobs per call for the same bucketing.
-    // Past ExprAssignMaxCells the assignment expression outgrows
-    // codegen budgets; fall back to the distributed ML fit.
+    // Past ExprAssignMaxCells (an EXPLICIT nlist beyond the cellsFor
+    // ceiling), fall back to the distributed ML fit.
     if (k <= 1)
       dropWithinCells(df, idCol, vecCol,
         df.withColumn("_cell", lit(0)), threshold, maxCellSize)
@@ -468,10 +465,10 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double = 0.95,
       maxCellSize: Int = 10000): DataFrame = {
-    val scores = array(centroids.map(c =>
-      dotConst(col(vecCol), c) - lit(c.map(x => x * x).sum / 2)): _*)
+    // one fused argmax loop per row — NOT a k-element score array
+    // (bit-identical assignment; see CentroidFunctions)
     val assigned = df.withColumn("_cell",
-      (array_position(scores, array_max(scores)) - 1).cast("int"))
+      graft.functions.CentroidFunctions.nearestCell(col(vecCol), centroids))
     dropWithinCells(df, idCol, vecCol, assigned, threshold, maxCellSize)
   }
 
@@ -506,11 +503,19 @@ object Similarity {
     df.join(drops, df(idCol) === drops("_drop_id"), "left_anti")
   }
 
-  /** Widest centroid set the in-row argmax assignment expression may
-    * carry (k × dim literals); past this the ML fit + transform path
-    * takes over.
+  /** Widest centroid set the sample-fit + in-row argmax path carries.
+    * Historically 256: the assignment was an `array_position(array(k
+    * dot-exprs))` whose expression tree grew with k and fell out of
+    * codegen around there, so the distributed ML fit took over — and
+    * at sf10's auto-sized k≈3k that fallback's ~10 driver-coordinated
+    * jobs per fit owned ~17 of the query's 23 s. The assignment is now
+    * ONE reference-object expression ([[graft.functions.NearestCellExpr]],
+    * constant codegen size at any k) and the driver Lloyd fan-outs
+    * across a fixed thread grid, so the bound now equals [[cellsFor]]'s
+    * 2^16 ceiling — the sample-fit path covers every auto-sized k, and
+    * the ML branch remains only for an EXPLICIT larger nlist.
     */
-  val ExprAssignMaxCells = 256
+  val ExprAssignMaxCells = 1 << 16
 
   /** Default sample bound for [[sampleCentroids]]. */
   val CentroidSampleSize = 100000
@@ -537,27 +542,73 @@ object Similarity {
 
   /** Plain Lloyd iterations on a driver-resident sample. Deterministic:
     * init = first k sample vectors (the sample order is md5-shuffled),
-    * argmin ‖v−c‖² with first-index tie-break.
+    * argmin ‖v−c‖² with first-index tie-break (computed as
+    * argmin (‖c‖²/2 − v·c) — the ‖v‖² term is constant per row, the
+    * same identity [[ivfAppend]] uses, and it cuts the inner loop to a
+    * pure dot product).
+    *
+    * The assignment pass — O(sample × k × dim), the dominant cost of
+    * every sample-fit at scale (the sf10 audit measured SemDeDup's
+    * 100k×3k-cell fit owning most of the query) — fans out over a
+    * FIXED 64-chunk grid of driver threads. Fixed grid, not
+    * availableProcessors: each chunk accumulates its partial sums
+    * sequentially and chunks merge in index order, so every double
+    * addition happens in a machine-independent order and the centroids
+    * are bit-reproducible on any box.
     */
   private[graft] def localLloyd(
       sample: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val n = sample.length
     val dim = sample.head.length
     var centroids = sample.take(k).map(_.clone)
+    val chunks = math.min(64, n)
     for (_ <- 0 until maxIter) {
+      // ‖c‖²/2 once per centroid per iteration
+      val half = centroids.map(c => { var s = 0.0; var j = 0
+        while (j < dim) { s += c(j) * c(j); j += 1 }; s / 2 })
+      val cents = centroids
+      val parts = (0 until chunks).map { ci =>
+        Future {
+          val lo = (ci.toLong * n / chunks).toInt
+          val hi = ((ci + 1).toLong * n / chunks).toInt
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val counts = new Array[Long](k)
+          var r = lo
+          while (r < hi) {
+            val v = sample(r)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < k) {
+              val cent = cents(c)
+              var dot = 0.0; var j = 0
+              while (j < dim) { dot += v(j) * cent(j); j += 1 }
+              val d = half(c) - dot
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            counts(best) += 1
+            var j = 0
+            while (j < dim) { sums(best)(j) += v(j); j += 1 }
+            r += 1
+          }
+          (sums, counts)
+        }
+      }
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
+      // merge in chunk-index order — deterministic double addition
+      parts.foreach { f =>
+        val (ps, pc) = Await.result(f, Duration.Inf)
         var c = 0
         while (c < k) {
-          var d = 0.0; var j = 0
-          while (j < dim) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
+          counts(c) += pc(c)
+          var j = 0
+          while (j < dim) { sums(c)(j) += ps(c)(j); j += 1 }
           c += 1
         }
-        counts(best) += 1
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.operators.Similarity
+
+/** Dev probe: stage split of semanticDedup at the REAL auto-sized cell
+  * count (ProfileSemDedup's components use k=33). Not library surface.
+  */
+object ProbeSem10 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf10")
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val clones = vecs.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = vecs.unionByName(clones)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"PROBE $label: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    val n = corpus.count()
+    val k = Similarity.cellsFor(n)
+    println(s"PROBE n=$n k=$k")
+    for (i <- 1 to 2) {
+      val cents = time(s"run$i fit k=$k") {
+        Similarity.sampleCentroids(corpus, "vec_id", "embedding", k, 3)
+      }
+      time(s"run$i assign+groupCount k=$k") {
+        corpus.withColumn("_cell",
+            graft.functions.CentroidFunctions.nearestCell(col("embedding"), cents))
+          .groupBy("_cell").count().count()
+      }
+      time(s"run$i full with prefit centroids") {
+        Similarity.semanticDedupWith(corpus, "vec_id", "embedding",
+          cents, threshold = 1.0).count()
+      }
+    }
+    spark.stop()
+  }
+}
