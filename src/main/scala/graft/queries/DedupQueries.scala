@@ -285,6 +285,23 @@ object DedupQueries {
         query, k = 20, pool = 1 << 20)
     }),
 
+    // PQ k-NN JOIN at pool ≥ corpus: the batch-retrieval twin of
+    // s_pq_topk — one scan of the persisted byte-code table scores
+    // all 5 queries (broadcast ADC tables), and the full-pool rerank
+    // makes the result ≡ the exact join, so the same QUALIFY
+    // row_number oracle as s_knn_join applies.
+    "s_pq_knn" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val model = graft.operators.Pq.fit(vecs, "vec_id", "embedding",
+        nsub = 8, k = 16, maxIter = 4)
+      val path = java.nio.file.Files.createTempDirectory("graft_pqknn").toString
+      graft.operators.Pq.savePqIndex(vecs, "vec_id", "embedding", model, path)
+      graft.operators.Pq.pqTopKJoin(s, path,
+          vecs.filter(col("vec_id") < 5), "vec_id", "embedding",
+          vecs, "vec_id", "embedding", k = 10, pool = 100000)
+        .orderBy(col("q_id"), col("cos_sim").desc, col("n_id"))
+    }),
+
     // IVF×PQ composed index at nprobe = nlist AND pool ≥ corpus:
     // every cell is probed and every candidate reranked exactly, so
     // the result ≡ brute force — cell layout and codebooks only
@@ -651,6 +668,24 @@ object DedupQueries {
         |  FROM embeddings)
         |SELECT vec_id, cos_sim FROM scored
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s_pq_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT q_id, n_id, cos_sim FROM scored
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) <= 10
+        |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin,
     "s_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
