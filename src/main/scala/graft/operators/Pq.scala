@@ -208,6 +208,36 @@ object Pq {
     topKFromCodes(codes, model, corpus, idCol, vecCol, query, k, pool)
   }
 
+  /** Append a NEW batch to a saved PQ index without re-fitting:
+    * encode against the SAVED codebooks (they are the index identity —
+    * re-fitting would silently re-quantize nothing but the new rows)
+    * and append to the code table. One map-only pass per batch, the
+    * same train-once/add-forever contract as `Similarity.ivfAppend`.
+    */
+  def pqAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val model = loadModel(df.sparkSession, path)
+    encode(df, vecCol, model)
+      .select(col(idCol), col("_code"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Append to a saved IVF×PQ index: nearest SAVED cell + SAVED
+    * codebooks, landing in the cell's partition directory — probes
+    * prune identically over old and new rows.
+    */
+  def ivfPqAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val model = loadModel(df.sparkSession, path)
+    val centroids = Similarity.loadCentroids(df.sparkSession, path)
+    encode(df, vecCol, model)
+      .withColumn("_cell",
+        graft.functions.CentroidFunctions.nearestCell(col(vecCol), centroids))
+      .select(col(idCol), col("_code"), col("_cell"))
+      .repartition(col("_cell"))
+      .write.mode("append").partitionBy("_cell").parquet(s"$path/codes")
+  }
+
   /** k-NN JOIN over a saved PQ index — the batch-retrieval shape of
     * [[topK]] ([[Similarity.cosineTopKJoin]]'s compressed twin): ONE
     * scan of the byte-code table scores EVERY query via a broadcast

@@ -177,6 +177,48 @@ class PqSpec extends AnyFunSuite {
     assert(!codeScan.contains("vec"), codeScan)
   }
 
+  test("pqAppend: new batch encoded against SAVED codebooks, visible to topK") {
+    val df = corpus(200)
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 3)
+    val path = tmp()
+    Pq.savePqIndex(df, "id", "vec", model, path)
+    val query = randVecs(1, 55L).head._2.map(_.toFloat).toArray
+    val late = Seq((7777L, query.map(_.toDouble).toSeq))
+      .toDF("id", "vec").select($"id", $"vec".cast("array<float>"))
+    Pq.pqAppend(late, "id", "vec", path)
+    val all = df.union(late)
+    val got = Pq.topK(spark, path, all, "id", "vec", query, k = 3, pool = 1000)
+      .collect()
+    assert(got.head.getLong(0) == 7777L && got.head.getDouble(1) == 1.0)
+    // appended codes came from the SAVED model: full-pool result equals
+    // brute force over the grown corpus
+    val want = Similarity.cosineTopK(all, "id", "vec", query, 3).collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("ivfPqAppend: appended rows land in their nearest saved cell's partition") {
+    val df = corpus(300)
+    val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 3)
+    val path = tmp()
+    Pq.saveIvfPqIndex(df, "id", "vec", model, path, nlist = 6, maxIter = 3,
+      initMode = "random")
+    val query = randVecs(1, 66L).head._2.map(_.toFloat).toArray
+    val late = Seq((6666L, query.map(_.toDouble).toSeq))
+      .toDF("id", "vec").select($"id", $"vec".cast("array<float>"))
+    Pq.ivfPqAppend(late, "id", "vec", path)
+    val all = df.union(late)
+    // the appended clone of the query sits in the query's own first
+    // probe cell — found at nprobe = 1
+    val got = Pq.ivfPqTopK(spark, path, all, "id", "vec", query,
+      k = 2, nprobe = 1, pool = 50).collect()
+    assert(got.head.getLong(0) == 6666L && got.head.getDouble(1) == 1.0)
+    // and the partition layout stayed hive-clean (cell dirs only)
+    val dirs = new java.io.File(path, "codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("_cell=")))
+  }
+
   test("PQ k-NN join at full pool ≡ exact cosineTopKJoin") {
     val df = corpus()
     val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 4)
