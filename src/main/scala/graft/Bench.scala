@@ -173,7 +173,11 @@ object Bench {
               pool = 100)),
           "s_ivfpq_probe_only" -> ((s: SparkSession, _: String) =>
             Pq.ivfPqTopK(s, ivfpqPath, vecs, "vec_id", "embedding", query,
-              k = 10, nprobe = 2, pool = 100)))
+              k = 10, nprobe = 2, pool = 100)),
+          "s_pq_knn_probe_only" -> ((s: SparkSession, _: String) =>
+            Pq.pqTopKJoin(s, pqPath,
+              vecs.filter(col("vec_id") < 5), "vec_id", "embedding",
+              vecs, "vec_id", "embedding", k = 10, pool = 100)))
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[bench] pq probe fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
