@@ -195,6 +195,35 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("property: random corpora under random batch splits ≡ direct aggregate") {
+    for (seed <- Seq(11L, 222L, 3333L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(300)
+      val nBatches = 1 + rnd.nextInt(5)
+      val rows = (0 until n).map { i =>
+        val g = s"g${rnd.nextInt(6)}"
+        val v = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(10000) / 100.0)
+        val w = BigDecimal(rnd.nextInt(100000), 2)
+        (i.toLong, g, v, w, rnd.nextInt(nBatches))
+      }
+      val df = rows.toDF("id", "g", "v", "w", "b")
+        .withColumn("w", col("w").cast("decimal(10,2)"))
+      val ms = Seq(Count("rows"), Sum("w", "w_sum"), Min("v", "v_min"),
+        Max("v", "v_max"), Avg("w", "w_avg"), ApproxDistinct("g", "g_nd"))
+      val state = tmp()
+      fit(df.filter($"b" === 0).drop("b"), Seq("g"), ms, state, "b0")
+      (1 until nBatches).foreach(b =>
+        append(state, df.filter($"b" === b).drop("b"), s"b$b"))
+      val got = result(spark, state).orderBy("g").collect().toSeq
+      val want = df.groupBy("g").agg(
+        count(lit(1)).as("rows"), sum("w").as("w_sum"), min("v").as("v_min"),
+        max("v").as("v_max"), avg("w").as("w_avg"),
+        hll_sketch_estimate(hll_sketch_agg($"g")).as("g_nd"))
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"seed=$seed nBatches=$nBatches")
+    }
+  }
+
   test("global (no group columns) aggregate works across batches") {
     val state = tmp()
     val ms = Seq(Count("rows"), Sum("n", "n_sum"))
