@@ -277,8 +277,12 @@ object DedupQueries {
       val vecs = t(s, dir, "embeddings")
       val query = vecs.filter(col("vec_id") === 1)
         .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      // nsub adapts to the observed dim (a regenerated testdata table
+      // with a non-multiple-of-8 width must degrade the code width,
+      // not crash the entry — the r7 TIMESTAMP_NTZ lesson)
       val model = graft.operators.Pq.fit(vecs, "vec_id", "embedding",
-        nsub = 8, k = 16, maxIter = 4)
+        nsub = (8 to 1 by -1).find(query.length % _ == 0).get,
+        k = 16, maxIter = 4)
       val path = java.nio.file.Files.createTempDirectory("graft_pq").toString
       graft.operators.Pq.savePqIndex(vecs, "vec_id", "embedding", model, path)
       graft.operators.Pq.topK(s, path, vecs, "vec_id", "embedding",
@@ -292,8 +296,10 @@ object DedupQueries {
     // row_number oracle as s_knn_join applies.
     "s_pq_knn" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
+      val dim = vecs.select(size(col("embedding"))).head().getInt(0)
       val model = graft.operators.Pq.fit(vecs, "vec_id", "embedding",
-        nsub = 8, k = 16, maxIter = 4)
+        nsub = (8 to 1 by -1).find(dim % _ == 0).get,
+        k = 16, maxIter = 4)
       val path = java.nio.file.Files.createTempDirectory("graft_pqknn").toString
       graft.operators.Pq.savePqIndex(vecs, "vec_id", "embedding", model, path)
       graft.operators.Pq.pqTopKJoin(s, path,
@@ -312,7 +318,8 @@ object DedupQueries {
       val query = vecs.filter(col("vec_id") === 2)
         .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
       val model = graft.operators.Pq.fit(vecs, "vec_id", "embedding",
-        nsub = 8, k = 16, maxIter = 4)
+        nsub = (8 to 1 by -1).find(query.length % _ == 0).get,
+        k = 16, maxIter = 4)
       val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
       graft.operators.Pq.saveIvfPqIndex(vecs, "vec_id", "embedding", model,
         path, nlist = 8, maxIter = 3, initMode = "random")
