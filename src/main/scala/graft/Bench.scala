@@ -137,9 +137,15 @@ object Bench {
         import graft.operators.IncrementalAgg
         val li = Tables.load(spark, sfDir, "lineitem")
           .withColumn("l_quantity", col("l_quantity").cast("decimal(18,4)"))
+          .withColumn("l_discount", col("l_discount").cast("decimal(18,4)"))
         val state = benchTmp.resolve("incr").toString
+        // the SAME metric set as the paired e_incr_agg entry — the twin
+        // amortizes the fit/appends, it must not also lighten the query
         val ms = Seq(IncrementalAgg.Count("n_rows"),
-          IncrementalAgg.Sum("l_quantity", "sum_qty"))
+          IncrementalAgg.Sum("l_quantity", "sum_qty"),
+          IncrementalAgg.Min("l_extendedprice", "min_price"),
+          IncrementalAgg.Max("l_extendedprice", "max_price"),
+          IncrementalAgg.Sum("l_discount", "sum_disc"))
         IncrementalAgg.fit(li.filter(col("l_orderkey") % 3 === 0),
           Seq("l_returnflag", "l_linestatus"), ms, state, "d0")
         IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 1), "d1")
@@ -167,13 +173,15 @@ object Bench {
         val ivfpqPath = benchTmp.resolve("ivfpq").toString
         Pq.saveIvfPqIndex(vecs, "vec_id", "embedding", model, ivfpqPath,
           nlist = 8, maxIter = 3, initMode = "random")
+        // k matches each paired entry; pool/nprobe are the production
+        // recall dial the paired oracle config deliberately maxes out
         Map(
           "s_pq_probe_only" -> ((s: SparkSession, _: String) =>
-            Pq.topK(s, pqPath, vecs, "vec_id", "embedding", query, k = 10,
-              pool = 100)),
+            Pq.topK(s, pqPath, vecs, "vec_id", "embedding", query, k = 20,
+              pool = 200)),
           "s_ivfpq_probe_only" -> ((s: SparkSession, _: String) =>
             Pq.ivfPqTopK(s, ivfpqPath, vecs, "vec_id", "embedding", query,
-              k = 10, nprobe = 2, pool = 100)),
+              k = 20, nprobe = 2, pool = 200)),
           "s_pq_knn_probe_only" -> ((s: SparkSession, _: String) =>
             Pq.pqTopKJoin(s, pqPath,
               vecs.filter(col("vec_id") < 5), "vec_id", "embedding",

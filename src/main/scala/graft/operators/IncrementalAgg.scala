@@ -71,17 +71,27 @@ object IncrementalAgg {
     checkBatchId(batchId)
     val dups = metrics.groupBy(_.as).collect { case (a, ms) if ms.size > 1 => a }
     require(dups.isEmpty, s"incrementalAgg: duplicate output names ${dups.mkString(", ")}")
+    // "batch" is the hive partition key of the state layout — a group
+    // or output column of that name would be dropped (or collide) on
+    // every read
+    (groupCols ++ metrics.map(_.as)).find(_ == "batch").foreach(_ =>
+      throw new IllegalArgumentException(
+        "incrementalAgg: 'batch' is reserved (the state's partition key) — " +
+          "rename the column before fitting"))
     val spark = df.sparkSession
     val metaPath = new Path(statePath, MetaFile)
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(metaPath),
       s"incrementalAgg: $statePath already holds state — append to it or choose a new path")
-    val part = partials(df, groupCols, metrics)
-    writeMeta(fs, metaPath, buildMeta(df, groupCols, metrics))
     // partial rows are O(groups) — land each batch as one file (the
     // aggregation itself still runs at full parallelism; only the
-    // group-bounded output narrows)
-    part.coalesce(1).write.mode("errorifexists").parquet(batchDir(statePath, batchId))
+    // group-bounded output narrows). Data FIRST, meta LAST: the meta
+    // file is the "state exists" marker, so a crash mid-first-write
+    // leaves a refittable path instead of a meta-only husk fit()
+    // refuses to touch (overwrite mode makes the retry clean).
+    partials(df, groupCols, metrics)
+      .coalesce(1).write.mode("overwrite").parquet(batchDir(statePath, batchId))
+    writeMeta(fs, metaPath, buildMeta(df, groupCols, metrics))
   }
 
   /** Append one new batch: ONE aggregation over the batch, one write,
@@ -97,13 +107,7 @@ object IncrementalAgg {
     val dir = new Path(batchDir(statePath, batchId))
     require(!fs.exists(dir),
       s"incrementalAgg: batch '$batchId' already committed under $statePath")
-    val part = partials(batch, meta.groupCols, meta.metrics)
-    part.schema.fields.filterNot(f => meta.groupCols.contains(f.name)).foreach { f =>
-      val want = meta.partialTypes(f.name)
-      require(f.dataType == want,
-        s"incrementalAgg: batch partial '${f.name}' is ${f.dataType.sql}, " +
-          s"state expects ${want.sql} — input column types changed since fit")
-    }
+    val part = checkedPartials(batch, meta)
     part.coalesce(1).write.mode("errorifexists").parquet(dir.toString)
   }
 
@@ -123,9 +127,25 @@ object IncrementalAgg {
     val dir = new Path(batchDir(statePath, batchId))
     if (fs.exists(new Path(dir, "_SUCCESS"))) return false
     fs.delete(dir, true)
-    partials(batch, meta.groupCols, meta.metrics)
+    checkedPartials(batch, meta)
       .coalesce(1).write.parquet(dir.toString)
     true
+  }
+
+  /** Partial rows for `batch`, with the same type-drift gate on BOTH
+    * append paths — a drifted batch written by the streaming path
+    * would poison every later merge just as surely as one written by
+    * [[append]].
+    */
+  private def checkedPartials(batch: DataFrame, meta: Meta): DataFrame = {
+    val part = partials(batch, meta.groupCols, meta.metrics)
+    part.schema.fields.filterNot(f => meta.groupCols.contains(f.name)).foreach { f =>
+      val want = meta.partialTypes(f.name)
+      require(f.dataType == want,
+        s"incrementalAgg: batch partial '${f.name}' is ${f.dataType.sql}, " +
+          s"state expects ${want.sql} — input column types changed since fit")
+    }
+    part
   }
 
   /** Streaming metrics: every microbatch folds into the partial state
@@ -164,26 +184,40 @@ object IncrementalAgg {
 
   /** Fold all batch directories into one (bounding `result`'s read at
     * O(groups) again after many appends — the state twin of
-    * CorpusIngest.compactLake). Merged partials are cast back to the
-    * fitted partial types, so a compacted state is indistinguishable
-    * from a freshly fitted one. Write-then-swap: the fold lands in an
-    * underscore-prefixed temp dir (invisible to readers), old batch
-    * dirs are dropped, then the temp renames in as `batchId`.
+    * CorpusIngest.compactLake, with its conservative crash contract).
+    * Merged partials are cast back to the fitted partial types, so a
+    * compacted state is indistinguishable from a freshly fitted one.
+    *
+    * Whole-root swap, nothing deleted before the new layout is fully
+    * installed: the fold + meta stage into a sibling directory, the
+    * old root retires to `<state>.compact-old`, the staged root
+    * renames in, and only then does the retired root go. A crash at
+    * any point leaves either the original state intact or a LOUDLY
+    * missing root with every byte recoverable from `.compact-old` —
+    * never a silently truncated aggregate.
     */
   def compact(spark: SparkSession, statePath: String,
       batchId: String = "compacted"): Unit = {
     checkBatchId(batchId)
     val (fs, meta) = readMeta(spark, statePath)
     val merged = merge(readPartials(spark, statePath), meta)
-    val tmp = new Path(statePath, "_compact_tmp")
-    fs.delete(tmp, true)
-    merged.coalesce(1).write.parquet(tmp.toString)
     val root = new Path(statePath)
-    fs.listStatus(root).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("batch="))
-      .foreach(st => fs.delete(st.getPath, true))
-    require(fs.rename(tmp, new Path(batchDir(statePath, batchId))),
-      s"incrementalAgg: rename of compacted state failed under $statePath")
+    val staging = new Path(root.getParent, root.getName + ".compact-staging")
+    fs.delete(staging, true)
+    merged.coalesce(1).write
+      .parquet(new Path(staging, "batch=" + batchId).toString)
+    // the meta contract travels verbatim
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, MetaFile),
+      fs, new Path(staging, MetaFile), false,
+      spark.sparkContext.hadoopConfiguration)
+    val old = new Path(root.getParent, root.getName + ".compact-old")
+    fs.delete(old, true)
+    require(fs.rename(root, old),
+      s"incrementalAgg: failed to retire $statePath for compaction")
+    require(fs.rename(staging, root),
+      s"incrementalAgg: failed to install compacted state at $statePath " +
+        s"(original state is intact under $old)")
+    fs.delete(old, true)
   }
 
   // ---- partial / merge / finalize ----------------------------------

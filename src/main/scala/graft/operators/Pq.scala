@@ -145,9 +145,13 @@ object Pq {
       query: Array[Float], k: Int, pool: Int): DataFrame = {
     require(pool >= k, s"pq: pool=$pool must be ≥ k=$k")
     val table = adcTable(query, model)
+    // nulls LAST: a null code (null vector / null element upstream)
+    // must never crowd real candidates out of the pool — plain asc
+    // would sort the nulls first
     val cand = codes
       .select(col(idCol),
         PqFunctions.pqAdc(col("_code"), table, model.nsub, model.k).as("_adc"))
+      .filter(col("_adc").isNotNull)
       .orderBy(col("_adc").asc, col(idCol).asc)
       .limit(pool)
       .select(col(idCol).as("_cand_id"))
@@ -264,13 +268,21 @@ object Pq {
     require(pool >= k, s"pq: pool=$pool must be ≥ k=$k")
     val model = loadModel(spark, indexPath)
     val codes = spark.read.parquet(s"$indexPath/codes")
-    val qRows = queries
+    val qRowsAll = queries
       .select(col(qIdCol).as("_qid"), col(qVecCol).cast("array<float>").as("_qv"))
       .limit(MaxJoinQueries + 1).collect()
-    require(qRows.length <= MaxJoinQueries,
+    require(qRowsAll.length <= MaxJoinQueries,
       s"pq: query batch exceeds $MaxJoinQueries — for corpus-scale " +
         "retrieval use the IVF/LSH bucket joins instead of a broadcast batch")
-    require(qRows.nonEmpty, "pq: empty query batch")
+    require(qRowsAll.nonEmpty, "pq: empty query batch")
+    // null-vector queries return no neighbors — the same outcome
+    // cosineTopKJoin reaches (null cosine scores, skipped by the heap)
+    val qRows = qRowsAll.filter(!_.isNullAt(1))
+    if (qRows.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("q_id", "n_id", "cos_sim")
+        .withColumn("q_id", col("q_id").cast(queries.schema(qIdCol).dataType))
+    }
     val tables = qRows.map(r =>
       adcTable(r.getAs[scala.collection.Seq[Float]]("_qv").toArray, model))
     import spark.implicits._

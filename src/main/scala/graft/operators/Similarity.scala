@@ -445,10 +445,21 @@ object Similarity {
     // driver-coordinated jobs per call for the same bucketing.
     // Past ExprAssignMaxCells (an EXPLICIT nlist beyond the cellsFor
     // ceiling), fall back to the distributed ML fit.
+    // The sample-fit + fused-assignment path is the fast one at any
+    // auto-sized k — but its DRIVER footprint is k×dim-proportional
+    // (64 chunk accumulators of k×dim doubles in localLloyd, plus the
+    // collected sample), so the route checks the PRODUCT, not k alone:
+    // a wide-embedding corpus at the 2^16 cell ceiling belongs on the
+    // distributed ML fit. k ≤ 256 skips the dim probe job (any dim is
+    // safe there).
+    lazy val sampleFitFits = k <= 256 || {
+      val dim = df.select(size(col(vecCol))).head().getInt(0)
+      k.toLong * dim <= ExprAssignMaxKDim
+    }
     if (k <= 1)
       dropWithinCells(df, idCol, vecCol,
         df.withColumn("_cell", lit(0)), threshold, maxCellSize)
-    else if (k <= ExprAssignMaxCells)
+    else if (k <= ExprAssignMaxCells && sampleFitFits)
       semanticDedupWith(df, idCol, vecCol,
         sampleCentroids(df, idCol, vecCol, k, maxIter), threshold, maxCellSize)
     else
@@ -516,6 +527,14 @@ object Similarity {
     * the ML branch remains only for an EXPLICIT larger nlist.
     */
   val ExprAssignMaxCells = 1 << 16
+
+  /** Driver-memory guard for the sample-fit route: localLloyd holds up
+    * to 64 chunk accumulators of k×dim doubles, so the route requires
+    * k·dim ≤ this (8.4M ⇒ ≤ ~4 GB of accumulators at the 64-chunk
+    * grid; the 2^16 ceiling passes at dim 64/128, a 768-wide corpus
+    * tops out near k=10k and larger fits take the distributed path).
+    */
+  val ExprAssignMaxKDim: Long = 1L << 23
 
   /** Default sample bound for [[sampleCentroids]]. */
   val CentroidSampleSize = 100000

@@ -105,6 +105,20 @@ class IncrementalAggSpec extends AnyFunSuite {
       append(state, drifted, "b1")
     }
     assert(e.getMessage.contains("column types changed since fit"))
+    // the streaming path enforces the same gate — a drifted microbatch
+    // must not silently poison the state
+    val e2 = intercept[IllegalArgumentException] {
+      appendCommitted(state, drifted, "b2")
+    }
+    assert(e2.getMessage.contains("column types changed since fit"))
+  }
+
+  test("'batch' is reserved (it is the state's hive partition key)") {
+    val df = corpus.withColumnRenamed("g", "batch")
+    val e = intercept[IllegalArgumentException] {
+      fit(df, Seq("batch"), Seq(Count("rows")), tmp(), "b0")
+    }
+    assert(e.getMessage.contains("reserved"))
   }
 
   test("fit refuses an already-fitted path; result refuses an unfitted one") {
