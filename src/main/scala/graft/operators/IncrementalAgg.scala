@@ -172,6 +172,35 @@ object IncrementalAgg {
       .start()
   }
 
+  /** Retract one batch's contribution in O(1): delete its partial
+    * directory — the next [[result]] simply no longer merges it. This
+    * is the retention/backfill-correction story sum-decomposed state
+    * buys for free: removing a bad day from a 100 TB lake's aggregates
+    * costs one directory delete, not a recompute (min/max remain
+    * correct because every batch's own partials are independent — no
+    * cross-batch subtraction is ever needed). Raises if the batch does
+    * not exist: silently "retracting" a typo'd id would leave the
+    * caller believing data was removed.
+    */
+  def dropBatch(spark: SparkSession, statePath: String, batchId: String): Unit = {
+    checkBatchId(batchId)
+    val (fs, _) = readMeta(spark, statePath)
+    val dir = new Path(batchDir(statePath, batchId))
+    require(fs.exists(dir),
+      s"incrementalAgg: no batch '$batchId' under $statePath to drop")
+    require(fs.delete(dir, true),
+      s"incrementalAgg: failed to delete batch '$batchId' under $statePath")
+  }
+
+  /** The committed batch ids under `statePath`, sorted. */
+  def listBatches(spark: SparkSession, statePath: String): Seq[String] = {
+    val (fs, _) = readMeta(spark, statePath)
+    fs.listStatus(new Path(statePath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .sorted.toSeq
+  }
+
   /** The full aggregate from state alone: read every batch's partial
     * rows (O(batches × groups) — never the corpus), merge, finalize.
     * Schema-identical to the direct `groupBy(...).agg(...)` on the

@@ -113,6 +113,24 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("column types changed since fit"))
   }
 
+  test("dropBatch retracts exactly one batch's contribution in O(1)") {
+    val state = tmp()
+    fit(corpus.filter($"n" % 3 === 0), Seq("g"), metrics, state, "day0")
+    append(state, corpus.filter($"n" % 3 === 1), "day1")
+    append(state, corpus.filter($"n" % 3 === 2), "day2")
+    assert(listBatches(spark, state) == Seq("day0", "day1", "day2"))
+    dropBatch(spark, state, "day1")
+    assert(listBatches(spark, state) == Seq("day0", "day2"))
+    // result == direct aggregate over the surviving batches only —
+    // min/max included (batch partials are independent, no cross-batch
+    // subtraction)
+    assertSame(result(spark, state), direct(corpus.filter($"n" % 3 =!= 1)))
+    // retracting a non-existent batch raises instead of lying
+    assert(intercept[IllegalArgumentException] {
+      dropBatch(spark, state, "day9")
+    }.getMessage.contains("no batch"))
+  }
+
   test("'batch' is reserved (it is the state's hive partition key)") {
     val df = corpus.withColumnRenamed("g", "batch")
     val e = intercept[IllegalArgumentException] {
