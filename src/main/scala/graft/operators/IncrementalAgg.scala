@@ -172,6 +172,36 @@ object IncrementalAgg {
       .start()
   }
 
+  /** Sync state with an append-only hive-partitioned lake: every
+    * FIRST-LEVEL partition directory (`day=2026-08-14/...`) that has
+    * no batch in state yet is aggregated and committed as one batch
+    * (id = the directory name, sanitized), via [[appendCommitted]]'s
+    * marker discipline — so the sync is idempotent and crash-safe,
+    * and a nightly `syncFromLake` is the whole ingestion loop: only
+    * NEW partitions are ever read. Partition columns materialize into
+    * the batch (basePath read), so they can serve as group keys.
+    * Returns the batch ids committed by THIS call.
+    */
+  def syncFromLake(spark: SparkSession, statePath: String,
+      lakePath: String): Seq[String] = {
+    readMeta(spark, statePath) // state must be fitted (type contract)
+    val lakeRoot = new Path(lakePath)
+    val fs = lakeRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(lakeRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(dirs.nonEmpty,
+      s"incrementalAgg: no hive-partition directories under $lakePath")
+    val added = dirs.toSeq.sortBy(_.getPath.getName).flatMap { st =>
+      val id = st.getPath.getName.map(ch =>
+        if (ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-') ch
+        else '-')
+      val batch = spark.read.option("basePath", lakePath)
+        .parquet(st.getPath.toString)
+      if (appendCommitted(statePath, batch, id)) Some(id) else None
+    }
+    added
+  }
+
   /** Retract one batch's contribution in O(1): delete its partial
     * directory — the next [[result]] simply no longer merges it. This
     * is the retention/backfill-correction story sum-decomposed state

@@ -113,6 +113,32 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("column types changed since fit"))
   }
 
+  test("syncFromLake: only NEW partitions are read; idempotent; partition col groups") {
+    val lake = tmp()
+    val df = corpus.withColumn("day",
+      concat(lit("d"), ($"n" % 3).cast("string")))
+    df.filter($"day" =!= "d2").write.mode("overwrite")
+      .partitionBy("day").parquet(lake)
+    val state = tmp()
+    val ms = Seq(Count("rows"), Sum("n", "n_sum"))
+    // fit pins the contract from one partition's shape (day included
+    // via basePath), then sync commits every lake partition
+    fit(spark.read.option("basePath", lake).parquet(s"$lake/day=d0").limit(0),
+      Seq("day"), ms, state, "bootstrap")
+    val first = syncFromLake(spark, state, lake)
+    assert(first == Seq("day-d0", "day-d1"))
+    // a new day lands in the lake: sync reads ONLY it
+    df.filter($"day" === "d2").write.mode("append").partitionBy("day").parquet(lake)
+    assert(syncFromLake(spark, state, lake) == Seq("day-d2"))
+    // and a third sync is a no-op
+    assert(syncFromLake(spark, state, lake).isEmpty)
+    val got = result(spark, state).orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = df.groupBy("day").agg(count(lit(1)), sum("n")).orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("dropBatch retracts exactly one batch's contribution in O(1)") {
     val state = tmp()
     fit(corpus.filter($"n" % 3 === 0), Seq("g"), metrics, state, "day0")
