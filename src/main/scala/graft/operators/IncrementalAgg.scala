@@ -211,6 +211,12 @@ object IncrementalAgg {
     * cross-batch subtraction is ever needed). Raises if the batch does
     * not exist: silently "retracting" a typo'd id would leave the
     * caller believing data was removed.
+    *
+    * Interaction with [[syncFromLake]]: sync derives batch ids from
+    * lake partition names, so a dropped lake-derived batch is
+    * RE-INGESTED by the next sync unless the partition is also removed
+    * from the lake — retract in the lake first (or use a non-sync id
+    * space for batches that must stay gone).
     */
   def dropBatch(spark: SparkSession, statePath: String, batchId: String): Unit = {
     checkBatchId(batchId)
