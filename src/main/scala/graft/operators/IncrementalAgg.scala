@@ -161,15 +161,26 @@ object IncrementalAgg {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val metaPath = new Path(statePath, MetaFile)
-        val fs = metaPath.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(metaPath))
-          writeMeta(fs, metaPath, buildMeta(batch, groupCols, metrics))
-        appendCommitted(statePath, batch, f"b$id%09d")
+        fold(batch, groupCols, metrics, statePath, f"b$id%09d")
         ()
       }
       .start()
+  }
+
+  /** Fit-or-append fold for at-least-once callers (streaming
+    * microbatches, re-runnable pipeline nodes): the first-ever batch
+    * writes the type contract, every batch commits through
+    * [[appendCommitted]]'s marker discipline. Returns false when the
+    * batch id was already committed (re-delivery).
+    */
+  def fold(batch: DataFrame, groupCols: Seq[String], metrics: Seq[Metric],
+      statePath: String, batchId: String): Boolean = {
+    val metaPath = new Path(statePath, MetaFile)
+    val fs = metaPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath))
+      writeMeta(fs, metaPath, buildMeta(batch, groupCols, metrics))
+    appendCommitted(statePath, batch, batchId)
   }
 
   /** Sync state with an append-only hive-partitioned lake: every

@@ -207,6 +207,50 @@ object PipelineJson {
           if (config.has("password")) props.put("password", config.path("password").asText)
           Writers.jdbcInsert(df, url, table, props)
         }
+      case "incremental_aggregate" =>
+        // beyond-reference node: fold this run's input batch into
+        // durable partial-aggregate state (operators.IncrementalAgg) —
+        // the lake-scale replacement for re-running a full `aggregate`
+        // transform per pipeline execution. Sink-shaped: the fold is
+        // the write action, rows pass through downstream. batch_id is
+        // the idempotency key: a re-run of the same pipeline+batch is
+        // a marker-detected no-op, never a double count.
+        val statePath = config.path("state_path").asText("")
+        require(statePath.nonEmpty,
+          s"incremental_aggregate node '$id' requires 'state_path'")
+        val batchId = config.path("batch_id").asText("")
+        require(batchId.nonEmpty,
+          s"incremental_aggregate node '$id' requires 'batch_id' " +
+            "(the idempotency key for re-runs)")
+        val groupBy = strSeq(config.path("group_by"))
+        val metricsNode = config.path("metrics")
+        require(metricsNode.isArray && metricsNode.size() > 0,
+          s"incremental_aggregate node '$id' requires a 'metrics' array")
+        val metrics: Seq[graft.operators.IncrementalAgg.Metric] =
+          (0 until metricsNode.size()).map { i =>
+            val m = metricsNode.get(i)
+            val colName = m.path("column").asText("")
+            val as = m.path("as").asText("")
+            require(as.nonEmpty,
+              s"incremental_aggregate node '$id': metric $i needs 'as'")
+            m.path("kind").asText("") match {
+              case "count" => graft.operators.IncrementalAgg.Count(as)
+              case "sum" => graft.operators.IncrementalAgg.Sum(colName, as)
+              case "min" => graft.operators.IncrementalAgg.Min(colName, as)
+              case "max" => graft.operators.IncrementalAgg.Max(colName, as)
+              case "avg" => graft.operators.IncrementalAgg.Avg(colName, as)
+              case "approx_distinct" =>
+                graft.operators.IncrementalAgg.ApproxDistinct(colName, as)
+              case other => throw new IllegalArgumentException(
+                s"incremental_aggregate node '$id': unknown metric kind " +
+                  s"'$other' (count/sum/min/max/avg/approx_distinct)")
+            }
+          }
+        Sink { df =>
+          graft.operators.IncrementalAgg.fold(
+            df, groupBy, metrics, statePath, batchId)
+          ()
+        }
       case "pdf_extract" =>
         // declared in the reference's node-type list (engine.py:26)
         // but stubbed to pass-through there (engine.py:178); real

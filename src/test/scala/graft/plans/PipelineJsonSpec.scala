@@ -51,6 +51,46 @@ class PipelineJsonSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "Alice", 20.0), (2, "Bob", 40.0)))
   }
 
+  test("incremental_aggregate node folds the run's batch; re-runs never double-count") {
+    val dir = Files.createTempDirectory("graft_pj_incr")
+    val in = dir.resolve("in.csv").toString
+    val state = dir.resolve("state").toString
+    Writers.write(Seq(
+      ("a", 10L), ("a", 20L), ("b", 5L)
+    ).toDF("g", "v"), in, "csv")
+
+    def json(batch: String) = s"""{
+      "nodes": [
+        {"id": "n1", "type": "file_input",
+         "data": {"config": {"path": "$in", "format": "csv"}}},
+        {"id": "n2", "type": "incremental_aggregate",
+         "data": {"config": {"state_path": "$state", "batch_id": "$batch",
+           "group_by": ["g"],
+           "metrics": [
+             {"kind": "count", "as": "rows"},
+             {"kind": "sum", "column": "v", "as": "v_sum"}
+           ]}}}
+      ],
+      "edges": [{"source": "n1", "target": "n2"}]
+    }"""
+
+    PipelineJson.run(spark, json("day0"))
+    // re-run of the SAME batch: marker-detected no-op
+    PipelineJson.run(spark, json("day0"))
+    // a new day folds in
+    PipelineJson.run(spark, json("day1"))
+    val got = graft.operators.IncrementalAgg.result(spark, state)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 4L, 60L), ("b", 2L, 10L)))
+
+    // config errors raise at parse, naming the node
+    val bad = intercept[IllegalArgumentException] {
+      PipelineJson.run(spark, json("day2").replace("\"kind\": \"sum\"", "\"kind\": \"median\""))
+    }
+    assert(bad.getMessage.contains("unknown metric kind"))
+  }
+
   test("webhook_send node posts the flow's rows via JSON config") {
     import java.net.InetSocketAddress
     import java.util.concurrent.atomic.AtomicInteger
