@@ -207,6 +207,14 @@ object PipelineJson {
           if (config.has("password")) props.put("password", config.path("password").asText)
           Writers.jdbcInsert(df, url, table, props)
         }
+      case "incremental_result" =>
+        // read twin of incremental_aggregate: the running aggregate
+        // served from partial state alone — a dashboard/export
+        // pipeline never touches the corpus
+        val statePath = config.path("state_path").asText("")
+        require(statePath.nonEmpty,
+          s"incremental_result node '$id' requires 'state_path'")
+        Source(s => graft.operators.IncrementalAgg.result(s, statePath))
       case "incremental_aggregate" =>
         // beyond-reference node: fold this run's input batch into
         // durable partial-aggregate state (operators.IncrementalAgg) —

@@ -84,6 +84,28 @@ class PipelineJsonSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("a", 4L, 60L), ("b", 2L, 10L)))
 
+    // the read twin: a pipeline that serves the running aggregate
+    // from state (and can transform/export it) without the corpus
+    val outDir = dir.resolve("report").toString
+    PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "r1", "type": "incremental_result",
+         "data": {"config": {"state_path": "$state"}}},
+        {"id": "r2", "type": "transform", "data": {"config": {"steps": [
+          {"operator": "filter_rows", "params": {"expression": "v_sum > 20"}}
+        ]}}},
+        {"id": "r3", "type": "file_output",
+         "data": {"config": {"path": "$outDir", "format": "parquet"}}}
+      ],
+      "edges": [
+        {"source": "r1", "target": "r2"},
+        {"source": "r2", "target": "r3"}
+      ]
+    }""")
+    val report = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("v_sum"))).toSeq
+    assert(report == Seq(("a", 60L)))
+
     // config errors raise at parse, naming the node
     val bad = intercept[IllegalArgumentException] {
       PipelineJson.run(spark, json("day2").replace("\"kind\": \"sum\"", "\"kind\": \"median\""))
