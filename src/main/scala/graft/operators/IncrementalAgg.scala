@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -25,11 +25,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   *   _meta.json            // groupCols, metrics, pinned partial/final types
   *   batch=<id>/part-....parquet   // partial rows, one directory per batch
+  *   _gen-00000.json       // after a compact(): manifest naming the live
+  *   gen-00000/batch=.../  // generation — highest-numbered manifest wins
   * }}}
-  * Underscore-prefixed entries are invisible to Spark's file index, so
-  * `result` can read the whole directory tree as one partitioned
-  * dataset while `_meta.json` (and any in-flight `_compact_tmp`) ride
-  * alongside; the `batch=` hive key records provenance for free.
+  * Underscore-prefixed entries are invisible to Spark's file index;
+  * the `batch=` hive key records provenance for free. Only batch
+  * directories bearing parquet's `_SUCCESS` marker are ever read or
+  * listed — a marker-less directory is a torn write and is repaired
+  * by the next append of that id.
   *
   * Supported metrics are the algebraic five (count/sum/min/max/avg —
   * avg decomposed into sum+count). Types are PINNED at fit time: the
@@ -83,14 +86,12 @@ object IncrementalAgg {
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(metaPath),
       s"incrementalAgg: $statePath already holds state — append to it or choose a new path")
-    // partial rows are O(groups) — land each batch as one file (the
-    // aggregation itself still runs at full parallelism; only the
-    // group-bounded output narrows). Data FIRST, meta LAST: the meta
-    // file is the "state exists" marker, so a crash mid-first-write
-    // leaves a refittable path instead of a meta-only husk fit()
-    // refuses to touch (overwrite mode makes the retry clean).
-    partials(df, groupCols, metrics)
-      .coalesce(1).write.mode("overwrite").parquet(batchDir(statePath, batchId))
+    // Data FIRST, meta LAST: the meta file is the "state exists"
+    // marker, so a crash mid-first-write leaves a refittable path
+    // instead of a meta-only husk fit() refuses to touch (overwrite
+    // mode makes the retry clean).
+    writeSized(partials(df, groupCols, metrics),
+      batchDir(fs, statePath, batchId).toString, SaveMode.Overwrite)
     writeMeta(fs, metaPath, buildMeta(df, groupCols, metrics))
   }
 
@@ -98,17 +99,24 @@ object IncrementalAgg {
     * zero reads of existing partial state. Raises if the batch's
     * partial schema disagrees with the fitted contract (a type drift
     * here would poison every later merge) or if `batchId` was already
-    * committed (re-running a batch must not double-count).
+    * COMMITTED (re-running a batch must not double-count) — committed
+    * means the directory bears parquet's `_SUCCESS` marker. A
+    * marker-less directory is a torn write from a crash mid-append;
+    * the retry overwrites it (r9 advice: the old existence check
+    * refused the retry while [[readPartials]] would happily merge the
+    * torn rows).
     */
   def append(statePath: String, batch: DataFrame, batchId: String): Unit = {
     checkBatchId(batchId)
     val spark = batch.sparkSession
     val (fs, meta) = readMeta(spark, statePath)
-    val dir = new Path(batchDir(statePath, batchId))
-    require(!fs.exists(dir),
-      s"incrementalAgg: batch '$batchId' already committed under $statePath")
-    val part = checkedPartials(batch, meta)
-    part.coalesce(1).write.mode("errorifexists").parquet(dir.toString)
+    val dir = batchDir(fs, statePath, batchId)
+    if (fs.exists(dir)) {
+      require(!fs.exists(new Path(dir, "_SUCCESS")),
+        s"incrementalAgg: batch '$batchId' already committed under $statePath")
+      fs.delete(dir, true) // torn write — safe to redo
+    }
+    writeSized(checkedPartials(batch, meta), dir.toString, SaveMode.ErrorIfExists)
   }
 
   /** Idempotent, crash-safe append for at-least-once callers
@@ -124,11 +132,10 @@ object IncrementalAgg {
     checkBatchId(batchId)
     val spark = batch.sparkSession
     val (fs, meta) = readMeta(spark, statePath)
-    val dir = new Path(batchDir(statePath, batchId))
+    val dir = batchDir(fs, statePath, batchId)
     if (fs.exists(new Path(dir, "_SUCCESS"))) return false
     fs.delete(dir, true)
-    checkedPartials(batch, meta)
-      .coalesce(1).write.parquet(dir.toString)
+    writeSized(checkedPartials(batch, meta), dir.toString, SaveMode.ErrorIfExists)
     true
   }
 
@@ -202,15 +209,34 @@ object IncrementalAgg {
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
     require(dirs.nonEmpty,
       s"incrementalAgg: no hive-partition directories under $lakePath")
-    val added = dirs.toSeq.sortBy(_.getPath.getName).flatMap { st =>
-      val id = st.getPath.getName.map(ch =>
-        if (ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-') ch
-        else '-')
+    // sanitization must stay collision-safe over the listed partitions:
+    // two names collapsing to one batch id would mark the second
+    // partition "already committed" and silently drop it from the
+    // aggregate (r9 advice). '=' keeps its pretty '-' mapping (every
+    // partition name has one); any OTHER disallowed byte hex-escapes
+    // (`~25` for '%') instead of also collapsing to '-', and the
+    // one residual ambiguity ('=' vs a literal '-') is CHECKED below —
+    // a collision raises rather than loses data.
+    val withIds = dirs.toSeq.sortBy(_.getPath.getName).map { st =>
+      val id = st.getPath.getName.flatMap {
+        case ch if ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-' =>
+          ch.toString
+        case '=' => "-"
+        case ch => f"~${ch.toInt}%02x"
+      }
+      st -> id
+    }
+    withIds.groupBy(_._2).collect { case (id, ps) if ps.size > 1 => (id, ps) }
+      .headOption.foreach { case (id, ps) =>
+        throw new IllegalArgumentException(
+          s"incrementalAgg: lake partitions ${ps.map(_._1.getPath.getName).mkString(", ")} " +
+            s"collide to batch id '$id' — rename the partitions")
+      }
+    withIds.flatMap { case (st, id) =>
       val batch = spark.read.option("basePath", lakePath)
         .parquet(st.getPath.toString)
       if (appendCommitted(statePath, batch, id)) Some(id) else None
     }
-    added
   }
 
   /** Retract one batch's contribution in O(1): delete its partial
@@ -232,20 +258,20 @@ object IncrementalAgg {
   def dropBatch(spark: SparkSession, statePath: String, batchId: String): Unit = {
     checkBatchId(batchId)
     val (fs, _) = readMeta(spark, statePath)
-    val dir = new Path(batchDir(statePath, batchId))
+    val dir = batchDir(fs, statePath, batchId)
     require(fs.exists(dir),
       s"incrementalAgg: no batch '$batchId' under $statePath to drop")
     require(fs.delete(dir, true),
       s"incrementalAgg: failed to delete batch '$batchId' under $statePath")
   }
 
-  /** The committed batch ids under `statePath`, sorted. */
+  /** The COMMITTED batch ids in the live generation, sorted — torn
+    * (marker-less) directories are invisible here exactly as they are
+    * to [[result]]. */
   def listBatches(spark: SparkSession, statePath: String): Seq[String] = {
     val (fs, _) = readMeta(spark, statePath)
-    fs.listStatus(new Path(statePath))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch="))
-      .sorted.toSeq
+    committedBatchDirs(fs, currentRoot(fs, statePath))
+      .map(_.getName.stripPrefix("batch=")).sorted
   }
 
   /** The full aggregate from state alone: read every batch's partial
@@ -258,42 +284,61 @@ object IncrementalAgg {
     finalize(merge(readPartials(spark, statePath), meta), meta)
   }
 
-  /** Fold all batch directories into one (bounding `result`'s read at
-    * O(groups) again after many appends — the state twin of
-    * CorpusIngest.compactLake, with its conservative crash contract).
-    * Merged partials are cast back to the fitted partial types, so a
-    * compacted state is indistinguishable from a freshly fitted one.
+  /** Fold all committed batch directories into one (bounding
+    * `result`'s read at O(groups) again after many appends — the
+    * state twin of CorpusIngest.compactLake). Merged partials are
+    * cast back to the fitted partial types, so a compacted state is
+    * indistinguishable from a freshly fitted one. Compaction forgets
+    * prior batch ids (they folded into `batchId`) — retention via
+    * [[dropBatch]] only applies to batches appended after it.
     *
-    * Whole-root swap, nothing deleted before the new layout is fully
-    * installed: the fold + meta stage into a sibling directory, the
-    * old root retires to `<state>.compact-old`, the staged root
-    * renames in, and only then does the retired root go. A crash at
-    * any point leaves either the original state intact or a LOUDLY
-    * missing root with every byte recoverable from `.compact-old` —
-    * never a silently truncated aggregate.
+    * Install is a MANIFEST FLIP, not a rename (r9 verdict item 3):
+    * the old install renamed the whole root, which on S3A-class
+    * stores is copy+delete — non-atomic and data-sized, breaking both
+    * the crash contract and the "state never moves" claim exactly
+    * where a 100 TB lake lives. Instead the fold lands in a fresh
+    * `gen-NNNNN/` directory under the root, and committing it is ONE
+    * new small object: the `_gen-NNNNN.json` manifest. Readers
+    * resolve the live layout as the highest-numbered manifest (a
+    * single atomic PUT on S3, an atomic create on HDFS), so a
+    * concurrent reader sees exactly one generation — whichever was
+    * current when it listed. The immediately-previous layout is
+    * RETAINED until the next compact (an in-flight reader may still
+    * be scanning it); layouts two generations old are retired here.
+    * A crash before the manifest write leaves an invisible gen
+    * directory the retry overwrites; a crash after it leaves
+    * fully-committed state plus retirable debris — never a truncated
+    * aggregate, and no data byte is ever copied or renamed.
     */
   def compact(spark: SparkSession, statePath: String,
       batchId: String = "compacted"): Unit = {
     checkBatchId(batchId)
     val (fs, meta) = readMeta(spark, statePath)
     val merged = merge(readPartials(spark, statePath), meta)
-    val root = new Path(statePath)
-    val staging = new Path(root.getParent, root.getName + ".compact-staging")
-    fs.delete(staging, true)
-    merged.coalesce(1).write
-      .parquet(new Path(staging, "batch=" + batchId).toString)
-    // the meta contract travels verbatim
-    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, MetaFile),
-      fs, new Path(staging, MetaFile), false,
-      spark.sparkContext.hadoopConfiguration)
-    val old = new Path(root.getParent, root.getName + ".compact-old")
-    fs.delete(old, true)
-    require(fs.rename(root, old),
-      s"incrementalAgg: failed to retire $statePath for compaction")
-    require(fs.rename(staging, root),
-      s"incrementalAgg: failed to install compacted state at $statePath " +
-        s"(original state is intact under $old)")
-    fs.delete(old, true)
+    val prevGen = currentGen(fs, statePath)
+    val nextGen = prevGen.map(_ + 1).getOrElse(0)
+    val genDir = new Path(statePath, genDirName(nextGen))
+    fs.delete(genDir, true) // debris from a crashed earlier attempt
+    writeSized(merged, new Path(genDir, "batch=" + batchId).toString,
+      SaveMode.Overwrite)
+    writeManifest(fs, statePath, nextGen) // THE commit point
+    // retire layouts no in-flight reader can still hold: everything
+    // strictly OLDER than the just-retired generation. Best-effort —
+    // readers ignore unreferenced layouts either way.
+    prevGen.foreach { retired =>
+      fs.listStatus(new Path(statePath)).foreach { st =>
+        val n = st.getPath.getName
+        val stale =
+          (n.startsWith("batch=")) || // pre-generation flat layout
+            (n.startsWith("gen-") &&
+              n.stripPrefix("gen-").toIntOption.exists(_ < retired)) ||
+            (n match {
+              case GenManifestRe(g) => g.toInt < retired
+              case _ => false
+            })
+        if (stale) fs.delete(st.getPath, true)
+      }
+    }
   }
 
   // ---- partial / merge / finalize ----------------------------------
@@ -373,17 +418,92 @@ object IncrementalAgg {
     case ApproxDistinct(c, a) => hll_sketch_estimate(hll_sketch_agg(col(c))).as(a)
   }
 
-  private def readPartials(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(statePath).drop("batch")
+  /** Partial rows of every COMMITTED batch in the live generation —
+    * torn directories (no `_SUCCESS`) are excluded, so a crash
+    * mid-append can never leak partial rows into the merge (r9
+    * advice: the old whole-root read merged them silently).
+    */
+  private def readPartials(spark: SparkSession, statePath: String): DataFrame = {
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = currentRoot(fs, statePath)
+    val dirs = committedBatchDirs(fs, live)
+    require(dirs.nonEmpty,
+      s"incrementalAgg: no committed batches under $live")
+    spark.read.option("basePath", live.toString)
+      .parquet(dirs.map(_.toString): _*).drop("batch")
+  }
+
+  private def committedBatchDirs(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+
+  /** Write partial rows bounded by SIZE, not a hard file count: the
+    * old `coalesce(1)` made the final-aggregation stage itself a
+    * single task — fine at bench group counts, a serialization
+    * ceiling at the millions-of-groups cardinality a 100 TB lake
+    * produces (per-URL / per-doc-key metrics). The partials are
+    * persisted (they are the O(groups) thing state exists to bound),
+    * counted once from cache, and land in ceil(n/targetRowsPerFile)
+    * files: small states still write one file; high-cardinality
+    * states keep the reduce stage parallel and the files
+    * near-constant-sized. `graft.incr.targetRowsPerFile` tunes the
+    * bound (~4M rows ≈ 100–200 MB parquet for typical metric rows).
+    */
+  private def writeSized(part: DataFrame, dir: String, mode: SaveMode): Unit = {
+    val target = part.sparkSession.conf
+      .get("graft.incr.targetRowsPerFile", "4000000").toLong
+    require(target > 0, "graft.incr.targetRowsPerFile must be positive")
+    val cached = part.persist()
+    try {
+      val n = cached.count()
+      val files = math.max(1L, (n + target - 1) / target)
+      cached.coalesce(files.toInt).write.mode(mode).parquet(dir)
+    } finally { cached.unpersist(); () }
+  }
+
+  // ---- generation manifests ----------------------------------------
+
+  private val GenManifestRe = "_gen-(\\d{5})\\.json".r
+  private def genDirName(n: Int) = f"gen-$n%05d"
+
+  /** The live generation number: the highest `_gen-NNNNN.json`
+    * manifest, or None before the first compaction (flat layout). */
+  private def currentGen(fs: FileSystem, statePath: String): Option[Int] = {
+    val root = new Path(statePath)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.flatMap(st => st.getPath.getName match {
+      case GenManifestRe(n) => Some(n.toInt)
+      case _ => None
+    }).maxOption
+  }
+
+  /** The directory holding the live batch layout. */
+  private def currentRoot(fs: FileSystem, statePath: String): Path =
+    currentGen(fs, statePath) match {
+      case Some(n) => new Path(statePath, genDirName(n))
+      case None => new Path(statePath)
+    }
+
+  private def writeManifest(fs: FileSystem, statePath: String, gen: Int): Unit = {
+    val at = new Path(statePath, f"_gen-$gen%05d.json")
+    val out = fs.create(at, true)
+    try out.write(
+      s"""{"generation":$gen,"dir":"${genDirName(gen)}"}""".getBytes("UTF-8"))
+    finally out.close()
+  }
 
   private def p(i: Int) = s"_p$i"
   private val MetaFile = "_meta.json"
-  private def batchDir(statePath: String, batchId: String) =
-    s"$statePath/batch=$batchId"
+  private def batchDir(fs: FileSystem, statePath: String, batchId: String): Path =
+    new Path(currentRoot(fs, statePath), "batch=" + batchId)
   private def checkBatchId(id: String): Unit =
     require(id.nonEmpty && id.forall(ch => ch.isLetterOrDigit ||
-        ch == '.' || ch == '_' || ch == '-'),
-      s"incrementalAgg: batch id '$id' — use letters, digits, '.', '_', '-'")
+        ch == '.' || ch == '_' || ch == '-' || ch == '~'),
+      s"incrementalAgg: batch id '$id' — use letters, digits, '.', '_', '-', '~'")
 
   // ---- sidecar -----------------------------------------------------
 

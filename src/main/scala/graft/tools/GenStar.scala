@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+/** Dev tool: scale the driver's full sf0.1 star (TESTDATA.md) to sf1
+  * so `tools/paired_bench.py` can measure the Spark-vs-baseline ratio
+  * at a scale where Spark's per-job floor no longer dominates — the
+  * r9 verdict's headline measurement gap.
+  *
+  * Method: replicate each scaled table `copies`× with PER-COPY KEY
+  * OFFSETS applied to every primary AND foreign key, exactly like
+  * TPC-H scale factors grow the same star: referential integrity is
+  * preserved (copy c's lineitem rows join copy c's orders/part/
+  * supplier rows), per-key group sizes stay constant while key
+  * cardinality grows 10×, and value/date distributions are untouched.
+  * `region`/`nation` stay fixed (TPC-H semantics — nationkey FKs
+  * remain valid unshifted). `documents`/`embeddings` are NOT
+  * replicated — exact 10×-duplicated text would turn every dedup
+  * query into a degenerate all-duplicates run; GenScale generates
+  * those two with fresh 10× content instead (same observed vocab and
+  * skew). Purely a deterministic transform of the driver's own
+  * tables — no new synthesis. Not part of the library.
+  */
+object GenStar {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1_star")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
+    val spark = Sessions.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(n: String): DataFrame = graft.Tables.load(spark, src, n)
+
+    // offset per keyspace = pow10 ceiling above the observed max key:
+    // shifted ids stay readable (copy 3 of custkey 123 = 3_000_123)
+    // and can never collide across copies.
+    def offsetFor(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head().getLong(0)
+      var p = 1L
+      while (p <= mx) p *= 10
+      p
+    }
+    val custOff = offsetFor(tbl("customer"), "c_custkey")
+    val suppOff = offsetFor(tbl("supplier"), "s_suppkey")
+    val partOff = offsetFor(tbl("part"), "p_partkey")
+    val ordOff = offsetFor(tbl("orders"), "o_orderkey")
+    val evOff = offsetFor(tbl("events"), "event_id")
+    val userOff = offsetFor(tbl("events"), "user_id")
+
+    // cross-join with the copy axis, shift the listed key columns
+    def scale(name: String, shifts: (String, Long)*): Unit = {
+      val base = tbl(name)
+      val copyAxis = spark.range(copies.toLong).toDF("_copy")
+      val rep = base.crossJoin(broadcast(copyAxis))
+      val shifted = shifts.foldLeft(rep) { case (df, (c, off)) =>
+        df.withColumn(c, col(c) + col("_copy") * off)
+      }.drop("_copy")
+      shifted.select(base.columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"scaled $name x$copies")
+    }
+
+    tbl("region").write.mode("overwrite").parquet(s"$out/region.parquet")
+    tbl("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
+    scale("customer", "c_custkey" -> custOff)
+    scale("supplier", "s_suppkey" -> suppOff)
+    scale("part", "p_partkey" -> partOff)
+    scale("orders", "o_orderkey" -> ordOff, "o_custkey" -> custOff)
+    scale("lineitem", "l_orderkey" -> ordOff, "l_partkey" -> partOff,
+      "l_suppkey" -> suppOff)
+    scale("events", "event_id" -> evOff, "user_id" -> userOff)
+
+    println(s"wrote star to $out (documents/embeddings via GenScale)")
+    spark.stop()
+  }
+}

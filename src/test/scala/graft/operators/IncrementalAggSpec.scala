@@ -78,14 +78,127 @@ class IncrementalAggSpec extends AnyFunSuite {
     append(state, corpus.filter($"n" > 6), "b2")
     val before = result(spark, state).orderBy("g").collect().toSeq
     compact(spark, state)
-    val dirs = new java.io.File(state).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-    assert(dirs.length == 1 && dirs.head.getName == "batch=compacted")
+    // the live layout is the new generation, one folded batch
+    assert(listBatches(spark, state) == Seq("compacted"))
+    assert(new java.io.File(state, "gen-00000/batch=compacted").isDirectory)
     assertSame(result(spark, state), direct(corpus))
     assert(result(spark, state).orderBy("g").collect().toSeq == before)
-    // compacted state accepts further appends
+    // compacted state accepts further appends — into the live generation
     append(state, corpus.withColumn("n", $"n" + 100), "b3")
+    assert(new java.io.File(state, "gen-00000/batch=b3").isDirectory)
     assert(result(spark, state).filter($"g" === "a").head().getLong(1) == 6L)
+  }
+
+  test("compact installs by manifest flip: a reader holding the previous " +
+      "generation survives, layouts two generations old are retired") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
+    append(state, corpus.filter($"n" > 4), "b1")
+    def root = new java.io.File(state)
+    def entries = root.listFiles().map(_.getName).toSet
+
+    // a reader resolves the LIVE layout (flat, pre-generation) ...
+    val reader1 = result(spark, state)
+    compact(spark, state) // ... then a compact flips to gen-00000
+    // the previous (flat) layout is RETAINED for in-flight readers —
+    // nothing a reader may hold was deleted, no data byte was renamed
+    assert(entries.contains("batch=b0") && entries.contains("batch=b1"))
+    assert(entries.contains("gen-00000") && entries.contains("_gen-00000.json"))
+    assertSame(reader1, direct(corpus)) // collect AFTER the flip
+    // new readers see exactly one generation (the manifest-named one)
+    assert(listBatches(spark, state) == Seq("compacted"))
+
+    // a reader over gen-00000, then a second compact → gen-00001; the
+    // flat layout (now two generations old) is retired, gen-00000 stays
+    val reader2 = result(spark, state)
+    append(state, corpus.withColumn("n", $"n" + 50), "b2")
+    compact(spark, state)
+    assert(!entries.exists(_.startsWith("batch=")))
+    assert(entries.contains("gen-00000") && entries.contains("gen-00001"))
+    assertSame(reader2, direct(corpus)) // gen-00000 still intact
+    assertSame(result(spark, state), direct(corpus.union(corpus)))
+
+    // third compact retires gen-00000 and its manifest
+    compact(spark, state)
+    assert(!entries.contains("gen-00000") && !entries.contains("_gen-00000.json"))
+    assert(entries.contains("gen-00001") && entries.contains("gen-00002"))
+    assertSame(result(spark, state), direct(corpus.union(corpus)))
+  }
+
+  test("high-cardinality groups: state lands size-bounded multi-file, not one task's file") {
+    // 1M distinct groups — the cardinality where r9's hard coalesce(1)
+    // serialized the whole reduce onto one task and wrote one giant file
+    val n = 1000000L
+    val df = spark.range(n).selectExpr("id as g", "id % 7 as v")
+    val state = tmp()
+    spark.conf.set("graft.incr.targetRowsPerFile", "200000")
+    try {
+      fit(df, Seq("g"), Seq(Count("rows"), Sum("v", "v_sum")), state, "b0")
+      val files = new java.io.File(state, "batch=b0").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      // ceil(1M/200k)=5 requested; AQE may have pre-coalesced the
+      // cached aggregate to its own (size-bounded) partition count
+      // just below that, which coalesce cannot raise — either way the
+      // write is multi-file/multi-task (ceiling lifted), and bounded
+      // (not one shard per shuffle partition)
+      assert(files.length > 1 && files.length <= 5,
+        s"wanted 2..5 size-bounded files, got ${files.length}")
+      // merge stays correct over the multi-file layout
+      val r = result(spark, state)
+      assert(r.count() == n)
+      val got = r.agg(sum($"g").as("gs"), sum($"v_sum").as("vs")).head()
+      val want = df.agg(sum($"g"), sum($"v" )).head()
+      assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+      // names/types identical; the parquet round-trip makes the GROUP
+      // column nullable (metric types are pinned by the sidecar)
+      assert(r.schema.map(f => (f.name, f.dataType)) ==
+        df.groupBy("g").agg(count(lit(1)).as("rows"), sum("v").as("v_sum"))
+          .schema.map(f => (f.name, f.dataType)))
+    } finally spark.conf.unset("graft.incr.targetRowsPerFile")
+  }
+
+  test("append: a torn (marker-less) directory is excluded from result and repaired by retry") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
+    val committed = result(spark, state).orderBy("g").collect().toSeq
+    // plant a torn write: VALID parquet partial rows, but no _SUCCESS —
+    // exactly what a crash mid-append under committer algorithm 2 leaves
+    val torn = new java.io.File(state, "batch=b1")
+    spark.read.parquet(s"$state/batch=b0").write.parquet(torn.toString)
+    assert(new java.io.File(torn, "_SUCCESS").delete())
+    // the torn rows must NOT silently enter the merge
+    assert(result(spark, state).orderBy("g").collect().toSeq == committed)
+    assert(listBatches(spark, state) == Seq("b0"))
+    // and the retry of the crashed append overwrites instead of refusing
+    append(state, corpus.filter($"n" > 4), "b1")
+    assertSame(result(spark, state), direct(corpus))
+  }
+
+  test("syncFromLake: colliding sanitized partition names raise instead of dropping data") {
+    val lake = tmp()
+    // two distinct first-level partition names that collapse under
+    // sanitization: 'day=v-x' vs 'day=v=x' (both → 'day-v-x')
+    corpus.filter($"n" <= 4).write.parquet(s"$lake/day=v-x")
+    corpus.filter($"n" > 4).write.parquet(s"$lake/day=v=x")
+    val state = tmp()
+    fit(corpus.limit(0), Seq("g"), Seq(Count("rows")), state, "bootstrap")
+    val e = intercept[IllegalArgumentException] {
+      syncFromLake(spark, state, lake)
+    }
+    assert(e.getMessage.contains("collide"))
+    // non-colliding odd bytes hex-escape to DISTINCT ids and both ingest
+    val lake2 = tmp()
+    corpus.filter($"n" <= 4).write.parquet(s"$lake2/day=a b")
+    corpus.filter($"n" > 4).write.parquet(s"$lake2/day=a+b")
+    val state2 = tmp()
+    fit(corpus.limit(0), Seq("g"), Seq(Count("rows")), state2, "bootstrap")
+    val ids = syncFromLake(spark, state2, lake2)
+    assert(ids == Seq("day-a b", "day-a+b").map(_.flatMap {
+      case ch if ch.isLetterOrDigit || "._-".contains(ch) => ch.toString
+      case '=' => "-"
+      case ch => f"~${ch.toInt}%02x"
+    }).sorted)
+    assert(result(spark, state2).agg(sum("rows")).head().getLong(0) == 8L)
   }
 
   test("re-committing a batch id raises (no double counting)") {
