@@ -1,5 +1,41 @@
 package graft.functions
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_pdf_text(binary)` — [[PdfText.extract]] as a native
+  * codegen'd expression (the repo's convention for scalar work:
+  * RollingHash, NfcNormalize, PqEncodeExpr), so the `pdf_extract`
+  * pipeline node stays inside whole-stage codegen instead of breaking
+  * the span with a scala-udf node. The per-row work is the same JDK
+  * byte parse either way (I/O-bound); what the expression buys is the
+  * unbroken codegen span around it and null handling for free.
+  */
+case class PdfExtractExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pdf_text requires BINARY, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_pdf_text"
+
+  protected override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(PdfText.extract(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.PdfText.extract($c));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PdfExtractExpr =
+    copy(child = newChild)
+}
+
 /** Minimal JDK-only PDF text extractor, backing the `pdf_extract`
   * pipeline node (the reference declares the node type but stubs it to
   * a pass-through — executor/engine.py:26,178; this implementation
@@ -333,6 +369,11 @@ object PdfText {
     if (hi >= 0) sb += (hi << 4).toChar // odd digit: low nibble 0
     (sb.toString, math.min(n, i + 1))
   }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  /** Column form of [[extract]] over a BINARY column. */
+  def pdfText(c: Column): Column = ncol(PdfExtractExpr(ex(c)))
 
   /** `[…]` array operand: collects its STRING elements in order
     * (kerning numbers between them are ignored). Returns (strings,

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TRAINED character-n-gram language identification — the production
+  * replacement for the marker-word heuristic
+  * ([[graft.functions.TextFunctions.langId]], kept as the
+  * oracle-checked twin): a handful of stopword markers per language is
+  * fine for an oracle but misroutes real multilingual text (a German
+  * sentence without "der/die/und", Romance languages sharing "la/de/
+  * en"), and a misrouted document poisons every downstream
+  * per-language operator — sampling, packing, domain mixing.
+  *
+  * Method (public literature, no model downloads): multinomial Naive
+  * Bayes over HASHED character n-grams — the fastText-style feature
+  * space (Joulin et al. 2016, "Bag of Tricks"; char-n-gram language ID
+  * itself is Cavnar–Trenkle 1994). NB rather than logistic: the fit is
+  * closed-form from one counting pass, which Spark executes as a
+  * single partial-aggregated `groupBy(lang, bucket).count()` — the
+  * per-partition combine state is bounded at langs × buckets, so the
+  * fit stays one bounded shuffle at any corpus size.
+  *
+  * The model is bounded BY CONSTRUCTION — `langs × buckets` floats
+  * (default 26 KB per language at 4096 buckets) — so it broadcasts
+  * with the classify expression to every executor, and scoring is one
+  * in-row codegen'd pass per document: no join, no shuffle, no
+  * per-row allocation beyond the score array.
+  */
+object LangId {
+
+  /** Hashed-n-gram NB model. `logProb(l)(b)` = log P(bucket b | lang
+    * l) with add-one smoothing; `logPrior(l)` = log P(lang l) from
+    * document counts.
+    */
+  final case class Model(
+      langs: Array[String], logPrior: Array[Double],
+      logProb: Array[Array[Float]], buckets: Int, nMin: Int, nMax: Int) {
+    require(langs.nonEmpty && langs.length == logPrior.length &&
+      langs.length == logProb.length && logProb.forall(_.length == buckets))
+  }
+
+  /** Rolling hash of the n-gram `text[from, from+n)` (lowercased,
+    * locale-independent) into [0, buckets). Plain 31-polynomial —
+    * deterministic across JVMs and executors.
+    */
+  private def bucketOf(text: String, from: Int, n: Int, buckets: Int): Int = {
+    var h = n // n-grams of different length must not collide trivially
+    var i = 0
+    while (i < n) {
+      h = h * 31 + Character.toLowerCase(text.charAt(from + i)).toInt
+      i += 1
+    }
+    Math.floorMod(h, buckets)
+  }
+
+  /** All hashed n-gram buckets of one document (space-padded so
+    * word-boundary grams exist). Exposed for the fit path. */
+  private[operators] def featureBuckets(
+      text: String, nMin: Int, nMax: Int, buckets: Int): Array[Int] = {
+    val padded = " " + text + " "
+    val out = Array.newBuilder[Int]
+    var n = nMin
+    while (n <= nMax) {
+      var i = 0
+      while (i + n <= padded.length) {
+        out += bucketOf(padded, i, n, buckets)
+        i += 1
+      }
+      n += 1
+    }
+    out.result()
+  }
+
+  /** Fit from a labeled corpus: ONE counting aggregation over
+    * (lang, bucket) — partial-aggregated map-side, so the shuffle
+    * carries at most langs × buckets rows per mapper regardless of
+    * corpus size — plus one tiny doc-count aggregate for the priors.
+    * The collected model is langs × buckets, bounded by construction.
+    */
+  def fit(df: DataFrame, langCol: String, textCol: String,
+      buckets: Int = 4096, nMin: Int = 1, nMax: Int = 3,
+      maxLangs: Int = 256): Model = {
+    require(buckets > 0 && nMin >= 1 && nMax >= nMin,
+      s"langId.fit: bad (buckets=$buckets, nMin=$nMin, nMax=$nMax)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (b, lo, hi) = (buckets, nMin, nMax)
+    val counts = df
+      .select(col(langCol).cast("string").as("_lang"),
+        col(textCol).cast("string").as("_text"))
+      .filter(col("_lang").isNotNull && col("_text").isNotNull)
+      .as[(String, String)]
+      .flatMap { case (lang, text) =>
+        featureBuckets(text, lo, hi, b).map(bk => (lang, bk)) }
+      .toDF("_lang", "_bucket")
+      .groupBy("_lang", "_bucket").agg(count(lit(1)).as("_n"))
+      .collect()
+    val docCounts = df.filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(langCol).cast("string").as("_lang"))
+      .agg(count(lit(1)).as("_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(docCounts.nonEmpty, "langId.fit: no labeled documents")
+    require(docCounts.size <= maxLangs,
+      s"langId.fit: ${docCounts.size} distinct labels exceeds maxLangs=" +
+        s"$maxLangs — the model is langs x buckets and must stay bounded; " +
+        "clean the label column or raise maxLangs deliberately")
+    val langs = docCounts.keys.toArray.sorted
+    val langIdx = langs.zipWithIndex.toMap
+    val totalDocs = docCounts.values.sum.toDouble
+    val logPrior = langs.map(l => math.log(docCounts(l) / totalDocs))
+    val gramTotals = new Array[Long](langs.length)
+    val raw = Array.fill(langs.length)(new Array[Long](buckets))
+    counts.foreach { r =>
+      val l = langIdx(r.getString(0))
+      raw(l)(r.getInt(1)) += r.getLong(2)
+      gramTotals(l) += r.getLong(2)
+    }
+    val logProb = Array.tabulate(langs.length) { l =>
+      val denom = math.log(gramTotals(l) + buckets.toDouble)
+      Array.tabulate(buckets)(bk =>
+        (math.log(raw(l)(bk) + 1.0) - denom).toFloat)
+    }
+    Model(langs, logPrior, logProb, buckets, nMin, nMax)
+  }
+
+  /** Score one document against every language, return the argmax
+    * label (ties break to the lexicographically-first language —
+    * langs is sorted). Blank text → "und".
+    */
+  def classify(m: Model, text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (s.trim.isEmpty) return UTF8String.fromString("und")
+    val scores = m.logPrior.clone()
+    val padded = " " + s + " "
+    var n = m.nMin
+    while (n <= m.nMax) {
+      var i = 0
+      while (i + n <= padded.length) {
+        val bk = bucketOf(padded, i, n, m.buckets)
+        var l = 0
+        while (l < scores.length) {
+          scores(l) += m.logProb(l)(bk)
+          l += 1
+        }
+        i += 1
+      }
+      n += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < scores.length) {
+      if (scores(l) > scores(best)) best = l
+      l += 1
+    }
+    UTF8String.fromString(m.langs(best))
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  /** Column form: `langIdModel(col("text"), model)` — one codegen'd
+    * in-row pass, model shipped once per executor with the plan. */
+  def langIdModel(c: Column, model: Model): Column =
+    ncol(LangClassifyExpr(ex(c), model))
+}
+
+/** `graft_lang_id_model(text)` — [[LangId.classify]] as a native
+  * codegen'd expression; the model rides along as a plan reference
+  * object (the NearestCellExpr pattern), never a per-row closure.
+  */
+case class LangClassifyExpr(child: Expression, model: LangId.Model)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lang_id_model requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id_model"
+
+  protected override def nullSafeEval(input: Any): Any =
+    LangId.classify(model, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("langIdModel", model,
+      classOf[LangId.Model].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.LangId.classify($m, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangClassifyExpr =
+    copy(child = newChild)
+}

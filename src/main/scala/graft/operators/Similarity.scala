@@ -22,6 +22,18 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** The embedding width, probed from the FIRST NON-NULL vector — a
+    * null in the physically-first row NPE'd the naive `head()` probe,
+    * and an empty frame threw NoSuchElementException (r9 advice). An
+    * all-null / empty input raises with the actual problem named.
+    */
+  private def probeDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.agg(first(size(col(vecCol)), ignoreNulls = true)).head()
+    require(!r.isNullAt(0),
+      s"no non-null '$vecCol' vector to infer the embedding dimension from")
+    r.getInt(0)
+  }
+
   /** Deterministic unit-free hyperplanes: planes(p)(j) ∈ [-0.5, 0.5). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -138,7 +150,7 @@ object Similarity {
   def lshIndex(
       df: DataFrame, idCol: String, vecCol: String, path: String,
       numPlanes: Int = 8, seed: Long = 42L, dim: Option[Int] = None): LshIndex = {
-    val d = dim.getOrElse(df.select(size(col(vecCol))).head().getInt(0))
+    val d = dim.getOrElse(probeDim(df, vecCol))
     val planes = hyperplanes(numPlanes, d, seed)
     df.select(col(idCol), col(vecCol),
         bucketExpr(col(vecCol), planes).as("_bucket"))
@@ -453,7 +465,7 @@ object Similarity {
     // distributed ML fit. k ≤ 256 skips the dim probe job (any dim is
     // safe there).
     lazy val sampleFitFits = k <= 256 || {
-      val dim = df.select(size(col(vecCol))).head().getInt(0)
+      val dim = probeDim(df, vecCol)
       k.toLong * dim <= ExprAssignMaxKDim
     }
     if (k <= 1)
@@ -681,7 +693,7 @@ object Similarity {
     }
     val needN = numPlanes <= 0 && expectedRows.isEmpty
     val d = dim.getOrElse(
-      if (needN) probed._1 else df.select(size(col(vecCol))).head().getInt(0))
+      if (needN) probed._1 else probeDim(df, vecCol))
     val nPlanes =
       if (numPlanes > 0) numPlanes
       else planesFor(expectedRows.getOrElse(probed._2))

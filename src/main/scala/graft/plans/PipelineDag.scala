@@ -47,8 +47,17 @@ object PipelineDag {
     */
   final case class HttpCall(call: (SparkSession, Option[DataFrame]) => DataFrame)
       extends NodeOp
-  /** file_output / export / db_insert / webhook_send: any sink action. */
-  final case class Sink(write: DataFrame => Unit) extends NodeOp
+  /** file_output / export / db_insert / webhook_send: any sink action.
+    * `write` may return a status detail, surfaced in the node log as
+    * "sink ok (detail)" — e.g. incremental_aggregate reporting its
+    * batch was skipped as an already-committed duplicate, which would
+    * otherwise be invisible to pipeline operators (r9 advice).
+    */
+  final case class Sink(write: DataFrame => Option[String]) extends NodeOp
+  object Sink {
+    /** The common status-less sink. */
+    def unit(write: DataFrame => Unit): Sink = Sink(df => { write(df); None })
+  }
 
   final case class RunResult(
       outputs: Map[String, DataFrame],
@@ -250,13 +259,11 @@ object PipelineDag {
           one.withColumn("_parsed", from_json(col(column), ddl, Map.empty[String, String]))
             .select(col("*"), col("_parsed.*")).drop("_parsed", column)
         case PdfExtract(column, outputCol) =>
-          // a UDF, deliberately: PdfText is a per-row JDK byte parse
-          // (Inflater + container walk) no Catalyst expression can
-          // codegen, and a UDF keeps the row's other columns intact
-          // without an encoder round-trip — same reasoning as the
-          // multimodal mapPartitions decoders
-          val extract = udf((b: Array[Byte]) => graft.functions.PdfText.extract(b))
-          one.withColumn(outputCol, extract(col(column).cast("binary")))
+          // native expression (repo convention — RollingHash,
+          // NfcNormalize): keeps the node inside whole-stage codegen,
+          // no scala-udf plan node, other columns untouched
+          one.withColumn(outputCol,
+            graft.functions.PdfText.pdfText(col(column).cast("binary")))
         case HttpCall(call) =>
           // retry policy belongs to the node body: a GET is safely
           // re-sent, but a mutating POST whose response was lost may
@@ -276,9 +283,10 @@ object PipelineDag {
             // observe rides the sink's own action: rows counted as they
             // flow, zero extra jobs. Each retry attempt gets a fresh
             // Observation (one registration per dataset instance).
+            var detail: Option[String] = None
             val rows = withRetries() {
               val obs = org.apache.spark.sql.Observation()
-              write(one.observe(obs, count(lit(1)).as("rows")))
+              detail = write(one.observe(obs, count(lit(1)).as("rows")))
               // the metric posts via the (async) listener bus after the
               // action returns — bounded wait, then give up quietly (a
               // sink that never executed its input has no metric)
@@ -292,7 +300,8 @@ object PipelineDag {
             }
             if (rows.nonEmpty) observed(node.id) = rows
             state.foreach(_.markDone(node.id))
-            log += node.id -> "sink ok"
+            log += node.id ->
+              detail.map(d => s"sink ok ($d)").getOrElse("sink ok")
           }
           one
       }

@@ -136,7 +136,7 @@ object PipelineJson {
             val password = config.path("password").asText
             val model = config.path("model").asText
             val method = config.path("method").asText("create")
-            Sink(df => graft.sources.Export.recordRpc(
+            Sink.unit(df => graft.sources.Export.recordRpc(
               df, graft.sources.Export.XmlRpcClient(url),
               db, user, password, model, method))
           case "webhook" => webhookSink(config)
@@ -201,7 +201,7 @@ object PipelineJson {
         // engine.py:260-266: distributed JDBC append.
         val url = config.path("jdbc_url").asText
         val table = config.path("table_name").asText
-        Sink { df =>
+        Sink.unit { df =>
           val props = new java.util.Properties()
           if (config.has("user")) props.put("user", config.path("user").asText)
           if (config.has("password")) props.put("password", config.path("password").asText)
@@ -255,9 +255,14 @@ object PipelineJson {
             }
           }
         Sink { df =>
-          graft.operators.IncrementalAgg.fold(
+          val folded = graft.operators.IncrementalAgg.fold(
             df, groupBy, metrics, statePath, batchId)
-          ()
+          // surface a skipped fold: a re-run with a STALE batch_id but
+          // NEW input data silently no-ops otherwise (r9 advice) — the
+          // node log names the remedy
+          if (folded) None
+          else Some(s"batch '$batchId' already committed - fold " +
+            "skipped; bump batch_id to fold new data")
         }
       case "pdf_extract" =>
         // declared in the reference's node-type list (engine.py:26)
@@ -287,7 +292,7 @@ object PipelineJson {
         val subject = config.path("subject").asText("Pipeline notification")
         val bodyText = config.path("body").asText("")
         val previewRows = config.path("preview_rows").asInt(10)
-        Sink { df =>
+        Sink.unit { df =>
           val preview = df.limit(previewRows + 1).collect()
           val shown = preview.take(previewRows)
           val note =
@@ -328,7 +333,7 @@ object PipelineJson {
     val format =
       if (config.has("format")) config.path("format").asText
       else Readers.detectFormat(path)
-    Sink(df => Writers.write(df, path, format))
+    Sink.unit(df => Writers.write(df, path, format))
   }
 
   /** http connector from a connector_input/invoke_http-shaped config:
@@ -405,7 +410,7 @@ object PipelineJson {
     val url = config.path("url").asText
     require(url.nonEmpty, "webhook node requires a url")
     val batch = if (config.has("batch_size")) config.path("batch_size").asInt else 500
-    Sink(df => graft.sources.Export.webhook(
+    Sink.unit(df => graft.sources.Export.webhook(
       df, graft.sources.Export.HttpPost(url, parseHeaders(config)), batchSize = batch))
   }
 

@@ -63,6 +63,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TRAINED language ID (rows-only: a hashed-n-gram NB model is not
+    // SQL-expressible; accuracy/misroute evidence lives in LangIdSpec
+    // on a held-out multilingual fixture). Self-train on the labeled
+    // corpus then classify it — at 100 TB the fit runs on a labeled
+    // sample (one bounded groupBy) and the broadcast model classifies
+    // the corpus in a single map-only pass, which this entry times.
+    "x_lang_id_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.LangId.fit(docs, "lang", "text")
+      docs.select(col("doc_id"), col("lang"),
+          graft.operators.LangId.langIdModel(col("text"), model).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace + BPE-ish subword proxy.
     "x_token_count" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -53,8 +53,78 @@ object CorpusIngest {
 
   /** Directory (under the lake, underscore-prefixed so parquet readers
     * ignore it) holding one empty marker file per committed batch id.
+    * Root-anchored: compaction never moves it.
     */
   val CommitDirName = "_graft_commits"
+
+  private val GenManifestRe = "_graft_gen-(\\d{5})\\.manifest".r
+  private def genDirName(n: Int) = f"_gen-$n%05d"
+
+  /** The lake's LIVE layout: generation number (None before the first
+    * compaction — flat legacy layout), the directory new appends and
+    * rewrites land in, and the files of older layouts the current
+    * manifest retains by REFERENCE (big files compaction left in
+    * place, unread and unmoved).
+    */
+  private final case class Layout(gen: Option[Int], dataDir: Path,
+      keep: Seq[Path])
+
+  private def currentLayout(fs: FileSystem, lakePath: Path): Layout = {
+    val gens =
+      if (!fs.exists(lakePath)) Seq.empty
+      else fs.listStatus(lakePath).toSeq.flatMap(st => st.getPath.getName match {
+        case GenManifestRe(n) => Some(n.toInt)
+        case _ => None
+      })
+    gens.maxOption match {
+      case None => Layout(None, lakePath, Nil)
+      case Some(n) =>
+        val in = fs.open(manifestPath(lakePath, n))
+        val keep = try {
+          scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map(new Path(_)).toList
+        } finally in.close()
+        Layout(Some(n), new Path(lakePath, genDirName(n)), keep)
+    }
+  }
+
+  private def manifestPath(lakePath: Path, gen: Int): Path =
+    new Path(lakePath, f"_graft_gen-$gen%05d.manifest")
+
+  /** One small object, newline-separated retained-file paths: writing
+    * it IS the layout commit (atomic PUT on S3, atomic create on
+    * HDFS/local — the filename carries the generation, so "highest
+    * manifest wins" needs no read-modify-write of any shared file).
+    */
+  private def writeManifest(fs: FileSystem, lakePath: Path, gen: Int,
+      keep: Seq[Path]): Unit = {
+    keep.find(_.toString.contains("\n")).foreach(p =>
+      throw new IllegalArgumentException(
+        s"compactLake: data-file path contains a newline: $p"))
+    val out = fs.create(manifestPath(lakePath, gen), true)
+    try out.write((keep.map(_.toString).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the lake's live layout. A never-compacted lake is a plain
+    * parquet directory (`spark.read.parquet` works identically); once
+    * [[compactLake]] has installed a generation, the data lives in a
+    * manifest-named `_gen-NNNNN/` directory plus referenced-in-place
+    * files, so the lake MUST be read through this resolver — exactly
+    * the contract table formats like Delta/Iceberg impose, and for the
+    * same reason: the manifest flip is what makes commits atomic on
+    * object stores.
+    */
+  def readLake(spark: SparkSession, lakeDir: String): DataFrame = {
+    val (fs, lakePath) = fileSystem(spark, lakeDir)
+    val lay = currentLayout(fs, lakePath)
+    lay.gen match {
+      case None => spark.read.parquet(lakeDir)
+      case Some(_) =>
+        val roots = lay.dataDir +: lay.keep
+        spark.read.parquet(roots.map(_.toString): _*)
+    }
+  }
 
   /** The per-batch recipe: gate → within-batch dedup → lake dedup.
     * `lake` may be empty (first ingestion). If the lake carries
@@ -154,22 +224,28 @@ object CorpusIngest {
     val (fs, lakePath) = fileSystem(spark, lakeDir)
     val marker = new Path(new Path(lakePath, CommitDirName), s"$scope-$batchId")
     if (fs.exists(marker)) return // replayed batch, append already landed
-    val hasData = hasDataFiles(fs, lakePath)
+    val lay = currentLayout(fs, lakePath)
+    val hasData = lay.keep.nonEmpty || hasDataFiles(fs, lay.dataDir)
     val lake =
-      if (hasData) spark.read.parquet(lakeDir) else batch.filter(lit(false))
+      if (hasData) readLake(spark, lakeDir) else batch.filter(lit(false))
     val cleaned = cleanBatch(batch, lake, idCol, textCol, key, failReason)
     // Stamp _fp on fresh lakes and on lakes already carrying it; leave
     // a legacy (pre-_fp) lake unstamped to keep its schema homogeneous.
     val stamp = !hasData || lake.columns.contains(FingerprintCol)
     val out =
       if (stamp) cleaned.withColumn(FingerprintCol, key(col(textCol))) else cleaned
-    out.write.mode("append").parquet(lakeDir)
+    // appends land in the LIVE layout's data directory (the lake root
+    // until the first compaction), where readLake picks them up with
+    // no manifest rewrite
+    out.write.mode("append").parquet(lay.dataDir.toString)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
   }
 
-  /** What [[compactLake]] did. `bytesMoved` files were re-homed by a
-    * metadata rename without being read.
+  /** What [[compactLake]] did. `bytesMoved` counts files RETAINED IN
+    * PLACE by manifest reference — never read, never copied, never
+    * renamed (the name survives from the pre-manifest API, when big
+    * files were re-homed by rename).
     */
   final case class CompactStats(
       filesBefore: Int, filesAfter: Int,
@@ -182,20 +258,32 @@ object CorpusIngest {
     * classic small-file problem, lethal at 100 TB.
     *
     * Cost is proportional to the SMALL tail only: files already >=
-    * `minFileBytes` (default `targetBytes / 2`) are MOVED into the new
-    * layout — a metadata rename, no read — and only the small files
-    * are read and rewritten into ~`targetBytes` outputs. Commit
-    * markers move with the lake, so exactly-once replay detection
-    * survives compaction, and the `_fp` fingerprint column rides along
-    * in the rewrite (full-schema read).
+    * `minFileBytes` (default `targetBytes / 2`) are RETAINED IN PLACE
+    * and referenced by the new layout's manifest — never read, copied,
+    * or renamed — and only the small files are read and rewritten into
+    * ~`targetBytes` outputs. Commit markers are root-anchored and
+    * never touched, so exactly-once replay detection survives
+    * compaction, and the `_fp` fingerprint column rides along in the
+    * rewrite (full-schema read).
     *
-    * OFFLINE operation: stop the ingest stream (or run between
-    * batches) — the directory swap is not atomic against concurrent
-    * writers or readers. Crash safety is conservative, not atomic: no
-    * file is ever DELETED before the new layout is fully installed, so
-    * a crash leaves every row present across `<lake>`,
-    * `<lake>.compact-tmp` and `<lake>.compact-old` for manual
-    * reassembly, never silently gone.
+    * Install is a MANIFEST FLIP, not a directory swap (r9 verdict
+    * item 3): the rewritten tail lands in a fresh `_gen-NNNNN/`
+    * directory under the lake, and committing it is ONE new small
+    * object — the `_graft_gen-NNNNN.manifest` file listing the
+    * retained big files. [[readLake]] resolves the highest-numbered
+    * manifest, so a concurrent reader sees exactly one generation
+    * (whichever was current when it listed), and on S3A-class stores
+    * — where rename is copy+delete — the commit is still a single
+    * atomic PUT and no data byte ever moves. The immediately-previous
+    * layout is retained until the NEXT compact (an in-flight reader
+    * may still be scanning it); layouts two generations old are
+    * retired here, minus any file the live manifest still references.
+    * A crash before the manifest write leaves an invisible `_gen`
+    * directory the retry overwrites; a crash after it leaves
+    * fully-committed state plus retirable debris — never a silently
+    * truncated lake. Concurrent WRITERS remain an offline concern:
+    * stop the ingest stream (or run between batches), else a batch
+    * appended to the old layout mid-compact is lost from the new one.
     */
   /** `clusterBy`: optional sort-on-write clustering. Non-empty ⇒ EVERY
     * file is read and rewritten range-partitioned + sorted on the
@@ -216,15 +304,18 @@ object CorpusIngest {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val effMin = if (minFileBytes >= 0) minFileBytes else targetBytes / 2
     val (fs, lakePath) = fileSystem(spark, lakeDir)
-    if (!hasDataFiles(fs, lakePath)) return CompactStats(0, 0, 0L, 0L)
+    val lay = currentLayout(fs, lakePath)
+    if (lay.keep.isEmpty && !hasDataFiles(fs, lay.dataDir))
+      return CompactStats(0, 0, 0L, 0L)
     def visible(p: Path): Boolean =
       !p.getName.startsWith("_") && !p.getName.startsWith(".")
     def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap { st =>
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap { st =>
         if (st.isFile) Seq(st) else dataFiles(st.getPath)
       }
     // hive-partitioned layouts carry column VALUES in their directory
-    // names — flattening their files into the staging root would
+    // names — flattening their files into a generation directory would
     // silently erase those columns on read. CorpusIngest lakes are
     // unpartitioned; partitioned datasets need a partition-aware
     // compactor (compact per partition directory). The sweep is
@@ -232,49 +323,39 @@ object CorpusIngest {
     // (lake/sub/lang=en/…) loses its columns just as silently as one
     // at the root.
     def partStyleDirs(p: Path): Seq[Path] =
-      fs.listStatus(p).toSeq
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
         .filter(st => st.isDirectory && visible(st.getPath))
         .flatMap { st =>
           val self =
             if (st.getPath.getName.contains("=")) Seq(st.getPath) else Nil
           self ++ partStyleDirs(st.getPath)
         }
-    val partDirs = partStyleDirs(lakePath)
+    val partDirs = partStyleDirs(lay.dataDir)
     require(partDirs.isEmpty,
       s"compactLake: $lakeDir contains hive-partition-style directories " +
         s"(${partDirs.map(_.getName).take(3).mkString(", ")}…) — " +
         "flattening would drop the partition columns; compact each " +
         "partition directory instead")
-    val files = dataFiles(lakePath)
-    // clustering rewrites everything (a moved file keeps its old value
-    // spread — min/max stats would stay useless); size-only compaction
-    // rewrites only the small tail
+    val files = dataFiles(lay.dataDir) ++ lay.keep.map(fs.getFileStatus)
+    // clustering rewrites everything (a retained file keeps its old
+    // value spread — min/max stats would stay useless); size-only
+    // compaction rewrites only the small tail
     val (big, small) =
       if (clusterBy.nonEmpty) (Seq.empty, files)
       else files.partition(_.getLen >= effMin)
     if (small.size <= 1 && clusterBy.isEmpty)
       return CompactStats(files.size, files.size, 0L, 0L) // already compact
-    // the staging layout is FLAT: two data files from different nested
-    // subdirs with the same basename would overwrite each other on
-    // rename (Spark part names carry a job UUID, but nothing forces a
-    // lake's files to come from Spark)
-    val dupNames = files.groupBy(_.getPath.getName).filter(_._2.size > 1).keys
-    require(dupNames.isEmpty,
-      s"compactLake: duplicate data-file basenames across subdirectories " +
-        s"(${dupNames.take(3).mkString(", ")}) — flattening would collide; " +
-        "rename or compact the subdirectories separately")
-    val staging = new Path(lakePath.getParent, lakePath.getName + ".compact-tmp")
-    fs.delete(staging, true)
-    fs.mkdirs(staging)
-    // 1. rewrite the small tail into ~targetBytes files (parquet part
-    //    names carry a job UUID — no collision with the moved files).
-    //    mergeSchema: a lake whose files drifted (e.g. legacy pre-_fp
-    //    next to stamped files) must union the columns, not silently
-    //    drop whichever schema loses the footer race
+    // 1. rewrite the small tail into ~targetBytes files, directly into
+    //    the next generation's directory (invisible until the manifest
+    //    names it). mergeSchema: a lake whose files drifted (e.g.
+    //    legacy pre-_fp next to stamped files) must union the columns,
+    //    not silently drop whichever schema loses the footer race.
+    val nextGen = lay.gen.map(_ + 1).getOrElse(0)
+    val genDir = new Path(lakePath, genDirName(nextGen))
+    fs.delete(genDir, true) // debris from a crashed earlier attempt
     val smallBytes = small.map(_.getLen).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
-    val rewrite = new Path(lakePath.getParent, lakePath.getName + ".compact-rw")
-    fs.delete(rewrite, true)
     val toRewrite = spark.read.option("mergeSchema", "true")
       .parquet(small.map(_.getPath.toString): _*)
     val laidOut =
@@ -282,30 +363,42 @@ object CorpusIngest {
       else toRewrite
         .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
-    laidOut.write.mode("overwrite").parquet(rewrite.toString)
-    dataFiles(rewrite).foreach { st =>
-      require(fs.rename(st.getPath, new Path(staging, st.getPath.getName)),
-        s"compactLake: failed to stage rewritten ${st.getPath}")
+    laidOut.write.mode("overwrite").parquet(genDir.toString)
+    // 2. THE commit point: one new manifest object naming the
+    //    generation and referencing the untouched big files in place
+    writeManifest(fs, lakePath, nextGen, big.map(_.getPath))
+    // 3. retire layouts no in-flight reader can still hold: everything
+    //    strictly older than the just-retired generation, MINUS files
+    //    the retired or live manifest still references. Best-effort —
+    //    readers ignore unreferenced files either way.
+    lay.gen.foreach { retired =>
+      val protect = (lay.keep ++ big.map(_.getPath)).map(_.toUri).toSet
+      // inside a stale generation dir everything unprotected goes,
+      // hidden write debris (_SUCCESS) included; the dir itself goes
+      // once (and only if) it empties out
+      def sweep(p: Path): Unit = {
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) sweep(st.getPath)
+          else if (!protect.contains(st.getPath.toUri))
+            fs.delete(st.getPath, false)
+        }
+        if (fs.listStatus(p).isEmpty) fs.delete(p, false)
+      }
+      fs.listStatus(lakePath).foreach { st =>
+        val n = st.getPath.getName
+        val staleGenDir = st.isDirectory && n.startsWith("_gen-") &&
+          n.stripPrefix("_gen-").toIntOption.exists(_ < retired)
+        val staleLoose = st.isFile && visible(st.getPath) &&
+          !protect.contains(st.getPath.toUri)
+        val staleManifest = n match {
+          case GenManifestRe(g) => g.toInt < retired
+          case _ => false
+        }
+        if (staleGenDir) sweep(st.getPath)
+        else if (staleLoose || staleManifest) fs.delete(st.getPath, false)
+      }
     }
-    fs.delete(rewrite, true)
-    // 2. move big files (metadata-only) and the commit markers
-    big.foreach { st =>
-      require(fs.rename(st.getPath, new Path(staging, st.getPath.getName)),
-        s"compactLake: failed to move ${st.getPath} into the new layout")
-    }
-    val markers = new Path(lakePath, CommitDirName)
-    if (fs.exists(markers))
-      require(fs.rename(markers, new Path(staging, CommitDirName)),
-        s"compactLake: failed to carry commit markers")
-    // 3. swap: retire the old dir, install the staged layout
-    val old = new Path(lakePath.getParent, lakePath.getName + ".compact-old")
-    fs.delete(old, true)
-    require(fs.rename(lakePath, old), s"compactLake: failed to retire $lakePath")
-    require(fs.rename(staging, lakePath),
-      s"compactLake: failed to install the compacted layout at $lakePath " +
-        s"(original data is intact under $old)")
-    fs.delete(old, true)
-    CompactStats(files.size, dataFiles(lakePath).size,
+    CompactStats(files.size, dataFiles(genDir).size + big.size,
       smallBytes, big.map(_.getLen).sum)
   }
 

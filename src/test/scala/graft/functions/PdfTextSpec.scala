@@ -167,8 +167,14 @@ ued) Tj ET"""), None)
         n.copy(op = graft.plans.PipelineDag.Source(_ => df))
       case n => n
     }
-    val out = graft.plans.PipelineDag.execute(spark, wired, edges)
-      .outputs("ex").orderBy("id").collect()
+    val exOut = graft.plans.PipelineDag.execute(spark, wired, edges)
+      .outputs("ex")
+    // native expression, not a UDF: the plan must carry no scala-udf
+    // node (whole-stage codegen stays unbroken around the extract)
+    val plan = exOut.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("scalaudf") && !plan.contains("batchevalpython"),
+      s"pdf_extract broke codegen with a UDF node:\n$plan")
+    val out = exOut.orderBy("id").collect()
     assert(out.map(_.getAs[String]("text")).toSeq == Seq("From the node", ""))
     assert(out.head.schema.fieldNames.toSeq == Seq("id", "content", "text"))
   }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+
+/** Trained char-n-gram language ID vs the marker heuristic, on a
+  * hand-written multilingual fixture (no external corpora — the point
+  * is the METHOD: hashed n-gram NB beats a handful of stopword
+  * markers, visibly, on held-out text).
+  */
+class LangIdSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // hand-authored train/test sentences; test rows are HELD OUT
+  private val corpus: Seq[(String, String, Boolean)] = Seq(
+    // (lang, text, isTest)
+    ("en", "The quick brown fox jumps over the lazy dog in the garden", false),
+    ("en", "She sells sea shells by the sea shore every morning", false),
+    ("en", "A journey of a thousand miles begins with a single step", false),
+    ("en", "The weather is beautiful and the children are playing outside", false),
+    ("en", "I would like a cup of coffee with milk and sugar please", false),
+    ("en", "This library provides fast and scalable data processing", false),
+    ("en", "The meeting was postponed until next Thursday afternoon", false),
+    ("en", "Reading books helps you understand the world better", false),
+    ("en", "The train arrives at the station at seven in the evening", true),
+    ("en", "Many hands make light work when everyone helps together", true),
+    ("en", "Fresh bread smells wonderful early in the morning", true),
+
+    ("de", "Der schnelle braune Fuchs springt über den faulen Hund", false),
+    ("de", "Die Kinder spielen im Garten und lachen über die Katze", false),
+    ("de", "Ich möchte bitte eine Tasse Kaffee mit Milch und Zucker", false),
+    ("de", "Das Wetter ist heute schön und die Sonne scheint hell", false),
+    ("de", "Wir fahren am Wochenende mit dem Zug in die Berge", false),
+    ("de", "Die Besprechung wurde auf nächsten Donnerstag verschoben", false),
+    ("de", "Bücher lesen hilft dir, die Welt besser zu verstehen", false),
+    ("de", "Der Zug kommt um sieben Uhr abends am Bahnhof an", false),
+    ("de", "Viele Hände machen die Arbeit leicht, wenn alle helfen", true),
+    ("de", "Frisches Brot riecht morgens wunderbar aus der Bäckerei", true),
+    ("de", "Morgen besuchen wir unsere Großeltern auf dem Lande", true),
+
+    ("fr", "Le renard brun saute rapidement par-dessus le chien paresseux", false),
+    ("fr", "Les enfants jouent dans le jardin et rient avec le chat", false),
+    ("fr", "Je voudrais une tasse de café avec du lait et du sucre", false),
+    ("fr", "Le temps est magnifique et le soleil brille aujourd'hui", false),
+    ("fr", "Nous prenons le train pour aller à la montagne ce week-end", false),
+    ("fr", "La réunion a été reportée à jeudi prochain dans l'après-midi", false),
+    ("fr", "Lire des livres aide à mieux comprendre le monde", false),
+    ("fr", "Le train arrive à la gare à sept heures du soir", false),
+    ("fr", "Beaucoup de mains rendent le travail léger quand tout le monde aide", true),
+    ("fr", "Le pain frais sent merveilleusement bon le matin", true),
+    ("fr", "Demain nous rendons visite à nos grands-parents à la campagne", true),
+
+    ("es", "El zorro marrón salta rápidamente sobre el perro perezoso", false),
+    ("es", "Los niños juegan en el jardín y se ríen con el gato", false),
+    ("es", "Quisiera una taza de café con leche y azúcar por favor", false),
+    ("es", "El tiempo es magnífico y el sol brilla mucho hoy", false),
+    ("es", "Tomamos el tren para ir a la montaña este fin de semana", false),
+    ("es", "La reunión fue aplazada hasta el jueves próximo por la tarde", false),
+    ("es", "Leer libros ayuda a comprender mejor el mundo", false),
+    ("es", "El tren llega a la estación a las siete de la tarde", false),
+    ("es", "Muchas manos hacen el trabajo ligero cuando todos ayudan", true),
+    ("es", "El pan fresco huele maravillosamente por la mañana", true),
+    ("es", "Mañana visitamos a nuestros abuelos en el campo", true),
+
+    ("pt", "A raposa marrom pula rapidamente sobre o cachorro preguiçoso", false),
+    ("pt", "As crianças brincam no jardim e riem com o gato", false),
+    ("pt", "Eu gostaria de uma xícara de café com leite e açúcar", false),
+    ("pt", "O tempo está magnífico e o sol brilha muito hoje", false),
+    ("pt", "Pegamos o trem para ir à montanha neste fim de semana", false),
+    ("pt", "A reunião foi adiada para a próxima quinta-feira à tarde", false),
+    ("pt", "Ler livros ajuda a compreender melhor o mundo", false),
+    ("pt", "O trem chega à estação às sete horas da noite", false),
+    ("pt", "Muitas mãos tornam o trabalho leve quando todos ajudam", true),
+    ("pt", "O pão fresco cheira maravilhosamente pela manhã", true),
+    ("pt", "Amanhã visitamos nossos avós no campo", true),
+
+    ("it", "La volpe marrone salta rapidamente sopra il cane pigro", false),
+    ("it", "I bambini giocano in giardino e ridono con il gatto", false),
+    ("it", "Vorrei una tazza di caffè con latte e zucchero per favore", false),
+    ("it", "Il tempo è magnifico e il sole splende molto oggi", false),
+    ("it", "Prendiamo il treno per andare in montagna questo fine settimana", false),
+    ("it", "La riunione è stata rinviata a giovedì prossimo nel pomeriggio", false),
+    ("it", "Leggere libri aiuta a capire meglio il mondo", false),
+    ("it", "Il treno arriva alla stazione alle sette di sera", false),
+    ("it", "Molte mani rendono il lavoro leggero quando tutti aiutano", true),
+    ("it", "Il pane fresco profuma meravigliosamente al mattino", true),
+    ("it", "Domani visitiamo i nostri nonni in campagna", true),
+
+    ("nl", "De snelle bruine vos springt over de luie hond in de tuin", false),
+    ("nl", "De kinderen spelen in de tuin en lachen met de kat", false),
+    ("nl", "Ik wil graag een kopje koffie met melk en suiker", false),
+    ("nl", "Het weer is vandaag prachtig en de zon schijnt fel", false),
+    ("nl", "We nemen de trein naar de bergen dit weekend", false),
+    ("nl", "De vergadering is uitgesteld tot volgende week donderdag", false),
+    ("nl", "Boeken lezen helpt je de wereld beter te begrijpen", false),
+    ("nl", "De trein komt om zeven uur 's avonds aan op het station", false),
+    ("nl", "Vele handen maken licht werk als iedereen meehelpt", true),
+    ("nl", "Vers brood ruikt heerlijk in de vroege ochtend", true),
+    ("nl", "Morgen bezoeken we onze grootouders op het platteland", true)
+  )
+
+  private lazy val model = {
+    val train = corpus.filter(!_._3).map(t => (t._1, t._2))
+      .toDF("lang", "text")
+    LangId.fit(train, "lang", "text")
+  }
+
+  test("held-out sentences classify to the right language, every one") {
+    val test = corpus.filter(_._3).map(t => (t._1, t._2)).toDF("lang", "text")
+    val pred = test.withColumn("pred", LangId.langIdModel(col("text"), model))
+    val wrong = pred.filter(col("pred") =!= col("lang")).collect()
+    assert(wrong.isEmpty, wrong.map(r =>
+      s"${r.getAs[String]("lang")} -> ${r.getAs[String]("pred")}: " +
+        r.getAs[String]("text")).mkString("\n"))
+  }
+
+  test("the marker heuristic demonstrably misroutes where the model does not") {
+    // Dutch: ' is ' is an ENGLISH marker and nl has no marker set at
+    // all, so the heuristic routes Dutch text to en/und — the exact
+    // poisoning r9 flagged for downstream per-language operators
+    val nl = corpus.filter(_._1 == "nl").map(t => (t._1, t._2))
+      .toDF("lang", "text")
+    val both = nl
+      .withColumn("marker", TextFunctions.langId(col("text")))
+      .withColumn("model", LangId.langIdModel(col("text"), model))
+      .collect()
+    val markerWrong = both.count(_.getAs[String]("marker") != "nl")
+    val modelRight = both.count(_.getAs[String]("model") == "nl")
+    assert(markerWrong == both.length,
+      "fixture no longer demonstrates the heuristic's gap")
+    assert(modelRight == both.length)
+  }
+
+  test("blank and null text → und / null; determinism across calls") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "the cat sat on the mat")).toDF("id", "text")
+    val out = df.withColumn("pred", LangId.langIdModel(col("text"), model))
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("pred")))
+    assert(out.toSeq == Seq(Some("und"), Some("und"), None, Some("en")))
+    // same fit twice → identical model (deterministic hashing + sort)
+    val train = corpus.filter(!_._3).map(t => (t._1, t._2)).toDF("lang", "text")
+    val m2 = LangId.fit(train, "lang", "text")
+    assert(m2.langs.toSeq == model.langs.toSeq)
+    assert(m2.logProb.map(_.toSeq).toSeq == model.logProb.map(_.toSeq).toSeq)
+  }
+
+  test("fit refuses an unbounded label column (model must stay broadcastable)") {
+    val junk = spark.range(300)
+      .selectExpr("cast(id as string) as lang", "'text body' as text")
+    val e = intercept[IllegalArgumentException] {
+      LangId.fit(junk, "lang", "text")
+    }
+    assert(e.getMessage.contains("maxLangs"))
+  }
+
+  test("classification is one in-row expression: no shuffle, no udf in the plan") {
+    val docs = corpus.map(t => (t._1, t._2)).toDF("lang", "text")
+    val plan = docs.withColumn("pred", LangId.langIdModel(col("text"), model))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("exchange") && !plan.contains("scalaudf"), plan)
+  }
+}

@@ -60,7 +60,7 @@ class PipelineDagSpec extends AnyFunSuite {
     val nodes = Seq(
       Node("src", Source(sp => { import sp.implicits._
         Seq(1, 2, 3).toDF("x") })),
-      Node("sink", Sink { df =>
+      Node("sink", Sink.unit { df =>
         attempts += 1
         if (attempts < 3) throw new RuntimeException("flaky")
         assert(df.count() == 3)
@@ -77,8 +77,8 @@ class PipelineDagSpec extends AnyFunSuite {
     var failing = true
     val nodes = Seq(
       Node("src", Source(s => { import s.implicits._; Seq(1, 2, 3).toDF("v") })),
-      Node("ok_sink", Sink(df => { okWrites.incrementAndGet(); df.count(); () })),
-      Node("bad_sink", Sink { df =>
+      Node("ok_sink", Sink.unit(df => { okWrites.incrementAndGet(); df.count(); () })),
+      Node("bad_sink", Sink.unit { df =>
         badWrites.incrementAndGet()
         if (failing) throw new RuntimeException("downstream outage")
         df.count(); ()
@@ -113,7 +113,7 @@ class PipelineDagSpec extends AnyFunSuite {
       }),
       Node("double", Transform(Seq(
         graft.operators.TransformStep.AddDerivedColumn("v2", "v * 2")))),
-      Node("sink", Sink { df =>
+      Node("sink", Sink.unit { df =>
         if (failing) throw new RuntimeException("flaky")
         df.count(); ()
       }))
@@ -143,7 +143,7 @@ class PipelineDagSpec extends AnyFunSuite {
         calls.incrementAndGet()
         import s.implicits._; Seq("resp").toDF("body")
       }),
-      Node("sink", Sink { df =>
+      Node("sink", Sink.unit { df =>
         if (failing) throw new RuntimeException("flaky")
         df.count(); ()
       }))
@@ -176,7 +176,7 @@ class PipelineDagSpec extends AnyFunSuite {
     val nodes = Seq(
       Node("src", Source(s => { import s.implicits._; (1 to 7).toDF("v") })),
       Node("keep_small", Conditional("v <= 3")),
-      Node("out", Sink(df => { df.count(); () })))
+      Node("out", Sink.unit(df => { df.count(); () })))
     val edges = Seq(Edge("src", "keep_small"), Edge("keep_small", "out"))
     val r = PipelineDag.execute(spark, nodes, edges)
     assert(r.observed("out")("rows") == 3L)

@@ -74,9 +74,16 @@ class PipelineJsonSpec extends AnyFunSuite {
       "edges": [{"source": "n1", "target": "n2"}]
     }"""
 
-    PipelineJson.run(spark, json("day0"))
-    // re-run of the SAME batch: marker-detected no-op
-    PipelineJson.run(spark, json("day0"))
+    val first = PipelineJson.run(spark, json("day0"))
+    assert(first.nodeLog.exists { case (id, msg) =>
+      id == "n2" && msg == "sink ok" })
+    // re-run of the SAME batch: marker-detected no-op — and VISIBLY
+    // so: a stale batch_id with new input data would otherwise no-op
+    // in silence (r9 advice)
+    val rerun = PipelineJson.run(spark, json("day0"))
+    assert(rerun.nodeLog.exists { case (id, msg) =>
+      id == "n2" && msg.contains("already committed") &&
+        msg.contains("bump batch_id") }, rerun.nodeLog.toString)
     // a new day folds in
     PipelineJson.run(spark, json("day1"))
     val got = graft.operators.IncrementalAgg.result(spark, state)

@@ -192,25 +192,26 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(stats.filesBefore >= 3 && stats.filesAfter == 1)
 
     // rows (incl. the materialized _fp column) survive byte-identically
-    val after = spark.read.parquet(lakeDir)
+    val after = CorpusIngest.readLake(spark, lakeDir)
     assert(after.columns.contains(CorpusIngest.FingerprintCol))
     assert(after.orderBy("doc_id").collect().map(_.toString).toSeq == before)
 
-    // commit markers traveled: replaying a committed batch id is a no-op
+    // commit markers stayed (root-anchored): replaying a committed
+    // batch id is a no-op
     CorpusIngest.ingestBatch(batch((9L, "would be fresh data here")), 1L,
       lakeDir, failReason = gate, scope = "s")
-    assert(spark.read.parquet(lakeDir).count() == 3)
+    assert(CorpusIngest.readLake(spark, lakeDir).count() == 3)
 
     // the compacted lake still dedups: dup drops, fresh doc lands via
     // the pruned _fp probe path
     CorpusIngest.ingestBatch(batch(
       (10L, "delta gamma beta alpha"), // bag-dup of doc 1
       (11L, "nu xi omicron pi")), 3L, lakeDir, failReason = gate, scope = "s")
-    assert(spark.read.parquet(lakeDir).select("doc_id")
+    assert(CorpusIngest.readLake(spark, lakeDir).select("doc_id")
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 11L))
   }
 
-  test("compactLake moves already-big files by rename and only rewrites the small tail") {
+  test("compactLake references already-big files in place and only rewrites the small tail") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_big")
     val lakeDir = dir.resolve("lake").toString
     def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
@@ -227,12 +228,19 @@ class CorpusIngestSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(before.size == 2002)
     // threshold between the big file and the tiny ones: the big file
-    // must be MOVED (zero read), the two tiny ones rewritten into one
+    // must be RETAINED IN PLACE (zero read, zero rename — manifest
+    // reference only), the two tiny ones rewritten into one
+    val bigFile = new java.io.File(lakeDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") && f.length >= 8192L)
+    assert(bigFile.length == 1)
+    val bigMtime = bigFile.head.lastModified
     val stats = CorpusIngest.compactLake(spark, lakeDir,
       targetBytes = 1L << 30, minFileBytes = 8192L)
     assert(stats.bytesMoved >= 8192L && stats.bytesRewritten > 0L)
     assert(stats.filesAfter < stats.filesBefore)
-    assert(spark.read.parquet(lakeDir)
+    // the big file is physically untouched at its original path
+    assert(bigFile.head.isFile && bigFile.head.lastModified == bigMtime)
+    assert(CorpusIngest.readLake(spark, lakeDir)
       .orderBy("doc_id").collect().map(_.toString).toSeq == before)
     // second call: nothing small remains → no-op fast path
     val again = CorpusIngest.compactLake(spark, lakeDir,
@@ -263,14 +271,16 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(stats.bytesMoved == 0L && stats.bytesRewritten > 0L)
 
     // rows survive exactly
-    assert(spark.read.parquet(lakeDir)
+    assert(CorpusIngest.readLake(spark, lakeDir)
       .orderBy("doc_id").collect().map(_.toString).toSeq == before)
 
     // per-file id ranges are now DISJOINT — the property parquet
-    // min/max footer skipping needs (read each data file separately)
+    // min/max footer skipping needs (read each data file separately;
+    // a clusterBy compact rewrites everything into the generation dir)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(lakeDir))
+    val parts = fs.listStatus(
+      new org.apache.hadoop.fs.Path(lakeDir, "_gen-00000"))
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
       .map(_.getPath.toString)
@@ -286,6 +296,60 @@ class CorpusIngestSpec extends AnyFunSuite {
         assert(hi < lo, s"file ranges overlap: hi=$hi lo=$lo")
       case _ =>
     }
+  }
+
+  test("compactLake installs by manifest flip: an interleaved reader survives, " +
+      "ingestion continues into the live generation, stale layouts retire") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_manifest")
+    val lakeDir = dir.resolve("lake").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(batch((1L, "alpha beta gamma delta")), 0L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(batch((2L, "epsilon zeta eta theta")), 1L,
+      lakeDir, failReason = gate, scope = "s")
+    def rootNames = new java.io.File(lakeDir).listFiles().map(_.getName).toSet
+
+    // a reader resolves the LIVE (flat, pre-manifest) layout ...
+    val reader1 = CorpusIngest.readLake(spark, lakeDir)
+    CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    // ... and survives the flip: the flat files it may be scanning are
+    // RETAINED (nothing was renamed or deleted), the new generation is
+    // committed by one manifest object
+    assert(rootNames.contains("_gen-00000")
+      && rootNames.contains("_graft_gen-00000.manifest"))
+    assert(rootNames.exists(_.endsWith(".parquet")), "flat layout retained")
+    assert(reader1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // ingestion continues against the live generation: dedup still
+    // sees doc 1, fresh doc 3 lands inside _gen-00000
+    CorpusIngest.ingestBatch(batch(
+      (30L, "delta gamma beta alpha"), // bag-dup of doc 1
+      (3L, "iota kappa lambda mu")), 2L, lakeDir, failReason = gate, scope = "s")
+    assert(CorpusIngest.readLake(spark, lakeDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // second compact → gen-00001; the flat layout (two generations
+    // old) retires, gen-00000 is kept for its own in-flight readers
+    val reader2 = CorpusIngest.readLake(spark, lakeDir)
+    CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    assert(!rootNames.exists(_.endsWith(".parquet")), "flat layout retired")
+    assert(rootNames.contains("_gen-00000") && rootNames.contains("_gen-00001"))
+    assert(reader2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+
+    // third compact (after one more batch) retires gen-00000 and its
+    // manifest; markers stayed root-anchored throughout (replay of
+    // batch 1 is still a no-op)
+    CorpusIngest.ingestBatch(batch((4L, "nu xi omicron pi")), 3L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    assert(!rootNames.contains("_gen-00000")
+      && !rootNames.contains("_graft_gen-00000.manifest"))
+    assert(rootNames.contains(CorpusIngest.CommitDirName))
+    CorpusIngest.ingestBatch(batch((9L, "would be fresh data here")), 1L,
+      lakeDir, failReason = gate, scope = "s")
+    assert(CorpusIngest.readLake(spark, lakeDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
   test("compactLake refuses hive-partitioned layouts instead of dropping partition columns") {

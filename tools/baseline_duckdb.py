@@ -26,8 +26,11 @@ def run_one(sf_dir, sql, q):
         con.execute("SET threads=2")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
-            if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            if os.path.isdir(p):  # Spark-written dataset (dir of part files)
+                p = f"{p}/*.parquet"
+            elif not os.path.exists(p):
+                continue
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         q.put(time.perf_counter() - t0)
