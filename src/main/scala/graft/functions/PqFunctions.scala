@@ -26,10 +26,15 @@ object PqFunctions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
 
-  /** Encode a vector column to its `nsub`-byte PQ code. */
+  /** Encode a vector column to its `nsub`-byte PQ code. `rotation`
+    * (null = none) is an OPQ rotation applied FUSED after the
+    * normalize and before codebook assignment — one in-row pass, no
+    * intermediate rotated-vector column ever materializes.
+    */
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]],
-      normalize: Boolean): Column =
-    ncol(PqEncodeExpr(ex(v), codebooks, normalize))
+      normalize: Boolean,
+      rotation: Array[Array[Double]] = null): Column =
+    ncol(PqEncodeExpr(ex(v), codebooks, normalize, rotation))
 
   /** ADC score of a code column against a flattened `nsub`×`k` query
     * distance table (lower = closer).
@@ -62,7 +67,8 @@ object PqFunctions {
     */
   def encode(arr: ArrayData, kind: Int, elem: DataType,
       codebooks: Array[Array[Array[Double]]],
-      normalize: Boolean): Array[Byte] = {
+      normalize: Boolean,
+      rotation: Array[Array[Double]]): Array[Byte] = {
     val nsub = codebooks.length
     val subdim = codebooks(0)(0).length
     val dim = nsub * subdim
@@ -70,7 +76,7 @@ object PqFunctions {
     if (n != dim) throw new IllegalArgumentException(
       s"graft_pq_encode: vector has $n elements, model expects $dim " +
         s"($nsub subspaces × $subdim)")
-    val v = new Array[Double](dim)
+    var v = new Array[Double](dim)
     var i = 0
     while (i < dim) {
       if (arr.isNullAt(i)) return null
@@ -83,6 +89,21 @@ object PqFunctions {
       while (i < dim) { ss += v(i) * v(i); i += 1 }
       val nrm = math.sqrt(ss)
       if (nrm > 0) { i = 0; while (i < dim) { v(i) /= nrm; i += 1 } }
+    }
+    if (rotation != null) {
+      // y = R v — OPQ's learned basis change (orthogonal, so the
+      // normalize above is unaffected); codebooks were fit in y-space
+      val y = new Array[Double](dim)
+      var a = 0
+      while (a < dim) {
+        val row = rotation(a)
+        var b = 0
+        var acc = 0.0
+        while (b < dim) { acc += row(b) * v(b); b += 1 }
+        y(a) = acc
+        a += 1
+      }
+      v = y
     }
     val code = new Array[Byte](nsub)
     var s = 0
@@ -142,9 +163,12 @@ object PqFunctions {
     }
 }
 
-/** `graft_pq_encode(vec)` → binary: the vector's `nsub`-byte PQ code. */
+/** `graft_pq_encode(vec)` → binary: the vector's `nsub`-byte PQ code
+  * (optionally through a fused OPQ rotation — `rotation` null = none).
+  */
 case class PqEncodeExpr(child: Expression,
-    codebooks: Array[Array[Array[Double]]], normalize: Boolean)
+    codebooks: Array[Array[Array[Double]]], normalize: Boolean,
+    rotation: Array[Array[Double]] = null)
     extends UnaryExpression {
 
   private lazy val kind = VectorFunctions.elementKind(child.dataType)
@@ -160,16 +184,20 @@ case class PqEncodeExpr(child: Expression,
   override def prettyName: String = "graft_pq_encode"
 
   protected override def nullSafeEval(v: Any): Any =
-    PqFunctions.encode(v.asInstanceOf[ArrayData], kind, elem, codebooks, normalize)
+    PqFunctions.encode(v.asInstanceOf[ArrayData], kind, elem, codebooks,
+      normalize, rotation)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val r = ctx.freshName("pqCode")
       val cb = ctx.addReferenceObj("pqCodebooks", codebooks)
       val el = ctx.addReferenceObj("pqElem", elem)
+      val rot =
+        if (rotation == null) "(double[][]) null"
+        else ctx.addReferenceObj("pqRotation", rotation, "double[][]")
       s"""
          |byte[] $r = graft.functions.PqFunctions.encode(
-         |  $v, $kind, $el, $cb, $normalize);
+         |  $v, $kind, $el, $cb, $normalize, $rot);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })

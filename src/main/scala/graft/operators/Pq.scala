@@ -33,9 +33,17 @@ import graft.functions.PqFunctions
   */
 object Pq {
 
-  /** `codebooks(s)(c)` = centroid `c` of subspace `s` (length dim/nsub). */
+  /** `codebooks(s)(c)` = centroid `c` of subspace `s` (length dim/nsub).
+    * `rotation` (OPQ, Ge et al. 2013 "Optimized Product Quantization"):
+    * an orthogonal d×d basis change applied before subspace splitting —
+    * codebooks live in the rotated space, queries rotate in
+    * [[adcTable]], and the exact rerank needs nothing (orthogonal maps
+    * preserve cosine and L2). Same code bytes, lower quantization
+    * error when the data's variance straddles subspace boundaries.
+    */
   final case class PqModel(nsub: Int, k: Int, subdim: Int,
-      normalize: Boolean, codebooks: Array[Array[Array[Double]]]) {
+      normalize: Boolean, codebooks: Array[Array[Array[Double]]],
+      rotation: Option[Array[Array[Double]]] = None) {
     def dim: Int = nsub * subdim
   }
 
@@ -49,6 +57,16 @@ object Pq {
     require(nsub >= 1, s"pq: nsub=$nsub")
     require(metric == "cosine" || metric == "l2", s"pq: unknown metric '$metric'")
     val normalize = metric == "cosine"
+    val prepared = prepSample(df, idCol, vecCol, normalize, nsub)
+    val subdim = prepared.head.length / nsub
+    PqModel(nsub, k, subdim, normalize,
+      fitCodebooks(prepared, nsub, k, maxIter))
+  }
+
+  /** Deterministic md5-ordered sample, normalized for the cosine
+    * metric, dim-checked against `nsub`. */
+  private def prepSample(df: DataFrame, idCol: String, vecCol: String,
+      normalize: Boolean, nsub: Int): Array[Array[Double]] = {
     val sample = df
       .select(col(vecCol).cast("array<double>").as("_v"),
         md5(col(idCol).cast("string")).as("_h"))
@@ -60,25 +78,124 @@ object Pq {
     val dim = sample.head.length
     require(dim % nsub == 0,
       s"pq: dim $dim not divisible by nsub=$nsub")
-    val subdim = dim / nsub
-    val prepared =
-      if (!normalize) sample
-      else sample.map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n > 0) v.map(_ / n) else v
-      }
-    val codebooks = Array.tabulate(nsub) { s =>
-      val sub = prepared.map(v => java.util.Arrays.copyOfRange(v, s * subdim, (s + 1) * subdim))
+    if (!normalize) sample
+    else sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+  }
+
+  private def fitCodebooks(prepared: Array[Array[Double]], nsub: Int,
+      k: Int, maxIter: Int): Array[Array[Array[Double]]] = {
+    val subdim = prepared.head.length / nsub
+    Array.tabulate(nsub) { s =>
+      val sub = prepared.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subdim, (s + 1) * subdim))
       Similarity.localLloyd(sub, math.min(k, sub.length), maxIter)
     }
-    PqModel(nsub, k, subdim, normalize, codebooks)
+  }
+
+  /** OPQ sample bound: the Procrustes step is O(sample × dim²) per
+    * iteration driver-side, so the rotation fits on a deterministic
+    * prefix of the (already md5-shuffled) codebook sample.
+    */
+  val OpqSampleSize = 20000
+
+  /** OPQ fit (Ge et al. 2013, non-parametric alternation): iterate
+    * [fit codebooks in the rotated space] ⇄ [orthogonal Procrustes —
+    * SVD of Xᵀ·Ŷ — re-aligns the rotation to the quantization]. Same
+    * code width as [[fit]], lower quantization error whenever the
+    * data's covariance straddles subspace boundaries; with isotropic
+    * data it degrades gracefully to ≈ plain PQ. Driver-local on the
+    * fit sample (the same shape as [[fit]] — the rotation is a MODEL,
+    * corpus-sized work stays on the cluster), applied at encode time
+    * fused inside [[graft.functions.PqEncodeExpr]].
+    */
+  def fitOpq(df: DataFrame, idCol: String, vecCol: String,
+      nsub: Int = 8, k: Int = 16, maxIter: Int = 10,
+      metric: String = "cosine", opqIters: Int = 8): PqModel = {
+    require(k >= 1 && k <= 256, s"pq: k=$k — codes are one byte, need 1..256")
+    require(nsub >= 1, s"pq: nsub=$nsub")
+    require(metric == "cosine" || metric == "l2", s"pq: unknown metric '$metric'")
+    require(opqIters >= 1, s"pq: opqIters=$opqIters")
+    val normalize = metric == "cosine"
+    val prepared = prepSample(df, idCol, vecCol, normalize, nsub)
+      .take(OpqSampleSize)
+    val dim = prepared.head.length
+    val subdim = dim / nsub
+    var rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var codebooks: Array[Array[Array[Double]]] = null
+    def rotate(v: Array[Double]): Array[Double] = {
+      val y = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val row = rot(i)
+        var j = 0
+        var acc = 0.0
+        while (j < dim) { acc += row(j) * v(j); j += 1 }
+        y(i) = acc
+        i += 1
+      }
+      y
+    }
+    def quantized(y: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var s = 0
+      while (s < nsub) {
+        val cb = codebooks(s)
+        val off = s * subdim
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var j = 0
+          while (j < subdim) { val t = y(off + j) - cb(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        System.arraycopy(cb(best), 0, out, off, subdim)
+        s += 1
+      }
+      out
+    }
+    var it = 0
+    while (it < opqIters) {
+      val y = prepared.map(rotate)
+      codebooks = fitCodebooks(y, nsub, k, maxIter)
+      // Procrustes: min_R Σ‖R·x − ŷ‖² ⇒ max tr(R·M), M = Σ x·ŷᵀ;
+      // M = U·S·Vᵀ ⇒ R = V·Uᵀ (the classic closed form)
+      val m = Array.ofDim[Double](dim, dim)
+      prepared.zip(y).foreach { case (x, yv) =>
+        val q = quantized(yv)
+        var i = 0
+        while (i < dim) {
+          val xi = x(i)
+          if (xi != 0.0) {
+            val row = m(i)
+            var j = 0
+            while (j < dim) { row(j) += xi * q(j); j += 1 }
+          }
+          i += 1
+        }
+      }
+      val mm = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => m(i)(j))
+      val sv = breeze.linalg.svd(mm)
+      val r = sv.Vt.t * sv.U.t
+      rot = Array.tabulate(dim, dim)((i, j) => r(i, j))
+      it += 1
+    }
+    // codebooks must pair with the FINAL rotation
+    codebooks = fitCodebooks(prepared.map(rotate), nsub, k, maxIter)
+    PqModel(nsub, k, subdim, normalize, codebooks, Some(rot))
   }
 
   /** Map-only: add the `nsub`-byte `codeCol` to every row. */
   def encode(df: DataFrame, vecCol: String, model: PqModel,
       codeCol: String = "_code"): DataFrame =
     df.withColumn(codeCol,
-      PqFunctions.pqEncode(col(vecCol), model.codebooks, model.normalize))
+      PqFunctions.pqEncode(col(vecCol), model.codebooks, model.normalize,
+        model.rotation.orNull))
 
   /** Persist the code table — (id, `_code`) parquet, ~nsub bytes/row —
     * plus the model sidecar. Encode once on a cluster, query forever.
@@ -99,6 +216,10 @@ object Pq {
     } yield (s, c, model.codebooks(s)(c).toSeq, model.normalize)
     rows.toDF("sub", "cid", "centroid", "normalize")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    model.rotation.foreach { r =>
+      r.indices.map(i => (i, r(i).toSeq)).toDF("row", "values")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    }
   }
 
   def loadModel(spark: SparkSession, path: String): PqModel = {
@@ -111,8 +232,14 @@ object Pq {
         .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
     }.toArray
     val k = codebooks.map(_.length).max
+    val rotPath = new org.apache.hadoop.fs.Path(s"$path/rotation")
+    val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rotation =
+      if (!fs.exists(rotPath)) None
+      else Some(spark.read.parquet(rotPath.toString).orderBy("row").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("values").toArray))
     PqModel(codebooks.length, k, codebooks(0)(0).length,
-      rows.head.getAs[Boolean]("normalize"), codebooks)
+      rows.head.getAs[Boolean]("normalize"), codebooks, rotation)
   }
 
   /** Query a saved index: ADC over the CODE table (never the vectors)
@@ -334,6 +461,22 @@ object Pq {
     if (model.normalize) {
       val n = math.sqrt(q.map(x => x * x).sum)
       if (n > 0) q = q.map(_ / n)
+    }
+    model.rotation.foreach { r =>
+      // the codebooks live in the rotated space — the query joins them
+      // there; the exact rerank stays on original vectors (orthogonal
+      // maps preserve cosine/L2)
+      val y = new Array[Double](q.length)
+      var i = 0
+      while (i < y.length) {
+        val row = r(i)
+        var j = 0
+        var acc = 0.0
+        while (j < row.length) { acc += row(j) * q(j); j += 1 }
+        y(i) = acc
+        i += 1
+      }
+      q = y
     }
     val table = new Array[Double](model.nsub * model.k)
     var s = 0

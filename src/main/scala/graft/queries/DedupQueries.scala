@@ -289,6 +289,25 @@ object DedupQueries {
         query, k = 20, pool = 1 << 20)
     }),
 
+    // OPQ (Ge et al. 2013): same 8-byte codes as s_pq_topk but through
+    // a learned orthogonal rotation fit by SVD-Procrustes alternation
+    // driver-side; encode stays one fused map-only pass. At pool ≥
+    // corpus the exact rerank makes the result ≡ brute force, so the
+    // same cosine oracle applies — recall superiority at PRUNED pools
+    // is spec'd in PqSpec on a structured-covariance fixture.
+    "s_opq_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 2)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val model = graft.operators.Pq.fitOpq(vecs, "vec_id", "embedding",
+        nsub = (8 to 1 by -1).find(query.length % _ == 0).get,
+        k = 16, maxIter = 4, opqIters = 3)
+      val path = java.nio.file.Files.createTempDirectory("graft_opq").toString
+      graft.operators.Pq.savePqIndex(vecs, "vec_id", "embedding", model, path)
+      graft.operators.Pq.topK(s, path, vecs, "vec_id", "embedding",
+        query, k = 20, pool = 1 << 20)
+    }),
+
     // PQ k-NN JOIN at pool ≥ corpus: the batch-retrieval twin of
     // s_pq_topk — one scan of the persisted byte-code table scores
     // all 5 queries (broadcast ADC tables), and the full-pool rerank
@@ -727,6 +746,21 @@ object DedupQueries {
         |SELECT vec_id, cos_sim FROM scored
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
     "s_ivfpq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "s_opq_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
         |scored AS (
         |  SELECT vec_id,

@@ -268,6 +268,94 @@ class PqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("IVF/LSH bucket joins"))
   }
 
+  // ---- OPQ -----------------------------------------------------------
+
+  /** Structured-covariance corpus: z has sharply decaying per-dim
+    * variance, then a fixed dense rotation Q smears that energy across
+    * every coordinate — so PLAIN PQ's axis-aligned subspaces each see
+    * a slice of every principal direction (the worst case Ge et al.
+    * 2013 §1 motivates), while OPQ can learn ≈ Qᵀ and give each
+    * subspace a coherent variance block.
+    */
+  private def structuredCorpus(n: Int, seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    // fixed orthonormal Q via Gram-Schmidt on a seeded random matrix
+    val qrnd = new scala.util.Random(4242L)
+    val q = Array.fill(dim, dim)(qrnd.nextGaussian())
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = (0 until dim).map(t => q(i)(t) * q(j)(t)).sum
+        for (t <- 0 until dim) q(i)(t) -= d * q(j)(t)
+      }
+      val nrm = math.sqrt((0 until dim).map(t => q(i)(t) * q(i)(t)).sum)
+      for (t <- 0 until dim) q(i)(t) /= nrm
+    }
+    (0 until n).map { i =>
+      val z = Array.tabulate(dim)(j => rnd.nextGaussian() / (1.0 + j))
+      val x = Array.tabulate(dim)(a => (0 until dim).map(b => q(b)(a) * z(b)).sum)
+      (i.toLong, x.map(_.toFloat).toSeq)
+    }
+  }
+
+  private def recallAt(got: Seq[Long], want: Seq[Long]): Double =
+    want.count(got.contains).toDouble / want.size
+
+  test("OPQ ≥ plain PQ recall at equal code bytes on structured covariance; rotation orthogonal") {
+    val rows = structuredCorpus(1000, 31L)
+    val df = rows.toDF("id", "vec")
+    val pq = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 6)
+    val opq = Pq.fitOpq(df, "id", "vec", nsub = 4, k = 8, maxIter = 6,
+      opqIters = 6)
+    // the learned rotation is orthogonal: RᵀR = I
+    val r = opq.rotation.get
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(t => r(t)(i) * r(t)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"RtR($i,$j)=$dot")
+    }
+    // recall@10 with a 30-of-1000 candidate pool (33× pruning), over
+    // 20 noisy-corpus-vector queries — the regime where quantization
+    // quality IS the recall
+    val qrnd = new scala.util.Random(77L)
+    val recalls = (0 until 20).map { qi =>
+      val base = rows(qrnd.nextInt(rows.size))._2
+      val query = base.zipWithIndex
+        .map { case (v, j) => (v + 0.05 * qrnd.nextGaussian()).toFloat }.toArray
+      val truth = Similarity.cosineTopK(df, "id", "vec", query, 10)
+        .collect().map(_.getLong(0)).toSeq
+      def got(m: Pq.PqModel) =
+        Pq.topKOneShot(df, "id", "vec", m, query, k = 10, pool = 30)
+          .collect().map(_.getLong(0)).toSeq
+      (recallAt(got(pq), truth), recallAt(got(opq), truth))
+    }
+    val pqR = recalls.map(_._1).sum / recalls.size
+    val opqR = recalls.map(_._2).sum / recalls.size
+    info(f"mean recall@10 pool=30: pq=$pqR%.3f opq=$opqR%.3f")
+    assert(opqR >= pqR,
+      f"OPQ recall $opqR%.3f fell below plain PQ $pqR%.3f")
+    assert(opqR >= 0.60, f"OPQ recall $opqR%.3f below floor")
+  }
+
+  test("OPQ index roundtrip: rotation persists; full pool ≡ brute force (oracle config)") {
+    val df = structuredCorpus(400, 5L).toDF("id", "vec")
+    val opq = Pq.fitOpq(df, "id", "vec", nsub = 4, k = 8, maxIter = 4,
+      opqIters = 3)
+    val path = tmp()
+    Pq.savePqIndex(df, "id", "vec", opq, path)
+    val loaded = Pq.loadModel(spark, path)
+    assert(loaded.rotation.isDefined)
+    assert(loaded.rotation.get.map(_.toSeq).toSeq ==
+      opq.rotation.get.map(_.toSeq).toSeq)
+    val query = structuredCorpus(1, 91L).head._2.map(_.toFloat).toArray
+    // pool ≥ corpus: exact rerank sees everything — OPQ, PQ and brute
+    // force all agree (the s_opq_topk oracle configuration)
+    val got = Pq.topK(spark, path, df, "id", "vec", query, k = 10, pool = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.cosineTopK(df, "id", "vec", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
   test("candidate stage is a TakeOrdered over the codes scan, not a global sort") {
     val df = corpus()
     val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 2)
