@@ -164,6 +164,47 @@ object BpeTrain {
     s
   }
 
+  /** Count-only twin of [[encode]] for token BUDGETING: adds just
+    * `outCol` (the int BPE token count) and never materializes the
+    * subword array — when the count feeds
+    * [[SequencePack.assignBins]]'s two-shuffle prefix sum, the array
+    * column would otherwise ride through both shuffles at corpus
+    * scale for nothing. Same tokenizer, same memoization (word →
+    * count), bit-identical to `size(encode(...).bpe_tokens)`.
+    */
+  def countTokens(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)],
+      outCol: String = "bpe_n_tokens"): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val base = df.drop(outCol)
+    val spark = base.sparkSession
+    val ranksB = spark.sparkContext.broadcast(ranks)
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(base.schema.fields :+
+      StructField(outCol, IntegerType, nullable = false))
+    val idx = base.schema.fieldIndex(textCol)
+    base.mapPartitions { rows =>
+      val memo = new java.util.HashMap[String, Integer]()
+      val rk = ranksB.value
+      rows.map { r =>
+        val text = r.getString(idx)
+        val n =
+          if (text == null) 0
+          else TextSignatures.jvmTokens(text.replace(EndOfWord, ""))
+            .iterator.filter(_.nonEmpty).map { w =>
+              val hit = memo.get(w)
+              if (hit != null) hit.intValue
+              else {
+                val c = encodeWord(w, rk).size
+                if (memo.size < MemoCap) memo.put(w, c)
+                c
+              }
+            }.sum
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Tokenize a corpus with a trained merge table: adds `bpe_tokens`
     * (array of subwords, sentinel kept on word-final pieces) and
     * `bpe_n_tokens`, REPLACING those columns if present (withColumn

@@ -85,6 +85,29 @@ object SequencePack {
       .drop("_bkt", "_off", "_cum")
   }
 
+  /** Opt-in BPE budgeting: bins sized by the REAL tokenizer's output
+    * ([[BpeTrain.countTokens]] over a trained merge table) instead of
+    * a whitespace-ish proxy. The two counters disagree materially on
+    * exactly the documents that matter for shard budgets — long
+    * compound words, URLs, code, non-Latin scripts all expand under a
+    * subword tokenizer — and a shard packed to a whitespace budget
+    * then overflows the model's actual context window. The count is
+    * computed by the count-only kernel (one map pass, memoized per
+    * partition) so no subword array ever enters the prefix-sum
+    * shuffles; cost on top of [[assignBins]] is that single map pass.
+    */
+  def assignBinsBpe(
+      df: DataFrame,
+      keyCol: String, orderCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      budget: Long, bucketWidth: Long,
+      binCol: String = "bin_id",
+      countCol: String = "bpe_n_tokens"): DataFrame =
+    assignBins(
+      BpeTrain.countTokens(df, textCol, merges, countCol)
+        .withColumn(countCol, col(countCol).cast("long")),
+      keyCol, orderCol, countCol, budget, bucketWidth, binCol)
+
   /** Exact floor division on longs: `(a - pmod(a, b)) / b` with the
     * decimal detour (the numerator is exactly divisible; a double `/`
     * would truncate past 2⁵³). Same shape as AsOfJoin.floorDiv.

@@ -65,6 +65,28 @@ object Writers {
       .partitionBy(keyCol, "bin_id")
       .parquet(path)
 
+  /** [[writeTokenShards]] budgeted by REAL tokenizer counts: the docs
+    * are counted with a trained BPE merge table
+    * ([[graft.operators.BpeTrain.countTokens]], one map-only pass —
+    * the count column rides the shuffles, never the subword array)
+    * and the shard directories then hold ≈ `budget` actual model
+    * tokens instead of a whitespace approximation. Opt-in: pass the
+    * merge table trained by `BpeTrain.train`.
+    */
+  def writeTokenShardsBpe(
+      df: DataFrame, path: String,
+      keyCol: String, orderCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      budget: Long, bucketWidth: Long,
+      mode: String = "overwrite"): Unit =
+    graft.operators.SequencePack
+      .assignBinsBpe(df, keyCol, orderCol, textCol, merges, budget, bucketWidth)
+      .repartition(org.apache.spark.sql.functions.col(keyCol),
+        org.apache.spark.sql.functions.col("bin_id"))
+      .write.mode(mode)
+      .partitionBy(keyCol, "bin_id")
+      .parquet(path)
+
   /** db_insert via Spark's JDBC sink (connectors/builtin.py:133-204
     * MySQLConnector.write_data — there: CSV → DuckDB → MySQL; here: a
     * direct distributed JDBC write, `numPartitions` bounding the

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalAgg
+
+/** Dev scratch: the incremental-agg family one more decade out (r9
+  * verdict item 8) — e_incr_agg's lifecycle (fit + 2 appends +
+  * result), the steady-state result()-only read, and the
+  * streaming-shaped fold of ONE new batch, timed on a star dir
+  * (sf1 = /tmp/graft_sf1_star, sf10 = GenStar ×100). State size is
+  * O(groups) (l_returnflag × l_linestatus here), so result() should
+  * be data-size-independent (floor) and append/fold should scale with
+  * the BATCH, not the state. Results go to SCALING.md. Not part of
+  * the library surface.
+  */
+object ProfileIncrAgg {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/tmp/graft_sf1_star")
+    val label = args.lift(1).getOrElse(dir)
+
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .withColumn("l_quantity", col("l_quantity").cast("decimal(18,4)"))
+      .withColumn("l_discount", col("l_discount").cast("decimal(18,4)"))
+    val ms = Seq(IncrementalAgg.Count("n_rows"),
+      IncrementalAgg.Sum("l_quantity", "sum_qty"),
+      IncrementalAgg.Min("l_extendedprice", "min_price"),
+      IncrementalAgg.Max("l_extendedprice", "max_price"),
+      IncrementalAgg.Sum("l_discount", "sum_disc"))
+    println(s"[incragg] $label lineitem = ${li.count()} rows")
+
+    def time(what: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[incragg] $label $what%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+
+    for (round <- 1 to 2) { // round 1 warms the page cache
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_incragg_$round").toString + "/state"
+      time("lifecycle") {
+        IncrementalAgg.fit(li.filter(col("l_orderkey") % 3 === 0),
+          Seq("l_returnflag", "l_linestatus"), ms, state, "d0")
+        IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 1), "d1")
+        IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 2), "d2")
+        IncrementalAgg.result(spark, state).count()
+      }
+      time("result_only") {
+        IncrementalAgg.result(spark, state).count()
+      }
+      time("fold_one_batch") { // the streaming microbatch shape
+        IncrementalAgg.fold(li.filter(col("l_orderkey") % 7 === 1)
+          .withColumn("l_orderkey", col("l_orderkey") + 1000000000L),
+          Seq("l_returnflag", "l_linestatus"), ms, state, "d3")
+      }
+      time("result_after") {
+        IncrementalAgg.result(spark, state).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -55,4 +55,84 @@ class SequencePackPropertySpec extends AnyFunSuite {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("BPE-budgeted bins: real tokenizer counts drive the bins where the " +
+      "whitespace proxy disagrees materially") {
+    // short common words + long compound words: a small merge table
+    // reassembles the common words to ~1-2 subwords but shatters the
+    // compounds into many — whitespace counting sees 3 tokens per doc
+    // either way
+    val common = Seq("the cat sat", "the dog ran", "the cat ran",
+      "the dog sat", "a cat sat", "a dog ran")
+    val compounds = Seq(
+      "Donaudampfschifffahrtsgesellschaft electroencephalographically " +
+        "floccinaucinihilipilification",
+      "pneumonoultramicroscopicsilicovolcanoconiosis " +
+        "antidisestablishmentarianism honorificabilitudinitatibus")
+    val docs = (common ++ compounds ++ common ++ compounds).zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", t) }
+      .toDF("doc_id", "lang", "text")
+    val merges = BpeTrain.train(docs, "text", numMerges = 40)
+
+    // the count-only kernel is bit-identical to size(encode(...))
+    val counted = BpeTrain.countTokens(docs, "text", merges)
+    val full = BpeTrain.encode(docs, "text", merges)
+      .select($"doc_id", size($"bpe_tokens").as("n"))
+    val disagree = counted.select($"doc_id", $"bpe_n_tokens")
+      .join(full, "doc_id")
+      .filter($"bpe_n_tokens" =!= $"n").count()
+    assert(disagree == 0)
+
+    // the two counters disagree materially on the compounds
+    val ratios = counted
+      .withColumn("ws", graft.functions.TextFunctions.wsTokenCount($"text"))
+      .select($"doc_id", ($"bpe_n_tokens" / $"ws").as("ratio"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios.values.max > 3.0,
+      s"compound docs no longer expand under BPE: $ratios")
+
+    // bin totals hold under the BPE counts: recompute the running
+    // start per doc from the REAL counts and check every assignment
+    val binned = SequencePack.assignBinsBpe(docs, "lang", "doc_id", "text",
+      merges, budget = 40L, bucketWidth = 5L)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val check = binned
+      .withColumn("_cum", sum($"bpe_n_tokens").over(w))
+      .withColumn("_want", expr("(_cum - bpe_n_tokens) DIV 40"))
+      .filter($"bin_id" =!= $"_want").count()
+    assert(check == 0)
+    // and the whitespace-budgeted binning puts at least one doc in a
+    // DIFFERENT bin — the counter is load-bearing, not cosmetic
+    val wsBinned = SequencePack.assignBins(
+      docs.withColumn("ws",
+        graft.functions.TextFunctions.wsTokenCount($"text").cast("long")),
+      "lang", "doc_id", "ws", budget = 40L, bucketWidth = 5L)
+      .select($"doc_id", $"bin_id".as("ws_bin"))
+    val moved = binned.select($"doc_id", $"bin_id").join(wsBinned, "doc_id")
+      .filter($"bin_id" =!= $"ws_bin").count()
+    assert(moved > 0)
+  }
+
+  test("writeTokenShardsBpe: shard directories hold ≈budget real tokens per (key, bin)") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, if (i % 4 == 0) "de" else "en",
+        if (i % 3 == 0) "internationalization localization modularization"
+        else "the cat sat on the mat")
+    }.toDF("doc_id", "lang", "text")
+    val merges = BpeTrain.train(docs, "text", numMerges = 30)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_bpe").toString
+    graft.sources.Writers.writeTokenShardsBpe(docs, out,
+      "lang", "doc_id", "text", merges, budget = 60L, bucketWidth = 7L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 40)
+    assert(back.columns.contains("bin_id") && back.columns.contains("lang")
+      && back.columns.contains("bpe_n_tokens"))
+    // every shard's docs START inside its budget window: running
+    // start (from the real counts) div budget == the directory's bin
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val bad = back
+      .withColumn("_cum", sum($"bpe_n_tokens").over(w))
+      .filter(expr("(_cum - bpe_n_tokens) DIV 60") =!= $"bin_id").count()
+    assert(bad == 0)
+  }
 }
