@@ -161,6 +161,32 @@ object LangId {
     UTF8String.fromString(m.langs(best))
   }
 
+  /** Persist the model — one parquet row per language (prior + the
+    * bucket log-prob vector) with the hyperparameters on every row, so
+    * a trained classifier is a build-once artifact pipelines load by
+    * path (the PqModel sidecar convention).
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    model.langs.indices
+      .map(l => (model.langs(l), model.logPrior(l), model.logProb(l).toSeq,
+        model.buckets, model.nMin, model.nMax))
+      .toDF("lang", "log_prior", "log_prob", "buckets", "n_min", "n_max")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).orderBy("lang").collect()
+    require(rows.nonEmpty, s"langId: no model rows under $path")
+    val h = rows.head
+    Model(
+      rows.map(_.getAs[String]("lang")),
+      rows.map(_.getAs[Double]("log_prior")),
+      rows.map(_.getAs[scala.collection.Seq[Float]]("log_prob").toArray),
+      h.getAs[Int]("buckets"), h.getAs[Int]("n_min"), h.getAs[Int]("n_max"))
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
 
   /** Column form: `langIdModel(col("text"), model)` — one codegen'd

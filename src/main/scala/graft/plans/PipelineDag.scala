@@ -40,6 +40,11 @@ object PipelineDag {
     * there — real here.
     */
   final case class PdfExtract(column: String, outputCol: String) extends NodeOp
+  /** Generic one-input transform supplied as a function — the
+    * extension point for nodes whose logic is not a TransformStep
+    * chain (trained-model application like lang_id). */
+  final case class MapNode(f: (SparkSession, DataFrame) => DataFrame)
+      extends NodeOp
   /** invoke_http (engine.py:246-266): mid-DAG HTTP call whose RESPONSE
     * becomes the node's output for downstream nodes; the node's input
     * (if any) may feed the request body. Distinct from [[Sink]]-shaped
@@ -258,6 +263,8 @@ object PipelineDag {
         case SplitJson(column, ddl) =>
           one.withColumn("_parsed", from_json(col(column), ddl, Map.empty[String, String]))
             .select(col("*"), col("_parsed.*")).drop("_parsed", column)
+        case MapNode(f) =>
+          f(spark, one)
         case PdfExtract(column, outputCol) =>
           // native expression (repo convention — RollingHash,
           // NfcNormalize): keeps the node inside whole-stage codegen,

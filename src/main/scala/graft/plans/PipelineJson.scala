@@ -207,6 +207,37 @@ object PipelineJson {
           if (config.has("password")) props.put("password", config.path("password").asText)
           Writers.jdbcInsert(df, url, table, props)
         }
+      case "lang_id_train" =>
+        // beyond-reference node: fit the trained char-n-gram language
+        // classifier (operators.LangId) on this run's labeled input
+        // and persist it as a path-addressed artifact; sink-shaped —
+        // rows pass through, the node log reports the model size
+        val labelCol = config.path("label_column").asText("")
+        val trainText = config.path("column").asText("text")
+        val trainPath = config.path("model_path").asText("")
+        require(labelCol.nonEmpty,
+          s"lang_id_train node '$id' requires 'label_column'")
+        require(trainPath.nonEmpty,
+          s"lang_id_train node '$id' requires 'model_path'")
+        val buckets = config.path("buckets").asInt(4096)
+        Sink { df =>
+          val m = graft.operators.LangId.fit(df, labelCol, trainText, buckets)
+          graft.operators.LangId.save(df.sparkSession, m, trainPath)
+          Some(s"trained ${m.langs.length}-language model -> $trainPath")
+        }
+      case "lang_id" =>
+        // apply a trained model: one codegen'd in-row pass, model
+        // loaded once per run and shipped with the plan
+        val textCol = config.path("column").asText("text")
+        val outCol = config.path("output_column").asText("lang_pred")
+        val modelPath = config.path("model_path").asText("")
+        require(modelPath.nonEmpty, s"lang_id node '$id' requires 'model_path'")
+        MapNode { (s, df) =>
+          val m = graft.operators.LangId.load(s, modelPath)
+          df.withColumn(outCol,
+            graft.operators.LangId.langIdModel(
+              org.apache.spark.sql.functions.col(textCol), m))
+        }
       case "incremental_result" =>
         // read twin of incremental_aggregate: the running aggregate
         // served from partial state alone — a dashboard/export

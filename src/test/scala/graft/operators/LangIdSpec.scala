@@ -157,6 +157,54 @@ class LangIdSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxLangs"))
   }
 
+  test("save/load roundtrip; lang_id_train + lang_id pipeline nodes wire the classifier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_langid")
+    val modelPath = dir.resolve("model").toString
+    // roundtrip preserves the model exactly
+    LangId.save(spark, model, modelPath)
+    val loaded = LangId.load(spark, modelPath)
+    assert(loaded.langs.toSeq == model.langs.toSeq &&
+      loaded.buckets == model.buckets && loaded.nMin == model.nMin &&
+      loaded.nMax == model.nMax)
+    assert(loaded.logProb.map(_.toSeq).toSeq == model.logProb.map(_.toSeq).toSeq)
+
+    // train via the pipeline surface, then classify via the pipeline
+    // surface — the full build-once/apply-forever artifact loop
+    val trainCsv = dir.resolve("train").toString
+    graft.sources.Writers.write(
+      corpus.filter(!_._3).map(t => (t._1, t._2)).toDF("lang", "text"),
+      trainCsv, "parquet")
+    val m2Path = dir.resolve("model2").toString
+    val trainRun = graft.plans.PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "in", "type": "file_input",
+         "data": {"config": {"path": "$trainCsv", "format": "parquet"}}},
+        {"id": "tr", "type": "lang_id_train",
+         "data": {"config": {"label_column": "lang", "column": "text",
+           "model_path": "$m2Path"}}}
+      ],
+      "edges": [{"source": "in", "target": "tr"}]
+    }""")
+    assert(trainRun.nodeLog.exists { case (id, msg) =>
+      id == "tr" && msg.contains("7-language model") }, trainRun.nodeLog.toString)
+
+    val testPq = dir.resolve("test").toString
+    graft.sources.Writers.write(
+      corpus.filter(_._3).map(t => (t._1, t._2)).toDF("lang", "text"),
+      testPq, "parquet")
+    val out = graft.plans.PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "in", "type": "file_input",
+         "data": {"config": {"path": "$testPq", "format": "parquet"}}},
+        {"id": "cls", "type": "lang_id",
+         "data": {"config": {"column": "text", "model_path": "$m2Path"}}}
+      ],
+      "edges": [{"source": "in", "target": "cls"}]
+    }""").outputs("cls")
+    val wrong = out.filter(col("lang_pred") =!= col("lang")).count()
+    assert(wrong == 0)
+  }
+
   test("classification is one in-row expression: no shuffle, no udf in the plan") {
     val docs = corpus.map(t => (t._1, t._2)).toDF("lang", "text")
     val plan = docs.withColumn("pred", LangId.langIdModel(col("text"), model))

@@ -356,6 +356,24 @@ class PqSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("OPQ composes with IVF×PQ: full probe + full pool ≡ brute force, rotated codes under cells") {
+    val df = structuredCorpus(400, 13L).toDF("id", "vec")
+    val opq = Pq.fitOpq(df, "id", "vec", nsub = 4, k = 8, maxIter = 4,
+      opqIters = 3)
+    val path = tmp()
+    Pq.saveIvfPqIndex(df, "id", "vec", opq, path, nlist = 4, maxIter = 3,
+      initMode = "random")
+    val query = structuredCorpus(1, 17L).head._2.map(_.toFloat).toArray
+    val got = Pq.ivfPqTopK(spark, path, df, "id", "vec", query, k = 10,
+      nprobe = 4, pool = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.cosineTopK(df, "id", "vec", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // the rotation sidecar rides the composed index too
+    assert(Pq.loadModel(spark, path).rotation.isDefined)
+  }
+
   test("candidate stage is a TakeOrdered over the codes scan, not a global sort") {
     val df = corpus()
     val model = Pq.fit(df, "id", "vec", nsub = 4, k = 8, maxIter = 2)
