@@ -34,8 +34,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * listed — a marker-less directory is a torn write and is repaired
   * by the next append of that id.
   *
-  * Supported metrics are the algebraic five (count/sum/min/max/avg —
-  * avg decomposed into sum+count). Types are PINNED at fit time: the
+  * Supported metrics: the algebraic five (count/sum/min/max/avg — avg
+  * decomposed into sum+count) plus two sketch metrics for the
+  * non-algebraic quantities (HLL approx-distinct, KLL
+  * approx-quantile). Types are PINNED at fit time: the
   * merge re-sum would silently widen `sum(DECIMAL(12,2))` partials
   * from DECIMAL(22,2) to DECIMAL(32,2) per fold, so merged columns are
   * cast back to the partial type recorded in the sidecar and finals to
@@ -63,6 +65,18 @@ object IncrementalAgg {
     * the sketch is ~2–4 KB per group in state.
     */
   final case class ApproxDistinct(column: String, as: String) extends Metric
+  /** Approximate q-quantile via a KLL sketch
+    * ([[graft.functions.KllFunctions]]) — the OTHER non-algebraic
+    * metric worth sketch state: exact percentiles cannot merge across
+    * batches, KLL sketches union within a guaranteed rank error
+    * (~1.65% at the default k=200). Unlike HLL, KLL compaction is
+    * randomized, so incremental and one-shot estimates agree within
+    * the rank bound, not bit-exactly — the metric is documented
+    * approximate and spec'd by rank tolerance. State is ~2–5 KB per
+    * group. q ∈ [0, 1]; the estimate is null for all-null groups.
+    */
+  final case class ApproxQuantile(column: String, q: Double, as: String)
+      extends Metric
 
   /** Initialize state from the first batch: write `_meta.json` (the
     * schema contract every later append is checked against) and the
@@ -370,6 +384,8 @@ object IncrementalAgg {
         case Max(c, _) => Seq(max(col(c)).as(p(i)))
         case Avg(c, _) => Seq(sum(col(c)).as(p(i)), count(col(c)).as(p(i) + "n"))
         case ApproxDistinct(c, _) => Seq(hll_sketch_agg(col(c)).as(p(i)))
+        case ApproxQuantile(c, _, _) => Seq(
+          graft.functions.KllFunctions.kllAgg(col(c).cast("double")).as(p(i)))
       }
     }
     df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -386,6 +402,8 @@ object IncrementalAgg {
         case Max(_, _) => Seq(re(p(i), max))
         case Avg(_, _) => Seq(re(p(i), sum), re(p(i) + "n", sum))
         case ApproxDistinct(_, _) => Seq(re(p(i), hll_union_agg(_)))
+        case ApproxQuantile(_, _, _) => Seq(
+          re(p(i), graft.functions.KllFunctions.kllMerge(_)))
       }
     }
     parts.groupBy(meta.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -402,6 +420,8 @@ object IncrementalAgg {
         // non-nullable type, which the merge re-sum made nullable
         case Count(_) => coalesce(col(p(i)), lit(0L))
         case ApproxDistinct(_, _) => hll_sketch_estimate(col(p(i)))
+        case ApproxQuantile(_, q, _) =>
+          graft.functions.KllFunctions.kllQuantile(col(p(i)), q)
         case _ => col(p(i))
       }
       v.cast(t).as(m.as)
@@ -416,6 +436,8 @@ object IncrementalAgg {
     case Max(c, a) => max(col(c)).as(a)
     case Avg(c, a) => avg(col(c)).as(a)
     case ApproxDistinct(c, a) => hll_sketch_estimate(hll_sketch_agg(col(c))).as(a)
+    case ApproxQuantile(c, q, a) => graft.functions.KllFunctions
+      .kllQuantile(graft.functions.KllFunctions.kllAgg(col(c).cast("double")), q).as(a)
   }
 
   /** Partial rows of every COMMITTED batch in the live generation —
@@ -524,15 +546,16 @@ object IncrementalAgg {
       m.toSeq.sortBy(_._1).map { case (k, v) =>
         s""""${esc(k)}":"${esc(v.json)}"""" }.mkString("{", ",", "}")
     val ms = meta.metrics.map { m =>
-      val (kind, colName) = m match {
-        case Count(_) => ("count", "")
-        case Sum(c, _) => ("sum", c)
-        case Min(c, _) => ("min", c)
-        case Max(c, _) => ("max", c)
-        case Avg(c, _) => ("avg", c)
-        case ApproxDistinct(c, _) => ("approx_distinct", c)
+      val (kind, colName, extra) = m match {
+        case Count(_) => ("count", "", "")
+        case Sum(c, _) => ("sum", c, "")
+        case Min(c, _) => ("min", c, "")
+        case Max(c, _) => ("max", c, "")
+        case Avg(c, _) => ("avg", c, "")
+        case ApproxDistinct(c, _) => ("approx_distinct", c, "")
+        case ApproxQuantile(c, q, _) => ("approx_quantile", c, s""","q":$q""")
       }
-      s"""{"kind":"$kind","column":"${esc(colName)}","as":"${esc(m.as)}"}"""
+      s"""{"kind":"$kind","column":"${esc(colName)}","as":"${esc(m.as)}"$extra}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"groupCols":${strArr(meta.groupCols)},"metrics":$ms,""" +
@@ -571,6 +594,7 @@ object IncrementalAgg {
           case "max" => Max(c, as)
           case "avg" => Avg(c, as)
           case "approx_distinct" => ApproxDistinct(c, as)
+          case "approx_quantile" => ApproxQuantile(c, r.getAs[Double]("q"), as)
           case other => throw new IllegalArgumentException(
             s"incrementalAgg: unknown metric kind '$other' in $at")
         }

@@ -280,9 +280,16 @@ object PipelineJson {
               case "avg" => graft.operators.IncrementalAgg.Avg(colName, as)
               case "approx_distinct" =>
                 graft.operators.IncrementalAgg.ApproxDistinct(colName, as)
+              case "approx_quantile" =>
+                require(m.has("q"),
+                  s"incremental_aggregate node '$id': approx_quantile " +
+                    s"metric $i needs 'q' in [0, 1]")
+                graft.operators.IncrementalAgg.ApproxQuantile(
+                  colName, m.path("q").asDouble, as)
               case other => throw new IllegalArgumentException(
                 s"incremental_aggregate node '$id': unknown metric kind " +
-                  s"'$other' (count/sum/min/max/avg/approx_distinct)")
+                  s"'$other' (count/sum/min/max/avg/approx_distinct/" +
+                  "approx_quantile)")
             }
           }
         Sink { df =>

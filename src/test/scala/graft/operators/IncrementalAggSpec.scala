@@ -395,6 +395,43 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
   }
 
+  test("approx-quantile sketches: incremental p50/p95 within rank tolerance of exact") {
+    val rnd = new scala.util.Random(3L)
+    val rows = (0 until 20000).map { i =>
+      val g = s"g${i % 3}"
+      (i.toLong, g, math.exp(rnd.nextGaussian()) * 100.0)
+    }
+    val df = rows.toDF("id", "g", "latency")
+    val ms = Seq(Count("rows"), ApproxQuantile("latency", 0.5, "p50"),
+      ApproxQuantile("latency", 0.95, "p95"))
+    val state = tmp()
+    fit(df.filter($"id" % 4 === 0), Seq("g"), ms, state, "b0")
+    (1 to 3).foreach(r => append(state, df.filter($"id" % 4 === r), s"b$r"))
+    val got = result(spark, state).orderBy("g").collect()
+    // exact per-group quantiles for the rank check
+    val exact = rows.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toArray).toMap
+    def rank(g: String, v: Double) =
+      exact(g).count(_ <= v).toDouble / exact(g).length
+    got.foreach { r =>
+      val g = r.getString(0)
+      assert(math.abs(rank(g, r.getDouble(2)) - 0.5) < 0.05, s"$g p50")
+      assert(math.abs(rank(g, r.getDouble(3)) - 0.95) < 0.05, s"$g p95")
+    }
+    // schema: estimates are DOUBLE, named as declared
+    assert(result(spark, state).schema.fieldNames.toSeq ==
+      Seq("g", "rows", "p50", "p95"))
+    // the q parameter survives the meta sidecar: a fresh JVM-read of
+    // state (readMeta path) finalizes with the SAME q values — and
+    // compaction merges sketch partials losslessly enough to stay in
+    // tolerance
+    compact(spark, state)
+    result(spark, state).orderBy("g").collect().foreach { r =>
+      val g = r.getString(0)
+      assert(math.abs(rank(g, r.getDouble(2)) - 0.5) < 0.05, s"$g p50 post-compact")
+      assert(math.abs(rank(g, r.getDouble(3)) - 0.95) < 0.05, s"$g p95 post-compact")
+    }
+  }
+
   test("global (no group columns) aggregate works across batches") {
     val state = tmp()
     val ms = Seq(Count("rows"), Sum("n", "n_sum"))

@@ -68,7 +68,8 @@ class PipelineJsonSpec extends AnyFunSuite {
            "group_by": ["g"],
            "metrics": [
              {"kind": "count", "as": "rows"},
-             {"kind": "sum", "column": "v", "as": "v_sum"}
+             {"kind": "sum", "column": "v", "as": "v_sum"},
+             {"kind": "approx_quantile", "column": "v", "q": 0.5, "as": "v_p50"}
            ]}}}
       ],
       "edges": [{"source": "n1", "target": "n2"}]
@@ -90,6 +91,11 @@ class PipelineJsonSpec extends AnyFunSuite {
       .orderBy("g").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("a", 4L, 60L), ("b", 2L, 10L)))
+    // the sketch metric rode the same folds: tiny groups are exact in
+    // a KLL sketch (all values retained below the compaction bound)
+    val p50 = graft.operators.IncrementalAgg.result(spark, state)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(p50 == Seq(("a", 10.0), ("b", 5.0)), p50.toString)
 
     // the read twin: a pipeline that serves the running aggregate
     // from state (and can transform/export it) without the corpus
