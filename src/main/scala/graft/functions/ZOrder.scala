@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** `graft_zorder(c1..cN)` — Morton (Z-order) key over N integral
+  * columns, the multi-dimensional upgrade to single-axis range
+  * clustering: sorting files by the interleaved-bit key makes EVERY
+  * participating column's per-file min/max range narrow, so parquet
+  * footer stats can skip files for a filter on ANY of the columns —
+  * where `repartitionByRange(colA, colB)` only really clusters the
+  * first. The standard lakehouse layout technique (Morton 1966;
+  * Delta/Iceberg both ship it as OPTIMIZE ZORDER).
+  *
+  * Each column is scaled into `bitsPerCol`-bit RANK SPACE using the
+  * caller-provided [min, max] (one tiny aggregate at the call site —
+  * raw-bit interleaving would let a wide-range column's high bits
+  * drown the others), then bits interleave MSB-first. Nulls map to
+  * rank 0 (sort first, like NULLS FIRST). Output is a non-negative
+  * LONG; `bitsPerCol × N ≤ 63` is enforced.
+  */
+case class ZOrderKeyExpr(children: Seq[Expression],
+    mins: Array[Double], maxs: Array[Double], bitsPerCol: Int)
+    extends Expression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.isEmpty)
+      TypeCheckResult.TypeCheckFailure("graft_zorder needs ≥1 column")
+    else if (mins.length != children.size || maxs.length != children.size)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_zorder: ${children.size} columns but ${mins.length}/${maxs.length} bounds")
+    else if (bitsPerCol < 1 || bitsPerCol * children.size > 63)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_zorder: bitsPerCol=$bitsPerCol × ${children.size} cols must be in [1, 63]")
+    else children.find(c => !ZOrderKeyExpr.supported(c.dataType)) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_zorder requires integral/timestamp columns, got ${c.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_zorder"
+
+  override def eval(input: InternalRow): Any = {
+    val ranks = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      ranks(i) =
+        if (v == null) 0L
+        else ZOrderKeyExpr.rank(v.asInstanceOf[Number].longValue,
+          mins(i), maxs(i), bitsPerCol)
+      i += 1
+    }
+    ZOrderKeyExpr.interleave(ranks, bitsPerCol)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val minsRef = ctx.addReferenceObj("zMins", mins, "double[]")
+    val maxsRef = ctx.addReferenceObj("zMaxs", maxs, "double[]")
+    val ranks = ctx.freshName("zRanks")
+    val assigns = children.zipWithIndex.map { case (c, i) =>
+      val cg = c.genCode(ctx)
+      val line =
+        s"$ranks[$i] = ${cg.isNull} ? 0L : graft.functions.ZOrderKeyExpr" +
+          s".rank((long) ${cg.value}, $minsRef[$i], $maxsRef[$i], $bitsPerCol);"
+      code"""
+        ${cg.code}
+        $line"""
+    }.reduce(_ + _)
+    val decl = s"long[] $ranks = new long[${children.size}];"
+    val fin = s"long ${ev.value} = graft.functions.ZOrderKeyExpr" +
+      s".interleave($ranks, $bitsPerCol);"
+    ev.copy(code =
+      code"""
+        $decl
+        $assigns
+        $fin""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderKeyExpr =
+    copy(children = newChildren)
+}
+
+object ZOrderKeyExpr {
+
+  private[graft] def supported(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ByteType => true
+    case _: org.apache.spark.sql.types.ShortType => true
+    case _: org.apache.spark.sql.types.IntegerType => true
+    case _: org.apache.spark.sql.types.LongType => true
+    case _: org.apache.spark.sql.types.DateType => true
+    case _: org.apache.spark.sql.types.TimestampType => true
+    case _ => false
+  }
+
+  /** Scale `v` from [min, max] into [0, 2^bits). Degenerate range
+    * (min == max) → 0. */
+  def rank(v: Long, min: Double, max: Double, bits: Int): Long = {
+    if (max <= min) return 0L
+    val maxRank = (1L << bits) - 1
+    val scaled = ((v - min) / (max - min) * maxRank).toLong
+    math.min(maxRank, math.max(0L, scaled))
+  }
+
+  /** MSB-first bit interleave of per-column ranks. */
+  def interleave(ranks: Array[Long], bits: Int): Long = {
+    var z = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      var i = 0
+      while (i < ranks.length) {
+        z = (z << 1) | ((ranks(i) >>> b) & 1L)
+        i += 1
+      }
+      b -= 1
+    }
+    z
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  /** Column form; bounds from a prior tiny min/max aggregate. */
+  def zorderKey(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
+      bitsPerCol: Int = 0): Column = {
+    val bits = if (bitsPerCol > 0) bitsPerCol else 63 / math.max(1, cols.size)
+    ncol(ZOrderKeyExpr(cols.map(ex), mins.toArray, maxs.toArray, bits))
+  }
+}

@@ -296,11 +296,21 @@ object CorpusIngest {
     * read+shuffle — run it at the cadence of an index rebuild, not
     * every ingest pause.
     */
+  /** `zorder = true` upgrades a multi-column `clusterBy` from range
+    * clustering (which only really tightens the FIRST column's
+    * per-file min/max) to a Morton Z-order layout
+    * ([[graft.functions.ZOrderKeyExpr]]): files sort by the
+    * interleaved-bit key of ALL the columns, so footer-stat skipping
+    * works for a filter on any one of them. Costs one extra tiny
+    * min/max aggregate (the rank-space bounds); integral/timestamp
+    * columns only — the expression raises otherwise.
+    */
   def compactLake(
       spark: SparkSession, lakeDir: String,
       targetBytes: Long = 128L << 20,
       minFileBytes: Long = -1L,
-      clusterBy: Seq[String] = Nil): CompactStats = {
+      clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false): CompactStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val effMin = if (minFileBytes >= 0) minFileBytes else targetBytes / 2
     val (fs, lakePath) = fileSystem(spark, lakeDir)
@@ -360,7 +370,20 @@ object CorpusIngest {
       .parquet(small.map(_.getPath.toString): _*)
     val laidOut =
       if (clusterBy.isEmpty) toRewrite.repartition(nOut)
-      else toRewrite
+      else if (zorder && clusterBy.size >= 2) {
+        import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+        val bounds = toRewrite.agg(
+          clusterBy.flatMap(c => Seq(
+            fmin(col(c).cast("double")), fmax(col(c).cast("double")))).head,
+          clusterBy.flatMap(c => Seq(
+            fmin(col(c).cast("double")), fmax(col(c).cast("double")))).tail: _*)
+          .head()
+        val mins = clusterBy.indices.map(i => bounds.getDouble(2 * i))
+        val maxs = clusterBy.indices.map(i => bounds.getDouble(2 * i + 1))
+        val zkey = graft.functions.ZOrderKeyExpr
+          .zorderKey(clusterBy.map(col), mins, maxs)
+        toRewrite.repartitionByRange(nOut, zkey).sortWithinPartitions(zkey)
+      } else toRewrite
         .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
     laidOut.write.mode("overwrite").parquet(genDir.toString)
