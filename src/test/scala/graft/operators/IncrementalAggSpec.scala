@@ -127,7 +127,9 @@ class IncrementalAggSpec extends AnyFunSuite {
 
   test("high-cardinality groups: state lands size-bounded multi-file, not one task's file") {
     // 1M distinct groups — the cardinality where r9's hard coalesce(1)
-    // serialized the whole reduce onto one task and wrote one giant file
+    // serialized the whole reduce onto one task and wrote one giant
+    // file. Default (AQE) path: the adaptive coalescing sizes the
+    // write — multi-task, bounded file count, zero extra jobs.
     val n = 1000000L
     val df = spark.range(n).selectExpr("id as g", "id % 7 as v")
     val state = tmp()
@@ -136,13 +138,22 @@ class IncrementalAggSpec extends AnyFunSuite {
       fit(df, Seq("g"), Seq(Count("rows"), Sum("v", "v_sum")), state, "b0")
       val files = new java.io.File(state, "batch=b0").listFiles()
         .filter(_.getName.endsWith(".parquet"))
-      // ceil(1M/200k)=5 requested; AQE may have pre-coalesced the
-      // cached aggregate to its own (size-bounded) partition count
-      // just below that, which coalesce cannot raise — either way the
-      // write is multi-file/multi-task (ceiling lifted), and bounded
-      // (not one shard per shuffle partition)
-      assert(files.length > 1 && files.length <= 5,
-        s"wanted 2..5 size-bounded files, got ${files.length}")
+      assert(files.length > 1 && files.length <= 32,
+        s"wanted size-bounded multi-file state, got ${files.length}")
+      // non-AQE fallback: explicit count + coalesce to
+      // ceil(1M / targetRowsPerFile) = 5 files exactly
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val state2 = tmp()
+      fit(df, Seq("g"), Seq(Count("rows"), Sum("v", "v_sum")), state2, "b0")
+      val files2 = new java.io.File(state2, "batch=b0").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      // ceil(1M/200k)=5 requested, capped by the session's shuffle
+      // partition count (coalesce cannot raise partition counts)
+      val want2 = math.min(5,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      assert(files2.length == want2,
+        s"non-AQE path: wanted $want2 files, got ${files2.length}")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
       // merge stays correct over the multi-file layout
       val r = result(spark, state)
       assert(r.count() == n)
@@ -154,7 +165,10 @@ class IncrementalAggSpec extends AnyFunSuite {
       assert(r.schema.map(f => (f.name, f.dataType)) ==
         df.groupBy("g").agg(count(lit(1)).as("rows"), sum("v").as("v_sum"))
           .schema.map(f => (f.name, f.dataType)))
-    } finally spark.conf.unset("graft.incr.targetRowsPerFile")
+    } finally {
+      spark.conf.unset("graft.incr.targetRowsPerFile")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("append: a torn (marker-less) directory is excluded from result and repaired by retry") {
