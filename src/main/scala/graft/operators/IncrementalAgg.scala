@@ -35,9 +35,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * by the next append of that id.
   *
   * Supported metrics: the algebraic five (count/sum/min/max/avg — avg
-  * decomposed into sum+count) plus two sketch metrics for the
-  * non-algebraic quantities (HLL approx-distinct, KLL
-  * approx-quantile). Types are PINNED at fit time: the
+  * decomposed into sum+count) plus three sketch metrics for the
+  * non-algebraic quantities (HLL approx-distinct, KLL approx-quantile,
+  * Misra–Gries frequent items). Types are PINNED at fit time: the
   * merge re-sum would silently widen `sum(DECIMAL(12,2))` partials
   * from DECIMAL(22,2) to DECIMAL(32,2) per fold, so merged columns are
   * cast back to the partial type recorded in the sidecar and finals to
@@ -76,6 +76,19 @@ object IncrementalAgg {
     * group. q ∈ [0, 1]; the estimate is null for all-null groups.
     */
   final case class ApproxQuantile(column: String, q: Double, as: String)
+      extends Metric
+  /** Top frequent items (heavy hitters) via a Misra–Gries-family
+    * sketch ([[graft.functions.FreqFunctions]]) — the third
+    * non-algebraic summary: "top domains / languages / tokens across
+    * the lake" without a full unbounded-cardinality groupBy. The
+    * final value is `array<struct<item, estimate, lower, upper>>`
+    * (estimate desc, item asc, ≤ `limit` rows) under the
+    * NO_FALSE_POSITIVES rule: any item with true count >
+    * N/${FreqFunctions.DefaultMapSize} is guaranteed present and its
+    * [lower, upper] brackets the truth; sketch contents below that
+    * threshold depend on merge order within the documented bounds.
+    */
+  final case class FrequentItems(column: String, limit: Int, as: String)
       extends Metric
 
   /** Initialize state from the first batch: write `_meta.json` (the
@@ -386,6 +399,8 @@ object IncrementalAgg {
         case ApproxDistinct(c, _) => Seq(hll_sketch_agg(col(c)).as(p(i)))
         case ApproxQuantile(c, _, _) => Seq(
           graft.functions.KllFunctions.kllAgg(col(c).cast("double")).as(p(i)))
+        case FrequentItems(c, _, _) => Seq(
+          graft.functions.FreqFunctions.freqAgg(col(c).cast("string")).as(p(i)))
       }
     }
     df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -404,6 +419,8 @@ object IncrementalAgg {
         case ApproxDistinct(_, _) => Seq(re(p(i), hll_union_agg(_)))
         case ApproxQuantile(_, _, _) => Seq(
           re(p(i), graft.functions.KllFunctions.kllMerge(_)))
+        case FrequentItems(_, _, _) => Seq(
+          re(p(i), graft.functions.FreqFunctions.freqMerge(_)))
       }
     }
     parts.groupBy(meta.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -422,6 +439,8 @@ object IncrementalAgg {
         case ApproxDistinct(_, _) => hll_sketch_estimate(col(p(i)))
         case ApproxQuantile(_, q, _) =>
           graft.functions.KllFunctions.kllQuantile(col(p(i)), q)
+        case FrequentItems(_, limit, _) =>
+          graft.functions.FreqFunctions.freqTopItems(col(p(i)), limit)
         case _ => col(p(i))
       }
       v.cast(t).as(m.as)
@@ -438,6 +457,9 @@ object IncrementalAgg {
     case ApproxDistinct(c, a) => hll_sketch_estimate(hll_sketch_agg(col(c))).as(a)
     case ApproxQuantile(c, q, a) => graft.functions.KllFunctions
       .kllQuantile(graft.functions.KllFunctions.kllAgg(col(c).cast("double")), q).as(a)
+    case FrequentItems(c, limit, a) => graft.functions.FreqFunctions
+      .freqTopItems(graft.functions.FreqFunctions.freqAgg(col(c).cast("string")),
+        limit).as(a)
   }
 
   /** Partial rows of every COMMITTED batch in the live generation —
@@ -569,6 +591,8 @@ object IncrementalAgg {
         case Avg(c, _) => ("avg", c, "")
         case ApproxDistinct(c, _) => ("approx_distinct", c, "")
         case ApproxQuantile(c, q, _) => ("approx_quantile", c, s""","q":$q""")
+        case FrequentItems(c, limit, _) =>
+          ("frequent_items", c, s""","limit":$limit""")
       }
       s"""{"kind":"$kind","column":"${esc(colName)}","as":"${esc(m.as)}"$extra}"""
     }.mkString("[", ",", "]")
@@ -610,6 +634,8 @@ object IncrementalAgg {
           case "avg" => Avg(c, as)
           case "approx_distinct" => ApproxDistinct(c, as)
           case "approx_quantile" => ApproxQuantile(c, r.getAs[Double]("q"), as)
+          case "frequent_items" =>
+            FrequentItems(c, r.getAs[Long]("limit").toInt, as)
           case other => throw new IllegalArgumentException(
             s"incrementalAgg: unknown metric kind '$other' in $at")
         }

@@ -286,10 +286,13 @@ object PipelineJson {
                     s"metric $i needs 'q' in [0, 1]")
                 graft.operators.IncrementalAgg.ApproxQuantile(
                   colName, m.path("q").asDouble, as)
+              case "frequent_items" =>
+                graft.operators.IncrementalAgg.FrequentItems(
+                  colName, m.path("limit").asInt(10), as)
               case other => throw new IllegalArgumentException(
                 s"incremental_aggregate node '$id': unknown metric kind " +
                   s"'$other' (count/sum/min/max/avg/approx_distinct/" +
-                  "approx_quantile)")
+                  "approx_quantile/frequent_items)")
             }
           }
         Sink { df =>
