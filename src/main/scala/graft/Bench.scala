@@ -190,7 +190,47 @@ object Bench {
         System.err.println(
           s"[bench] pq probe fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
         Map.empty }
-    val benchOnly = probeOnly ++ dsirPrefit ++ semPrefit ++ incrPrefit ++ pqProbe
+    // OPQ amortization: s_opq_topk pays fit (SVD-Procrustes rounds) +
+    // encode + index write per call; the steady state probes the
+    // persisted rotated-code table like any PQ index.
+    val opqProbe: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      try {
+        import org.apache.spark.sql.functions.col
+        import graft.operators.Pq
+        val vecs = Tables.load(spark, sfDir, "embeddings")
+        val query = vecs.filter(col("vec_id") === 2)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+        val model = Pq.fitOpq(vecs, "vec_id", "embedding",
+          nsub = (8 to 1 by -1).find(query.length % _ == 0).get,
+          k = 16, maxIter = 4, opqIters = 3)
+        val path = benchTmp.resolve("opq").toString
+        Pq.savePqIndex(vecs, "vec_id", "embedding", model, path)
+        Map("s_opq_probe_only" -> ((s: SparkSession, _: String) =>
+          Pq.topK(s, path, vecs, "vec_id", "embedding", query, k = 20,
+            pool = 1 << 20)))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] opq probe fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        Map.empty }
+    // Language-ID amortization: x_lang_id_model fits the NB model per
+    // call; production trains once and classifies every batch with the
+    // broadcast model — one map-only scan (the agg defeats count()'s
+    // column pruning so the classify actually runs).
+    val langPrefit: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      try {
+        import org.apache.spark.sql.functions.{col, count => fcount}
+        import graft.operators.LangId
+        val docs = Tables.load(spark, sfDir, "documents")
+        val model = LangId.fit(docs, "lang", "text")
+        Map("x_lang_id_prefit" -> ((_: SparkSession, _: String) =>
+          docs.select(LangId.langIdModel(col("text"), model).as("p"))
+            .groupBy("p").agg(fcount(org.apache.spark.sql.functions.lit(1)).as("n"))))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] lang-id prefit fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        Map.empty }
+    val benchOnly = probeOnly ++ dsirPrefit ++ semPrefit ++ incrPrefit ++
+      pqProbe ++ opqProbe ++ langPrefit
     val allQueries = SparkEntry.queries ++ benchOnly
     val names = allQueries.keys.toSeq.sorted
 
