@@ -38,7 +38,8 @@ case class ZOrderKeyExpr(children: Seq[Expression],
         s"graft_zorder: bitsPerCol=$bitsPerCol × ${children.size} cols must be in [1, 63]")
     else children.find(c => !ZOrderKeyExpr.supported(c.dataType)) match {
       case Some(c) => TypeCheckResult.TypeCheckFailure(
-        s"graft_zorder requires integral/timestamp columns, got ${c.dataType.sql}")
+        s"graft_zorder requires integral columns, got ${c.dataType.sql} — " +
+          "z-order time axes via an explicit unix_micros()/datediff projection")
       case None => TypeCheckResult.TypeCheckSuccess
     }
 
@@ -97,8 +98,11 @@ object ZOrderKeyExpr {
     case _: org.apache.spark.sql.types.ShortType => true
     case _: org.apache.spark.sql.types.IntegerType => true
     case _: org.apache.spark.sql.types.LongType => true
-    case _: org.apache.spark.sql.types.DateType => true
-    case _: org.apache.spark.sql.types.TimestampType => true
+    // NOT date/timestamp: their external numeric casts (days/seconds)
+    // disagree with the internal values this expression ranks
+    // (days/microseconds) — callers z-order time axes through an
+    // explicit unix_micros()/datediff projection instead, so the
+    // bounds aggregate and the rank math can never diverge (r10 review)
     case _ => false
   }
 

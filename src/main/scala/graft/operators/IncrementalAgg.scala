@@ -220,7 +220,12 @@ object IncrementalAgg {
   /** Sync state with an append-only hive-partitioned lake: every
     * FIRST-LEVEL partition directory (`day=2026-08-14/...`) that has
     * no batch in state yet is aggregated and committed as one batch
-    * (id = the directory name, sanitized), via [[appendCommitted]]'s
+    * (id = the directory name, sanitized — NOTE the r10 scheme:
+    * '=' → '-', any other disallowed byte → '~hex'; ids recorded by
+    * the pre-r10 all-to-'-' scheme differ for partition names with
+    * odd bytes, so such states must re-fit or rename their batch
+    * directories before syncing again, or the partition re-ingests
+    * under the new id), via [[appendCommitted]]'s
     * marker discipline — so the sync is idempotent and crash-safe,
     * and a nightly `syncFromLake` is the whole ingestion loop: only
     * NEW partitions are ever read. Partition columns materialize into
@@ -499,9 +504,13 @@ object IncrementalAgg {
     */
   private def writeSized(part: DataFrame, dir: String, mode: SaveMode): Unit = {
     val conf = part.sparkSession.conf
+    // no-default get(): conf.get(key, default) would return OUR default
+    // for an unset key and ignore Spark's ConfigEntry default (AQE is
+    // ON by default since 3.2) — misrouting default-config sessions to
+    // the extra count job (r10 review)
     val aqeSizes =
-      conf.get("spark.sql.adaptive.enabled", "false").toBoolean &&
-        conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+      conf.get("spark.sql.adaptive.enabled").toBoolean &&
+        conf.get("spark.sql.adaptive.coalescePartitions.enabled").toBoolean
     if (aqeSizes) {
       // AQE's partition coalescing already bounds the write by SIZE:
       // a tiny batch's aggregate coalesces to one partition (the
@@ -510,6 +519,7 @@ object IncrementalAgg {
       // explicit path below computes, with ZERO extra jobs (the
       // count-from-cache pass cost ~0.3 s per append at bench scale).
       part.write.mode(mode).parquet(dir)
+      checkMarker(part, dir)
     } else {
       // no AQE: count the cached partials once and coalesce to
       // ceil(n / graft.incr.targetRowsPerFile) files
@@ -521,12 +531,30 @@ object IncrementalAgg {
         val files = math.max(1L, (n + target - 1) / target)
         cached.coalesce(files.toInt).write.mode(mode).parquet(dir)
       } finally { cached.unpersist(); () }
+      checkMarker(part, dir)
     }
+  }
+
+  /** The whole commit protocol rides on parquet's `_SUCCESS` marker —
+    * and `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` (a
+    * common object-store tuning) silently disables it, which would
+    * make every batch invisible to [[result]] and deletable as "torn"
+    * by a retried append. Fail LOUDLY at the first write instead
+    * (r10 review).
+    */
+  private def checkMarker(part: DataFrame, dir: String): Unit = {
+    val path = new Path(dir, "_SUCCESS")
+    val fs = path.getFileSystem(part.sparkSession.sparkContext.hadoopConfiguration)
+    require(fs.exists(path),
+      s"incrementalAgg: $dir was written without a _SUCCESS marker — " +
+        "the state's commit protocol requires it; set " +
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs=true (or use a " +
+        "committer that writes success markers)")
   }
 
   // ---- generation manifests ----------------------------------------
 
-  private val GenManifestRe = "_gen-(\\d{5})\\.json".r
+  private val GenManifestRe = "_gen-(\\d{5,})\\.json".r
   private def genDirName(n: Int) = f"gen-$n%05d"
 
   /** The live generation number: the highest `_gen-NNNNN.json`

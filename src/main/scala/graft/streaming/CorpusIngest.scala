@@ -57,7 +57,7 @@ object CorpusIngest {
     */
   val CommitDirName = "_graft_commits"
 
-  private val GenManifestRe = "_graft_gen-(\\d{5})\\.manifest".r
+  private val GenManifestRe = "_graft_gen-(\\d{5,})\\.manifest".r
   private def genDirName(n: Int) = f"_gen-$n%05d"
 
   /** The lake's LIVE layout: generation number (None before the first
@@ -76,34 +76,69 @@ object CorpusIngest {
         case GenManifestRe(n) => Some(n.toInt)
         case _ => None
       })
-    gens.maxOption match {
-      case None => Layout(None, lakePath, Nil)
-      case Some(n) =>
-        val in = fs.open(manifestPath(lakePath, n))
-        val keep = try {
-          scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .filter(_.nonEmpty).map(new Path(_)).toList
-        } finally in.close()
-        Layout(Some(n), new Path(lakePath, genDirName(n)), keep)
-    }
+    // highest COMPLETE manifest wins: a manifest whose terminator
+    // line is missing is a torn write (crash mid-create on a store
+    // without atomic rename) and is skipped — silently trusting a
+    // truncated keep list would drop every retained big file and let
+    // the next compact's retirement sweep DELETE them (r10 review).
+    gens.sorted.reverse.iterator.map { n =>
+      val in = fs.open(manifestPath(lakePath, n))
+      val lines = try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      } finally in.close()
+      if (lines.lastOption.contains(ManifestEnd))
+        Some(Layout(Some(n),
+          new Path(lakePath, genDirName(n)),
+          // fully qualified so identity checks against listStatus
+          // paths (retirement protect set) compare equal
+          lines.dropRight(1).filter(_.nonEmpty)
+            .map(rel => fs.makeQualified(new Path(lakePath, rel)))))
+      else None
+    }.collectFirst { case Some(l) => l }
+      .getOrElse(Layout(None, lakePath, Nil))
   }
+
+  /** Terminator line proving a manifest was fully written. */
+  private val ManifestEnd = "#graft-manifest-end"
 
   private def manifestPath(lakePath: Path, gen: Int): Path =
     new Path(lakePath, f"_graft_gen-$gen%05d.manifest")
 
-  /** One small object, newline-separated retained-file paths: writing
-    * it IS the layout commit (atomic PUT on S3, atomic create on
-    * HDFS/local — the filename carries the generation, so "highest
-    * manifest wins" needs no read-modify-write of any shared file).
+  /** One small object, newline-separated LAKE-RELATIVE retained-file
+    * paths + a terminator line: installing it IS the layout commit.
+    * Written complete to a `.tmp` sibling then renamed in, and readers
+    * require the terminator — so a torn manifest (crash mid-create on
+    * a store without atomic rename) is skipped, never trusted. The
+    * filename carries the generation: "highest complete manifest wins"
+    * needs no read-modify-write of any shared file.
     */
   private def writeManifest(fs: FileSystem, lakePath: Path, gen: Int,
       keep: Seq[Path]): Unit = {
-    keep.find(_.toString.contains("\n")).foreach(p =>
-      throw new IllegalArgumentException(
-        s"compactLake: data-file path contains a newline: $p"))
-    val out = fs.create(manifestPath(lakePath, gen), true)
-    try out.write((keep.map(_.toString).mkString("\n") + "\n").getBytes("UTF-8"))
+    // LAKE-RELATIVE paths: an absolute URI would pin the lake to its
+    // current location — a copied/restored/re-mounted lake must stay
+    // self-contained (r10 review). Every retained file lives under the
+    // lake root by construction.
+    val rootUri = fs.makeQualified(lakePath).toUri
+    val rel = keep.map { p =>
+      val r = rootUri.relativize(fs.makeQualified(p).toUri).toString
+      // a failed relativize returns the input unchanged (scheme and
+      // all) — that or any absolute result means the file is outside
+      // the lake root, which must never be recorded
+      require(r.nonEmpty && !r.contains(":") && !r.startsWith("/"),
+        s"compactLake: retained file $p is not under the lake root $lakePath")
+      require(!r.contains("\n"),
+        s"compactLake: data-file path contains a newline: $p")
+      r
+    }
+    // torn-write-proof install: full content (terminator last) to a
+    // tmp object, then one rename — readers only ever see a complete
+    // manifest or none (and currentLayout skips terminator-less debris)
+    val tmp = new Path(lakePath, f"_graft_gen-$gen%05d.manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((rel :+ ManifestEnd).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(tmp, manifestPath(lakePath, gen)),
+      s"compactLake: failed to install manifest for generation $gen")
   }
 
   /** Read the lake's live layout. A never-compacted lake is a plain
@@ -302,8 +337,9 @@ object CorpusIngest {
     * ([[graft.functions.ZOrderKeyExpr]]): files sort by the
     * interleaved-bit key of ALL the columns, so footer-stat skipping
     * works for a filter on any one of them. Costs one extra tiny
-    * min/max aggregate (the rank-space bounds); integral/timestamp
-    * columns only — the expression raises otherwise.
+    * min/max aggregate (the rank-space bounds); integral columns only —
+    * the expression raises otherwise (z-order a time axis by
+    * materializing `unix_micros(ts)` before ingestion).
     */
   def compactLake(
       spark: SparkSession, lakeDir: String,

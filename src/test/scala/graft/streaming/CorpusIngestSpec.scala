@@ -247,6 +247,19 @@ class CorpusIngestSpec extends AnyFunSuite {
       targetBytes = 1L << 30, minFileBytes = 8192L)
     assert(again.bytesMoved == 0L && again.bytesRewritten == 0L &&
       again.filesAfter == again.filesBefore)
+
+    // the lake is RELOCATABLE even with referenced-in-place files:
+    // the manifest records LAKE-RELATIVE paths, so a copied/restored
+    // lake (different absolute root) resolves wholly inside itself
+    val moved = dir.resolve("lake-moved")
+    java.nio.file.Files.walk(java.nio.file.Path.of(lakeDir)).forEach { p =>
+      val t = moved.resolve(java.nio.file.Path.of(lakeDir).relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    assert(CorpusIngest.readLake(spark, moved.toString)
+      .orderBy("doc_id").collect().map(_.toString).toSeq == before)
   }
 
   test("compactLake clusterBy rewrites into disjoint key ranges parquet stats can prune") {
@@ -336,6 +349,17 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(rootNames.contains("_gen-00000") && rootNames.contains("_gen-00001"))
     assert(reader2.select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L))
+
+    // a TORN manifest (higher generation, no terminator line — a
+    // crash mid-create on a store without atomic rename) is never
+    // trusted: readers skip it and fall back to the last complete one
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(lakeDir, "_graft_gen-00009.manifest"),
+      "_gen-00009/bogus.parquet\n")
+    assert(CorpusIngest.readLake(spark, lakeDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(lakeDir, "_graft_gen-00009.manifest"))
 
     // third compact (after one more batch) retires gen-00000 and its
     // manifest; markers stayed root-anchored throughout (replay of
