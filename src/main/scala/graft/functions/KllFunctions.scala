@@ -163,10 +163,15 @@ case class KllMergeAgg(
   */
 case class KllQuantileExpr(child: Expression, q: Double)
     extends UnaryExpression {
-  require(q >= 0.0 && q <= 1.0, s"graft_kll_quantile: q=$q outside [0, 1]")
-
+  // q validated in checkInputDataTypes, NOT a constructor require: the
+  // same executor-side Java-deserialization rule KllAggBase documents
+  // for k (a serialization constructor sees q=0.0 before field restore
+  // — harmlessly in-range here, but the inconsistency invited someone
+  // to copy THIS pattern for a field whose zero is out of range)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    if (q < 0.0 || q > 1.0 || q.isNaN) TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_quantile: q=$q outside [0, 1]")
+    else if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_kll_quantile requires BINARY (a serialized sketch), got ${child.dataType.sql}")
   override def dataType: DataType = DoubleType

@@ -25,6 +25,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   *   _meta.json            // groupCols, metrics, pinned partial/final types
   *   batch=<id>/part-....parquet   // partial rows, one directory per batch
+  *   _commits/<id>         // root-anchored commit ledger: one empty object
+  *                         // per committed batch id — compactions never
+  *                         // touch it, so replays stay recognized forever
   *   _gen-00000.json       // after a compact(): manifest naming the live
   *   gen-00000/batch=.../  // generation — highest-numbered manifest wins
   * }}}
@@ -120,6 +123,7 @@ object IncrementalAgg {
     writeSized(partials(df, groupCols, metrics),
       batchDir(fs, statePath, batchId).toString, SaveMode.Overwrite)
     writeMeta(fs, metaPath, buildMeta(df, groupCols, metrics))
+    recordCommit(fs, statePath, batchId)
   }
 
   /** Append one new batch: ONE aggregation over the batch, one write,
@@ -127,32 +131,39 @@ object IncrementalAgg {
     * partial schema disagrees with the fitted contract (a type drift
     * here would poison every later merge) or if `batchId` was already
     * COMMITTED (re-running a batch must not double-count) — committed
-    * means the directory bears parquet's `_SUCCESS` marker. A
-    * marker-less directory is a torn write from a crash mid-append;
-    * the retry overwrites it (r9 advice: the old existence check
-    * refused the retry while [[readPartials]] would happily merge the
-    * torn rows).
+    * means the id is in the root `_commits/` ledger or the live
+    * directory bears parquet's `_SUCCESS` marker (see [[isCommitted]];
+    * the ledger survives [[compact]], so a batch folded away by a
+    * compaction still counts as committed — r10 advice: the old
+    * dir-only check let an at-least-once caller replay a pre-compact
+    * id after a compaction and silently double-count it). A marker-less
+    * directory is a torn write from a crash mid-append; the retry
+    * overwrites it (r9 advice: the old existence check refused the
+    * retry while [[readPartials]] would happily merge the torn rows).
     */
   def append(statePath: String, batch: DataFrame, batchId: String): Unit = {
     checkBatchId(batchId)
     val spark = batch.sparkSession
     val (fs, meta) = readMeta(spark, statePath)
     val dir = batchDir(fs, statePath, batchId)
-    if (fs.exists(dir)) {
-      require(!fs.exists(new Path(dir, "_SUCCESS")),
-        s"incrementalAgg: batch '$batchId' already committed under $statePath")
-      fs.delete(dir, true) // torn write — safe to redo
-    }
+    require(!isCommitted(fs, statePath, batchId),
+      s"incrementalAgg: batch '$batchId' already committed under $statePath")
+    if (fs.exists(dir)) fs.delete(dir, true) // torn write — safe to redo
     writeSized(checkedPartials(batch, meta), dir.toString, SaveMode.ErrorIfExists)
+    recordCommit(fs, statePath, batchId)
   }
 
   /** Idempotent, crash-safe append for at-least-once callers
     * (Structured Streaming's foreachBatch re-runs a batch id after
-    * recovery): a batch directory bearing parquet's `_SUCCESS` commit
-    * marker is COMMITTED — re-delivery returns false untouched — while
-    * a marker-less directory is a torn write from a crash mid-batch
-    * and is overwritten. Exactly-once state from at-least-once
-    * delivery, the same marker discipline as CorpusIngest.ingestBatch.
+    * recovery): a COMMITTED id — in the root `_commits/` ledger or a
+    * live batch directory bearing parquet's `_SUCCESS` marker — makes
+    * re-delivery return false untouched, while a marker-less directory
+    * is a torn write from a crash mid-batch and is overwritten.
+    * Exactly-once state from at-least-once delivery, the same marker
+    * discipline as CorpusIngest.ingestBatch — and, like CorpusIngest's
+    * root-anchored `_graft_commits`, the ledger outlives [[compact]],
+    * so a pre-compact batch id replayed after a compaction is still
+    * recognized instead of double-counted (r10 advice).
     */
   def appendCommitted(statePath: String, batch: DataFrame,
       batchId: String): Boolean = {
@@ -160,9 +171,10 @@ object IncrementalAgg {
     val spark = batch.sparkSession
     val (fs, meta) = readMeta(spark, statePath)
     val dir = batchDir(fs, statePath, batchId)
-    if (fs.exists(new Path(dir, "_SUCCESS"))) return false
+    if (isCommitted(fs, statePath, batchId)) return false
     fs.delete(dir, true)
     writeSized(checkedPartials(batch, meta), dir.toString, SaveMode.ErrorIfExists)
+    recordCommit(fs, statePath, batchId)
     true
   }
 
@@ -220,9 +232,10 @@ object IncrementalAgg {
   /** Sync state with an append-only hive-partitioned lake: every
     * FIRST-LEVEL partition directory (`day=2026-08-14/...`) that has
     * no batch in state yet is aggregated and committed as one batch
-    * (id = the directory name, sanitized — NOTE the r10 scheme:
-    * '=' → '-', any other disallowed byte → '~hex'; ids recorded by
-    * the pre-r10 all-to-'-' scheme differ for partition names with
+    * (id = the directory name, sanitized — NOTE the r11 scheme:
+    * '=' → '-', any other disallowed UTF-16 unit → fixed-width
+    * '~hhhh'; ids recorded by the r10 variable-width '~hh' scheme (or
+    * the pre-r10 all-to-'-' scheme) differ for partition names with
     * odd bytes, so such states must re-fit or rename their batch
     * directories before syncing again, or the partition re-ingests
     * under the new id), via [[appendCommitted]]'s
@@ -245,16 +258,22 @@ object IncrementalAgg {
     // two names collapsing to one batch id would mark the second
     // partition "already committed" and silently drop it from the
     // aggregate (r9 advice). '=' keeps its pretty '-' mapping (every
-    // partition name has one); any OTHER disallowed byte hex-escapes
-    // (`~25` for '%') instead of also collapsing to '-', and the
-    // one residual ambiguity ('=' vs a literal '-') is CHECKED below —
-    // a collision raises rather than loses data.
+    // partition name has one); any OTHER disallowed UTF-16 unit
+    // hex-escapes FIXED-WIDTH (`~0025` for '%') instead of also
+    // collapsing to '-'. Fixed width matters: the r10 variable-width
+    // `~%02x` made escapes non-prefix-free ('λ' → ~3bb was also ';'
+    // → ~3b followed by a literal 'b'), a collision class beyond the
+    // one documented ambiguity. Four hex digits cover every UTF-16
+    // unit ('~' itself is not in the literal set, so escapes can't
+    // collide with literals), leaving exactly one residual ambiguity
+    // ('=' vs a literal '-'), and even that is CHECKED below — a
+    // collision raises rather than loses data.
     val withIds = dirs.toSeq.sortBy(_.getPath.getName).map { st =>
       val id = st.getPath.getName.flatMap {
         case ch if ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-' =>
           ch.toString
         case '=' => "-"
-        case ch => f"~${ch.toInt}%02x"
+        case ch => f"~${ch.toInt}%04x"
       }
       st -> id
     }
@@ -295,6 +314,10 @@ object IncrementalAgg {
       s"incrementalAgg: no batch '$batchId' under $statePath to drop")
     require(fs.delete(dir, true),
       s"incrementalAgg: failed to delete batch '$batchId' under $statePath")
+    // a dropped id leaves the commit ledger too: the documented contract
+    // is that the next syncFromLake RE-ingests a dropped lake partition
+    // (and a corrected batch may legitimately re-append under its id)
+    fs.delete(commitMarker(statePath, batchId), false)
   }
 
   /** The COMMITTED batch ids in the live generation, sorted — torn
@@ -320,9 +343,15 @@ object IncrementalAgg {
     * `result`'s read at O(groups) again after many appends — the
     * state twin of CorpusIngest.compactLake). Merged partials are
     * cast back to the fitted partial types, so a compacted state is
-    * indistinguishable from a freshly fitted one. Compaction forgets
-    * prior batch ids (they folded into `batchId`) — retention via
-    * [[dropBatch]] only applies to batches appended after it.
+    * indistinguishable from a freshly fitted one. Folded batch DATA
+    * can no longer be retracted individually — retention via
+    * [[dropBatch]] only applies to batches appended after the compact
+    * — but folded batch IDS are NOT forgotten: they stay in the root
+    * `_commits/` ledger (which compaction never touches), so an
+    * at-least-once caller replaying a pre-compact batch id after a
+    * compaction is still refused/skipped instead of double-counted
+    * (r10 advice; the same root-anchored-marker shape as
+    * CorpusIngest's `_graft_commits`).
     *
     * Install is a MANIFEST FLIP, not a rename (r9 verdict item 3):
     * the old install renamed the whole root, which on S3A-class
@@ -354,6 +383,7 @@ object IncrementalAgg {
     writeSized(merged, new Path(genDir, "batch=" + batchId).toString,
       SaveMode.Overwrite)
     writeManifest(fs, statePath, nextGen) // THE commit point
+    recordCommit(fs, statePath, batchId)
     // retire layouts no in-flight reader can still hold: everything
     // strictly OLDER than the just-retired generation. Best-effort —
     // readers ignore unreferenced layouts either way.
@@ -585,6 +615,33 @@ object IncrementalAgg {
 
   private def p(i: Int) = s"_p$i"
   private val MetaFile = "_meta.json"
+
+  /** Root-anchored commit ledger (r10 advice): one empty object per
+    * committed batch id, under `_commits/` at the STATE ROOT — outside
+    * every generation directory, so [[compact]]'s fold-and-retire never
+    * touches it and a pre-compact id stays recognizable forever.
+    * Underscore-prefixed → invisible to Spark's file index. */
+  private val CommitDirName = "_commits"
+  private def commitMarker(statePath: String, batchId: String): Path =
+    new Path(new Path(statePath, CommitDirName), batchId)
+  private def recordCommit(fs: FileSystem, statePath: String,
+      batchId: String): Unit = {
+    fs.create(commitMarker(statePath, batchId), true).close()
+  }
+  /** COMMITTED = in the root ledger OR the live directory bears
+    * `_SUCCESS`. The directory check covers two gaps the ledger alone
+    * would miss — a crash between the data write and the ledger record,
+    * and pre-ledger states — and in both cases the missing ledger entry
+    * is backfilled here so the id survives the state's next compaction.
+    */
+  private def isCommitted(fs: FileSystem, statePath: String,
+      batchId: String): Boolean =
+    if (fs.exists(commitMarker(statePath, batchId))) true
+    else if (fs.exists(
+        new Path(batchDir(fs, statePath, batchId), "_SUCCESS"))) {
+      recordCommit(fs, statePath, batchId); true
+    } else false
+
   private def batchDir(fs: FileSystem, statePath: String, batchId: String): Path =
     new Path(currentRoot(fs, statePath), "batch=" + batchId)
   private def checkBatchId(id: String): Unit =

@@ -414,6 +414,15 @@ object CorpusIngest {
           clusterBy.flatMap(c => Seq(
             fmin(col(c).cast("double")), fmax(col(c).cast("double")))).tail: _*)
           .head()
+        // a clusterBy column that is entirely null — or a non-numeric
+        // type whose cast-to-double yields all nulls — has null min/max;
+        // name the column instead of NPE-ing on getDouble (pre-commit,
+        // so no data is at risk, but the bare NPE was undiagnosable)
+        clusterBy.zipWithIndex.find { case (_, i) =>
+          bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1) }
+          .foreach { case (c, _) => throw new IllegalArgumentException(
+            s"compactLake zorder: column '$c' has no non-null numeric " +
+              "values — cluster on a column with numeric (castable) data") }
         val mins = clusterBy.indices.map(i => bounds.getDouble(2 * i))
         val maxs = clusterBy.indices.map(i => bounds.getDouble(2 * i + 1))
         val zkey = graft.functions.ZOrderKeyExpr

@@ -66,8 +66,13 @@ class KllFunctionsSpec extends AnyFunSuite {
     assertThrows[Exception] {
       df.agg(KllFunctions.kllAgg($"s")).collect() // string column
     }
-    assertThrows[IllegalArgumentException] {
-      KllFunctions.kllQuantile(lit(Array[Byte]()), 1.5) // q out of range
+    // q validated at ANALYSIS, not Column construction: a constructor
+    // require would also fire inside executor-side Java
+    // deserialization (the KllAggBase failure mode for k), so the
+    // check lives in checkInputDataTypes like every other guard here
+    assertThrows[Exception] { // AnalysisException: q out of range
+      Seq(Array[Byte]()).toDF("s")
+        .select(KllFunctions.kllQuantile($"s", 1.5)).collect()
     }
     assertThrows[Exception] { // AnalysisException: k below MinK
       df.agg(KllFunctions.kllAgg($"v", k = 2)).collect()

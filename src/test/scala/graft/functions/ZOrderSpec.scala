@@ -98,6 +98,26 @@ class ZOrderSpec extends AnyFunSuite {
     assert(CorpusIngest.readLake(spark, zLake).count() == 512)
   }
 
+  test("compactLake zorder: an all-null cluster column raises naming it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_null").toString
+    val lake = s"$dir/lake"
+    val docs = (0 until 64).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", lit(null).cast("long"))
+    docs.repartition(4).write.parquet(lake)
+    // pre-commit guard: the r10 code NPE'd on bounds.getDouble when a
+    // clusterBy column had no non-null numeric values (advisor item);
+    // the named error is diagnosable, and no manifest was written so
+    // the lake is untouched
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.compactLake(spark, lake, targetBytes = 4096L,
+        clusterBy = Seq("doc_id", "n_chars"), zorder = true)
+    }
+    assert(e.getMessage.contains("n_chars") &&
+      e.getMessage.contains("no non-null numeric"))
+    assert(spark.read.parquet(lake).count() == 64) // nothing lost
+  }
+
   test("non-integral columns raise with the column named") {
     val df = Seq((1L, "x")).toDF("a", "s")
     val e = intercept[Exception] {

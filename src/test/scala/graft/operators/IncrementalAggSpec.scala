@@ -210,9 +210,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(ids == Seq("day-a b", "day-a+b").map(_.flatMap {
       case ch if ch.isLetterOrDigit || "._-".contains(ch) => ch.toString
       case '=' => "-"
-      case ch => f"~${ch.toInt}%02x"
+      case ch => f"~${ch.toInt}%04x"
     }).sorted)
     assert(result(spark, state2).agg(sum("rows")).head().getLong(0) == 8L)
+    // escapes are FIXED four-hex-digit width (r10 advice): ';' + 'b'
+    // now maps to '~003b' + literal 'b', which no single escaped char
+    // can also produce ('λ' U+03BB → '~03bb'; under r10's
+    // variable-width '~hh' both collapsed to '~3bb'). The local FS
+    // can't store non-Latin1 names, so the width itself is the
+    // observable: prefix-freedom follows by construction.
+    val lake3 = tmp()
+    corpus.filter($"n" <= 4).write.parquet(s"$lake3/day=;b")
+    val state3 = tmp()
+    fit(corpus.limit(0), Seq("g"), Seq(Count("rows")), state3, "bootstrap")
+    assert(syncFromLake(spark, state3, lake3) == Seq("day-~003bb"))
+    assert(result(spark, state3).agg(sum("rows")).head().getLong(0) == 4L)
   }
 
   test("re-committing a batch id raises (no double counting)") {
@@ -444,6 +456,59 @@ class IncrementalAggSpec extends AnyFunSuite {
       assert(math.abs(rank(g, r.getDouble(2)) - 0.5) < 0.05, s"$g p50 post-compact")
       assert(math.abs(rank(g, r.getDouble(3)) - 0.95) < 0.05, s"$g p95 post-compact")
     }
+  }
+
+  test("commit ledger survives compaction: pre-compact batch ids replay as no-ops") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
+    assert(appendCommitted(state, corpus.filter($"n" > 4), "b1"))
+    val before = result(spark, state).orderBy("g").collect().toSeq
+    compact(spark, state)
+    // the r10 bug: after the fold, batch=b1 no longer exists in the
+    // live generation, so the old dir-only committed check re-appended
+    // a replayed id and silently double-counted it. The root _commits/
+    // ledger (which compaction never touches) now recognizes it.
+    assert(!appendCommitted(state, corpus.filter($"n" > 4), "b1"))
+    assert(!appendCommitted(state, corpus.filter($"n" <= 4), "b0"))
+    assert(result(spark, state).orderBy("g").collect().toSeq == before)
+    // the strict path refuses the replay instead of double-counting
+    assert(intercept[IllegalArgumentException] {
+      append(state, corpus, "b1")
+    }.getMessage.contains("already committed"))
+    // a crash BETWEEN the data write and the ledger record (committed
+    // dir, missing marker) is backfilled on the next probe, so the id
+    // still survives the following compaction
+    append(state, corpus, "b2")
+    assert(new java.io.File(state, "_commits/b2").delete())
+    assert(!appendCommitted(state, corpus, "b2")) // recognized via _SUCCESS
+    assert(new java.io.File(state, "_commits/b2").isFile) // backfilled
+    compact(spark, state)
+    assert(!appendCommitted(state, corpus, "b2"))
+    // dropBatch clears the ledger entry too: a post-compact batch can
+    // be retracted and legitimately re-appended under its id
+    append(state, corpus.filter($"n" <= 2), "b3")
+    dropBatch(spark, state, "b3")
+    assert(!new java.io.File(state, "_commits/b3").exists)
+    append(state, corpus.filter($"n" <= 2), "b3") // no raise
+  }
+
+  test("syncFromLake after a compaction does not re-ingest synced partitions") {
+    val lake = tmp()
+    val df = corpus.withColumn("day",
+      concat(lit("d"), ($"n" % 2).cast("string")))
+    df.write.mode("overwrite").partitionBy("day").parquet(lake)
+    val state = tmp()
+    val ms = Seq(Count("rows"), Sum("n", "n_sum"))
+    fit(spark.read.option("basePath", lake).parquet(s"$lake/day=d0").limit(0),
+      Seq("day"), ms, state, "bootstrap")
+    assert(syncFromLake(spark, state, lake) == Seq("day-d0", "day-d1"))
+    val before = result(spark, state).orderBy("day").collect().toSeq
+    compact(spark, state)
+    // the r10 bug made every already-synced partition look NEW after a
+    // compact — a nightly sync following a weekly compact would have
+    // double-counted the whole lake
+    assert(syncFromLake(spark, state, lake).isEmpty)
+    assert(result(spark, state).orderBy("day").collect().toSeq == before)
   }
 
   test("global (no group columns) aggregate works across batches") {
