@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: uniform per-group
+  * subsampling (cap every language/domain/source bucket at n docs) and
+  * Efraimidis–Spirakis weighted sampling without replacement (pick n
+  * docs with probability proportional to a quality weight). Both are
+  * HASH-derived — no RNG state, no seed-per-partition coupling — so a
+  * sample is a pure function of (row key, salt): reproducible across
+  * runs, cluster sizes, and partitionings, and incrementally stable
+  * (re-running on the same lake picks the same rows; the salt is the
+  * version knob when a fresh draw is wanted).
+  *
+  * Reference behavior target: the reference's only sampling surface is
+  * `LIMIT`-style preview (duckdb_engine.py preview/execute paths) —
+  * no uniform, stratified, or weighted draw exists there; a user
+  * samples by exporting and post-processing. These operators are the
+  * missing curation primitives at lake scale.
+  *
+  * Scale shapes:
+  *  - [[perGroup]]: rank-over-window + filter — Spark plans the
+  *    rank<=n filter as WindowGroupLimit, a per-partition partial
+  *    top-n BEFORE the shuffle, so the exchange moves O(groups × n)
+  *    rows, not the corpus.
+  *  - [[weighted]]: orderBy+limit — TakeOrderedAndProject, a
+  *    per-partition top-n heap and an O(parts × n) driver merge; the
+  *    corpus is never globally sorted or shuffled.
+  *
+  * Determinism contract for the oracle: the sort key is md5 of
+  * (key string + salt) — both engines compute identical digests, so
+  * uniform samples compare hash-exact. The weighted key additionally
+  * goes through ln(); IEEE-identical inputs make cross-engine
+  * divergence possible only at a last-ulp tie on the selection
+  * boundary, which the doc_id tiebreak and continuous keys make
+  * vanishing. `keyCol` must uniquely identify rows (a duplicated key
+  * draws identical ranks and the pick among its rows is undefined).
+  */
+object SampleOps {
+
+  /** Lexicographic md5 hex of the row key + salt: a uniform draw as a
+    * STRING order (no float parsing — collision-free total order up to
+    * md5 collision). */
+  def hashKey(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(salt)))
+
+  /** Uniform u ∈ (0, 1]: the first 13 hex digits (52 bits — exactly a
+    * double mantissa) of the md5, +1 so ln(u) is finite. */
+  def uniform01(key: Column, salt: String): Column =
+    (conv(substring(hashKey(key, salt), 1, 13), 16, 10).cast("double") + 1.0) /
+      lit(4503599627370496.0) // 2^52
+
+  /** Efraimidis–Spirakis key: rows with the n LARGEST `ln(u)/w` values
+    * (w > 0) are a weight-proportional sample without replacement —
+    * the u^(1/w) order statistic in log space. The key is ROUNDED to
+    * `roundTo` decimals (the x_dsir_sample convention): ln() is the
+    * one non-IEEE-pinned step (libm implementations guarantee ≤1 ulp,
+    * not correct rounding), and rounding both engines' keys to a
+    * shared grid makes the draw bit-reproducible across engines and
+    * platforms; the doc-key tiebreak resolves grid ties identically
+    * everywhere. 10 decimals keeps ≥3 significant digits for weights
+    * up to ~10^5 — pass `roundTo = -1` for the exact JVM-only key.
+    */
+  def esKey(key: Column, weight: Column, salt: String,
+      roundTo: Int = 10): Column = {
+    val raw = log(uniform01(key, salt)) / weight.cast("double")
+    if (roundTo < 0) raw else round(raw, roundTo)
+  }
+
+  /** At most `n` uniformly-drawn rows per group, deterministically.
+    * One shuffle on the group columns; WindowGroupLimit truncates each
+    * map partition to its local top-n first, so the exchange carries
+    * O(groups × n) rows whatever the corpus size.
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String], n: Int,
+      key: Column, salt: String = ""): DataFrame = {
+    require(n > 0, s"sample: n must be positive, got $n")
+    require(groupCols.nonEmpty, "sample: no group columns — use weighted/global")
+    val rk = row_number().over(
+      Window.partitionBy(groupCols.map(col): _*).orderBy(hashKey(key, salt)))
+    df.withColumn("_graft_rk", rk)
+      .filter(col("_graft_rk") <= n)
+      .drop("_graft_rk")
+  }
+
+  /** `n` rows drawn with probability proportional to `weight` (> 0),
+    * without replacement, deterministically. No shuffle: per-partition
+    * top-n heaps merge at the driver (TakeOrderedAndProject).
+    */
+  def weighted(df: DataFrame, n: Int, weight: Column, key: Column,
+      salt: String = ""): DataFrame = {
+    require(n > 0, s"sample: n must be positive, got $n")
+    df.withColumn("_graft_es", esKey(key, weight, salt))
+      .orderBy(col("_graft_es").desc, key)
+      .limit(n)
+      .drop("_graft_es")
+  }
+
+  /** At most `n` weight-proportional rows per group — the stratified
+    * form of [[weighted]], same WindowGroupLimit shape as [[perGroup]].
+    */
+  def weightedPerGroup(df: DataFrame, groupCols: Seq[String], n: Int,
+      weight: Column, key: Column, salt: String = ""): DataFrame = {
+    require(n > 0, s"sample: n must be positive, got $n")
+    require(groupCols.nonEmpty, "sample: no group columns — use weighted")
+    val rk = row_number().over(
+      Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("_graft_es").desc, key))
+    df.withColumn("_graft_es", esKey(key, weight, salt))
+      .withColumn("_graft_rk", rk)
+      .filter(col("_graft_rk") <= n)
+      .drop("_graft_es", "_graft_rk")
+  }
+}

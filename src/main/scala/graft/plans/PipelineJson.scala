@@ -359,6 +359,37 @@ object PipelineJson {
             from, to, subject,
             (if (bodyText.nonEmpty) bodyText + "\n\n" else "") + note + "\n" + table))
         }
+      case "sample" =>
+        // beyond-reference curation node: deterministic subsample of
+        // the node's input (operators.SampleOps). Shapes: 'group_by'
+        // alone = uniform n per group; 'weight' alone = Efraimidis–
+        // Spirakis weighted n without replacement; both = stratified
+        // weighted. Draws are md5(key + salt)-derived — re-running the
+        // pipeline picks the SAME rows whatever the cluster layout;
+        // 'salt' is the version knob for a fresh draw.
+        val n = config.path("n").asInt(0)
+        require(n > 0, s"sample node '$id' requires a positive 'n'")
+        val keyCol = config.path("key").asText("")
+        require(keyCol.nonEmpty,
+          s"sample node '$id' requires 'key' (a column uniquely identifying rows)")
+        val salt = config.path("salt").asText("")
+        val groupBy = strSeq(config.path("group_by"))
+        val weightCol = config.path("weight").asText("")
+        require(groupBy.nonEmpty || weightCol.nonEmpty,
+          s"sample node '$id' needs 'group_by' (uniform per group), " +
+            "'weight' (weighted), or both (stratified weighted)")
+        MapNode { (_, df) =>
+          import org.apache.spark.sql.functions.col
+          (groupBy.nonEmpty, weightCol.nonEmpty) match {
+            case (true, false) =>
+              graft.operators.SampleOps.perGroup(df, groupBy, n, col(keyCol), salt)
+            case (false, true) =>
+              graft.operators.SampleOps.weighted(df, n, col(weightCol), col(keyCol), salt)
+            case _ =>
+              graft.operators.SampleOps.weightedPerGroup(
+                df, groupBy, n, col(weightCol), col(keyCol), salt)
+          }
+        }
       case other =>
         // reference behavior: unknown node types pass through
         // (engine.py:188 "Pass-through node type")

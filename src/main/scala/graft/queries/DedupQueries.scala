@@ -494,6 +494,22 @@ object DedupQueries {
           key = fp,
           corpusKey = Some(col(graft.streaming.CorpusIngest.FingerprintCol)))
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Corpus overlap via theta-sketch set algebra (r11): how much of
+    // corpus B (doc_id % 3) already sits in corpus A (doc_id % 2),
+    // keyed by text. nominal 2^16 > the distinct count through sf1,
+    // so every estimate is EXACT (a theta sketch keeps all hashes
+    // below its cap) and the entry is oracle-checkable against SQL
+    // INTERSECT/UNION — the same full-pool ≡ brute-force gate the ANN
+    // entries use. Each corpus collapses map-side to one ≤32 KB
+    // sketch; the corpora themselves never shuffle or join.
+    "d_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Overlap.corpusOverlap(
+        docs.filter(col("doc_id") % 2 === 0), col("text"),
+        docs.filter(col("doc_id") % 3 === 0), col("text"),
+        nominal = 1 << 16)
     })
   )
 
@@ -789,6 +805,24 @@ object DedupQueries {
         |      4) AS cos_sim
         |  FROM embeddings)
         |SELECT vec_id, cos_sim FROM scored
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // Theta sketches are exact below their nominal cap, so the seven
+    // overlap outputs equal the true distinct set-op counts; jaccard
+    // divides the same two BIGINTs in both engines (identical IEEE).
+    "d_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents
+        |           WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |     b AS (SELECT DISTINCT text FROM documents
+        |           WHERE doc_id % 3 = 0 AND text IS NOT NULL)
+        |SELECT
+        |  (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM (SELECT text FROM a INTERSECT SELECT text FROM b)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT text FROM a UNION SELECT text FROM b)) AS n_union,
+        |  (SELECT count(*) FROM (SELECT text FROM a EXCEPT SELECT text FROM b)) AS n_a_only,
+        |  (SELECT count(*) FROM (SELECT text FROM b EXCEPT SELECT text FROM a)) AS n_b_only,
+        |  CAST((SELECT count(*) FROM (SELECT text FROM a INTERSECT SELECT text FROM b)) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM (SELECT text FROM a UNION SELECT text FROM b)) AS DOUBLE)
+        |    AS jaccard""".stripMargin
   )
 }

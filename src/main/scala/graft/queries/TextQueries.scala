@@ -525,6 +525,29 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       graft.operators.Dsir.resample(
         docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 200)
+    }),
+
+    // Uniform per-group subsample (r11): cap every language at 3 docs,
+    // drawn by md5(doc_id + salt) — deterministic across runs, engines
+    // and partitionings. WindowGroupLimit truncates map-side, so the
+    // one shuffle carries O(groups × n) rows, not the corpus.
+    "x_sample_group" -> ((s, dir) => {
+      graft.operators.SampleOps.perGroup(
+          t(s, dir, "documents"), Seq("lang"), 3, col("doc_id"), "graft-r11")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Efraimidis–Spirakis weighted sample without replacement (r11):
+    // 40 docs proportional to n_chars+1, keys from md5-derived
+    // uniforms (the x_dsir_sample reproducibility recipe), selection
+    // via TakeOrdered — per-partition top-n heaps, no global sort.
+    "x_sample_weighted" -> ((s, dir) => {
+      graft.operators.SampleOps.weighted(
+          t(s, dir, "documents"), 40,
+          col("n_chars") + lit(1L), col("doc_id"), "graft-r11")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -966,7 +989,33 @@ object TextQueries {
         |    d.doc_id ASC
         |  LIMIT 200
         |)
-        |SELECT doc_id FROM pick ORDER BY doc_id""".stripMargin, extraCte = true)
+        |SELECT doc_id FROM pick ORDER BY doc_id""".stripMargin, extraCte = true),
+
+    // Hash draw = md5 hex string order: no floats anywhere, so the
+    // comparison is byte-exact by construction.
+    "x_sample_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft-r11')) AS rn
+        |  FROM documents) s
+        |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
+
+    // ES key rounded to 10 decimals in BOTH engines (the
+    // x_dsir_sample convention) so libm's 1-ulp ln() latitude cannot
+    // flip the selection boundary; doc_id breaks grid ties.
+    "x_sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROUND(
+        |      ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r11'), 1, 13))::BIGINT
+        |           + 1.0) / 4503599627370496.0)
+        |        / CAST(n_chars + 1 AS DOUBLE), 10) AS es
+        |  FROM documents),
+        |top AS (
+        |  SELECT doc_id, lang, n_chars FROM k
+        |  ORDER BY es DESC, doc_id ASC LIMIT 40)
+        |SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for the two DSIR oracles: gram stream → md5

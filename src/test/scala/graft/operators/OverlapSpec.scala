@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class OverlapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact mode: the seven outputs equal true distinct set-op counts") {
+    val a = spark.range(0, 6000).select($"id".as("k"))        // 6000
+    val b = spark.range(4000, 9000).select($"id".as("k"))     // 5000, ∩=2000
+    val r = Overlap.corpusOverlap(a, $"k", b, $"k", nominal = 1 << 14).head()
+    assert(Seq("n_a", "n_b", "n_intersect", "n_union", "n_a_only", "n_b_only")
+      .map(c => r.getAs[Long](c)) == Seq(6000L, 5000L, 2000L, 9000L, 4000L, 3000L))
+    assert(r.getAs[Double]("jaccard") == 2000.0 / 9000.0)
+    // duplicates collapse (set semantics) and nulls are ignored
+    val withDups = a.union(a).union(Seq[Option[Long]](None).toDF("k"))
+    val r2 = Overlap.corpusOverlap(withDups, $"k", b, $"k", 1 << 14).head()
+    assert(r2.getAs[Long]("n_a") == 6000L && r2.getAs[Long]("n_intersect") == 2000L)
+  }
+
+  test("estimation mode: overlap estimates track truth within sketch error") {
+    val n = 120000
+    val a = spark.range(0, n).select($"id".as("k"))
+    val b = spark.range(n / 2, n + n / 2).select($"id".as("k"))
+    val r = Overlap.corpusOverlap(a, $"k", b, $"k", nominal = 4096).head()
+    def rel(c: String, want: Double) = {
+      val got = r.getAs[Long](c).toDouble
+      assert(math.abs(got - want) / want < 0.1, s"$c: $got vs $want")
+    }
+    rel("n_a", n); rel("n_b", n)
+    rel("n_intersect", n / 2.0); rel("n_union", 1.5 * n)
+    rel("n_a_only", n / 2.0); rel("n_b_only", n / 2.0)
+  }
+
+  test("plan: corpora aggregate map-side and never join — the only join is 1-row × 1-row") {
+    val a = spark.range(0, 50000).select($"id".as("k"))
+    val b = spark.range(0, 50000).select($"id".as("k"))
+    val plan = Overlap.corpusOverlap(a, $"k", b, $"k")
+      .queryExecution.executedPlan.toString
+    // each side collapses through ObjectHashAggregate partials; the
+    // cross join runs over two single-row sides (broadcast nested
+    // loop), so no corpus bytes cross a join
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+}

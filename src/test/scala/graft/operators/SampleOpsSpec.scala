@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SampleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int): DataFrame =
+    spark.range(n).select(
+      $"id".as("doc_id"),
+      ($"id" % 5).cast("string").as("g"),
+      (($"id" % 7) + lit(1L)).as("w"))
+
+  test("perGroup: exactly min(n, group size) rows per group, a true subset") {
+    val df = corpus(1000)
+    val got = SampleOps.perGroup(df, Seq("g"), 12, $"doc_id", "s1")
+    val sizes = got.groupBy("g").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sizes.values.toSet == Set(12L))
+    // subset: every sampled row exists in the input unchanged
+    assert(got.except(df).isEmpty)
+    // a group smaller than n survives whole
+    val tiny = df.filter($"doc_id" < 3)
+    assert(SampleOps.perGroup(tiny, Seq("g"), 10, $"doc_id", "s1").count() == 3)
+  }
+
+  test("perGroup is deterministic, partitioning-invariant, and salt-keyed") {
+    val df = corpus(500)
+    def ids(d: DataFrame, salt: String) =
+      SampleOps.perGroup(d, Seq("g"), 5, $"doc_id", salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(df, "s1")
+    assert(a == ids(df, "s1"))                       // rerun-stable
+    assert(a == ids(df.repartition(17), "s1"))       // layout-invariant
+    assert(a != ids(df, "s2"))                       // the salt redraws
+  }
+
+  test("perGroup draw is uniform-ish: repeated disjoint salts cover the group") {
+    // md5 order should not favor any doc: across 40 salted draws of 2
+    // from a 50-doc group, the per-doc hit counts concentrate near
+    // 40*2/50 = 1.6 — a systematic bias would pile onto few docs
+    val df = corpus(250).filter($"g" === "0") // 50 docs in group 0
+    val hits = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    for (i <- 0 until 40)
+      SampleOps.perGroup(df, Seq("g"), 2, $"doc_id", s"salt$i")
+        .select("doc_id").collect().foreach(r => hits(r.getLong(0)) += 1)
+    assert(hits.values.sum == 80)
+    assert(hits.values.forall(_ <= 8), s"a doc drawn ${hits.values.max} of 40 draws")
+  }
+
+  test("weighted: heavier rows are proportionally more likely (ES property)") {
+    // two weight classes, 9:1 — across salts, the heavy class should
+    // win a share near w_heavy/(w_heavy+w_light) per ES; with 400 of
+    // each and n=40, expect ≈ 36 heavy picks per draw on average
+    val df = spark.range(800).select(
+      $"id".as("doc_id"),
+      when($"id" < 400, 9.0).otherwise(1.0).as("w"))
+    val heavyShare = (0 until 20).map { i =>
+      val got = SampleOps.weighted(df, 40, $"w", $"doc_id", s"salt$i")
+      got.filter($"doc_id" < 400).count().toDouble / 40.0
+    }
+    val mean = heavyShare.sum / heavyShare.size
+    assert(mean > 0.75 && mean <= 1.0, f"heavy share $mean%.3f, want ≈0.9")
+    // and unweighted (w constant) stays near 0.5
+    val flat = spark.range(800).select($"id".as("doc_id"), lit(1.0).as("w"))
+    val flatShare = (0 until 20).map { i =>
+      SampleOps.weighted(flat, 40, $"w", $"doc_id", s"salt$i")
+        .filter($"doc_id" < 400).count().toDouble / 40.0
+    }
+    val flatMean = flatShare.sum / flatShare.size
+    assert(flatMean > 0.35 && flatMean < 0.65, f"flat share $flatMean%.3f")
+  }
+
+  test("weighted: key rounding (the cross-engine grid) does not distort the draw") {
+    // roundTo=10 vs the exact key: same selection on realistic weights
+    val df = corpus(5000)
+    val rounded = SampleOps.weighted(df, 50, $"w", $"doc_id", "s9")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = df
+      .withColumn("_k", SampleOps.esKey($"doc_id", $"w", "s9", roundTo = -1))
+      .orderBy($"_k".desc, $"doc_id").limit(50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rounded == exact)
+  }
+
+  test("weightedPerGroup: per-group caps with weight preference inside each group") {
+    val df = spark.range(400).select(
+      $"id".as("doc_id"),
+      ($"id" % 2).cast("string").as("g"),
+      when($"id" < 200, 50.0).otherwise(1.0).as("w"))
+    val got = SampleOps.weightedPerGroup(df, Seq("g"), 10, $"w", $"doc_id", "s1")
+    val sizes = got.groupBy("g").count().collect().map(_.getLong(1))
+    assert(sizes.toSeq == Seq(10L, 10L))
+    // 100 heavy (w=50) vs 100 light (w=1) per group: heavy dominates
+    assert(got.filter($"doc_id" < 200).count() >= 14)
+  }
+
+  test("plans: weighted is TakeOrdered (no global sort); perGroup runs WindowGroupLimit") {
+    val df = corpus(10000)
+    val wPlan = SampleOps.weighted(df, 50, $"w", $"doc_id", "s")
+      .queryExecution.executedPlan.toString
+    assert(wPlan.contains("TakeOrderedAndProject"), wPlan)
+    val gPlan = SampleOps.perGroup(df, Seq("g"), 5, $"doc_id", "s")
+      .queryExecution.executedPlan.toString
+    assert(gPlan.contains("WindowGroupLimit"), gPlan)
+  }
+
+  test("guards: n must be positive, perGroup needs group columns") {
+    val df = corpus(10)
+    assertThrows[IllegalArgumentException] {
+      SampleOps.perGroup(df, Seq("g"), 0, $"doc_id")
+    }
+    assertThrows[IllegalArgumentException] {
+      SampleOps.perGroup(df, Nil, 5, $"doc_id")
+    }
+    assertThrows[IllegalArgumentException] {
+      SampleOps.weighted(df, -1, $"w", $"doc_id")
+    }
+  }
+}

@@ -406,6 +406,50 @@ class PipelineJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("sample node: uniform per-group, weighted, and stratified shapes from JSON") {
+    val dir = Files.createTempDirectory("graft_pj_sample")
+    val in = dir.resolve("docs").toString
+    (0L until 300L).map(i => (i, s"g${i % 3}", (i % 7) + 1))
+      .toDF("doc_id", "grp", "w").write.parquet(in)
+    def run(config: String) = {
+      val out = Files.createTempDirectory("graft_pj_sample_out").resolve("o").toString
+      PipelineJson.run(spark, s"""{
+        "nodes": [
+          {"id": "n1", "type": "file_input",
+           "data": {"config": {"path": "$in", "format": "parquet"}}},
+          {"id": "n2", "type": "sample", "data": {"config": $config}},
+          {"id": "n3", "type": "file_output",
+           "data": {"config": {"path": "$out", "format": "parquet"}}}
+        ],
+        "edges": [{"source": "n1", "target": "n2"}, {"source": "n2", "target": "n3"}]
+      }""")
+      spark.read.parquet(out)
+    }
+    // uniform per group: 3 groups × 4
+    val uni = run("""{"n": 4, "key": "doc_id", "group_by": ["grp"], "salt": "v1"}""")
+    assert(uni.count() == 12 &&
+      uni.groupBy("grp").count().collect().forall(_.getLong(1) == 4))
+    // weighted global: exactly n rows, deterministic across runs
+    val w1 = run("""{"n": 10, "key": "doc_id", "weight": "w", "salt": "v1"}""")
+    val w2 = run("""{"n": 10, "key": "doc_id", "weight": "w", "salt": "v1"}""")
+    assert(w1.count() == 10)
+    assert(w1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      w2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // stratified weighted: per-group caps
+    val sw = run(
+      """{"n": 2, "key": "doc_id", "group_by": ["grp"], "weight": "w", "salt": "v1"}""")
+    assert(sw.count() == 6 &&
+      sw.groupBy("grp").count().collect().forall(_.getLong(1) == 2))
+    // config guards name the missing field
+    val e = intercept[IllegalArgumentException] {
+      run("""{"n": 4, "key": "doc_id"}""")
+    }
+    assert(e.getMessage.contains("group_by") && e.getMessage.contains("weight"))
+    assert(intercept[IllegalArgumentException] {
+      run("""{"n": 4, "group_by": ["grp"]}""")
+    }.getMessage.contains("key"))
+  }
+
   test("unknown operator raises") {
     intercept[IllegalArgumentException] {
       PipelineJson.parse("""{
