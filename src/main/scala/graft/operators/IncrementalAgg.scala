@@ -312,12 +312,16 @@ object IncrementalAgg {
     val dir = batchDir(fs, statePath, batchId)
     require(fs.exists(dir),
       s"incrementalAgg: no batch '$batchId' under $statePath to drop")
-    require(fs.delete(dir, true),
-      s"incrementalAgg: failed to delete batch '$batchId' under $statePath")
     // a dropped id leaves the commit ledger too: the documented contract
     // is that the next syncFromLake RE-ingests a dropped lake partition
-    // (and a corrected batch may legitimately re-append under its id)
+    // (and a corrected batch may legitimately re-append under its id).
+    // Ledger FIRST: a crash between the two deletes then leaves a
+    // still-committed batch (isCommitted backfills the marker from the
+    // directory's _SUCCESS) and the retry drops it cleanly — dir-first
+    // would leave a ghost marker blocking every re-append of the id
     fs.delete(commitMarker(statePath, batchId), false)
+    require(fs.delete(dir, true),
+      s"incrementalAgg: failed to delete batch '$batchId' under $statePath")
   }
 
   /** The COMMITTED batch ids in the live generation, sorted — torn

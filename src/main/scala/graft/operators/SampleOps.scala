@@ -65,7 +65,14 @@ object SampleOps {
     */
   def esKey(key: Column, weight: Column, salt: String,
       roundTo: Int = 10): Column = {
-    val raw = log(uniform01(key, salt)) / weight.cast("double")
+    // ES is only defined for w > 0: a zero/negative/null weight would
+    // silently sort to ±Infinity (always-picked or never-picked) — the
+    // guard costs one codegen branch that never fires on valid data
+    val w = weight.cast("double")
+    val checked = when(w > 0.0, w).otherwise(raise_error(
+      concat(lit("sample: weight must be > 0, got "),
+        coalesce(w.cast("string"), lit("null")))))
+    val raw = log(uniform01(key, salt)) / checked
     if (roundTo < 0) raw else round(raw, roundTo)
   }
 
@@ -78,6 +85,7 @@ object SampleOps {
       key: Column, salt: String = ""): DataFrame = {
     require(n > 0, s"sample: n must be positive, got $n")
     require(groupCols.nonEmpty, "sample: no group columns — use weighted/global")
+    checkTmpCols(df)
     val rk = row_number().over(
       Window.partitionBy(groupCols.map(col): _*).orderBy(hashKey(key, salt)))
     df.withColumn("_graft_rk", rk)
@@ -92,6 +100,7 @@ object SampleOps {
   def weighted(df: DataFrame, n: Int, weight: Column, key: Column,
       salt: String = ""): DataFrame = {
     require(n > 0, s"sample: n must be positive, got $n")
+    checkTmpCols(df)
     df.withColumn("_graft_es", esKey(key, weight, salt))
       .orderBy(col("_graft_es").desc, key)
       .limit(n)
@@ -105,6 +114,7 @@ object SampleOps {
       weight: Column, key: Column, salt: String = ""): DataFrame = {
     require(n > 0, s"sample: n must be positive, got $n")
     require(groupCols.nonEmpty, "sample: no group columns — use weighted")
+    checkTmpCols(df)
     val rk = row_number().over(
       Window.partitionBy(groupCols.map(col): _*)
         .orderBy(col("_graft_es").desc, key))
@@ -113,4 +123,12 @@ object SampleOps {
       .filter(col("_graft_rk") <= n)
       .drop("_graft_es", "_graft_rk")
   }
+
+  /** The working columns are dropped on the way out, so input columns
+    * of the same name would be silently destroyed — raise instead. */
+  private def checkTmpCols(df: DataFrame): Unit =
+    Seq("_graft_rk", "_graft_es").find(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"sample: input already has a '$c' column (the operator's working " +
+          "column) — rename it before sampling"))
 }

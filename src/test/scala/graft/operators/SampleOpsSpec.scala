@@ -122,4 +122,30 @@ class SampleOpsSpec extends AnyFunSuite {
       SampleOps.weighted(df, -1, $"w", $"doc_id")
     }
   }
+
+  test("guards: non-positive/null weights raise; working-column collisions raise") {
+    val df = corpus(10)
+    // a zero weight would otherwise sort to -Infinity (never picked) —
+    // silently wrong sampling, so the key raises naming the value
+    val e = intercept[Exception] {
+      SampleOps.weighted(df.withColumn("w", $"w" - $"w"), 5, $"w", $"doc_id")
+        .collect()
+    }
+    assert(e.getMessage.contains("weight must be > 0"))
+    val eNull = intercept[Exception] {
+      SampleOps.weighted(df.withColumn("w", lit(null).cast("double")),
+        5, $"w", $"doc_id").collect()
+    }
+    assert(eNull.getMessage.contains("weight must be > 0"))
+    // input columns named like the operator's working columns would be
+    // silently destroyed by the final drop — refuse up front
+    assert(intercept[IllegalArgumentException] {
+      SampleOps.perGroup(df.withColumn("_graft_rk", lit(1)),
+        Seq("g"), 2, $"doc_id")
+    }.getMessage.contains("_graft_rk"))
+    assert(intercept[IllegalArgumentException] {
+      SampleOps.weighted(df.withColumn("_graft_es", lit(1.0)),
+        2, $"w", $"doc_id")
+    }.getMessage.contains("_graft_es"))
+  }
 }
