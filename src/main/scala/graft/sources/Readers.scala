@@ -71,16 +71,17 @@ object Readers {
       case "pdf" =>
         // PDFs read as (path, length, text): Spark's binaryFile source
         // streams the bytes (splittable by FILE — the right unit for
-        // documents) and PdfText extracts per row on the executors.
+        // documents) and the native PdfExtractExpr (same expression the
+        // DAG node uses, PipelineDag pdf_extract) extracts per row on
+        // the executors — no Scala-udf serialization wall in the plan.
         // Callers wanting the raw bytes read format "binaryfile".
-        val extract = org.apache.spark.sql.functions.udf(
-          (b: Array[Byte]) => graft.functions.PdfText.extract(b))
         spark.read.format("binaryFile")
           .options(Map("pathGlobFilter" -> "*.pdf") ++ options).load(path)
           .select(
             org.apache.spark.sql.functions.col("path"),
             org.apache.spark.sql.functions.col("length"),
-            extract(org.apache.spark.sql.functions.col("content")).as("text"))
+            graft.functions.PdfText.pdfText(
+              org.apache.spark.sql.functions.col("content")).as("text"))
       case "binaryfile" =>
         spark.read.format("binaryFile").options(options).load(path)
       case other =>

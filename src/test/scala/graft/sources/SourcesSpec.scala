@@ -61,6 +61,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("text")).toSeq ==
       Seq("alpha document", "beta document"))
     assert(out.forall(_.getAs[Long]("length") > 0))
+    // plan pin: the extract is the native PdfExtractExpr, not a Scala
+    // udf (the DAG node and the file reader share one expression)
+    val plan = Readers.read(spark, dir.toString, "pdf")
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("graft_pdf_text"), plan)
   }
 
   test("inferSchema and detectFormat") {
