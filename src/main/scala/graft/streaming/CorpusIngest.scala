@@ -57,17 +57,36 @@ object CorpusIngest {
     */
   val CommitDirName = "_graft_commits"
 
+  /** Root-anchored append area once the lake has a generation layout:
+    * [[ingestBatch]] writes here, [[compactLake]] folds it in. Like the
+    * lake ROOT itself (the pre-compaction flat layout), it is a TAIL
+    * SOURCE: liveness there is SUBTRACTIVE — every file present is
+    * live unless the live manifest records it as consumed — so an
+    * append landing at ANY moment, including mid-compaction after the
+    * compactor listed its input set, is visible to the next resolve.
+    * That subtraction is what makes writers online-safe: a manifest
+    * written at time T can't enumerate files that land at T+1, but it
+    * CAN enumerate the files it rewrote, and everything else stays
+    * live by presence.
+    */
+  val TailDirName = "_tail"
+
   private val GenManifestRe = "_graft_gen-(\\d{5,})\\.manifest".r
-  private def genDirName(n: Int) = f"_gen-$n%05d"
+  private def genDirNum(name: String): Option[Int] =
+    if (!name.startsWith("_gen-")) None
+    else name.stripPrefix("_gen-").takeWhile(_.isDigit).toIntOption
 
   /** The lake's LIVE layout: generation number (None before the first
-    * compaction — flat legacy layout), the directory new appends and
-    * rewrites land in, and the files of older layouts the current
-    * manifest retains by REFERENCE (big files compaction left in
-    * place, unread and unmoved).
+    * compaction — flat legacy layout), the generation directory
+    * compaction rewrote into, the files of older layouts the manifest
+    * retains by REFERENCE (big files left in place, unread and
+    * unmoved), and the tail-source files the manifest CONSUMED
+    * (rewrote into the generation dir), each stamped with the
+    * generation that consumed it so retirement can honor the
+    * one-generation reader grace window.
     */
   private final case class Layout(gen: Option[Int], dataDir: Path,
-      keep: Seq[Path])
+      keep: Seq[Path], consumed: Seq[(Int, Path)])
 
   private def currentLayout(fs: FileSystem, lakePath: Path): Layout = {
     val gens =
@@ -77,68 +96,103 @@ object CorpusIngest {
         case _ => None
       })
     // highest COMPLETE manifest wins: a manifest whose terminator
-    // line is missing is a torn write (crash mid-create on a store
-    // without atomic rename) and is skipped — silently trusting a
-    // truncated keep list would drop every retained big file and let
-    // the next compact's retirement sweep DELETE them (r10 review).
+    // line is missing is a torn write (crash mid-create) and is
+    // skipped — silently trusting a truncated keep list would drop
+    // every retained big file and let the next compact's retirement
+    // sweep DELETE them (r10 review).
     gens.sorted.reverse.iterator.map { n =>
       val in = fs.open(manifestPath(lakePath, n))
       val lines = try {
         scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       } finally in.close()
-      if (lines.lastOption.contains(ManifestEnd))
-        Some(Layout(Some(n),
-          new Path(lakePath, genDirName(n)),
-          // fully qualified so identity checks against listStatus
-          // paths (retirement protect set) compare equal
-          lines.dropRight(1).filter(_.nonEmpty)
-            .map(rel => fs.makeQualified(new Path(lakePath, rel)))))
-      else None
+      if (!lines.lastOption.contains(ManifestEnd)) None
+      else parseManifest(fs, lakePath, n, lines.dropRight(1))
     }.collectFirst { case Some(l) => l }
-      .getOrElse(Layout(None, lakePath, Nil))
+      .getOrElse(Layout(None, lakePath, Nil, Nil))
+  }
+
+  /** v2 manifests are line-typed (`data=`/`keep=`/`consumed=` after a
+    * version header); v1 manifests (pre-online-compaction) are bare
+    * keep paths with the data dir implied by the generation number —
+    * still readable, so a lake compacted by the old code upgrades in
+    * place on its next compact.
+    */
+  private def parseManifest(fs: FileSystem, lakePath: Path, n: Int,
+      body: List[String]): Option[Layout] = {
+    // fully qualified so identity checks against listStatus paths
+    // (retirement protect set, tail subtraction) compare equal
+    def qual(rel: String) = fs.makeQualified(new Path(lakePath, rel))
+    if (body.headOption.contains(ManifestV2)) {
+      var dataDir: Option[Path] = None
+      val keep = Seq.newBuilder[Path]
+      val consumed = Seq.newBuilder[(Int, Path)]
+      body.tail.filter(_.nonEmpty).foreach {
+        case l if l.startsWith("data=") =>
+          dataDir = Some(new Path(lakePath, l.stripPrefix("data=")))
+        case l if l.startsWith("keep=") => keep += qual(l.stripPrefix("keep="))
+        case l if l.startsWith("consumed=") =>
+          val v = l.stripPrefix("consumed=")
+          val i = v.indexOf(':')
+          require(i > 0, s"corrupt consumed line in manifest $n: $l")
+          consumed += ((v.take(i).toInt, qual(v.drop(i + 1))))
+        case l => throw new IllegalStateException(
+          s"unknown line in lake manifest generation $n: $l")
+      }
+      Some(Layout(Some(n),
+        dataDir.getOrElse(throw new IllegalStateException(
+          s"lake manifest generation $n has no data= line")),
+        keep.result(), consumed.result()))
+    } else Some(Layout(Some(n), new Path(lakePath, f"_gen-$n%05d"),
+      body.filter(_.nonEmpty).map(qual), Nil))
   }
 
   /** Terminator line proving a manifest was fully written. */
   private val ManifestEnd = "#graft-manifest-end"
+  private val ManifestV2 = "#graft-manifest v2"
 
   private def manifestPath(lakePath: Path, gen: Int): Path =
     new Path(lakePath, f"_graft_gen-$gen%05d.manifest")
 
-  /** One small object, newline-separated LAKE-RELATIVE retained-file
-    * paths + a terminator line: installing it IS the layout commit.
-    * Written complete to a `.tmp` sibling then renamed in, and readers
-    * require the terminator — so a torn manifest (crash mid-create on
-    * a store without atomic rename) is skipped, never trusted. The
-    * filename carries the generation: "highest complete manifest wins"
-    * needs no read-modify-write of any shared file.
+  /** One small object: the generation's data dir name, the
+    * LAKE-RELATIVE retained-file refs, the generation-stamped consumed
+    * tail files, and a terminator line. Installing it IS the layout
+    * commit. Created EXCLUSIVELY (no overwrite): two compactors racing
+    * to the same generation number means exactly one wins and the
+    * loser RAISES — its uniquely-named data dir is unreferenced debris
+    * a later sweep retires, and no committed byte is ever clobbered.
+    * Readers require the terminator, so a torn manifest (crash
+    * mid-create) is skipped, never trusted — the generation number is
+    * simply burned and the retry takes the next one. The filename
+    * carries the generation: "highest complete manifest wins" needs no
+    * read-modify-write of any shared file.
     */
   private def writeManifest(fs: FileSystem, lakePath: Path, gen: Int,
-      keep: Seq[Path]): Unit = {
+      dataDirName: String, keep: Seq[Path],
+      consumed: Seq[(Int, Path)]): Unit = {
     // LAKE-RELATIVE paths: an absolute URI would pin the lake to its
     // current location — a copied/restored/re-mounted lake must stay
-    // self-contained (r10 review). Every retained file lives under the
+    // self-contained (r10 review). Every recorded file lives under the
     // lake root by construction.
     val rootUri = fs.makeQualified(lakePath).toUri
-    val rel = keep.map { p =>
+    def rel(p: Path): String = {
       val r = rootUri.relativize(fs.makeQualified(p).toUri).toString
       // a failed relativize returns the input unchanged (scheme and
       // all) — that or any absolute result means the file is outside
       // the lake root, which must never be recorded
       require(r.nonEmpty && !r.contains(":") && !r.startsWith("/"),
-        s"compactLake: retained file $p is not under the lake root $lakePath")
+        s"compactLake: recorded file $p is not under the lake root $lakePath")
       require(!r.contains("\n"),
         s"compactLake: data-file path contains a newline: $p")
       r
     }
-    // torn-write-proof install: full content (terminator last) to a
-    // tmp object, then one rename — readers only ever see a complete
-    // manifest or none (and currentLayout skips terminator-less debris)
-    val tmp = new Path(lakePath, f"_graft_gen-$gen%05d.manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((rel :+ ManifestEnd).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val lines = ManifestV2 +: (s"data=$dataDirName" +:
+      (keep.map(p => s"keep=${rel(p)}") ++
+        consumed.map { case (g, p) => s"consumed=$g:${rel(p)}" }))
+    // create-exclusive: overwrite=false throws if the manifest exists,
+    // which is the concurrent-compactor conflict surfacing loudly
+    val out = fs.create(manifestPath(lakePath, gen), false)
+    try out.write((lines :+ ManifestEnd).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, manifestPath(lakePath, gen)),
-      s"compactLake: failed to install manifest for generation $gen")
   }
 
   /** Read the lake's live layout. A never-compacted lake is a plain
@@ -156,9 +210,41 @@ object CorpusIngest {
     lay.gen match {
       case None => spark.read.parquet(lakeDir)
       case Some(_) =>
-        val roots = lay.dataDir +: lay.keep
-        spark.read.parquet(roots.map(_.toString): _*)
+        val roots = lay.dataDir.toString +:
+          (lay.keep ++ liveTail(fs, lakePath, lay).map(_.getPath))
+            .map(_.toString)
+        spark.read.parquet(roots: _*)
     }
+  }
+
+  private def visiblePath(p: Path): Boolean =
+    !p.getName.startsWith("_") && !p.getName.startsWith(".")
+
+  /** All visible data files under `p`, recursively. */
+  private def listDataFiles(fs: FileSystem, p: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(st => visiblePath(st.getPath)).flatMap { st =>
+      if (st.isFile) Seq(st) else listDataFiles(fs, st.getPath)
+    }
+
+  /** The LIVE tail-source files of a generation layout: everything
+    * present under the lake root (visible — generation dirs, `_tail`
+    * and markers are underscore-hidden) plus everything under
+    * [[TailDirName]], MINUS the manifest's consumed entries (rewritten
+    * into the generation, possibly not yet retired) and its keep refs
+    * (v1 manifests recorded root big files as keeps — counting them as
+    * tail too would read them twice). Presence-minus-consumed is the
+    * invariant that makes concurrent appends safe: a file the
+    * compactor never saw can't be in the consumed list, so it stays
+    * live across the flip.
+    */
+  private def liveTail(fs: FileSystem, lakePath: Path, lay: Layout)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val drop = (lay.consumed.map(_._2) ++ lay.keep).map(_.toUri).toSet
+    (listDataFiles(fs, lakePath) ++
+      listDataFiles(fs, new Path(lakePath, TailDirName)))
+      .filterNot(st => drop.contains(st.getPath.toUri))
   }
 
   /** The per-batch recipe: gate → within-batch dedup → lake dedup.
@@ -260,7 +346,11 @@ object CorpusIngest {
     val marker = new Path(new Path(lakePath, CommitDirName), s"$scope-$batchId")
     if (fs.exists(marker)) return // replayed batch, append already landed
     val lay = currentLayout(fs, lakePath)
-    val hasData = lay.keep.nonEmpty || hasDataFiles(fs, lay.dataDir)
+    val hasData = lay.gen match {
+      case None => hasDataFiles(fs, lakePath)
+      case Some(_) => lay.keep.nonEmpty || hasDataFiles(fs, lay.dataDir) ||
+        liveTail(fs, lakePath, lay).nonEmpty
+    }
     val lake =
       if (hasData) readLake(spark, lakeDir) else batch.filter(lit(false))
     val cleaned = cleanBatch(batch, lake, idCol, textCol, key, failReason)
@@ -269,10 +359,18 @@ object CorpusIngest {
     val stamp = !hasData || lake.columns.contains(FingerprintCol)
     val out =
       if (stamp) cleaned.withColumn(FingerprintCol, key(col(textCol))) else cleaned
-    // appends land in the LIVE layout's data directory (the lake root
-    // until the first compaction), where readLake picks them up with
-    // no manifest rewrite
-    out.write.mode("append").parquet(lay.dataDir.toString)
+    // appends land in a TAIL SOURCE — the lake root until the first
+    // compaction (plain-parquet interop), the root-anchored `_tail/`
+    // once a generation exists. Tail liveness is presence-minus-
+    // consumed, so this append is safe even if a compaction is
+    // flipping generations at this very moment: a file the compactor
+    // didn't list can't be in its consumed set, and both tail areas
+    // are resolved by every readLake.
+    val target = lay.gen match {
+      case None => lakePath
+      case Some(_) => new Path(lakePath, TailDirName)
+    }
+    out.write.mode("append").parquet(target.toString)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
   }
@@ -313,12 +411,25 @@ object CorpusIngest {
     * layout is retained until the NEXT compact (an in-flight reader
     * may still be scanning it); layouts two generations old are
     * retired here, minus any file the live manifest still references.
-    * A crash before the manifest write leaves an invisible `_gen`
-    * directory the retry overwrites; a crash after it leaves
-    * fully-committed state plus retirable debris — never a silently
-    * truncated lake. Concurrent WRITERS remain an offline concern:
-    * stop the ingest stream (or run between batches), else a batch
-    * appended to the old layout mid-compact is lost from the new one.
+    * A crash before the manifest write leaves an invisible,
+    * uniquely-named `_gen` directory as retirable debris; a crash
+    * after it leaves fully-committed state plus retirable debris —
+    * never a silently truncated lake.
+    *
+    * WRITERS ARE ONLINE-SAFE (r11): the ingest stream may keep
+    * appending while a compact runs. Appends land in tail sources
+    * (the root pre-first-compact, `_tail/` after) whose liveness is
+    * PRESENCE MINUS the manifest's consumed list — the compactor pins
+    * the file set it read at the start, records exactly those tail
+    * files as consumed, and anything landing later is live by
+    * presence on either side of the flip. Consumed files are retired
+    * with a one-generation grace (an in-flight reader of the previous
+    * manifest may still be scanning them), carried forward in the
+    * next manifest until physically deleted, so a crash between flip
+    * and retire never double-counts. Concurrent COMPACTORS conflict
+    * on the generation number: the manifest is created exclusively,
+    * exactly one wins, the loser raises and its uniquely-named data
+    * dir is swept as debris two flips later.
     */
   /** `clusterBy`: optional sort-on-write clustering. Non-empty ⇒ EVERY
     * file is read and rewritten range-partitioned + sorted on the
@@ -346,20 +457,25 @@ object CorpusIngest {
       targetBytes: Long = 128L << 20,
       minFileBytes: Long = -1L,
       clusterBy: Seq[String] = Nil,
-      zorder: Boolean = false): CompactStats = {
+      zorder: Boolean = false): CompactStats =
+    compactLakeImpl(spark, lakeDir, targetBytes, minFileBytes, clusterBy,
+      zorder, () => ())
+
+  /** Test seam: `afterPin` runs after the input file set is pinned and
+    * before any rewrite/flip — where a concurrent append or compactor
+    * would interleave in production.
+    */
+  private[graft] def compactLakeImpl(
+      spark: SparkSession, lakeDir: String,
+      targetBytes: Long,
+      minFileBytes: Long,
+      clusterBy: Seq[String],
+      zorder: Boolean,
+      afterPin: () => Unit): CompactStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val effMin = if (minFileBytes >= 0) minFileBytes else targetBytes / 2
     val (fs, lakePath) = fileSystem(spark, lakeDir)
     val lay = currentLayout(fs, lakePath)
-    if (lay.keep.isEmpty && !hasDataFiles(fs, lay.dataDir))
-      return CompactStats(0, 0, 0L, 0L)
-    def visible(p: Path): Boolean =
-      !p.getName.startsWith("_") && !p.getName.startsWith(".")
-    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap { st =>
-        if (st.isFile) Seq(st) else dataFiles(st.getPath)
-      }
     // hive-partitioned layouts carry column VALUES in their directory
     // names — flattening their files into a generation directory would
     // silently erase those columns on read. CorpusIngest lakes are
@@ -367,23 +483,48 @@ object CorpusIngest {
     // compactor (compact per partition directory). The sweep is
     // RECURSIVE: a partitioned layout nested one level down
     // (lake/sub/lang=en/…) loses its columns just as silently as one
-    // at the root.
+    // at the root — and covers every data area (root, generation dir,
+    // tail).
     def partStyleDirs(p: Path): Seq[Path] =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && visible(st.getPath))
+        .filter(st => st.isDirectory && visiblePath(st.getPath))
         .flatMap { st =>
           val self =
             if (st.getPath.getName.contains("=")) Seq(st.getPath) else Nil
           self ++ partStyleDirs(st.getPath)
         }
-    val partDirs = partStyleDirs(lay.dataDir)
+    val partDirs = partStyleDirs(lakePath) ++
+      (if (lay.gen.isDefined) partStyleDirs(lay.dataDir) else Nil) ++
+      partStyleDirs(new Path(lakePath, TailDirName))
     require(partDirs.isEmpty,
       s"compactLake: $lakeDir contains hive-partition-style directories " +
         s"(${partDirs.map(_.getName).take(3).mkString(", ")}…) — " +
         "flattening would drop the partition columns; compact each " +
         "partition directory instead")
-    val files = dataFiles(lay.dataDir) ++ lay.keep.map(fs.getFileStatus)
+    // PIN the input set: this exact file list — and nothing that lands
+    // later — is what gets rewritten and recorded as consumed. Appends
+    // racing this compact stay live by presence (tail subtraction).
+    val keepStatuses = lay.keep.map(fs.getFileStatus)
+    val tailStatuses = liveTail(fs, lakePath, lay)
+    val genFiles =
+      if (lay.gen.isDefined) listDataFiles(fs, lay.dataDir) else Seq.empty
+    val files = genFiles ++ keepStatuses ++ tailStatuses
+    if (files.isEmpty) return CompactStats(0, 0, 0L, 0L)
+    val tailUris = tailStatuses.map(_.getPath.toUri).toSet
+    // claim the generation number AT PIN TIME — it is the optimistic-
+    // concurrency token: one past the highest manifest PRESENT,
+    // complete or torn (a torn manifest burned its number — the create
+    // is exclusive, so it can never be replaced — and the retry takes
+    // the next one). A rival compactor flipping first makes THIS
+    // compact's exclusive manifest create fail loudly at commit.
+    val allManifestNums = fs.listStatus(lakePath).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case GenManifestRe(n) => Some(n.toInt)
+        case _ => None
+      })
+    val nextGen = (allManifestNums.map(_ + 1) :+ 0).max
+    afterPin()
     // clustering rewrites everything (a retained file keeps its old
     // value spread — min/max stats would stay useless); size-only
     // compaction rewrites only the small tail
@@ -394,12 +535,14 @@ object CorpusIngest {
       return CompactStats(files.size, files.size, 0L, 0L) // already compact
     // 1. rewrite the small tail into ~targetBytes files, directly into
     //    the next generation's directory (invisible until the manifest
-    //    names it). mergeSchema: a lake whose files drifted (e.g.
-    //    legacy pre-_fp next to stamped files) must union the columns,
-    //    not silently drop whichever schema loses the footer race.
-    val nextGen = lay.gen.map(_ + 1).getOrElse(0)
-    val genDir = new Path(lakePath, genDirName(nextGen))
-    fs.delete(genDir, true) // debris from a crashed earlier attempt
+    //    names it; UNIQUELY named, so a racing compactor can never
+    //    overwrite data a winning manifest references). mergeSchema: a
+    //    lake whose files drifted (e.g. legacy pre-_fp next to stamped
+    //    files) must union the columns, not silently drop whichever
+    //    schema loses the footer race.
+    val genDirName =
+      f"_gen-$nextGen%05d-${java.util.UUID.randomUUID().toString.take(6)}"
+    val genDir = new Path(lakePath, genDirName)
     val smallBytes = small.map(_.getLen).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     val toRewrite = spark.read.option("mergeSchema", "true")
@@ -432,15 +575,33 @@ object CorpusIngest {
         .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
     laidOut.write.mode("overwrite").parquet(genDir.toString)
-    // 2. THE commit point: one new manifest object naming the
-    //    generation and referencing the untouched big files in place
-    writeManifest(fs, lakePath, nextGen, big.map(_.getPath))
-    // 3. retire layouts no in-flight reader can still hold: everything
-    //    strictly older than the just-retired generation, MINUS files
-    //    the retired or live manifest still references. Best-effort —
-    //    readers ignore unreferenced files either way.
+    // 2. THE commit point: one new manifest object (created EXCLUSIVELY
+    //    — a racing compactor on the same generation number raises
+    //    here, its uniquely-named data dir left as sweepable debris).
+    //    keep = pinned big files living in old generation dirs or old
+    //    keep refs, retained in place. consumed = pinned TAIL files
+    //    this rewrite folded in (they must stop counting as
+    //    live-by-presence), stamped with this generation, plus the
+    //    previous manifest's still-present consumed entries carried
+    //    forward so a crash between a flip and its retire step can
+    //    never resurrect them into a double-count.
+    val bigKeep = big.filterNot(st => tailUris.contains(st.getPath.toUri))
+    val newlyConsumed = small.filter(st => tailUris.contains(st.getPath.toUri))
+      .map(st => (nextGen, st.getPath))
+    val carried = lay.consumed.filter { case (_, p) => fs.exists(p) }
+    writeManifest(fs, lakePath, nextGen, genDirName,
+      bigKeep.map(_.getPath), newlyConsumed ++ carried)
+    // 3. retire what no in-flight reader within the one-generation
+    //    grace window can still hold. Best-effort — readers ignore
+    //    unreferenced files, and consumed entries stay in the manifest
+    //    until they physically disappear.
+    //    (a) consumed tail files from BEFORE this flip: their readers
+    //        held manifests at least two generations old
+    carried.foreach { case (_, p) => fs.delete(p, false) }
+    //    (b) generation dirs and manifests two generations old, MINUS
+    //        files the retired or live manifest still references
     lay.gen.foreach { retired =>
-      val protect = (lay.keep ++ big.map(_.getPath)).map(_.toUri).toSet
+      val protect = (lay.keep ++ bigKeep.map(_.getPath)).map(_.toUri).toSet
       // inside a stale generation dir everything unprotected goes,
       // hidden write debris (_SUCCESS) included; the dir itself goes
       // once (and only if) it empties out
@@ -454,19 +615,17 @@ object CorpusIngest {
       }
       fs.listStatus(lakePath).foreach { st =>
         val n = st.getPath.getName
-        val staleGenDir = st.isDirectory && n.startsWith("_gen-") &&
-          n.stripPrefix("_gen-").toIntOption.exists(_ < retired)
-        val staleLoose = st.isFile && visible(st.getPath) &&
-          !protect.contains(st.getPath.toUri)
+        val staleGenDir = st.isDirectory &&
+          genDirNum(n).exists(_ < retired)
         val staleManifest = n match {
           case GenManifestRe(g) => g.toInt < retired
           case _ => false
         }
         if (staleGenDir) sweep(st.getPath)
-        else if (staleLoose || staleManifest) fs.delete(st.getPath, false)
+        else if (staleManifest) fs.delete(st.getPath, false)
       }
     }
-    CompactStats(files.size, dataFiles(genDir).size + big.size,
+    CompactStats(files.size, listDataFiles(fs, genDir).size + big.size,
       smallBytes, big.map(_.getLen).sum)
   }
 

@@ -61,7 +61,10 @@ class ZOrderSpec extends AnyFunSuite {
     def fileSpans(lake: String, cluster: Boolean): Seq[(Long, Long)] = {
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration)
-      val gen = new org.apache.hadoop.fs.Path(lake, "_gen-00000")
+      // generation dirs carry a unique suffix (_gen-00000-xxxxxx)
+      val gen = fs.listStatus(new org.apache.hadoop.fs.Path(lake))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_gen-00000"))
+        .head.getPath
       val parts = fs.listStatus(gen).filter(st => st.isFile &&
         !st.getPath.getName.startsWith("_")).map(_.getPath.toString)
       assert(parts.length > 4, s"want several files, got ${parts.length}")

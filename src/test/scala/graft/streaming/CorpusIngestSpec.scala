@@ -248,9 +248,30 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(again.bytesMoved == 0L && again.bytesRewritten == 0L &&
       again.filesAfter == again.filesBefore)
 
+    // a KEEP reference: cluster-compact rewrites everything into one
+    // big generation file; two tiny appends + a size-only compact then
+    // RETAIN that file in place by manifest reference
+    CorpusIngest.compactLake(spark, lakeDir,
+      targetBytes = 1L << 30, clusterBy = Seq("doc_id"))
+    CorpusIngest.ingestBatch(batch((3L, "iota kappa lambda mu")), 3L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(batch((4L, "nu xi omicron pi")), 4L,
+      lakeDir, failReason = gate, scope = "s")
+    val withKeep = CorpusIngest.compactLake(spark, lakeDir,
+      targetBytes = 1L << 30, minFileBytes = 8192L)
+    assert(withKeep.bytesMoved >= 8192L, "generation big file kept in place")
+    val manifest = new java.io.File(lakeDir).listFiles()
+      .filter(_.getName.endsWith(".manifest")).map(_.getName).max
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Path.of(lakeDir, manifest)).contains("keep=_gen-"))
+    val before2 = CorpusIngest.readLake(spark, lakeDir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(before2.size == 2004)
+
     // the lake is RELOCATABLE even with referenced-in-place files:
-    // the manifest records LAKE-RELATIVE paths, so a copied/restored
-    // lake (different absolute root) resolves wholly inside itself
+    // the manifest records LAKE-RELATIVE paths (keep refs AND consumed
+    // tail entries), so a copied/restored lake (different absolute
+    // root) resolves wholly inside itself
     val moved = dir.resolve("lake-moved")
     java.nio.file.Files.walk(java.nio.file.Path.of(lakeDir)).forEach { p =>
       val t = moved.resolve(java.nio.file.Path.of(lakeDir).relativize(p))
@@ -259,7 +280,7 @@ class CorpusIngestSpec extends AnyFunSuite {
       else java.nio.file.Files.copy(p, t)
     }
     assert(CorpusIngest.readLake(spark, moved.toString)
-      .orderBy("doc_id").collect().map(_.toString).toSeq == before)
+      .orderBy("doc_id").collect().map(_.toString).toSeq == before2)
   }
 
   test("compactLake clusterBy rewrites into disjoint key ranges parquet stats can prune") {
@@ -292,8 +313,10 @@ class CorpusIngestSpec extends AnyFunSuite {
     // a clusterBy compact rewrites everything into the generation dir)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(
-      new org.apache.hadoop.fs.Path(lakeDir, "_gen-00000"))
+    val genDir = fs.listStatus(new org.apache.hadoop.fs.Path(lakeDir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_gen-00000"))
+      .head.getPath
+    val parts = fs.listStatus(genDir)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
       .map(_.getPath.toString)
@@ -328,25 +351,28 @@ class CorpusIngestSpec extends AnyFunSuite {
     // ... and survives the flip: the flat files it may be scanning are
     // RETAINED (nothing was renamed or deleted), the new generation is
     // committed by one manifest object
-    assert(rootNames.contains("_gen-00000")
+    assert(rootNames.exists(_.startsWith("_gen-00000"))
       && rootNames.contains("_graft_gen-00000.manifest"))
     assert(rootNames.exists(_.endsWith(".parquet")), "flat layout retained")
     assert(reader1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
 
-    // ingestion continues against the live generation: dedup still
-    // sees doc 1, fresh doc 3 lands inside _gen-00000
+    // ingestion continues: dedup still sees doc 1, fresh doc 3 lands
+    // in the root-anchored _tail append area
     CorpusIngest.ingestBatch(batch(
       (30L, "delta gamma beta alpha"), // bag-dup of doc 1
       (3L, "iota kappa lambda mu")), 2L, lakeDir, failReason = gate, scope = "s")
+    assert(rootNames.contains(CorpusIngest.TailDirName))
     assert(CorpusIngest.readLake(spark, lakeDir).select("doc_id")
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
 
-    // second compact → gen-00001; the flat layout (two generations
-    // old) retires, gen-00000 is kept for its own in-flight readers
+    // second compact → gen-00001; the flat layout (consumed one flip
+    // ago, out of the reader grace window) retires, gen-00000 is kept
+    // for its own in-flight readers
     val reader2 = CorpusIngest.readLake(spark, lakeDir)
     CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
     assert(!rootNames.exists(_.endsWith(".parquet")), "flat layout retired")
-    assert(rootNames.contains("_gen-00000") && rootNames.contains("_gen-00001"))
+    assert(rootNames.exists(_.startsWith("_gen-00000"))
+      && rootNames.exists(_.startsWith("_gen-00001")))
     assert(reader2.select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L))
 
@@ -367,13 +393,121 @@ class CorpusIngestSpec extends AnyFunSuite {
     CorpusIngest.ingestBatch(batch((4L, "nu xi omicron pi")), 3L,
       lakeDir, failReason = gate, scope = "s")
     CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
-    assert(!rootNames.contains("_gen-00000")
+    assert(!rootNames.exists(_.startsWith("_gen-00000"))
       && !rootNames.contains("_graft_gen-00000.manifest"))
     assert(rootNames.contains(CorpusIngest.CommitDirName))
     CorpusIngest.ingestBatch(batch((9L, "would be fresh data here")), 1L,
       lakeDir, failReason = gate, scope = "s")
     assert(CorpusIngest.readLake(spark, lakeDir).select("doc_id")
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("online compaction: appends landing DURING a compact survive the flip, " +
+      "exactly-once markers intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_online")
+    val lakeDir = dir.resolve("lake").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(batch((1L, "alpha beta gamma delta")), 0L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(batch((2L, "epsilon zeta eta theta")), 1L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    CorpusIngest.ingestBatch(batch((3L, "iota kappa lambda mu")), 2L,
+      lakeDir, failReason = gate, scope = "s")
+
+    // a batch lands AFTER the compactor pinned its input set and
+    // BEFORE the manifest flip — the exact window the old design lost;
+    // a replay of a committed id in the same window must still skip
+    CorpusIngest.compactLakeImpl(spark, lakeDir, targetBytes = 1L << 30,
+      minFileBytes = -1L, clusterBy = Nil, zorder = false, afterPin = () => {
+        CorpusIngest.ingestBatch(batch(
+          (4L, "nu xi omicron pi"),
+          (40L, "delta gamma beta alpha")), 3L, // 40 = bag-dup of doc 1
+          lakeDir, failReason = gate, scope = "s")
+        CorpusIngest.ingestBatch(batch((9L, "would be fresh data here")), 1L,
+          lakeDir, failReason = gate, scope = "s") // replay: marker skips
+      })
+    def ids = CorpusIngest.readLake(spark, lakeDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L), s"mid-compact append lost/duped: $ids")
+
+    // the mid-compact batch's marker landed: replaying it is a no-op
+    CorpusIngest.ingestBatch(batch((9L, "would be fresh data here")), 3L,
+      lakeDir, failReason = gate, scope = "s")
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+    // the next compact folds the tail in without loss or duplication
+    CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("online compaction: a MemoryStream microbatch mid-compact is neither " +
+      "lost nor duplicated") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_stream")
+    val lakeDir = dir.resolve("lake").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusIngest.ingestStream(
+      input.toDF().toDF("doc_id", "text"), lakeDir,
+      dir.resolve("ckpt").toString, failReason = gate)
+    try {
+      input.addData((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      q.processAllAvailable()
+      CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+      // the stream keeps running THROUGH the next compact: a microbatch
+      // (with a dup to prove dedup still works mid-flip) is processed
+      // between the compactor's pin and its manifest flip
+      CorpusIngest.compactLakeImpl(spark, lakeDir, targetBytes = 1L << 30,
+        minFileBytes = -1L, clusterBy = Nil, zorder = false, afterPin = () => {
+          input.addData((3L, "iota kappa lambda mu"),
+            (30L, "delta gamma beta alpha")) // bag-dup of doc 1
+          q.processAllAvailable()
+        })
+      input.addData((4L, "nu xi omicron pi"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = CorpusIngest.readLake(spark, lakeDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L), s"stream batch mid-compact lost/duped: $ids")
+    // one root-anchored marker per committed microbatch survived it all
+    val markers = new java.io.File(lakeDir, CorpusIngest.CommitDirName).list()
+      .filterNot(_.startsWith(".")) // local-FS .crc shadows
+    assert(markers.length == 3, markers.mkString(", "))
+  }
+
+  test("concurrent compactors: exactly one wins the generation, the loser " +
+      "raises, no data is lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_race")
+    val lakeDir = dir.resolve("lake").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(batch((1L, "alpha beta gamma delta")), 0L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.ingestBatch(batch((2L, "epsilon zeta eta theta")), 1L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    CorpusIngest.ingestBatch(batch((3L, "iota kappa lambda mu")), 2L,
+      lakeDir, failReason = gate, scope = "s")
+
+    // a rival compactor completes INSIDE the outer one's window: both
+    // target the same generation number; the rival's manifest installs
+    // first (create-exclusive), the outer one must raise — its
+    // uniquely-named data dir is unreferenced debris, never clobbering
+    // the winner's committed files
+    intercept[Exception] {
+      CorpusIngest.compactLakeImpl(spark, lakeDir, targetBytes = 1L << 30,
+        minFileBytes = -1L, clusterBy = Nil, zorder = false, afterPin = () =>
+          CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30))
+    }
+    def ids = CorpusIngest.readLake(spark, lakeDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    // the lake remains fully operational: ingest + compact continue
+    CorpusIngest.ingestBatch(batch((4L, "nu xi omicron pi")), 3L,
+      lakeDir, failReason = gate, scope = "s")
+    CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    assert(ids == Seq(1L, 2L, 3L, 4L))
   }
 
   test("compactLake refuses hive-partitioned layouts instead of dropping partition columns") {
