@@ -34,6 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object LangId {
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
   /** Hashed-n-gram NB model. `logProb(l)(b)` = log P(bucket b | lang
     * l) with add-one smoothing; `logPrior(l)` = log P(lang l) from
     * document counts.
@@ -77,6 +79,21 @@ object LangId {
     out.result()
   }
 
+  /** The fit's counting plan, exposed so specs can pin its shape: the
+    * gram stream is a codegen'd [[FeatureBucketsExpr]] explode — no
+    * typed lambda, no DeserializeToObject, the same native-expression
+    * standard as the classify side.
+    */
+  private[operators] def gramCounts(df: DataFrame, langCol: String,
+      textCol: String, buckets: Int, nMin: Int, nMax: Int): DataFrame = df
+    .select(col(langCol).cast("string").as("_lang"),
+      col(textCol).cast("string").as("_text"))
+    .filter(col("_lang").isNotNull && col("_text").isNotNull)
+    .select(col("_lang"), explode(
+      ncol(FeatureBucketsExpr(ex(col("_text")), nMin, nMax, buckets)))
+      .as("_bucket"))
+    .groupBy("_lang", "_bucket").agg(count(lit(1)).as("_n"))
+
   /** Fit from a labeled corpus: ONE counting aggregation over
     * (lang, bucket) — partial-aggregated map-side, so the shuffle
     * carries at most langs × buckets rows per mapper regardless of
@@ -88,18 +105,7 @@ object LangId {
       maxLangs: Int = 256): Model = {
     require(buckets > 0 && nMin >= 1 && nMax >= nMin,
       s"langId.fit: bad (buckets=$buckets, nMin=$nMin, nMax=$nMax)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val (b, lo, hi) = (buckets, nMin, nMax)
-    val counts = df
-      .select(col(langCol).cast("string").as("_lang"),
-        col(textCol).cast("string").as("_text"))
-      .filter(col("_lang").isNotNull && col("_text").isNotNull)
-      .as[(String, String)]
-      .flatMap { case (lang, text) =>
-        featureBuckets(text, lo, hi, b).map(bk => (lang, bk)) }
-      .toDF("_lang", "_bucket")
-      .groupBy("_lang", "_bucket").agg(count(lit(1)).as("_n"))
+    val counts = gramCounts(df, langCol, textCol, buckets, nMin, nMax)
       .collect()
     val docCounts = df.filter(col(langCol).isNotNull && col(textCol).isNotNull)
       .groupBy(col(langCol).cast("string").as("_lang"))
@@ -129,15 +135,27 @@ object LangId {
     Model(langs, logPrior, logProb, buckets, nMin, nMax)
   }
 
+  private val Und = UTF8String.fromString("und")
+
   /** Score one document against every language, return the argmax
     * label (ties break to the lexicographically-first language —
     * langs is sorted). Blank text → "und".
+    *
+    * `undMargin` is the LOW-EVIDENCE gate: the per-gram margin between
+    * the best and second-best log-posterior must reach it, else the
+    * document routes to "und" instead of being force-assigned to
+    * whichever trained language happens to score highest — digits,
+    * symbol soup, or a language the model was never trained on should
+    * not poison a per-language downstream operator. Per-GRAM (divided
+    * by the gram count) so the dial is length-independent; 0.0 (the
+    * default) disables the gate, preserving pure-argmax behavior.
     */
-  def classify(m: Model, text: UTF8String): UTF8String = {
+  def classify(m: Model, text: UTF8String, undMargin: Double): UTF8String = {
     val s = text.toString
-    if (s.trim.isEmpty) return UTF8String.fromString("und")
+    if (s.trim.isEmpty) return Und
     val scores = m.logPrior.clone()
     val padded = " " + s + " "
+    var grams = 0
     var n = m.nMin
     while (n <= m.nMax) {
       var i = 0
@@ -148,6 +166,7 @@ object LangId {
           scores(l) += m.logProb(l)(bk)
           l += 1
         }
+        grams += 1
         i += 1
       }
       n += 1
@@ -157,6 +176,16 @@ object LangId {
     while (l < scores.length) {
       if (scores(l) > scores(best)) best = l
       l += 1
+    }
+    if (undMargin > 0.0 && scores.length > 1) {
+      var second = if (best == 0) 1 else 0
+      var k = 0
+      while (k < scores.length) {
+        if (k != best && scores(k) > scores(second)) second = k
+        k += 1
+      }
+      if ((scores(best) - scores(second)) / math.max(grams, 1) < undMargin)
+        return Und
     }
     UTF8String.fromString(m.langs(best))
   }
@@ -187,19 +216,27 @@ object LangId {
       h.getAs[Int]("buckets"), h.getAs[Int]("n_min"), h.getAs[Int]("n_max"))
   }
 
-  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+  /** [[featureBuckets]] in the ArrayData shape the codegen'd
+    * [[FeatureBucketsExpr]] returns. */
+  def featureBucketsData(text: UTF8String, nMin: Int, nMax: Int,
+      buckets: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      featureBuckets(text.toString, nMin, nMax, buckets))
 
   /** Column form: `langIdModel(col("text"), model)` — one codegen'd
-    * in-row pass, model shipped once per executor with the plan. */
-  def langIdModel(c: Column, model: Model): Column =
-    ncol(LangClassifyExpr(ex(c), model))
+    * in-row pass, model shipped once per executor with the plan.
+    * `undMargin` > 0 enables the low-evidence "und" gate (see
+    * [[classify]]). */
+  def langIdModel(c: Column, model: Model, undMargin: Double = 0.0): Column =
+    ncol(LangClassifyExpr(ex(c), model, undMargin))
 }
 
 /** `graft_lang_id_model(text)` — [[LangId.classify]] as a native
   * codegen'd expression; the model rides along as a plan reference
   * object (the NearestCellExpr pattern), never a per-row closure.
   */
-case class LangClassifyExpr(child: Expression, model: LangId.Model)
+case class LangClassifyExpr(child: Expression, model: LangId.Model,
+    undMargin: Double = 0.0)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -210,15 +247,43 @@ case class LangClassifyExpr(child: Expression, model: LangId.Model)
   override def prettyName: String = "graft_lang_id_model"
 
   protected override def nullSafeEval(input: Any): Any =
-    LangId.classify(model, input.asInstanceOf[UTF8String])
+    LangId.classify(model, input.asInstanceOf[UTF8String], undMargin)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("langIdModel", model,
       classOf[LangId.Model].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.operators.LangId.classify($m, $c);")
+      s"${ev.value} = graft.operators.LangId.classify($m, $c, $undMargin);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LangClassifyExpr =
+    copy(child = newChild)
+}
+
+/** `graft_lang_grams(text)` — the fit path's hashed-n-gram stream as a
+  * native array expression, exploded into the one bounded counting
+  * aggregate. Codegen'd so the fit scan stays inside whole-stage
+  * codegen instead of deserializing every row into a Scala tuple.
+  */
+case class FeatureBucketsExpr(child: Expression, nMin: Int, nMax: Int,
+    buckets: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lang_grams requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lang_grams"
+
+  protected override def nullSafeEval(input: Any): Any =
+    LangId.featureBucketsData(input.asInstanceOf[UTF8String], nMin, nMax, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.LangId.featureBucketsData($c, $nMin, $nMax, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureBucketsExpr =
     copy(child = newChild)
 }

@@ -100,7 +100,133 @@ class LangIdSpec extends AnyFunSuite {
     ("nl", "De trein komt om zeven uur 's avonds aan op het station", false),
     ("nl", "Vele handen maken licht werk als iedereen meehelpt", true),
     ("nl", "Vers brood ruikt heerlijk in de vroege ochtend", true),
-    ("nl", "Morgen bezoeken we onze grootouders op het platteland", true)
+    ("nl", "Morgen bezoeken we onze grootouders op het platteland", true),
+
+    ("sv", "Den snabba bruna räven hoppar över den lata hunden i trädgården", false),
+    ("sv", "Barnen leker i trädgården och skrattar åt katten", false),
+    ("sv", "Jag skulle vilja ha en kopp kaffe med mjölk och socker", false),
+    ("sv", "Vädret är vackert idag och solen skiner starkt", false),
+    ("sv", "Vi tar tåget till bergen i helgen", false),
+    ("sv", "Mötet har skjutits upp till nästa torsdag eftermiddag", false),
+    ("sv", "Att läsa böcker hjälper dig att förstå världen bättre", false),
+    ("sv", "Tåget kommer till stationen klockan sju på kvällen", false),
+    ("sv", "Många händer gör arbetet lätt när alla hjälper till", true),
+    ("sv", "Färskt bröd doftar underbart tidigt på morgonen", true),
+    ("sv", "Imorgon besöker vi våra morföräldrar på landet", true),
+
+    ("pl", "Szybki brązowy lis skacze nad leniwym psem w ogrodzie", false),
+    ("pl", "Dzieci bawią się w ogrodzie i śmieją się z kota", false),
+    ("pl", "Poproszę filiżankę kawy z mlekiem i cukrem", false),
+    ("pl", "Pogoda jest dziś piękna a słońce świeci jasno", false),
+    ("pl", "W weekend jedziemy pociągiem w góry", false),
+    ("pl", "Spotkanie zostało przełożone na przyszły czwartek po południu", false),
+    ("pl", "Czytanie książek pomaga lepiej zrozumieć świat", false),
+    ("pl", "Pociąg przyjeżdża na stację o siódmej wieczorem", false),
+    ("pl", "Wiele rąk czyni pracę lekką gdy wszyscy pomagają", true),
+    ("pl", "Świeży chleb pachnie cudownie wcześnie rano", true),
+    ("pl", "Jutro odwiedzamy naszych dziadków na wsi", true),
+
+    ("tr", "Hızlı kahverengi tilki bahçede tembel köpeğin üzerinden atlar", false),
+    ("tr", "Çocuklar bahçede oynuyor ve kediye gülüyorlar", false),
+    ("tr", "Sütlü ve şekerli bir fincan kahve istiyorum lütfen", false),
+    ("tr", "Bugün hava çok güzel ve güneş parlak bir şekilde parlıyor", false),
+    ("tr", "Bu hafta sonu trenle dağlara gidiyoruz", false),
+    ("tr", "Toplantı gelecek perşembe öğleden sonraya ertelendi", false),
+    ("tr", "Kitap okumak dünyayı daha iyi anlamana yardımcı olur", false),
+    ("tr", "Tren akşam yedide istasyona varıyor", false),
+    ("tr", "Herkes birlikte çalışınca her şey daha kolay olur", false),
+    ("tr", "İş yerinde bugün çok yoğun bir gün geçirdik", false),
+    ("tr", "Sabahları erken kalkmak bana çok iyi geliyor", false),
+    ("tr", "Akşam yemeğinden sonra hep birlikte çay içtik", false),
+    ("tr", "Herkes yardım edince iş çok daha kolay olur", true),
+    ("tr", "Taze ekmek sabahın erken saatlerinde harika kokar", true),
+    ("tr", "Yarın kırsaldaki büyükanne ve büyükbabamızı ziyaret ediyoruz", true),
+
+    ("ru", "Быстрая коричневая лиса прыгает через ленивую собаку в саду", false),
+    ("ru", "Дети играют в саду и смеются над кошкой", false),
+    ("ru", "Я хотел бы чашку кофе с молоком и сахаром", false),
+    ("ru", "Погода сегодня прекрасная и солнце ярко светит", false),
+    ("ru", "В выходные мы едем на поезде в горы", false),
+    ("ru", "Совещание перенесли на следующий четверг после обеда", false),
+    ("ru", "Чтение книг помогает лучше понимать мир", false),
+    ("ru", "Поезд прибывает на станцию в семь часов вечера", false),
+    ("ru", "Много рук делают работу лёгкой когда все помогают", true),
+    ("ru", "Свежий хлеб из соседней пекарни пахнет особенно вкусно ранним утром", true),
+    ("ru", "Завтра мы навестим наших бабушку и дедушку в деревне", true),
+
+    ("uk", "Швидка коричнева лисиця стрибає через ледачого пса в саду", false),
+    ("uk", "Діти граються в саду і сміються з кота", false),
+    ("uk", "Я хотів би чашку кави з молоком і цукром", false),
+    ("uk", "Погода сьогодні чудова і сонце яскраво світить", false),
+    ("uk", "На вихідних ми їдемо потягом у гори", false),
+    ("uk", "Засідання перенесли на наступний четвер після обіду", false),
+    ("uk", "Читання книжок допомагає краще розуміти світ", false),
+    ("uk", "Потяг прибуває на станцію о сьомій годині вечора", false),
+    ("uk", "Багато рук роблять роботу легкою коли всі допомагають", true),
+    ("uk", "Свіжий хліб чудово пахне рано вранці", true),
+    ("uk", "Завтра ми відвідаємо наших бабусю і дідуся в селі", true),
+
+    ("ar", "الثعلب البني السريع يقفز فوق الكلب الكسول في الحديقة", false),
+    ("ar", "الأطفال يلعبون في الحديقة ويضحكون مع القطة", false),
+    ("ar", "أريد فنجانا من القهوة مع الحليب والسكر من فضلك", false),
+    ("ar", "الطقس جميل اليوم والشمس تشرق بقوة", false),
+    ("ar", "نسافر بالقطار إلى الجبال في نهاية الأسبوع", false),
+    ("ar", "تأجل الاجتماع إلى يوم الخميس القادم بعد الظهر", false),
+    ("ar", "قراءة الكتب تساعدك على فهم العالم بشكل أفضل", false),
+    ("ar", "يصل القطار إلى المحطة في السابعة مساء", false),
+    ("ar", "الأيدي الكثيرة تجعل العمل خفيفا عندما يساعد الجميع", true),
+    ("ar", "الخبز الطازج رائحته رائعة في الصباح الباكر", true),
+    ("ar", "غدا نزور أجدادنا في الريف", true),
+
+    ("zh", "敏捷的棕色狐狸跳过花园里懒惰的狗", false),
+    ("zh", "孩子们在花园里玩耍并对着猫笑", false),
+    ("zh", "我想要一杯加牛奶和糖的咖啡", false),
+    ("zh", "今天天气很好阳光灿烂", false),
+    ("zh", "这个周末我们坐火车去山里", false),
+    ("zh", "会议推迟到下周四下午举行", false),
+    ("zh", "读书帮助你更好地理解世界", false),
+    ("zh", "火车晚上七点到达车站", false),
+    ("zh", "我们一家人明天一起去公园散步", false),
+    ("zh", "他每天早上七点起床然后去工作", false),
+    ("zh", "这本书很有意思我们都喜欢读", false),
+    ("zh", "妈妈在厨房里做饭香味很好闻", false),
+    ("zh", "大家都很高兴因为明天放假", false),
+    ("zh", "我的爷爷奶奶住在乡下的小村子里", false),
+    ("zh", "朋友有困难的时候我们都愿意帮忙", false),
+    ("zh", "团结就是力量这句话很有道理", false),
+    ("zh", "人多力量大大家一起帮忙工作就轻松", true),
+    ("zh", "新鲜的面包在清晨闻起来很香", true),
+    ("zh", "明天我们去乡下看望爷爷奶奶", true),
+
+    ("ja", "素早い茶色の狐が庭で怠け者の犬を飛び越える", false),
+    ("ja", "子供たちは庭で遊んで猫と笑っている", false),
+    ("ja", "ミルクと砂糖入りのコーヒーを一杯ください", false),
+    ("ja", "今日は天気がよくて太陽が明るく輝いている", false),
+    ("ja", "今週末は電車で山へ行きます", false),
+    ("ja", "会議は来週の木曜日の午後に延期された", false),
+    ("ja", "本を読むことは世界をよりよく理解するのに役立つ", false),
+    ("ja", "電車は夜七時に駅に到着します", false),
+    ("ja", "私たちは毎朝早く起きて一緒に朝ごはんを食べます", false),
+    ("ja", "仕事がたくさんあるのでみんなで手分けして進めます", false),
+    ("ja", "このパンは焼きたてでとてもおいしいです", false),
+    ("ja", "田舎のおじいさんとおばあさんは元気に暮らしています", false),
+    ("ja", "明日の朝は早く起きて山に登るつもりです", false),
+    ("ja", "みんなで力を合わせれば仕事は早く終わります", false),
+    ("ja", "みんなが手伝えば仕事は楽になる", true),
+    ("ja", "焼きたてのパンは朝早くとてもいい匂いがする", true),
+    ("ja", "明日は田舎の祖父母を訪ねます", true),
+
+    ("ko", "빠른 갈색 여우가 정원에서 게으른 개를 뛰어넘는다", false),
+    ("ko", "아이들이 정원에서 놀며 고양이를 보고 웃는다", false),
+    ("ko", "우유와 설탕을 넣은 커피 한 잔 주세요", false),
+    ("ko", "오늘은 날씨가 좋고 햇살이 밝게 빛난다", false),
+    ("ko", "이번 주말에 우리는 기차를 타고 산에 간다", false),
+    ("ko", "회의는 다음 주 목요일 오후로 연기되었다", false),
+    ("ko", "책을 읽으면 세상을 더 잘 이해할 수 있다", false),
+    ("ko", "기차는 저녁 일곱 시에 역에 도착한다", false),
+    ("ko", "모두가 도우면 일이 가벼워진다", true),
+    ("ko", "갓 구운 빵은 이른 아침에 아주 좋은 냄새가 난다", true),
+    ("ko", "내일 우리는 시골에 계신 조부모님을 찾아뵙는다", true)
   )
 
   private lazy val model = {
@@ -186,7 +312,7 @@ class LangIdSpec extends AnyFunSuite {
       "edges": [{"source": "in", "target": "tr"}]
     }""")
     assert(trainRun.nodeLog.exists { case (id, msg) =>
-      id == "tr" && msg.contains("7-language model") }, trainRun.nodeLog.toString)
+      id == "tr" && msg.contains("16-language model") }, trainRun.nodeLog.toString)
 
     val testPq = dir.resolve("test").toString
     graft.sources.Writers.write(
@@ -210,5 +336,84 @@ class LangIdSpec extends AnyFunSuite {
     val plan = docs.withColumn("pred", LangId.langIdModel(col("text"), model))
       .queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("exchange") && !plan.contains("scalaudf"), plan)
+  }
+
+  test("confusion matrix across 16 languages / 4 scripts: held-out diagonal is clean") {
+    val langs = corpus.map(_._1).distinct.sorted
+    assert(langs.size == 16, langs.mkString(","))
+    val test = corpus.filter(_._3).map(t => (t._1, t._2)).toDF("lang", "text")
+    val cm = test
+      .withColumn("pred", LangId.langIdModel(col("text"), model))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred")) ->
+        r.getAs[Long]("n")).toMap
+    val offDiagonal = cm.filter { case ((l, p), _) => l != p }
+    assert(offDiagonal.isEmpty,
+      "misrouted held-out cells: " + offDiagonal.keys.map {
+        case (l, p) => s"$l->$p" }.mkString(", "))
+    // every language contributes its full held-out count to the diagonal
+    langs.foreach { l =>
+      assert(cm.getOrElse((l, l), 0L) == 3L, s"$l diagonal: ${cm.get((l, l))}")
+    }
+  }
+
+  test("und margin: low-evidence text routes to und, real sentences are untouched") {
+    val margin = 0.03
+    // digit/symbol soup carries no language evidence — pure argmax
+    // force-routes it to SOME trained language; the margin gate must
+    // send it to und instead
+    val noise = Seq((1L, "12345 67890 24680 13579"), (2L, "+++ --- ### ***"),
+      (3L, "?? !! ,, .. ;;")).toDF("id", "text")
+    val forced = noise.withColumn("p",
+        LangId.langIdModel(col("text"), model)) // margin off: force-routed
+      .filter(col("p") =!= "und").count()
+    assert(forced == 3L, "fixture noise no longer demonstrates force-routing")
+    val gated = noise.withColumn("p",
+        LangId.langIdModel(col("text"), model, undMargin = margin))
+      .filter(col("p") === "und").count()
+    assert(gated == 3L)
+    // the SAME margin leaves every real held-out sentence classified —
+    // the gate separates evidence-free text from actual language
+    val test = corpus.filter(_._3).map(t => (t._1, t._2)).toDF("lang", "text")
+    val wrong = test.withColumn("pred",
+        LangId.langIdModel(col("text"), model, undMargin = margin))
+      .filter(col("pred") =!= col("lang")).collect()
+    assert(wrong.isEmpty, wrong.mkString("\n"))
+  }
+
+  test("fit gram stream is codegen'd: no typed-lambda deserialization in the plan") {
+    val train = corpus.filter(!_._3).map(t => (t._1, t._2)).toDF("lang", "text")
+    val plan = LangId.gramCounts(train, "lang", "text", 4096, 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements")
+      && !plan.toLowerCase.contains("scalaudf"), plan)
+    assert(plan.contains("graft_lang_grams"), plan)
+  }
+
+  test("fit ≡ independent driver-side Naive Bayes recomputation (bit-identical)") {
+    // recompute the NB closed form in plain Scala from featureBuckets —
+    // the distributed explode+groupBy fit must match it exactly
+    val train = corpus.filter(!_._3).map(t => (t._1, t._2))
+    val langs = train.map(_._1).distinct.sorted.toArray
+    val buckets = model.buckets
+    val raw = langs.map { l =>
+      val counts = new Array[Long](buckets)
+      train.filter(_._1 == l).foreach { case (_, text) =>
+        LangId.featureBuckets(text, model.nMin, model.nMax, buckets)
+          .foreach(bk => counts(bk) += 1)
+      }
+      counts
+    }
+    val expected = langs.indices.map { l =>
+      val denom = math.log(raw(l).sum + buckets.toDouble)
+      raw(l).map(c => (math.log(c + 1.0) - denom).toFloat).toSeq
+    }
+    assert(model.langs.toSeq == langs.toSeq)
+    assert(model.logProb.map(_.toSeq).toSeq == expected)
+    val totalDocs = train.size.toDouble
+    val expectedPrior = langs.map(l =>
+      math.log(train.count(_._1 == l) / totalDocs))
+    assert(model.logPrior.toSeq == expectedPrior.toSeq)
   }
 }
