@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for every spec (Spark startup ~5 s). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 3]: up to 3 attempts per task, so retry-idempotence
+    // specs can inject first-attempt failures (production clusters
+    // always retry; local mode defaults to fail-fast)
     val s = Sessions.tune(
-      SparkSession.builder().master("local[4]"), shufflePartitions = 4).getOrCreate()
+      SparkSession.builder().master("local[4, 3]"), shufflePartitions = 4).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
