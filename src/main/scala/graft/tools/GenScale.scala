@@ -19,9 +19,19 @@ final case class GenVec(vec_id: Long, embedding: Array[Float], label: Int)
   * (nVecs = 0 skips embeddings) used for the dedup-family fifth
   * decade.
   *
-  * Same shape as the driver's tables (TESTDATA.md, seed 42):
-  * documents = token-salad text over the OBSERVED sf0.1 vocabulary
-  * (10–100 tokens), lang/source with the observed skew; embeddings =
+  * Arg 4 picks the TEXT MODE (r11):
+  *  - `zipf` (default): [[ZipfText]] — 30k-word synthetic vocabulary
+  *    with Zipf(1.07) frequencies, the crawl-text regime where rare
+  *    shingles exist and AllPairs prefix filtering works, so
+  *    d_ngram_jaccard runs UNGUARDED at sf1 and LSH recall
+  *    measurements are meaningful.
+  *  - `salad`: the pre-r11 token salad over the OBSERVED sf0.1
+  *    vocabulary (~31 tokens, uniform) — kept to reproduce earlier
+  *    SCALING.md rounds; its saturated trigram space is what made the
+  *    ngram guard fire by design.
+  *
+  * Same shape as the driver's tables (TESTDATA.md, seed 42): docs are
+  * 10–100 tokens with the observed lang/source skew; embeddings =
   * 64-dim small-float vectors. Seeded PER ROW ID, so the output is
   * deterministic under any partitioning. Not part of the library.
   */
@@ -30,24 +40,34 @@ object GenScale {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
     val nDocs = args.lift(1).map(_.toLong).getOrElse(50000L) // 10× sf0.1's 5000
     val nVecs = args.lift(2).map(_.toLong).getOrElse(20000L) // 10× sf0.1's 2000
+    val mode = args.lift(3).getOrElse("zipf")
+    require(mode == "zipf" || mode == "salad", s"unknown text mode: $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val vocab = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      .select(explode(split(col("text"), " ")).as("t"))
-      .distinct().as[String].collect().sorted
+    val vocab =
+      if (mode == "zipf") ZipfText.vocabulary(30000)
+      else spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .distinct().as[String].collect().sorted
+    val cdf = if (mode == "zipf") ZipfText.zipfCdf(vocab.length) else null
     val vocabB = spark.sparkContext.broadcast(vocab)
+    val cdfB = spark.sparkContext.broadcast(cdf)
     // observed sf0.1 skew: ~41% en, the rest near-uniform
     val langs = Array("en", "en", "en", "zh", "es", "fr", "de")
 
     spark.range(0, nDocs).as[Long].map { id =>
       val rnd = new scala.util.Random(42L * 1000003L + id)
-      val v = vocabB.value
-      val n = 10 + rnd.nextInt(91)
-      val text = Array.fill(n)(v(rnd.nextInt(v.length))).mkString(" ")
+      val text =
+        if (cdfB.value != null) ZipfText.doc(id, vocabB.value, cdfB.value)
+        else {
+          val v = vocabB.value
+          val n = 10 + rnd.nextInt(91)
+          Array.fill(n)(v(rnd.nextInt(v.length))).mkString(" ")
+        }
       GenDoc(id, text, langs(rnd.nextInt(langs.length)),
         s"src${rnd.nextInt(20)}", text.length.toLong)
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")

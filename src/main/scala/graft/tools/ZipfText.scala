@@ -1,0 +1,72 @@
+package graft.tools
+
+/** Deterministic Zipf-vocabulary text: synthetic CV-syllable words
+  * (no external wordlist — the shapes matter, not the meanings) drawn
+  * with power-law frequencies (Zipf's law, s ≈ 1.07 — the slope
+  * reported for large natural-language corpora since Zipf 1949).
+  *
+  * This is what the dedup star needs to behave like crawl text: the
+  * driver's token-salad documents draw ~31 tokens uniformly, which
+  * SATURATES the 3-gram shingle space — no globally-rare prefixes
+  * exist, every AllPairs prefix index degenerates to Θ(n²), and
+  * d_ngram_jaccard's saturation guard fires by design. Under a Zipf
+  * tail most shingles are rare (a random 3-token sequence over a 30k
+  * vocabulary), the prefix filter prunes almost everything, and the
+  * exact path stays usable at scale — the regime the operator was
+  * built for.
+  *
+  * Words are unique by construction: each is the base-|syllables|
+  * digit string of its index written in consonant-vowel syllables, and
+  * since every syllable starts with a consonant cluster and ends with
+  * a vowel, no concatenation of two words parses as another word's
+  * digits.
+  */
+object ZipfText {
+
+  private val onsets = Array(
+    "b", "d", "f", "g", "k", "l", "m", "n", "p", "r",
+    "s", "t", "v", "z", "ch", "sh", "th", "br", "tr", "st")
+  private val nuclei = Array("a", "e", "i", "o", "u", "ai", "ei", "ou")
+  private val syllables: Array[String] =
+    for (o <- onsets; n <- nuclei) yield o + n // 160
+
+  /** The i-th vocabulary word (deterministic, distinct). */
+  def word(i: Int): String = {
+    require(i >= 0, s"word index must be >= 0, got $i")
+    val sb = new StringBuilder
+    var v = i + syllables.length // offset ⇒ always >= 2 syllables
+    while (v > 0) {
+      sb ++= syllables(v % syllables.length)
+      v /= syllables.length
+    }
+    sb.toString
+  }
+
+  def vocabulary(size: Int): Array[String] = Array.tabulate(size)(word)
+
+  /** Cumulative Zipf(s) distribution over ranks 1..v — sample a rank
+    * by binary-searching a uniform draw. */
+  def zipfCdf(v: Int, s: Double = 1.07): Array[Double] = {
+    require(v > 0, s"vocabulary size must be positive, got $v")
+    val w = Array.tabulate(v)(r => 1.0 / math.pow(r + 1.0, s))
+    val total = w.sum
+    var acc = 0.0
+    w.map { x => acc += x / total; acc }
+  }
+
+  def sampleRank(cdf: Array[Double], u: Double): Int = {
+    val i = java.util.Arrays.binarySearch(cdf, u)
+    math.min(if (i >= 0) i else -(i + 1), cdf.length - 1)
+  }
+
+  /** One document: `n ∈ [minTokens, maxTokens]` Zipf-drawn words.
+    * Seeded per (seed, id), so output is deterministic under any
+    * partitioning — the GenScale convention. */
+  def doc(id: Long, vocab: Array[String], cdf: Array[Double],
+      minTokens: Int = 10, maxTokens: Int = 100,
+      seed: Long = 42L): String = {
+    val rnd = new scala.util.Random(seed * 1000003L + id)
+    val n = minTokens + rnd.nextInt(maxTokens - minTokens + 1)
+    Array.fill(n)(vocab(sampleRank(cdf, rnd.nextDouble()))).mkString(" ")
+  }
+}

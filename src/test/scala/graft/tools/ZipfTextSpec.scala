@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.operators.{CandidateCap, Dedup}
+
+class ZipfTextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vocabulary words are distinct and deterministic") {
+    val v = ZipfText.vocabulary(30000)
+    assert(v.toSet.size == v.length)
+    assert(v.toSeq == ZipfText.vocabulary(30000).toSeq)
+    assert(v.forall(w => w.nonEmpty && w.forall(_.isLetter)))
+  }
+
+  test("draws follow the power law: head heavy, tail long") {
+    val cdf = ZipfText.zipfCdf(30000)
+    val rnd = new scala.util.Random(7)
+    val draws = Array.fill(200000)(ZipfText.sampleRank(cdf, rnd.nextDouble()))
+    val counts = draws.groupBy(identity).view.mapValues(_.length).toMap
+    // rank 1 is the modal word and the tail is wide — the two Zipf
+    // properties the shingle space depends on
+    assert(counts(0) == counts.values.max)
+    assert(counts.size > 10000, s"only ${counts.size} distinct ranks drawn")
+    // head mass: top-100 ranks carry a large minority, not ~0 (uniform
+    // would give 100/30000 = 0.3%)
+    val head = (0 until 100).map(r => counts.getOrElse(r, 0)).sum.toDouble
+    assert(head / draws.length > 0.25, s"head mass ${head / draws.length}")
+  }
+
+  test("ngram-Jaccard AllPairs runs UNGUARDED on Zipf text and matches brute force") {
+    // the driver's token-salad documents saturate the trigram space and
+    // the CandidateCap.Auto guard fires by design at scale; on Zipf
+    // text rare prefixes exist, so the SAME defaults must pass the
+    // guard AND stay exact
+    val cdf = ZipfText.zipfCdf(30000)
+    val vocab = ZipfText.vocabulary(30000)
+    val base = (0L until 800L).map(i => (i, ZipfText.doc(i, vocab, cdf)))
+    // plant near-duplicates: one extra token on a copy (J = n/(n+1) ≥ 0.8)
+    val clones = base.take(25).map { case (i, t) => (i + 100000L, t + " graftclone") }
+    val docs = (base ++ clones).toDF("doc_id", "text").repartition(4)
+
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.8,
+        maxCandidatePairs = CandidateCap.Auto) // guard ON — must not raise
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // brute force: all C(825, 2) pairs, Jaccard over distinct shingles
+    val sh = docs.select(col("doc_id"),
+      array_distinct(graft.functions.TextSignatures
+        .shingleHashesCol(col("text"), 3)).as("sh"))
+    val want = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(want.size >= 25, s"fixture lost its planted clones: ${want.size}")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+}
