@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{Sessions, SparkEntry}
+
+/** Dev tool: sf100 spot-check of the scaling audit's ~linear four
+  * (d_simhash, q_join3, q_cube_rollup, q_salted_join) — one more
+  * decade beyond the sf10 bench point, on their tables only:
+  *
+  *   GenStar ×100 / ×1000 of the driver's sf0.1 star for the TPC-H
+  *   three; GenScale zipf documents (500k / 5M) for d_simhash, with
+  *   the dedup stage dir engaged (the cluster configuration).
+  *
+  * ~linear is the CORRECT slope for data-proportional operators — the
+  * point of the spot-check is that the slope HOLDS (no knee, stable
+  * constant) one decade further, where a hidden superlinear term or a
+  * memory ceiling would finally show. Warm-up + median of 3 per point
+  * (the same protocol as ProfileScaling). Prints SCALING.md-ready
+  * rows; not part of the library.
+  */
+object ProfileSf100 {
+  def main(args: Array[String]): Unit = {
+    val sf10Star = args.headOption.getOrElse("/tmp/graft_sf10_star")
+    val sf100Star = args.lift(1).getOrElse("/tmp/graft_sf100_star")
+    val sf10Docs = args.lift(2).getOrElse("/tmp/graft_sf10")
+    val sf100Docs = args.lift(3).getOrElse("/tmp/graft_sf100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
+    val spark = Sessions.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_sf100_stage")
+    def purgeStage(): Unit = graft.LocalFs.clearDirectory(stagePath.toFile)
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      try fn(spark, dir).count() catch {
+        case e: Throwable => println(s"$name@$dir FAILED: ${e.getMessage}"); return -1
+      } finally purgeStage()
+      spark.catalog.clearCache()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        spark.catalog.clearCache()
+        val dt = (System.nanoTime() - t0) / 1e9
+        purgeStage()
+        dt
+      }
+      ts.sorted.apply(1)
+    }
+
+    val plan = Seq(
+      ("q_join3", sf10Star, sf100Star, false),
+      ("q_cube_rollup", sf10Star, sf100Star, false),
+      ("q_salted_join", sf10Star, sf100Star, false),
+      ("d_simhash", sf10Docs, sf100Docs, true))
+
+    println("| query | sf10 | sf100 | x10 ratio | class |")
+    println("|---|---|---|---|---|")
+    try plan.foreach { case (n, d10, d100, staged) =>
+      if (staged)
+        spark.conf.set(graft.operators.Dedup.StageDirConf, stagePath.toString)
+      try {
+        val a = time(n, d10)
+        val b = time(n, d100)
+        val r = if (a > 0 && b > 0) b / a else -1
+        val cls =
+          if (r < 0) "error"
+          else if (r < 2) "floor"
+          else if (r < 6) "sublinear"
+          else if (r < 15) "~linear"
+          else "SUPERLINEAR"
+        println(f"| $n | $a%.1f | $b%.1f | $r%.1f | $cls |")
+      } finally if (staged)
+        spark.conf.unset(graft.operators.Dedup.StageDirConf)
+    } finally graft.LocalFs.deleteRecursively(stagePath.toFile)
+    spark.stop()
+  }
+}
