@@ -511,7 +511,16 @@ object CorpusIngest {
       if (lay.gen.isDefined) listDataFiles(fs, lay.dataDir) else Seq.empty
     val files = genFiles ++ keepStatuses ++ tailStatuses
     if (files.isEmpty) return CompactStats(0, 0, 0L, 0L)
-    val tailUris = tailStatuses.map(_.getPath.toUri).toSet
+    // TAIL-AREA membership (root + _tail, by presence, keep/consumed
+    // NOT subtracted): any pinned file living here that this compact
+    // rewrites must land in the consumed list — including a v1-legacy
+    // KEEP ref in a visible root directory, which would otherwise
+    // reappear as live-by-presence tail the moment it leaves the keep
+    // list (double-count). Hidden-area files (old generation dirs) are
+    // never tail sources; the generation sweep retires them instead.
+    val tailAreaUris = (listDataFiles(fs, lakePath) ++
+      listDataFiles(fs, new Path(lakePath, TailDirName)))
+      .map(_.getPath.toUri).toSet
     // claim the generation number AT PIN TIME — it is the optimistic-
     // concurrency token: one past the highest manifest PRESENT,
     // complete or torn (a torn manifest burned its number — the create
@@ -585,8 +594,12 @@ object CorpusIngest {
     //    previous manifest's still-present consumed entries carried
     //    forward so a crash between a flip and its retire step can
     //    never resurrect them into a double-count.
-    val bigKeep = big.filterNot(st => tailUris.contains(st.getPath.toUri))
-    val newlyConsumed = small.filter(st => tailUris.contains(st.getPath.toUri))
+    // keep refs only ever point into hidden generation dirs; files in
+    // tail AREAS are presence-ruled — big ones stay where they are
+    // (live by presence), rewritten ones are consumed
+    val bigKeep = big.filterNot(st => tailAreaUris.contains(st.getPath.toUri))
+    val newlyConsumed = small
+      .filter(st => tailAreaUris.contains(st.getPath.toUri))
       .map(st => (nextGen, st.getPath))
     val carried = lay.consumed.filter { case (_, p) => fs.exists(p) }
     writeManifest(fs, lakePath, nextGen, genDirName,
