@@ -24,6 +24,7 @@ object ProfileSf100 {
     val sf100Star = args.lift(1).getOrElse("/tmp/graft_sf100_star")
     val sf10Docs = args.lift(2).getOrElse("/tmp/graft_sf10")
     val sf100Docs = args.lift(3).getOrElse("/tmp/graft_sf100")
+    val sf1Docs = args.lift(4).getOrElse("/tmp/graft_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
@@ -53,9 +54,12 @@ object ProfileSf100 {
       ("q_join3", sf10Star, sf100Star, false),
       ("q_cube_rollup", sf10Star, sf100Star, false),
       ("q_salted_join", sf10Star, sf100Star, false),
-      ("d_simhash", sf10Docs, sf100Docs, true))
+      ("d_simhash", sf10Docs, sf100Docs, true),
+      // formerly guard-excluded: on the r11 Zipf corpus the exact
+      // AllPairs path runs unguarded — its first fifth-decade row
+      ("d_ngram_jaccard", sf1Docs, sf10Docs, true))
 
-    println("| query | sf10 | sf100 | x10 ratio | class |")
+    println("| query | lo | hi | x10 ratio | class |")
     println("|---|---|---|---|---|")
     try plan.foreach { case (n, d10, d100, staged) =>
       if (staged)
