@@ -547,6 +547,54 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(m1.startsWith("#graft-manifest v2"), m1)
   }
 
+  test("property: random append/compact/replay interleavings never lose or duplicate a doc") {
+    // seeded random walks over the lake's whole operation alphabet,
+    // including appends INSIDE the compaction window — the model is a
+    // plain Set[Long] of admitted doc ids
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_prop_$seed")
+      val lakeDir = dir.resolve("lake").toString
+      var nextId = 0L
+      var admitted = Set.empty[Long]
+      var batchId = 0L
+      def freshBatch(): org.apache.spark.sql.DataFrame = {
+        val n = 1 + rnd.nextInt(3)
+        val rows = (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          (id, s"zeta document body number $id with unique tokens")
+        }
+        admitted ++= rows.map(_._1)
+        rows.toDF("doc_id", "text")
+      }
+      def append(): Unit = {
+        CorpusIngest.ingestBatch(freshBatch(), batchId, lakeDir,
+          failReason = gate, scope = "prop")
+        batchId += 1
+      }
+      append() // lake exists before the first compact can run
+      (1 to 12).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => append()
+          case 2 => // compact with a mid-window append half the time
+            val mid = rnd.nextBoolean()
+            CorpusIngest.compactLakeImpl(spark, lakeDir,
+              targetBytes = 1L << 30, minFileBytes = -1L, clusterBy = Nil,
+              zorder = false, afterPin = () => if (mid) append())
+          case 3 => // replay a committed batch id — must be a no-op
+            CorpusIngest.ingestBatch(
+              Seq((999999L, "replay decoy body tokens here")).toDF("doc_id", "text"),
+              rnd.nextLong(math.max(batchId, 1L)), lakeDir,
+              failReason = gate, scope = "prop")
+        }
+        val got = CorpusIngest.readLake(spark, lakeDir)
+          .select("doc_id").as[Long].collect().toSeq
+        assert(got.sorted == admitted.toSeq.sorted && got.size == got.distinct.size,
+          s"seed=$seed step drift: got ${got.size} rows, want ${admitted.size}")
+      }
+    }
+  }
+
   test("compactLake refuses hive-partitioned layouts instead of dropping partition columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_hive")
     val lakeDir = dir.resolve("lake").toString
