@@ -29,6 +29,12 @@ object ProfileSf100 {
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // partitions must scale with the data: at 600M-row joins,
+    // thread-count partitions put ~25M rows in one sort/hash task and
+    // exhaust execution memory. 512 initial partitions is the cluster
+    // sizing for this decade; AQE coalesces the small ones back down,
+    // so floor-bound queries don't pay for it.
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
 
     val stagePath = java.nio.file.Files.createTempDirectory("graft_sf100_stage")
     def purgeStage(): Unit = graft.LocalFs.clearDirectory(stagePath.toFile)
@@ -41,7 +47,11 @@ object ProfileSf100 {
       spark.catalog.clearCache()
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        try fn(spark, dir).count() catch {
+          case e: Throwable =>
+            println(s"$name@$dir FAILED mid-measure: ${e.getMessage}")
+            return -1
+        }
         spark.catalog.clearCache()
         val dt = (System.nanoTime() - t0) / 1e9
         purgeStage()
