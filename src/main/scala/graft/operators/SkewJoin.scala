@@ -35,8 +35,18 @@ object SkewJoin {
         "(right/full outer would emit unmatched small-side rows once per salt)")
     val l = large.withColumn("_salt",
       pmod(xxhash64(col(saltSource)), lit(salts)).cast("int"))
+    // PIN the shuffle strategy: salting exists precisely because the
+    // small side is NOT broadcastable (a broadcast join has no skew
+    // problem — callers with a broadcast-sized dim should broadcast()
+    // and skip the salt). Left to the planner, Catalyst's size
+    // estimate for the explode is the CHILD's, salts× under the real
+    // payload — at sf100 that booked a "small" side materializing at
+    // 13.7 GiB into a broadcast that dies on the 8 GiB hard cap.
+    // Sort-merge over the salted keys is the plan this operator is
+    // FOR: the hot key spreads over `salts` reducers.
     val s = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
+      .hint("merge")
     l.join(s,
         l(largeKey) === s(smallKey) && l("_salt") === s("_salt"),
         joinType)

@@ -60,6 +60,9 @@ object ProfileSf100 {
       ts.sorted.apply(1)
     }
 
+    // optional arg 6: comma-separated query filter (rerun one row
+    // without repaying the whole table)
+    val only = args.lift(5).map(_.split(",").toSet)
     val plan = Seq(
       ("q_join3", sf10Star, sf100Star, false),
       ("q_cube_rollup", sf10Star, sf100Star, false),
@@ -68,6 +71,7 @@ object ProfileSf100 {
       // formerly guard-excluded: on the r11 Zipf corpus the exact
       // AllPairs path runs unguarded — its first fifth-decade row
       ("d_ngram_jaccard", sf1Docs, sf10Docs, true))
+      .filter(p => only.forall(_.contains(p._1)))
 
     println("| query | lo | hi | x10 ratio | class |")
     println("|---|---|---|---|---|")

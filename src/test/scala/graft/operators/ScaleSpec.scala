@@ -24,6 +24,15 @@ class ScaleSpec extends AnyFunSuite {
       .select("rowid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(salted.toSeq == plain.toSeq)
     assert(salted.count(_._2 == "hot") == 900)
+    // plan pin: NEVER a broadcast — salting is the no-broadcast regime
+    // by definition, and Catalyst's explode size estimate (child's
+    // bytes, salts× under reality) booked a 13.7 GiB "small" side into
+    // the 8 GiB broadcast hard cap at sf100 before the merge hint
+    val plan = SkewJoin.saltedJoin(large, small, "k", "k2", "rowid", salts = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      plan.take(2000))
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
   test("degenerate-bucket guard bounds mass-duplicate clusters in every near-dup family") {
