@@ -227,16 +227,22 @@ object PipelineJson {
         }
       case "lang_id" =>
         // apply a trained model: one codegen'd in-row pass, model
-        // loaded once per run and shipped with the plan
+        // loaded once per run and shipped with the plan. Optional
+        // "und_margin" (per-gram top-2 log-posterior margin, r11)
+        // routes low-evidence docs to "und" instead of force-assigning
+        // them to whichever trained language scores highest.
         val textCol = config.path("column").asText("text")
         val outCol = config.path("output_column").asText("lang_pred")
         val modelPath = config.path("model_path").asText("")
+        val undMargin = config.path("und_margin").asDouble(0.0)
         require(modelPath.nonEmpty, s"lang_id node '$id' requires 'model_path'")
+        require(undMargin >= 0.0,
+          s"lang_id node '$id': und_margin must be >= 0, got $undMargin")
         MapNode { (s, df) =>
           val m = graft.operators.LangId.load(s, modelPath)
           df.withColumn(outCol,
             graft.operators.LangId.langIdModel(
-              org.apache.spark.sql.functions.col(textCol), m))
+              org.apache.spark.sql.functions.col(textCol), m, undMargin))
         }
       case "incremental_result" =>
         // read twin of incremental_aggregate: the running aggregate

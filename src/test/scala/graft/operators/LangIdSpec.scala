@@ -329,6 +329,24 @@ class LangIdSpec extends AnyFunSuite {
     }""").outputs("cls")
     val wrong = out.filter(col("lang_pred") =!= col("lang")).count()
     assert(wrong == 0)
+
+    // the node surface exposes the und gate: digit soup routes to und
+    // at the same margin the direct-API spec pins
+    val noisePq = dir.resolve("noise").toString
+    graft.sources.Writers.write(
+      Seq((1L, "12345 67890 24680 13579")).toDF("id", "text"), noisePq, "parquet")
+    val gated = graft.plans.PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "in", "type": "file_input",
+         "data": {"config": {"path": "$noisePq", "format": "parquet"}}},
+        {"id": "cls", "type": "lang_id",
+         "data": {"config": {"column": "text", "model_path": "$m2Path",
+           "und_margin": 0.03}}}
+      ],
+      "edges": [{"source": "in", "target": "cls"}]
+    }""").outputs("cls")
+    assert(gated.select("lang_pred").collect().map(_.getString(0)).toSeq ==
+      Seq("und"))
   }
 
   test("classification is one in-row expression: no shuffle, no udf in the plan") {
