@@ -24,12 +24,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Layout under `statePath` (any Hadoop FS — local/HDFS/S3A):
   * {{{
   *   _meta.json            // groupCols, metrics, pinned partial/final types
-  *   batch=<id>/part-....parquet   // partial rows, one directory per batch
+  *   batch=<id>/part-....parquet   // partial rows, one directory per batch —
+  *                         // the root is a TAIL AREA: appends always land
+  *                         // here, live by presence unless the manifest's
+  *                         // consumed list names them (online compaction)
   *   _commits/<id>         // root-anchored commit ledger: one empty object
   *                         // per committed batch id — compactions never
   *                         // touch it, so replays stay recognized forever
   *   _gen-00000.json       // after a compact(): manifest naming the live
-  *   gen-00000/batch=.../  // generation — highest-numbered manifest wins
+  *   gen-00000-3fa9c1d2/   // generation dir (uniquely suffixed) + the
+  *                         // consumed tail ids — highest COMPLETE manifest
+  *                         // wins; live = gen batches + unconsumed tail
   * }}}
   * Underscore-prefixed entries are invisible to Spark's file index;
   * the `batch=` hive key records provenance for free. Only batch
@@ -309,6 +314,13 @@ object IncrementalAgg {
   def dropBatch(spark: SparkSession, statePath: String, batchId: String): Unit = {
     checkBatchId(batchId)
     val (fs, _) = readMeta(spark, statePath)
+    // a consumed tail dir may still physically exist (one-generation
+    // reader grace) but its data is already folded into the live
+    // generation — deleting the dir would NOT retract the contribution
+    if (layout(fs, statePath).consumed.exists(_._2 == batchId))
+      throw new IllegalArgumentException(
+        s"incrementalAgg: batch '$batchId' was folded by a compaction — " +
+          "individual retention only applies to batches appended after it")
     val dir = batchDir(fs, statePath, batchId)
     require(fs.exists(dir),
       s"incrementalAgg: no batch '$batchId' under $statePath to drop")
@@ -329,8 +341,9 @@ object IncrementalAgg {
     * to [[result]]. */
   def listBatches(spark: SparkSession, statePath: String): Seq[String] = {
     val (fs, _) = readMeta(spark, statePath)
-    committedBatchDirs(fs, currentRoot(fs, statePath))
-      .map(_.getName.stripPrefix("batch=")).sorted
+    val lay = layout(fs, statePath)
+    val (genDirs, tailDirs) = liveBatchDirs(fs, statePath, lay)
+    (genDirs ++ tailDirs).map(_.getName.stripPrefix("batch=")).sorted
   }
 
   /** The full aggregate from state alone: read every batch's partial
@@ -343,65 +356,113 @@ object IncrementalAgg {
     finalize(merge(readPartials(spark, statePath), meta), meta)
   }
 
-  /** Fold all committed batch directories into one (bounding
-    * `result`'s read at O(groups) again after many appends — the
-    * state twin of CorpusIngest.compactLake). Merged partials are
-    * cast back to the fitted partial types, so a compacted state is
-    * indistinguishable from a freshly fitted one. Folded batch DATA
-    * can no longer be retracted individually — retention via
-    * [[dropBatch]] only applies to batches appended after the compact
-    * — but folded batch IDS are NOT forgotten: they stay in the root
-    * `_commits/` ledger (which compaction never touches), so an
-    * at-least-once caller replaying a pre-compact batch id after a
-    * compaction is still refused/skipped instead of double-counted
-    * (r10 advice; the same root-anchored-marker shape as
-    * CorpusIngest's `_graft_commits`).
+  /** Fold all live batch directories into one (bounding `result`'s
+    * read at O(groups) again after many appends — the state twin of
+    * CorpusIngest.compactLake). Merged partials are cast back to the
+    * fitted partial types, so a compacted state is indistinguishable
+    * from a freshly fitted one. Folded batch DATA can no longer be
+    * retracted individually — retention via [[dropBatch]] only
+    * applies to batches appended after the compact — but folded batch
+    * IDS are NOT forgotten: they stay in the root `_commits/` ledger
+    * (which compaction never touches), so an at-least-once caller
+    * replaying a pre-compact batch id after a compaction is still
+    * refused/skipped instead of double-counted (r10 advice; the same
+    * root-anchored-marker shape as CorpusIngest's `_graft_commits`).
     *
     * Install is a MANIFEST FLIP, not a rename (r9 verdict item 3):
-    * the old install renamed the whole root, which on S3A-class
-    * stores is copy+delete — non-atomic and data-sized, breaking both
-    * the crash contract and the "state never moves" claim exactly
-    * where a 100 TB lake lives. Instead the fold lands in a fresh
-    * `gen-NNNNN/` directory under the root, and committing it is ONE
-    * new small object: the `_gen-NNNNN.json` manifest. Readers
-    * resolve the live layout as the highest-numbered manifest (a
-    * single atomic PUT on S3, an atomic create on HDFS), so a
-    * concurrent reader sees exactly one generation — whichever was
-    * current when it listed. The immediately-previous layout is
+    * the fold lands in a fresh uniquely-suffixed `gen-NNNNN-xxxx/`
+    * directory under the root, and committing it is ONE new small
+    * object: the `_gen-NNNNN.json` manifest (a single atomic PUT on
+    * S3, an atomic create on HDFS). Readers resolve the live layout
+    * as the highest-numbered COMPLETE manifest, so a concurrent
+    * reader sees exactly one generation — whichever was current when
+    * it listed. The immediately-previous generation layout is
     * RETAINED until the next compact (an in-flight reader may still
     * be scanning it); layouts two generations old are retired here.
-    * A crash before the manifest write leaves an invisible gen
-    * directory the retry overwrites; a crash after it leaves
-    * fully-committed state plus retirable debris — never a truncated
-    * aggregate, and no data byte is ever copied or renamed.
+    * A crash before the manifest write leaves an invisible
+    * uniquely-named gen directory as retirable debris; a crash after
+    * it leaves fully-committed state plus retirable debris — never a
+    * truncated aggregate, and no data byte is ever copied or renamed.
+    *
+    * WRITERS ARE ONLINE-SAFE (r11, mirroring CorpusIngest.compactLake):
+    * appends may land while a compact runs. Post-compact appends go to
+    * the STATE ROOT — a tail area whose liveness is PRESENCE minus the
+    * live manifest's consumed list — so the compactor pins the batch
+    * set it folds, records exactly those tail batch ids as consumed
+    * (generation-stamped), and a batch landing after the pin (even
+    * between pin and flip) stays live by presence on both sides of
+    * the flip. Consumed tail directories retire under a
+    * ONE-GENERATION reader grace and are carried forward in the next
+    * manifest until physically gone, so a crash between flip and
+    * retire can't double-count. Rival compactors conflict loudly: the
+    * manifest is created EXCLUSIVELY, exactly one wins the generation
+    * number, the loser raises and its uniquely-named data dir is
+    * swept as debris two flips later. Legacy v1 manifests (no
+    * consumed list; appends landed inside the generation dir) stay
+    * readable — their root `batch=` dirs are pre-generation leftovers
+    * that were already folded, never counted as tail, and retired at
+    * the upgrade compact.
     */
   def compact(spark: SparkSession, statePath: String,
-      batchId: String = "compacted"): Unit = {
+      batchId: String = "compacted"): Unit =
+    compactImpl(spark, statePath, batchId, () => ())
+
+  /** Test seam: `afterPin` runs after the input batch set is pinned
+    * and before the fold/flip — where a concurrent append or a rival
+    * compactor would interleave in production.
+    */
+  private[graft] def compactImpl(spark: SparkSession, statePath: String,
+      batchId: String, afterPin: () => Unit): Unit = {
     checkBatchId(batchId)
     val (fs, meta) = readMeta(spark, statePath)
-    val merged = merge(readPartials(spark, statePath), meta)
-    val prevGen = currentGen(fs, statePath)
-    val nextGen = prevGen.map(_ + 1).getOrElse(0)
-    val genDir = new Path(statePath, genDirName(nextGen))
-    fs.delete(genDir, true) // debris from a crashed earlier attempt
-    writeSized(merged, new Path(genDir, "batch=" + batchId).toString,
+    val lay = layout(fs, statePath)
+    // PIN the input set: exactly these directories fold into the new
+    // generation, and exactly the tail ones are recorded consumed. A
+    // batch landing after this list can't be in the consumed list, so
+    // it stays live by presence across the flip.
+    val (genDirs, tailDirs) = liveBatchDirs(fs, statePath, lay)
+    require(genDirs.nonEmpty || tailDirs.nonEmpty,
+      s"incrementalAgg: no committed batches under $statePath")
+    afterPin()
+    val merged = merge(readBatchDirs(spark, statePath, lay, genDirs, tailDirs), meta)
+    val nextGen = lay.gen.map(_ + 1).getOrElse(0)
+    // unique suffix: rival compactors racing to the same generation
+    // number must not overwrite each other's in-progress fold — the
+    // manifest names the winning directory, the loser's is debris
+    val dirName = f"gen-$nextGen%05d-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    writeSized(merged,
+      new Path(new Path(statePath, dirName), "batch=" + batchId).toString,
       SaveMode.Overwrite)
-    writeManifest(fs, statePath, nextGen) // THE commit point
+    def rootDir(id: String) = new Path(statePath, "batch=" + id)
+    // carry forward consumed entries whose directories still exist: a
+    // crash between a previous flip and its retire left them present,
+    // and dropping them from the manifest would revive them as live
+    val carried = lay.consumed.filter { case (_, id) => fs.exists(rootDir(id)) }
+    val consumed = carried ++
+      tailDirs.map(d => (nextGen, d.getName.stripPrefix("batch=")))
+    writeManifest(fs, statePath, nextGen, dirName, consumed) // THE commit point
     recordCommit(fs, statePath, batchId)
-    // retire layouts no in-flight reader can still hold: everything
-    // strictly OLDER than the just-retired generation. Best-effort —
-    // readers ignore unreferenced layouts either way.
-    prevGen.foreach { retired =>
+    // RETIRE, post-commit and best-effort (readers ignore anything
+    // unreferenced): consumed tail dirs whose grace window has passed
+    // (a reader may hold the previous manifest, which still counts a
+    // dir consumed AT the new generation as live), v1 leftovers, and
+    // generation layouts strictly older than the just-retired one.
+    carried.filter(_._1 < nextGen).foreach { case (_, id) =>
+      fs.delete(rootDir(id), true) }
+    if (lay.version == 1)
+      // v1 root batch= dirs are pre-generation leftovers, already
+      // folded by the v1 compact — no v1 reader resolves them
+      fs.listStatus(new Path(statePath))
+        .filter(_.getPath.getName.startsWith("batch="))
+        .foreach(st => fs.delete(st.getPath, true))
+    lay.gen.foreach { prev =>
       fs.listStatus(new Path(statePath)).foreach { st =>
-        val n = st.getPath.getName
-        val stale =
-          (n.startsWith("batch=")) || // pre-generation flat layout
-            (n.startsWith("gen-") &&
-              n.stripPrefix("gen-").toIntOption.exists(_ < retired)) ||
-            (n match {
-              case GenManifestRe(g) => g.toInt < retired
-              case _ => false
-            })
+        val stale = st.getPath.getName match {
+          case GenDataRe(g) => g.toInt < prev
+          case GenManifestRe(g) => g.toInt < prev
+          case _ => false
+        }
         if (stale) fs.delete(st.getPath, true)
       }
     }
@@ -509,12 +570,11 @@ object IncrementalAgg {
   private def readPartials(spark: SparkSession, statePath: String): DataFrame = {
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = currentRoot(fs, statePath)
-    val dirs = committedBatchDirs(fs, live)
-    require(dirs.nonEmpty,
-      s"incrementalAgg: no committed batches under $live")
-    spark.read.option("basePath", live.toString)
-      .parquet(dirs.map(_.toString): _*).drop("batch")
+    val lay = layout(fs, statePath)
+    val (genDirs, tailDirs) = liveBatchDirs(fs, statePath, lay)
+    require(genDirs.nonEmpty || tailDirs.nonEmpty,
+      s"incrementalAgg: no committed batches under $statePath")
+    readBatchDirs(spark, statePath, lay, genDirs, tailDirs)
   }
 
   private def committedBatchDirs(fs: FileSystem, root: Path): Seq[Path] =
@@ -589,31 +649,115 @@ object IncrementalAgg {
   // ---- generation manifests ----------------------------------------
 
   private val GenManifestRe = "_gen-(\\d{5,})\\.json".r
-  private def genDirName(n: Int) = f"gen-$n%05d"
+  private val GenDataRe = "gen-(\\d{5,})(?:-[0-9a-f]+)?".r
 
-  /** The live generation number: the highest `_gen-NNNNN.json`
-    * manifest, or None before the first compaction (flat layout). */
-  private def currentGen(fs: FileSystem, statePath: String): Option[Int] = {
+  /** The state's live layout. `gen` None before the first compaction
+    * (flat root, version 0). v1 manifests (pre-online-compaction JSON,
+    * no consumed list) imply "everything lives in the generation dir,
+    * appends included"; v2 manifests add the generation-stamped
+    * consumed-tail-id list that makes root-landing appends subtractive
+    * (live by presence unless consumed).
+    */
+  private final case class StateLayout(gen: Option[Int], version: Int,
+      dataDir: Path, consumed: Seq[(Int, String)])
+
+  /** Resolve the live layout: the highest-numbered COMPLETE manifest
+    * wins — a torn manifest (crash mid-create: unparseable, or a v2
+    * body missing its `"end":true` terminator) is skipped, never
+    * trusted, and its generation number is simply burned.
+    */
+  private def layout(fs: FileSystem, statePath: String): StateLayout = {
     val root = new Path(statePath)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq.flatMap(st => st.getPath.getName match {
-      case GenManifestRe(n) => Some(n.toInt)
-      case _ => None
-    }).maxOption
+    val gens =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.flatMap(st => st.getPath.getName match {
+        case GenManifestRe(n) => Some(n.toInt)
+        case _ => None
+      })
+    gens.sorted.reverse.iterator.flatMap(n => parseManifest(fs, statePath, n))
+      .nextOption().getOrElse(StateLayout(None, 0, root, Nil))
   }
 
-  /** The directory holding the live batch layout. */
-  private def currentRoot(fs: FileSystem, statePath: String): Path =
-    currentGen(fs, statePath) match {
-      case Some(n) => new Path(statePath, genDirName(n))
-      case None => new Path(statePath)
+  private def parseManifest(fs: FileSystem, statePath: String,
+      n: Int): Option[StateLayout] = {
+    val in = fs.open(new Path(statePath, f"_gen-$n%05d.json"))
+    val json = try {
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    } finally in.close()
+    // machine-written fixed-shape JSON over a quote-free id charset
+    // (checkBatchId / syncFromLake sanitization) — regex-parse to stay
+    // dependency-free without a Spark job
+    val isV2 = json.contains("\"v\":2")
+    if (isV2 && !json.contains("\"end\":true")) None // torn v2
+    else """"dir":"([^"]+)"""".r.findFirstMatchIn(json).map { m =>
+      val consumed = """\{"g":(\d+),"id":"([^"]+)"\}""".r.findAllMatchIn(json)
+        .map(c => (c.group(1).toInt, c.group(2))).toSeq
+      StateLayout(Some(n), if (isV2) 2 else 1,
+        new Path(statePath, m.group(1)), consumed)
     }
+  }
 
-  private def writeManifest(fs: FileSystem, statePath: String, gen: Int): Unit = {
+  /** Where appends land: the generation dir under a legacy v1 layout
+    * (old semantics — racy with a concurrent compact, healed at the
+    * next compact's v2 upgrade), the state ROOT otherwise (the tail
+    * area whose presence-minus-consumed liveness makes appends safe
+    * against a concurrent compact).
+    */
+  private def appendRoot(fs: FileSystem, statePath: String): Path = {
+    val lay = layout(fs, statePath)
+    if (lay.version == 1) lay.dataDir else new Path(statePath)
+  }
+
+  /** The live batch directories: (generation dirs, tail dirs). Tail =
+    * committed root `batch=` dirs minus the manifest's consumed ids;
+    * under a v1 manifest the root dirs are pre-generation leftovers
+    * (already folded) and never count.
+    */
+  private def liveBatchDirs(fs: FileSystem, statePath: String,
+      lay: StateLayout): (Seq[Path], Seq[Path]) = {
+    val genDirs =
+      if (lay.gen.isDefined) committedBatchDirs(fs, lay.dataDir) else Seq.empty
+    val tailDirs = lay.version match {
+      case 1 => Seq.empty
+      case _ =>
+        val dead = lay.consumed.map(_._2).toSet
+        committedBatchDirs(fs, new Path(statePath))
+          .filterNot(d => dead.contains(d.getName.stripPrefix("batch=")))
+    }
+    (genDirs, tailDirs)
+  }
+
+  /** Read partial rows from generation + tail dirs (each side under
+    * its own basePath; the `batch` provenance key is dropped either
+    * way).
+    */
+  private def readBatchDirs(spark: SparkSession, statePath: String,
+      lay: StateLayout, genDirs: Seq[Path], tailDirs: Seq[Path]): DataFrame = {
+    def read(base: Path, dirs: Seq[Path]) =
+      spark.read.option("basePath", base.toString)
+        .parquet(dirs.map(_.toString): _*).drop("batch")
+    Seq(
+      if (genDirs.nonEmpty) Some(read(lay.dataDir, genDirs)) else None,
+      if (tailDirs.nonEmpty) Some(read(new Path(statePath), tailDirs)) else None)
+      .flatten.reduce(_ unionByName _)
+  }
+
+  /** One small object: version, generation, the (uniquely-suffixed)
+    * data dir name, the generation-stamped consumed tail ids, and an
+    * `"end":true` terminator proving the write completed. Created
+    * EXCLUSIVELY — two compactors racing to one generation number
+    * means exactly one wins and the loser raises, so no committed
+    * byte is ever clobbered.
+    */
+  private def writeManifest(fs: FileSystem, statePath: String, gen: Int,
+      dirName: String, consumed: Seq[(Int, String)]): Unit = {
     val at = new Path(statePath, f"_gen-$gen%05d.json")
-    val out = fs.create(at, true)
+    val cs = consumed.map { case (g, id) => s"""{"g":$g,"id":"$id"}""" }
+      .mkString("[", ",", "]")
+    val out = fs.create(at, false) // exclusive: rival compactors conflict here
     try out.write(
-      s"""{"generation":$gen,"dir":"${genDirName(gen)}"}""".getBytes("UTF-8"))
+      (s"""{"v":2,"generation":$gen,"dir":"$dirName",""" +
+        s""""consumed":$cs,"end":true}""").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -647,7 +791,7 @@ object IncrementalAgg {
     } else false
 
   private def batchDir(fs: FileSystem, statePath: String, batchId: String): Path =
-    new Path(currentRoot(fs, statePath), "batch=" + batchId)
+    new Path(appendRoot(fs, statePath), "batch=" + batchId)
   private def checkBatchId(id: String): Unit =
     require(id.nonEmpty && id.forall(ch => ch.isLetterOrDigit ||
         ch == '.' || ch == '_' || ch == '-' || ch == '~'),

@@ -71,6 +71,10 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3L, Some(15.0)), ("b", 1L, None)))
   }
 
+  private def genDirs(state: String): Seq[java.io.File] =
+    new java.io.File(state).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+
   test("compact folds batches into one without changing the result") {
     val state = tmp()
     fit(corpus.filter($"n" <= 3), Seq("g"), metrics, state, "b0")
@@ -80,12 +84,16 @@ class IncrementalAggSpec extends AnyFunSuite {
     compact(spark, state)
     // the live layout is the new generation, one folded batch
     assert(listBatches(spark, state) == Seq("compacted"))
-    assert(new java.io.File(state, "gen-00000/batch=compacted").isDirectory)
+    val gen0 = genDirs(state).filter(_.getName.startsWith("gen-00000"))
+    assert(gen0.size == 1 &&
+      new java.io.File(gen0.head, "batch=compacted").isDirectory)
     assertSame(result(spark, state), direct(corpus))
     assert(result(spark, state).orderBy("g").collect().toSeq == before)
-    // compacted state accepts further appends — into the live generation
+    // compacted state accepts further appends — into the ROOT tail
+    // area (r11: live by presence, safe against a concurrent compact)
     append(state, corpus.withColumn("n", $"n" + 100), "b3")
-    assert(new java.io.File(state, "gen-00000/batch=b3").isDirectory)
+    assert(new java.io.File(state, "batch=b3").isDirectory)
+    assert(listBatches(spark, state) == Seq("b3", "compacted"))
     assert(result(spark, state).filter($"g" === "a").head().getLong(1) == 6L)
   }
 
@@ -96,32 +104,40 @@ class IncrementalAggSpec extends AnyFunSuite {
     append(state, corpus.filter($"n" > 4), "b1")
     def root = new java.io.File(state)
     def entries = root.listFiles().map(_.getName).toSet
+    def gen(n: String) = entries.count(_.startsWith(s"gen-$n"))
 
     // a reader resolves the LIVE layout (flat, pre-generation) ...
     val reader1 = result(spark, state)
     compact(spark, state) // ... then a compact flips to gen-00000
-    // the previous (flat) layout is RETAINED for in-flight readers —
-    // nothing a reader may hold was deleted, no data byte was renamed
+    // the consumed flat dirs are RETAINED one generation for in-flight
+    // readers — nothing a reader may hold was deleted, no data byte
+    // was renamed — and subtraction keeps them out of new results
     assert(entries.contains("batch=b0") && entries.contains("batch=b1"))
-    assert(entries.contains("gen-00000") && entries.contains("_gen-00000.json"))
+    assert(gen("00000") == 1 && entries.contains("_gen-00000.json"))
     assertSame(reader1, direct(corpus)) // collect AFTER the flip
-    // new readers see exactly one generation (the manifest-named one)
+    // new readers see the folded generation; consumed dirs subtracted
     assert(listBatches(spark, state) == Seq("compacted"))
+    assertSame(result(spark, state), direct(corpus))
 
-    // a reader over gen-00000, then a second compact → gen-00001; the
-    // flat layout (now two generations old) is retired, gen-00000 stays
+    // a reader over gen-00000, then an append (root tail) and a second
+    // compact → gen-00001; b0/b1's grace has passed (consumed at gen 0,
+    // now two flips old) so they retire; b2 (consumed at gen 1) stays
+    // one generation for readers still holding the gen-00000 manifest
     val reader2 = result(spark, state)
     append(state, corpus.withColumn("n", $"n" + 50), "b2")
+    assert(entries.contains("batch=b2")) // tail append lands at the root
     compact(spark, state)
-    assert(!entries.exists(_.startsWith("batch=")))
-    assert(entries.contains("gen-00000") && entries.contains("gen-00001"))
+    assert(!entries.contains("batch=b0") && !entries.contains("batch=b1"))
+    assert(entries.contains("batch=b2"))
+    assert(gen("00000") == 1 && gen("00001") == 1)
     assertSame(reader2, direct(corpus)) // gen-00000 still intact
     assertSame(result(spark, state), direct(corpus.union(corpus)))
 
-    // third compact retires gen-00000 and its manifest
+    // third compact retires gen-00000, its manifest, and b2's dir
     compact(spark, state)
-    assert(!entries.contains("gen-00000") && !entries.contains("_gen-00000.json"))
-    assert(entries.contains("gen-00001") && entries.contains("gen-00002"))
+    assert(gen("00000") == 0 && !entries.contains("_gen-00000.json"))
+    assert(gen("00001") == 1 && gen("00002") == 1)
+    assert(!entries.exists(_.startsWith("batch=")))
     assertSame(result(spark, state), direct(corpus.union(corpus)))
   }
 
@@ -509,6 +525,127 @@ class IncrementalAggSpec extends AnyFunSuite {
     // double-counted the whole lake
     assert(syncFromLake(spark, state, lake).isEmpty)
     assert(result(spark, state).orderBy("day").collect().toSeq == before)
+  }
+
+  test("online writers: an append landing mid-compact survives the flip") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
+    // flat-layout compact with an append landing after the pin: the
+    // compactor can't have listed it, so it must stay live by presence
+    compactImpl(spark, state, "compacted",
+      () => append(state, corpus.filter($"n" > 4), "late"))
+    assert(listBatches(spark, state) == Seq("compacted", "late"))
+    assertSame(result(spark, state), direct(corpus))
+    // generation-layout compact with a mid-compact append
+    compactImpl(spark, state, "compacted",
+      () => append(state, corpus.withColumn("n", $"n" + 100), "late2"))
+    assert(listBatches(spark, state) == Seq("compacted", "late2"))
+    assertSame(result(spark, state), direct(corpus.union(corpus)))
+    // the NEXT compact folds the late batch in; result is stable
+    compact(spark, state)
+    assert(listBatches(spark, state) == Seq("compacted"))
+    assertSame(result(spark, state), direct(corpus.union(corpus)))
+  }
+
+  test("rival compactors: exclusive manifest create — one wins, the loser " +
+      "raises, zero rows lost or doubled, debris swept two flips later") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
+    append(state, corpus.filter($"n" > 4), "b1")
+    // a rival completes an entire compact inside the loser's window
+    intercept[java.io.IOException] {
+      compactImpl(spark, state, "compacted", () => compact(spark, state))
+    }
+    // the rival's commit stands; nothing lost, nothing doubled
+    assert(listBatches(spark, state) == Seq("compacted"))
+    assertSame(result(spark, state), direct(corpus))
+    // the loser's uniquely-named data dir is unreferenced debris...
+    assert(genDirs(state).count(_.getName.startsWith("gen-00000")) == 2)
+    append(state, corpus.withColumn("n", $"n" + 10), "b2")
+    compact(spark, state) // → gen-00001
+    compact(spark, state) // → gen-00002: retires every gen-00000*, debris included
+    assert(genDirs(state).count(_.getName.startsWith("gen-00000")) == 0)
+    assertSame(result(spark, state), direct(corpus.union(corpus)))
+  }
+
+  test("dropBatch refuses a consumed-but-not-yet-retired batch (data already folded)") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
+    append(state, corpus.filter($"n" > 4), "b1")
+    compact(spark, state)
+    // b1's dir still exists at the root (one-generation reader grace)
+    // but its data is folded — deleting the dir would retract nothing
+    assert(new java.io.File(state, "batch=b1").isDirectory)
+    assert(intercept[IllegalArgumentException] {
+      dropBatch(spark, state, "b1")
+    }.getMessage.contains("folded by a compaction"))
+    assertSame(result(spark, state), direct(corpus))
+  }
+
+  test("legacy v1 manifest: root leftovers never double-count, appends land " +
+      "in the generation dir, the next compact upgrades to v2 in place") {
+    val state = tmp()
+    fit(corpus, Seq("g"), metrics, state, "b0")
+    // hand-build the layout the PRE-r11 compact left behind: the fold
+    // of a single batch is the batch itself, installed as gen-00000
+    // with a v1 manifest (no consumed list) — and the root batch=b0
+    // leftover RETAINED for its one-generation grace
+    spark.read.parquet(s"$state/batch=b0").write
+      .parquet(s"$state/gen-00000/batch=compacted")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(state, "_gen-00000.json"),
+      """{"generation":0,"dir":"gen-00000"}""".getBytes("UTF-8"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(state, "_commits", "compacted"))
+    // v1 semantics: the root leftover is NOT tail — no double count
+    assert(listBatches(spark, state) == Seq("compacted"))
+    assertSame(result(spark, state), direct(corpus))
+    // v1 appends land inside the live generation (legacy behavior)
+    append(state, corpus.withColumn("n", $"n" + 100), "b1")
+    assert(new java.io.File(state, "gen-00000/batch=b1").isDirectory)
+    assertSame(result(spark, state), direct(corpus.union(corpus)))
+    // the upgrade compact folds the generation, retires the stale v1
+    // leftover, and installs a v2 manifest; appends now land at the root
+    compact(spark, state)
+    assert(!new java.io.File(state, "batch=b0").exists)
+    assertSame(result(spark, state), direct(corpus.union(corpus)))
+    append(state, corpus.withColumn("n", $"n" + 200), "b2")
+    assert(new java.io.File(state, "batch=b2").isDirectory)
+    assertSame(result(spark, state),
+      direct(corpus.union(corpus).union(corpus)))
+  }
+
+  test("property: random append/replay/compact interleavings (incl. " +
+      "mid-compact appends) ≡ direct aggregate at every step") {
+    for (seed <- Seq(7L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      val state = tmp()
+      def slice(b: Int) = corpus.withColumn("n", $"n" + lit(b * 100))
+      fit(slice(0), Seq("g"), metrics, state, "s0")
+      var appended = Vector(0)
+      var next = 1
+      (0 until 8).foreach { step =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            append(state, slice(next), s"s$next")
+            appended :+= next; next += 1
+          case 1 => // replay of a committed batch id: skipped, not doubled
+            val b = appended(rnd.nextInt(appended.size))
+            assert(!appendCommitted(state, slice(b), s"s$b"))
+          case 2 =>
+            if (rnd.nextBoolean()) {
+              val b = next; next += 1
+              compactImpl(spark, state, "compacted",
+                () => { append(state, slice(b), s"s$b"); appended :+= b })
+            } else compact(spark, state)
+        }
+        // every slice aggregates like the corpus itself (n shifts touch
+        // no metric), so expected = direct over |appended| corpora
+        val want = direct((1 until appended.size)
+          .foldLeft(corpus)((d, _) => d.union(corpus)))
+        assertSame(result(spark, state), want)
+      }
+    }
   }
 
   test("global (no group columns) aggregate works across batches") {
