@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse a lexical BM25 ranking with an embedding
+  * cosine ranking by Reciprocal Rank Fusion (RRF — Cormack, Clarke &
+  * Buettcher, SIGIR 2009: `score(d) = Σ_legs 1 / (rrfK + rank_leg(d))`,
+  * the fusion standard hybrid search engines expose because it needs
+  * no score calibration between legs — ranks, not raw scores, are
+  * what combine).
+  *
+  * The reference has keyword filtering and (via this repo's extended
+  * surface) vector search separately; RAG-style training-data curation
+  * wants them TOGETHER — "semantically near the query AND containing
+  * the query terms" retrieves better candidates than either leg alone.
+  *
+  * Shape for scale: each leg reduces to a TOP-`pool` candidate set
+  * through `orderBy(...).limit(pool)` — Spark plans that as
+  * TakeOrderedAndProject, a per-partition bounded heap + driver merge,
+  * so neither leg global-sorts or shuffles the corpus. Rank assignment
+  * and the fusion join then run over ≤ `pool` rows per leg (a
+  * user-set dial, NOT data-sized — the single-partition window is
+  * bounded by it), exactly the pool-then-rerank shape of the PQ/IVF
+  * retrieval family. Standard RRF semantics over retrieved lists: a
+  * document outside a leg's pool contributes nothing from that leg
+  * (its term is 0, the leg columns come back null); with `pool` ≥
+  * corpus both legs rank everything and the result is the exact
+  * full-ranking fusion, which is what the driver oracle checks.
+  *
+  * Ranks tie-break on the ROUNDED leg scores (BM25 at 6 places,
+  * cosine at 4 — the legs' own output contracts) then ascending id,
+  * so the ranking is deterministic and engine-independent: two docs
+  * whose scores agree to the rounding precision rank by id on every
+  * engine instead of by floating-point noise.
+  *
+  * Reference behavior anchor: filter/search steps in
+  * `backend/services/duckdb_engine.py` (`_step_to_sql`); the vector
+  * leg mirrors [[Similarity.cosineTopK]], the lexical leg
+  * [[Bm25.score]].
+  *
+  * Output: `(doc_id, rrf_score, bm25, cos_sim, lex_rank, vec_rank)`,
+  * top-`k` by `rrf_score` desc then id — leg columns null when the
+  * doc was outside that leg's pool.
+  */
+object HybridSearch {
+
+  def rrfTopK(
+      docs: DataFrame, docIdCol: String, textCol: String,
+      vecs: DataFrame, vecIdCol: String, embCol: String,
+      terms: Seq[String], queryVec: Array[Float],
+      k: Int, pool: Int = 1000, rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"hybrid rrfTopK: k must be >= 1, got $k")
+    // k may exceed pool: the fused candidate union holds up to 2×pool docs
+    require(pool >= 1, s"hybrid rrfTopK: pool must be >= 1, got $pool")
+    require(rrfK >= 1, s"hybrid rrfTopK: rrfK must be >= 1, got $rrfK")
+
+    // lexical leg: BM25 pool via TakeOrdered (no global sort)
+    val lexPool = Bm25.score(docs, docIdCol, textCol, terms)
+      .select(col(docIdCol).as("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(pool)
+    // vector leg: cosineTopK is already the TakeOrdered pool shape
+    val vecPool = Similarity.cosineTopK(vecs, vecIdCol, embCol, queryVec, pool)
+      .withColumnRenamed(vecIdCol, "doc_id")
+
+    // ranks over the pooled (≤ pool rows) candidates — the unbounded
+    // global-window anti-pattern doesn't apply at this size
+    val lexRanked = lexPool.withColumn("lex_rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc))
+        .cast("long"))
+    val vecRanked = vecPool.withColumn("vec_rank",
+      row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id").asc))
+        .cast("long"))
+
+    def term(rank: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0) / (lit(rrfK) + rank), lit(0.0))
+    lexRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        round(term(col("lex_rank")) + term(col("vec_rank")), 6))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "rrf_score", "bm25", "cos_sim", "lex_rank", "vec_rank")
+  }
+}

@@ -265,6 +265,23 @@ object DedupQueries {
       Similarity.cosineTopK(vecs, "vec_id", "embedding", query, k = 20)
     }),
 
+    // Hybrid retrieval (RRF, Cormack 2009): BM25 leg over documents +
+    // cosine leg over embeddings (doc_id = vec_id), fused by
+    // reciprocal rank. At pool ≥ corpus both legs rank every doc, so
+    // the fusion is the exact full ranking and has a pure-SQL oracle
+    // (row_number over the same rounded-score orderings); pool-pruned
+    // recall behavior is spec'd in HybridSearchSpec.
+    "s_hybrid_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      graft.operators.HybridSearch.rrfTopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        vecs, "vec_id", "embedding",
+        Seq("spark", "query", "filter"), query,
+        k = 20, pool = 1 << 20)
+    }),
+
     // Product quantization (Jégou 2011) at pool ≥ corpus: the ADC
     // code scan admits every row into the exact-cosine rerank, so the
     // result ≡ brute force and the cosine oracle applies exactly —
@@ -761,6 +778,66 @@ object DedupQueries {
         |  FROM embeddings)
         |SELECT vec_id, cos_sim FROM scored
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // RRF fusion of the x_bm25 lexical formula and the cosine leg:
+    // ranks assign over the ROUNDED scores (6/4 places — both legs'
+    // output contracts), so rank order is engine-independent; DOUBLE
+    // casts pin DuckDB's decimal literals to Spark's double arithmetic
+    "s_hybrid_topk" -> {
+      val terms = Seq("spark", "query", "filter")
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      def contrib(t: String) = {
+        val tf = d(s"len(list_filter(t, x -> x = '$t'))")
+        val df = d(s"df_$t")
+        s"""ln(${d("1.0")} + (${d("n")} - $df + ${d("0.5")}) / ($df + ${d("0.5")}))
+           | * ($tf * (${d("1.2")} + ${d("1.0")}))
+           | / ($tf + ${d("1.2")} * (${d("1.0")} - ${d("0.75")} + ${d("0.75")} * ${d("dl")} / avgdl))"""
+          .stripMargin
+      }
+      val dfCols = terms.map(t =>
+        s"CAST(sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(",\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents
+         |), dd AS (
+         |  SELECT doc_id, t, len(t) AS dl FROM toks
+         |), s AS (
+         |  SELECT count(*) AS n, avg(dl) AS avgdl,
+         |    $dfCols
+         |  FROM dd
+         |), lex AS (
+         |  SELECT doc_id,
+         |    round(${terms.map(contrib).mkString("\n + ")}, 6) AS bm25
+         |  FROM dd, s
+         |), lexr AS (
+         |  SELECT doc_id, bm25,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |  FROM lex
+         |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cosd AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(
+         |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt((SELECT list_sum(list_transform(qv,
+         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+         |      4) AS cos_sim
+         |  FROM embeddings
+         |), vecr AS (
+         |  SELECT doc_id, cos_sim,
+         |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank
+         |  FROM cosd
+         |)
+         |SELECT l.doc_id AS doc_id,
+         |  round(${d("1.0")} / (60 + l.lex_rank)
+         |    + ${d("1.0")} / (60 + v.vec_rank), 6) AS rrf_score,
+         |  l.bm25, v.cos_sim, l.lex_rank, v.vec_rank
+         |FROM lexr l JOIN vecr v ON l.doc_id = v.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
     "s_ivfpq_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
         |scored AS (

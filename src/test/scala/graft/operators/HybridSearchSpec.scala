@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class HybridSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 4 docs: d0 matches the term and is near the query vector, d1 only
+  // matches the term, d2 is only near the vector, d3 is neither
+  private def docs = Seq(
+    (0L, "spark spark engine"), (1L, "spark rocks hard today"),
+    (2L, "nothing relevant here"), (3L, "totally unrelated words")
+  ).toDF("doc_id", "text")
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.1f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.0f, 0.1f)), (3L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  private val qv = Array(1.0f, 0.0f, 0.0f)
+
+  test("a doc strong in BOTH legs outranks docs that top one leg only") {
+    val got = HybridSearch.rrfTopK(docs, "doc_id", "text",
+      vecs, "vec_id", "embedding", Seq("spark"), qv, k = 4, pool = 100)
+      .collect()
+    // lex ranking: d0 (tf=2, shorter) > d1 > {d2, d3 score 0, by id};
+    // vec ranking: d0 (cos 1.0) > d2 > {d1, d3}. d0 wins both → top.
+    assert(got.head.getLong(0) == 0L)
+    // RRF formula check on the winner: 1/(60+1) + 1/(60+1)
+    assert(math.abs(got.head.getDouble(1) -
+      math.rint((1.0 / 61 + 1.0 / 61) * 1e6) / 1e6) < 1e-9)
+    // one-leg specialists follow, the nowhere doc is last
+    assert(got.last.getLong(0) == 3L)
+    // every returned row carries both ranks at full pool
+    got.foreach { r =>
+      assert(!r.isNullAt(4) && !r.isNullAt(5), s"null rank in $r") }
+  }
+
+  test("pool pruning: a doc outside one leg's pool keeps the other leg's term") {
+    // pool=2: lex pool {d0, d1}, vec pool {d0, d2} — d1 and d2 each
+    // survive with ONE rank, d3 is gone entirely
+    val got = HybridSearch.rrfTopK(docs, "doc_id", "text",
+      vecs, "vec_id", "embedding", Seq("spark"), qv, k = 4, pool = 2)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    val d1 = got.find(_.getLong(0) == 1L).get
+    assert(!d1.isNullAt(4) && d1.isNullAt(5)) // lex_rank only
+    assert(math.abs(d1.getDouble(1) - math.rint(1e6 / 62.0) / 1e6) < 1e-9)
+    val d2 = got.find(_.getLong(0) == 2L).get
+    assert(d2.isNullAt(4) && !d2.isNullAt(5)) // vec_rank only
+  }
+
+  test("full-pool fusion ≡ rank arithmetic recomputed from the legs") {
+    val lex = Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex.toMap
+    val cos = Similarity.cosineTopK(vecs, "vec_id", "embedding", qv, 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex.toMap
+    val want = (0L to 3L).map { id =>
+      id -> math.rint((1.0 / (61 + lex(id)) + 1.0 / (61 + cos(id))) * 1e6) / 1e6
+    }.toMap
+    HybridSearch.rrfTopK(docs, "doc_id", "text",
+      vecs, "vec_id", "embedding", Seq("spark"), qv, k = 4, pool = 100)
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - want(r.getLong(0))) < 1e-9,
+          s"doc ${r.getLong(0)}") }
+  }
+
+  test("guards: k/pool/rrfK bounds raise") {
+    def run(k: Int, pool: Int, rrfK: Int) =
+      HybridSearch.rrfTopK(docs, "doc_id", "text", vecs, "vec_id",
+        "embedding", Seq("spark"), qv, k, pool, rrfK)
+    assert(intercept[IllegalArgumentException](run(0, 10, 60))
+      .getMessage.contains("k must be"))
+    assert(intercept[IllegalArgumentException](run(5, 0, 60))
+      .getMessage.contains("pool"))
+    assert(intercept[IllegalArgumentException](run(5, 10, 0))
+      .getMessage.contains("rrfK"))
+  }
+}
