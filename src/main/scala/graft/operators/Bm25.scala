@@ -53,7 +53,23 @@ object Bm25 {
     require(query.nonEmpty, "BM25 needs at least one query term")
     val terms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "BM25 query terms are all empty after normalization")
+    perTermContribs(docs, idCol, textCol, terms, k1, b)
+      .select(col(idCol),
+        round(when(col("_tnull"), lit(0.0)).otherwise(
+          aggregate(col("_contribs"), lit(0.0), (acc, x) => acc + x)),
+          6).as("bm25"))
+  }
 
+  /** Per-term BM25 contributions as an array aligned with `terms`
+    * (caller pre-normalizes), plus the null-text marker:
+    * `(idCol, _tnull, _contribs)`. [[score]] folds the array in term
+    * order; [[HybridSearch.rrfTopKJoin]] sums per-QUERY subsets of it
+    * so a whole query batch shares the two corpus scans (stats +
+    * score) instead of rescanning per query.
+    */
+  private[operators] def perTermContribs(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
 
@@ -90,14 +106,12 @@ object Bm25 {
       idf * (tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * lenNorm)
     })
     // A null-text doc's per-term chain nulls out (size(filter(null))
-    // is null, and lenNorm carries the null _dl) — score it 0.0
-    // explicitly, the "matches nothing" value the zero match vector
-    // already gave it on the stats side.
-    val contribution = when(col("_t").isNull, lit(0.0)).otherwise(
-      aggregate(contributions, lit(0.0), (acc, x) => acc + x))
-
+    // is null, and lenNorm carries the null _dl) — callers score it
+    // 0.0 via _tnull, the "matches nothing" value the zero match
+    // vector already gave it on the stats side.
     toks.crossJoin(stats)
-      .select(col(idCol), round(contribution, 6).as("bm25"))
+      .select(col(idCol), col("_t").isNull.as("_tnull"),
+        contributions.as("_contribs"))
   }
 
   /** Top-k most relevant docs: score + TakeOrdered (no global sort). */

@@ -83,4 +83,96 @@ object HybridSearch {
       .limit(k)
       .select("doc_id", "rrf_score", "bm25", "cos_sim", "lex_rank", "vec_rank")
   }
+
+  /** Batch hybrid retrieval: the k-NN-JOIN shape of [[rrfTopK]] — one
+    * row per (query, doc) for EVERY query in a batch, because one
+    * query at a time is not how retrieval pipelines run.
+    *
+    * `queries` carries per-query term lists (`qTermsCol`,
+    * `array<string>`) and query vectors (`qVecCol`). Scale shape:
+    *
+    *  - the lexical leg computes per-term BM25 contributions ONCE over
+    *    the union of all query vocabularies
+    *    ([[Bm25.perTermContribs]] — the same two corpus scans a single
+    *    query costs), broadcasts the query batch into the scored scan,
+    *    and sums each query's own terms from a term→contribution map —
+    *    per-query scores with ZERO extra corpus passes and the exact
+    *    single-query FP chain (same term order, so
+    *    `rrfTopKJoin(q) ≡ rrfTopK` leg-for-leg);
+    *  - per-query pools reduce through the bounded-heap
+    *    [[graft.functions.TopKPairs]] aggregate (combined map-side —
+    *    the shuffle carries ≤ pool pairs per mapper per query, never
+    *    the scored corpus), mirroring [[Similarity.cosineTopKJoin]],
+    *    which IS the vector leg;
+    *  - ranks and fusion then run per-query over ≤ pool rows
+    *    (`Window.partitionBy(q_id)` — partition size is the pool dial,
+    *    not data-sized).
+    *
+    * Output: `(q_id, doc_id, rrf_score, bm25, cos_sim, lex_rank,
+    * vec_rank)`, top-`k` per query by `rrf_score` desc then doc id.
+    */
+  def rrfTopKJoin(
+      queries: DataFrame, qIdCol: String, qTermsCol: String, qVecCol: String,
+      docs: DataFrame, docIdCol: String, textCol: String,
+      vecs: DataFrame, vecIdCol: String, embCol: String,
+      k: Int, pool: Int = 1000, rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"hybrid rrfTopKJoin: k must be >= 1, got $k")
+    require(pool >= 1, s"hybrid rrfTopKJoin: pool must be >= 1, got $pool")
+    require(rrfK >= 1, s"hybrid rrfTopKJoin: rrfK must be >= 1, got $rrfK")
+
+    // union of query vocabularies, driver-collected: the query batch
+    // is broadcast-sized by contract (same as cosineTopKJoin), so its
+    // distinct terms are too
+    val allTerms = queries.select(explode(col(qTermsCol)).as("_t"))
+      .select(lower(trim(col("_t"))).as("_t"))
+      .filter(length(col("_t")) > 0).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(allTerms.nonEmpty,
+      "hybrid rrfTopKJoin: no non-empty query terms in the batch")
+
+    // normalized per-query term lists (trim+lower, drop empties,
+    // first-occurrence dedup — Bm25.score's exact contract, so the
+    // per-query summation order matches the single-query fold)
+    val q = broadcast(queries.select(
+      col(qIdCol).as("q_id"),
+      array_distinct(filter(transform(col(qTermsCol), t => lower(trim(t))),
+        t => length(t) > 0)).as("_qts")))
+
+    val lexScored = Bm25.perTermContribs(docs, docIdCol, textCol, allTerms)
+      .withColumn("_cm", map_from_arrays(typedlit(allTerms), col("_contribs")))
+      .crossJoin(q)
+      .select(col("q_id"), col(docIdCol).as("doc_id"),
+        round(when(col("_tnull"), lit(0.0)).otherwise(
+          aggregate(col("_qts"), lit(0.0),
+            (acc, t) => acc + coalesce(element_at(col("_cm"), t), lit(0.0)))),
+          6).as("bm25"))
+    val lexPool = lexScored.groupBy("q_id")
+      .agg(graft.functions.TopKPairs.topKPairs(col("bm25"),
+        col("doc_id").cast("long"), pool, bestIsLargest = true).as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_p"))
+      .select(col("q_id"), col("_p.id").as("doc_id"), col("_p.score").as("bm25"))
+
+    val vecPool = Similarity.cosineTopKJoin(
+        queries.select(col(qIdCol), col(qVecCol)), qIdCol, qVecCol,
+        vecs, vecIdCol, embCol, pool)
+      .withColumnRenamed("n_id", "doc_id")
+
+    val lexRanked = lexPool.withColumn("lex_rank",
+      row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+    val vecRanked = vecPool.withColumn("vec_rank",
+      row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("doc_id").asc)).cast("long"))
+
+    def term(rank: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0) / (lit(rrfK) + rank), lit(0.0))
+    lexRanked.join(vecRanked, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        round(term(col("lex_rank")) + term(col("vec_rank")), 6))
+      .withColumn("_rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)))
+      .filter(col("_rn") <= k).drop("_rn")
+      .select("q_id", "doc_id", "rrf_score", "bm25", "cos_sim",
+        "lex_rank", "vec_rank")
+  }
 }

@@ -282,6 +282,28 @@ object DedupQueries {
         k = 20, pool = 1 << 20)
     }),
 
+    // Batch hybrid retrieval: 3 queries (term list + query vector
+    // each) through the k-NN-join shape — the lexical leg shares TWO
+    // corpus scans across the whole batch, per-query pools reduce via
+    // the bounded-heap pair aggregate. Full pool ⇒ exact full-ranking
+    // fusion per query ⇒ the QUALIFY row_number oracle applies.
+    "s_hybrid_knn" -> ((s, dir) => {
+      import s.implicits._
+      val termSets = Seq(
+        (0L, Seq("spark", "query")), (1L, Seq("filter", "data")),
+        (2L, Seq("spark", "filter"))).toDF("q_id", "terms")
+      val qs = termSets.join(
+        t(s, dir, "embeddings").filter(col("vec_id") < 3),
+        col("q_id") === col("vec_id"))
+        .select(col("q_id"), col("terms"), col("embedding"))
+      graft.operators.HybridSearch.rrfTopKJoin(
+        qs, "q_id", "terms", "embedding",
+        t(s, dir, "documents"), "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 10, pool = 100000)
+        .orderBy(col("q_id"), col("rrf_score").desc, col("doc_id"))
+    }),
+
     // Product quantization (Jégou 2011) at pool ≥ corpus: the ADC
     // code scan admits every row into the exact-cosine rerank, so the
     // result ≡ brute force and the cosine oracle applies exactly —
@@ -837,6 +859,76 @@ object DedupQueries {
          |  l.bm25, v.cos_sim, l.lex_rank, v.vec_rank
          |FROM lexr l JOIN vecr v ON l.doc_id = v.doc_id
          |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // batch twin: per-query BM25 branch per term set (same contrib
+    // formula, same term order as the Spark fold), partitioned ranks,
+    // QUALIFY top-10 per query
+    "s_hybrid_knn" -> {
+      val allTerms = Seq("spark", "query", "filter", "data")
+      val querySets = Seq(
+        0 -> Seq("spark", "query"), 1 -> Seq("filter", "data"),
+        2 -> Seq("spark", "filter"))
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      def contrib(t: String) = {
+        val tf = d(s"len(list_filter(t, x -> x = '$t'))")
+        val df = d(s"df_$t")
+        s"""ln(${d("1.0")} + (${d("n")} - $df + ${d("0.5")}) / ($df + ${d("0.5")}))
+           | * ($tf * (${d("1.2")} + ${d("1.0")}))
+           | / ($tf + ${d("1.2")} * (${d("1.0")} - ${d("0.75")} + ${d("0.75")} * ${d("dl")} / avgdl))"""
+          .stripMargin
+      }
+      val dfCols = allTerms.map(t =>
+        s"CAST(sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(",\n    ")
+      val lexBranches = querySets.map { case (qid, ts) =>
+        s"""SELECT CAST($qid AS BIGINT) AS q_id, doc_id,
+           |    round(${ts.map(contrib).mkString("\n + ")}, 6) AS bm25
+           |  FROM dd, s""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents
+         |), dd AS (
+         |  SELECT doc_id, t, len(t) AS dl FROM toks
+         |), s AS (
+         |  SELECT count(*) AS n, avg(dl) AS avgdl,
+         |    $dfCols
+         |  FROM dd
+         |), lex AS (
+         |  $lexBranches
+         |), lexr AS (
+         |  SELECT q_id, doc_id, bm25,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |  FROM lex
+         |), qv AS (
+         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 3
+         |), cosd AS (
+         |  SELECT q.q_id, e.vec_id AS doc_id,
+         |    round(
+         |      list_sum(list_transform(list_zip(e.embedding, q.qe),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(e.embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(q.qe,
+         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      4) AS cos_sim
+         |  FROM embeddings e CROSS JOIN qv q
+         |), vecr AS (
+         |  SELECT q_id, doc_id, cos_sim,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank
+         |  FROM cosd
+         |)
+         |SELECT l.q_id AS q_id, l.doc_id AS doc_id,
+         |  round(${d("1.0")} / (60 + l.lex_rank)
+         |    + ${d("1.0")} / (60 + v.vec_rank), 6) AS rrf_score,
+         |  l.bm25, v.cos_sim, l.lex_rank, v.vec_rank
+         |FROM lexr l JOIN vecr v ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY l.q_id ORDER BY rrf_score DESC, l.doc_id ASC) <= 10
+         |ORDER BY q_id, rrf_score DESC, doc_id""".stripMargin
     },
     "s_ivfpq_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),

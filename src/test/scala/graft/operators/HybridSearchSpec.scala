@@ -71,6 +71,44 @@ class HybridSearchSpec extends AnyFunSuite {
           s"doc ${r.getLong(0)}") }
   }
 
+  test("rrfTopKJoin ≡ rrfTopK per query: the batch shares the corpus " +
+      "scans without changing any leg's FP chain") {
+    val qdefs = Seq(
+      (0L, Seq("spark"), Array(1.0f, 0.0f, 0.0f)),
+      (1L, Seq("spark", "rocks"), Array(0.0f, 1.0f, 0.0f)),
+      (2L, Seq("unrelated"), Array(0.0f, 0.0f, 1.0f)))
+    val qs = qdefs.toDF("q_id", "terms", "qv")
+    val batch = HybridSearch.rrfTopKJoin(qs, "q_id", "terms", "qv",
+      docs, "doc_id", "text", vecs, "vec_id", "embedding", k = 4, pool = 100)
+      .collect().groupBy(_.getLong(0))
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    qdefs.foreach { case (qid, terms, qv) =>
+      val single = HybridSearch.rrfTopK(docs, "doc_id", "text",
+        vecs, "vec_id", "embedding", terms, qv, k = 4, pool = 100)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+      val got = batch(qid).map(r => (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+        .sortBy { case (id, s, _, _, _, _) => (-s, id) }.toSeq
+      assert(got == single, s"q$qid: $got vs $single")
+    }
+  }
+
+  test("rrfTopKJoin: null-text docs score 0 lexically, still rank by vector") {
+    val docsWithNull = docs.union(Seq((4L, null: String)).toDF("doc_id", "text"))
+    val vecsWithNull = vecs.union(
+      Seq((4L, Array(0.95f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val qs = Seq((0L, Seq("spark"), qv)).toDF("q_id", "terms", "qv")
+    val got = HybridSearch.rrfTopKJoin(qs, "q_id", "terms", "qv",
+      docsWithNull, "doc_id", "text", vecsWithNull, "vec_id", "embedding",
+      k = 5, pool = 100).collect()
+    val d4 = got.find(_.getLong(1) == 4L).get
+    assert(d4.getDouble(3) == 0.0) // bm25 exactly 0 for the null text
+    // vec rank 1: cosine is scale-free, so [0.95,0,0] is exactly 1.0
+    // against the query while d0's 0.1 side component drops it to .995
+    assert(d4.getLong(6) == 1L)
+  }
+
   test("guards: k/pool/rrfK bounds raise") {
     def run(k: Int, pool: Int, rrfK: Int) =
       HybridSearch.rrfTopK(docs, "doc_id", "text", vecs, "vec_id",
