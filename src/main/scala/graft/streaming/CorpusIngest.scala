@@ -334,6 +334,25 @@ object CorpusIngest {
     * drift, permissions — PROPAGATES: silently deduping against an
     * empty frame would re-admit the entire standing corpus, the exact
     * invariant this operator exists to enforce.
+    *
+    * MULTI-WRITER SAFE (r11): concurrent writer jobs (distinct scopes)
+    * never share a write target. A shared `mode("append")` directory
+    * stages every job under ONE `_temporary/<attempt>` — one job's
+    * commit/cleanup can delete another's in-flight task outputs, and a
+    * partially-robbed job commit then writes FEWER files than it
+    * scored with no error, which the marker would seal as "committed"
+    * (silent loss). Instead each batch gets its own isolated area:
+    * post-compaction a per-batch directory under `_tail/` (tail
+    * liveness is by file presence, recursively listed, so readers
+    * don't care about the extra level); pre-compaction — where the
+    * root must stay FLAT for plain-parquet interop — the batch stages
+    * in its own underscore-hidden `_stage-<scope>-<batchId>/` and the
+    * part files RENAME into the root (file renames, the same
+    * installation primitive committer v1 uses, minus the shared
+    * staging root). A replay of a crashed batch deletes and reuses its
+    * own deterministic stage dir; rows half-installed by the crash are
+    * already in the lake, so the replay's dedup excludes exactly them
+    * — the documented pre-marker crash semantics, unchanged.
     */
   def ingestBatch(
       batch: DataFrame, batchId: Long, lakeDir: String,
@@ -341,6 +360,13 @@ object CorpusIngest {
       key: Column => Column = TextFunctions.bagFingerprint,
       failReason: Column => Column = c => TextFunctions.gopherFailReason(c),
       scope: String): Unit = {
+    // the scope names marker files AND staging/tail directories — keep
+    // it to a filesystem-safe charset instead of sanitizing (two
+    // scopes collapsing under sanitization would alias each other's
+    // replay detection, data loss dressed as dedup)
+    require(scope.nonEmpty && scope.forall(ch =>
+        ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-'),
+      s"ingestBatch: scope '$scope' — use letters, digits, '.', '_', '-'")
     val spark = batch.sparkSession
     val (fs, lakePath) = fileSystem(spark, lakeDir)
     val marker = new Path(new Path(lakePath, CommitDirName), s"$scope-$batchId")
@@ -366,11 +392,26 @@ object CorpusIngest {
     // flipping generations at this very moment: a file the compactor
     // didn't list can't be in its consumed set, and both tail areas
     // are resolved by every readLake.
-    val target = lay.gen match {
-      case None => lakePath
-      case Some(_) => new Path(lakePath, TailDirName)
+    lay.gen match {
+      case Some(_) =>
+        // per-batch directory: no shared staging with any concurrent
+        // writer; Overwrite clears a crashed earlier attempt's debris
+        val dir = new Path(new Path(lakePath, TailDirName), s"b-$scope-$batchId")
+        out.write.mode("overwrite").parquet(dir.toString)
+      case None =>
+        // flat root: stage exclusively, then rename the part files in
+        // (file names carry the job UUID — no cross-batch collisions)
+        val stage = new Path(lakePath, s"_stage-$scope-$batchId")
+        fs.delete(stage, true) // crashed earlier attempt's debris
+        out.write.parquet(stage.toString)
+        fs.listStatus(stage)
+          .filter(st => st.isFile && visiblePath(st.getPath))
+          .foreach { st =>
+            require(fs.rename(st.getPath, new Path(lakePath, st.getPath.getName)),
+              s"ingestBatch: failed to install ${st.getPath.getName} into $lakeDir")
+          }
+        fs.delete(stage, true)
     }
-    out.write.mode("append").parquet(target.toString)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
   }

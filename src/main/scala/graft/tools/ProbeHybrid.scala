@@ -1,0 +1,19 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scratch plan audit for the hybrid retrieval entries (r11). */
+object ProbeHybrid {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local()
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val q = graft.SparkEntry.queries("s_hybrid_topk")(spark, dir)
+    q.explain("formatted")
+    val t0 = System.nanoTime(); q.collect()
+    println(f"s_hybrid_topk ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val q2 = graft.SparkEntry.queries("s_hybrid_knn")(spark, dir)
+    val t1 = System.nanoTime(); q2.collect()
+    println(f"s_hybrid_knn ${(System.nanoTime()-t1)/1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -1,0 +1,19 @@
+package graft.tools
+
+/** Scratch: does a plain parquet read resolve nested non-partition
+  * subdirectories? (r11 multi-writer tail design probe) */
+object ProbeNested {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local()
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("nested").toString
+    Seq((1, "a")).toDF("i", "s").write.parquet(s"$d/b-one")
+    Seq((2, "b")).toDF("i", "s").write.parquet(s"$d/b-two")
+    try println("plain count=" + spark.read.parquet(d).count())
+    catch { case e: Exception => println("plain ERR: " + e.getMessage.take(300)) }
+    try println("recursive count=" + spark.read
+      .option("recursiveFileLookup", "true").parquet(d).count())
+    catch { case e: Exception => println("recursive ERR: " + e.getMessage.take(300)) }
+    spark.stop()
+  }
+}

@@ -644,4 +644,64 @@ class CorpusIngestSpec extends AnyFunSuite {
     // the stream stamps the fingerprint so later probes are pruned
     assert(spark.read.parquet(lakeDir).columns.contains(CorpusIngest.FingerprintCol))
   }
+
+  test("multi-writer appends: isolated per-batch write areas, flat-root " +
+      "interop preserved, staged-crash debris healed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_multi_writer")
+    val lakeDir = dir.resolve("lake").toString
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def root = new java.io.File(lakeDir)
+    def rootNames = root.listFiles().map(_.getName).toSet
+
+    // two writer jobs (distinct scopes) append pre-compaction
+    CorpusIngest.ingestBatch(batch((1L, "alpha beta gamma delta")), 0L,
+      lakeDir, failReason = gate, scope = "writer-a")
+    CorpusIngest.ingestBatch(batch((2L, "epsilon zeta eta theta")), 0L,
+      lakeDir, failReason = gate, scope = "writer-b")
+    // the root stays FLAT (no nested dirs): a PLAIN parquet read — the
+    // pre-compaction interop contract — sees both writers' docs, and
+    // no staging debris survives a successful install
+    assert(!root.listFiles().exists(f =>
+      f.isDirectory && !f.getName.startsWith("_")))
+    assert(!rootNames.exists(_.startsWith("_stage-")))
+    assert(spark.read.parquet(lakeDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // crash debris: a half-written stage dir from a died attempt — the
+    // replay of that (scope, batch) reuses the dir and lands exactly-once
+    val stale = new java.io.File(lakeDir, "_stage-writer-a-7")
+    assert(stale.mkdir())
+    java.nio.file.Files.write(stale.toPath.resolve("part-junk.parquet"),
+      Array[Byte](9, 9, 9))
+    CorpusIngest.ingestBatch(batch((3L, "iota kappa lambda mu")), 7L,
+      lakeDir, failReason = gate, scope = "writer-a")
+    assert(!rootNames.exists(_.startsWith("_stage-")))
+    assert(spark.read.parquet(lakeDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // post-compaction: each batch gets its OWN directory under _tail —
+    // no two writer jobs ever share a staging area
+    CorpusIngest.compactLake(spark, lakeDir, targetBytes = 1L << 30)
+    CorpusIngest.ingestBatch(batch((4L, "nu xi omicron pi")), 1L,
+      lakeDir, failReason = gate, scope = "writer-a")
+    CorpusIngest.ingestBatch(batch((5L, "rho sigma tau upsilon")), 1L,
+      lakeDir, failReason = gate, scope = "writer-b")
+    val tail = new java.io.File(lakeDir, CorpusIngest.TailDirName)
+    assert(tail.listFiles().map(_.getName).toSet ==
+      Set("b-writer-a-1", "b-writer-b-1"))
+    assert(CorpusIngest.readLake(spark, lakeDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // replays of both writers' batches are marker-detected no-ops
+    CorpusIngest.ingestBatch(batch((4L, "nu xi omicron pi")), 1L,
+      lakeDir, failReason = gate, scope = "writer-a")
+    CorpusIngest.ingestBatch(batch((5L, "rho sigma tau upsilon")), 1L,
+      lakeDir, failReason = gate, scope = "writer-b")
+    assert(CorpusIngest.readLake(spark, lakeDir).count() == 5L)
+
+    // a filesystem-unsafe scope raises instead of aliasing
+    assert(intercept[IllegalArgumentException] {
+      CorpusIngest.ingestBatch(batch((9L, "a b c d")), 0L,
+        lakeDir, failReason = gate, scope = "has/slash")
+    }.getMessage.contains("scope"))
+  }
 }
