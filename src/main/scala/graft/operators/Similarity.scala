@@ -339,17 +339,34 @@ object Similarity {
 
   /** Query an IVF index: rank cells by centroid distance, brute-force
     * only the nprobe nearest cells.
+    *
+    * `where`: optional metadata predicate — FILTERED ANN (the
+    * vector-DB "pre-filter" shape: "top-k among docs where lang='en'",
+    * not "top-k, then drop non-matches", so a matching doc outside the
+    * unfiltered top-k is still returned). The index persists every
+    * original column alongside `_cell`, so the predicate evaluates
+    * INSIDE the probe scan: on the persisted layout it rides the same
+    * parquet scan the cell probe already prunes (PartitionFilters pick
+    * the cell directories, PushedFilters skip row groups by the
+    * predicate's min/max stats) — no join back to a metadata table, no
+    * post-hoc filtering of a truncated result. Recall caveat shared
+    * with every IVF search: below `nprobe = nlist` a match outside the
+    * probed cells is missed; a highly selective predicate thins
+    * candidates per cell, so filtered queries typically want a higher
+    * nprobe.
     */
   def ivfTopK(
       index: IvfIndex, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+      query: Array[Float], k: Int, nprobe: Int = 4,
+      where: Option[Column] = None): DataFrame = {
     val qd = query.map(_.toDouble)
     def dist2(c: Array[Double]): Double =
       c.indices.map(j => { val d = c(j) - qd(j); d * d }).sum
     val cells = index.centroids.zipWithIndex
       .sortBy { case (c, _) => dist2(c) }.take(nprobe).map(_._2)
-    index.assigned
+    val probed = index.assigned
       .filter(col("_cell").isin(cells.toSeq: _*))
+    where.fold(probed)(probed.filter)
       .select(col(idCol), round(cosineConst(col(vecCol), qd), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)

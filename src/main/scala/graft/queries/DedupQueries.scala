@@ -411,6 +411,22 @@ object DedupQueries {
       Similarity.ivfTopK(idx, "vec_id", "embedding", query, k = 10, nprobe = 8)
     }),
 
+    // Filtered ANN (vector-DB "pre-filter" semantics): top-k among
+    // rows passing a metadata predicate, evaluated INSIDE the probe
+    // scan (the index persists payload columns next to _cell). Full
+    // probe ⇒ ≡ brute force over the filtered subset ⇒ the cosine
+    // oracle with a WHERE clause; partition/row-group pruning and
+    // pre-filter-vs-post-filter semantics are spec'd in SimilaritySpec.
+    "s_ivf_filtered" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nlist = 8,
+        maxIter = 3, initMode = "random")
+      Similarity.ivfTopK(idx, "vec_id", "embedding", query, k = 10,
+        nprobe = 8, where = Some(col("label") === 1))
+    }),
+
     // Salted skew join ≡ plain join (spec'd under a planted hot key);
     // here the oracle proves it against DuckDB's plain join + agg.
     "q_salted_join" -> ((s, dir) => {
@@ -713,6 +729,21 @@ object DedupQueries {
         |      4) AS cos_sim
         |  FROM embeddings)
         |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s_ivf_filtered" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id, label,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored WHERE label = 1
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -167,6 +168,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scanLine.contains("_cell"), scanLine)
     val top = probe.select("vec_id").as[Long].collect()
     assert(top.length == 3 && top.forall(_ % 2 == 0)) // only the e1 cluster
+  }
+
+  test("filtered ANN: pre-filter semantics (top-k AMONG matches), predicate " +
+      "pushed into the pruned index scan") {
+    // 40 vectors in two clusters; labels split so the query's own
+    // cluster is mostly label 0 — the label-1 top-k must then contain
+    // vectors a post-hoc filter of the unfiltered top-k would MISS
+    val many = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f + i * 0.001f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 1.0f + i * 0.001f, 0.0f, 0.0f)
+      (i.toLong, v, if (i % 10 == 0) 1 else 0)
+    }.toDF("vec_id", "embedding", "label")
+    val built = Similarity.ivfIndex(many, "vec_id", "embedding", nlist = 2)
+    val qv = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    // full probe: filtered result ≡ brute force over the filtered subset
+    val got = Similarity.ivfTopK(built, "vec_id", "embedding", qv,
+      k = 4, nprobe = 2, where = Some(col("label") === 1))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.cosineTopK(many.filter(col("label") === 1),
+      "vec_id", "embedding", qv, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // pre-filter, not post-filter: the unfiltered top-4 holds NO
+    // label-1 ids (the query cluster's nearest are all label 0 except
+    // far-off multiples of 10), yet the filtered search returns 4
+    val unfiltered = Similarity.ivfTopK(built, "vec_id", "embedding", qv,
+      k = 4, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(got.size == 4 && got.map(_._1).count(unfiltered.contains) < 4)
+    // persisted layout: the predicate reaches the parquet scan as a
+    // pushed filter, alongside the cell partition pruning
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_filtered")
+      .resolve("idx").toString
+    Similarity.saveIvfIndex(built, path)
+    val probe = Similarity.ivfTopK(Similarity.loadIvfIndex(spark, path),
+      "vec_id", "embedding", qv, k = 4, nprobe = 1,
+      where = Some(col("label") === 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters:\n" + plan.take(3000)))
+    assert(scanLine.contains("_cell"), scanLine)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("label")), plan.take(3000))
   }
 
   test("LSH append: probe finds old + new vectors, planes roundtrip, pruning intact") {
