@@ -423,9 +423,21 @@ object IncrementalAgg {
     val (genDirs, tailDirs) = liveBatchDirs(fs, statePath, lay)
     require(genDirs.nonEmpty || tailDirs.nonEmpty,
       s"incrementalAgg: no committed batches under $statePath")
+    // the claimed generation number is part of the PIN: it counts from
+    // the highest manifest FILE, complete or torn — a crash
+    // mid-manifest-create leaves a torn file whose number is BURNED
+    // (readers skip it; create-exclusive would refuse it forever), so
+    // the retry must take the next number, while a rival compactor
+    // claiming the same number still conflicts at the exclusive create
+    val highestFile = fs.listStatus(new Path(statePath)).toSeq
+      .flatMap(_.getPath.getName match {
+        case GenManifestRe(n) => Some(n.toInt)
+        case _ => None
+      }).maxOption
+    val nextGen =
+      math.max(lay.gen.getOrElse(-1), highestFile.getOrElse(-1)) + 1
     afterPin()
     val merged = merge(readBatchDirs(spark, statePath, lay, genDirs, tailDirs), meta)
-    val nextGen = lay.gen.map(_ + 1).getOrElse(0)
     // unique suffix: rival compactors racing to the same generation
     // number must not overwrite each other's in-progress fold — the
     // manifest names the winning directory, the loser's is debris

@@ -615,6 +615,29 @@ class IncrementalAggSpec extends AnyFunSuite {
       direct(corpus.union(corpus).union(corpus)))
   }
 
+  test("a torn v2 manifest is never trusted: readers fall back, the retry " +
+      "burns the generation number instead of colliding forever") {
+    val state = tmp()
+    fit(corpus.filter($"n" <= 4), Seq("g"), metrics, state, "b0")
+    compact(spark, state) // gen 0
+    append(state, corpus.filter($"n" > 4), "b1")
+    // crash mid-manifest-create: v2 body without its end terminator
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(state, "_gen-00001.json"),
+      """{"v":2,"generation":1,"dir":"gen-00001-dead","consumed":["""
+        .getBytes("UTF-8"))
+    // readers resolve the highest COMPLETE manifest (gen 0) + live tail
+    assert(listBatches(spark, state) == Seq("b1", "compacted"))
+    assertSame(result(spark, state), direct(corpus))
+    // the compact retry takes the NEXT number — create-exclusive would
+    // refuse generation 1 forever — and the state stays correct
+    compact(spark, state)
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(names.contains("_gen-00002.json"), names)
+    assert(listBatches(spark, state) == Seq("compacted"))
+    assertSame(result(spark, state), direct(corpus))
+  }
+
   test("property: random append/replay/compact interleavings (incl. " +
       "mid-compact appends) ≡ direct aggregate at every step") {
     for (seed <- Seq(7L, 77L)) {
