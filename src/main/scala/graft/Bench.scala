@@ -170,6 +170,16 @@ object Bench {
           maxIter = 4)
         val pqPath = benchTmp.resolve("pq").toString
         Pq.savePqIndex(vecs, "vec_id", "embedding", model, pqPath)
+        val sqQuery = vecs.filter(col("vec_id") === 3)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+        val sqModel = graft.operators.Sq.fit(vecs, "vec_id", "embedding")
+        val sqPath = benchTmp.resolve("sq").toString
+        graft.operators.Sq.saveSqIndex(vecs, "vec_id", "embedding", sqModel, sqPath)
+        val bqQuery = vecs.filter(col("vec_id") === 4)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+        val bqModel = graft.operators.Bq.fit(vecs, "vec_id", "embedding")
+        val bqPath = benchTmp.resolve("bq").toString
+        graft.operators.Bq.saveBqIndex(vecs, "vec_id", "embedding", bqModel, bqPath)
         val ivfpqPath = benchTmp.resolve("ivfpq").toString
         Pq.saveIvfPqIndex(vecs, "vec_id", "embedding", model, ivfpqPath,
           nlist = 8, maxIter = 3, initMode = "random")
@@ -182,6 +192,16 @@ object Bench {
           "s_ivfpq_probe_only" -> ((s: SparkSession, _: String) =>
             Pq.ivfPqTopK(s, ivfpqPath, vecs, "vec_id", "embedding", query,
               k = 20, nprobe = 2, pool = 200)),
+          // SQ8's fidelity means a pool barely above k already
+          // reaches the recall PQ needs pool=200 for — the twin
+          // measures that production dial
+          "s_sq_probe_only" -> ((s: SparkSession, _: String) =>
+            graft.operators.Sq.topK(s, sqPath, vecs, "vec_id", "embedding",
+              sqQuery, k = 20, pool = 50)),
+          // 1-bit codes are coarse — pool sized generously vs k
+          "s_bq_probe_only" -> ((s: SparkSession, _: String) =>
+            graft.operators.Bq.topK(s, bqPath, vecs, "vec_id", "embedding",
+              bqQuery, k = 20, pool = 500)),
           "s_pq_knn_probe_only" -> ((s: SparkSession, _: String) =>
             Pq.pqTopKJoin(s, pqPath,
               vecs.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -222,9 +242,17 @@ object Bench {
         import graft.operators.LangId
         val docs = Tables.load(spark, sfDir, "documents")
         val model = LangId.fit(docs, "lang", "text")
-        Map("x_lang_id_prefit" -> ((_: SparkSession, _: String) =>
-          docs.select(LangId.langIdModel(col("text"), model).as("p"))
-            .groupBy("p").agg(fcount(org.apache.spark.sql.functions.lit(1)).as("n"))))
+        // same amortization for the quality classifier: selfTrain once,
+        // classify every batch map-only with the broadcast model
+        val qModel = graft.operators.QualityClassifier.selfTrain(docs, "text")
+        Map(
+          "x_lang_id_prefit" -> ((_: SparkSession, _: String) =>
+            docs.select(LangId.langIdModel(col("text"), model).as("p"))
+              .groupBy("p").agg(fcount(org.apache.spark.sql.functions.lit(1)).as("n"))),
+          "x_quality_prefit" -> ((_: SparkSession, _: String) =>
+            docs.select(graft.operators.QualityClassifier
+                .qualityLabel(col("text"), qModel).as("p"))
+              .groupBy("p").agg(fcount(org.apache.spark.sql.functions.lit(1)).as("n"))))
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[bench] lang-id prefit fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")

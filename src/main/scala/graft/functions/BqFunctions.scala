@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
+
+/** Binary-quantization kernels (1 bit per dimension — the extreme
+  * compression point of the ANN family; sign-bit codes over random or
+  * identity projections are the classic SRP-LSH construction, Charikar
+  * STOC'02, and "binary quantization" in today's vector stores): bit i
+  * of the code = [v_i > threshold_i], packed 8 bits per byte. A
+  * 64-float vector becomes 8 bytes — the same byte budget as PQ's
+  * default, but with a trivially cheap scan metric: Hamming distance
+  * via XOR + popcount, no table lookups at all.
+  *
+  * Codegen'd expressions for the usual reason: both run once per
+  * corpus row around the scan, and a UDF there breaks whole-stage
+  * codegen.
+  */
+object BqFunctions {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  /** Encode a numeric-array column to its packed sign-bit code. */
+  def bqEncode(v: Column, thresholds: Array[Double], normalize: Boolean): Column =
+    ncol(BqEncodeExpr(ex(v), thresholds, normalize))
+
+  /** Hamming distance of a code column against one query's code. */
+  def bqHamming(code: Column, queryCode: Array[Byte]): Column =
+    ncol(BqHammingExpr(ex(code), queryCode))
+
+  /** JVM kernel behind [[BqEncodeExpr]]. Same contracts as the PQ/SQ
+    * encoders: null element → boxed null, wrong width raises.
+    */
+  def encode(arr: ArrayData, kind: Int, elem: DataType,
+      thresholds: Array[Double], normalize: Boolean): Array[Byte] = {
+    val dim = thresholds.length
+    val n = arr.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"graft_bq_encode: vector has $n elements, model expects $dim")
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      v(i) = PqFunctions.readDoubleAt(arr, i, kind, elem)
+      i += 1
+    }
+    if (normalize) {
+      var ss = 0.0
+      i = 0
+      while (i < dim) { ss += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm > 0) { i = 0; while (i < dim) { v(i) /= nrm; i += 1 } }
+    }
+    val code = new Array[Byte]((dim + 7) / 8)
+    i = 0
+    while (i < dim) {
+      if (v(i) > thresholds(i)) code(i >> 3) = (code(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    code
+  }
+
+  /** JVM kernel behind [[BqHammingExpr]]: Σ popcount(a XOR b). Raises
+    * on a width mismatch — that is a code from a different model.
+    */
+  def hamming(code: Array[Byte], query: Array[Byte]): Int = {
+    if (code.length != query.length) throw new IllegalArgumentException(
+      s"graft_bq_hamming: code is ${code.length} bytes, query code is " +
+        s"${query.length} — codes from a different BQ model?")
+    var d = 0
+    var i = 0
+    while (i < code.length) {
+      d += java.lang.Integer.bitCount((code(i) ^ query(i)) & 0xff)
+      i += 1
+    }
+    d
+  }
+}
+
+/** `graft_bq_encode(vec)` → binary: packed sign-bit code. */
+case class BqEncodeExpr(child: Expression, thresholds: Array[Double],
+    normalize: Boolean) extends UnaryExpression {
+
+  private lazy val kind = VectorFunctions.elementKind(child.dataType)
+  private lazy val elem = VectorFunctions.elementTypeOf(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorFunctions.elementKind(child.dataType) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bq_encode requires a numeric array, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bq_encode"
+
+  protected override def nullSafeEval(v: Any): Any =
+    BqFunctions.encode(v.asInstanceOf[ArrayData], kind, elem, thresholds,
+      normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("bqCode")
+      val th = ctx.addReferenceObj("bqThresholds", thresholds, "double[]")
+      val el = ctx.addReferenceObj("bqElem", elem)
+      s"""
+         |byte[] $r = graft.functions.BqFunctions.encode(
+         |  $v, $kind, $el, $th, $normalize);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_bq_hamming(code)` → int: Hamming distance to the query's
+  * code (lower = closer in angle).
+  */
+case class BqHammingExpr(child: Expression, queryCode: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bq_hamming requires a binary code column, got ${child.dataType.sql}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bq_hamming"
+
+  protected override def nullSafeEval(v: Any): Any =
+    BqFunctions.hamming(v.asInstanceOf[Array[Byte]], queryCode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val q = ctx.addReferenceObj("bqQueryCode", queryCode, "byte[]")
+      s"${ev.value} = graft.functions.BqFunctions.hamming($v, $q);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BqHammingExpr =
+    copy(child = newChild)
+}

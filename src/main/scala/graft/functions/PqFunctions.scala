@@ -80,7 +80,7 @@ object PqFunctions {
     var i = 0
     while (i < dim) {
       if (arr.isNullAt(i)) return null
-      v(i) = readDouble(arr, i, kind, elem)
+      v(i) = readDoubleAt(arr, i, kind, elem)
       i += 1
     }
     if (normalize) {
@@ -150,7 +150,10 @@ object PqFunctions {
     d
   }
 
-  private def readDouble(a: ArrayData, i: Int, kind: Int, elem: DataType): Double =
+  // shared with SqFunctions.encode — the element-kind dispatch is the
+  // same for every numeric-array kernel in this package
+  private[functions] def readDoubleAt(a: ArrayData, i: Int, kind: Int,
+      elem: DataType): Double =
     kind match {
       case 0 => a.getDouble(i)
       case 1 => a.getFloat(i).toDouble

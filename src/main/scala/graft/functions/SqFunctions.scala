@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Scalar-quantization (SQ8) encode kernel: each dimension of a float
+  * vector quantizes independently to one byte on a uniform per-dim
+  * grid, `b_i = round((x_i − min_i)/scale_i)` clamped to 0..255 — a
+  * `dim`-float vector becomes a `dim`-byte code (4× compression, vs
+  * PQ's ~32×, at much higher fidelity; this is faiss's SQ8 shape).
+  *
+  * Encoding to the nearest point of a UNIFORM grid is exactly the
+  * argmin a PQ codebook of 256 evenly spaced 1-d centroids would
+  * compute — which is why query-time scanning needs no new kernel at
+  * all: [[graft.operators.Sq.adcTable]] materializes that equivalent
+  * `dim`×256 lookup table and the scan reuses [[PqFunctions.adc]]
+  * (codegen'd, table-lookup-only) with nsub=dim, k=256.
+  *
+  * Native codegen'd expression for the same reason as [[PqEncodeExpr]]:
+  * encode runs once per corpus row inside the index build's scan, and
+  * a UDF there would break the whole-stage pipeline.
+  */
+object SqFunctions {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  /** Encode a numeric-array column to its `dim`-byte SQ8 code. */
+  def sqEncode(v: Column, mins: Array[Double], scales: Array[Double],
+      normalize: Boolean): Column =
+    ncol(SqEncodeExpr(ex(v), mins, scales, normalize))
+
+  /** JVM kernel behind [[SqEncodeExpr]]: affine quantize + clamp per
+    * dimension. Null element → boxed null (same contract as
+    * [[PqFunctions.encode]]); a wrong-width vector RAISES — silently
+    * emitting null would let a mis-dimensioned corpus search as
+    * "no neighbors" unnoticed. A zero-range dimension (scale 0 from a
+    * constant fit sample) encodes to byte 0 and dequantizes exactly to
+    * its min — no division happens.
+    */
+  def encode(arr: ArrayData, kind: Int, elem: DataType,
+      mins: Array[Double], scales: Array[Double],
+      normalize: Boolean): Array[Byte] = {
+    val dim = mins.length
+    val n = arr.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"graft_sq_encode: vector has $n elements, model expects $dim")
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      v(i) = PqFunctions.readDoubleAt(arr, i, kind, elem)
+      i += 1
+    }
+    if (normalize) {
+      var ss = 0.0
+      i = 0
+      while (i < dim) { ss += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm > 0) { i = 0; while (i < dim) { v(i) /= nrm; i += 1 } }
+    }
+    val code = new Array[Byte](dim)
+    i = 0
+    while (i < dim) {
+      val s = scales(i)
+      val b =
+        if (s <= 0) 0
+        else {
+          val q = math.round((v(i) - mins(i)) / s).toInt
+          if (q < 0) 0 else if (q > 255) 255 else q
+        }
+      code(i) = b.toByte
+      i += 1
+    }
+    code
+  }
+}
+
+/** `graft_sq_encode(vec)` → binary: the vector's `dim`-byte SQ8 code. */
+case class SqEncodeExpr(child: Expression, mins: Array[Double],
+    scales: Array[Double], normalize: Boolean)
+    extends UnaryExpression {
+
+  private lazy val kind = VectorFunctions.elementKind(child.dataType)
+  private lazy val elem = VectorFunctions.elementTypeOf(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorFunctions.elementKind(child.dataType) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sq_encode requires a numeric array, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // null element → null code
+  override def prettyName: String = "graft_sq_encode"
+
+  protected override def nullSafeEval(v: Any): Any =
+    SqFunctions.encode(v.asInstanceOf[ArrayData], kind, elem, mins, scales,
+      normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("sqCode")
+      val mn = ctx.addReferenceObj("sqMins", mins, "double[]")
+      val sc = ctx.addReferenceObj("sqScales", scales, "double[]")
+      val el = ctx.addReferenceObj("sqElem", elem)
+      s"""
+         |byte[] $r = graft.functions.SqFunctions.encode(
+         |  $v, $kind, $el, $mn, $sc, $normalize);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncodeExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.BqFunctions
+
+/** Binary-quantization ANN (1 bit per dimension — sign-bit codes,
+  * the SRP-LSH construction of Charikar STOC'02 used as a SCAN code
+  * rather than a bucket key; "binary quantization" in today's vector
+  * stores): bit i = [v_i > threshold_i], thresholds fit as per-dim
+  * sample means so each bit splits the corpus ~evenly. A 64-float
+  * vector becomes 8 bytes — 32× compression, the extreme end of the
+  * family ([[Sq]] 4×, [[Pq]] ~32× with table metrics) — and the scan
+  * metric is the cheapest possible: Hamming via XOR + popcount.
+  *
+  * The family relationship, precisely: [[Similarity.lshIndex]] uses
+  * sign bits of RANDOM projections as a bucket KEY (prune which rows
+  * are read); Bq uses sign bits of the RAW dims as a scan CODE (read
+  * every row, 1 bit each, rank by Hamming, exact-rerank a bounded
+  * pool). Bq trades LSH's row pruning for rank-awareness: every row
+  * gets a comparable score, so recall degrades smoothly with pool
+  * size instead of cliff-dropping when a neighbor lands one bucket
+  * over.
+  *
+  * Same contracts as the rest of the family: with `pool` ≥ corpus the
+  * exact rerank sees every row and the result EQUALS brute force (the
+  * oracle configuration); `metric="cosine"` normalizes before
+  * thresholding (scale-invariant codes), rerank is always exact
+  * cosine on the original vectors.
+  */
+object Bq {
+
+  /** Per-dim bit thresholds (sample means — balanced bits). */
+  final case class BqModel(thresholds: Array[Double], normalize: Boolean) {
+    def dim: Int = thresholds.length
+    def codeBytes: Int = (dim + 7) / 8
+  }
+
+  /** Fit per-dim thresholds on the deterministic md5-ordered driver
+    * sample (the [[Pq.fit]] sample contract). Mean, not median: the
+    * bit boundary lands where it balances mass for roughly symmetric
+    * coordinates, and stays O(sample) to compute.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+      metric: String = "cosine"): BqModel = {
+    require(metric == "cosine" || metric == "l2", s"bq: unknown metric '$metric'")
+    val normalize = metric == "cosine"
+    val sample = Pq.prepSample(df, idCol, vecCol, normalize, nsub = 1)
+    val dim = sample.head.length
+    val sums = new Array[Double](dim)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) { sums(i) += v(i); i += 1 }
+    }
+    BqModel(sums.map(_ / sample.length), normalize)
+  }
+
+  /** Map-only: add the packed `codeBytes`-byte `codeCol`. */
+  def encode(df: DataFrame, vecCol: String, model: BqModel,
+      codeCol: String = "_code"): DataFrame =
+    df.withColumn(codeCol,
+      BqFunctions.bqEncode(col(vecCol), model.thresholds, model.normalize))
+
+  /** Persist the (id, `_code`) bit table plus the model sidecar. */
+  def saveBqIndex(df: DataFrame, idCol: String, vecCol: String,
+      model: BqModel, path: String): Unit = {
+    encode(df, vecCol, model)
+      .select(col(idCol), col("_code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    saveModel(df.sparkSession, model, path)
+  }
+
+  def saveModel(spark: SparkSession, model: BqModel, path: String): Unit = {
+    import spark.implicits._
+    model.thresholds.indices
+      .map(i => (i, model.thresholds(i), model.normalize))
+      .toDF("dim", "threshold", "normalize")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  def loadModel(spark: SparkSession, path: String): BqModel = {
+    val rows = spark.read.parquet(s"$path/model").orderBy("dim").collect()
+    require(rows.nonEmpty, s"bq: no model sidecar under $path — not a saved BQ index")
+    BqModel(rows.map(_.getAs[Double]("threshold")),
+      rows.head.getAs[Boolean]("normalize"))
+  }
+
+  /** Append a NEW batch under the saved thresholds (the index
+    * identity) — train-once/add-forever like the rest of the family.
+    */
+  def bqAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val model = loadModel(df.sparkSession, path)
+    encode(df, vecCol, model)
+      .select(col(idCol), col("_code"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Query a saved index: Hamming-rank the bit codes, exact-rerank the
+    * `pool` best — [[Pq.poolRerankFromScores]]' tail, so the output
+    * contract matches the whole family (`cos_sim` rounded 4, id
+    * tiebreak). 1-bit codes are coarse: size `pool` generously
+    * relative to k (Hamming ties are broken by id, not by angle).
+    */
+  def topK(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, pool: Int = 1024): DataFrame = {
+    val model = loadModel(spark, indexPath)
+    val qArr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      query.map(_.toDouble))
+    val qCode = BqFunctions.encode(qArr, 0,
+      org.apache.spark.sql.types.DoubleType, model.thresholds, model.normalize)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    Pq.poolRerankFromScores(
+      codes.select(col(idCol),
+        BqFunctions.bqHamming(col("_code"), qCode).cast("double").as("_adc")),
+      corpus, idCol, vecCol, query, k, pool)
+  }
+}

@@ -64,8 +64,9 @@ object Pq {
   }
 
   /** Deterministic md5-ordered sample, normalized for the cosine
-    * metric, dim-checked against `nsub`. */
-  private def prepSample(df: DataFrame, idCol: String, vecCol: String,
+    * metric, dim-checked against `nsub`. Shared with [[Sq.fit]]
+    * (nsub=1 there — any dim divides). */
+  private[operators] def prepSample(df: DataFrame, idCol: String, vecCol: String,
       normalize: Boolean, nsub: Int): Array[Array[Double]] = {
     val sample = df
       .select(col(vecCol).cast("array<double>").as("_v"),
@@ -269,15 +270,36 @@ object Pq {
 
   private def topKFromCodes(codes: DataFrame, model: PqModel,
       corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, pool: Int): DataFrame =
+    topKFromCodeTable(codes, adcTable(query, model), model.nsub, model.k,
+      corpus, idCol, vecCol, query, k, pool)
+
+  /** The shared candidate-pool → exact-rerank tail of every ADC index
+    * (PQ, OPQ, IVF×PQ, and [[Sq]] — SQ8 is PQ with nsub=dim, k=256 and
+    * a uniform grid, so one scan shape serves the whole family).
+    */
+  private[operators] def topKFromCodeTable(codes: DataFrame,
+      table: Array[Double], nsub: Int, nCodes: Int,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, pool: Int): DataFrame =
+    poolRerankFromScores(
+      codes.select(col(idCol),
+        PqFunctions.pqAdc(col("_code"), table, nsub, nCodes).as("_adc")),
+      corpus, idCol, vecCol, query, k, pool)
+
+  /** The family-wide tail behind every compressed score ([[Bq]]'s
+    * Hamming column reuses it directly): lowest-`_adc` `pool`
+    * candidates → broadcast the ids into the corpus scan → exact
+    * cosine rerank.
+    */
+  private[operators] def poolRerankFromScores(scored: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, pool: Int): DataFrame = {
     require(pool >= k, s"pq: pool=$pool must be ≥ k=$k")
-    val table = adcTable(query, model)
     // nulls LAST: a null code (null vector / null element upstream)
     // must never crowd real candidates out of the pool — plain asc
     // would sort the nulls first
-    val cand = codes
-      .select(col(idCol),
-        PqFunctions.pqAdc(col("_code"), table, model.nsub, model.k).as("_adc"))
+    val cand = scored
       .filter(col("_adc").isNotNull)
       .orderBy(col("_adc").asc, col(idCol).asc)
       .limit(pool)

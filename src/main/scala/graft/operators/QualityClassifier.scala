@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality filtering — the CCNet / GPT-3 /
+  * DCLM pipeline shape (Wenzek 2020 "CCNet"; Brown 2020 §2.2; Li 2024
+  * "DataComp-LM"): train a CHEAP text classifier to separate
+  * high-quality from low-quality documents, score the whole corpus
+  * with it, keep what scores well. The published recipes use a
+  * fastText-style linear model over hashed n-grams — exactly the
+  * machinery [[LangId]] already has — so this operator is a labeled
+  * reuse of that trained NB: same bounded fit (one map-side-combined
+  * groupBy, model ≤ labels × buckets), same codegen'd classify
+  * expression, different label axis.
+  *
+  * Two ways to get labels:
+  *  - [[fitLabeled]]: caller provides exemplar corpora (the CCNet
+  *    shape — Wikipedia as "hq", raw crawl as "lq").
+  *  - [[selfTrain]]: no labeled data — bootstrap from the repo's own
+  *    heuristic quality signals (stopword density, symbol/punct soup,
+  *    repetition), label only the confident EXTREME quantiles, train
+  *    on those, then let the n-gram model generalize to the unlabeled
+  *    middle. The model sees text features the heuristics never
+  *    encoded (character-window word identity), which is what lifts
+  *    it above the thresholded heuristic — spec'd on stopword-free
+  *    prose the heuristic mis-scores as junk-extreme and the model
+  *    recovers. (The converse blind spot is real and documented:
+  *    spam diluted with enough genuine prose can out-vote its own
+  *    tell-tale vocabulary in a summed NB — catching that class
+  *    needs exemplar labels via [[fitLabeled]], the CCNet
+  *    configuration, not a bigger bootstrap.)
+  *
+  * Scale: the heuristic pass is one map-only scan; the quantile cut
+  * is an approx-quantile sketch (no sort); the fit's shuffle is
+  * bounded at 2 × buckets rows per mapper; classify is one map-only
+  * codegen'd scan with the broadcast model. Nothing here is
+  * corpus-proportional on the driver.
+  */
+object QualityClassifier {
+
+  val Hq = "hq"
+  val Lq = "lq"
+
+  /** Composite heuristic in [0, 1], higher = more prose-like: rewards
+    * stopword density (real sentences have function words), penalizes
+    * punctuation/symbol soup and word repetition. Deliberately crude —
+    * it only needs to be RIGHT AT THE EXTREMES, where [[selfTrain]]
+    * samples its labels.
+    */
+  def heuristicScore(text: Column): Column = {
+    import graft.functions.TextFunctions.{punctRatio, stopwordRatio}
+    val toks = split(lower(trim(text)), "\\s+")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val dupRatio = lit(1.0) - size(array_distinct(toks)).cast("double") / nToks
+    val stop = least(stopwordRatio(text) * 2.5, lit(1.0)) // ~0.4 saturates
+    val punctPenalty = least(punctRatio(text) * 2.0, lit(1.0))
+    greatest(least(stop * (lit(1.0) - punctPenalty) * (lit(1.0) - dupRatio),
+      lit(1.0)), lit(0.0))
+  }
+
+  /** CCNet shape: exemplar corpora carry the labels. `labelCol` must
+    * hold exactly the values "hq" and "lq" (checked by the fit's own
+    * maxLangs-style bound plus an explicit label audit here).
+    */
+  /** Gram range for quality: language ID separates SCRIPTS, where
+    * char 1–3-grams carry the signal; quality separates VOCABULARY
+    * (casino/pills vs prose), which lives in word-sized windows —
+    * char 2–5-grams approximate word identity the way fastText's
+    * word-ngram features do, without a tokenizer.
+    */
+  val GramMin = 2
+  val GramMax = 5
+
+  def fitLabeled(labeled: DataFrame, labelCol: String, textCol: String,
+      buckets: Int = 4096): LangId.Model = {
+    val labels = labeled.select(col(labelCol).cast("string"))
+      .filter(col(labelCol).isNotNull).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(labels == Seq(Hq, Lq),
+      s"qualityClassifier: labels must be exactly {hq, lq}, got $labels")
+    LangId.fit(labeled, labelCol, textCol, buckets, GramMin, GramMax)
+  }
+
+  /** Bootstrap labels from the heuristic's extreme quantiles and fit.
+    * Documents scoring ≤ the `loQuantile` cut are labeled lq, ≥ the
+    * `hiQuantile` cut hq; the middle band trains nothing and is later
+    * classified by generalization. Raises if the two cuts coincide
+    * (a degenerate corpus where the heuristic cannot separate
+    * anything — a model trained on that would be noise).
+    */
+  def selfTrain(df: DataFrame, textCol: String,
+      loQuantile: Double = 0.25, hiQuantile: Double = 0.75,
+      buckets: Int = 4096): LangId.Model = {
+    require(loQuantile > 0 && hiQuantile < 1 && loQuantile < hiQuantile,
+      s"qualityClassifier: bad quantiles ($loQuantile, $hiQuantile)")
+    val scored = df.select(col(textCol).cast("string").as("_text"))
+      .filter(col("_text").isNotNull)
+      .withColumn("_score", heuristicScore(col("_text")))
+    val cuts = scored.stat.approxQuantile("_score",
+      Array(loQuantile, hiQuantile), 0.01)
+    val (lo, hi) = (cuts(0), cuts(1))
+    require(lo < hi,
+      f"qualityClassifier: heuristic quantiles coincide ($lo%.4f) — the " +
+        "corpus is not separable by the bootstrap heuristic; provide " +
+        "labeled exemplars via fitLabeled instead")
+    val labeled = scored.withColumn("_label",
+      when(col("_score") <= lo, Lq).when(col("_score") >= hi, Hq))
+      .filter(col("_label").isNotNull)
+    LangId.fit(labeled, "_label", "_text", buckets, GramMin, GramMax)
+  }
+
+  /** Map-only classify column: "hq" / "lq", or "und" when the per-gram
+    * evidence margin is below `undMargin` (blank text is always
+    * "und") — [[LangId]]'s gate, same semantics.
+    */
+  def qualityLabel(text: Column, model: LangId.Model,
+      undMargin: Double = 0.0): Column =
+    LangId.langIdModel(text, model, undMargin)
+
+  /** Filter shape: keep documents the model calls hq. `keepUnd` keeps
+    * low-evidence docs too (the conservative side for dedup-style
+    * pipelines where dropping is the irreversible action).
+    */
+  def filterHq(df: DataFrame, textCol: String, model: LangId.Model,
+      undMargin: Double = 0.0, keepUnd: Boolean = false): DataFrame = {
+    val label = qualityLabel(col(textCol), model, undMargin)
+    if (keepUnd) df.filter(label === Hq || label === "und")
+    else df.filter(label === Hq)
+  }
+}

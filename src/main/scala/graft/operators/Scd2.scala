@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension historization (Kimball's SCD2,
+  * the standard lakehouse "gaps and islands" build): collapse a
+  * change log — one row per observation of an entity — into validity
+  * intervals, one row per RUN of identical tracked values per key,
+  * with `valid_from` / `valid_to` / `is_current`. The complement of
+  * [[Upsert]]: upsert keeps only the latest version, historize keeps
+  * them all, queryably.
+  *
+  * Plan shape (the part that matters at 100 TB): ONE shuffle. Both
+  * window passes and the run-boundary filter share the same
+  * partitioning (key) and ordering (ts, tiebreaks), so Catalyst plans
+  * a single Exchange + sort, the boundary filter runs pipelined on
+  * the sorted partitions, and the second window reuses the sort.
+  * No self-join, no groupBy — run boundaries are detected by null-safe
+  * lag comparison and interval ends by lead over the boundaries only.
+  *
+  * Determinism: the caller must make (key, orderCols) a TOTAL order
+  * (pass a unique tiebreak column when timestamps can collide) — same
+  * contract as any windowed dedup; with ties left unbroken the run
+  * segmentation would be partition-order-dependent.
+  */
+object Scd2 {
+
+  /** Historize `df`: one output row per maximal run of identical
+    * `trackCols` values per `keyCols` entity, ordered by `tsCol` then
+    * `tieCols`. Output columns: keyCols ++ trackCols ++
+    * (valid_from = first ts of the run, valid_to = next run's
+    * valid_from or null, is_current = valid_to is null).
+    */
+  def historize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      trackCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "scd2: keyCols must be non-empty")
+    require(trackCols.nonEmpty, "scd2: trackCols must be non-empty")
+    val ord: Seq[Column] = (tsCol +: tieCols).map(col(_).asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    // a run boundary: the first observation of the key (lag of a
+    // constant is null there — value-based null checks would misfire
+    // on legitimately-null tracked values), or any tracked column
+    // differing null-safely from the previous observation
+    val isFirst = lag(lit(1), 1).over(w).isNull
+    val valueChanged = trackCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val boundaries = df
+      .withColumn("_start", isFirst || valueChanged)
+      .filter(col("_start"))
+    // same partitioning AND ordering as w: the filtered rows are still
+    // sorted, so this window adds no exchange — lead over boundaries
+    // is the next run's start, i.e. this run's exclusive end
+    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    boundaries
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ trackCols ++
+        Seq("valid_from", "valid_to", "is_current")).map(col): _*)
+  }
+
+  /** Point-in-time lookup against a historized table: the version of
+    * each key valid AT `asOf` (valid_from ≤ asOf < valid_to, with the
+    * open current interval matching everything from its start on).
+    */
+  def asOf(history: DataFrame, asOfTs: Column): DataFrame =
+    history.filter(col("valid_from") <= asOfTs &&
+      (col("valid_to").isNull || col("valid_to") > asOfTs))
+}

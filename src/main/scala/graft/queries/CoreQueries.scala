@@ -433,6 +433,19 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // SCD2 historization (Kimball type-2, the gaps-and-islands build):
+    // collapse each user's event stream into validity intervals, one
+    // row per run of identical event_type — the keep-all-versions
+    // complement of t_upsert. One shuffle: both windows and the
+    // boundary filter share (user_id; ts, event_id) partitioning and
+    // order. event_id makes the order total under ts ties.
+    "q_scd2" -> ((s, dir) => {
+      graft.operators.Scd2.historize(t(s, dir, "events"),
+          keyCols = Seq("user_id"), tsCol = "ts",
+          trackCols = Seq("event_type"), tieCols = Seq("event_id"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
+
     // Upsert / change-set merge (the MERGE INTO shape on plain
     // parquet): a deterministic change batch — updates for custkey
     // % 100 == 0 (+100 acctbal), deletes for % 97 == 0, inserts
@@ -532,6 +545,23 @@ object CoreQueries {
         |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    (lag(1) OVER w IS NULL) AS is_first,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |starts AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE is_first OR prev_type IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM starts
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
     "e_incr_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,

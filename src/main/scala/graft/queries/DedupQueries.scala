@@ -347,6 +347,43 @@ object DedupQueries {
         query, k = 20, pool = 1 << 20)
     }),
 
+    // Scalar quantization (faiss SQ8 shape) at pool ≥ corpus: one
+    // byte per DIMENSION on a uniform per-dim grid — the
+    // highest-fidelity point of the compressed-ANN family (4×
+    // compression, half-grid-step error bound). The scan is the SAME
+    // codegen'd table-lookup ADC as PQ (a uniform grid is a 256-point
+    // 1-d codebook per dim), and at full pool the exact rerank makes
+    // the result ≡ brute force, so the cosine oracle applies —
+    // pruned-pool fidelity (SQ8 beating PQ at equal pool) is spec'd
+    // in SqSpec.
+    "s_sq_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 3)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val model = graft.operators.Sq.fit(vecs, "vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_sq").toString
+      graft.operators.Sq.saveSqIndex(vecs, "vec_id", "embedding", model, path)
+      graft.operators.Sq.topK(s, path, vecs, "vec_id", "embedding",
+        query, k = 20, pool = 1 << 20)
+    }),
+
+    // Binary quantization (1 bit/dim, 32× compression) at pool ≥
+    // corpus: sign-bit codes scanned by XOR+popcount Hamming — the
+    // extreme-compression end of the family. Full pool admits every
+    // row into the exact rerank ⇒ ≡ brute force ⇒ the cosine oracle;
+    // pruned-pool rank quality (clone at Hamming 0, recall over the
+    // pool-share baseline) is spec'd in BqSpec.
+    "s_bq_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 4)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val model = graft.operators.Bq.fit(vecs, "vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_bq").toString
+      graft.operators.Bq.saveBqIndex(vecs, "vec_id", "embedding", model, path)
+      graft.operators.Bq.topK(s, path, vecs, "vec_id", "embedding",
+        query, k = 20, pool = 1 << 20)
+    }),
+
     // PQ k-NN JOIN at pool ≥ corpus: the batch-retrieval twin of
     // s_pq_topk — one scan of the persisted byte-code table scores
     // all 5 queries (broadcast ADC tables), and the full-pool rerank
@@ -978,6 +1015,36 @@ object DedupQueries {
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
     "s_opq_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "s_bq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "s_sq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
         |scored AS (
         |  SELECT vec_id,
         |    round(

@@ -77,6 +77,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Model-based quality filter (CCNet / GPT-3 / DCLM shape): a
+    // hashed-n-gram NB classifier self-trained on the heuristic's
+    // extreme quantiles, then classifying EVERY doc (including the
+    // unlabeled middle band) in one map-only codegen'd scan. Model
+    // semantics aren't SQL-expressible → rows-only at the driver;
+    // junk-recovery and generalization-past-the-heuristic are spec'd
+    // in QualityClassifierSpec.
+    "x_quality_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.QualityClassifier.selfTrain(docs, "text")
+      docs.select(col("doc_id"),
+          graft.operators.QualityClassifier
+            .qualityLabel(col("text"), model).as("quality_pred"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace + BPE-ish subword proxy.
     "x_token_count" -> ((s, dir) => {
       t(s, dir, "documents")

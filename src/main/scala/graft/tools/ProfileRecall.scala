@@ -94,6 +94,30 @@ object ProfileRecall {
         q => Pq.topK(spark, s"$dir/opq", emb, "vec_id", "embedding", q, k, pool = p))
     }
 
+    // SQ8: one byte per DIM (4× compression, near-lossless) — the
+    // fidelity end of the family; tiny pools should already saturate
+    val sqModel = graft.operators.Sq.fit(emb, "vec_id", "embedding")
+    val tSqBuild = {
+      val t0 = System.nanoTime()
+      graft.operators.Sq.saveSqIndex(emb, "vec_id", "embedding", sqModel, s"$dir/sq")
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(10, 16, 32, 64, 128).foreach { p =>
+      rows += sweep("sq8", s"pool=$p",
+        q => graft.operators.Sq.topK(spark, s"$dir/sq", emb, "vec_id",
+          "embedding", q, k, pool = p))
+    }
+
+    // BQ: 1 bit per dim (32× compression) — the coarse end; recall
+    // rises with pool much more slowly than SQ8's
+    val bqModel = graft.operators.Bq.fit(emb, "vec_id", "embedding")
+    graft.operators.Bq.saveBqIndex(emb, "vec_id", "embedding", bqModel, s"$dir/bq")
+    Seq(32, 128, 512, 2048, 8192).foreach { p =>
+      rows += sweep("bq", s"pool=$p",
+        q => graft.operators.Bq.topK(spark, s"$dir/bq", emb, "vec_id",
+          "embedding", q, k, pool = p))
+    }
+
     // IVFPQ: both dials at once
     val tIvfPqBuild = {
       val t0 = System.nanoTime()
@@ -113,7 +137,7 @@ object ProfileRecall {
     md ++= "queries, ground truth = brute-force cosine top-10 (self-match included\n"
     md ++= "for every method equally). Seconds are warm per-query wall time on the\n"
     md ++= "profiling box — compare WITHIN this table, not across machines.\n"
-    md ++= f"One-time index builds: IVF $tIvfBuild%.1f s, PQ $tPqBuild%.1f s, IVFPQ $tIvfPqBuild%.1f s\n"
+    md ++= f"One-time index builds: IVF $tIvfBuild%.1f s, PQ $tPqBuild%.1f s, SQ8 $tSqBuild%.1f s, IVFPQ $tIvfPqBuild%.1f s\n"
     md ++= "(amortized over every later query — the `*_probe_only` bench twins).\n\n"
     md ++= "| method | setting | recall@10 | sec/query | vs brute |\n"
     md ++= "|---|---|---|---|---|\n"
@@ -143,6 +167,15 @@ object ProfileRecall {
   rotation has nothing to align (Pq.fitOpq's documented graceful
   degradation); its equal-bytes recall win on structured data is
   spec-pinned in PqSpec (0.615 → 0.705 @ 10).
+- **SQ8 `pool`**: one byte per DIMENSION (4× compression vs PQ's 32×)
+  with a half-grid-step error bound, so the ADC ranking is nearly
+  faithful and recall saturates at pools barely above k — the pick
+  when scan bytes are affordable and recall must be ~exact.
+- **BQ `pool`**: one BIT per dimension (32×) scanned by XOR+popcount
+  Hamming — the cheapest scan and the coarsest ranking (64 dims give
+  only 65 distinct scores, so ties are broad and recall climbs slowly
+  in `pool`). The first-stage filter when even byte codes are too
+  big; its planted-clone guarantee (Hamming 0) is spec'd in BqSpec.
 - **IVFPQ**: the two prunings multiply (rows via cells, bytes via
   codes); `nprobe` dominates recall, `pool` cleans up the tail. At
   100 TB this is the shape that holds.

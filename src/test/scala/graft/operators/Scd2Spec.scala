@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class Scd2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // change log: key, seq (tiebreak), observed value
+  private def log() = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 1L, "bronze"),
+    (1L, ts("2024-01-05 00:00:00"), 2L, "bronze"), // no change — same run
+    (1L, ts("2024-02-01 00:00:00"), 3L, "silver"),
+    (1L, ts("2024-03-01 00:00:00"), 4L, "gold"),
+    (1L, ts("2024-04-01 00:00:00"), 5L, "silver"), // back — NEW run, not merged
+    (2L, ts("2024-01-15 00:00:00"), 6L, "gold"),
+    (3L, ts("2024-01-01 00:00:00"), 7L, null),     // null value: a real state
+    (3L, ts("2024-01-10 00:00:00"), 8L, null),     // still null — same run
+    (3L, ts("2024-01-20 00:00:00"), 9L, "bronze")
+  ).toDF("cust", "at", "seq", "tier")
+
+  test("runs collapse to intervals; re-entering a value opens a NEW interval") {
+    val h = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+      .orderBy("cust", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(h.toSeq == Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00"), Some(ts("2024-02-01 00:00:00")), false),
+      (1L, "silver", ts("2024-02-01 00:00:00"), Some(ts("2024-03-01 00:00:00")), false),
+      (1L, "gold", ts("2024-03-01 00:00:00"), Some(ts("2024-04-01 00:00:00")), false),
+      (1L, "silver", ts("2024-04-01 00:00:00"), None, true),
+      (2L, "gold", ts("2024-01-15 00:00:00"), None, true),
+      (3L, null, ts("2024-01-01 00:00:00"), Some(ts("2024-01-20 00:00:00")), false),
+      (3L, "bronze", ts("2024-01-20 00:00:00"), None, true)))
+  }
+
+  test("intervals tile: per key, valid_to chains to the next valid_from, one current") {
+    val h = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val byKey = h.orderBy("cust", "valid_from").collect()
+      .groupBy(_.getLong(0)).values
+    byKey.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a.getTimestamp(3) == b.getTimestamp(2))
+        case _ =>
+      }
+      assert(rows.count(_.getBoolean(4)) == 1)
+      assert(rows.last.getBoolean(4) && rows.last.isNullAt(3))
+    }
+  }
+
+  test("asOf returns exactly the version valid at the probe instant") {
+    val h = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val got = Scd2.asOf(h, lit(ts("2024-02-15 00:00:00")))
+      .orderBy("cust").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "silver"), (2L, "gold"), (3L, "bronze")))
+    // before cust 3's null→bronze change, the valid version IS the null one
+    val earlier = Scd2.asOf(h, lit(ts("2024-01-15 00:00:00")))
+      .filter($"cust" === 3L).collect().map(_.getString(1))
+    assert(earlier.toSeq == Seq(null))
+    // boundary semantics: valid_from inclusive, valid_to exclusive
+    val atBoundary = Scd2.asOf(h, lit(ts("2024-03-01 00:00:00")))
+      .filter($"cust" === 1L).collect().map(_.getString(1))
+    assert(atBoundary.toSeq == Seq("gold"))
+  }
+
+  test("multi-column keys and multi-column tracking both segment runs") {
+    val df = Seq(
+      ("a", 1, ts("2024-01-01 00:00:00"), 1L, "x", 10),
+      ("a", 1, ts("2024-01-02 00:00:00"), 2L, "x", 20), // second track col changes
+      ("a", 2, ts("2024-01-01 00:00:00"), 3L, "x", 10), // different composite key
+      ("b", 1, ts("2024-01-01 00:00:00"), 4L, "x", 10)
+    ).toDF("k1", "k2", "at", "seq", "v1", "v2")
+    val h = Scd2.historize(df, Seq("k1", "k2"), "at", Seq("v1", "v2"), Seq("seq"))
+    assert(h.count() == 4)
+    assert(h.filter($"k1" === "a" && $"k2" === 1).count() == 2)
+  }
+
+  test("one shuffle: a single Exchange in the physical plan") {
+    val h = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val plan = h.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("matches the oracle SQL's gaps-and-islands on the sf0.001 events table") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.load(spark, dir, "events")
+    val got = Scd2.historize(events, Seq("user_id"), "ts",
+      Seq("event_type"), Seq("event_id"))
+    // structural checks a wrong segmentation would break: starts count
+    // equals the lag-based boundary count; one current row per user
+    events.createOrReplaceTempView("scd2_events")
+    val boundaries = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) <=> event_type
+        |    THEN 0 ELSE 1 END AS b
+        |  FROM scd2_events) WHERE b = 1""".stripMargin).head().getLong(0)
+    assert(got.count() == boundaries)
+    val users = events.select(countDistinct("user_id")).head().getLong(0)
+    assert(got.filter($"is_current").count() == users)
+  }
+}
