@@ -69,4 +69,67 @@ object Scd2 {
   def asOf(history: DataFrame, asOfTs: Column): DataFrame =
     history.filter(col("valid_from") <= asOfTs &&
       (col("valid_to").isNull || col("valid_to") > asOfTs))
+
+  /** Incremental SCD2 — fold a NEW observation batch into an existing
+    * history without re-historizing the log. This is the production
+    * shape at scale: the closed intervals are immutable facts and must
+    * never be rewritten or even rescanned per batch; only the touched
+    * keys' CURRENT rows re-enter the computation.
+    *
+    * Result ≡ `historize(originalLog ∪ batch)` whenever the batch is
+    * append-only per key (every observation strictly later than its
+    * key's current `valid_from`). An out-of-order observation RAISES
+    * inside the plan (`raise_error`, no extra driver action) — an
+    * interval rewrite needs the full log and must be an explicit
+    * [[historize]] rebuild, not a silent partial mutation.
+    *
+    * Mechanics: each touched key's current row re-enters as a
+    * synthetic observation at its own `valid_from` carrying its
+    * tracked values, unioned with the batch and re-run through
+    * [[historize]] — so a batch that CONTINUES the current value
+    * extends the open interval (same `valid_from`), and one that
+    * changes it closes the interval at the change, exactly as the
+    * full rebuild would. Closed rows and untouched keys' current rows
+    * pass through by anti-join; the only shuffle over new data is
+    * historize's own, sized by the batch + touched current rows.
+    */
+  def applyChanges(history: DataFrame, batch: DataFrame,
+      keyCols: Seq[String], tsCol: String, trackCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "scd2: keyCols must be non-empty")
+    val current = history.filter(col("is_current"))
+    val closed = history.filter(!col("is_current"))
+    val batchKeys = batch.select(keyCols.map(col): _*).distinct()
+    val touchedCurrent = current.join(batchKeys, keyCols, "left_semi")
+    val untouchedCurrent = current.join(batchKeys, keyCols, "left_anti")
+    // the synthetic base observation: the open interval's start + its
+    // tracked values; _graft_ord puts it before any batch row under a
+    // (guarded-impossible) timestamp tie, and null tiebreaks are typed
+    // from the batch's own schema
+    val base = touchedCurrent.select(
+      keyCols.map(col) ++
+        Seq(col("valid_from").as(tsCol), lit(0).as("_graft_ord")) ++
+        trackCols.map(col) ++
+        tieCols.map(c => lit(null).cast(batch.schema(c).dataType).as(c)): _*)
+    val curVf = touchedCurrent.select(
+      keyCols.map(col) :+ col("valid_from").as("_graft_cur_vf"): _*)
+    val batchObs = batch.join(curVf, keyCols, "left")
+      .withColumn(tsCol,
+        when(col("_graft_cur_vf").isNotNull && col(tsCol) <= col("_graft_cur_vf"),
+          raise_error(concat(
+            lit("scd2.applyChanges: out-of-order observation at "),
+            col(tsCol).cast("string"),
+            lit(" <= current valid_from "),
+            col("_graft_cur_vf").cast("string"),
+            lit(" — rewriting committed intervals needs the full log; " +
+              "rebuild with historize instead"))))
+          .otherwise(col(tsCol)))
+      .select(
+        keyCols.map(col) ++
+          Seq(col(tsCol), lit(1).as("_graft_ord")) ++
+          trackCols.map(col) ++ tieCols.map(col): _*)
+    val rebuilt = historize(base.unionByName(batchObs),
+      keyCols, tsCol, trackCols, "_graft_ord" +: tieCols)
+    closed.unionByName(untouchedCurrent).unionByName(rebuilt)
+  }
 }

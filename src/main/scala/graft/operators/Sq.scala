@@ -133,6 +133,55 @@ object Sq {
       corpus, idCol, vecCol, query, k, pool)
   }
 
+  /** IVF×SQ composed index (faiss's IVF-SQ shape, the same composition
+    * as [[Pq.saveIvfPqIndex]]): rows k-means-assign to `nlist` cells
+    * AND SQ8-encode, persisted hive-partitioned by `_cell` — a probe
+    * prunes to `nprobe` partition directories (which rows) and reads
+    * only `dim`-byte codes inside them (which bytes). The
+    * fidelity-leaning point of the composed family: 4× byte pruning
+    * instead of PQ's ~32×, but a near-faithful in-cell ranking, so
+    * small pools suffice.
+    */
+  def saveIvfSqIndex(df: DataFrame, idCol: String, vecCol: String,
+      model: SqModel, path: String, nlist: Int = 16, seed: Long = 42L,
+      maxIter: Int = 10, initMode: String = "k-means||"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = Similarity.ivfIndex(df, idCol, vecCol, nlist, seed, maxIter, initMode)
+    encode(idx.assigned, vecCol, model)
+      .select(col(idCol), col("_code"), col("_cell"))
+      .repartition(col("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/codes")
+    idx.centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    saveModel(spark, model, path)
+  }
+
+  /** Query an IVF×SQ index: rank cells by centroid distance
+    * driver-side (exactly [[Similarity.ivfTopK]]'s rule), read only
+    * the `nprobe` nearest cells' code partitions, rank by the shared
+    * ADC scan, exact-rerank the pool. Exact at `nprobe = nlist` with
+    * `pool` ≥ corpus — the oracle configuration.
+    */
+  def ivfSqTopK(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int = 4,
+      pool: Int = 256): DataFrame = {
+    val model = loadModel(spark, indexPath)
+    val centroids = Similarity.loadCentroids(spark, indexPath)
+    val qd = query.map(_.toDouble)
+    def dist2(c: Array[Double]): Double =
+      c.indices.map(j => { val d = c(j) - qd(j); d * d }).sum
+    val cells = centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }.take(nprobe).map(_._2)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("_cell").isin(cells.toSeq: _*))
+      .select(col(idCol), col("_code"))
+    Pq.topKFromCodeTable(codes, adcTable(query, model), model.dim, 256,
+      corpus, idCol, vecCol, query, k, pool)
+  }
+
   /** Flattened `dim`×256 lookup table: table[i·256+b] =
     * (q_i − dequant_i(b))² — the uniform-grid instance of
     * [[Pq.adcTable]], built driver-side per query (64 KB doubles at

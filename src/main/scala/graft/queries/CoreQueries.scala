@@ -446,6 +446,24 @@ object CoreQueries {
         .orderBy("user_id", "valid_from", "event_type")
     }),
 
+    // Incremental SCD2: historize the first half-month, then fold the
+    // second half in as an observation batch WITHOUT re-historizing —
+    // closed intervals pass through by anti-join, only touched keys'
+    // current rows re-enter. Result ≡ the full-log historize, so the
+    // SAME gaps-and-islands oracle applies; the out-of-order guard
+    // and continuation semantics are spec'd in Scd2Spec.
+    "q_scd2_apply" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val t0 = lit("2024-01-16 00:00:00").cast("timestamp")
+      val history = graft.operators.Scd2.historize(
+        events.filter(col("ts") < t0),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+      graft.operators.Scd2.applyChanges(history,
+          events.filter(col("ts") >= t0),
+          Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
+
     // Upsert / change-set merge (the MERGE INTO shape on plain
     // parquet): a deterministic change batch — updates for custkey
     // % 100 == 0 (+100 acctbal), deletes for % 97 == 0, inserts
@@ -546,6 +564,23 @@ object CoreQueries {
         |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    (lag(1) OVER w IS NULL) AS is_first,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |starts AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE is_first OR prev_type IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM starts
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "q_scd2_apply" ->
       """WITH ordered AS (
         |  SELECT user_id, ts, event_id, event_type,
         |    (lag(1) OVER w IS NULL) AS is_first,

@@ -367,6 +367,23 @@ object DedupQueries {
         query, k = 20, pool = 1 << 20)
     }),
 
+    // IVF×SQ composed index (faiss IVF-SQ shape) at nprobe = nlist
+    // AND pool ≥ corpus: every cell probed, every candidate exactly
+    // reranked ⇒ ≡ brute force ⇒ the cosine oracle — cell layout and
+    // grid only decide what a SMALLER probe/pool would prune
+    // (partition-pruned plan + pruned recall spec'd in SqSpec).
+    "s_ivfsq_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val query = vecs.filter(col("vec_id") === 5)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val model = graft.operators.Sq.fit(vecs, "vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfsq").toString
+      graft.operators.Sq.saveIvfSqIndex(vecs, "vec_id", "embedding", model,
+        path, nlist = 8, maxIter = 3, initMode = "random")
+      graft.operators.Sq.ivfSqTopK(s, path, vecs, "vec_id", "embedding",
+        query, k = 20, nprobe = 8, pool = 1 << 20)
+    }),
+
     // Binary quantization (1 bit/dim, 32× compression) at pool ≥
     // corpus: sign-bit codes scanned by XOR+popcount Hamming — the
     // extreme-compression end of the family. Full pool admits every
@@ -1015,6 +1032,21 @@ object DedupQueries {
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
     "s_opq_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt((SELECT list_sum(list_transform(qv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) FROM q))),
+        |      4) AS cos_sim
+        |  FROM embeddings)
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "s_ivfsq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
         |scored AS (
         |  SELECT vec_id,
         |    round(

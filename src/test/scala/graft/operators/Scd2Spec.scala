@@ -90,6 +90,76 @@ class Scd2Spec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
 
+  test("applyChanges ≡ full-log historize for append-only batches (all continuation shapes)") {
+    val full = log()
+    // split at 2024-02-15: key 1 has history AND later changes (incl. a
+    // re-entry), key 2's current row is untouched, key 3's current run
+    // CONTINUES (null→bronze happened before the split), and key 4 is
+    // entirely new
+    val cut = ts("2024-02-15 00:00:00")
+    val extra = Seq((4L, ts("2024-03-05 00:00:00"), 10L, "gold"),
+      (4L, ts("2024-03-09 00:00:00"), 11L, "gold")) // same-value run
+      .toDF("cust", "at", "seq", "tier")
+    val all = full.unionByName(extra)
+    val history = Scd2.historize(all.filter($"at" < cut),
+      Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val got = Scd2.applyChanges(history, all.filter($"at" >= cut),
+      Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val want = Scd2.historize(all, Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cust", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getBoolean(4))).toSeq
+    assert(canon(got) == canon(want))
+  }
+
+  test("applyChanges: a batch continuing the current value extends, not splits, the open interval") {
+    val history = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val batch = Seq((2L, ts("2024-06-01 00:00:00"), 20L, "gold"))
+      .toDF("cust", "at", "seq", "tier")
+    val got = Scd2.applyChanges(history, batch,
+      Seq("cust"), "at", Seq("tier"), Seq("seq"))
+      .filter($"cust" === 2L).collect()
+    assert(got.length == 1) // still ONE gold interval
+    assert(got.head.getTimestamp(2) == ts("2024-01-15 00:00:00")) // original start
+    assert(got.head.getBoolean(4))
+  }
+
+  test("applyChanges: an out-of-order observation raises instead of silently rewriting") {
+    val history = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    // cust 1's current interval starts 2024-04-01; an observation AT
+    // (or before) that instant would rewrite committed intervals
+    val stale = Seq((1L, ts("2024-04-01 00:00:00"), 30L, "platinum"))
+      .toDF("cust", "at", "seq", "tier")
+    val e = intercept[Exception] {
+      Scd2.applyChanges(history, stale,
+        Seq("cust"), "at", Seq("tier"), Seq("seq")).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      Option(t.getMessage).toList ++ Option(t.getCause).toList.flatMap(msgs)
+    assert(msgs(e).exists(_.contains("out-of-order")))
+  }
+
+  test("applyChanges never rescans closed intervals: only current rows join the batch") {
+    val history = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val batch = Seq((1L, ts("2024-06-01 00:00:00"), 40L, "gold"))
+      .toDF("cust", "at", "seq", "tier")
+    val lp = Scd2.applyChanges(history, batch,
+      Seq("cust"), "at", Seq("tier"), Seq("seq"))
+      .queryExecution.optimizedPlan
+    // the closed leg (first union branch — the immutable bulk of a
+    // 100 TB history) must be a plain filtered pass-through: no join,
+    // no re-historize windows added ON TOP of whatever produced the
+    // history itself
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    val union = lp.collectFirst { case u: Union => u }
+    assert(union.isDefined, s"no union in:\n$lp")
+    val closedLeg = union.get.children.head
+    val joins = closedLeg.collect { case j: Join => j }
+    assert(joins.isEmpty,
+      s"closed-interval leg re-enters a join:\n$closedLeg")
+  }
+
   test("matches the oracle SQL's gaps-and-islands on the sf0.001 events table") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.Tables.load(spark, dir, "events")

@@ -133,6 +133,42 @@ class SqSpec extends AnyFunSuite {
     assert(codes.toSeq == Seq(0L))
   }
 
+  test("IVF×SQ: full probe + full pool ≡ brute force; probe prunes partitions in the plan") {
+    val df = corpus(400)
+    val model = Sq.fit(df, "id", "vec")
+    val path = tmp()
+    Sq.saveIvfSqIndex(df, "id", "vec", model, path, nlist = 4, maxIter = 3,
+      initMode = "random")
+    val query = randVecs(1, 31L).head._2.map(_.toFloat).toArray
+    val got = Sq.ivfSqTopK(spark, path, df, "id", "vec", query,
+      k = 10, nprobe = 4, pool = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.cosineTopK(df, "id", "vec", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // pruned probe: the scan must read only the probed cells'
+    // partition directories, not the whole code table
+    val pruned = Sq.ivfSqTopK(spark, path, df, "id", "vec", query,
+      k = 10, nprobe = 1, pool = 50)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("_cell"),
+      s"no partition pruning in:\n$scan")
+  }
+
+  test("IVF×SQ: a planted clone is found even at nprobe=1 (it shares the query's cell)") {
+    val df = corpus(400)
+    val query = randVecs(1, 123L).head._2.map(_.toFloat).toArray
+    val withClone = df.union(Seq((9999L, query.map(_.toDouble).toSeq))
+      .toDF("id", "vec").select($"id", $"vec".cast("array<float>")))
+    val model = Sq.fit(withClone, "id", "vec")
+    val path = tmp()
+    Sq.saveIvfSqIndex(withClone, "id", "vec", model, path, nlist = 4,
+      maxIter = 3, initMode = "random")
+    val got = Sq.ivfSqTopK(spark, path, withClone, "id", "vec", query,
+      k = 5, nprobe = 1, pool = 20).collect()
+    assert(got.head.getLong(0) == 9999L && got.head.getDouble(1) == 1.0)
+  }
+
   test("constant dimension (scale 0) encodes to byte 0 and dequantizes exactly") {
     val df = (0L until 50L).map { i =>
       (i, Seq.fill(4)(0.5) :+ (i.toDouble / 50.0))
