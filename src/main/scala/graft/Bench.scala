@@ -183,6 +183,12 @@ object Bench {
         val ivfpqPath = benchTmp.resolve("ivfpq").toString
         Pq.saveIvfPqIndex(vecs, "vec_id", "embedding", model, ivfpqPath,
           nlist = 8, maxIter = 3, initMode = "random")
+        val ivfsqQuery = vecs.filter(col("vec_id") === 5)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+        val ivfsqPath = benchTmp.resolve("ivfsq").toString
+        graft.operators.Sq.saveIvfSqIndex(vecs, "vec_id", "embedding",
+          graft.operators.Sq.fit(vecs, "vec_id", "embedding"), ivfsqPath,
+          nlist = 8, maxIter = 3, initMode = "random")
         // k matches each paired entry; pool/nprobe are the production
         // recall dial the paired oracle config deliberately maxes out
         Map(
@@ -198,6 +204,10 @@ object Bench {
           "s_sq_probe_only" -> ((s: SparkSession, _: String) =>
             graft.operators.Sq.topK(s, sqPath, vecs, "vec_id", "embedding",
               sqQuery, k = 20, pool = 50)),
+          // SQ8's in-cell fidelity: small pool, couple of probed cells
+          "s_ivfsq_probe_only" -> ((s: SparkSession, _: String) =>
+            graft.operators.Sq.ivfSqTopK(s, ivfsqPath, vecs, "vec_id",
+              "embedding", ivfsqQuery, k = 20, nprobe = 2, pool = 50)),
           // 1-bit codes are coarse — pool sized generously vs k
           "s_bq_probe_only" -> ((s: SparkSession, _: String) =>
             graft.operators.Bq.topK(s, bqPath, vecs, "vec_id", "embedding",

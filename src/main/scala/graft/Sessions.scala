@@ -59,5 +59,13 @@ object Sessions {
     // events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it unless
     // read as raw int64 nanos — Tables.load converts back to timestamp.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Codegen class cache: the default 100 entries thrashes on any
+    // long-lived session serving >100 distinct plans (this suite runs
+    // ~120 — at 100 entries EVERY query re-janino-compiles its
+    // generated code on EVERY iteration; measured here as a uniform
+    // ~1.4x inflation of per-query times that vanished at 2000). A
+    // multi-tenant warehouse session has the same profile: compiled
+    // classes are a few KB each, 2000 is still megabytes.
+    .config("spark.sql.codegen.cache.maxEntries", "2000")
     .config("spark.ui.enabled", "false")
 }

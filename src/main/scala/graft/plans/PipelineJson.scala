@@ -244,6 +244,61 @@ object PipelineJson {
             graft.operators.LangId.langIdModel(
               org.apache.spark.sql.functions.col(textCol), m, undMargin))
         }
+      case "quality_train" =>
+        // beyond-reference node: fit the model-based quality filter
+        // (operators.QualityClassifier). With "label_column" the input
+        // carries exemplar hq/lq labels (the CCNet configuration);
+        // without it the classifier selfTrains on the heuristic's
+        // confident extreme quantiles. Sink-shaped like lang_id_train.
+        val qTextCol = config.path("column").asText("text")
+        val qPath = config.path("model_path").asText("")
+        require(qPath.nonEmpty,
+          s"quality_train node '$id' requires 'model_path'")
+        val qBuckets = config.path("buckets").asInt(4096)
+        val qLabel = config.path("label_column").asText("")
+        val loQ = config.path("lo_quantile").asDouble(0.25)
+        val hiQ = config.path("hi_quantile").asDouble(0.75)
+        Sink { df =>
+          val m =
+            if (qLabel.nonEmpty)
+              graft.operators.QualityClassifier.fitLabeled(df, qLabel, qTextCol, qBuckets)
+            else
+              graft.operators.QualityClassifier.selfTrain(df, qTextCol, loQ, hiQ, qBuckets)
+          graft.operators.LangId.save(df.sparkSession, m, qPath)
+          val how = if (qLabel.nonEmpty) "exemplar-labeled" else "self-trained"
+          Some(s"$how quality model -> $qPath")
+        }
+      case "quality_label" =>
+        // apply a trained quality model as a label column — the
+        // audit/routing shape (keep the label, decide downstream)
+        val qlText = config.path("column").asText("text")
+        val qlOut = config.path("output_column").asText("quality_pred")
+        val qlPath = config.path("model_path").asText("")
+        val qlMargin = config.path("und_margin").asDouble(0.0)
+        require(qlPath.nonEmpty, s"quality_label node '$id' requires 'model_path'")
+        require(qlMargin >= 0.0,
+          s"quality_label node '$id': und_margin must be >= 0, got $qlMargin")
+        MapNode { (s, df) =>
+          val m = graft.operators.LangId.load(s, qlPath)
+          df.withColumn(qlOut,
+            graft.operators.QualityClassifier.qualityLabel(
+              org.apache.spark.sql.functions.col(qlText), m, qlMargin))
+        }
+      case "quality_filter" =>
+        // apply a trained quality model as a FILTER — the pipeline
+        // gate shape; "keep_und" keeps low-evidence docs (dropping is
+        // the irreversible action)
+        val qfText = config.path("column").asText("text")
+        val qfPath = config.path("model_path").asText("")
+        val qfMargin = config.path("und_margin").asDouble(0.0)
+        val keepUnd = config.path("keep_und").asBoolean(false)
+        require(qfPath.nonEmpty, s"quality_filter node '$id' requires 'model_path'")
+        require(qfMargin >= 0.0,
+          s"quality_filter node '$id': und_margin must be >= 0, got $qfMargin")
+        MapNode { (s, df) =>
+          val m = graft.operators.LangId.load(s, qfPath)
+          graft.operators.QualityClassifier.filterHq(df, qfText, m, qfMargin, keepUnd)
+        }
       case "incremental_result" =>
         // read twin of incremental_aggregate: the running aggregate
         // served from partial state alone — a dashboard/export

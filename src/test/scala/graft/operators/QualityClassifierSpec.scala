@@ -127,6 +127,79 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fitLabeled"))
   }
 
+  test("the trained model plugs into CorpusIngest's gate as a failReason") {
+    val df = corpus()
+    val model = QualityClassifier.selfTrain(df, "text",
+      loQuantile = 0.3, hiQuantile = 0.7, buckets = 2048)
+    // the streaming intake's gate contract is a Column => Column
+    // failReason (null = keep) — the model-based gate composes with no
+    // API change, replacing the Gopher heuristic where a trained
+    // filter is wanted
+    val modelGate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => when(QualityClassifier.qualityLabel(c, model) === "lq",
+        lit("quality_model_lq")).otherwise(lit(null).cast("string"))
+    val batch = df.select($"id".as("doc_id"), $"truth", $"text")
+    val empty = batch.filter(lit(false))
+    val cleaned = graft.streaming.CorpusIngest.cleanBatch(
+      batch, empty, failReason = modelGate)
+    val kept = cleaned.select("truth").collect().map(_.getString(0))
+    assert(kept.count(_ == "hq") >= 11 && kept.count(_ == "lq") <= 1,
+      s"gate kept ${kept.toSeq}")
+  }
+
+  test("quality_train/quality_label/quality_filter pipeline nodes wire the classifier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_nodes")
+    val trainPq = dir.resolve("train").toString
+    graft.sources.Writers.write(
+      corpus().select($"id", $"truth", $"text"), trainPq, "parquet")
+    val modelPath = dir.resolve("model").toString
+    // self-trained via the pipeline surface (no label_column)
+    val trainRun = graft.plans.PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "in", "type": "file_input",
+         "data": {"config": {"path": "$trainPq", "format": "parquet"}}},
+        {"id": "tr", "type": "quality_train",
+         "data": {"config": {"column": "text", "model_path": "$modelPath",
+           "lo_quantile": 0.3, "hi_quantile": 0.7, "buckets": 2048}}}
+      ],
+      "edges": [{"source": "in", "target": "tr"}]
+    }""")
+    assert(trainRun.nodeLog.exists { case (id, msg) =>
+      id == "tr" && msg.contains("self-trained") }, trainRun.nodeLog.toString)
+    // label + filter nodes against the persisted artifact
+    val out = graft.plans.PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "in", "type": "file_input",
+         "data": {"config": {"path": "$trainPq", "format": "parquet"}}},
+        {"id": "lab", "type": "quality_label",
+         "data": {"config": {"column": "text", "model_path": "$modelPath"}}},
+        {"id": "flt", "type": "quality_filter",
+         "data": {"config": {"column": "text", "model_path": "$modelPath"}}}
+      ],
+      "edges": [{"source": "in", "target": "lab"},
+                {"source": "lab", "target": "flt"}]
+    }""")
+    val labeled = out.outputs("lab").select("truth", "quality_pred").collect()
+    val acc = labeled.count(r => r.getString(0) == r.getString(1)).toDouble / labeled.length
+    assert(acc >= 0.9, s"node-surface accuracy $acc")
+    val kept = out.outputs("flt").select("truth").collect().map(_.getString(0))
+    assert(kept.count(_ == "hq") >= 11 && kept.count(_ == "lq") <= 1)
+    // exemplar-labeled training path via the same node
+    val m2 = dir.resolve("model2").toString
+    val labeledRun = graft.plans.PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "in", "type": "file_input",
+         "data": {"config": {"path": "$trainPq", "format": "parquet"}}},
+        {"id": "tr", "type": "quality_train",
+         "data": {"config": {"column": "text", "label_column": "truth",
+           "model_path": "$m2"}}}
+      ],
+      "edges": [{"source": "in", "target": "tr"}]
+    }""")
+    assert(labeledRun.nodeLog.exists { case (id, msg) =>
+      id == "tr" && msg.contains("exemplar-labeled") })
+  }
+
   test("model save/load roundtrip through LangId persistence") {
     val df = corpus()
     val model = QualityClassifier.selfTrain(df, "text",
