@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property tests for SCD2: for ANY change log and ANY time cut,
+  * historize(prefix) + applyChanges(suffix) must equal
+  * historize(whole) — the incremental fold can never diverge from the
+  * rebuild, whatever the run structure (re-entries, nulls, single-obs
+  * keys, keys entirely on one side of the cut).
+  */
+class Scd2PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("applyChanges at any cut ≡ full historize (60 random logs)") {
+    val genLog = for {
+      nKeys <- Gen.choose(1, 5)
+      nObs <- Gen.choose(1, 40)
+      obs <- Gen.listOfN(nObs, for {
+        key <- Gen.choose(1L, nKeys.toLong)
+        minute <- Gen.choose(0L, 200L)
+        value <- Gen.oneOf(Some("a"), Some("b"), Some("c"), None)
+      } yield (key, minute, value))
+      cut <- Gen.choose(0L, 201L)
+    } yield (obs, cut)
+
+    val prop = Prop.forAll(genLog) { case (obs, cut) =>
+      // seq is the unique tiebreak (minutes collide on purpose)
+      val rows = obs.zipWithIndex.map { case ((k, m, v), i) =>
+        (k, ts(m), i.toLong, v.orNull)
+      }
+      val df = rows.toDF("k", "at", "seq", "v")
+      val want = Scd2.historize(df, Seq("k"), "at", Seq("v"), Seq("seq"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), Option(r.getTimestamp(3)))).sortBy(t =>
+          (t._1, t._3.getTime)).toSeq
+      val cutTs = ts(cut)
+      val prefix = df.filter($"at" < cutTs)
+      val suffix = df.filter($"at" >= cutTs)
+      val got =
+        if (prefix.isEmpty) Scd2.historize(suffix, Seq("k"), "at", Seq("v"), Seq("seq"))
+        else Scd2.applyChanges(
+          Scd2.historize(prefix, Seq("k"), "at", Seq("v"), Seq("seq")),
+          suffix, Seq("k"), "at", Seq("v"), Seq("seq"))
+      val gotRows = got.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).sortBy(t =>
+        (t._1, t._3.getTime)).toSeq
+      if (gotRows != want) {
+        println(s"MISMATCH cut=$cut obs=$obs\n got=$gotRows\nwant=$want")
+      }
+      gotRows == want
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
