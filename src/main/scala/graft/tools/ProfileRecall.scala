@@ -118,6 +118,16 @@ object ProfileRecall {
           "embedding", q, k, pool = p))
     }
 
+    // IVF×SQ: cell pruning × near-faithful byte ranking — nprobe is
+    // the recall dial, pool stays small (SQ8's in-cell order is ~exact)
+    graft.operators.Sq.saveIvfSqIndex(emb, "vec_id", "embedding", sqModel,
+      s"$dir/ivfsq", nlist = 64)
+    Seq(1, 2, 4, 8, 16, 32, 64).foreach { np =>
+      rows += sweep("ivfsq", s"nprobe=$np pool=32",
+        q => graft.operators.Sq.ivfSqTopK(spark, s"$dir/ivfsq", emb, "vec_id",
+          "embedding", q, k, nprobe = np, pool = 32))
+    }
+
     // IVFPQ: both dials at once
     val tIvfPqBuild = {
       val t0 = System.nanoTime()
@@ -176,6 +186,10 @@ object ProfileRecall {
   only 65 distinct scores, so ties are broad and recall climbs slowly
   in `pool`). The first-stage filter when even byte codes are too
   big; its planted-clone guarantee (Hamming 0) is spec'd in BqSpec.
+- **IVF×SQ `nprobe`**: cell pruning with a near-faithful in-cell byte
+  ranking, so its recall curve should track IVF's nprobe curve almost
+  exactly at a fraction of the scanned bytes — the composed index for
+  recall-sensitive deployments.
 - **IVFPQ**: the two prunings multiply (rows via cells, bytes via
   codes); `nprobe` dominates recall, `pool` cleans up the tail. At
   100 TB this is the shape that holds.
