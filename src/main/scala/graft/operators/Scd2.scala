@@ -97,6 +97,16 @@ object Scd2 {
       keyCols: Seq[String], tsCol: String, trackCols: Seq[String],
       tieCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "scd2: keyCols must be non-empty")
+    val historyCols = Seq("valid_from", "valid_to", "is_current")
+    val missing = historyCols.filterNot(history.columns.contains)
+    require(missing.isEmpty,
+      s"scd2.applyChanges: history lacks ${missing.mkString(", ")} — " +
+        "pass a historize() output, not a raw change log")
+    val reserved = Seq("_graft_ord", "_graft_cur_vf")
+      .filter(c => batch.columns.contains(c) || history.columns.contains(c))
+    require(reserved.isEmpty,
+      s"scd2.applyChanges: reserved working column(s) ${reserved.mkString(", ")} " +
+        "present in the input — rename them first")
     val current = history.filter(col("is_current"))
     val closed = history.filter(!col("is_current"))
     val batchKeys = batch.select(keyCols.map(col): _*).distinct()

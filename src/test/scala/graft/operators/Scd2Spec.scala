@@ -160,6 +160,21 @@ class Scd2Spec extends AnyFunSuite {
       s"closed-interval leg re-enters a join:\n$closedLeg")
   }
 
+  test("applyChanges input guards: raw log as history, reserved column names") {
+    val batch = Seq((1L, ts("2024-06-01 00:00:00"), 40L, "gold"))
+      .toDF("cust", "at", "seq", "tier")
+    val e1 = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(log(), batch, Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    }
+    assert(e1.getMessage.contains("historize"))
+    val history = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val e2 = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(history, batch.withColumn("_graft_ord", lit(1)),
+        Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    }
+    assert(e2.getMessage.contains("_graft_ord"))
+  }
+
   test("matches the oracle SQL's gaps-and-islands on the sf0.001 events table") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.Tables.load(spark, dir, "events")
