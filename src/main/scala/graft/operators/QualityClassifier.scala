@@ -99,6 +99,8 @@ object QualityClassifier {
       .withColumn("_score", heuristicScore(col("_text")))
     val cuts = scored.stat.approxQuantile("_score",
       Array(loQuantile, hiQuantile), 0.01)
+    require(cuts.length == 2,
+      "qualityClassifier: empty corpus — nothing to self-train on")
     val (lo, hi) = (cuts(0), cuts(1))
     require(lo < hi,
       f"qualityClassifier: heuristic quantiles coincide ($lo%.4f) — the " +

@@ -37,6 +37,16 @@ object Scd2 {
       trackCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "scd2: keyCols must be non-empty")
     require(trackCols.nonEmpty, "scd2: trackCols must be non-empty")
+    val reserved = Seq("_graft_start").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"scd2.historize: reserved working column(s) ${reserved.mkString(", ")} " +
+        "present in the input — rename them first")
+    // null timestamps cannot be ordered into a run and would silently
+    // sort first; raise inside the plan (pipelined, no extra scan)
+    val guarded = df.withColumn(tsCol,
+      when(col(tsCol).isNull, raise_error(lit(
+        s"scd2.historize: null $tsCol — observations must carry a " +
+          "non-null timestamp"))).otherwise(col(tsCol)))
     val ord: Seq[Column] = (tsCol +: tieCols).map(col(_).asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
     // a run boundary: the first observation of the key (lag of a
@@ -47,9 +57,9 @@ object Scd2 {
     val valueChanged = trackCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
       .reduce(_ || _)
-    val boundaries = df
-      .withColumn("_start", isFirst || valueChanged)
-      .filter(col("_start"))
+    val boundaries = guarded
+      .withColumn("_graft_start", isFirst || valueChanged)
+      .filter(col("_graft_start"))
     // same partitioning AND ordering as w: the filtered rows are still
     // sorted, so this window adds no exchange — lead over boundaries
     // is the next run's start, i.e. this run's exclusive end
@@ -102,7 +112,7 @@ object Scd2 {
     require(missing.isEmpty,
       s"scd2.applyChanges: history lacks ${missing.mkString(", ")} — " +
         "pass a historize() output, not a raw change log")
-    val reserved = Seq("_graft_ord", "_graft_cur_vf")
+    val reserved = Seq("_graft_ord", "_graft_cur_vf", "_graft_start")
       .filter(c => batch.columns.contains(c) || history.columns.contains(c))
     require(reserved.isEmpty,
       s"scd2.applyChanges: reserved working column(s) ${reserved.mkString(", ")} " +
@@ -125,7 +135,12 @@ object Scd2 {
       keyCols.map(col) :+ col("valid_from").as("_graft_cur_vf"): _*)
     val batchObs = batch.join(curVf, keyCols, "left")
       .withColumn(tsCol,
-        when(col("_graft_cur_vf").isNotNull && col(tsCol) <= col("_graft_cur_vf"),
+        // null timestamps would bypass the <= guard (three-valued
+        // logic) and sort first in the rebuild — raise explicitly
+        when(col(tsCol).isNull,
+          raise_error(lit("scd2.applyChanges: null " + tsCol +
+            " in batch — observations must carry a non-null timestamp")))
+        .when(col("_graft_cur_vf").isNotNull && col(tsCol) <= col("_graft_cur_vf"),
           raise_error(concat(
             lit("scd2.applyChanges: out-of-order observation at "),
             col(tsCol).cast("string"),

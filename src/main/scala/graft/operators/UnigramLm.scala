@@ -266,7 +266,11 @@ object UnigramLm {
         val text = r.getString(idx)
         val toks =
           if (text == null) Seq.empty[String]
-          else TextSignatures.jvmTokens(text).toSeq.filter(_.nonEmpty)
+          // strip the end-of-word sentinel exactly as training
+          // (BpeTrain.wordCounts) and BpeTrain.encode do — a raw
+          // sentinel in user text must not segment via UNK
+          else TextSignatures.jvmTokens(text.replace(BpeTrain.EndOfWord, ""))
+            .toSeq.filter(_.nonEmpty)
             .flatMap { w =>
               val hit = memo.get(w)
               if (hit != null) hit
@@ -301,7 +305,8 @@ object UnigramLm {
         val text = r.getString(idx)
         val n =
           if (text == null) 0
-          else TextSignatures.jvmTokens(text).iterator.filter(_.nonEmpty)
+          else TextSignatures.jvmTokens(text.replace(BpeTrain.EndOfWord, ""))
+            .iterator.filter(_.nonEmpty)
             .map { w =>
               val hit = memo.get(w)
               if (hit != null) hit.intValue

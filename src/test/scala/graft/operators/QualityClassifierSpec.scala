@@ -127,6 +127,19 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fitLabeled"))
   }
 
+  test("empty / all-null corpus raises actionably instead of AIOOBE") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      QualityClassifier.selfTrain(empty, "text")
+    }
+    assert(e1.getMessage.contains("empty corpus"))
+    val allNull = (0 until 5).map(i => (i.toLong, null: String)).toDF("id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.selfTrain(allNull, "text")
+    }
+    assert(e2.getMessage.contains("empty corpus"))
+  }
+
   test("the trained model plugs into CorpusIngest's gate as a failReason") {
     val df = corpus()
     val model = QualityClassifier.selfTrain(df, "text",

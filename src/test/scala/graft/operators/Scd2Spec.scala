@@ -175,6 +175,39 @@ class Scd2Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("_graft_ord"))
   }
 
+  test("historize guards its reserved working column and null timestamps") {
+    // a user column named _graft_start must not be silently clobbered
+    val e1 = intercept[IllegalArgumentException] {
+      Scd2.historize(log().withColumn("_graft_start", lit(true)),
+        Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    }
+    assert(e1.getMessage.contains("_graft_start"))
+    // a null timestamp can't be ordered into a run — raises in-plan
+    val withNull = log().unionByName(
+      Seq((1L, null.asInstanceOf[Timestamp], 99L, "gold"))
+        .toDF("cust", "at", "seq", "tier"))
+    val e2 = intercept[Exception] {
+      Scd2.historize(withNull, Seq("cust"), "at", Seq("tier"), Seq("seq"))
+        .collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      Option(t.getMessage).toList ++ Option(t.getCause).toList.flatMap(msgs)
+    assert(msgs(e2).exists(_.contains("non-null timestamp")))
+  }
+
+  test("applyChanges raises on a null batch timestamp instead of silently reordering") {
+    val history = Scd2.historize(log(), Seq("cust"), "at", Seq("tier"), Seq("seq"))
+    val batch = Seq((1L, null.asInstanceOf[Timestamp], 40L, "gold"))
+      .toDF("cust", "at", "seq", "tier")
+    val e = intercept[Exception] {
+      Scd2.applyChanges(history, batch,
+        Seq("cust"), "at", Seq("tier"), Seq("seq")).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      Option(t.getMessage).toList ++ Option(t.getCause).toList.flatMap(msgs)
+    assert(msgs(e).exists(_.contains("non-null timestamp")))
+  }
+
   test("matches the oracle SQL's gaps-and-islands on the sf0.001 events table") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.Tables.load(spark, dir, "events")

@@ -101,6 +101,23 @@ class UnigramLmSpec extends AnyFunSuite {
     }
   }
 
+  test("end-of-word sentinel in raw text is stripped at encode time, like training") {
+    val m = model()
+    val spark0 = spark
+    import spark0.implicits._
+    val clean = Seq("working the works").toDF("text")
+    val dirty = Seq("working the" + BpeTrain.EndOfWord + " works").toDF("text")
+    val encClean = UnigramLm.encode(clean, "text", m)
+      .select("unigram_tokens").head().getSeq[String](0)
+    val encDirty = UnigramLm.encode(dirty, "text", m)
+      .select("unigram_tokens").head().getSeq[String](0)
+    assert(encClean == encDirty,
+      s"sentinel leaked into segmentation: $encDirty vs $encClean")
+    val nDirty = UnigramLm.countTokens(dirty, "text", m)
+      .select("unigram_n_tokens").head().getInt(0)
+    assert(nDirty == encClean.size)
+  }
+
   test("fewer-pieces tie-break: a word that IS a vocab piece encodes as itself") {
     val m = model()
     // 'working' appears often enough that EM keeps it whole (or keeps a
