@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("DSIR scoring stays in whole-stage codegen — no interpreted HOF fold") {
+    // the per-gram fold is DsirScoreExpr (native doGenCode); the
+    // ArrayAggregate HOF it replaced was CodegenFallback — an
+    // interpreted expression-tree walk per gram per row, the engine's
+    // per-row cost at any scale
+    for (name <- Seq("x_dsir_score", "x_dsir_sample")) {
+      val p = plan(name)
+      assert(!p.contains("aggregate("), s"$name still folds via the HOF:\n" + p.take(3000))
+      assert(p.contains("graft_dsir_sum"), s"$name lacks the native scorer:\n" + p.take(3000))
+    }
+  }
+
   test("top-1-per-key is a partial aggregate, not a sort window") {
     // q_window and keyed dedup-with-tiebreak plan max_by/min_by
     // AGGREGATES with a map-side partial phase: only one row per key
