@@ -115,14 +115,18 @@ object Connectors {
     def read(spark: SparkSession): DataFrame = {
       val base = spark.read.format("jdbc")
         .option("url", url)
-        .option("query", query)
         .options(props)
+      // Spark rejects `query` + `partitionColumn` together — the
+      // partitioned path must route the same query through `dbtable`
+      // as a derived table, so each executor connection appends its
+      // own stride predicate to it
       val r = partitionColumn match {
         case Some((col, lower, upper, n)) => base
+          .option("dbtable", s"($query) graft_q")
           .option("partitionColumn", col)
           .option("lowerBound", lower).option("upperBound", upper)
           .option("numPartitions", n)
-        case None => base
+        case None => base.option("query", query)
       }
       r.load()
     }

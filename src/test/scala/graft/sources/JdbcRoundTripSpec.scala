@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** REAL-database round trip for `connector_input`(jdbc/mysql-shaped)
+  * and `db_insert` — the reference ATTACHes a live MySQL
+  * (connectors/builtin.py:133-204); this spec runs the same read and
+  * write paths through actual JDBC against embedded Derby (in-memory,
+  * ships with Spark), closing the last API-only I/O edge: Spark's JDBC
+  * source/sink negotiating types, pushing the query down, striding a
+  * partitioned read, and fanning a repartitioned insert through real
+  * connections.
+  */
+class JdbcRoundTripSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDb(name: String): String =
+    s"jdbc:derby:memory:$name;create=true"
+
+  private def exec(url: String, sql: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try { val st = c.createStatement(); st.execute(sql); st.close() }
+    finally c.close()
+  }
+
+  test("db_insert fans a repartitioned write through real JDBC connections") {
+    val url = freshDb("graft_ins")
+    exec(url,
+      "CREATE TABLE orders_out (o_id BIGINT, seg VARCHAR(16), total DOUBLE)")
+    val df = (1 to 500).map(i => (i.toLong, s"seg${i % 4}", i * 1.5))
+      .toDF("o_id", "seg", "total")
+    val props = new java.util.Properties()
+    Writers.jdbcInsert(df, url, "orders_out", props, numPartitions = 4)
+    // read back with plain JDBC — the write must be complete and typed
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement()
+        .executeQuery("SELECT COUNT(*), SUM(total) FROM orders_out")
+      assert(rs.next())
+      assert(rs.getLong(1) == 500L)
+      assert(math.abs(rs.getDouble(2) - (1 to 500).map(_ * 1.5).sum) < 1e-6)
+    } finally c.close()
+  }
+
+  test("connector_input reads through JDBC with the query pushed to the database") {
+    val url = freshDb("graft_read")
+    exec(url,
+      "CREATE TABLE t_cust (c_id BIGINT, mkt VARCHAR(16), bal DOUBLE)")
+    val seed = (1 to 200).map(i => (i.toLong, s"m${i % 3}", i * 2.0))
+      .toDF("c_id", "mkt", "bal")
+    Writers.jdbcInsert(seed, url, "t_cust", new java.util.Properties(),
+      numPartitions = 2)
+    // read_params `query` shape: the aggregation runs IN the database,
+    // Spark sees only the 3 result rows
+    val conn = Connectors.JdbcConnector(url,
+      "SELECT mkt, COUNT(*) AS n, SUM(bal) AS s FROM t_cust GROUP BY mkt")
+    assert(conn.test(), "test() must probe the live database true")
+    val got = conn.read(spark).orderBy("mkt").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getString(0)).toSeq == Seq("m0", "m1", "m2"))
+    // Derby's COUNT(*) surfaces as INTEGER — read via Number
+    assert(got.map(_.getAs[Number](1).longValue).sum == 200L)
+  }
+
+  test("partitioned JDBC read strides the query across executor connections") {
+    val url = freshDb("graft_part")
+    exec(url, "CREATE TABLE t_wide (k BIGINT, v VARCHAR(16))")
+    val seed = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Writers.jdbcInsert(seed, url, "t_wide", new java.util.Properties(),
+      numPartitions = 2)
+    val conn = Connectors.JdbcConnector(url,
+      "SELECT k, v FROM t_wide WHERE k <= 250",
+      partitionColumn = Some(("k", 1L, 250L, 4)))
+    val df = conn.read(spark)
+    // 4 real strides, not one connection reading everything
+    assert(df.rdd.getNumPartitions == 4, s"got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 250L)
+    // stride predicates must not drop or duplicate boundary rows
+    assert(df.agg(sum("k")).head().getLong(0) == (1L to 250L).sum)
+  }
+
+  test("test() probes false on an unreachable database instead of throwing") {
+    val conn = Connectors.JdbcConnector(
+      "jdbc:derby:memory:definitely_not_created", "SELECT 1 FROM SYSIBM.SYSDUMMY1")
+    assert(!conn.test())
+  }
+}
