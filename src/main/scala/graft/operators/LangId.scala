@@ -135,6 +135,122 @@ object LangId {
     Model(langs, logPrior, logProb, buckets, nMin, nMax)
   }
 
+  /** Cross-engine-deterministic twin of [[Model]]: the same NB, but
+    * every log-probability quantized to DECIMAL(28,10) (stored as
+    * unscaled scale-10 longs), so per-document accumulation is EXACT
+    * integer arithmetic — the [[graft.operators.Dsir]] determinism
+    * recipe. This makes the classify decision reproducible
+    * bit-for-bit by any engine that can recompute `ln` of a double
+    * division of the same exact integer counts (the 1e-10 quantum
+    * absorbs 1-ulp `ln` library differences), which is what lets the
+    * driver's DuckDB oracle verify the model's PREDICTIONS, not just
+    * its sufficient statistics. Float scoring ([[Model]]) stays the
+    * production default — same argmax on non-degenerate margins,
+    * fewer bytes broadcast.
+    */
+  final case class DecimalModel(
+      langs: Array[String], priorUnscaled: Array[Long],
+      lpUnscaled: Array[Array[Long]], buckets: Int, nMin: Int, nMax: Int) {
+    require(langs.nonEmpty && langs.length == priorUnscaled.length &&
+      langs.length == lpUnscaled.length &&
+      lpUnscaled.forall(_.length == buckets))
+  }
+
+  /** Fit the decimal-quantized NB: the same two bounded aggregates as
+    * [[fit]] for the exact integer counts, then the log-probabilities
+    * are computed and quantized THROUGH Spark expressions (one
+    * langs×buckets-row local job) so the stored values are the
+    * engine's own `ln`+cast chain — exactly what the oracle's DuckDB
+    * twin recomputes.
+    */
+  def fitDecimal(df: DataFrame, langCol: String, textCol: String,
+      buckets: Int = 4096, nMin: Int = 1, nMax: Int = 3,
+      maxLangs: Int = 256): DecimalModel = {
+    require(buckets > 0 && nMin >= 1 && nMax >= nMin,
+      s"langId.fitDecimal: bad (buckets=$buckets, nMin=$nMin, nMax=$nMax)")
+    val counts = gramCounts(df, langCol, textCol, buckets, nMin, nMax)
+      .collect()
+    val docCounts = df.filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(langCol).cast("string").as("_lang"))
+      .agg(count(lit(1)).as("_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(docCounts.nonEmpty, "langId.fitDecimal: no labeled documents")
+    require(docCounts.size <= maxLangs,
+      s"langId.fitDecimal: ${docCounts.size} labels exceeds maxLangs=$maxLangs")
+    val langs = docCounts.keys.toArray.sorted
+    val langIdx = langs.zipWithIndex.toMap
+    val totalDocs = docCounts.values.sum
+    val gramTotals = new Array[Long](langs.length)
+    val raw = Array.fill(langs.length)(new Array[Long](buckets))
+    counts.foreach { r =>
+      val l = langIdx(r.getString(0))
+      raw(l)(r.getInt(1)) += r.getLong(2)
+      gramTotals(l) += r.getLong(2)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    def unscaled(d: java.math.BigDecimal): Long =
+      d.setScale(10).unscaledValue().longValueExact()
+    // lp(l)(b) = ln((c+1)/(tot_l+buckets)) — dense, add-one smoothing
+    val lpRows = (for { l <- langs.indices; b <- 0 until buckets }
+      yield (l, b, raw(l)(b) + 1L, gramTotals(l) + buckets.toLong))
+      .toDF("l", "b", "c1", "den")
+      .select(col("l"), col("b"),
+        log(col("c1").cast("double") / col("den").cast("double"))
+          .cast(dec).as("lp"))
+      .collect()
+    val lpUnscaled = Array.fill(langs.length)(new Array[Long](buckets))
+    lpRows.foreach(r => lpUnscaled(r.getInt(0))(r.getInt(1)) = unscaled(r.getDecimal(2)))
+    val priorRows = langs.indices.map(l => (l, docCounts(langs(l)), totalDocs))
+      .toDF("l", "d", "td")
+      .select(col("l"),
+        log(col("d").cast("double") / col("td").cast("double"))
+          .cast(dec).as("pr"))
+      .collect()
+    val priorUnscaled = new Array[Long](langs.length)
+    priorRows.foreach(r => priorUnscaled(r.getInt(0)) = unscaled(r.getDecimal(1)))
+    DecimalModel(langs, priorUnscaled, lpUnscaled, buckets, nMin, nMax)
+  }
+
+  /** [[classify]] on the decimal model: exact long accumulation of
+    * unscaled scale-10 log-probs (addExact — a doc would need ~10^7
+    * grams to overflow, raising rather than wrapping), argmax with the
+    * same blank→"und" and tie→first-language rules.
+    */
+  def classifyDecimal(m: DecimalModel, text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (s.trim.isEmpty) return Und
+    val scores = m.priorUnscaled.clone()
+    val padded = " " + s + " "
+    var n = m.nMin
+    while (n <= m.nMax) {
+      var i = 0
+      while (i + n <= padded.length) {
+        val bk = bucketOf(padded, i, n, m.buckets)
+        var l = 0
+        while (l < scores.length) {
+          scores(l) = Math.addExact(scores(l), m.lpUnscaled(l)(bk))
+          l += 1
+        }
+        i += 1
+      }
+      n += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < scores.length) {
+      if (scores(l) > scores(best)) best = l
+      l += 1
+    }
+    UTF8String.fromString(m.langs(best))
+  }
+
+  /** Column form of [[classifyDecimal]] — one codegen'd in-row pass,
+    * like [[langIdModel]]. */
+  def langIdDecimal(c: Column, model: DecimalModel): Column =
+    ncol(LangClassifyDecimalExpr(ex(c), model))
+
   private val Und = UTF8String.fromString("und")
 
   /** Score one document against every language, return the argmax
@@ -285,5 +401,33 @@ case class FeatureBucketsExpr(child: Expression, nMin: Int, nMax: Int,
       s"${ev.value} = graft.operators.LangId.featureBucketsData($c, $nMin, $nMax, $buckets);")
 
   override protected def withNewChildInternal(newChild: Expression): FeatureBucketsExpr =
+    copy(child = newChild)
+}
+
+/** `graft_lang_id_decimal(text)` — [[LangId.classifyDecimal]] as a
+  * native codegen'd expression; the quantized model rides along as a
+  * plan reference object, same pattern as [[LangClassifyExpr]].
+  */
+case class LangClassifyDecimalExpr(child: Expression,
+    model: LangId.DecimalModel) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lang_id_decimal requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id_decimal"
+
+  protected override def nullSafeEval(input: Any): Any =
+    LangId.classifyDecimal(model, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("langIdDecimalModel", model,
+      classOf[LangId.DecimalModel].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.LangId.classifyDecimal($m, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangClassifyDecimalExpr =
     copy(child = newChild)
 }

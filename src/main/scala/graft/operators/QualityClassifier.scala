@@ -112,6 +112,33 @@ object QualityClassifier {
     LangId.fit(labeled, "_label", "_text", buckets, GramMin, GramMax)
   }
 
+  /** Deterministic self-train: labels from FIXED heuristic-score
+    * thresholds (not quantiles — approx-quantile cuts are
+    * sketch-dependent and not reproducible by another engine), fit on
+    * the decimal-quantized NB ([[LangId.fitDecimal]]). This is the
+    * cross-engine-checkable twin of [[selfTrain]]: the heuristic is
+    * pure IEEE arithmetic over exact integer counts, so the label set
+    * — and with the decimal model, every classify decision — is
+    * reproducible bit-for-bit by the DuckDB oracle. Production
+    * corpora with unknown score ranges should prefer [[selfTrain]]'s
+    * quantile bootstrap; fixed cuts are for pinned-distribution
+    * pipelines and verification.
+    */
+  def selfTrainDecimal(df: DataFrame, textCol: String,
+      loCut: Double, hiCut: Double,
+      buckets: Int = 4096): LangId.DecimalModel = {
+    require(loCut < hiCut,
+      s"qualityClassifier: loCut must be < hiCut, got ($loCut, $hiCut)")
+    val labeled = df
+      .select(col(textCol).cast("string").as("_text"))
+      .filter(col("_text").isNotNull)
+      .withColumn("_score", heuristicScore(col("_text")))
+      .withColumn("_label",
+        when(col("_score") <= loCut, Lq).when(col("_score") >= hiCut, Hq))
+      .filter(col("_label").isNotNull)
+    LangId.fitDecimal(labeled, "_label", "_text", buckets, GramMin, GramMax)
+  }
+
   /** Map-only classify column: "hq" / "lq", or "und" when the per-gram
     * evidence margin is below `undMargin` (blank text is always
     * "und") — [[LangId]]'s gate, same semantics.

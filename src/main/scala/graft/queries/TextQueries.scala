@@ -63,33 +63,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // TRAINED language ID (rows-only: a hashed-n-gram NB model is not
-    // SQL-expressible; accuracy/misroute evidence lives in LangIdSpec
-    // on a held-out multilingual fixture). Self-train on the labeled
-    // corpus then classify it — at 100 TB the fit runs on a labeled
-    // sample (one bounded groupBy) and the broadcast model classifies
-    // the corpus in a single map-only pass, which this entry times.
+    // TRAINED language ID, decimal-scored so the full NB DECISION is
+    // oracle-checkable: the quantized DECIMAL(28,10) log-prob model
+    // (LangId.fitDecimal — exact integer counts, engine-ln, the DSIR
+    // determinism recipe) makes per-doc accumulation exact integer
+    // arithmetic that DuckDB reproduces from the same counts, because
+    // the 31-poly bucket hash survives mod-4096 arithmetic exactly
+    // (4096 | 2^32, so JVM int wrap-around is invisible). At 100 TB
+    // the fit runs on a labeled sample (one bounded groupBy) and the
+    // broadcast model classifies the corpus in a single map-only
+    // codegen'd pass, which this entry times. The float-scored
+    // production path (LangId.fit/langIdModel) is spec'd in LangIdSpec
+    // and benched as x_lang_id_prefit.
     "x_lang_id_model" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = graft.operators.LangId.fit(docs, "lang", "text")
+      val model = graft.operators.LangId.fitDecimal(docs, "lang", "text")
       docs.select(col("doc_id"), col("lang"),
-          graft.operators.LangId.langIdModel(col("text"), model).as("lang_pred"))
+          graft.operators.LangId.langIdDecimal(col("text"), model).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
     // Model-based quality filter (CCNet / GPT-3 / DCLM shape): a
     // hashed-n-gram NB classifier self-trained on the heuristic's
-    // extreme quantiles, then classifying EVERY doc (including the
-    // unlabeled middle band) in one map-only codegen'd scan. Model
-    // semantics aren't SQL-expressible → rows-only at the driver;
-    // junk-recovery and generalization-past-the-heuristic are spec'd
-    // in QualityClassifierSpec.
+    // extremes, then classifying EVERY doc (including the unlabeled
+    // middle band) in one map-only codegen'd scan. Labeled at FIXED
+    // heuristic thresholds and scored on the decimal model so the
+    // whole train-then-classify decision is oracle-checkable (the
+    // heuristic is IEEE-deterministic — proven by x_quality — and the
+    // NB follows the x_lang_id_model recipe). The quantile-bootstrap
+    // float path (selfTrain) stays the production default; its
+    // junk-recovery and generalization are spec'd in
+    // QualityClassifierSpec and benched as x_quality_prefit.
     "x_quality_model" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = graft.operators.QualityClassifier.selfTrain(docs, "text")
+      val model = graft.operators.QualityClassifier
+        .selfTrainDecimal(docs, "text", loCut = 0.03, hiCut = 0.12)
       docs.select(col("doc_id"),
-          graft.operators.QualityClassifier
-            .qualityLabel(col("text"), model).as("quality_pred"))
+          graft.operators.LangId.langIdDecimal(col("text"), model)
+            .as("quality_pred"))
         .orderBy("doc_id")
     }),
 
@@ -567,7 +578,119 @@ object TextQueries {
     })
   )
 
+  /** DuckDB list comprehension of LangId's 31-poly char-n-gram bucket
+    * stream for one n (LangId.bucketOf): `h = n; h = h*31 + char` over
+    * the space-padded lowercased text, mod 4096. 4096 divides 2^32, so
+    * the JVM's int wrap-around is invisible mod 4096 and exact integer
+    * SQL arithmetic reproduces the hash bit-for-bit (ASCII text; the
+    * synthetic corpus is ASCII — non-ASCII would need per-char lower).
+    */
+  private def gramBucketsSql(p: String, n: Int): String = {
+    val pow = Array.iterate(1L, n + 1)(_ * 31) // 31^0 .. 31^n
+    val head = n * pow(n)
+    val terms = (0 until n).map { j =>
+      val c =
+        if (j == 0) s"unicode(substr($p, i, 1))"
+        else s"unicode(substr($p, i+$j, 1))"
+      if (pow(n - 1 - j) == 1L) c else s"${pow(n - 1 - j)}*$c"
+    }.mkString(" + ")
+    val hi =
+      if (n == 1) s"length($p)+1"
+      else if (n == 2) s"length($p)"
+      else s"length($p)-${n - 2}"
+    s"[ ($head + $terms) % 4096 for i in range(1, $hi) ]"
+  }
+
+  /** The full decimal-NB classify as DuckDB CTEs — the twin of
+    * `LangId.fitDecimal` + `classifyDecimal`: exact integer gram/doc
+    * counts, ln of exact-integer double divisions quantized to
+    * DECIMAL(28,10) (1-ulp `ln` differences absorbed, the DSIR
+    * recipe), exact decimal per-doc sums, argmax with label-asc
+    * tie-break. `labelSrc` must select `_lbl` (nullable) and `text`
+    * from `documents`; `tail` consumes `pred` (doc_id, _lbl, rn).
+    */
+  private def nbClassifySql(labelSrc: String, nMin: Int, nMax: Int,
+      tail: String): String = {
+    def grams(p: String) =
+      (nMin to nMax).map(gramBucketsSql(p, _)).mkString(" || ")
+    s"""WITH train AS ($labelSrc),
+       |tp AS (SELECT _lbl, ' ' || lower(text) || ' ' AS p FROM train
+       |       WHERE _lbl IS NOT NULL AND text IS NOT NULL),
+       |tg AS (SELECT _lbl, unnest(${grams("p")}) AS b FROM tp),
+       |counts AS (SELECT _lbl, b, count(*) AS c FROM tg GROUP BY 1, 2),
+       |tots AS (SELECT _lbl, sum(c) AS tot FROM counts GROUP BY 1),
+       |nd AS (SELECT _lbl, count(*) AS d FROM train
+       |       WHERE _lbl IS NOT NULL AND text IS NOT NULL GROUP BY 1),
+       |td AS (SELECT sum(d) AS t FROM nd),
+       |priors AS (SELECT _lbl,
+       |    CAST(ln(CAST(d AS DOUBLE) / CAST(t AS DOUBLE)) AS DECIMAL(28,10)) AS pr
+       |  FROM nd, td),
+       |lp AS (SELECT _lbl, b,
+       |    CAST(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + 4096 AS DOUBLE)) AS DECIMAL(28,10)) AS v
+       |  FROM counts JOIN tots USING (_lbl)),
+       |unseen AS (SELECT _lbl,
+       |    CAST(ln(CAST(1 AS DOUBLE) / CAST(tot + 4096 AS DOUBLE)) AS DECIMAL(28,10)) AS v
+       |  FROM tots),
+       |dg AS (SELECT doc_id, unnest(${grams("p")}) AS b FROM
+       |  (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+       |   WHERE text IS NOT NULL)),
+       |sc AS (SELECT dg.doc_id, u._lbl,
+       |    any_value(pr.pr) + sum(COALESCE(lp.v, u.v)) AS s
+       |  FROM dg
+       |  CROSS JOIN unseen u
+       |  LEFT JOIN lp ON lp._lbl = u._lbl AND lp.b = dg.b
+       |  JOIN priors pr ON pr._lbl = u._lbl
+       |  GROUP BY dg.doc_id, u._lbl),
+       |pred AS (SELECT doc_id, _lbl,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, _lbl ASC) AS rn
+       |  FROM sc)
+       |$tail""".stripMargin
+  }
+
+  /** QualityClassifier.heuristicScore as DuckDB SQL — the same IEEE
+    * double chain over the metric SQL twins x_quality already proves
+    * hash-exact.
+    */
+  private def heuristicScoreSql(c: String): String = {
+    val toks = s"regexp_split_to_array(lower(trim($c)), '\\s+')"
+    val nToks = s"CAST(greatest(len($toks), 1) AS DOUBLE)"
+    val dup = s"(1.0 - CAST(len(list_distinct($toks)) AS DOUBLE) / $nToks)"
+    val stop = s"least(${stopwordRatioSql(c)} * 2.5, 1.0)"
+    val punct = s"least(${punctRatioSql(c)} * 2.0, 1.0)"
+    s"greatest(least($stop * (1.0 - $punct) * (1.0 - $dup), 1.0), 0.0)"
+  }
+
   val oracles: Map[String, String] = Map(
+
+    // Full CTE twin of the decimal NB language classifier — see
+    // nbClassifySql; blank text routes to 'und' exactly like
+    // LangId.classifyDecimal.
+    "x_lang_id_model" -> nbClassifySql(
+      "SELECT lang AS _lbl, text FROM documents",
+      nMin = 1, nMax = 3,
+      """SELECT d.doc_id, d.lang,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       WHEN trim(d.text) = '' THEN 'und'
+        |       ELSE p._lbl END AS lang_pred
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, _lbl FROM pred WHERE rn = 1) p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // Same machinery, quality axis: fixed-threshold heuristic labels
+    // (selfTrainDecimal), char 2-5-gram NB, decimal classify.
+    "x_quality_model" -> nbClassifySql(
+      s"""SELECT CASE WHEN s <= 0.03 THEN 'lq'
+         |            WHEN s >= 0.12 THEN 'hq' END AS _lbl, text
+         |FROM (SELECT ${heuristicScoreSql("text")} AS s, text
+         |      FROM documents WHERE text IS NOT NULL)""".stripMargin,
+      nMin = 2, nMax = 5,
+      """SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       WHEN trim(d.text) = '' THEN 'und'
+        |       ELSE p._lbl END AS quality_pred
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, _lbl FROM pred WHERE rn = 1) p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     // Generated per term to mirror Bm25.score's expression tree
     // exactly: same operator precedence, same left-fold term order,
     // every constant CAST AS DOUBLE (DuckDB literals are DECIMAL).

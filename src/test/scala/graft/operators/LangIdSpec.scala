@@ -434,4 +434,34 @@ class LangIdSpec extends AnyFunSuite {
       math.log(train.count(_._1 == l) / totalDocs))
     assert(model.logPrior.toSeq == expectedPrior.toSeq)
   }
+
+  test("decimal model: same argmax as the float model; exact-arithmetic classify") {
+    val train = corpus.filter(!_._3).map(t => (t._1, t._2)).toDF("lang", "text")
+    val dm = LangId.fitDecimal(train, "lang", "text")
+    val fm = LangId.fit(train, "lang", "text")
+    assert(dm.langs.toSeq == fm.langs.toSeq)
+    // every held-out sentence gets the same decision from the decimal
+    // and float scorings (margins are far above the 1e-10 quantum)
+    val test = corpus.filter(_._3).map(t => (t._1, t._2)).toDF("lang", "text")
+    val both = test.select(col("lang"),
+        LangId.langIdDecimal(col("text"), dm).as("d"),
+        LangId.langIdModel(col("text"), fm).as("f"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"decimal ${r.getString(1)} != float ${r.getString(2)} for lang ${r.getString(0)}")
+      assert(r.getString(1) == r.getString(0))
+    }
+    // blank → und; determinism across two evaluations
+    val blank = Seq(("", ""), ("  ", " \t")).toDF("a", "text")
+    assert(blank.select(LangId.langIdDecimal(col("text"), dm)).collect()
+      .forall(_.getString(0) == "und"))
+    // all quantized log-probs and priors are negative (probabilities
+    // strictly below 1) — a sign slip in the unscaled-long plumbing
+    // would flip the argmax silently
+    dm.langs.indices.foreach { l =>
+      assert(dm.lpUnscaled(l).max < 0L, "log-probs must be negative")
+      assert(dm.priorUnscaled(l) < 0L)
+    }
+  }
 }
