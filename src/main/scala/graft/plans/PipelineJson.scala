@@ -26,11 +26,38 @@ object PipelineJson {
 
   def parse(json: String): (Seq[Node], Seq[Edge]) = {
     val root = mapper.readTree(json)
-    val nodes = root.path("nodes").elements.asScala.map(parseNode).toSeq
-    val edges = root.path("edges").elements.asScala.map { e =>
+    // accept BOTH the raw definition_json ({"nodes", "edges"}) and the
+    // export-document wrapper pipeline_service.export_json emits
+    // (pipeline_service.py:117 — {"id", "name", "description",
+    // "version", "definition": {...}, "tags"}): a file a user saved
+    // from the reference's export endpoint runs here unchanged.
+    val defn = if (root.has("definition")) root.path("definition") else root
+    val nodes = defn.path("nodes").elements.asScala.map(parseNode).toSeq
+    val edges = defn.path("edges").elements.asScala.map { e =>
       Edge(e.path("source").asText, e.path("target").asText)
     }.toSeq
     (nodes, edges)
+  }
+
+  /** Metadata carried by a pipeline_service.export_json document.
+    * `version` defaults to 1 and `tags` to empty, matching the
+    * reference's model defaults (models/pipeline.py).
+    */
+  final case class ExportMeta(
+      id: Long, name: String, description: String, version: Int,
+      tags: Seq[String])
+
+  /** Parse an export document's metadata envelope (None when the JSON
+    * is a bare definition with no wrapper).
+    */
+  def exportMeta(json: String): Option[ExportMeta] = {
+    val root = mapper.readTree(json)
+    if (!root.has("definition")) None
+    else Some(ExportMeta(
+      root.path("id").asLong, root.path("name").asText,
+      root.path("description").asText,
+      if (root.has("version")) root.path("version").asInt else 1,
+      strSeq(root.path("tags"))))
   }
 
   /** Parse + execute in one call (the reference's `execute(run_id)`). */

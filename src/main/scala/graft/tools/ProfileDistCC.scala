@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Sessions
+import graft.operators.Dedup
+
+/** Dev tool: measure the DISTRIBUTED connected-components branch
+  * (alternating large-star/small-star) across decades.
+  *
+  * Every SCALING.md corpus so far fit Dedup.connectedComponents's
+  * driver fast path (`collectLimit` probe), so the large-star path had
+  * no measured growth row — this tool forces `collectLimit = 0` on a
+  * pair graph whose size is PROPORTIONAL to the corpus (10% of docs
+  * cloned twice → 3-cliques → pairs ~ 0.3 × n_docs), times median-of-3
+  * per decade, and cross-checks the distributed result against the
+  * driver union-find on the same pairs.
+  *
+  * Usage: runMain graft.tools.ProfileDistCC <dir1> [dir2 ...]
+  *   e.g. /root/testdata/sf0.1 /tmp/graft_sf1 /tmp/graft_sf10_star
+  * Prints a SCALING.md-ready row set. Not part of the library.
+  */
+object ProfileDistCC {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
+    val spark = Sessions.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def cloned(dir: String): DataFrame = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      // 10% of docs explode into a 3-clique of exact clones — the pair
+      // graph grows linearly with the corpus instead of being pinned
+      // at the fixture's 30 groups
+      val shift = 100000000L
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("_shift",
+          explode(when(col("doc_id") % 10 === 0,
+              array(lit(0L), lit(shift), lit(2 * shift)))
+            .otherwise(array(lit(0L)))))
+        .withColumn("doc_id", col("doc_id") + col("_shift"))
+        .drop("_shift")
+    }
+
+    for (dir <- dirs) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_distcc")
+      val pairsPath = tmp.resolve("pairs").toString
+      // materialize the pair list so the timed section is CC alone,
+      // not minhash signature work
+      Dedup.minHashNearDups(cloned(dir), "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0)
+        .write.mode("overwrite").parquet(pairsPath)
+      val pairs = spark.read.parquet(pairsPath)
+      val nPairs = pairs.count()
+      val nNodes = pairs.select(explode(array(col("id_a"), col("id_b"))))
+        .distinct().count()
+
+      def run(limit: Int): Double = {
+        Dedup.connectedComponents(pairs, collectLimit = limit,
+          assumeCanonical = true).count() // warm
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          Dedup.connectedComponents(pairs, collectLimit = limit,
+            assumeCanonical = true).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.sorted.apply(1)
+      }
+      val tDist = run(0)
+      val tLocal = run(1 << 24) // always under: driver fast path
+
+      // equivalence: both branches assign every node the same component
+      val d = Dedup.connectedComponents(pairs, collectLimit = 0,
+        assumeCanonical = true).withColumnRenamed("component", "c_dist")
+      val l = Dedup.connectedComponents(pairs, collectLimit = 1 << 24,
+        assumeCanonical = true).withColumnRenamed("component", "c_local")
+      val mismatches = d.join(l, Seq("id"), "full_outer")
+        .filter(col("c_dist").isNull || col("c_local").isNull ||
+          col("c_dist") =!= col("c_local"))
+        .count()
+      println(f"DISTCC dir=$dir pairs=$nPairs nodes=$nNodes " +
+        f"distributed=$tDist%.2f s driver_local=$tLocal%.2f s mismatches=$mismatches")
+      require(mismatches == 0, "distributed CC diverged from driver union-find")
+    }
+    spark.stop()
+  }
+}

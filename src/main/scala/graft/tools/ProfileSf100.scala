@@ -70,7 +70,16 @@ object ProfileSf100 {
       ("d_simhash", sf10Docs, sf100Docs, true),
       // formerly guard-excluded: on the r11 Zipf corpus the exact
       // AllPairs path runs unguarded — its first fifth-decade row
-      ("d_ngram_jaccard", sf1Docs, sf10Docs, true))
+      ("d_ngram_jaccard", sf1Docs, sf10Docs, true),
+      // r12: the next-most data-proportional queries by sf0.1→sf1
+      // x10 ratio (SCALING.md main table) — fifth-decade rows for the
+      // full top-10, not just the ~linear four
+      ("t_dedup_rows", sf10Star, sf100Star, false),
+      ("q_semi_anti", sf10Star, sf100Star, false),
+      ("q_grouping_sets", sf10Star, sf100Star, false),
+      ("q_events_window", sf10Star, sf100Star, false),
+      ("e_incr_agg", sf10Star, sf100Star, false),
+      ("q1_agg", sf10Star, sf100Star, false))
       .filter(p => only.forall(_.contains(p._1)))
 
     println("| query | lo | hi | x10 ratio | class |")
