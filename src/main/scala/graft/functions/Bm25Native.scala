@@ -1,0 +1,266 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd BM25 kernels — replace the interpreted
+  * higher-order-function chain in [[graft.operators.Bm25]]
+  * (`transform`/`filter`/`zip_with`/`aggregate` are all
+  * CodegenFallback in Spark: the per-doc contribution walked an
+  * interpreted expression tree O(terms × doc_len) times PER ROW).
+  * Same eviction as [[DsirScore]]/[[TextSignatures]]: one tight JVM
+  * loop per row, inlined into whole-stage codegen; the corpus-scale
+  * scan is where 100 TB goes.
+  *
+  * FP determinism is pinned to the Column chain these replace: the
+  * per-term IEEE op order is IDENTICAL
+  * (`idf = ln(1 + ((n - df) + 0.5) / (df + 0.5))`,
+  * `contrib = (idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + (b*dl)/avgdl))`,
+  * all left-associated exactly as Catalyst's Add/Multiply/Divide
+  * nodes evaluated them), term order is the caller's terms order, and
+  * per-doc sums fold left in array order — so the DuckDB oracle's
+  * hash-exact agreement is preserved bit-for-bit.
+  */
+object Bm25Native {
+
+  /** term → position map on UTF8String bytes (same equality as the
+    * `===`/`array_contains` comparisons replaced).
+    */
+  private[graft] def indexOf(terms: Array[UTF8String]): java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.length * 2)
+    var i = 0
+    while (i < terms.length) { m.putIfAbsent(terms(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  /** 0/1 match vector aligned with `terms` (null token array → zero
+    * vector, mirroring the coalesce-to-false the transform carried).
+    */
+  def matchVec(toks: ArrayData, idx: java.util.HashMap[UTF8String, Integer],
+      nTerms: Int): ArrayData = {
+    val out = new Array[Double](nTerms)
+    if (toks != null) {
+      var i = 0
+      val n = toks.numElements()
+      while (i < n) {
+        if (!toks.isNullAt(i)) {
+          val p = idx.get(toks.getUTF8String(i))
+          if (p != null) out(p.intValue()) = 1.0
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-term BM25 contribution array for one doc: one pass over the
+    * tokens for tf counts, then the per-term arithmetic in the exact
+    * replaced op order. `n` is the corpus doc count, `dfs` the
+    * per-term document frequencies (aligned with terms).
+    */
+  def contribs(toks: ArrayData, dfs: ArrayData, n: Long, avgdl: Double,
+      idx: java.util.HashMap[UTF8String, Integer], nTerms: Int,
+      k1: Double, b: Double): ArrayData = {
+    val tf = new Array[Double](nTerms)
+    val nToks = toks.numElements()
+    var i = 0
+    while (i < nToks) {
+      if (!toks.isNullAt(i)) {
+        val p = idx.get(toks.getUTF8String(i))
+        if (p != null) tf(p.intValue()) += 1.0
+      }
+      i += 1
+    }
+    val dl = nToks.toDouble
+    val lenNorm = (1.0 - b) + (b * dl) / avgdl
+    val nD = n.toDouble
+    val out = new Array[Double](nTerms)
+    var t = 0
+    while (t < nTerms) {
+      val df = dfs.getDouble(t)
+      val idf = Math.log(1.0 + ((nD - df) + 0.5) / (df + 0.5))
+      out(t) = (idf * (tf(t) * (k1 + 1.0))) / (tf(t) + k1 * lenNorm)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Left-fold sum in array order (the `aggregate(_, 0.0, _+_)` it
+    * replaces; elements are never null upstream).
+    */
+  def sumOrdered(arr: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { s += arr.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Fold `sum += values[idx[i]-1]` in idx order, skipping idx 0 /
+    * null (array_position's "missing" value — the replaced
+    * `coalesce(element_at(map, t), 0.0)` added 0 there).
+    */
+  def pickSum(values: ArrayData, idx: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = idx.numElements()
+    while (i < n) {
+      if (!idx.isNullAt(i)) {
+        val p = idx.getLong(i)
+        s += (if (p > 0) values.getDouble((p - 1).toInt) else 0.0)
+      }
+      i += 1
+    }
+    s
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  def matchVecCol(toks: Column, terms: Seq[String]): Column =
+    ncol(Bm25MatchVecExpr(ex(toks), terms.toIndexedSeq))
+
+  def contribsCol(toks: Column, dfs: Column, n: Column, avgdl: Column,
+      terms: Seq[String], k1: Double, b: Double): Column =
+    ncol(Bm25ContribsExpr(ex(toks), ex(dfs), ex(n), ex(avgdl),
+      terms.toIndexedSeq, k1, b))
+
+  def sumOrderedCol(arr: Column): Column = ncol(ArraySumOrderedExpr(ex(arr)))
+
+  def pickSumCol(values: Column, idx: Column): Column =
+    ncol(ArrayPickSumExpr(ex(values), ex(idx)))
+}
+
+/** `graft_bm25_matchvec(tokens)` → array<double> of 0/1 aligned with
+  * the embedded terms; null/absent tokens give the zero vector (it
+  * feeds `array_to_vector`, which asserts non-null).
+  */
+case class Bm25MatchVecExpr(child: Expression, terms: IndexedSeq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bm25_matchvec requires ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bm25_matchvec"
+
+  @transient private lazy val idx = Bm25Native.indexOf(
+    terms.map(UTF8String.fromString).toArray)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    Bm25Native.matchVec(v.asInstanceOf[ArrayData], idx, terms.length)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val idxRef = ctx.addReferenceObj("bm25idx", idx, "java.util.HashMap")
+    val c = child.genCode(ctx)
+    val fin = s"org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = " +
+      s"graft.functions.Bm25Native.matchVec(" +
+      s"${c.isNull} ? null : ${c.value}, $idxRef, ${terms.length});"
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $fin""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bm25MatchVecExpr =
+    copy(child = newChild)
+}
+
+/** `graft_bm25_contribs(tokens, dfs, n, avgdl)` with embedded
+  * (terms, k1, b): per-term contribution array for one doc. Null on
+  * any null input (a null-text doc's chain nulled out in the replaced
+  * formulation too; callers guard with `_tnull`).
+  */
+case class Bm25ContribsExpr(
+    first: Expression, second: Expression, third: Expression,
+    fourth: Expression, terms: IndexedSeq[String], k1: Double, b: Double)
+    extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(DoubleType, _), LongType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bm25_contribs requires (ARRAY<STRING>, ARRAY<DOUBLE>, BIGINT, DOUBLE), got $other")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_bm25_contribs"
+
+  @transient private lazy val idx = Bm25Native.indexOf(
+    terms.map(UTF8String.fromString).toArray)
+
+  protected override def nullSafeEval(toks: Any, dfs: Any, n: Any, avgdl: Any): Any =
+    Bm25Native.contribs(toks.asInstanceOf[ArrayData], dfs.asInstanceOf[ArrayData],
+      n.asInstanceOf[Long], avgdl.asInstanceOf[Double], idx, terms.length, k1, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("bm25idx", idx, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (t, d, n, a) =>
+      s"""${ev.value} = graft.functions.Bm25Native.contribs(
+         |  $t, $d, $n, $a, $idxRef, ${terms.length}, $k1, $b);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Bm25ContribsExpr =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+/** `graft_array_fsum(arr)` — ordered left-fold sum of array<double>. */
+case class ArraySumOrderedExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_array_fsum requires ARRAY<DOUBLE>, got ${other.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_array_fsum"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Bm25Native.sumOrdered(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Bm25Native.sumOrdered($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ArraySumOrderedExpr =
+    copy(child = newChild)
+}
+
+/** `graft_array_picksum(values, idx)` — sum of `values[idx[i]-1]` in
+  * idx order; idx is 1-based (array_position), 0/null adds 0.0.
+  */
+case class ArrayPickSumExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_array_picksum requires (ARRAY<DOUBLE>, ARRAY<BIGINT>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_array_picksum"
+
+  protected override def nullSafeEval(values: Any, idx: Any): Any =
+    Bm25Native.pickSum(values.asInstanceOf[ArrayData], idx.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, i) =>
+      s"${ev.value} = graft.functions.Bm25Native.pickSum($v, $i);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayPickSumExpr =
+    copy(left = newLeft, right = newRight)
+}

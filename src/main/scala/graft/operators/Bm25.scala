@@ -22,22 +22,24 @@ import org.apache.spark.sql.functions._
   * minimum for corpus-level IDF), zero corpus shuffles, no per-term
   * join.
   *
-  * Term-count scaling: the terms enter the plan as ONE array literal
-  * and every per-term quantity is a lambda over it (`transform` /
-  * `zip_with` / `aggregate`), so the expression tree is CONSTANT-SIZE
-  * in the number of terms. The earlier one-expression-per-term
-  * formulation grew the generated code linearly and a ~500-term
-  * decontamination sweep would blow past janino's 64 KB method limit
-  * into interpreted fallback; now a 500-term query plans the same
-  * tree as a 3-term one (spec-pinned).
+  * Term-count scaling: the terms ride INSIDE two native expressions
+  * ([[graft.functions.Bm25Native]] — match vector and contribution
+  * array), so the expression tree is CONSTANT-SIZE in the number of
+  * terms AND fully whole-stage-codegen'd. The earlier
+  * one-expression-per-term formulation grew the generated code
+  * linearly (a ~500-term decontamination sweep would blow past
+  * janino's 64 KB method limit); the r11 lambda formulation
+  * (`transform`/`zip_with`/`aggregate`) fixed the size but those HOFs
+  * are CodegenFallback — an interpreted O(terms × doc_len) tree-walk
+  * per corpus row, the class of loop r3 evicted from the dedup
+  * family. A 500-term query plans the same tree as a 3-term one
+  * (spec-pinned), and the per-row cost is one hash-map token walk.
   *
-  * Determinism: every constant enters as a COLUMN expression (never a
-  * driver-precomputed double), so both engines evaluate the same IEEE
-  * op chain in the same order; term contributions sum in caller order
-  * (`aggregate` is a left fold over the caller-ordered terms array,
-  * exactly the old `reduce(_ + _)` chain); the df sums are
-  * integer-valued doubles, exact under any partition order; the score
-  * rounds to 6 places.
+  * Determinism: Bm25Native reproduces the replaced Column chain's
+  * IEEE op order bit-exactly (see its scaladoc); term contributions
+  * sum in caller order (an ordered left fold, exactly the old
+  * `reduce(_ + _)` chain); the df sums are integer-valued doubles,
+  * exact under any partition order; the score rounds to 6 places.
   */
 object Bm25 {
 
@@ -56,7 +58,7 @@ object Bm25 {
     perTermContribs(docs, idCol, textCol, terms, k1, b)
       .select(col(idCol),
         round(when(col("_tnull"), lit(0.0)).otherwise(
-          aggregate(col("_contribs"), lit(0.0), (acc, x) => acc + x)),
+          graft.functions.Bm25Native.sumOrderedCol(col("_contribs"))),
           6).as("bm25"))
   }
 
@@ -73,7 +75,6 @@ object Bm25 {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
 
-    val termsArr = typedlit(terms)
     val toks = docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_t"))
       .withColumn("_dl", size(col("_t")))
 
@@ -81,12 +82,11 @@ object Bm25 {
     // null-text doc contributes a zero vector — exactly what the old
     // per-term `sum(array_contains(null,t))` null-skip produced —
     // while still counting in N (and not in avgdl: _dl stays null).
-    // The coalesce must sit INSIDE the transform: the outer array is
-    // built from the non-null terms literal and is never null itself —
-    // it's the ELEMENTS (`array_contains(null, t)`) that null out, and
-    // a null element crashes array_to_vector's non-null assert.
-    val matchVec = array_to_vector(transform(termsArr,
-      t => coalesce(array_contains(col("_t"), t), lit(false)).cast("double")))
+    // Native codegen'd kernel (Bm25Native): the HOF formulation
+    // (`transform` + `array_contains` per term) was CodegenFallback,
+    // an interpreted O(terms × doc_len) walk per corpus row.
+    val matchVec = array_to_vector(
+      graft.functions.Bm25Native.matchVecCol(col("_t"), terms))
     val stats = toks
       .withColumn("_mv", matchVec)
       .agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"),
@@ -94,24 +94,19 @@ object Bm25 {
       .select(col("_n"), col("_avgdl"),
         vector_to_array(col("_dfv")).as("_dfs"))
 
-    val lenNorm =
-      lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / col("_avgdl")
-    // one contribution per term, caller order: zip (term, df) pairs,
-    // then a left fold — the IEEE op chain per term is IDENTICAL to
-    // the per-term-expression formulation, just built from a lambda
-    val contributions = zip_with(termsArr, col("_dfs"), (t, dfT) => {
-      val tf = size(filter(col("_t"), x => x === t)).cast("double")
-      val idf = log(lit(1.0) +
-        (col("_n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
-      idf * (tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * lenNorm)
-    })
-    // A null-text doc's per-term chain nulls out (size(filter(null))
-    // is null, and lenNorm carries the null _dl) — callers score it
-    // 0.0 via _tnull, the "matches nothing" value the zero match
-    // vector already gave it on the stats side.
+    // one contribution per term, caller order, in a single codegen'd
+    // pass per doc (tf counts from one token walk, then the per-term
+    // chain in the replaced formulation's exact IEEE op order — see
+    // Bm25Native's determinism note). A null-text doc's contribution
+    // array nulls out wholesale (the HOF chain nulled per-element) —
+    // callers score it 0.0 via _tnull either way, the "matches
+    // nothing" value the zero match vector already gave it on the
+    // stats side.
     toks.crossJoin(stats)
       .select(col(idCol), col("_t").isNull.as("_tnull"),
-        contributions.as("_contribs"))
+        graft.functions.Bm25Native.contribsCol(
+          col("_t"), col("_dfs"), col("_n"), col("_avgdl"), terms, k1, b)
+          .as("_contribs"))
   }
 
   /** Top-k most relevant docs: score + TakeOrdered (no global sort). */

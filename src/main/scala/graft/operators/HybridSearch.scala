@@ -132,19 +132,25 @@ object HybridSearch {
 
     // normalized per-query term lists (trim+lower, drop empties,
     // first-occurrence dedup — Bm25.score's exact contract, so the
-    // per-query summation order matches the single-query fold)
+    // per-query summation order matches the single-query fold),
+    // resolved to 1-based POSITIONS in the allTerms contribution
+    // array. The HOFs here run once per QUERY row on the broadcast
+    // side (batch-sized); the corpus-scale row work below is a single
+    // codegen'd picksum — the replaced formulation built a
+    // term→contribution MAP per corpus row and folded it through the
+    // interpreted `aggregate` HOF.
     val q = broadcast(queries.select(
       col(qIdCol).as("q_id"),
-      array_distinct(filter(transform(col(qTermsCol), t => lower(trim(t))),
-        t => length(t) > 0)).as("_qts")))
+      transform(
+        array_distinct(filter(transform(col(qTermsCol), t => lower(trim(t))),
+          t => length(t) > 0)),
+        t => array_position(typedlit(allTerms), t)).as("_qidx")))
 
     val lexScored = Bm25.perTermContribs(docs, docIdCol, textCol, allTerms)
-      .withColumn("_cm", map_from_arrays(typedlit(allTerms), col("_contribs")))
       .crossJoin(q)
       .select(col("q_id"), col(docIdCol).as("doc_id"),
         round(when(col("_tnull"), lit(0.0)).otherwise(
-          aggregate(col("_qts"), lit(0.0),
-            (acc, t) => acc + coalesce(element_at(col("_cm"), t), lit(0.0)))),
+          graft.functions.Bm25Native.pickSumCol(col("_contribs"), col("_qidx"))),
           6).as("bm25"))
     val lexPool = lexScored.groupBy("q_id")
       .agg(graft.functions.TopKPairs.topKPairs(col("bm25"),

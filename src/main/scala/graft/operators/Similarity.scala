@@ -267,21 +267,40 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, seed: Long = 42L, maxIter: Int = 20,
       initMode: String = "k-means||"): IvfIndex = {
-    import org.apache.spark.ml.feature.{VectorAssembler => _}
-    import org.apache.spark.ml.linalg.Vectors
-    val toMl = org.apache.spark.ml.functions.array_to_vector(col(vecCol).cast("array<double>"))
-    val features = df.withColumn("_features", toMl)
-    // initMode "random" skips k-means||'s extra distributed init
-    // passes — centroid quality only shifts WHICH cells hold which
+    // Route (r12, the semanticDedup route applied here): centroid fit
+    // on a bounded deterministic SAMPLE driver-side + one map-only
+    // codegen'd argmax assignment pass — nobody Lloyd-iterates the
+    // corpus; centroid quality only shifts WHICH cells hold which
     // vectors (recall of the pruned path), never top-k correctness,
-    // and faiss-style IVF training routinely uses cheap init + few
-    // iterations on a sample at scale.
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
-      .setFeaturesCol("_features").setPredictionCol("_cell")
-    val model = km.fit(features)
-    val assigned = model.transform(features).drop("_features")
-    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+    // and faiss IVF training is exactly this shape (train on a
+    // sample, add everything). The distributed ML fit below remains
+    // the fallback where the sample fit's DRIVER footprint (k×dim
+    // accumulators + the collected sample) stops fitting — measured
+    // crossover in RECALL.md: the ML fit pays ~2 driver-scheduled
+    // jobs per Lloyd round regardless of data size, which DOMINATES
+    // the build at any corpus the bench reaches.
+    lazy val sampleFitFits = nlist <= 256 || {
+      val dim = probeDim(df, vecCol)
+      nlist.toLong * dim <= ExprAssignMaxKDim
+    }
+    if (nlist <= ExprAssignMaxCells && sampleFitFits) {
+      val centroids = sampleCentroids(df, idCol, vecCol, nlist, maxIter)
+      val assigned = df.withColumn("_cell",
+        graft.functions.CentroidFunctions.nearestCell(col(vecCol), centroids))
+      IvfIndex(assigned, centroids)
+    } else {
+      import org.apache.spark.ml.feature.{VectorAssembler => _}
+      val toMl = org.apache.spark.ml.functions.array_to_vector(col(vecCol).cast("array<double>"))
+      val features = df.withColumn("_features", toMl)
+      // initMode "random" skips k-means||'s extra distributed init
+      // passes
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
+        .setFeaturesCol("_features").setPredictionCol("_cell")
+      val model = km.fit(features)
+      val assigned = model.transform(features).drop("_features")
+      IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+    }
   }
 
   /** Persist an IVF index: the assignment parquet hive-partitioned by
@@ -584,7 +603,7 @@ object Similarity {
       .orderBy("_h").limit(CentroidSampleSize)
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("_v").toArray)
-    require(sample.nonEmpty, "semanticDedup: no non-null vectors to fit on")
+    require(sample.nonEmpty, "centroid fit: no non-null vectors to fit on")
     localLloyd(sample, math.min(k, sample.length), maxIter)
   }
 

@@ -66,6 +66,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 scoring stays in whole-stage codegen — no interpreted HOF chain") {
+    // the per-doc tf/contribution work is Bm25Native (native
+    // doGenCode); the transform/zip_with/aggregate lambda formulation
+    // it replaced was CodegenFallback — an interpreted
+    // O(terms × doc_len) tree-walk per corpus row
+    val p = plan("x_bm25")
+    assert(!p.contains("aggregate("), "x_bm25 still folds via the HOF:\n" + p.take(3000))
+    assert(!p.contains("zip_with"), "x_bm25 still zips via the HOF:\n" + p.take(3000))
+    assert(p.contains("graft_bm25_contribs") && p.contains("graft_array_fsum"),
+      "x_bm25 lacks the native kernels:\n" + p.take(3000))
+    // the hybrid batch leg sums per-query contributions via the native
+    // picksum on the corpus-scale rows (query-side HOFs are
+    // batch-sized and allowed)
+    val ph = plan("s_hybrid_knn")
+    assert(ph.contains("graft_array_picksum"), ph.take(3000))
+    assert(!ph.contains("map_from_arrays"),
+      "hybrid still builds a per-corpus-row term map:\n" + ph.take(3000))
+  }
+
   test("top-1-per-key is a partial aggregate, not a sort window") {
     // q_window and keyed dedup-with-tiebreak plan max_by/min_by
     // AGGREGATES with a map-side partial phase: only one row per key
