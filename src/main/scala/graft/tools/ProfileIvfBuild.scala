@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.Sessions
+import graft.operators.Similarity
+
+/** Dev tool: IVF index BUILD cost by fit route, per decade — the r11
+  * verdict's item 10 ("7.3 s to index 20k×64-d vectors is dominated by
+  * driver Lloyd + assignment jobs; profile whether the distributed-fit
+  * route engages at the right threshold and document the crossover").
+  *
+  * Measures, per embeddings star passed as an arg:
+  *   - the (r12) SAMPLE route `ivfIndex` now takes: bounded
+  *     deterministic sample → driver-local Lloyd → one map-only
+  *     codegen'd argmax assignment, + the hive-partitioned index write
+  *   - the DISTRIBUTED ML route it replaced (Spark ML KMeans fit +
+  *     transform), same write — the fallback past the k×dim bound
+  * and prints the route decision `ivfIndex` makes for that (n, k, dim).
+  * Median of 3 warm builds each. Not part of the library.
+  */
+object ProfileIvfBuild {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/tmp/graft_sf1", "/tmp/graft_sf10_star")
+    val nlist = sys.env.getOrElse("GRAFT_IVF_NLIST", "32").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
+    val spark = Sessions.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def med3(f: => Unit): Double = {
+      f // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
+    println("| star | n | dim | nlist | route chosen | sample-route build s | ML-route build s |")
+    println("|---|---|---|---|---|---|---|")
+    for (dir <- dirs) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+        .head().getInt(0)
+      val chosen =
+        if (nlist <= Similarity.ExprAssignMaxCells &&
+          (nlist <= 256 || nlist.toLong * dim <= Similarity.ExprAssignMaxKDim))
+          "sample" else "ML"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfb")
+
+      val tSample = med3 {
+        val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nlist = nlist, maxIter = 5, initMode = "random")
+        Similarity.saveIvfIndex(idx, tmp.resolve("s").toString)
+      }
+      val tMl = med3 {
+        // the replaced route, verbatim: distributed ML KMeans fit
+        val toMl = org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>"))
+        val features = emb.withColumn("_features", toMl)
+        val km = new org.apache.spark.ml.clustering.KMeans()
+          .setK(nlist).setSeed(42L).setMaxIter(5).setInitMode("random")
+          .setFeaturesCol("_features").setPredictionCol("_cell")
+        val model = km.fit(features)
+        Similarity.saveIvfIndex(
+          Similarity.IvfIndex(model.transform(features).drop("_features"),
+            model.clusterCenters.map(_.toArray)),
+          tmp.resolve("m").toString)
+      }
+      println(f"| $dir | $n | $dim | $nlist | $chosen | $tSample%.1f | $tMl%.1f |")
+      deleteTree(tmp)
+    }
+    spark.stop()
+  }
+}
