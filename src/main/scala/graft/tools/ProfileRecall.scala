@@ -154,6 +154,47 @@ object ProfileRecall {
     rows.result().foreach { case (m, p, r, s) =>
       md ++= f"| $m | $p | $r%.3f | $s%.3f | ${s / tBrute * 100}%.0f%% |\n"
     }
+
+    // IVF build cost by FIT ROUTE (r11 verdict item 10): the (r12)
+    // sample route (bounded deterministic sample → driver Lloyd → one
+    // map-only codegen'd assignment) vs the distributed ML fit it
+    // replaced, measured at this star and optionally a 10× one
+    // (arg 3) — the ML fit pays ~2 driver-scheduled jobs per Lloyd
+    // round regardless of data size, so the gap is a floor, not a
+    // slope. Route decision printed is the one ivfIndex makes.
+    md ++= "\n## IVF build cost by fit route (median of 3 warm, nlist=32, maxIter=5)\n\n"
+    md ++= "| star | n | route chosen | sample-route s | distributed-ML s |\n"
+    md ++= "|---|---|---|---|---|\n"
+    val buildStar = args.lift(2)
+    for (bdir <- Seq(star) ++ buildStar) {
+      val bEmb = spark.read.parquet(s"$bdir/embeddings.parquet")
+      val bn = bEmb.count()
+      def med3(f: => Unit): Double = {
+        f
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_recall_b")
+      val tS = med3 {
+        Similarity.saveIvfIndex(Similarity.ivfIndex(bEmb, "vec_id", "embedding",
+          nlist = 32, maxIter = 5, initMode = "random"), tmp.resolve("s").toString)
+      }
+      val tM = med3 {
+        val toMl = org.apache.spark.ml.functions.array_to_vector(
+          org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+        val features = bEmb.withColumn("_features", toMl)
+        val km = new org.apache.spark.ml.clustering.KMeans()
+          .setK(32).setSeed(42L).setMaxIter(5).setInitMode("random")
+          .setFeaturesCol("_features").setPredictionCol("_cell")
+        val model = km.fit(features)
+        Similarity.saveIvfIndex(
+          Similarity.IvfIndex(model.transform(features).drop("_features"),
+            model.clusterCenters.map(_.toArray)), tmp.resolve("m").toString)
+      }
+      md ++= f"| $bdir | $bn | sample | $tS%.1f | $tM%.1f |\n"
+      graft.LocalFs.deleteRecursively(tmp.toFile)
+    }
     md ++= """
 ## Reading the dials
 
