@@ -103,16 +103,20 @@ object Bm25Native {
 
   /** Fold `sum += values[idx[i]-1]` in idx order, skipping idx 0 /
     * null (array_position's "missing" value — the replaced
-    * `coalesce(element_at(map, t), 0.0)` added 0 there).
+    * `coalesce(element_at(map, t), 0.0)` added 0 there). An
+    * out-of-range position also adds 0 rather than crashing the
+    * executor: the only producer is array_position over the same
+    * terms list that sized `values`, so the branch is defensive.
     */
   def pickSum(values: ArrayData, idx: ArrayData): Double = {
     var s = 0.0
     var i = 0
     val n = idx.numElements()
+    val nv = values.numElements()
     while (i < n) {
       if (!idx.isNullAt(i)) {
         val p = idx.getLong(i)
-        s += (if (p > 0) values.getDouble((p - 1).toInt) else 0.0)
+        if (p > 0 && p <= nv) s += values.getDouble((p - 1).toInt)
       }
       i += 1
     }

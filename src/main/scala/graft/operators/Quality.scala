@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * (rows × N duplication) — fine at test SF and what the DuckDB oracle
   * checks; at 100 TB call with `exact = false`, which swaps in
   * HyperLogLog `approx_count_distinct` and keeps the pass Expand-free.
+  *
+  * API note: the REFERENCE's score is exact-distinct (two exact scans
+  * per column) — `exact = true` is the drop-in-parity mode and the
+  * oracle-checked one; `exact = false` trades distinct-count exactness
+  * (±~2% HLL error on `distinct_count` only; `null_rate`/`score` stay
+  * exact) for the single-pass plan a 100 TB profile needs.
   */
 object Quality {
 
