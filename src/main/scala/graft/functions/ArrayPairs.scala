@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen'd ordered-pair generation — replaces the nested-HOF
+  * formulation every bucket-local dedup family used for the in-row
+  * pair walk:
+  *
+  * {{{ explode(flatten(transform(sorted, (a, i) =>
+  *       transform(slice(sorted, i+2, size(sorted)), b => struct(a, b))))) }}}
+  *
+  * `transform`/`slice` are CodegenFallback, so a bucket of k members
+  * walked an interpreted expression tree O(k²) times per row — with
+  * the per-pair payload math (cosine, Hamming) ALSO trapped inside the
+  * interpreted lambda. This emits the k·(k−1)/2 `(a, b)` element pairs
+  * (i < j in array order — identical pair set and order) in one JVM
+  * loop; the payload math moves to codegen'd projections AFTER the
+  * explode.
+  */
+object ArrayPairs {
+
+  /** All ordered element pairs (i < j) of one array as (a, b) rows. */
+  def pairs(arr: ArrayData, et: DataType): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val vals = arr.toObjectArray(et)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](vals(i), vals(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Field `ordinal` of every struct element, one pass. */
+  def fieldArray(arr: ArrayData, ordinal: Int, numFields: Int,
+      ft: DataType): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, numFields)
+        if (!row.isNullAt(ordinal)) out(i) = row.get(ordinal, ft)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  /** `array<T>` → `array<struct<a: T, b: T>>` of all i<j pairs. */
+  def orderedPairsCol(arr: Column): Column = ncol(OrderedPairsExpr(ex(arr)))
+
+  /** `array<struct<…>>` → `array<field>` — the
+    * `transform(arr, s => s.getField(name))` projection without the
+    * interpreted HOF walk.
+    */
+  def fieldArrayCol(arr: Column, field: String): Column =
+    ncol(FieldArrayExpr(ex(arr), field))
+}
+
+/** `graft_ordered_pairs(arr)`: see [[ArrayPairs]]. */
+case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ordered_pairs requires ARRAY, got ${other.sql}")
+  }
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", elemType), StructField("b", elemType))),
+    containsNull = false)
+  override def prettyName: String = "graft_ordered_pairs"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ArrayPairs.pairs(input.asInstanceOf[ArrayData], elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val etRef = ctx.addReferenceObj("pairsElemType", elemType,
+      "org.apache.spark.sql.types.DataType")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ArrayPairs.pairs($c, $etRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairsExpr =
+    copy(child = newChild)
+}
+
+/** `graft_field_array(arr)` with an embedded field name: see
+  * [[ArrayPairs.fieldArrayCol]].
+  */
+case class FieldArrayExpr(child: Expression, field: String)
+    extends UnaryExpression {
+
+  private def structType: StructType = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fieldNames.contains(field) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_field_array requires ARRAY<STRUCT> with field '$field', got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(structType(structType.fieldIndex(field)).dataType,
+      containsNull = true)
+  override def prettyName: String = "graft_field_array"
+
+  @transient private lazy val ordinal = structType.fieldIndex(field)
+  @transient private lazy val numFields = structType.fields.length
+  @transient private lazy val ft = structType(ordinal).dataType
+
+  protected override def nullSafeEval(input: Any): Any =
+    ArrayPairs.fieldArray(input.asInstanceOf[ArrayData], ordinal, numFields, ft)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ftRef = ctx.addReferenceObj("fieldArrFt", ft,
+      "org.apache.spark.sql.types.DataType")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ArrayPairs.fieldArray($c, $ordinal, " +
+        s"$numFields, $ftRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FieldArrayExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,166 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen'd SemDeDup cell walk — replaces the
+  * `transform(sorted, (x,i) => when(exists(slice(sorted,1,i), y =>
+  * round(cos,4) >= t), x._id))` chain in
+  * `Similarity.dropWithinCells`: `transform`/`exists`/`slice` are
+  * CodegenFallback, so every pair test paid interpreted glue around
+  * the (already native) dot product — O(occupancy²) interpreted nodes
+  * per cell. One JVM loop here, with the early-exit `exists` gives for
+  * free (break on first hit).
+  *
+  * Semantics pinned to the replaced chain:
+  *  - x (at index i) drops iff SOME earlier y (index < i, the caller's
+  *    array_sort order) tests true;
+  *  - nn = y.nm * x.nm; a null norm or null vector nulls the test
+  *    (never drops on its own — `when(null)` fell through to the
+  *    not-dropped branch);
+  *  - nn == 0.0 ⇒ cosine is 1.0 for IDENTICAL vectors, else 0.0 —
+  *    equality via the interpreted ordering the lambda used
+  *    (Float/Double.compare: NaN == NaN, -0.0 != 0.0);
+  *  - else cos = dot(y.v, x.v) / nn with the exact left-to-right
+  *    double accumulation of [[VectorFunctions.dotProduct]]
+  *    (length mismatch / null element ⇒ null test);
+  *  - the test is `round(cos, 4) >= threshold` with Spark's
+  *    round-of-double (NaN/Inf pass through; else
+  *    `BigDecimal.valueOf(cos).setScale(4, HALF_UP)`).
+  *
+  * Input: `array<struct<id, vec array<float|double>, nm double>>`
+  * (field ORDER is the contract, names free). Output: the dropped ids
+  * in index order.
+  */
+object SemanticDrops {
+
+  def drops(items: ArrayData, st: StructType, vecIsFloat: Boolean,
+      threshold: Double): ArrayData = {
+    val n = items.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val idType = st.fields(0).dataType
+    val rows = (0 until n).map(i => items.getStruct(i, 3)).toArray
+    val vecs = new Array[ArrayData](n)
+    val nms = new Array[java.lang.Double](n)
+    var i = 0
+    while (i < n) {
+      vecs(i) = if (rows(i).isNullAt(1)) null else rows(i).getArray(1)
+      nms(i) = if (rows(i).isNullAt(2)) null
+        else java.lang.Double.valueOf(rows(i).getDouble(2))
+      i += 1
+    }
+    def elem(v: ArrayData, j: Int): Double =
+      if (vecIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
+    // Float/Double.compare equality — the interpreted ordering the
+    // replaced lambda's `===` used on array elements
+    def vecEqual(a: ArrayData, b: ArrayData): Boolean = {
+      val m = a.numElements()
+      if (b.numElements() != m) return false
+      var j = 0
+      while (j < m) {
+        val an = a.isNullAt(j); val bn = b.isNullAt(j)
+        if (an != bn) return false
+        if (!an && java.lang.Double.compare(elem(a, j), elem(b, j)) != 0)
+          return false
+        j += 1
+      }
+      true
+    }
+    // null ⇒ the pair test was SQL-null (treated as not-true)
+    def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+      val m = a.numElements()
+      if (b.numElements() != m) return null
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        if (a.isNullAt(j) || b.isNullAt(j)) return null
+        s += elem(a, j) * elem(b, j)
+        j += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+    def round4(d: Double): Double =
+      if (d.isNaN || d.isInfinite) d
+      else JBigDecimal.valueOf(d).setScale(4, RoundingMode.HALF_UP).doubleValue()
+
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    i = 1
+    while (i < n) {
+      if (vecs(i) != null && nms(i) != null) {
+        var hit = false
+        var y = 0
+        while (!hit && y < i) {
+          if (vecs(y) != null && nms(y) != null) {
+            val nn = nms(y).doubleValue() * nms(i).doubleValue()
+            if (nn == 0.0) {
+              hit = vecEqual(vecs(y), vecs(i)) && round4(1.0) >= threshold
+            } else {
+              val d = dot(vecs(y), vecs(i))
+              if (d != null) hit = round4(d.doubleValue() / nn) >= threshold
+            }
+          }
+          y += 1
+        }
+        if (hit) out += rows(i).get(0, idType)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
+
+  def dropsCol(items: Column, threshold: Double): Column =
+    ncol(SemanticDropsExpr(ex(items), threshold))
+}
+
+/** `graft_semantic_drops(items)` with an embedded threshold: see
+  * [[SemanticDrops]].
+  */
+case class SemanticDropsExpr(child: Expression, threshold: Double)
+    extends UnaryExpression {
+
+  private def itemType: StructType = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fields.length == 3 =>
+      (st.fields(1).dataType, st.fields(2).dataType) match {
+        case (ArrayType(FloatType | DoubleType, _), DoubleType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_semantic_drops requires struct<id, array<float|double>, double>, got $other")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_semantic_drops requires ARRAY<STRUCT<id, vec, nm>>, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(itemType.fields(0).dataType, containsNull = true)
+  override def prettyName: String = "graft_semantic_drops"
+
+  @transient private lazy val vecIsFloat: Boolean =
+    itemType.fields(1).dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType
+  @transient private lazy val st: StructType = itemType
+
+  protected override def nullSafeEval(input: Any): Any =
+    SemanticDrops.drops(input.asInstanceOf[ArrayData], st, vecIsFloat, threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stRef = ctx.addReferenceObj("semDropSt", st,
+      "org.apache.spark.sql.types.StructType")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SemanticDrops.drops($c, $stRef, " +
+        s"$vecIsFloat, $threshold);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SemanticDropsExpr =
+    copy(child = newChild)
+}

@@ -234,37 +234,17 @@ object TextFunctions {
     * DuckDB — identical on BMP text (the corpus); non-BMP chars would
     * need a codepoint split.
     */
-  def charEntropy(text: Column): Column = {
-    // Spark's split(t, "") runs Java split(regex, -1), which keeps a
-    // TRAILING empty string — drop empties and take n from length(),
-    // or every p is off by 1/(n+1)
-    val chars = filter(split(text, ""), x => length(x) > 0)
-    val n = length(text).cast("double")
-    val dist = array_sort(array_distinct(chars))
-    val terms = transform(dist, c => {
-      val p = size(filter(chars, x => x === c)).cast("double") / n
-      // log2 via ln/ln(2): Java's and C's natural logs agree bit-for-bit
-      // on these inputs (the LmScore precedent) where their log2s drift
-      // a ulp — enough to straddle a quantization boundary
-      // DECIMAL(20,10), not (28,10): the fold's addition must fit the
-      // 38-digit cap WITH its +1 carry digit, or Spark silently drops
-      // the result scale to 9 and rounds EVERY step (the (38,10)+(28,10)
-      // rule) — caught as a 5.5e-9 drift against the oracle's exact sum
-      (-p * (log(p) / log(lit(2.0)))).cast("decimal(20,10)")
-    })
-    // the fold re-pins the accumulator type: Spark types d(38,10)+d(28,10)
-    // as d(38,9) (precision-loss rule), but the values are tiny — the
-    // round-trip cast is exact and keeps the lambda type stable
-    // the 6-dp round happens in the DECIMAL domain: the exact sum can
-    // land on a true tie (…xx50000 at the 7th place), where rounding
-    // the DOUBLE diverges between engines (Spark rounds the shortest
-    // string repr, DuckDB the binary value) — decimal rounding is
-    // ties-away-from-zero in both
-    when(text.isNull || length(text) === 0, lit(0.0))
-      .otherwise(round(
-        aggregate(terms, lit(0).cast("decimal(27,10)"),
-          (acc, x) => (acc + x).cast("decimal(27,10)")), 6).cast("double"))
-  }
+  def charEntropy(text: Column): Column =
+    // (r12) native codegen'd kernel — the Column-chain formulation this
+    // replaces (`transform(distinct, c => size(filter(chars, _===c)))`
+    // + a decimal `aggregate` fold) was CodegenFallback: an
+    // O(alphabet × doc_len) interpreted tree-walk per row. CharEntropy
+    // pins its semantics bit-exactly (per-term Double.toString-based
+    // decimal quantization at scale 10, exact integer-sum in char
+    // order, HALF_UP round(6) in the decimal domain — the ties and
+    // 1-ulp log2 notes in its scaladoc), so the DuckDB oracle stays
+    // hash-exact.
+    CharEntropy.charEntropyCol(text)
 
   /** HTML boilerplate extraction — the crawl-to-text step before any
     * quality/dedup filter sees a page (the WET-extraction shape):

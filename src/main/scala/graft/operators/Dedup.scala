@@ -197,10 +197,11 @@ object Dedup {
       .agg(collect_list(col("_id")).as("_ids"))
       .filter(size(col("_ids")).between(2, maxBucketSize))
       .withColumn("_sorted", array_sort(col("_ids")))
-      .select(explode(flatten(transform(col("_sorted"), (a, i) =>
-        transform(slice(col("_sorted"), i + lit(2), size(col("_sorted"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      // native pair walk (ArrayPairs — the nested-HOF formulation was
+      // an O(k²) interpreted tree-walk per bucket)
+      .select(explode(graft.functions.ArrayPairs.orderedPairsCol(
+        col("_sorted"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
     // Exact-Jaccard rerank: join the hashed shingle sets back in.
@@ -293,13 +294,12 @@ object Dedup {
       .agg(collect_list(struct(col("_id"), col("_sig"))).as("_items"))
       .filter(size(col("_items")).between(2, maxBucketSize))
       .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
-      .select(explode(flatten(transform(col("_sorted"), (a, i) =>
-        transform(slice(col("_sorted"), i + lit(2), size(col("_sorted"))),
-          b => struct(
-            a.getField("_id").as("id_a"), b.getField("_id").as("id_b"),
-            bit_count(a.getField("_sig").bitwiseXOR(b.getField("_sig")))
-              .as("hamming")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      // native pair walk; the Hamming math moves OUT of the (formerly
+      // interpreted) lambda into a codegen'd projection after explode
+      .select(explode(graft.functions.ArrayPairs.orderedPairsCol(
+        col("_sorted"))).as("p"))
+      .select(col("p.a._id").as("id_a"), col("p.b._id").as("id_b"),
+        bit_count(col("p.a._sig").bitwiseXOR(col("p.b._sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -752,10 +752,12 @@ object Dedup {
     val nCol = size(col("_items"))
     val prefixLen =
       (nCol - ceil(lit(threshold) * nCol - lit(eps)) + lit(1)).cast("int")
+    // explode the sliced structs, project the hash AFTER — `slice` is
+    // codegen'd, while a transform lambda here was an interpreted
+    // O(prefix) walk per doc
     val prefix = byDoc.select(col("_id"), nCol.as("_n"),
-      explode(transform(
-        slice(col("_items"), lit(1), prefixLen),
-        s => s.getField("_h"))).as("_h"))
+        explode(slice(col("_items"), lit(1), prefixLen)).as("_s"))
+      .select(col("_id"), col("_n"), col("_s._h").as("_h"))
 
     val capValue: Option[Long] = maxCandidatePairs match {
       case CandidateCap.Unbounded => None
@@ -803,9 +805,11 @@ object Dedup {
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .distinct()
 
-    // Exact rerank over full (hashed) shingle sets.
+    // Exact rerank over full (hashed) shingle sets (native field
+    // projection — the transform lambda was an interpreted O(set)
+    // walk per doc).
     val sets = byDoc.select(col("_id"),
-      transform(col("_items"), s => s.getField("_h")).as("_set"))
+      graft.functions.ArrayPairs.fieldArrayCol(col("_items"), "_h").as("_set"))
     lenOk
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")

@@ -76,14 +76,18 @@ object LmScore {
     topV.foreach(v => require(v > 0, s"topV must be positive, got $v"))
 
     def toks(df: DataFrame) = df
-      .select(col(idCol).as("_id"),
+      .select(col(idCol).as("_id"), col(textCol).as("_tx"),
         split(lower(trim(col(textCol))), "\\s+").as("_t"))
       .filter(size(col("_t")) >= 2)
 
+    // (r12) native codegen'd 2-gram shingle stream — identical
+    // tokenization (UTF8String trim/lower + the same \s+ split) and
+    // identical space-joined values as the transform-over-slice lambda
+    // it replaces, which was CodegenFallback: an O(doc_len)
+    // interpreted walk per row on every corpus-scale scan (train
+    // bigrams AND scored bigrams)
     def bigrams(df: DataFrame) = df.select(col("_id"),
-      explode(transform(
-        slice(col("_t"), lit(1), size(col("_t")) - 1),
-        (w, i) => concat_ws(" ", w, element_at(col("_t"), i + lit(2)))))
+      explode(graft.functions.TextSignatures.shingleStringsCol(col("_tx"), 2))
         .as("_bg"))
 
     val trainToks = toks(train.getOrElse(docs))

@@ -546,19 +546,15 @@ object Similarity {
       .agg(collect_list(struct(col("_id"), col("_v"), col("_nm"))).as("_items"))
       .filter(size(col("_items")).between(2, maxCellSize))
       .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
-      .select(explode(filter(
-        transform(col("_sorted"), (x, i) =>
-          when(exists(slice(col("_sorted"), lit(1), i), y => {
-            val nn = y.getField("_nm") * x.getField("_nm")
-            // zero-norm pairs have no defined cosine; an IDENTICAL
-            // zero vector is still a duplicate (exact equality ⇒
-            // cosine 1 by continuity), anything else is incomparable
-            val cos = when(nn === 0.0,
-                when(y.getField("_v") === x.getField("_v"), 1.0).otherwise(0.0))
-              .otherwise(dot(y.getField("_v"), x.getField("_v")) / nn)
-            round(cos, 4) >= threshold
-          }), x.getField("_id"))),
-        c => c.isNotNull)).as("_drop_id"))
+      // native cell walk (SemanticDrops — the transform/exists/slice
+      // chain it replaces was interpreted glue around every pair
+      // test): drop x when an EARLIER sorted member y has
+      // round(cos, 4) >= threshold; zero-norm pairs have no defined
+      // cosine, but an IDENTICAL zero vector is still a duplicate
+      // (exact equality ⇒ cosine 1 by continuity), anything else is
+      // incomparable
+      .select(explode(graft.functions.SemanticDrops.dropsCol(
+        col("_sorted"), threshold)).as("_drop_id"))
     df.join(drops, df(idCol) === drops("_drop_id"), "left_anti")
   }
 
@@ -749,13 +745,12 @@ object Similarity {
       .agg(collect_list(struct(col("_id"), col("_v"))).as("_items"))
       .filter(size(col("_items")).between(2, maxBucketSize))
       .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
-      .select(explode(flatten(transform(col("_sorted"), (a, i) =>
-        transform(slice(col("_sorted"), i + lit(2), size(col("_sorted"))),
-          b => struct(
-            a.getField("_id").as("id_a"), b.getField("_id").as("id_b"),
-            round(cosine(a.getField("_v"), b.getField("_v")), 4)
-              .as("cos_sim")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.cos_sim"))
+      // native pair walk (ArrayPairs); the cosine moves OUT of the
+      // (formerly interpreted) lambda into a codegen'd projection
+      .select(explode(graft.functions.ArrayPairs.orderedPairsCol(
+        col("_sorted"))).as("p"))
+      .select(col("p.a._id").as("id_a"), col("p.b._id").as("id_b"),
+        round(cosine(col("p.a._v"), col("p.b._v")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -360,19 +360,14 @@ object TextQueries {
     // All in-row array math — ONE generate per doc, no shuffle beyond
     // the output sort; short docs yield exactly one whole-doc chunk.
     "x_chunk_docs" -> ((s, dir) => {
-      val W = 32
-      val S = 16
-      val toks = split(trim(col("text")), "\\s+")
-      val n = size(toks)
-      val lastStart = greatest(
-        ceil((n - lit(W)).cast("double") / lit(S)).cast("long"), lit(0L))
+      // native one-pass chunker (ChunkDocs): the transform-over-
+      // sequence lambda it replaces was CodegenFallback AND
+      // re-evaluated the regex tokenization per CHUNK (outer
+      // expression inside a lambda — the Dedup.shingles lesson)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(transform(sequence(lit(0L), lastStart), i =>
-            struct(i.as("chunk_id"),
-              array_join(slice(toks, (i * S + 1).cast("int"), lit(W)), " ").as("chunk"),
-              size(slice(toks, (i * S + 1).cast("int"), lit(W))).cast("long")
-                .as("n_chunk_tokens")))).as("c"))
+          explode(graft.functions.ChunkDocs.chunksCol(
+            col("text"), width = 32, stride = 16)).as("c"))
         .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"),
           col("c.n_chunk_tokens"))
         .orderBy("doc_id", "chunk_id")

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch: sweep every SparkEntry query's EXECUTED plan for
+  * interpreted-lambda markers (the CodegenFallback HOF family and
+  * typed-boundary nodes) — the class of per-row cost r3/r12 evicted
+  * from the dedup/DSIR/BM25 hot paths. Prints hits; empty output =
+  * nothing left on any oracle-facing path. Not part of the library.
+  */
+object ScanHof {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.tune(
+      SparkSession.builder().master("local[8]"), 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val markers = Seq("aggregate(", "zip_with(", "transform(", "exists(",
+      "filter(lambda", "map_from_arrays", "DeserializeToObject")
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val hits = markers.filter(p.contains)
+        if (hits.nonEmpty) println(s"HOF $name: ${hits.mkString(", ")}")
+      } catch { case e: Throwable => println(s"ERR $name ${e.getMessage}") }
+    }
+    println("SCAN_DONE")
+    spark.stop()
+  }
+}

@@ -85,6 +85,26 @@ class PlanSpec extends AnyFunSuite {
       "hybrid still builds a per-corpus-row term map:\n" + ph.take(3000))
   }
 
+  test("r12 HOF sweep: no interpreted lambda on any corpus-scale hot path") {
+    // graft.tools.ScanHof sweeps every query; these are the paths the
+    // r12 evictions cleared (native ArrayPairs / SemanticDrops /
+    // CharEntropy / ChunkDocs / shingleStrings kernels) — a lambda
+    // reappearing here is an interpreted per-row walk at 100 TB.
+    // Residual by-design sites (NOT pinned clean): d_embed_neardup's
+    // clone-synthesis fixture, mm_pipeline's typed decode boundary,
+    // s_hybrid_knn's batch-sized broadcast query side.
+    val markers = Seq("transform(", "exists(", "zip_with(", "aggregate(",
+      "map_from_arrays")
+    for (name <- Seq("d_minhash_exact", "d_simhash_exact", "d_embed_exact",
+        "d_semantic_dedup", "d_ngram_jaccard", "x_entropy_filter",
+        "x_chunk_docs", "x_lm_score")) {
+      val p = plan(name)
+      val hits = markers.filter(p.contains)
+      assert(hits.isEmpty, s"$name has interpreted HOFs ${hits.mkString(",")}:\n" +
+        p.take(3000))
+    }
+  }
+
   test("top-1-per-key is a partial aggregate, not a sort window") {
     // q_window and keyed dedup-with-tiebreak plan max_by/min_by
     // AGGREGATES with a map-side partial phase: only one row per key
