@@ -69,6 +69,23 @@ object CharEntropy {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
 
   def charEntropyCol(text: Column): Column = ncol(CharEntropyExpr(ex(text)))
+
+  /** SQL name `graft_char_entropy(text)` (idempotent, the
+    * TextSignatures.register pattern).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_char_entropy"))) return
+    reg.registerFunction(
+      FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyExpr].getName, "graft_char_entropy"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "graft_char_entropy takes exactly 1 argument")
+        CharEntropyExpr(children.head)
+      })
+  }
 }
 
 /** `graft_char_entropy(text)` → double; see [[CharEntropy]]. */

@@ -58,6 +58,30 @@ object ChunkDocs {
 
   def chunksCol(text: Column, width: Int, stride: Int): Column =
     ncol(ChunksExpr(ex(text), width, stride))
+
+  /** SQL name `graft_chunks(text, width, stride)` (literal ints;
+    * idempotent, the TextSignatures.register pattern).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("graft_chunks"))) return
+    reg.registerFunction(
+      FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(classOf[ChunksExpr].getName, "graft_chunks"),
+      { children: Seq[Expression] =>
+        require(children.size == 3 && children(1).foldable && children(2).foldable,
+          "graft_chunks(text, width, stride) takes a column and two literal ints")
+        def litInt(e: Expression, what: String): Int = {
+          val v = e.eval()
+          require(v != null, s"graft_chunks: $what must not be NULL")
+          v.asInstanceOf[Number].intValue
+        }
+        ChunksExpr(children.head, litInt(children(1), "width"),
+          litInt(children(2), "stride"))
+      })
+  }
 }
 
 /** `graft_chunks(text)` with embedded (width, stride): see [[ChunkDocs]]. */
