@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document top-k TF-IDF terms — the lightweight "what is this
+  * doc about" signal corpus pipelines use for topic labeling, cluster
+  * naming, and near-dup triage (a cheap standalone cousin of
+  * [[Bm25]]'s query-anchored scoring; Salton & Buckley 1988).
+  *
+  * `score(d, t) = tf(d,t) · ln(N / df(t))` over whitespace tokens
+  * (trim+lower — the corpus tokenization every text operator here
+  * shares), top `k` terms per doc by score desc, term asc.
+  *
+  * Scale shape: ONE corpus-scale hash aggregate builds (doc, term,
+  * tf) with map-side combine; df(t) reduces THAT table (vocabulary-
+  * sized output) and joins back on the term key — AQE broadcasts it
+  * when the vocabulary fits, and N rides a 1-row lazy aggregate
+  * cross-join (the Bm25 stats shape, no eager driver job). The
+  * per-doc top-k runs as a window partitioned BY DOCUMENT: partition
+  * size is a doc's distinct-term count (bounded by doc length), never
+  * corpus- or key-proportional, so the sort inside each partition is
+  * constant-bounded at any corpus size.
+  *
+  * Determinism: `N / df` is a ratio of exact small integers (both
+  * engines hand ln the identical double), tf is an exact integer, and
+  * the product rounds to 6 places before ranking; rank ties break on
+  * the term text ascending — the output is a pure function of the
+  * corpus.
+  */
+object TfIdf {
+
+  def topTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"tfidf topTerms: k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val w = Window.partitionBy("_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfT, "term")
+      .crossJoin(nRow)
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("_n") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_id").as(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+}

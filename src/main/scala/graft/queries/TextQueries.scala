@@ -201,6 +201,18 @@ object TextQueries {
           Seq("spark", "query", "filter"))
         .orderBy("doc_id")),
 
+    // Per-doc top-k TF-IDF terms (r12 — topic labeling / cluster
+    // naming / near-dup triage). One corpus-scale (doc,term) hash agg
+    // with map-side combine; df reduces THAT table (vocab-sized) and
+    // joins back; per-doc top-k is a window whose partition is a
+    // doc's own distinct-term count — constant-bounded at any corpus
+    // size. Deterministic ranking: score rounds to 6 places, ties
+    // break on term text.
+    "x_tfidf_terms" -> ((s, dir) =>
+      graft.operators.TfIdf.topTerms(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // Mixture realization WITH upsampling at a fixed token budget:
     // rates above 1 repeat a doc across epochs (deterministic md5
     // fractional threshold). Budget 60000 >> the small languages'
@@ -686,6 +698,32 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN (SELECT doc_id, _lbl FROM pred WHERE rn = 1) p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    // TF-IDF twin: same tokenization as every text oracle
+    // (regexp_split_to_array of lower(trim())), N/df is an exact
+    // small-integer ratio so both engines hand ln the identical
+    // double; rank cast to INTEGER to match Spark's row_number type.
+    "x_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(term)
+        |  WHERE length(t.term) > 0
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(dft.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
     // Generated per term to mirror Bm25.score's expression tree
     // exactly: same operator precedence, same left-fold term order,
     // every constant CAST AS DOUBLE (DuckDB literals are DECIMAL).
