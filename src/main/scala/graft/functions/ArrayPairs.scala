@@ -29,8 +29,16 @@ object ArrayPairs {
   def pairs(arr: ArrayData, et: DataType): ArrayData = {
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // n·(n−1)/2 in Long first: callers set maxBucketSize/maxCellSize,
+    // and past 65536 elements the Int product wraps negative and this
+    // would throw NegativeArraySizeException mid-stage instead of a
+    // usable error.
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= Int.MaxValue,
+      s"array of $n elements would expand to $nPairs pairs — past the " +
+        "single-array limit; lower the bucket/cell size cap feeding this pair walk")
     val vals = arr.toObjectArray(et)
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n - 1) {

@@ -145,6 +145,12 @@ object Bm25Native {
   */
 case class Bm25MatchVecExpr(child: Expression, terms: IndexedSeq[String])
     extends UnaryExpression {
+  // Distinctness is the contract that keeps these kernels equivalent
+  // to the per-term array_contains chain they replaced: indexOf keeps
+  // only the FIRST slot of a repeated term (putIfAbsent), so a
+  // duplicate would silently score 0 where the chain scored it again.
+  require(terms.distinct.size == terms.size,
+    s"BM25 terms must be distinct, got $terms")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -190,6 +196,10 @@ case class Bm25ContribsExpr(
     first: Expression, second: Expression, third: Expression,
     fourth: Expression, terms: IndexedSeq[String], k1: Double, b: Double)
     extends QuaternaryExpression {
+  // Same distinctness contract as Bm25MatchVecExpr (indexOf is
+  // first-slot-wins; duplicates would get a permanently-zero tf slot).
+  require(terms.distinct.size == terms.size,
+    s"BM25 terms must be distinct, got $terms")
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
       case (ArrayType(StringType, _), ArrayType(DoubleType, _), LongType, DoubleType) =>

@@ -76,7 +76,12 @@ object ChunkDocs {
         def litInt(e: Expression, what: String): Int = {
           val v = e.eval()
           require(v != null, s"graft_chunks: $what must not be NULL")
-          v.asInstanceOf[Number].intValue
+          v match {
+            case n: Number => n.intValue
+            case other => throw new IllegalArgumentException(
+              s"graft_chunks: $what must be an integer literal, got " +
+                s"'$other' (${e.dataType.sql}) — write graft_chunks(text, 32, 16), not quoted numbers")
+          }
         }
         ChunksExpr(children.head, litInt(children(1), "width"),
           litInt(children(2), "stride"))

@@ -85,11 +85,21 @@ object BpeTrain {
     * implementation's shape), whose size is symbols-bounded.
     */
   private[operators] def trainLocal(
-      words: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+      words: Array[(String, Long)], numMerges: Int): Seq[(String, String)] =
+    trainLocalSeqs(
+      words.map { case (w, _) => w.map(_.toString).toArray :+ EndOfWord },
+      words.map(_._2), numMerges)
+
+  /** The merge loop proper, over pre-built symbol sequences — shared
+    * with [[ByteBpe]] (byte-level symbols, no sentinel). Mutates
+    * nothing outside; `seqs` is copied defensively by callers that
+    * reuse their arrays.
+    */
+  private[operators] def trainLocalSeqs(
+      seqs0: Array[Array[String]], cnts: Array[Long],
+      numMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
-    val seqs: Array[Array[String]] =
-      words.map { case (w, _) => w.map(_.toString).toArray :+ EndOfWord }
-    val cnts: Array[Long] = words.map(_._2)
+    val seqs: Array[Array[String]] = seqs0
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     // pair → indices of words that contained the pair when last
     // indexed; entries go stale when a word is rebuilt (lazy deletion:

@@ -894,4 +894,84 @@ object Dedup {
       stageDir: Option[String] = None): DataFrame =
     df.join(spanDuplicateIds(df, idCol, textCol, spanTokens, stageDir),
       Seq(idCol), "left_anti")
+
+  /** Max FLAGGED-DOC rows (id + positions array) the span-scrub
+    * remainder join will broadcast. Hit rows are heavier than
+    * [[SpanBroadcastLimit]]'s 16-byte span rows — a fully-duplicated
+    * doc carries ~one int per token — so the cap is lower; at ~500 B
+    * a row the cap is ~50 MB, the same executor budget.
+    */
+  val ScrubHitsBroadcastLimit: Long = 100000L
+
+  /** Exact-substring span SCRUBBING (Lee et al. 2021's ExactSubstr
+    * behavior, vs [[dropSpanDuplicates]]'s whole-doc drop): cut the
+    * maximal duplicated token ranges OUT of each document and keep
+    * the unique remainder. A doc that is shared boilerplate wrapped
+    * around unique text survives with the unique text intact; a doc
+    * that is entirely a copy of an earlier one scrubs to empty and is
+    * dropped — equivalent to [[dropSpanDuplicates]] in that case.
+    *
+    * Keep-first semantics: a window is flagged in doc d iff the same
+    * `spanTokens`-word shingle occurs in SOME doc with smaller id —
+    * the corpus-minimum owner of every span keeps its copy, exactly
+    * [[spanDuplicateIds]]'s `_id > _first` rule (hash chain is
+    * bit-identical, see [[graft.functions.SpanScrub]]).
+    *
+    * Shape (100 TB story): positioned-shingle posexplode → ONE posting
+    * hash-aggregate (map-side partial) filtered to multi-owner spans →
+    * plan-time-broadcast probe join (same [[SpanBroadcastLimit]]
+    * device as [[spanDuplicateIds]] — the probe side never shuffles
+    * when duplication is bounded) → per-doc sorted hit positions (one
+    * shuffle of the FLAGGED hits only) → one scan over the corpus
+    * joining hits back (broadcast when the flagged-doc table is small)
+    * with the range merge + cut as per-doc array math in a codegen'd
+    * expression. Nothing past the posting agg touches more than the
+    * flagged volume plus one corpus scan.
+    *
+    * @param minSpanTokens merged duplicated ranges SHORTER than this
+    *        survive (Lee et al. scrub at a minimum match length so
+    *        incidental short collisions don't shred text). Default =
+    *        `spanTokens`: every flagged range is cut.
+    * @return (idCol, textCol scrubbed — whitespace-normalized, case
+    *         preserved — plus `n_cut` tokens removed); docs whose
+    *         remainder is empty are dropped.
+    */
+  def scrubSpanDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8,
+      minSpanTokens: Int = 0,
+      stageDir: Option[String] = None): DataFrame = {
+    val minSpan = if (minSpanTokens <= 0) spanTokens else minSpanTokens
+    val grams = df.select(col(idCol).as("_id"),
+      posexplode(graft.functions.SpanScrub
+        .positionedShinglesCol(col(textCol), spanTokens)).as(Seq("_pos", "_g")))
+    // Same aggregate-first + plan-time-broadcast shape as
+    // spanDuplicateIds (see the rationale there): only multi-owner
+    // spans can flag anything.
+    val dupSpans = grams.groupBy("_g")
+      .agg(min(col("_id")).as("_first"), max(col("_id")).as("_last"))
+      .filter(col("_last") > col("_first"))
+      .select(col("_g"), col("_first"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDup = dupSpans.count()
+    val probe =
+      if (nDup <= SpanBroadcastLimit) grams.join(broadcast(dupSpans), "_g")
+      else grams.join(dupSpans, "_g")
+    val hits = stage(
+      probe.filter(col("_id") > col("_first"))
+        .groupBy("_id")
+        .agg(sort_array(collect_list(col("_pos"))).as("_starts")),
+      stageDir, eager = true)
+    dupSpans.unpersist()
+    val nHit = hits.count()
+    val hitSide = if (nHit <= ScrubHitsBroadcastLimit) broadcast(hits) else hits
+    val scrubbed = df
+      .join(hitSide, col(idCol) === col("_id"), "left")
+      .withColumn("_scrub", graft.functions.SpanScrub
+        .scrubCol(col(textCol), col("_starts"), spanTokens, minSpan))
+      .select(col(idCol),
+        col("_scrub").getField("text").as(textCol),
+        col("_scrub").getField("n_cut").as("n_cut"))
+    scrubbed.filter(length(col(textCol)) > 0)
+  }
 }

@@ -263,6 +263,15 @@ object Similarity {
       assigned: DataFrame, // original columns + _cell
       centroids: Array[Array[Double]])
 
+  /** NOTE on `seed`/`initMode` scope: the default sample-fit route is
+    * FULLY deterministic — sample selection is md5(id)-ordered and
+    * init is the first k sample vectors — so `seed` and `initMode`
+    * deliberately have NO effect there (varying the seed returns the
+    * same index; there is no randomness to steer). Both apply only to
+    * the distributed-ML fallback taken past [[ExprAssignMaxCells]] /
+    * [[ExprAssignMaxKDim]]. Top-k correctness never depends on the
+    * fit either way; only cell recall does (RECALL.md).
+    */
   def ivfIndex(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, seed: Long = 42L, maxIter: Int = 20,

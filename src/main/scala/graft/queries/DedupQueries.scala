@@ -552,6 +552,34 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Span SCRUBBING (Lee et al. 2021 ExactSubstr): the fixture plants
+    // two clone groups under shared 10-token header / 9-token footer
+    // boilerplate — group 1M wraps a COPIED body (scrubs to empty →
+    // dropped, ≡ dropSpanDuplicates; the corpus-first owner 1000000
+    // keeps its boilerplate), group 2M wraps a per-doc UNIQUE body
+    // (boilerplate cut, the 10 unique tokens survive verbatim — the
+    // case whole-doc drop throws away). Deterministic ⇒ the gram-
+    // string comprehension oracle applies (hashes vs strings: same
+    // xxhash64-collision note as d_span_dedup).
+    "d_span_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val header = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+      val footer = " omega psi chi phi upsilon tau sigma rho pi"
+      val wrapped = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + CloneShift).as("doc_id"),
+          concat(lit(header), col("text"), lit(footer)).as("text"))
+      val uniqueBody = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 2 * CloneShift).as("doc_id"),
+          concat(lit(header),
+            expr("replace('uXa uXb uXc uXd uXe uXf uXg uXh uXi uXj', 'X', " +
+              "CAST(doc_id AS STRING))"),
+            lit(footer)).as("text"))
+      val corpus = docs.unionByName(wrapped).unionByName(uniqueBody)
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.scrubSpanDuplicates(corpus, "doc_id", "text", spanTokens = 8)
+        .orderBy("doc_id")
+    }),
+
     // Incremental dedup: tonight's batch (doc_id % 10 == 7) against
     // the standing corpus (the rest), keyed on the bag-of-words
     // fingerprint — word-salad permutations of a corpus doc ARE
@@ -662,6 +690,53 @@ object DedupQueries {
         |)
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+    // Span scrubbing: token j (1-based) is cut iff some flagged
+    // window start s covers it (s <= j < s+8); kept tokens re-join
+    // with single spaces. minSpan = spanTokens here, so every merged
+    // range qualifies — the merge itself is only observable through
+    // the minSpan threshold, which the ScalaTest spec covers.
+    "d_span_scrub" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'alpha beta gamma delta epsilon zeta eta theta iota kappa ' || text ||
+        |    ' omega psi chi phi upsilon tau sigma rho pi'
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    'alpha beta gamma delta epsilon zeta eta theta iota kappa ' ||
+        |    replace('uXa uXb uXc uXd uXe uXf uXg uXh uXi uXj', 'X',
+        |            CAST(doc_id AS VARCHAR)) ||
+        |    ' omega psi chi phi upsilon tau sigma rho pi'
+        |  FROM documents WHERE doc_id < 40
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i
+        |  FROM toks WHERE len(t) >= 8
+        |), grams AS (
+        |  SELECT doc_id, i, array_to_string([lower(x) for x in t[i:i+7]], ' ') AS g
+        |  FROM pos
+        |), firsto AS (
+        |  SELECT g, min(doc_id) AS fst, max(doc_id) AS lst FROM grams GROUP BY g
+        |), hits AS (
+        |  SELECT gr.doc_id, list(gr.i ORDER BY gr.i) AS starts
+        |  FROM grams gr JOIN firsto f ON gr.g = f.g
+        |  WHERE f.fst < gr.doc_id
+        |  GROUP BY gr.doc_id
+        |), scrubbed AS (
+        |  SELECT tk.doc_id,
+        |    array_to_string([tk.t[j] for j in generate_series(1, len(tk.t))
+        |      if len([s for s in coalesce(h.starts, []) if s <= j AND j < s + 8]) = 0],
+        |      ' ') AS text,
+        |    CAST(len(tk.t) - len([tk.t[j] for j in generate_series(1, len(tk.t))
+        |      if len([s for s in coalesce(h.starts, []) if s <= j AND j < s + 8]) = 0])
+        |      AS BIGINT) AS n_cut
+        |  FROM toks tk LEFT JOIN hits h ON tk.doc_id = h.doc_id
+        |)
+        |SELECT doc_id, text, n_cut FROM scrubbed WHERE text != ''
         |ORDER BY doc_id""".stripMargin,
     "d_minhash_exact" ->
       """WITH corpus AS (

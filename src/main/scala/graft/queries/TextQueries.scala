@@ -238,6 +238,15 @@ object TextQueries {
           t(s, dir, "documents"), "doc_id", "text", minCount = 2L)
         .orderBy("doc_id")),
 
+    // Trigram variant (r13): same bounded-model recipe at order 3 —
+    // CCNet's real filter is a 5-gram KenLM; higher order separates
+    // salad from prose better than the bigram (spec'd). Same
+    // decimal-quantized determinism ⇒ same hash-exact oracle shape.
+    "x_lm_score3" -> ((s, dir) =>
+      graft.operators.LmScore.ngramScores(
+          t(s, dir, "documents"), "doc_id", "text", n = 3, minCount = 2L)
+        .orderBy("doc_id")),
+
     // Document fingerprint over normalized text.
     "x_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -856,6 +865,43 @@ object TextQueries {
         |  LEFT JOIN w1c ON split_part(bi.bg, ' ', 1) = w1c.w1
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Trigram twin: prefix = first TWO space-separated tokens
+    // (substring_index(bg,' ',2) ≡ split_part||' '||split_part), docs
+    // need >= 3 tokens, same minCount=2 floors / add-1 smoothing /
+    // decimal accumulation.
+    "x_lm_score3" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, t FROM toks WHERE len(t) >= 3
+        |), tri AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |            for i in generate_series(1, len(t)-2)]) AS bg
+        |  FROM f
+        |), bc AS (
+        |  SELECT bg, count(*) AS c12 FROM tri GROUP BY 1 HAVING count(*) >= 2
+        |), w1c AS (
+        |  SELECT split_part(bg, ' ', 1) || ' ' || split_part(bg, ' ', 2) AS w1,
+        |    count(*) AS c1
+        |  FROM tri GROUP BY 1 HAVING count(*) >= 2
+        |), v AS (
+        |  SELECT count(DISTINCT tok) AS nv
+        |  FROM (SELECT unnest(t) AS tok FROM f)
+        |), scored AS (
+        |  SELECT tri.doc_id,
+        |    CAST(ln((coalesce(bc.c12, 0) + 1.0) /
+        |            (coalesce(w1c.c1, 0) + 1.0 * (SELECT nv FROM v)))
+        |         AS DECIMAL(28,10)) AS lp
+        |  FROM tri
+        |  LEFT JOIN bc USING (bg)
+        |  LEFT JOIN w1c
+        |    ON split_part(tri.bg, ' ', 1) || ' ' || split_part(tri.bg, ' ', 2) = w1c.w1
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Explode-shape twin of the in-row Spark entropy: per-(doc, char)

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** GPT-2-style byte-level BPE: pretokenizer fixture, byte table,
+  * byte-fallback round trip, training determinism, count parity.
+  */
+class ByteBpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pretokenizer reproduces the published GPT-2 splits") {
+    // contraction split, leading-space attachment, letter/number/punct
+    // runs — the canonical examples from the released encoder
+    assert(ByteBpe.pretokens("Hello world!!") ==
+      Seq("Hello", " world", "!!"))
+    assert(ByteBpe.pretokens("I'll don't") ==
+      Seq("I", "'ll", " don", "'t"))
+    assert(ByteBpe.pretokens(" 123abc") == Seq(" 123", "abc"))
+    // double space: the LAST space attaches to the word, the rest is
+    // its own whitespace token (the \s+(?!\S) backtrack)
+    assert(ByteBpe.pretokens("a  b") == Seq("a", " ", " b"))
+    // trailing whitespace is one token
+    assert(ByteBpe.pretokens("end  ") == Seq("end", "  "))
+    // tiling: concatenation is the identity on arbitrary text
+    val s = "Mixed: café 🙂 你好\n\ttabs  and 42 things!"
+    assert(ByteBpe.pretokens(s).mkString == s)
+  }
+
+  test("byte→unicode table matches the known GPT-2 mapping") {
+    assert(ByteBpe.ByteToChar(' '.toInt) == 'Ġ')  // Ġ
+    assert(ByteBpe.ByteToChar('\n'.toInt) == 'Ċ') // Ċ
+    assert(ByteBpe.ByteToChar('\t'.toInt) == 'ĉ') // ĉ
+    assert(ByteBpe.ByteToChar('!'.toInt) == '!')       // printable: identity
+    assert(ByteBpe.ByteToChar('~'.toInt) == '~')
+    assert(ByteBpe.ByteToChar(0) == 'Ā')          // Ā
+    assert(ByteBpe.ByteToChar(0xFF) == 'ÿ')       // ÿ self-maps
+    // exactly 188 self-mapped, 68 shifted, all distinct
+    val selfMapped = (0 until 256).count(b => ByteBpe.ByteToChar(b) == b.toChar)
+    assert(selfMapped == 188)
+    assert(ByteBpe.ByteToChar.distinct.length == 256)
+  }
+
+  test("byte fallback round-trips emoji, CJK, and control chars — no UNK") {
+    val texts = Seq(
+      "plain ascii text",
+      "café résumé",
+      "🙂🎉 emoji run",
+      "你好世界 mixed 日本語",
+      "tabs\tnewlines\nand  doubles")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // zero merges: every byte is its own token — still lossless
+    val enc = ByteBpe.encode(df, "text", Seq.empty)
+      .select("id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(ByteBpe.decode(enc(i.toLong)) == t, s"round trip failed for '$t'")
+    }
+    // and with trained merges too
+    val merges = ByteBpe.train(df, "text", numMerges = 30)
+    val enc2 = ByteBpe.encode(df, "text", merges)
+      .select("id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(ByteBpe.decode(enc2(i.toLong)) == t)
+    }
+  }
+
+  test("training merges the most frequent pair first; merges never cross pretokens") {
+    // corpus: " the" ×20 → pairs (Ġ,t),(t,h),(h,e) all tie at 20;
+    // the (count desc, left asc, right asc) tie-break picks (h,e)
+    // first ('h' < 't' < 'Ġ'=U+0120), then (t,he), then (Ġ,the)
+    val df = Seq((1L, "x" + " the".repeat(20))).toDF("id", "text")
+    val merges = ByteBpe.train(df, "text", numMerges = 3)
+    assert(merges == Seq(("h", "e"), ("t", "he"), ("Ġ", "the")))
+    val enc = ByteBpe.encode(df, "text", merges)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(enc == Seq("x") ++ Seq.fill(20)("Ġthe"))
+    // boundary: "e x" never merges — (e, Ġ) spans two pretokens and
+    // no such pair can even be counted
+    assert(!merges.exists { case (l, r) => (l + r).contains("eĠ") })
+  }
+
+  test("encode replays lowest-rank merges (training word reproduces its segmentation)") {
+    val corpus = Seq(
+      (1L, "low low low low low lower lower newest newest newest newest newest newest widest widest widest"))
+      .toDF("id", "text")
+    val merges = ByteBpe.train(corpus, "text", numMerges = 25)
+    val enc = ByteBpe.encode(corpus, "text", merges)
+      .select("bpe_tokens").as[Seq[String]].head()
+    // frequent words compress to single tokens incl. leading space
+    assert(enc.contains("Ġnewest") || enc.contains("newest"))
+    assert(ByteBpe.decode(enc) == corpus.select("text").as[String].head())
+  }
+
+  test("countTokens is bit-identical to size(encode(...).bpe_tokens)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    val merges = ByteBpe.train(docs, "text", numMerges = 50, minCount = 2)
+    val viaEncode = ByteBpe.encode(docs, "text", merges)
+      .select(col("doc_id"), size(col("bpe_tokens")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val viaCount = ByteBpe.countTokens(docs, "text", merges)
+      .select(col("doc_id"), col("bpe_n_tokens"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaCount == viaEncode)
+    assert(viaCount.values.sum > 0)
+  }
+
+  test("column-side pretoken counts agree with the JVM pretokenizer") {
+    val texts = Seq("I'll see 42 cats!", "café  🙂 ok")
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val colSide = ByteBpe.pretokenCounts(df, "text")
+      .as[(String, Long)].collect().toMap
+    val jvmSide = texts.flatMap(ByteBpe.pretokens)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(colSide == jvmSide)
+  }
+}

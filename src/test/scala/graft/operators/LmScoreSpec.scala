@@ -146,6 +146,63 @@ class LmScoreSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("trigram scores match the hand-built order-3 model") {
+    // docs: trigrams of "a b a b a": "a b a"×2... enumerate precisely:
+    // doc 1 "a b a b a" → a b a, b a b, a b a  (C(a b a)=2, C(b a b)=1)
+    // doc 2 "a b a"     → a b a                (C(a b a)=3 total)
+    // prefixes: C(a b ·)=3, C(b a ·)=1; V = {a, b} = 2
+    val docs = Seq((1L, "a b a b a"), (2L, "a b a"), (3L, "a b")).toDF("doc_id", "text")
+    val got = collected(LmScore.ngramScores(docs, "doc_id", "text", n = 3))
+    val pABA = (3 + 1.0) / (3 + 2.0)
+    val pBAB = (1 + 1.0) / (1 + 2.0)
+    assert(got.keySet == Set(1L, 2L)) // doc 3 has no trigram
+    assert(got(1L) == ((3L,
+      score(Seq(math.log(pABA), math.log(pBAB), math.log(pABA))))))
+    assert(got(2L) == ((1L, score(Seq(math.log(pABA))))))
+  }
+
+  test("trigram separates bigram-plausible salad that the bigram model cannot see") {
+    // The salad is a BIGRAM CHAIN across the two prose patterns:
+    // every salad bigram (a b, b f, f d, d a) is corpus-frequent, so
+    // the order-2 model scores it as typical prose — but half its
+    // trigrams (a b f, f d a) never occur. This is exactly the failure
+    // mode the verdict's "bigram under-separates" item names; a pure
+    // token permutation would destroy bigrams too and prove nothing.
+    val s1 = Seq.fill(4)("a b c d").mkString(" ")
+    val s2 = Seq.fill(4)("e b f d").mkString(" ")
+    val chain = Seq.fill(4)("a b f d").mkString(" ")
+    val prose = (1 to 15).map(i => (i.toLong, s1)) ++
+      (16 to 30).map(i => (i.toLong, s2))
+    val saladId = 31L
+    val df = (prose :+ (saladId, chain)).toDF("doc_id", "text")
+    def margin(n: Int): Double = {
+      val s = (if (n == 2) LmScore.bigramScores(df, "doc_id", "text")
+               else LmScore.ngramScores(df, "doc_id", "text", n))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      prose.map(p => s(p._1)).sum / prose.size - s(saladId)
+    }
+    val m2 = margin(2)
+    val m3 = margin(3)
+    assert(m3 > m2 + 1.0, s"trigram margin $m3 should dwarf bigram $m2")
+    assert(m3 > 1.0, s"trigram must separate decisively: $m3")
+    assert(math.abs(m2) < 0.5, s"the fixture must be bigram-invisible: $m2")
+  }
+
+  test("trigram topV model broadcasts the scoring joins at a planted vocab") {
+    val rnd = new scala.util.Random(17)
+    val head = "the cat sat down on the mat"
+    val corpus = (1 to 40).map { i =>
+      val tail = Seq.fill(4)(s"w${rnd.nextInt(10)}").mkString(" ")
+      i.toLong -> s"$head $tail"
+    }
+    val scored = LmScore.ngramScores(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, minCount = 2L, topV = Some(8))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    scored.collect() // and it executes
+  }
+
   test("model build + scoring plan has no window, no collect_list") {
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val plan = LmScore.bigramScores(docs, "doc_id", "text")

@@ -59,7 +59,20 @@ class RateSourceIngestSpec extends AnyFunSuite {
     // phase 1: run the stream off the live source until a few batches
     // committed (6 values/batch = 3 groups/batch)
     val q1 = CorpusIngest.ingestStream(docs(6), lakeDir, ckpt, failReason = gate)
-    try awaitLakeAtLeast(lakeDir, 6, timeoutMs = 120000L) finally q1.stop()
+    // wait for the lake AND for >= 2 checkpoint commit markers: the
+    // lake can reach 6 doc_ids while the second batch's commit marker
+    // is still being written, and stopping there made the phase-2
+    // precondition below flaky
+    def commitMarkers(): Array[java.io.File] =
+      Option(new java.io.File(ckpt, "commits").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    try {
+      awaitLakeAtLeast(lakeDir, 6, timeoutMs = 120000L)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (commitMarkers().length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+    } finally q1.stop()
     val afterPhase1 = lakeIds(lakeDir)
     assert(afterPhase1.size >= 6, s"stream made no progress: $afterPhase1")
 
@@ -67,8 +80,7 @@ class RateSourceIngestSpec extends AnyFunSuite {
     // the restarted query replays that batch's offset range through
     // foreachBatch with the same batchId (the crash-at-the-worst-point
     // schedule: data appended to the lake, offset commit lost)
-    val commits = new java.io.File(ckpt, "commits").listFiles()
-      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val commits = commitMarkers()
     assert(commits.length >= 2, "need at least two committed batches")
     assert(commits.last.delete())
 
