@@ -208,18 +208,92 @@ object TextFunctions {
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
     ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
-    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    // r13 breadth: IBAN (country code + check digits + 10-30 alnum —
+    // uppercase-anchored, so prose never matches) and the common
+    // secret shapes (AWS access key, sk-/pk- bearer keys, GitHub PAT).
+    // Both stay in the Java∩RE2 regex subset (no lookaround).
+    ("iban", "\\b[A-Z]{2}\\d{2}[A-Z0-9]{10,30}\\b", "<IBAN>"),
+    ("apikey",
+      "\\b(AKIA[0-9A-Z]{16}|(sk|pk)-[A-Za-z0-9]{16,64}|ghp_[A-Za-z0-9]{36})\\b",
+      "<APIKEY>"))
 
-  /** Chained global regexp_replace over [[piiPatterns]] — pure codegen
-    * Column expression, one pass per pattern.
+  /** Credit-card redaction phase — runs BEFORE the pattern chain (so
+    * the SSN/phone patterns never eat card fragments) and redacts
+    * ONLY Luhn-valid candidates ([[LuhnCards]]): the mod-10 check is
+    * what keeps 13-19 digit order ids out of the redaction. Both
+    * engines run the IDENTICAL two-phase formula — extract valid
+    * candidates, join them (length desc, lex asc) into a `\b(...)\b`
+    * alternation, one global regexp_replace with that dynamic
+    * pattern — so the oracle agreement is by construction, not by
+    * coincidence of two different mechanisms.
+    */
+  def cardRedact(text: Column): Column = {
+    val cands = LuhnCards.validCandidatesCol(text)
+    val pat = concat(lit("\\b("), array_join(cands, "|"), lit(")\\b"))
+    when(size(cands) === 0, text)
+      .otherwise(regexp_replace(text, pat, lit("<CARD>")))
+  }
+
+  /** Luhn-valid card match count on the RAW text (audit twin of
+    * [[cardRedact]] — counts every `\b`-bounded occurrence of a valid
+    * candidate, the exact set of spans the redactor replaces).
+    */
+  def cardCount(text: Column): Column = {
+    val cands = LuhnCards.validCandidatesCol(text)
+    val pat = concat(lit("\\b("), array_join(cands, "|"), lit(")\\b"))
+    when(size(cands) === 0, lit(0L))
+      .otherwise(size(regexp_extract_all(text, pat, lit(0))).cast("long"))
+  }
+
+  /** DuckDB twin of [[LuhnCards.validCandidates]] + the sorted-
+    * alternation pattern: list-comprehension Luhn over each candidate,
+    * distinct, (length desc, lex asc) via a zero-padded sort key.
+    */
+  private def luhnCandsSql(c: String): String = {
+    val digits = s"regexp_replace(x, '[ -]', '', 'g')"
+    val luhn =
+      s"""len($digits) BETWEEN 13 AND 19 AND
+         |list_sum([CASE WHEN (len($digits) - i) % 2 = 1
+         |  THEN CASE WHEN 2 * CAST($digits[i] AS INT) > 9
+         |       THEN 2 * CAST($digits[i] AS INT) - 9
+         |       ELSE 2 * CAST($digits[i] AS INT) END
+         |  ELSE CAST($digits[i] AS INT) END
+         |  for i in generate_series(1, len($digits))]) % 10 = 0""".stripMargin
+    s"""[substr(s, 5) for s in list_sort([
+       |  lpad(CAST(1000 - len(x) AS VARCHAR), 4, '0') || x
+       |  for x in list_distinct([x
+       |    for x in regexp_extract_all($c, '${LuhnCards.CandidatePattern}')
+       |    if $luhn])])]""".stripMargin
+  }
+
+  def cardRedactSql(c: String): String = {
+    val cands = luhnCandsSql(c)
+    s"""CASE WHEN len($cands) = 0 THEN $c
+       |ELSE regexp_replace($c,
+       |  '\\b(' || array_to_string($cands, '|') || ')\\b', '<CARD>', 'g')
+       |END""".stripMargin
+  }
+
+  def cardCountSql(c: String): String = {
+    val cands = luhnCandsSql(c)
+    s"""CASE WHEN len($cands) = 0 THEN CAST(0 AS BIGINT)
+       |ELSE CAST(len(regexp_extract_all($c,
+       |  '\\b(' || array_to_string($cands, '|') || ')\\b')) AS BIGINT)
+       |END""".stripMargin
+  }
+
+  /** Card phase first, then the chained global regexp_replace over
+    * [[piiPatterns]] — pure codegen Column expression, one pass per
+    * pattern.
     */
   def piiRedact(text: Column): Column =
-    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+    piiPatterns.foldLeft(cardRedact(text)) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
 
   def piiRedactSql(c: String): String =
-    piiPatterns.foldLeft(c) { case (s, (_, pat, repl)) =>
+    piiPatterns.foldLeft(s"(${cardRedactSql(c)})") { case (s, (_, pat, repl)) =>
       s"regexp_replace($s, '$pat', '$repl', 'g')"
     }
 

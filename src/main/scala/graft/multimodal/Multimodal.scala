@@ -631,6 +631,329 @@ object Multimodal {
     None
   }
 
+  /** One keyframe's location inside an MP4 payload: 1-based sample
+    * number, absolute byte offset, byte size.
+    */
+  private[multimodal] final case class Mp4Keyframe(
+    sampleNumber: Int, offset: Long, size: Long)
+
+  /** ISO-BMFF keyframe index WITHOUT decoding (r13 — real video
+    * corpora are MP4, not MJPEG-AVI): walks `moov` → video `trak`
+    * (hdlr `vide`) → `stbl`, reads the codec fourcc from `stsd` and
+    * resolves every `stss` sync sample to its absolute byte range via
+    * `stsc` (sample→chunk runs) + `stsz` (sizes) + `stco`/`co64`
+    * (chunk offsets). FRAGMENTED MP4 (empty sample tables) resolves
+    * keyframes from `moof`/`traf`/`trun` instead: per-sample flags
+    * (or first-sample-flags + tfhd defaults) mark sync samples —
+    * `sample_is_non_sync` bit 0x10000 — and offsets accumulate from
+    * the trun data_offset against the moof-start base
+    * (default-base-is-moof; an explicit base_data_offset is honored).
+    *
+    * Same junk robustness as [[aviMjpegFrames]]: malformed/truncated
+    * boxes stop the walk with whatever parsed so far, recursion is
+    * depth-capped, non-MP4 bytes return (None, empty). No stss box in
+    * an unfragmented file means EVERY sample is sync (the spec's
+    * default) — real for intra-only codecs.
+    */
+  private[multimodal] def mp4Keyframes(
+      bytes: Array[Byte]): (Option[String], Vector[Mp4Keyframe]) = {
+    if (bytes == null || bytes.length < 16) return (None, Vector.empty)
+    def be32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = asciiAt(bytes, i, 4)
+    if (!(fourcc(4) == "ftyp" || fourcc(4) == "moov")) return (None, Vector.empty)
+
+    val MaxDepth = 16
+    var codec = Option.empty[String]
+    var videoTrackId = -1L
+    // sample tables of the video trak
+    var syncSamples: Array[Int] = null            // null = no stss box
+    var sizes: Array[Long] = null
+    var uniformSize = 0L
+    var nSamples = 0
+    var stscRuns: Array[(Long, Long)] = null      // (first_chunk, samples_per_chunk)
+    var chunkOffsets: Array[Long] = null
+    val fragKfs = Vector.newBuilder[Mp4Keyframe]
+    var fragCount = 0
+
+    // trak-scoped scratch: a trak only commits its tables if its hdlr
+    // says video
+    def walkTrak(from: Int, to: Int, depth: Int): Unit = {
+      var isVideo = false
+      var trackId = -1L
+      var tCodec = Option.empty[String]
+      var tSync: Array[Int] = null
+      var tSizes: Array[Long] = null
+      var tUniform = 0L
+      var tN = 0
+      var tStsc: Array[(Long, Long)] = null
+      var tChunks: Array[Long] = null
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        if (depth > MaxDepth) return
+        var i = from
+        while (i + 8 <= to) {
+          var size = be32(i)
+          var header = 8
+          if (size == 1 && i + 16 <= to) { size = be64(i + 8); header = 16 }
+          else if (size == 0) size = (to - i).toLong
+          if (size < header || i + size > to) return
+          val t = fourcc(i + 4)
+          val body = i + header
+          val end = (i + size).toInt
+          t match {
+            case "mdia" | "minf" | "stbl" => walk(body, end, depth + 1)
+            case "tkhd" if size > header + 4 =>
+              val v = bytes(body) & 0xff
+              val idOff = body + 4 + (if (v == 1) 16 else 8)
+              if (idOff + 4 <= end) trackId = be32(idOff)
+            case "hdlr" if body + 12 <= end =>
+              if (fourcc(body + 8) == "vide") isVideo = true
+            case "stsd" if body + 16 <= end =>
+              // ver/flags + entry_count, then first entry: size + format
+              tCodec = Some(fourcc(body + 12))
+            case "stss" if body + 8 <= end =>
+              val n = math.min(be32(body + 4), ((end - body - 8) / 4).toLong).toInt
+              tSync = Array.tabulate(n)(k => be32(body + 8 + 4 * k).toInt)
+            case "stsz" if body + 12 <= end =>
+              tUniform = be32(body + 4)
+              tN = be32(body + 8).toInt
+              if (tUniform == 0) {
+                val n = math.min(tN.toLong, ((end - body - 12) / 4).toLong).toInt
+                tSizes = Array.tabulate(n)(k => be32(body + 12 + 4 * k))
+              }
+            case "stsc" if body + 8 <= end =>
+              val n = math.min(be32(body + 4), ((end - body - 8) / 12).toLong).toInt
+              tStsc = Array.tabulate(n)(k =>
+                (be32(body + 8 + 12 * k), be32(body + 12 + 12 * k)))
+            case "stco" if body + 8 <= end =>
+              val n = math.min(be32(body + 4), ((end - body - 8) / 4).toLong).toInt
+              tChunks = Array.tabulate(n)(k => be32(body + 8 + 4 * k))
+            case "co64" if body + 8 <= end =>
+              val n = math.min(be32(body + 4), ((end - body - 8) / 8).toLong).toInt
+              tChunks = Array.tabulate(n)(k => be64(body + 8 + 8 * k))
+            case _ =>
+          }
+          i += size.toInt
+        }
+      }
+      walk(from, to, depth)
+      if (isVideo && codec.isEmpty) {
+        codec = tCodec
+        videoTrackId = trackId
+        syncSamples = tSync
+        sizes = tSizes
+        uniformSize = tUniform
+        nSamples = tN
+        stscRuns = tStsc
+        chunkOffsets = tChunks
+      }
+    }
+
+    def walkFrag(moofStart: Int, from: Int, to: Int, depth: Int): Unit = {
+      if (depth > MaxDepth) return
+      var i = from
+      while (i + 8 <= to) {
+        var size = be32(i)
+        var header = 8
+        if (size == 1 && i + 16 <= to) { size = be64(i + 8); header = 16 }
+        else if (size == 0) size = (to - i).toLong
+        if (size < header || i + size > to) return
+        val t = fourcc(i + 4)
+        val body = i + header
+        val end = (i + size).toInt
+        if (t == "traf") {
+          // parse tfhd + truns inside this traf
+          var trackId = -1L
+          var baseOffset = moofStart.toLong
+          var defSize = 0L
+          var defFlags = 0L
+          var j = body
+          while (j + 8 <= end) {
+            var bsz = be32(j)
+            var bh = 8
+            if (bsz == 1 && j + 16 <= end) { bsz = be64(j + 8); bh = 16 }
+            else if (bsz == 0) bsz = (end - j).toLong
+            if (bsz < bh || j + bsz > end) { j = end } else {
+              val bt = fourcc(j + 4)
+              val bb = j + bh
+              if (bt == "tfhd" && bb + 8 <= end) {
+                val flags = be32(bb) & 0xffffffL
+                trackId = be32(bb + 4)
+                var o = bb + 8
+                if ((flags & 0x01) != 0 && o + 8 <= end) {
+                  baseOffset = be64(o); o += 8
+                }
+                if ((flags & 0x02) != 0) o += 4 // sample_description_index
+                if ((flags & 0x08) != 0) o += 4 // default_sample_duration
+                if ((flags & 0x10) != 0 && o + 4 <= end) { defSize = be32(o); o += 4 }
+                if ((flags & 0x20) != 0 && o + 4 <= end) { defFlags = be32(o); o += 4 }
+                // 0x20000 default-base-is-moof: base stays moofStart
+              } else if (bt == "trun" && bb + 8 <= end &&
+                  (videoTrackId < 0 || trackId == videoTrackId)) {
+                val flags = be32(bb) & 0xffffffL
+                val n = be32(bb + 4).toInt
+                var o = bb + 8
+                var dataOff = 0L
+                var firstFlags = -1L
+                if ((flags & 0x01) != 0 && o + 4 <= end) {
+                  dataOff = be32(o).toInt.toLong; o += 4 // SIGNED 32
+                }
+                if ((flags & 0x04) != 0 && o + 4 <= end) {
+                  firstFlags = be32(o); o += 4
+                }
+                var pos = baseOffset + dataOff
+                // bytes per sample row as requested by the trun flags —
+                // the whole row must fit or the walk stops (truncated
+                // payloads keep what parsed so far, the AVI convention)
+                val perSample = Seq(0x100, 0x200, 0x400, 0x800)
+                  .count(f => (flags & f) != 0) * 4
+                var k = 0
+                while (k < n && o + perSample <= end) {
+                  var sSize = defSize
+                  var sFlags = defFlags
+                  if ((flags & 0x100) != 0) o += 4 // sample_duration
+                  if ((flags & 0x200) != 0) { sSize = be32(o); o += 4 }
+                  if ((flags & 0x400) != 0) { sFlags = be32(o); o += 4 }
+                  if ((flags & 0x800) != 0) o += 4 // composition offset
+                  if (k == 0 && firstFlags >= 0) sFlags = firstFlags
+                  fragCount += 1
+                  if ((sFlags & 0x10000L) == 0L)
+                    fragKfs += Mp4Keyframe(fragCount, pos, sSize)
+                  pos += sSize
+                  k += 1
+                }
+              }
+              j += bsz.toInt
+            }
+          }
+        }
+        i += size.toInt
+      }
+    }
+
+    // top level: moov (trak tables) + every moof (fragments)
+    try {
+      var i = 0
+      while (i + 8 <= bytes.length) {
+        var size = be32(i)
+        var header = 8
+        if (size == 1 && i + 16 <= bytes.length) { size = be64(i + 8); header = 16 }
+        else if (size == 0) size = (bytes.length - i).toLong
+        if (size < header || i + size > bytes.length) i = bytes.length
+        else {
+          val t = fourcc(i + 4)
+          val end = (i + size).toInt
+          if (t == "moov") {
+            // find traks inside moov
+            var j = i + header
+            while (j + 8 <= end) {
+              var bsz = be32(j)
+              var bh = 8
+              if (bsz == 1 && j + 16 <= end) { bsz = be64(j + 8); bh = 16 }
+              else if (bsz == 0) bsz = (end - j).toLong
+              if (bsz < bh || j + bsz > end) j = end
+              else {
+                if (fourcc(j + 4) == "trak")
+                  walkTrak(j + bh, (j + bsz).toInt, 0)
+                j += bsz.toInt
+              }
+            }
+          } else if (t == "moof") walkFrag(i, i + header, end, 0)
+          i += size.toInt
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+
+    if (codec.isEmpty) return (None, Vector.empty)
+    val frag = fragKfs.result()
+    if (frag.nonEmpty) return (codec, frag)
+
+    // unfragmented: resolve sync samples through the chunk tables
+    if (chunkOffsets == null || stscRuns == null ||
+        (sizes == null && uniformSize == 0) || nSamples <= 0)
+      return (codec, Vector.empty)
+    def sizeOf(sample1: Int): Long =
+      if (uniformSize > 0) uniformSize
+      else if (sample1 - 1 < sizes.length) sizes(sample1 - 1)
+      else return -1L
+    // expand stsc runs: samples-per-chunk for each chunk index (1-based)
+    val nChunks = chunkOffsets.length
+    val spc = new Array[Long](nChunks + 1)
+    var r = 0
+    while (r < stscRuns.length) {
+      val (first, per) = stscRuns(r)
+      val until = if (r + 1 < stscRuns.length) stscRuns(r + 1)._1 else nChunks + 1L
+      var c = first
+      while (c < until && c <= nChunks) { spc(c.toInt) = per; c += 1 }
+      r += 1
+    }
+    val sync: Array[Int] =
+      if (syncSamples != null) syncSamples
+      else Array.tabulate(nSamples)(_ + 1) // no stss → all sync
+    val out = Vector.newBuilder[Mp4Keyframe]
+    sync.foreach { s =>
+      if (s >= 1 && s <= nSamples) {
+        // find the chunk containing sample s and its offset within
+        var chunk = 1
+        var firstSampleOfChunk = 1L
+        var found = false
+        while (!found && chunk <= nChunks) {
+          val inChunk = spc(chunk)
+          if (s < firstSampleOfChunk + inChunk) found = true
+          else { firstSampleOfChunk += inChunk; chunk += 1 }
+        }
+        if (found) {
+          var off = chunkOffsets(chunk - 1)
+          var q = firstSampleOfChunk
+          var ok = true
+          while (q < s && ok) {
+            val sz = sizeOf(q.toInt)
+            if (sz < 0) ok = false else off += sz
+            q += 1
+          }
+          val sz = sizeOf(s)
+          if (ok && sz >= 0) out += Mp4Keyframe(s, off, sz)
+        }
+      }
+    }
+    (codec, out.result())
+  }
+
+  /** Keyframe byte-range sampling for MP4 corpora — the operator
+    * counterpart of [[sampleFrames]] for ISO-BMFF: every `step`-th
+    * KEYFRAME becomes a row `(media_id, kf_idx, sample_number,
+    * codec, offset, size)` — byte ranges + codec metadata without
+    * decoding (H.264/H.265 bitstream decode is out of scope by
+    * design; the ranges feed a downstream decoder or a range-read
+    * from object storage). Non-MP4 payloads emit no rows.
+    */
+  def sampleKeyframes(
+      media: DataFrame, step: Int = 1,
+      idCol: String = "media_id", binCol: String = "media"): DataFrame = {
+    require(step >= 1, s"keyframe sampling step must be >= 1, got $step")
+    val projected = media.select(col(idCol), col(binCol).cast("binary"))
+    val outSchema = StructType(Seq(
+      projected.schema.head.copy(name = idCol),
+      StructField("kf_idx", IntegerType, nullable = false),
+      StructField("sample_number", IntegerType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false)))
+    projected.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (codec, kfs) = mp4Keyframes(r.getAs[Array[Byte]](1))
+        kfs.zipWithIndex.collect {
+          case (kf, idx) if idx % step == 0 =>
+            org.apache.spark.sql.Row(r.get(0), Int.box(idx),
+              Int.box(kf.sampleNumber), codec.getOrElse(""),
+              Long.box(kf.offset), Long.box(kf.size))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** End-to-end media pipeline used by the `mm_pipeline` query:
     * binary ingest → REAL decode ([[decodeAll]]: pixels for images,
     * PCM for WAV, first-frame pixels for MJPEG-AVI; byte-fold

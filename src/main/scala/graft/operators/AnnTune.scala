@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall-target auto-tuning for the ANN family (r13 — RECALL.md
+  * measures the curves; this picks the dial).
+  *
+  * `tuneForRecall`-style entry points choose the CHEAPEST operating
+  * point (nprobe for IVF, pool for the quantized rerank family,
+  * (nprobe, pool) jointly for the composed indexes) whose measured
+  * recall@k on a deterministic holdout reaches the requested target.
+  *
+  * Method: holdout queries are the md5(id)-ordered first `nQueries`
+  * corpus vectors (the [[Similarity.sampleCentroids]] sampling device
+  * — deterministic on any partitioning, no RNG); ground truth is
+  * brute-force cosine top-k ([[Similarity.cosineTopK]], self-match
+  * included — the RECALL.md convention, applied equally to every
+  * method); candidate settings walk cheapest-first (doubling nprobe /
+  * pool; the joint family orders by the nprobe×pool cost proxy) and
+  * the first setting reaching the target wins. The walk is monotone
+  * in expectation but the PICK does not assume monotonicity — every
+  * earlier (cheaper) setting was measured and rejected.
+  *
+  * At `nprobe = nlist` / `pool = corpus` every index in this library
+  * is exactly brute force (recall 1.0), so any `target <= 1` is
+  * reachable and the tuner never fails — it returns the exact
+  * measured operating point, which callers should persist next to
+  * the index.
+  *
+  * Cost shape: tuning runs `nQueries × (settings + 1)` DRIVER-side
+  * top-k jobs against the index — a one-off per (index, target),
+  * amortized over every later query exactly like the index build
+  * itself. Not a per-query path.
+  */
+object AnnTune {
+
+  /** One measured operating point: the chosen dial values and the
+    * recall@k they achieved on the holdout.
+    */
+  final case class OperatingPoint(setting: Map[String, Int], recall: Double)
+
+  /** Deterministic holdout queries: md5(id)-ordered first n (id,
+    * vector) pairs. Ids compare as strings so long/int/string id
+    * columns all work.
+    */
+  def holdout(df: DataFrame, idCol: String, vecCol: String,
+      n: Int): Array[(String, Array[Float])] = {
+    require(n >= 1, s"nQueries must be >= 1, got $n")
+    df.select(col(idCol).cast("string").as("_id"),
+        col(vecCol).cast("array<float>").as("_v"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .filter(col("_v").isNotNull)
+      .orderBy("_h").limit(n)
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Float]]("_v").toArray)
+  }
+
+  /** Brute-force ground truth per holdout query. */
+  def groundTruth(df: DataFrame, idCol: String, vecCol: String,
+      queries: Array[(String, Array[Float])], k: Int): Map[String, Set[String]] =
+    queries.map { case (qid, v) =>
+      qid -> Similarity.cosineTopK(df, idCol, vecCol, v, k)
+        .select(col(idCol).cast("string")).collect().map(_.getString(0)).toSet
+    }.toMap
+
+  /** Mean recall@k of `run` against `truth` over the holdout. */
+  def measureRecall(queries: Array[(String, Array[Float])],
+      truth: Map[String, Set[String]], idCol: String, k: Int)(
+      run: Array[Float] => DataFrame): Double = {
+    val per = queries.map { case (qid, v) =>
+      val got = run(v).select(col(idCol).cast("string"))
+        .collect().map(_.getString(0)).take(k).toSet
+      (got intersect truth(qid)).size.toDouble / truth(qid).size
+    }
+    per.sum / per.length
+  }
+
+  /** Generic cheapest-first walk: first setting reaching `target`
+    * wins; if none does, the best-recall setting (ties: cheapest,
+    * i.e. earliest) is returned.
+    */
+  def tune(settings: Seq[Map[String, Int]],
+      queries: Array[(String, Array[Float])],
+      truth: Map[String, Set[String]], idCol: String, k: Int,
+      target: Double)(
+      run: Map[String, Int] => Array[Float] => DataFrame): OperatingPoint = {
+    require(target > 0 && target <= 1, s"target recall must be in (0,1], got $target")
+    require(settings.nonEmpty, "no candidate settings")
+    var best: OperatingPoint = null
+    val it = settings.iterator
+    while (it.hasNext) {
+      val s = it.next()
+      val r = measureRecall(queries, truth, idCol, k)(run(s))
+      if (best == null || r > best.recall) best = OperatingPoint(s, r)
+      if (r >= target) return OperatingPoint(s, r)
+    }
+    best
+  }
+
+  private def doubling(max: Int): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    var v = 1
+    while (v < max) { b += v; v *= 2 }
+    b += max
+    b.result()
+  }
+
+  /** IVF: choose the smallest nprobe hitting `target` recall@k. */
+  def tuneIvf(index: Similarity.IvfIndex, df: DataFrame,
+      idCol: String, vecCol: String, target: Double,
+      k: Int = 10, nQueries: Int = 20): OperatingPoint = {
+    val qs = holdout(df, idCol, vecCol, nQueries)
+    val truth = groundTruth(df, idCol, vecCol, qs, k)
+    tune(doubling(index.centroids.length).map(np => Map("nprobe" -> np)),
+      qs, truth, idCol, k, target) { s => v =>
+      Similarity.ivfTopK(index, idCol, vecCol, v, k, s("nprobe"))
+    }
+  }
+
+  /** SQ8 (and any pure pool-rerank index via the same shape): choose
+    * the smallest rerank pool hitting `target`. The pool walk starts
+    * at k (a pool below k cannot even fill the result) and doubles to
+    * `maxPool`.
+    */
+  def tuneSq(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, target: Double,
+      k: Int = 10, nQueries: Int = 20, maxPool: Int = 8192): OperatingPoint = {
+    val qs = holdout(corpus, idCol, vecCol, nQueries)
+    val truth = groundTruth(corpus, idCol, vecCol, qs, k)
+    tune(doubling(maxPool).filter(_ >= k).map(p => Map("pool" -> p)),
+      qs, truth, idCol, k, target) { s => v =>
+      Sq.topK(spark, indexPath, corpus, idCol, vecCol, v, k, s("pool"))
+    }
+  }
+
+  /** PQ: same pool walk as [[tuneSq]] over the PQ index. */
+  def tunePq(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, target: Double,
+      k: Int = 10, nQueries: Int = 20, maxPool: Int = 8192): OperatingPoint = {
+    val qs = holdout(corpus, idCol, vecCol, nQueries)
+    val truth = groundTruth(corpus, idCol, vecCol, qs, k)
+    tune(doubling(maxPool).filter(_ >= k).map(p => Map("pool" -> p)),
+      qs, truth, idCol, k, target) { s => v =>
+      Pq.topK(spark, indexPath, corpus, idCol, vecCol, v, k, s("pool"))
+    }
+  }
+
+  /** IVFPQ: joint (nprobe, pool) walk ordered by the nprobe×pool cost
+    * proxy (rows probed × rows reranked — the two multiplicative
+    * levers), cheapest first; first point reaching `target` wins.
+    */
+  def tuneIvfPq(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, target: Double, nlist: Int,
+      k: Int = 10, nQueries: Int = 20,
+      pools: Seq[Int] = Seq(256, 1024, 4096)): OperatingPoint = {
+    val qs = holdout(corpus, idCol, vecCol, nQueries)
+    val truth = groundTruth(corpus, idCol, vecCol, qs, k)
+    val grid = for {
+      np <- doubling(nlist); p <- pools.sorted if p >= k
+    } yield Map("nprobe" -> np, "pool" -> p)
+    val ordered = grid.sortBy(s => (s("nprobe").toLong * s("pool"), s("nprobe")))
+    tune(ordered, qs, truth, idCol, k, target) { s => v =>
+      Pq.ivfPqTopK(spark, indexPath, corpus, idCol, vecCol, v, k,
+        s("nprobe"), s("pool"))
+    }
+  }
+}

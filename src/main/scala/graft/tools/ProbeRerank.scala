@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.operators.Dedup
+
+/** Dev probe (r13): is the minhash exact-rerank cheaper as the current
+  * two-join shape (pairs ⋈ shingles_a ⋈ shingles_b) or as a fused
+  * union-join (pairs×2 ⋈ shingles once → groupBy pair)? Also: does
+  * dropping `.distinct()` before the rerank pay? Measures the
+  * d_dedup_quality composition end-to-end at sf0.1, warm ×5.
+  */
+object ProbeRerank {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, dir, "documents")
+    def clone(shift: Long) = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + shift)
+    val corpus = docs.unionByName(clone(1000000L)).unionByName(clone(2000000L))
+
+    // shared front half (shingle + sig + buckets), copied from
+    // minHashNearDups with the same parameters the bench uses
+    def front(): (DataFrame, DataFrame) = {
+      val hashedRaw = corpus
+        .select(col("doc_id").as("_id"),
+          graft.functions.TextSignatures.shingleHashesCol(col("text"), 3).as("_hsh"))
+        .filter(size(col("_hsh")) > 0)
+      val hashed = hashedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = hashed.withColumn("_sig",
+        graft.functions.TextSignatures.minHashSigCol(col("_hsh"), 64))
+      val banded = sig.select(col("_id"),
+        explode(Dedup.bandBuckets(col("_sig"), 8, 8)).as("bb"))
+        .select(col("_id"), col("bb.band"), col("bb.bucket"))
+      val candidates = banded.groupBy("band", "bucket")
+        .agg(collect_list(col("_id")).as("_ids"))
+        .filter(size(col("_ids")).between(2, 1000))
+        .withColumn("_sorted", array_sort(col("_ids")))
+        .select(explode(graft.functions.ArrayPairs.orderedPairsCol(
+          col("_sorted"))).as("p"))
+        .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      (hashed, candidates)
+    }
+
+    def current(hashed: DataFrame, cands: DataFrame): DataFrame = {
+      val sa = hashed.select(col("_id").as("id_a"), col("_hsh").as("_sha"))
+      val sb = hashed.select(col("_id").as("id_b"), col("_hsh").as("_shb"))
+      cands.distinct().join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
+            size(array_union(col("_sha"), col("_shb"))).cast("double"))
+        .filter(col("jaccard") >= 1.0)
+        .select("id_a", "id_b", "jaccard")
+    }
+
+    def fused(hashed: DataFrame, cands: DataFrame, distinctFirst: Boolean): DataFrame = {
+      val base = if (distinctFirst) cands.distinct() else cands
+      val keyed = base.select(col("id_a").as("_id"), col("id_a"), col("id_b"))
+        .unionByName(base.select(col("id_b").as("_id"), col("id_a"), col("id_b")))
+      keyed.join(hashed, "_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+          first(when(col("_id") === col("id_a"), col("_hsh")), ignoreNulls = true).as("_sha"),
+          first(when(col("_id") === col("id_b"), col("_hsh")), ignoreNulls = true).as("_shb"))
+        .withColumn("jaccard",
+          size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
+            size(array_union(col("_sha"), col("_shb"))).cast("double"))
+        .filter(col("jaccard") >= 1.0)
+        .select("id_a", "id_b", "jaccard")
+    }
+
+    def quality(pairs: DataFrame): Long =
+      Dedup.dropNearDuplicatesBy(corpus, "doc_id", pairs,
+          keepBy = (col("doc_id") % 7).cast("double"), assumeCanonical = true)
+        .select("doc_id").orderBy("doc_id").count()
+
+    val (hashed, cands) = front()
+    // warm + correctness identity
+    val a = current(hashed, cands).orderBy("id_a", "id_b").collect().toSeq
+    val b = fused(hashed, cands, distinctFirst = true).orderBy("id_a", "id_b").collect().toSeq
+    val c = fused(hashed, cands, distinctFirst = false).orderBy("id_a", "id_b").collect().toSeq
+    println(s"IDENTICAL two-join vs fused: ${a == b}; vs fused-nodistinct: ${a == c}; pairs=${a.size}")
+
+    def med5(label: String)(f: => Long): Unit = {
+      f
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"PROBE $label: median ${ts(2)}%.3f s (min ${ts.head}%.3f max ${ts.last}%.3f)")
+    }
+    med5("quality CURRENT (distinct + 2 joins)") { quality(current(hashed, cands)) }
+    med5("quality FUSED (distinct + 1 join + groupBy)") { quality(fused(hashed, cands, true)) }
+    med5("quality FUSED-NODISTINCT") { quality(fused(hashed, cands, false)) }
+    med5("quality CURRENT again") { quality(current(hashed, cands)) }
+    spark.stop()
+  }
+}

@@ -195,6 +195,29 @@ object ProfileRecall {
       md ++= f"| $bdir | $bn | sample | $tS%.1f | $tM%.1f |\n"
       graft.LocalFs.deleteRecursively(tmp.toFile)
     }
+    // Tuned operating points (r13): AnnTune.tune* walks the same dials
+    // cheapest-first on ITS OWN md5-ordered deterministic holdout and
+    // returns the first setting reaching the target — the dial a user
+    // should persist next to the index instead of reading the curves.
+    md ++= "\n## Tuned operating points (AnnTune, recall@10 targets on a 20-query md5 holdout)\n\n"
+    md ++= "| family | target | chosen | measured recall |\n"
+    md ++= "|---|---|---|---|\n"
+    for (target <- Seq(0.5, 0.8, 0.95)) {
+      val i = graft.operators.AnnTune.tuneIvf(ivf, emb, "vec_id", "embedding",
+        target, k, nQ)
+      md ++= f"| ivf | $target | nprobe=${i.setting("nprobe")} | ${i.recall}%.3f |\n"
+      val s = graft.operators.AnnTune.tuneSq(spark, s"$dir/sq", emb, "vec_id",
+        "embedding", target, k, nQ, maxPool = 8192)
+      md ++= f"| sq8 | $target | pool=${s.setting("pool")} | ${s.recall}%.3f |\n"
+      val p = graft.operators.AnnTune.tunePq(spark, s"$dir/pq", emb, "vec_id",
+        "embedding", target, k, nQ, maxPool = 8192)
+      md ++= f"| pq | $target | pool=${p.setting("pool")} | ${p.recall}%.3f |\n"
+      val ip = graft.operators.AnnTune.tuneIvfPq(spark, s"$dir/ivfpq", emb,
+        "vec_id", "embedding", target, nlist = 64, k, nQ,
+        pools = Seq(64, 256, 1024))
+      md ++= f"| ivfpq | $target | nprobe=${ip.setting("nprobe")} pool=${ip.setting("pool")} | ${ip.recall}%.3f |\n"
+    }
+
     md ++= """
 ## Reading the dials
 

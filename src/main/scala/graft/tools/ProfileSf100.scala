@@ -3,28 +3,42 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.{Sessions, SparkEntry}
 
-/** Dev tool: sf100 spot-check of the scaling audit's ~linear four
-  * (d_simhash, q_join3, q_cube_rollup, q_salted_join) — one more
-  * decade beyond the sf10 bench point, on their tables only:
+/** Dev tool: fifth-decade (sf10 → sf100) scaling classes — r13:
+  * extended from the top-10 data-proportional queries to the WHOLE
+  * `SparkEntry.queries` suite, so every query has a measured
+  * worst-decade class in SCALING.md.
   *
-  *   GenStar ×100 / ×1000 of the driver's sf0.1 star for the TPC-H
-  *   three; GenScale zipf documents (500k / 5M) for d_simhash, with
-  *   the dedup stage dir engaged (the cluster configuration).
+  * Inputs are two MERGED stars (all ten tables in one dir):
+  *   lo = GenStar ×10 of the driver's sf0.1 star (60M lineitem, 10M
+  *        events, 500k zipf documents, 200k embeddings);
+  *   hi = GenStar ×100 TPC-H+events (600M/100M) + GenScale 5M zipf
+  *        documents + GenScale 2M embeddings, assembled by symlink.
   *
-  * ~linear is the CORRECT slope for data-proportional operators — the
-  * point of the spot-check is that the slope HOLDS (no knee, stable
-  * constant) one decade further, where a hidden superlinear term or a
-  * memory ceiling would finally show. Warm-up + median of 3 per point
-  * (the same protocol as ProfileScaling). Prints SCALING.md-ready
-  * rows; not part of the library.
+  * Protocol: warm-up + median of 3 per point (ProfileScaling's), with
+  * a BUDGET GUARD — if the first measured hi-side run exceeds
+  * `hiBudgetSec` (default 120 s) the remaining two are skipped and
+  * that single run is the point (logged `n=1`); floor/sublinear/
+  * ~linear classes have bins wide enough that single-run noise does
+  * not cross them, and the guard is what makes a 119-query sf100
+  * sweep finish. The dedup stage dir is engaged for the WHOLE run
+  * (only `Dedup.stage` consumers read it — the cluster
+  * configuration), purged between queries. ~linear is the CORRECT
+  * slope for data-proportional operators; the claim is the ratio
+  * CLASS, not the absolute seconds (stars regenerate per round —
+  * see the measurement-rules note). Queries whose fixtures are
+  * self-generated (multimodal, pipeline JSON, xlsx/xls readers)
+  * legitimately measure `floor`: their cost does not ride the star.
+  * Not part of the library.
   */
 object ProfileSf100 {
   def main(args: Array[String]): Unit = {
-    val sf10Star = args.headOption.getOrElse("/tmp/graft_sf10_star")
-    val sf100Star = args.lift(1).getOrElse("/tmp/graft_sf100_star")
-    val sf10Docs = args.lift(2).getOrElse("/tmp/graft_sf10")
-    val sf100Docs = args.lift(3).getOrElse("/tmp/graft_sf100")
-    val sf1Docs = args.lift(4).getOrElse("/tmp/graft_sf1")
+    val lo = args.headOption.getOrElse("/tmp/graft_sf10_full")
+    val hi = args.lift(1).getOrElse("/tmp/graft_sf100_full")
+    val sf1Docs = args.lift(2).getOrElse("/tmp/graft_sf1")
+    val hiBudgetSec = args.lift(3).map(_.toDouble).getOrElse(120.0)
+    // optional arg 5: comma-separated query filter (rerun rows without
+    // repaying the whole suite); prefix with '-' to EXCLUDE instead
+    val only = args.lift(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
@@ -37,70 +51,64 @@ object ProfileSf100 {
     spark.conf.set("spark.sql.shuffle.partitions", "512")
 
     val stagePath = java.nio.file.Files.createTempDirectory("graft_sf100_stage")
+    spark.conf.set(graft.operators.Dedup.StageDirConf, stagePath.toString)
     def purgeStage(): Unit = graft.LocalFs.clearDirectory(stagePath.toFile)
 
-    def time(name: String, dir: String): Double = {
+    /** (median-or-single, nRuns); -1 on failure. */
+    def time(name: String, dir: String, budget: Double): (Double, Int) = {
       val fn = SparkEntry.queries(name)
-      try fn(spark, dir).count() catch {
-        case e: Throwable => println(s"$name@$dir FAILED: ${e.getMessage}"); return -1
-      } finally purgeStage()
-      spark.catalog.clearCache()
-      val ts = (1 to 3).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, dir).count() catch {
-          case e: Throwable =>
-            println(s"$name@$dir FAILED mid-measure: ${e.getMessage}")
-            return -1
-        }
+        fn(spark, dir).count()
         spark.catalog.clearCache()
         val dt = (System.nanoTime() - t0) / 1e9
         purgeStage()
         dt
       }
-      ts.sorted.apply(1)
+      try {
+        fn(spark, dir).count(); spark.catalog.clearCache(); purgeStage() // warm
+        val first = run()
+        if (first > budget) (first, 1)
+        else ((Seq(first, run(), run())).sorted.apply(1), 3)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"$name@$dir FAILED: ${e.getMessage}")
+          spark.catalog.clearCache(); purgeStage()
+          (-1.0, 0)
+      }
     }
 
-    // optional arg 6: comma-separated query filter (rerun one row
-    // without repaying the whole table)
-    val only = args.lift(5).map(_.split(",").toSet)
-    val plan = Seq(
-      ("q_join3", sf10Star, sf100Star, false),
-      ("q_cube_rollup", sf10Star, sf100Star, false),
-      ("q_salted_join", sf10Star, sf100Star, false),
-      ("d_simhash", sf10Docs, sf100Docs, true),
-      // formerly guard-excluded: on the r11 Zipf corpus the exact
-      // AllPairs path runs unguarded — its first fifth-decade row
-      ("d_ngram_jaccard", sf1Docs, sf10Docs, true),
-      // r12: the next-most data-proportional queries by sf0.1→sf1
-      // x10 ratio (SCALING.md main table) — fifth-decade rows for the
-      // full top-10, not just the ~linear four
-      ("t_dedup_rows", sf10Star, sf100Star, false),
-      ("q_semi_anti", sf10Star, sf100Star, false),
-      ("q_grouping_sets", sf10Star, sf100Star, false),
-      ("q_events_window", sf10Star, sf100Star, false),
-      ("e_incr_agg", sf10Star, sf100Star, false),
-      ("q1_agg", sf10Star, sf100Star, false))
-      .filter(p => only.forall(_.contains(p._1)))
+    // the AllPairs guard query keeps its lower decade (sf1→sf10 docs):
+    // its exact pair generation is the one path whose cost is not
+    // meant to ride a 5M-doc star unguarded
+    val overrides = Map("d_ngram_jaccard" -> (sf1Docs, lo))
 
-    println("| query | lo | hi | x10 ratio | class |")
-    println("|---|---|---|---|---|")
-    try plan.foreach { case (n, d10, d100, staged) =>
-      if (staged)
-        spark.conf.set(graft.operators.Dedup.StageDirConf, stagePath.toString)
-      try {
-        val a = time(n, d10)
-        val b = time(n, d100)
-        val r = if (a > 0 && b > 0) b / a else -1
-        val cls =
-          if (r < 0) "error"
-          else if (r < 2) "floor"
-          else if (r < 6) "sublinear"
-          else if (r < 15) "~linear"
-          else "SUPERLINEAR"
-        println(f"| $n | $a%.1f | $b%.1f | $r%.1f | $cls |")
-      } finally if (staged)
-        spark.conf.unset(graft.operators.Dedup.StageDirConf)
-    } finally graft.LocalFs.deleteRecursively(stagePath.toFile)
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val plan = only match {
+      case Some(f) if f.startsWith("-") =>
+        val excl = f.drop(1).split(",").toSet; all.filterNot(excl)
+      case Some(f) => val incl = f.split(",").toSet; all.filter(incl)
+      case None => all
+    }
+
+    println("| query | lo | hi | x10 ratio | class | n |")
+    println("|---|---|---|---|---|---|")
+    try plan.foreach { n =>
+      val (dLo, dHi) = overrides.getOrElse(n, (lo, hi))
+      val (a, _) = time(n, dLo, budget = Double.MaxValue)
+      val (b, nb) = time(n, dHi, hiBudgetSec)
+      val r = if (a > 0 && b > 0) b / a else -1
+      val cls =
+        if (r < 0) "error"
+        else if (r < 2) "floor"
+        else if (r < 6) "sublinear"
+        else if (r < 15) "~linear"
+        else "SUPERLINEAR"
+      println(f"| $n | $a%.1f | $b%.1f | $r%.1f | $cls | $nb |")
+    } finally {
+      spark.conf.unset(graft.operators.Dedup.StageDirConf)
+      graft.LocalFs.deleteRecursively(stagePath.toFile)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Recall-target auto-tuning: the tuner must hit the requested
+  * recall@k on the holdout and pick the cheapest dial that does.
+  */
+class AnnTuneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+
+  // 16 well-separated clusters × 60 points: recall curves are smooth
+  // in nprobe/pool, so the walk has real work to do (random vectors
+  // make every method either trivial or hopeless)
+  private def clustered(nClusters: Int = 16, per: Int = 60, seed: Long = 5L) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextDouble() * 10 - 5))
+    (0 until nClusters * per).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.8).toFloat).toSeq)
+    }.toDF("id", "vec")
+  }
+
+  private def tmp(pfx: String): String =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  test("tuneIvf reaches the target with the smallest sufficient nprobe") {
+    val df = clustered()
+    val idx = Similarity.ivfIndex(df, "id", "vec", nlist = 16)
+    val got = AnnTune.tuneIvf(idx, df, "id", "vec", target = 0.9,
+      k = 10, nQueries = 8)
+    assert(got.recall >= 0.9, s"recall ${got.recall} below target at $got")
+    val np = got.setting("nprobe")
+    assert(np <= 16)
+    // minimality: the previous doubling step misses the target
+    if (np > 1) {
+      val qs = AnnTune.holdout(df, "id", "vec", 8)
+      val truth = AnnTune.groundTruth(df, "id", "vec", qs, 10)
+      val prev = AnnTune.measureRecall(qs, truth, "id", 10)(v =>
+        Similarity.ivfTopK(idx, "id", "vec", v, 10, np / 2))
+      assert(prev < 0.9, s"nprobe ${np / 2} already reaches target ($prev)")
+    }
+    // a loose target picks a dial no more expensive than a tight one
+    val loose = AnnTune.tuneIvf(idx, df, "id", "vec", target = 0.2,
+      k = 10, nQueries = 8)
+    assert(loose.setting("nprobe") <= np)
+  }
+
+  test("tuneSq reaches the target; max pool is exact so any target is reachable") {
+    val df = clustered(nClusters = 8, per = 40)
+    val model = Sq.fit(df, "id", "vec")
+    val path = tmp("graft_tune_sq")
+    Sq.saveSqIndex(df, "id", "vec", model, path)
+    val got = AnnTune.tuneSq(spark, path, df, "id", "vec", target = 0.95,
+      k = 10, nQueries = 6, maxPool = 512)
+    assert(got.recall >= 0.95, s"recall ${got.recall} below target at $got")
+    assert(got.setting("pool") >= 10 && got.setting("pool") <= 512)
+    // perfection is reachable at the exact end of the walk
+    val exact = AnnTune.tuneSq(spark, path, df, "id", "vec", target = 1.0,
+      k = 10, nQueries = 6, maxPool = 512)
+    assert(exact.recall == 1.0)
+  }
+
+  test("tuneIvfPq walks the joint grid cheapest-first and reaches the target") {
+    val df = clustered()
+    val path = tmp("graft_tune_ivfpq")
+    val model = Pq.fit(df, "id", "vec", nsub = 4)
+    Pq.saveIvfPqIndex(df, "id", "vec", model, path, nlist = 16)
+    val got = AnnTune.tuneIvfPq(spark, path, df, "id", "vec", target = 0.8,
+      nlist = 16, k = 10, nQueries = 6, pools = Seq(64, 256, 1024))
+    assert(got.recall >= 0.8, s"recall ${got.recall} below target at $got")
+    assert(got.setting.keySet == Set("nprobe", "pool"))
+  }
+
+  test("holdout is deterministic under repartitioning") {
+    val df = clustered(nClusters = 4, per = 20)
+    val a = AnnTune.holdout(df, "id", "vec", 5).map(_._1).toSeq
+    val b = AnnTune.holdout(df.repartition(13), "id", "vec", 5).map(_._1).toSeq
+    assert(a == b && a.size == 5)
+  }
+}
