@@ -24,6 +24,43 @@ object PipelineJson {
 
   private val mapper = new ObjectMapper()
 
+  /** mysql/jdbc connector_input config → (url, props, query) —
+    * jdbc_url taken verbatim, or assembled from the reference
+    * MySQLConnector's config keys (builtin.py:138-144:
+    * host/port/user/password/database) with the query taken from
+    * read_params.query (engine.py:198 read_data(**config
+    * ["read_params"])). An ASSEMBLED url gets
+    * `zeroDateTimeBehavior=convertToNull`: MySQL zero dates
+    * ('0000-00-00') otherwise throw mid-read through Connector/J,
+    * while the reference's DuckDB mysql scanner reads them as NULL —
+    * this pins the same semantics (r13 MySQL-dialect depth item). An
+    * EXPLICIT jdbc_url is never rewritten — the caller owns its
+    * options. Spark resolves `jdbc:mysql:` URLs to its MySQLDialect;
+    * the resulting type mappings (TINYINT(1), unsigned widening,
+    * DATETIME) are pinned in MySqlDialectSpec.
+    */
+  private[graft] def mysqlConnectorConfig(
+      config: JsonNode): (String, Map[String, String], String) = {
+    val props = new scala.collection.mutable.HashMap[String, String]()
+    val url = config.path("jdbc_url").asText("") match {
+      case "" =>
+        val host = config.path("host").asText("localhost")
+        val port = config.path("port").asInt(3306)
+        val database = config.path("database").asText("")
+        if (config.has("user")) props += "user" -> config.path("user").asText
+        if (config.has("password")) props += "password" -> config.path("password").asText
+        s"jdbc:mysql://$host:$port/$database?zeroDateTimeBehavior=convertToNull"
+      case u => u
+    }
+    val query = config.path("query").asText("") match {
+      case "" => config.path("read_params").path("query").asText("")
+      case q => q
+    }
+    require(query.nonEmpty,
+      "mysql connector_input requires a query (config.query or read_params.query)")
+    (url, props.toMap, query)
+  }
+
   def parse(json: String): (Seq[Node], Seq[Edge]) = {
     val root = mapper.readTree(json)
     // accept BOTH the raw definition_json ({"nodes", "edges"}) and the
@@ -106,30 +143,9 @@ object PipelineJson {
         connectorType match {
           case "http" => Source(httpConnector(config).read(_))
           case "mysql" | "jdbc" =>
-            // jdbc_url directly, or assembled from the reference
-            // MySQLConnector's config keys (builtin.py:138-144:
-            // host/port/user/password/database) with the query taken
-            // from read_params.query (engine.py:198 read_data(**
-            // config["read_params"])).
-            val props = new scala.collection.mutable.HashMap[String, String]()
-            val url = config.path("jdbc_url").asText("") match {
-              case "" =>
-                val host = config.path("host").asText("localhost")
-                val port = config.path("port").asInt(3306)
-                val database = config.path("database").asText("")
-                if (config.has("user")) props += "user" -> config.path("user").asText
-                if (config.has("password")) props += "password" -> config.path("password").asText
-                s"jdbc:mysql://$host:$port/$database"
-              case u => u
-            }
-            val query = config.path("query").asText("") match {
-              case "" => config.path("read_params").path("query").asText("")
-              case q => q
-            }
-            require(query.nonEmpty,
-              "mysql connector_input requires a query (config.query or read_params.query)")
+            val (url, props, query) = mysqlConnectorConfig(config)
             Source(sp => graft.sources.Connectors
-              .JdbcConnector(url, query, props.toMap).read(sp))
+              .JdbcConnector(url, query, props).read(sp))
           case "" | "csv" | "json" =>
             val path = config.path("path").asText
             val format =

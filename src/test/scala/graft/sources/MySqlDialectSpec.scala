@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.jdbc.JdbcDialects
+import org.apache.spark.sql.types._
+import java.sql.Types
+
+/** MySQL-dialect depth (r13 — the reference ATTACHes live MySQL,
+  * connectors/builtin.py:130-181; no MySQL server or driver jar
+  * exists in this environment, so what CAN be pinned offline is
+  * pinned: the exact dialect Spark resolves for our assembled URLs
+  * and the type-mapping decisions that dialect will make against a
+  * real server — TINYINT(1), unsigned widening, DATETIME, BIT — plus
+  * the zero-date URL option our connector injects. The live-JDBC
+  * mechanics (fan-in, pushdown, striding) are proven against embedded
+  * Derby in WritersSpec; these mappings are the MySQL-specific
+  * remainder.)
+  */
+class MySqlDialectSpec extends AnyFunSuite {
+
+  private val dialect = JdbcDialects.get("jdbc:mysql://h:3306/db")
+
+  private def catalyst(sqlType: Int, name: String, size: Int,
+      signed: Boolean = true, ntz: Boolean = false): Option[DataType] = {
+    val md = new MetadataBuilder()
+    md.putBoolean("isSigned", signed)
+    md.putLong("scale", 0)
+    md.putBoolean("isTimestampNTZ", ntz)
+    dialect.getCatalystType(sqlType, name, size, md)
+  }
+
+  test("our assembled jdbc:mysql URLs resolve to Spark's MySQLDialect") {
+    assert(dialect.getClass.getName ==
+      "org.apache.spark.sql.jdbc.MySQLDialect")
+    // and NOT for other schemes (the dispatch is real)
+    assert(JdbcDialects.get("jdbc:derby:memory:x").getClass.getName !=
+      dialect.getClass.getName)
+  }
+
+  test("read-side type mappings: TINYINT(1), unsigned widening, BIT, DATETIME") {
+    // TINYINT(1) arrives as Types.TINYINT when Connector/J runs with
+    // tinyInt1isBit=false → ByteType (signed −128..127 preserved)
+    assert(catalyst(Types.TINYINT, "TINYINT", 1).contains(ByteType))
+    // with the default tinyInt1isBit=true the driver reports BIT(1),
+    // which the dialect leaves to the JdbcUtils default (BooleanType)
+    assert(catalyst(Types.BIT, "BIT", 1).isEmpty)
+    // TINYINT UNSIGNED (0..255) widens to ShortType — no overflow
+    assert(catalyst(Types.TINYINT, "TINYINT UNSIGNED", 3, signed = false)
+      .contains(ShortType))
+    // SMALLINT → ShortType; BIT(n>1) → BinaryType
+    assert(catalyst(Types.SMALLINT, "SMALLINT", 5).contains(ShortType))
+    assert(catalyst(Types.BIT, "BIT", 8).contains(BinaryType))
+    assert(catalyst(Types.VARBINARY, "BIT", 2).contains(BinaryType))
+    // DATETIME honors the session's NTZ preference through metadata
+    assert(catalyst(Types.TIMESTAMP, "DATETIME", 19, ntz = false)
+      .contains(TimestampType))
+    assert(catalyst(Types.TIMESTAMP, "DATETIME", 19, ntz = true)
+      .contains(TimestampNTZType))
+    // INT/BIGINT UNSIGNED fall to the JdbcUtils defaults (the dialect
+    // declines), which widen by isSigned=false — pin the decline so a
+    // Spark upgrade changing this is caught
+    assert(catalyst(Types.INTEGER, "INT UNSIGNED", 10, signed = false).isEmpty)
+    assert(catalyst(Types.BIGINT, "BIGINT UNSIGNED", 20, signed = false).isEmpty)
+  }
+
+  test("write-side JDBC types and identifier quoting (db_insert against MySQL)") {
+    assert(dialect.getJDBCType(StringType).map(_.databaseTypeDefinition)
+      .contains("LONGTEXT"))
+    assert(dialect.getJDBCType(BooleanType).map(_.databaseTypeDefinition)
+      .contains("BIT(1)"))
+    assert(dialect.getJDBCType(TimestampType).map(_.databaseTypeDefinition)
+      .contains("TIMESTAMP"))
+    // backtick quoting with embedded-backtick doubling
+    assert(dialect.quoteIdentifier("a`b") == "`a``b`")
+  }
+
+  test("assembled URL carries the zero-date option; explicit jdbc_url is untouched") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val assembled = mapper.readTree(
+      """{"host": "db1", "port": 3307, "database": "corpus",
+        |  "user": "u", "password": "p",
+        |  "read_params": {"query": "SELECT 1"}}""".stripMargin)
+    val (url, props, query) = graft.plans.PipelineJson.mysqlConnectorConfig(assembled)
+    assert(url ==
+      "jdbc:mysql://db1:3307/corpus?zeroDateTimeBehavior=convertToNull")
+    assert(props == Map("user" -> "u", "password" -> "p"))
+    assert(query == "SELECT 1")
+    val explicit = mapper.readTree(
+      """{"jdbc_url": "jdbc:mysql://h/db?useSSL=false", "query": "SELECT 2"}""")
+    val (url2, props2, _) = graft.plans.PipelineJson.mysqlConnectorConfig(explicit)
+    assert(url2 == "jdbc:mysql://h/db?useSSL=false") // caller owns options
+    assert(props2.isEmpty)
+    // missing query raises actionably
+    val bad = mapper.readTree("""{"host": "h", "database": "d"}""")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.PipelineJson.mysqlConnectorConfig(bad)
+    }
+    assert(e.getMessage.contains("query"))
+  }
+}
