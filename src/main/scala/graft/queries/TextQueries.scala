@@ -247,6 +247,16 @@ object TextQueries {
           t(s, dir, "documents"), "doc_id", "text", n = 3, minCount = 2L)
         .orderBy("doc_id")),
 
+    // 5-gram — CCNet's actual KenLM order. Same machinery at n=5;
+    // on this corpus almost every 5-gram is singleton, so minCount=2
+    // prunes the model to near-nothing and scoring exercises the
+    // unseen/add-k floor path at scale — exactly the fixed-model-
+    // scoring-an-unbounded-crawl regime.
+    "x_lm_score5" -> ((s, dir) =>
+      graft.operators.LmScore.ngramScores(
+          t(s, dir, "documents"), "doc_id", "text", n = 5, minCount = 2L)
+        .orderBy("doc_id")),
+
     // Document fingerprint over normalized text.
     "x_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -915,6 +925,42 @@ object TextQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // 5-gram twin: prefix = first FOUR tokens, docs need >= 5 tokens.
+    "x_lm_score5" -> {
+      val pfx = (c: String) => (1 to 4).map(i => s"split_part($c, ' ', $i)")
+        .mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, t FROM toks WHERE len(t) >= 5
+         |), g AS (
+         |  SELECT doc_id,
+         |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |            || ' ' || t[i+4]
+         |            for i in generate_series(1, len(t)-4)]) AS bg
+         |  FROM f
+         |), bc AS (
+         |  SELECT bg, count(*) AS c12 FROM g GROUP BY 1 HAVING count(*) >= 2
+         |), w1c AS (
+         |  SELECT ${pfx("bg")} AS w1, count(*) AS c1
+         |  FROM g GROUP BY 1 HAVING count(*) >= 2
+         |), v AS (
+         |  SELECT count(DISTINCT tok) AS nv
+         |  FROM (SELECT unnest(t) AS tok FROM f)
+         |), scored AS (
+         |  SELECT g.doc_id,
+         |    CAST(ln((coalesce(bc.c12, 0) + 1.0) /
+         |            (coalesce(w1c.c1, 0) + 1.0 * (SELECT nv FROM v)))
+         |         AS DECIMAL(28,10)) AS lp
+         |  FROM g
+         |  LEFT JOIN bc USING (bg)
+         |  LEFT JOIN w1c ON ${pfx("g.bg")} = w1c.w1
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     // Explode-shape twin of the in-row Spark entropy: per-(doc, char)
     // counts → the SAME -p·log2(p) terms quantized DECIMAL(28,10) →
     // exact decimal sum → round 6. Values identical by construction.

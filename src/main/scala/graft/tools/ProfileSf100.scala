@@ -54,7 +54,12 @@ object ProfileSf100 {
     spark.conf.set(graft.operators.Dedup.StageDirConf, stagePath.toString)
     def purgeStage(): Unit = graft.LocalFs.clearDirectory(stagePath.toFile)
 
-    /** (median-or-single, nRuns); -1 on failure. */
+    /** (median-or-single, nRuns); -1 on failure. nRuns: 3 = warm
+      * median-of-3; 1 = warm single (first measured run over budget);
+      * 0 = the WARM-UP run itself blew the budget and is the point —
+      * a several-minute corpus lifecycle measured once is a class
+      * claim, not a latency claim, and the bins are a decade wide.
+      */
     def time(name: String, dir: String, budget: Double): (Double, Int) = {
       val fn = SparkEntry.queries(name)
       def run(): Double = {
@@ -66,7 +71,8 @@ object ProfileSf100 {
         dt
       }
       try {
-        fn(spark, dir).count(); spark.catalog.clearCache(); purgeStage() // warm
+        val warm = run()
+        if (warm > budget) return (warm, 0)
         val first = run()
         if (first > budget) (first, 1)
         else ((Seq(first, run(), run())).sorted.apply(1), 3)
@@ -83,7 +89,12 @@ object ProfileSf100 {
     // meant to ride a 5M-doc star unguarded
     val overrides = Map("d_ngram_jaccard" -> (sf1Docs, lo))
 
-    val all = SparkEntry.queries.keys.toSeq.sorted
+    // cheap families first, corpus-lifecycle families (s_*, then d_*)
+    // last: if a sweep must be cut short, the cut lands on the heavy
+    // tail whose class representative (d_simhash) is already covered
+    val all = SparkEntry.queries.keys.toSeq
+      .sortBy(n => (if (n.startsWith("d_")) 2
+                    else if (n.startsWith("s_")) 1 else 0, n))
     val plan = only match {
       case Some(f) if f.startsWith("-") =>
         val excl = f.drop(1).split(",").toSet; all.filterNot(excl)
@@ -95,7 +106,10 @@ object ProfileSf100 {
     println("|---|---|---|---|---|---|")
     try plan.foreach { n =>
       val (dLo, dHi) = overrides.getOrElse(n, (lo, hi))
-      val (a, _) = time(n, dLo, budget = Double.MaxValue)
+      // the lo side gets half the hi budget: a 500k-doc dedup query
+      // still costs ~a minute a run, and the class claim needs the
+      // ratio, not three lo samples
+      val (a, _) = time(n, dLo, hiBudgetSec / 2)
       val (b, nb) = time(n, dHi, hiBudgetSec)
       val r = if (a > 0 && b > 0) b / a else -1
       val cls =
