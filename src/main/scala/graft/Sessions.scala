@@ -59,6 +59,19 @@ object Sessions {
     // events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it unless
     // read as raw int64 nanos — Tables.load converts back to timestamp.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ObjectHashAggregate (collect_list/collect_set — the minhash
+    // bucket aggregate, TopKPairs, the span-scrub hits) falls back to
+    // SORT-based aggregation after only 128 in-memory keys by
+    // default — a testing-era threshold that turns any corpus-sized
+    // group-by-bucket into an n·log·n spill sort: the r13 sf100 sweep
+    // measured d_dedup_clusters at ×31 for ×10 data (the decade's
+    // only dedup superlinear), and raising this restored ~linear.
+    // 2^22 keys bounds per-task agg memory to a few hundred MB worst
+    // case (entries are a bucket key + a 2-3 element id list) with the
+    // sort fallback still there beyond it; size DOWN on executors
+    // smaller than a few GB per task slot.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 22).toString)
     // Codegen class cache: the default 100 entries thrashes on any
     // long-lived session serving >100 distinct plans (this suite runs
     // ~120 — at 100 entries EVERY query re-janino-compiles its

@@ -187,15 +187,52 @@ object Dedup {
       explode(bandBuckets(col("_sig"), bands, rowsPerBand)).as("bb"))
       .select(col("_id"), col("bb.band"), col("bb.bucket"))
 
-    // Candidate pairs are generated BUCKET-LOCALLY: one hash aggregate
-    // collects each (band, bucket)'s ids (bounded by the maxBucketSize
-    // guard, which drops degenerate buckets whole — see doc), then the
-    // ordered pairs explode in-row. Two shuffles total vs four for the
-    // self-join formulation (size-agg + guard join + join of two
-    // banded copies), and the banded table is never shuffled twice.
-    val candidates = banded.groupBy("band", "bucket")
+    // Candidate pairs are generated BUCKET-LOCALLY. Route choice is
+    // STATS-BASED (r13, the same device cost-based planning uses):
+    //
+    //  - SMALL corpus (input under [[TwoPassBucketBytes]]): one
+    //    collect_list aggregate — two shuffles total, the cheapest
+    //    plan when every bucket fits agg memory (the pre-r13 shape;
+    //    at the bench SF the two-pass variant measured +0.5 s/query
+    //    of pure extra-stage cost).
+    //  - LARGE corpus: TWO passes — bands×n banded rows are
+    //    overwhelmingly SINGLETON buckets (no collision at t-scale
+    //    banding), and collect_list over all of them was the r13
+    //    sf100 sweep's superlinear term (40M tiny list buffers =
+    //    pure allocation/GC on the agg map; ×18-31 for ×10 data,
+    //    phase-probed at 246 of the composition's 250 s). Pass 1 is
+    //    a plain COUNT per bucket — fixed-width codegen'd aggregate,
+    //    map-side combinable, no object buffers — and only buckets
+    //    with 2..maxBucketSize members (the collision volume, tiny
+    //    on any non-degenerate corpus) survive into the plan-time-
+    //    broadcast semi-filtered pass 2, whose collect_list runs on
+    //    collision rows only. The sig/banding scan runs twice; that
+    //    is seconds where the one-pass list agg was minutes —
+    //    measured at the 5M-doc decade: d_dedup_apply ×18.4→×9.5,
+    //    d_minhash_exact ×30.3→×7.2 (~linear restored).
+    def bucketLists(src: DataFrame): DataFrame = src
+      .groupBy("band", "bucket")
       .agg(collect_list(col("_id")).as("_ids"))
       .filter(size(col("_ids")).between(2, maxBucketSize))
+    val inputBytes: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val collisionBuckets =
+      if (inputBytes <= TwoPassBucketBytes) bucketLists(banded)
+      else {
+        // plan-time broadcast under the same budget device as the
+        // span family: hot buckets are collision volume, but a
+        // mass-duplicated corpus can inflate them past executor
+        // memory — past the cap the semi filter degrades to a
+        // shuffled join, cost proportional to duplication
+        val hotBuckets = stage(banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n").between(2, maxBucketSize))
+          .select("band", "bucket"), stageDir, eager = true)
+        val hotSide =
+          if (hotBuckets.count() <= SpanBroadcastLimit) broadcast(hotBuckets)
+          else hotBuckets
+        bucketLists(banded.join(hotSide, Seq("band", "bucket")))
+      }
+    val candidates = collisionBuckets
       .withColumn("_sorted", array_sort(col("_ids")))
       // native pair walk (ArrayPairs — the nested-HOF formulation was
       // an O(k²) interpreted tree-walk per bucket)
@@ -208,6 +245,11 @@ object Dedup {
     // `.distinct()` + two joins — two fewer AQE stages and the corpus
     // stage is read/joined ONCE (measured 1.55 → 1.22 s median on the
     // d_dedup_quality composition at sf0.1, identical result set).
+    // CONTRACT (shared by every dedup operator but binding here): ids
+    // must be UNIQUE — a duplicated id joins several shingle sets and
+    // first() keeps an arbitrary one, so a true pair can score below
+    // threshold. (The replaced two-join shape emitted one row per
+    // text combination instead — differently garbage, not safer.)
     // Candidates arrive WITHOUT a distinct: a pair colliding in k of
     // the `bands` buckets rides k× to the groupBy, which dedups it —
     // bounded at bands× on exactly the colliding pairs, which the
@@ -900,6 +942,17 @@ object Dedup {
     * against the persisted aggregate).
     */
   val SpanBroadcastLimit: Long = 3000000L
+
+  /** Input-size threshold (Catalyst plan stats, bytes) above which
+    * [[minHashNearDups]] routes its bucket aggregate through the
+    * two-pass count-filter shape — below it the corpus's whole banded
+    * stream fits the aggregate comfortably and the one-pass
+    * collect_list is strictly cheaper (measured +0.5 s/query of
+    * extra-stage cost at sf0.1 for nothing). 256 MB of input text is
+    * ~1M docs ≈ 8M banded rows — well before the singleton-bucket
+    * allocation wall the two-pass exists for (measured at 40M).
+    */
+  val TwoPassBucketBytes: Long = 256L << 20
 
   /** [[spanDuplicateIds]] complement: the corpus with every
     * later-duplicate-span document dropped.

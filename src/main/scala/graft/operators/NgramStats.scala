@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram frequency top-k — the vocabulary/boilerplate
+  * analysis pass of any corpus report, in the shape that survives the
+  * fifth decade (r13).
+  *
+  * The textbook formulation (`explode(grams) → groupBy(gram) →
+  * TakeOrdered`) shuffles the FULL gram-string stream into the
+  * aggregate; on an open vocabulary most grams are singletons, so
+  * map-side combine reduces almost nothing and the hash aggregate
+  * degenerates into a sort-spill of hundreds of millions of strings —
+  * measured SUPERLINEAR at the 5M-doc decade (×64 for ×10 data; the
+  * only superlinear row of the r13 full-suite sweep).
+  *
+  * Two-pass exact top-k instead:
+  *  1. aggregate counts keyed on `xxhash64(gram)` — the strings die
+  *     map-side, the shuffle carries 8-byte longs (same Zipf
+  *     singleton mass, ~4-8× less volume, no string comparisons in
+  *     the spill sort);
+  *  2. the k-th largest count is a 1-row driver read off that count
+  *     table (TakeOrdered over longs); every hash at or above it —
+  *     k rows plus boundary ties — BROADCASTS back into a second gram
+  *     scan that recovers the strings and recounts just those grams
+  *     (map-side filtered: nothing else survives the broadcast semi
+  *     probe), and the final exact (count DESC, gram ASC) order +
+  *     limit happens on that k-row table.
+  *
+  * Result is bit-identical to the one-pass formulation (same
+  * xxhash64-collision caveat as every hash-keyed dedup operator: a
+  * collision inside the top-k boundary would merge two grams — ~2⁻⁶⁴
+  * per pair, below any corpus's noise floor). Cost: one extra corpus
+  * scan, which a second decade of data amortizes against not
+  * spilling the string shuffle.
+  */
+object NgramStats {
+
+  def topK(df: DataFrame, textCol: String, n: Int, k: Int,
+      gramCol: String = "gram", countCol: String = "n"): DataFrame = {
+    require(n >= 1, s"ngram width must be >= 1, got $n")
+    require(k >= 1, s"top-k must be >= 1, got $k")
+    def grams: DataFrame = df.select(explode(graft.functions.TextSignatures
+      .shingleStringsCol(col(textCol), n)).as("_g"))
+    val counts = grams
+      .groupBy(xxhash64(col("_g")).as("_h"))
+      .agg(count(lit(1)).as("_c"))
+    // k-th largest count (or the smallest count when the vocabulary
+    // has fewer than k grams): a k-row TakeOrdered over (long, long)
+    val topCounts = counts.select(col("_c"))
+      .orderBy(col("_c").desc).limit(k)
+      .agg(min(col("_c"))).head()
+    if (topCounts.isNullAt(0))
+      return grams.limit(0)
+        .select(col("_g").as(gramCol), lit(0L).as(countCol))
+    val threshold = topCounts.getLong(0)
+    val kept = counts.filter(col("_c") >= threshold).select(col("_h"))
+    grams
+      .join(broadcast(kept), xxhash64(col("_g")) === col("_h"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as(countCol))
+      .orderBy(col(countCol).desc, col("_g").asc)
+      .limit(k)
+      .select(col("_g").as(gramCol), col(countCol))
+  }
+
+  /** Bounded-memory heavy-hitters top-k — the single-box 100 TB path
+    * (r13). [[topK]] is exact but must group EVERY distinct gram; at
+    * the 5M-doc decade that is ~300M distinct longs and the aggregate
+    * runs at the machine's memory edge (measured SUPERLINEAR on one
+    * box even hash-keyed — the spill is inherent to exactness; the
+    * aggregate is partial-combinable, so on a cluster it spreads and
+    * the class is a per-executor memory statement, not an algorithm
+    * one). This variant substitutes a Misra-Gries FrequentItems
+    * sketch over the gram hashes (Apache DataSketches LongsSketch):
+    * one `mapPartitions` pass with O(maxMapSize) memory per task,
+    * sketches merged on the driver, candidate hashes = the sketch's
+    * NO_FALSE_NEGATIVES top set — every gram whose true count exceeds
+    * the error bound survives — then the same broadcast-filtered
+    * second scan recovers strings and EXACT counts for just the
+    * candidates, so the RETURNED counts are exact and the final
+    * (count DESC, gram ASC) order is the true one. The approximation
+    * only decides which tail grams enter the candidate set: with
+    * `maxMapSize` ≥ the Zipf head's working set (65536 default, ~1MB)
+    * the returned top-k equals the exact top-k whenever the k-th
+    * count clears the sketch's epsilon bound (sketch.getMaximumError,
+    * checked by the spec on the profiled star).
+    */
+  def topKSketch(df: DataFrame, textCol: String, n: Int, k: Int,
+      maxMapSize: Int = 65536,
+      gramCol: String = "gram", countCol: String = "n"): DataFrame = {
+    require(n >= 1, s"ngram width must be >= 1, got $n")
+    require(k >= 1, s"top-k must be >= 1, got $k")
+    require(maxMapSize >= 2 * k,
+      s"maxMapSize ($maxMapSize) must be >= 2k (${2 * k}) for a usable sketch")
+    import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
+    def grams: DataFrame = df.select(explode(graft.functions.TextSignatures
+      .shingleStringsCol(col(textCol), n)).as("_g"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // nearest power of two at or above maxMapSize (LongsSketch requires one)
+    val mapSize = Integer.highestOneBit(math.max(2, maxMapSize - 1)) * 2
+    val merged = grams
+      .select(xxhash64(col("_g")).as("_h")).as[Long]
+      .mapPartitions { it =>
+        val sk = new LongsSketch(mapSize)
+        it.foreach(sk.update)
+        Iterator.single(sk.toByteArray)
+      }.collect()
+      .foldLeft(new LongsSketch(mapSize)) { (acc, bytes) =>
+        acc.merge(LongsSketch.getInstance(
+          org.apache.datasketches.memory.Memory.wrap(bytes)))
+      }
+    val cand = merged.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(_.getItem)
+    if (cand.isEmpty) return grams.limit(0)
+      .select(col("_g").as(gramCol), lit(0L).as(countCol))
+    val kept = cand.toSeq.toDF("_h")
+    grams
+      .join(broadcast(kept), xxhash64(col("_g")) === col("_h"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as(countCol))
+      .orderBy(col(countCol).desc, col("_g").asc)
+      .limit(k)
+      .select(col("_g").as(gramCol), col(countCol))
+  }
+}

@@ -365,16 +365,13 @@ object TextQueries {
 
     // Corpus n-gram frequency table (top 100 word-3-grams): the
     // vocabulary/boilerplate analysis pass of any corpus report.
-    // Grams generated by the codegen'd ShingleStrings expression
-    // (multiplicity kept); the count is a hash aggregate with map-side
-    // combine, and the top-100 runs as TakeOrdered — no global sort.
-    "x_ngram_stats" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(explode(graft.functions.TextSignatures
-          .shingleStringsCol(col("text"), 3)).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("gram")).limit(100)
-    }),
+    // r13: routed through NgramStats.topK's two-pass hash-keyed shape —
+    // the one-pass string-keyed aggregate was the r13 sf100 sweep's
+    // only SUPERLINEAR row (×64 at the 5M-doc decade: singleton-heavy
+    // gram strings spill the hash agg). Result identical.
+    "x_ngram_stats" -> ((s, dir) =>
+      graft.operators.NgramStats.topK(
+        t(s, dir, "documents"), "text", n = 3, k = 100)),
 
     // Training-sequence packing: assign docs to fixed-token-budget
     // bins (budget 2048) by start offset — bin = (running token count

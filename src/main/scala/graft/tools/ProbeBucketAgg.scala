@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.operators.Dedup
+
+/** Dev probe (r13): is the minhash bucket collect_list the superlinear
+  * term in d_dedup_* at the 5M-doc decade, and does raising
+  * spark.sql.objectHashAggregate.sortBased.fallbackThreshold (default
+  * 128 in-memory keys → sort-based fallback for ANY corpus-sized
+  * group-by-bucket) fix the class?
+  */
+object ProbeBucketAgg {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf100")
+    val threshold = args.lift(1).getOrElse("128")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
+    val spark = Sessions.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", threshold)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    val stage = java.nio.file.Files.createTempDirectory("graft_bktprobe")
+    spark.conf.set(Dedup.StageDirConf, stage.toString)
+    val docs = Tables.load(spark, dir, "documents")
+    def clone(shift: Long) = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + shift)
+    val corpus = docs.unionByName(clone(1000000L)).unionByName(clone(2000000L))
+    val t0 = System.nanoTime()
+    val n = Dedup.minHashNearDups(corpus, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0).count()
+    println(f"PROBE threshold=$threshold pairs=$n took ${(System.nanoTime - t0) / 1e9}%.1f s")
+    graft.LocalFs.deleteRecursively(stage.toFile)
+    spark.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+
+/** Dev probe (r13): per-phase cost of minHashNearDups at the 5M-doc
+  * decade — which stage is the superlinear term? Clone shift 100M so
+  * planted ids never collide with real ones (the 1M shift of the
+  * sf0.1-scale fixtures overlaps a 5M-doc table).
+  */
+object ProbeMinhashPhases {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16")
+    val spark = Sessions.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    val docs = Tables.load(spark, dir, "documents")
+    def clone(shift: Long) = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + shift)
+    val corpus = docs.unionByName(clone(100000000L)).unionByName(clone(200000000L))
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PHASE $label: ${(System.nanoTime - t0) / 1e9}%.1f s (n=$n)")
+    }
+
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_mmph").toString
+    val hashedRaw = corpus
+      .select(col("doc_id").as("_id"),
+        graft.functions.TextSignatures.shingleHashesCol(col("text"), 3).as("_hsh"))
+      .filter(size(col("_hsh")) > 0)
+    time("1 shingle+stage-write") {
+      hashedRaw.write.mode("overwrite").parquet(s"$stageDir/h")
+      0L
+    }
+    val hashed = spark.read.parquet(s"$stageDir/h")
+    time("2 minhash sig scan") {
+      hashed.select(graft.functions.TextSignatures
+        .minHashSigCol(col("_hsh"), 64).as("_sig"))
+        .select(count(when(element_at(col("_sig"), 1) > 0, 1))).head(); 0L
+    }
+    val banded = hashed
+      .withColumn("_sig", graft.functions.TextSignatures
+        .minHashSigCol(col("_hsh"), 64))
+      .select(col("_id"),
+        explode(graft.operators.Dedup.bandBuckets(col("_sig"), 8, 8)).as("bb"))
+      .select(col("_id"), col("bb.band"), col("bb.bucket"))
+    time("3 band explode count") { banded.count() }
+    time("4 bucket collect_list agg") {
+      banded.groupBy("band", "bucket")
+        .agg(collect_list(col("_id")).as("_ids"))
+        .filter(size(col("_ids")).between(2, 1000)).count()
+    }
+    time("5 full minHashNearDups") {
+      graft.operators.Dedup.minHashNearDups(corpus, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 8, threshold = 1.0,
+        stageDir = Some(s"$stageDir/s")).count()
+    }
+    graft.LocalFs.deleteRecursively(new java.io.File(stageDir))
+    spark.stop()
+  }
+}
