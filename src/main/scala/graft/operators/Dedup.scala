@@ -919,10 +919,8 @@ object Dedup {
     // budget (massively duplicated corpus) it degrades to the
     // sort-merge join against the persisted aggregate — cost
     // proportional to duplication, never quadratic.
-    val dupSpans = grams.groupBy("_g")
-      .agg(min(col("_id")).as("_first"), max(col("_id")).as("_last"))
-      .filter(col("_last") > col("_first"))
-      .select(col("_g"), col("_first"))
+    val dupSpans = dupSpanFirsts(grams,
+        df.queryExecution.optimizedPlan.stats.sizeInBytes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDup = dupSpans.count()
     val probe =
@@ -935,6 +933,60 @@ object Dedup {
     dupSpans.unpersist()
     flagged
   }
+
+  /** The span-family posting aggregate (min/max owner id per distinct
+    * span hash), STATS-ROUTED (r14, the r13 verdict's item 4): below
+    * [[PostingShuffleBytes]] of input text the plain `groupBy` is the
+    * right plan — map-side partial combine costs nothing and saves a
+    * shuffle of whatever duplication exists. ABOVE it the key space
+    * (distinct `spanTokens`-word shingles — ~400M longs at the 5M-doc
+    * decade) has outgrown any single map task's aggregate hash map:
+    * the open vocabulary means partial aggregation reduces almost
+    * nothing, every scan task builds a postings-sized map, and the
+    * r13 sweep measured the resulting sort-fallback spill at
+    * ×25.5/decade (d_span_dedup; the scrub sibling ×13.5). The routed
+    * shape PRE-SHUFFLES raw 16-byte postings on the span hash first —
+    * a pure serialized exchange, linear and spill-friendly — so both
+    * aggregate passes run AFTER the exchange over one partition's
+    * bounded slice of the key space (keyspace / partitions keys per
+    * task, sized by [[postingAggPartitions]]). Shuffle volume is
+    * unchanged: the old plan shuffled the near-unreduced partial rows
+    * anyway; only the map-side memory cliff disappears. min/max stay
+    * fixed-width and combinable, so a real cluster spreads either
+    * shape — this routes the SINGLE-BOX class back to ~linear.
+    */
+  private[operators] def dupSpanFirsts(grams: DataFrame, inputBytes: BigInt,
+      shuffleBytes: Long = PostingShuffleBytes): DataFrame = {
+    val base =
+      if (inputBytes <= shuffleBytes) grams
+      else grams.repartition(
+        postingAggPartitions(grams.sparkSession, inputBytes), col("_g"))
+    base.groupBy("_g")
+      .agg(min(col("_id")).as("_first"), max(col("_id")).as("_last"))
+      .filter(col("_last") > col("_first"))
+      .select(col("_g"), col("_first"))
+  }
+
+  /** Posting-aggregate partition count for the routed shape: one
+    * partition per ~4 MB of input text (≈1M postings → ~1M distinct
+    * keys → ~24 MB of aggregate map per task), never below the
+    * session's shuffle parallelism, capped at 2^16. Explicit so AQE
+    * does not coalesce the exchange back into oversized partitions.
+    */
+  private[operators] def postingAggPartitions(
+      spark: org.apache.spark.sql.SparkSession, inputBytes: BigInt): Int = {
+    val bySize = (inputBytes / (4L << 20)).min(BigInt(1 << 16)).toInt
+    math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, bySize)
+  }
+
+  /** Input-size threshold (Catalyst plan stats, bytes) above which the
+    * span-family posting aggregate routes through the pre-shuffled
+    * shape (see [[dupSpanFirsts]]). 256 MB of input text ≈ 1.5M docs ≈
+    * 60M postings — the last decade where a scan task's partial map
+    * still fits comfortably; the same crossover family as
+    * [[TwoPassBucketBytes]].
+    */
+  val PostingShuffleBytes: Long = 256L << 20
 
   /** Max duplicated-span rows the span-dedup probe will broadcast
     * (~16 B a row → ≤ ~50 MB at the cap, well inside executor
@@ -1016,11 +1068,13 @@ object Dedup {
         .positionedShinglesCol(col(textCol), spanTokens)).as(Seq("_pos", "_g")))
     // Same aggregate-first + plan-time-broadcast shape as
     // spanDuplicateIds (see the rationale there): only multi-owner
-    // spans can flag anything.
-    val dupSpans = grams.groupBy("_g")
-      .agg(min(col("_id")).as("_first"), max(col("_id")).as("_last"))
-      .filter(col("_last") > col("_first"))
-      .select(col("_g"), col("_first"))
+    // spans can flag anything. The posting aggregate itself is
+    // stats-routed through [[dupSpanFirsts]]' pre-shuffle past
+    // [[PostingShuffleBytes]] — the open-key-space map-side spill was
+    // the r13 sweep's remaining span-family superlinear.
+    val spark = df.sparkSession
+    val dupSpans = dupSpanFirsts(grams,
+        df.queryExecution.optimizedPlan.stats.sizeInBytes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDup = dupSpans.count()
     val probe =
@@ -1033,7 +1087,33 @@ object Dedup {
       stageDir, eager = true)
     dupSpans.unpersist()
     val nHit = hits.count()
-    val hitSide = if (nHit <= ScrubHitsBroadcastLimit) broadcast(hits) else hits
+    // Cache hygiene (r14, ADVICE): the eager stage above PERSISTS when
+    // no stage dir is configured, and the returned plan used to keep
+    // that cache alive past the call — a leak across long sessions.
+    // Under the broadcast cap the hit rows are collected to the driver
+    // (exactly what the broadcast exchange would do at execution
+    // anyway) and served from a LOCAL relation, so the cache releases
+    // NOW; past the cap the materialized stage is spilled to a temp
+    // parquet (same lifetime the cache had — the JVM's — but disk, not
+    // executor memory) and the cache releases too. Dir-staged runs
+    // (the 100 TB configuration) were never cached and pass through.
+    val hitSide =
+      if (nHit <= ScrubHitsBroadcastLimit) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(hits.collect(): _*), hits.schema)
+        hits.unpersist(false)
+        broadcast(local)
+      } else if (stageDir.isDefined ||
+          spark.conf.get(StageDirConf, null) != null) {
+        hits // already parquet-backed, nothing cached
+      } else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_scrub_hits")
+        val dir = tmp.resolve("hits").toString
+        hits.write.mode("overwrite").parquet(dir)
+        hits.unpersist(false)
+        sys.addShutdownHook(graft.LocalFs.deleteRecursively(tmp.toFile))
+        spark.read.parquet(dir)
+      }
     val scrubbed = df
       .join(hitSide, col(idCol) === col("_id"), "left")
       .withColumn("_scrub", graft.functions.SpanScrub
@@ -1041,6 +1121,11 @@ object Dedup {
       .select(col(idCol),
         col("_scrub").getField("text").as(textCol),
         col("_scrub").getField("n_cut").as("n_cut"))
-    scrubbed.filter(length(col(textCol)) > 0)
+    // Drop ONLY docs the scrub emptied (r14, ADVICE): a doc whose
+    // ORIGINAL text was empty/null has nothing cut (n_cut = 0) and
+    // passes through as empty text instead of being conflated with
+    // fully-duplicated ones; a doc cut to nothing (n_cut > 0, empty
+    // remainder) drops — equivalent to dropSpanDuplicates for it.
+    scrubbed.filter(col("n_cut") === 0L || length(col(textCol)) > 0)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained bigram language-model scoring — the CCNet-style
@@ -184,6 +184,154 @@ object LmScore {
         log((coalesce(col("_c12"), lit(0L)) + lit(k)) /
             (coalesce(col("_c1"), lit(0L)) + lit(k) * col("_v")))
           .cast("decimal(28,10)"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("lm_score"))
+  }
+
+  /** STUPID-BACKOFF order-n scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — public method; r14,
+    * the r13 verdict's item 3). [[ngramScores]] at n = 5 with pruning
+    * is honest but weakly discriminating: once singleton 5-grams
+    * prune, nearly every position scores the add-k floor. Stupid
+    * backoff scores each position at the HIGHEST order whose n-gram
+    * survives in the (bounded) model and discounts by α per level
+    * backed off:
+    *
+    *   S(w | ctx_m) = C(ctx_m · w) / C(ctx_m)          if retained,
+    *                  α · S(w | ctx_{m-1})             otherwise,
+    *   S(w)         = (C(w) + k) / (N + k·V)           at the floor
+    *
+    * (raw relative frequencies, not normalized probabilities — the
+    * paper's point is that at corpus scale the cheap score ranks as
+    * well as Kneser-Ney; the unigram level keeps this library's add-k
+    * floor so pruned/unseen tokens still score deterministically).
+    *
+    * Model: one count table PER ORDER 1..n over the train corpus,
+    * each independently `minCount`-floored and `topV`-capped — the
+    * same bounded-model story as [[ngramScores]], n tables instead of
+    * two, all broadcastable. Backoff needs the denominator present
+    * whenever the numerator hits: under the `minCount` floor that is
+    * structural (an m-gram's count never exceeds its (m−1)-prefix's,
+    * and the prefix is counted over a superset of docs), and under a
+    * `topV` cap each order's table is additionally semi-filtered to
+    * entries whose context survives the order below (cascaded upward),
+    * so a retained n-gram can never orphan its denominator.
+    *
+    * Scale shape: n vocabulary-sized hash aggregates build the model;
+    * the corpus-scale n-gram stream is scanned ONCE and joined against
+    * 2n−1 bounded model tables (numerator per order 2..n, context per
+    * order 1..n−1, the unigram floor) — broadcast-hinted when `topV`
+    * bounds them, AQE-broadcast under the `minCount` floor. No model
+    * key ever shuffles the corpus stream.
+    *
+    * Determinism (the hash-exact oracle contract): each level's ln
+    * argument is a ratio of exact small integers (identical double in
+    * both engines, the proven [[bigramScores]] device); the α discount
+    * adds OUTSIDE the ln as exact decimal arithmetic —
+    * `(n−m) × decimal(ln α)` — so no cross-engine FP products exist;
+    * the per-position lp is DECIMAL(28,10), decimal-summed, mean
+    * rounded to 6.
+    *
+    * Returns (idCol, n_ngrams, lm_score) over docs with >= n tokens.
+    */
+  def backoffScores(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      alpha: Double = 0.4, k: Double = 1.0, train: Option[DataFrame] = None,
+      minCount: Long = 1L, topV: Option[Int] = None): DataFrame = {
+    require(n >= 2, s"ngram order must be >= 2, got $n")
+    require(alpha > 0 && alpha <= 1, s"backoff alpha must be in (0,1], got $alpha")
+    require(k > 0, s"smoothing k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    topV.foreach(v => require(v > 0, s"topV must be positive, got $v"))
+
+    val trainDf = train.getOrElse(docs)
+      .select(col(textCol).as("_tx"))
+    // order-m gram stream: the codegen'd shingle expression emits an
+    // empty array for docs shorter than m tokens, so each order's
+    // stream carries exactly the docs that have an m-gram — no
+    // explicit length filter needed (m = 1 is the token stream)
+    def gramsOf(df: DataFrame, m: Int): DataFrame = df.select(
+      explode(graft.functions.TextSignatures
+        .shingleStringsCol(col("_tx"), m)).as("_g"))
+
+    val floored: Map[Int, DataFrame] = (1 to n).map { m =>
+      val c = gramsOf(trainDf, m).groupBy("_g")
+        .agg(count(lit(1)).as(s"_c$m"))
+      m -> (if (minCount > 1) c.filter(col(s"_c$m") >= lit(minCount)) else c)
+    }.toMap
+    val tables: Map[Int, DataFrame] = topV match {
+      case None => floored
+      case Some(v) =>
+        // cap each order (count desc, gram asc — deterministic), then
+        // cascade the context filter upward so a retained m-gram's
+        // (m−1)-token PREFIX is always present as its denominator
+        val acc = scala.collection.mutable.Map(
+          1 -> floored(1).orderBy(col("_c1").desc, col("_g").asc).limit(v))
+        for (m <- 2 to n) {
+          val capped = floored(m)
+            .orderBy(col(s"_c$m").desc, col("_g").asc).limit(v)
+          acc(m) = capped.join(
+            acc(m - 1).select(col("_g").as("_ctx")),
+            substring_index(col("_g"), " ", m - 1) === col("_ctx"),
+            "left_semi")
+        }
+        acc.toMap
+    }
+    // topV hard-bounds every table → force the broadcast at each join;
+    // minCount alone only shrinks them, so leave the choice to AQE
+    def hinted(d: DataFrame): DataFrame =
+      if (topV.isDefined) broadcast(d) else d
+
+    // N (total train tokens) and V (distinct train tokens) — lazy
+    // 1-row aggregate cross-joined in, like every stats row here
+    val statsRow = gramsOf(trainDf, 1).agg(
+      count(lit(1)).cast("double").as("_nn"),
+      count_distinct(col("_g")).cast("double").as("_v"))
+
+    val scored = docs
+      .select(col(idCol).as("_id"), col(textCol).as("_tx"),
+        split(lower(trim(col(textCol))), "\\s+").as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col("_id"), explode(graft.functions.TextSignatures
+        .shingleStringsCol(col("_tx"), n)).as("_bg"))
+
+    // last m tokens of the gram (numerator key at order m)
+    def suffixOf(m: Int): Column = substring_index(col("_bg"), " ", -m)
+    // last j tokens of the gram's first n−1 (denominator key at order j)
+    def contextOf(j: Int): Column =
+      substring_index(substring_index(col("_bg"), " ", n - 1), " ", -j)
+
+    var joined = scored
+    for (m <- 2 to n) joined = joined.join(
+      hinted(tables(m).select(col("_g").as(s"_sg$m"), col(s"_c$m"))),
+      suffixOf(m) === col(s"_sg$m"), "left")
+    for (j <- 1 to n - 1) joined = joined.join(
+      hinted(tables(j).select(col("_g").as(s"_xg$j"), col(s"_c$j").as(s"_cc$j"))),
+      contextOf(j) === col(s"_xg$j"), "left")
+    joined = joined.join(
+      hinted(tables(1).select(col("_g").as("_wg"), col("_c1").as("_cw"))),
+      suffixOf(1) === col("_wg"), "left")
+
+    val lnAlpha = log(lit(alpha)).cast("decimal(28,10)")
+    def levelsBack(m: Int): Column =
+      lit(n - m).cast("decimal(10,0)") * lnAlpha
+    def hit(m: Int): Column =
+      (log(col(s"_c$m").cast("double") / col(s"_cc${m - 1}").cast("double"))
+        .cast("decimal(28,10)") + levelsBack(m)).cast("decimal(28,10)")
+    val floor =
+      (log((coalesce(col("_cw"), lit(0L)).cast("double") + lit(k)) /
+          (col("_nn") + lit(k) * col("_v")))
+        .cast("decimal(28,10)") + levelsBack(1)).cast("decimal(28,10)")
+    val lp = (n to 2 by -1)
+      .foldLeft(Option.empty[Column]) { (acc, m) =>
+        val c = col(s"_c$m").isNotNull
+        Some(acc.fold(when(c, hit(m)))(_.when(c, hit(m))))
+      }.get.otherwise(floor)
+
+    joined
+      .crossJoin(statsRow)
+      .withColumn("_lp", lp)
       .groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("lm_score"))

@@ -5,65 +5,111 @@ import org.apache.spark.sql.functions._
 
 /** Corpus n-gram frequency top-k — the vocabulary/boilerplate
   * analysis pass of any corpus report, in the shape that survives the
-  * fifth decade (r13).
+  * fifth decade (r13, routed r14).
   *
   * The textbook formulation (`explode(grams) → groupBy(gram) →
   * TakeOrdered`) shuffles the FULL gram-string stream into the
   * aggregate; on an open vocabulary most grams are singletons, so
   * map-side combine reduces almost nothing and the hash aggregate
   * degenerates into a sort-spill of hundreds of millions of strings —
-  * measured SUPERLINEAR at the 5M-doc decade (×64 for ×10 data; the
-  * only superlinear row of the r13 full-suite sweep).
+  * measured SUPERLINEAR at the 5M-doc decade (×64 for ×10 data in the
+  * r13 full-suite sweep).
   *
-  * Two-pass exact top-k instead:
-  *  1. aggregate counts keyed on `xxhash64(gram)` — the strings die
-  *     map-side, the shuffle carries 8-byte longs (same Zipf
-  *     singleton mass, ~4-8× less volume, no string comparisons in
-  *     the spill sort);
-  *  2. the k-th largest count is a 1-row driver read off that count
-  *     table (TakeOrdered over longs); every hash at or above it —
-  *     k rows plus boundary ties — BROADCASTS back into a second gram
-  *     scan that recovers the strings and recounts just those grams
-  *     (map-side filtered: nothing else survives the broadcast semi
-  *     probe), and the final exact (count DESC, gram ASC) order +
-  *     limit happens on that k-row table.
-  *
-  * Result is bit-identical to the one-pass formulation (same
-  * xxhash64-collision caveat as every hash-keyed dedup operator: a
-  * collision inside the top-k boundary would merge two grams — ~2⁻⁶⁴
-  * per pair, below any corpus's noise floor). Cost: one extra corpus
-  * scan, which a second decade of data amortizes against not
-  * spilling the string shuffle.
+  * Three entry points:
+  *  - [[topK]] — EXACT two-pass top-k (hash-keyed counts, then a
+  *    broadcast-filtered string recount). Exact must still group
+  *    every distinct gram, so its single-box class stays superlinear
+  *    at the memory edge; on a cluster the aggregate is partial-
+  *    combinable and spreads (a per-executor-memory statement).
+  *  - [[topKSketch]] — bounded O(maxMapSize)/task Misra-Gries
+  *    candidates + exact recount; the single-box 100 TB path.
+  *  - [[topKAuto]] — the DEFAULT: stats-routes between them on
+  *    Catalyst plan size (the same device [[Dedup.TwoPassBucketBytes]]
+  *    uses), exact below [[SketchRouteBytes]], sketch above.
   */
 object NgramStats {
 
+  /** Exact two-pass top-k:
+    *  1. aggregate counts keyed on `xxhash64(gram)` — the strings die
+    *     map-side, the shuffle carries 8-byte longs (same Zipf
+    *     singleton mass, ~4-8× less volume, no string comparisons in
+    *     the spill sort); the count table is persisted so the k-th
+    *     threshold probe and the kept-set read share ONE aggregate.
+    *  2. the k-th largest count is a 1-row driver read off that count
+    *     table (TakeOrdered over longs); every hash at or above it —
+    *     k rows plus boundary ties — filters a second gram scan that
+    *     recovers the strings and recounts just those grams, and the
+    *     final exact (count DESC, gram ASC) order + limit happens on
+    *     that table.
+    *
+    * Tie-volume guard (r14, ADVICE): on a singleton-heavy vocabulary
+    * the k-th count can be 1 — "k rows plus ties" is then nearly the
+    * whole distinct-gram table, and a forced broadcast() (which
+    * overrides Spark's size checks) would OOM. The kept set is probed
+    * with a bounded collect: at or under [[KeptBroadcastLimit]] rows
+    * it broadcasts from a LOCAL relation (the count-table cache is
+    * released before returning — nothing leaks past the call); over
+    * the cap the second scan degrades to a shuffled semi-join against
+    * the re-derived count filter (cost proportional to the tie
+    * volume; the cache is released, so the degenerate path recomputes
+    * the count aggregate once — correct, and the only regime where it
+    * happens is the one [[topKSketch]] exists for).
+    *
+    * Result is bit-identical to the one-pass formulation (same
+    * xxhash64-collision caveat as every hash-keyed dedup operator: a
+    * collision inside the top-k boundary would merge two grams — ~2⁻⁶⁴
+    * per pair, below any corpus's noise floor). Cost: one extra corpus
+    * scan, which a second decade of data amortizes against not
+    * spilling the string shuffle.
+    */
   def topK(df: DataFrame, textCol: String, n: Int, k: Int,
-      gramCol: String = "gram", countCol: String = "n"): DataFrame = {
+      gramCol: String = "gram", countCol: String = "n",
+      keptBroadcastLimit: Int = KeptBroadcastLimit): DataFrame = {
     require(n >= 1, s"ngram width must be >= 1, got $n")
     require(k >= 1, s"top-k must be >= 1, got $k")
+    require(keptBroadcastLimit >= 0,
+      s"keptBroadcastLimit must be >= 0, got $keptBroadcastLimit")
     def grams: DataFrame = df.select(explode(graft.functions.TextSignatures
       .shingleStringsCol(col(textCol), n)).as("_g"))
     val counts = grams
       .groupBy(xxhash64(col("_g")).as("_h"))
       .agg(count(lit(1)).as("_c"))
-    // k-th largest count (or the smallest count when the vocabulary
-    // has fewer than k grams): a k-row TakeOrdered over (long, long)
-    val topCounts = counts.select(col("_c"))
-      .orderBy(col("_c").desc).limit(k)
-      .agg(min(col("_c"))).head()
-    if (topCounts.isNullAt(0))
-      return grams.limit(0)
-        .select(col("_g").as(gramCol), lit(0L).as(countCol))
-    val threshold = topCounts.getLong(0)
-    val kept = counts.filter(col("_c") >= threshold).select(col("_h"))
-    grams
-      .join(broadcast(kept), xxhash64(col("_g")) === col("_h"))
-      .groupBy(col("_g"))
-      .agg(count(lit(1)).as(countCol))
-      .orderBy(col(countCol).desc, col("_g").asc)
-      .limit(k)
-      .select(col("_g").as(gramCol), col(countCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // k-th largest count (or the smallest count when the vocabulary
+      // has fewer than k grams): a k-row TakeOrdered over (long, long)
+      val topCounts = counts.select(col("_c"))
+        .orderBy(col("_c").desc).limit(k)
+        .agg(min(col("_c"))).head()
+      if (topCounts.isNullAt(0))
+        return grams.limit(0)
+          .select(col("_g").as(gramCol), lit(0L).as(countCol))
+      val threshold = topCounts.getLong(0)
+      val kept = counts.filter(col("_c") >= threshold).select(col("_h"))
+      val keptProbe = kept.limit(keptBroadcastLimit + 1).collect()
+      val spark = df.sparkSession
+      import spark.implicits._
+      val filtered =
+        if (keptProbe.length <= keptBroadcastLimit) {
+          // local relation → plan-time broadcast, no executor cache
+          // retained by the returned plan
+          val local = keptProbe.map(_.getLong(0)).toSeq.toDF("_h")
+          grams.join(broadcast(local), xxhash64(col("_g")) === col("_h"))
+        } else grams.join(kept, xxhash64(col("_g")) === col("_h"))
+      filtered
+        .groupBy(col("_g"))
+        .agg(count(lit(1)).as(countCol))
+        .orderBy(col(countCol).desc, col("_g").asc)
+        .limit(k)
+        .select(col("_g").as(gramCol), col(countCol))
+    } finally counts.unpersist(false)
   }
+
+  /** Max kept-hash rows [[topK]] will broadcast for the recount scan
+    * (8 B a row → ≤ ~8 MB at the cap); past it the recount degrades
+    * to a shuffled semi-join.
+    */
+  val KeptBroadcastLimit: Int = 1000000
 
   /** Bounded-memory heavy-hitters top-k — the single-box 100 TB path
     * (r13). [[topK]] is exact but must group EVERY distinct gram; at
@@ -125,4 +171,36 @@ object NgramStats {
       .limit(k)
       .select(col("_g").as(gramCol), col(countCol))
   }
+
+  /** Stats-routed default (r14, the r13 verdict's item 2): EXACT
+    * [[topK]] below `routeBytes` of input (Catalyst plan stats — the
+    * same cost-based device as [[Dedup.TwoPassBucketBytes]]),
+    * [[topKSketch]] above it. The exact path's open-vocabulary
+    * aggregate is the right plan while the distinct-gram table fits
+    * one box's aggregate memory; past that its single-box class is
+    * superlinear at the memory edge (r13 sweep: ×64/decade at 5M
+    * docs) while the sketch path is O(maxMapSize)/task with exact
+    * recounted results — spec-pinned equal to exact on the profiled
+    * star. Callers who KNOW their cluster spreads the exact aggregate
+    * (it is partial-combinable) override by calling [[topK]]
+    * directly; `routeBytes` is the explicit dial.
+    */
+  def topKAuto(df: DataFrame, textCol: String, n: Int, k: Int,
+      maxMapSize: Int = 65536,
+      gramCol: String = "gram", countCol: String = "n",
+      routeBytes: Long = SketchRouteBytes): DataFrame = {
+    val inputBytes: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (inputBytes <= routeBytes) topK(df, textCol, n, k, gramCol, countCol)
+    else topKSketch(df, textCol, n, k, maxMapSize, gramCol, countCol)
+  }
+
+  /** Input-size threshold (Catalyst plan stats, bytes) above which
+    * [[topKAuto]] routes to the sketch. 64 MB of input text is ~300k
+    * docs ≈ 20M distinct trigrams — comfortably inside one box's
+    * aggregate memory for the exact path below it, and measured at
+    * the sf10 star (~90 MB, 500k docs) the sketch path is already at
+    * parity with exact, so routing above this line never pays a
+    * slowdown for the bounded memory.
+    */
+  val SketchRouteBytes: Long = 64L << 20
 }

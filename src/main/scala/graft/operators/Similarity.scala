@@ -485,10 +485,12 @@ object Similarity {
       threshold: Double = 0.95, nlist: Int = 0,
       maxCellSize: Int = 10000, seed: Long = 42L, maxIter: Int = 5,
       initMode: String = "random", expectedRows: Option[Long] = None): DataFrame = {
-    // nlist <= 0 (the default) auto-sizes via [[cellsFor]] — the
-    // planesFor lesson applies verbatim: a FIXED cell count means
-    // occupancy grows with n and the per-cell pair walk goes quadratic.
-    // Pass expectedRows (an estimate is fine) to skip the count() job.
+    // nlist <= 0 (the default) auto-sizes via [[cellsFor]] — scale-
+    // routed (r14): occupancy-constant at bench scales, PINNED past
+    // ~131k rows so the default assignment path stays linear (the
+    // occupancy-constant rule made assignment O(n²d/64) by
+    // construction — the r13 sweep's ×45.7 row). Pass expectedRows
+    // (an estimate is fine) to skip the count() job.
     val k =
       if (nlist > 0) nlist
       else cellsFor(expectedRows.getOrElse(df.count()))
@@ -690,17 +692,51 @@ object Similarity {
     centroids
   }
 
-  /** Auto-size the k-means cell count so cell occupancy stays CONSTANT
-    * as the corpus grows (cells ≈ n / targetOccupancy): the per-member
-    * pair walk inside [[semanticDedup]] tests O(occupancy) candidates,
-    * so bounded occupancy keeps total pair work LINEAR in n — the same
-    * rule [[planesFor]] applies to hyperplane buckets. Capped at 2^16
-    * cells (SemDeDup's published runs use ~50k clusters at LAION
-    * scale); past that, shard the corpus and dedup per shard.
+  /** Auto-size the k-means cell count — SCALE-ROUTED (r14). Two costs
+    * trade against each other in [[semanticDedup]]: the per-row
+    * nearest-cell argmax is O(cells × dim) and the per-member cell
+    * walk is O(occupancy). The pre-r14 rule kept occupancy constant
+    * (cells ≈ n/64), which makes the ASSIGNMENT O(n²·d/64) by
+    * construction — measured ×45.7 per data decade at the sf100 sweep
+    * (SCALING.md r13), the one remaining by-construction quadratic
+    * default. The published SemDeDup runs do the opposite: a FIXED
+    * cluster count (~50k at LAION scale) with occupancy growing —
+    * assignment linear, walk bounded by `maxCellSize`.
+    *
+    * Routed rule (continuous in n):
+    *  - small corpus (cells ≤ [[PinnedCells]], i.e. n ≤ ~131k at the
+    *    default occupancy): occupancy-constant, cells ≈ n/64 — the
+    *    recall-optimal layout, and the bench/oracle scales land here
+    *    unchanged;
+    *  - past that: cells PIN at [[PinnedCells]] (assignment is linear
+    *    in n again; occupancy grows with n — measured ~linear at the
+    *    5M-row fifth decade) with a relief valve that resumes growing
+    *    cells as n/[[ReliefOccupancy]] once expected occupancy would
+    *    approach the `maxCellSize` walk guard, capped at 2^16.
+    * Past the cap (n ≳ 10⁸ rows in one call) occupancy grows again —
+    * pass `nlist` explicitly or shard the corpus and dedup per shard,
+    * as the [[semanticDedup]] scaladoc directs.
     */
-  def cellsFor(n: Long, targetOccupancy: Int = 64): Int =
-    math.min(1 << 16, math.max(2,
-      math.ceil(n.toDouble / targetOccupancy).toInt))
+  def cellsFor(n: Long, targetOccupancy: Int = 64): Int = {
+    val occupancyConstant =
+      math.max(2, math.ceil(n.toDouble / targetOccupancy).toInt)
+    val pinnedWithRelief = // Long-side min: a huge n must not wrap toInt
+      math.max(PinnedCells, math.min(1L << 16, n / ReliefOccupancy).toInt)
+    math.min(1 << 16, math.min(occupancyConstant, pinnedWithRelief))
+  }
+
+  /** Cell count [[cellsFor]] pins at once occupancy-constant sizing
+    * would cross it — the SemDeDup fixed-k regime. 2048 cells keeps
+    * the argmax at ~2k dots/row while expected occupancy stays under
+    * [[ReliefOccupancy]] up to ~4M rows.
+    */
+  val PinnedCells: Int = 2048
+
+  /** Expected occupancy at which the pinned band resumes growing
+    * cells (n / this), so the cell walk stays well under the default
+    * `maxCellSize` guard until the 2^16 cap.
+    */
+  val ReliefOccupancy: Long = 2048L
 
   /** All-pairs near-duplicates by embedding cosine: bucket join on the
     * LSH sign pattern (identical bucket ⇒ candidate), exact rerank.

@@ -282,10 +282,16 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
-    // Anti join: customers with no orders (NOT EXISTS).
+    // Anti join: customers with no URGENT-priority order (NOT EXISTS
+    // against a FILTERED subset — r14: the unfiltered twin passed on
+    // 0 rows both sides because every testdata customer has an order,
+    // a trivially-equal hash; the filtered anti join emits a real
+    // result set, so the row now proves the semantics, not just that
+    // the plan runs).
     "q_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -796,7 +802,9 @@ object CoreQueries {
         |ORDER BY user_id""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q_cube_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -736,7 +736,8 @@ object DedupQueries {
         |      AS BIGINT) AS n_cut
         |  FROM toks tk LEFT JOIN hits h ON tk.doc_id = h.doc_id
         |)
-        |SELECT doc_id, text, n_cut FROM scrubbed WHERE text != ''
+        |SELECT doc_id, text, n_cut FROM scrubbed
+        |WHERE n_cut = 0 OR text != ''
         |ORDER BY doc_id""".stripMargin,
     "d_minhash_exact" ->
       """WITH corpus AS (

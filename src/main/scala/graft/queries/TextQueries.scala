@@ -257,6 +257,18 @@ object TextQueries {
           t(s, dir, "documents"), "doc_id", "text", n = 5, minCount = 2L)
         .orderBy("doc_id")),
 
+    // Stupid-backoff 5-gram scoring (Brants 2007; r14): each position
+    // scores at the HIGHEST surviving order with an α=0.4 discount per
+    // level backed off — the fix for x_lm_score5's near-empty-model
+    // regime, where pruned singleton 5-grams push almost every
+    // position onto the flat add-k floor. Same bounded per-order
+    // tables (minCount=2), same decimal-quantized determinism ⇒ same
+    // hash-exact oracle shape.
+    "x_lm_score_bo" -> ((s, dir) =>
+      graft.operators.LmScore.backoffScores(
+          t(s, dir, "documents"), "doc_id", "text", n = 5, minCount = 2L)
+        .orderBy("doc_id")),
+
     // Document fingerprint over normalized text.
     "x_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -365,12 +377,14 @@ object TextQueries {
 
     // Corpus n-gram frequency table (top 100 word-3-grams): the
     // vocabulary/boilerplate analysis pass of any corpus report.
-    // r13: routed through NgramStats.topK's two-pass hash-keyed shape —
-    // the one-pass string-keyed aggregate was the r13 sf100 sweep's
-    // only SUPERLINEAR row (×64 at the 5M-doc decade: singleton-heavy
-    // gram strings spill the hash agg). Result identical.
+    // r14: STATS-ROUTED default (topKAuto) — exact two-pass below
+    // 64 MB of input (the oracle SFs land here), the bounded-memory
+    // Misra-Gries + exact-recount sketch above it (the r13 sweep's
+    // ×64/decade row was the exact path's open-vocabulary aggregate
+    // at the single-box memory edge; the sketch is O(maxMapSize)/task
+    // and spec-pinned equal on the profiled star).
     "x_ngram_stats" -> ((s, dir) =>
-      graft.operators.NgramStats.topK(
+      graft.operators.NgramStats.topKAuto(
         t(s, dir, "documents"), "text", n = 3, k = 100)),
 
     // Training-sequence packing: assign docs to fixed-token-budget
@@ -953,6 +967,97 @@ object TextQueries {
          |  FROM g
          |  LEFT JOIN bc USING (bg)
          |  LEFT JOIN w1c ON ${pfx("g.bg")} = w1c.w1
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+    // Stupid-backoff twin: one count table per order 1..5 (same
+    // tokenization, HAVING >= 2 floors), positions scored at the
+    // highest surviving order via chained LEFT JOINs (numerator =
+    // m-token suffix, denominator = (m−1)-token context — structurally
+    // present whenever the numerator is), α discount added OUTSIDE the
+    // ln as exact decimal arithmetic: (5−m) × CAST(ln(0.4) AS
+    // DECIMAL(28,10)). The ln arguments stay exact-integer ratios, so
+    // both engines hand ln identical doubles — the proven x_lm_score
+    // device.
+    "x_lm_score_bo" -> {
+      val lnA = "CAST(ln(0.4) AS DECIMAL(28,10))"
+      def hit(m: Int, num: String, den: String) =
+        s"WHEN $num.c IS NOT NULL THEN CAST(ln(CAST($num.c AS DOUBLE) / " +
+          s"CAST($den.c AS DOUBLE)) AS DECIMAL(28,10)) + ${5 - m} * $lnA"
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, t FROM toks WHERE len(t) >= 5
+         |), uni AS (
+         |  SELECT unnest(t) AS g FROM toks
+         |), t1 AS (
+         |  SELECT g, count(*) AS c FROM uni GROUP BY 1 HAVING count(*) >= 2
+         |), nv AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         |    CAST(count(DISTINCT g) AS DOUBLE) AS v FROM uni
+         |), p2 AS (
+         |  SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+         |  FROM toks WHERE len(t) >= 2
+         |), t2 AS (
+         |  SELECT array_to_string(t[i:i+1], ' ') AS g, count(*) AS c
+         |  FROM p2 GROUP BY 1 HAVING count(*) >= 2
+         |), p3 AS (
+         |  SELECT t, unnest(generate_series(1, len(t)-2)) AS i
+         |  FROM toks WHERE len(t) >= 3
+         |), t3 AS (
+         |  SELECT array_to_string(t[i:i+2], ' ') AS g, count(*) AS c
+         |  FROM p3 GROUP BY 1 HAVING count(*) >= 2
+         |), p4 AS (
+         |  SELECT t, unnest(generate_series(1, len(t)-3)) AS i
+         |  FROM toks WHERE len(t) >= 4
+         |), t4 AS (
+         |  SELECT array_to_string(t[i:i+3], ' ') AS g, count(*) AS c
+         |  FROM p4 GROUP BY 1 HAVING count(*) >= 2
+         |), p5 AS (
+         |  SELECT t, unnest(generate_series(1, len(t)-4)) AS i
+         |  FROM toks WHERE len(t) >= 5
+         |), t5 AS (
+         |  SELECT array_to_string(t[i:i+4], ' ') AS g, count(*) AS c
+         |  FROM p5 GROUP BY 1 HAVING count(*) >= 2
+         |), pos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+         |  FROM f
+         |), g AS (
+         |  SELECT doc_id,
+         |    array_to_string(t[i:i+4], ' ') AS s5,
+         |    array_to_string(t[i+1:i+4], ' ') AS s4,
+         |    array_to_string(t[i+2:i+4], ' ') AS s3,
+         |    array_to_string(t[i+3:i+4], ' ') AS s2,
+         |    t[i+4] AS wn,
+         |    array_to_string(t[i:i+3], ' ') AS c4k,
+         |    array_to_string(t[i+1:i+3], ' ') AS c3k,
+         |    array_to_string(t[i+2:i+3], ' ') AS c2k,
+         |    t[i+3] AS c1k
+         |  FROM pos
+         |), scored AS (
+         |  SELECT g.doc_id,
+         |    CAST(CASE
+         |      ${hit(5, "n5", "x4")}
+         |      ${hit(4, "n4", "x3")}
+         |      ${hit(3, "n3", "x2")}
+         |      ${hit(2, "n2", "x1")}
+         |      ELSE CAST(ln((coalesce(tw.c, 0) + 1.0) /
+         |        ((SELECT nn FROM nv) + 1.0 * (SELECT v FROM nv)))
+         |        AS DECIMAL(28,10)) + 4 * $lnA
+         |    END AS DECIMAL(28,10)) AS lp
+         |  FROM g
+         |  LEFT JOIN t5 n5 ON g.s5 = n5.g
+         |  LEFT JOIN t4 n4 ON g.s4 = n4.g
+         |  LEFT JOIN t3 n3 ON g.s3 = n3.g
+         |  LEFT JOIN t2 n2 ON g.s2 = n2.g
+         |  LEFT JOIN t4 x4 ON g.c4k = x4.g
+         |  LEFT JOIN t3 x3 ON g.c3k = x3.g
+         |  LEFT JOIN t2 x2 ON g.c2k = x2.g
+         |  LEFT JOIN t1 x1 ON g.c1k = x1.g
+         |  LEFT JOIN t1 tw ON g.wn = tw.g
          |)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
          |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score

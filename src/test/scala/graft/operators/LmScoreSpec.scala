@@ -203,6 +203,100 @@ class LmScoreSpec extends AnyFunSuite {
     scored.collect() // and it executes
   }
 
+  /** Local replica of stupid backoff: per-order counts (minCount
+    * floors), score at the highest surviving order, α-discount per
+    * level, add-k unigram floor over N/V of the full token stream.
+    */
+  private def localBackoff(corpus: Seq[(Long, String)], n: Int,
+      alpha: Double, k: Double, minCount: Long): Map[Long, (Long, Double)] = {
+    val toksAll = corpus.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    def counts(m: Int): Map[String, Long] = toksAll
+      .flatMap(_._2.sliding(m).filter(_.size == m).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minCount).toMap
+    val tabs = (1 to n).map(m => m -> counts(m)).toMap
+    val allToks = toksAll.flatMap(_._2)
+    val nn = allToks.size.toDouble
+    val v = allToks.distinct.size.toDouble
+    val lnA = BigDecimal(math.log(alpha))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def dec(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def lpOf(gram: Seq[String]): BigDecimal = {
+      val m = (n to 2 by -1).find(m => tabs(m).contains(gram.takeRight(m).mkString(" ")))
+      m match {
+        case Some(m) =>
+          val num = tabs(m)(gram.takeRight(m).mkString(" ")).toDouble
+          val den = tabs(m - 1)(gram.slice(n - m, n - 1).mkString(" ")).toDouble
+          (dec(math.log(num / den)) + lnA * (n - m))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        case None =>
+          val cw = tabs(1).getOrElse(gram.last, 0L).toDouble
+          (dec(math.log((cw + k) / (nn + k * v))) + lnA * (n - 1))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    toksAll.filter(_._2.size >= n).map { case (id, ts) =>
+      val lps = ts.sliding(n).filter(_.size == n).map(lpOf).toSeq
+      id -> ((lps.size.toLong, (lps.sum.toDouble / lps.size * 1e6).round / 1e6))
+    }.toMap
+  }
+
+  test("stupid backoff matches the hand-built per-order model, pruned and unpruned") {
+    val corpus = Seq(
+      (1L, "a b a b a"), (2L, "a b a"), (3L, "x y z"), (4L, "b a x"))
+    val docs = corpus.toDF("doc_id", "text")
+    for (mc <- Seq(1L, 2L)) {
+      val got = collected(LmScore.backoffScores(
+        docs, "doc_id", "text", n = 3, minCount = mc))
+      assert(got == localBackoff(corpus, 3, 0.4, 1.0, mc), s"minCount=$mc")
+    }
+  }
+
+  test("backoff separates a corpus the pruned 5-gram model scores flat") {
+    // every 5-token window covers one per-position-unique token, so
+    // minCount=2 prunes the ENTIRE 5-gram table — ngramScores(n=5)
+    // rides the add-k floor everywhere (flat); the shared 4-gram
+    // "a1 a2 a3 a4" survives, so backoff scores prose near ln(1)=0 at
+    // one α discount while salad backs off to the unigram floor
+    val prose = (1 to 30).map { i =>
+      i.toLong -> (1 to 3).map(j => s"a1 a2 a3 a4 x${i}_$j").mkString(" ")
+    }
+    val salad = (31 to 36).map { i =>
+      i.toLong -> (1 to 15).map(j => s"s${i}_$j").mkString(" ")
+    }
+    val df = (prose ++ salad).toDF("doc_id", "text")
+    def margin(scores: Map[Long, Double]): Double =
+      prose.map(p => scores(p._1)).sum / prose.size -
+        salad.map(p => scores(p._1)).sum / salad.size
+    val m5 = margin(LmScore.ngramScores(df, "doc_id", "text", n = 5,
+      minCount = 2L).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    val mBo = margin(LmScore.backoffScores(df, "doc_id", "text", n = 5,
+      minCount = 2L).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    assert(math.abs(m5) < 0.5, s"pruned 5-gram must be ~flat here: $m5")
+    assert(mBo > m5 + 2.0 && mBo > 2.0,
+      s"backoff must separate decisively: $mBo vs flat $m5")
+  }
+
+  test("backoff topV cascade keeps every denominator and broadcasts the joins") {
+    val rnd = new scala.util.Random(23)
+    val head = "the cat sat down on the mat today"
+    val corpus = (1 to 40).map { i =>
+      val tail = Seq.fill(4)(s"w${rnd.nextInt(10)}").mkString(" ")
+      i.toLong -> s"$head $tail"
+    }
+    val scored = LmScore.backoffScores(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, minCount = 2L, topV = Some(8))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5, plan.take(3000))
+    val rows = scored.collect()
+    // a hit whose denominator was capped away would null the score —
+    // the cascade makes that structurally impossible
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(2)))
+  }
+
   test("model build + scoring plan has no window, no collect_list") {
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val plan = LmScore.bigramScores(docs, "doc_id", "text")

@@ -69,6 +69,33 @@ class NgramStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("topKAuto routes on plan stats: both routes return the identical table") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = rows(NgramStats.topK(docs, "text", 3, 40))
+    // default route at gate SF = exact (input way under 64 MB)
+    assert(rows(NgramStats.topKAuto(docs, "text", 3, 40)) == exact)
+    // forced sketch route (routeBytes = 0): same table, exact counts
+    assert(rows(NgramStats.topKAuto(docs, "text", 3, 40, routeBytes = 0L))
+      == exact)
+  }
+
+  test("tie-volume guard: past the cap the recount degrades to a shuffled join") {
+    // k-th count = 1 → the kept set is (nearly) every distinct gram;
+    // with the cap forced to 0 the recount must take the non-broadcast
+    // fallback and still return the identical exact table
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b x")).toDF("doc_id", "text")
+    val expected = NgramStats.topK(docs, "text", 2, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(expected.head == (("a b", 2L)))
+    val fallback = NgramStats.topK(docs, "text", 2, 5, keptBroadcastLimit = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fallback == expected)
+  }
+
   test("the count shuffle is hash-keyed: no gram string in the first aggregate") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val plan = NgramStats.topK(docs, "text", 3, 10)

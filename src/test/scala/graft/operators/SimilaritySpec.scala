@@ -86,6 +86,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.planesFor(320000) - Similarity.planesFor(32000) == 4)
   }
 
+  test("cellsFor is occupancy-constant small, pinned past the route, relieved at scale") {
+    // occupancy-constant band: cells ≈ n/64, floor 2
+    assert(Similarity.cellsFor(0) == 2)
+    assert(Similarity.cellsFor(6400) == 100)
+    assert(Similarity.cellsFor(128000) == 2000)
+    // pin band: past ~131k rows the cell count stops riding n — the
+    // assignment argmax (O(cells×dim) per row) stays LINEAR in n
+    assert(Similarity.cellsFor(200000) == Similarity.PinnedCells)
+    assert(Similarity.cellsFor(2000000) == Similarity.PinnedCells)
+    // relief band: once expected occupancy would cross ReliefOccupancy
+    // the cell count resumes growing as n/ReliefOccupancy, capped 2^16
+    assert(Similarity.cellsFor(8L * 1024 * 1024) ==
+      (8L * 1024 * 1024 / Similarity.ReliefOccupancy).toInt)
+    assert(Similarity.cellsFor(1L << 40) == (1 << 16)) // cap
+    // continuity at the route: one row past the boundary moves the
+    // cell count by at most 1 (no cliff in either cost term)
+    val atPin = Similarity.PinnedCells.toLong * 64
+    assert(math.abs(Similarity.cellsFor(atPin) - Similarity.cellsFor(atPin + 1)) <= 1)
+  }
+
   test("auto-sized planes (numPlanes = 0 default) still find identical clones") {
     val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
         threshold = 0.999)

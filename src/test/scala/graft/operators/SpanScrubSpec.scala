@@ -34,6 +34,40 @@ class SpanScrubSpec extends AnyFunSuite {
     assert(out(2)._3 == 10L && !out(2)._2.contains("disclaimer"))
   }
 
+  test("originally-empty docs pass through; only scrubbed-to-empty docs drop") {
+    // r14 (ADVICE): 'was empty to begin with' (n_cut = 0) must not be
+    // conflated with 'cut to nothing' (n_cut > 0) — only the latter drops
+    val docs = Seq(
+      (1L, s"$unique $boiler"),
+      (2L, s"$unique $boiler"), // exact clone → fully cut → dropped
+      (3L, ""),                  // empty original → kept, n_cut 0
+      (4L, null.asInstanceOf[String]), // null original → kept as empty
+      (5L, "a genuinely distinct document with plenty of original tokens inside")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpanDuplicates(docs, "doc_id", "text", spanTokens = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(out(1)._2 == "" && out(1)._3 == 0L)
+    assert(out(2)._2 == "" && out(2)._3 == 0L)
+  }
+
+  test("routed posting aggregate (pre-shuffled past the stats threshold) is result-identical") {
+    val docs = Seq(
+      (1L, boiler), (2L, s"$boiler $unique"),
+      (3L, "fresh words that no other document in this tiny corpus contains at all"),
+      (4L, s"$boiler $unique trailing difference")
+    ).toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id").as("_id"),
+      explode(graft.functions.TextSignatures
+        .shingleHashesCol(col("text"), 8)).as("_g"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("_g").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = rows(Dedup.dupSpanFirsts(grams, BigInt(0))) // under threshold
+    val routed = rows(Dedup.dupSpanFirsts(grams, BigInt(1),
+      shuffleBytes = 0L)) // forced pre-shuffle route
+    assert(direct == routed && direct.nonEmpty)
+  }
+
   test("entirely-duplicated doc scrubs to empty and is dropped — ≡ dropSpanDuplicates") {
     val docs = Seq(
       (1L, s"$unique $boiler"),
