@@ -39,7 +39,10 @@ object Bench {
     // stable than of 3, and the budget projection below sheds
     // iterations automatically on a slower machine.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "5").toInt.max(1)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
+    // 540 s (r14): the 420 s budget clipped BENCH_r13 to n=4 as the
+    // suite grew — the budget exists to stay under the harness's
+    // patience, not to shed protocol iterations on the usual box
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toInt
     // Iteration FLOOR (default 3): the r11 round-final artifact shed
     // to n=2 — a lower-median of 2 is really a MIN and under-reports
     // genuine medians by ~10% on a contended box. The shed projection

@@ -21,9 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Contract (mirrored formula-for-formula by the DuckDB oracle twin):
   *  - candidates = `\b(?:\d[ -]?){12,18}\d\b` matches (13-19 digits
-  *    with optional single space/dash separators; a 20+ digit run has
-  *    no interior word boundary, so it yields NO candidate — partial
-  *    redaction of long digit runs is worse than none);
+  *    with optional single space/dash separators; an UNSEPARATED 20+
+  *    digit run has no interior word boundary, so it yields NO
+  *    candidate — no partial redaction of long plain digit runs. A
+  *    SEPARATED run longer than 19 digits is different: the regex may
+  *    backtrack to end on a digit-before-separator word boundary, so
+  *    a Luhn-valid 13-19 digit prefix of e.g. five spaced 4-digit
+  *    groups IS matched and redacted — acceptable, since spaced
+  *    groups are exactly how real PANs are written, and both engines
+  *    backtrack identically so oracle parity holds either way);
   *  - valid = 13..19 digits after separator strip AND Luhn mod-10;
   *  - result = DISTINCT valid candidates sorted by (length DESC, then
   *    lexicographic ASC) — the caller joins them `|` into a `\b(...)\b`

@@ -286,6 +286,19 @@ object TextFunctions {
   /** Card phase first, then the chained global regexp_replace over
     * [[piiPatterns]] — pure codegen Column expression, one pass per
     * pattern.
+    *
+    * SINGLE-APPLICATION semantics (r14): the chain is deterministic
+    * and monotone (replacement tokens carry no digits or '@', so
+    * re-application can only consume match fuel, never mint it) but
+    * NOT idempotent — a later phase can consume a span whose presence
+    * blocked an earlier phase's word boundary, exposing a fresh match
+    * to a second application (e.g. "0.0.0.3-4567867891545": the card
+    * scan's greedy "3-4567867891545" fails Luhn and is skipped; the
+    * IPv4 phase then redacts "0.0.0.3", and only a re-application
+    * sees the now-boundary-aligned Luhn-valid "4567867891545").
+    * Exposure chains like this can nest arbitrarily deep, so no fixed
+    * number of passes closes them; pipelines redact once, and the
+    * property spec pins this contract.
     */
   def piiRedact(text: Column): Column =
     piiPatterns.foldLeft(cardRedact(text)) { case (c, (_, pat, repl)) =>

@@ -646,8 +646,14 @@ object Multimodal {
     * keyframes from `moof`/`traf`/`trun` instead: per-sample flags
     * (or first-sample-flags + tfhd defaults) mark sync samples —
     * `sample_is_non_sync` bit 0x10000 — and offsets accumulate from
-    * the trun data_offset against the moof-start base
-    * (default-base-is-moof; an explicit base_data_offset is honored).
+    * the trun data_offset against the traf's base: an explicit
+    * base_data_offset when present, the moof start under
+    * default-base-is-moof, else the END of the preceding traf's data
+    * (moof start for the first traf) per ISO 14496-12 §8.8.7 — so
+    * multi-track fragments (audio traf before video) index the video
+    * bytes, not the audio's (r14). moov is committed BEFORE any moof
+    * is walked (two top-level passes), so live-style moof-first
+    * streams filter to the video track correctly.
     *
     * Same junk robustness as [[aviMjpegFrames]]: malformed/truncated
     * boxes stop the walk with whatever parsed so far, recursion is
@@ -754,6 +760,13 @@ object Multimodal {
     def walkFrag(moofStart: Int, from: Int, to: Int, depth: Int): Unit = {
       if (depth > MaxDepth) return
       var i = from
+      // ISO 14496-12 §8.8.7: a traf with NEITHER base-data-offset NOR
+      // default-base-is-moof defaults to moof start only for the FIRST
+      // track fragment; every later one defaults to the END of the
+      // preceding traf's data (r14, ADVICE — the old code used moof
+      // start for every traf, mis-offsetting multi-track fragments
+      // where an audio traf precedes the video one)
+      var prevTrafEnd = -1L
       while (i + 8 <= to) {
         var size = be32(i)
         var header = 8
@@ -764,11 +777,16 @@ object Multimodal {
         val body = i + header
         val end = (i + size).toInt
         if (t == "traf") {
-          // parse tfhd + truns inside this traf
+          // parse tfhd + truns inside this traf. EVERY track's truns
+          // are position-walked (the running data end feeds the next
+          // traf's default base); only the video track's samples are
+          // counted and emitted.
           var trackId = -1L
-          var baseOffset = moofStart.toLong
+          var baseOffset =
+            if (prevTrafEnd >= 0) prevTrafEnd else moofStart.toLong
           var defSize = 0L
           var defFlags = 0L
+          var dataEnd = baseOffset
           var j = body
           while (j + 8 <= end) {
             var bsz = be32(j)
@@ -784,14 +802,20 @@ object Multimodal {
                 var o = bb + 8
                 if ((flags & 0x01) != 0 && o + 8 <= end) {
                   baseOffset = be64(o); o += 8
+                } else if ((flags & 0x20000) != 0) {
+                  baseOffset = moofStart.toLong // default-base-is-moof
                 }
                 if ((flags & 0x02) != 0) o += 4 // sample_description_index
                 if ((flags & 0x08) != 0) o += 4 // default_sample_duration
                 if ((flags & 0x10) != 0 && o + 4 <= end) { defSize = be32(o); o += 4 }
                 if ((flags & 0x20) != 0 && o + 4 <= end) { defFlags = be32(o); o += 4 }
-                // 0x20000 default-base-is-moof: base stays moofStart
-              } else if (bt == "trun" && bb + 8 <= end &&
-                  (videoTrackId < 0 || trackId == videoTrackId)) {
+                dataEnd = baseOffset
+              } else if (bt == "trun" && bb + 8 <= end) {
+                // moov precedes moof in the two-pass top level, so
+                // videoTrackId is known here whenever a video trak
+                // exists; -1 (no/truncated tkhd) keeps the old
+                // emit-everything fallback
+                val isVideoTrun = videoTrackId < 0 || trackId == videoTrackId
                 val flags = be32(bb) & 0xffffffL
                 val n = be32(bb + 4).toInt
                 var o = bb + 8
@@ -818,23 +842,31 @@ object Multimodal {
                   if ((flags & 0x400) != 0) { sFlags = be32(o); o += 4 }
                   if ((flags & 0x800) != 0) o += 4 // composition offset
                   if (k == 0 && firstFlags >= 0) sFlags = firstFlags
-                  fragCount += 1
-                  if ((sFlags & 0x10000L) == 0L)
-                    fragKfs += Mp4Keyframe(fragCount, pos, sSize)
+                  if (isVideoTrun) {
+                    fragCount += 1
+                    if ((sFlags & 0x10000L) == 0L)
+                      fragKfs += Mp4Keyframe(fragCount, pos, sSize)
+                  }
                   pos += sSize
                   k += 1
                 }
+                if (pos > dataEnd) dataEnd = pos
               }
               j += bsz.toInt
             }
           }
+          prevTrafEnd = dataEnd
         }
         i += size.toInt
       }
     }
 
-    // top level: moov (trak tables) + every moof (fragments)
-    try {
+    // top level, TWO passes (r14, ADVICE): moov first — live-style
+    // streams put moof boxes BEFORE moov, and a single pass walked
+    // those fragments with videoTrackId still -1, indexing every
+    // track's samples as video keyframes — then every moof, with the
+    // trak tables already committed.
+    def topLevel(onBox: (String, Int, Int, Int) => Unit): Unit = {
       var i = 0
       while (i + 8 <= bytes.length) {
         var size = be32(i)
@@ -843,26 +875,32 @@ object Multimodal {
         else if (size == 0) size = (bytes.length - i).toLong
         if (size < header || i + size > bytes.length) i = bytes.length
         else {
-          val t = fourcc(i + 4)
-          val end = (i + size).toInt
-          if (t == "moov") {
-            // find traks inside moov
-            var j = i + header
-            while (j + 8 <= end) {
-              var bsz = be32(j)
-              var bh = 8
-              if (bsz == 1 && j + 16 <= end) { bsz = be64(j + 8); bh = 16 }
-              else if (bsz == 0) bsz = (end - j).toLong
-              if (bsz < bh || j + bsz > end) j = end
-              else {
-                if (fourcc(j + 4) == "trak")
-                  walkTrak(j + bh, (j + bsz).toInt, 0)
-                j += bsz.toInt
-              }
-            }
-          } else if (t == "moof") walkFrag(i, i + header, end, 0)
+          onBox(fourcc(i + 4), i, i + header, (i + size).toInt)
           i += size.toInt
         }
+      }
+    }
+    try {
+      topLevel { (t, _, body, end) =>
+        if (t == "moov") {
+          // find traks inside moov
+          var j = body
+          while (j + 8 <= end) {
+            var bsz = be32(j)
+            var bh = 8
+            if (bsz == 1 && j + 16 <= end) { bsz = be64(j + 8); bh = 16 }
+            else if (bsz == 0) bsz = (end - j).toLong
+            if (bsz < bh || j + bsz > end) j = end
+            else {
+              if (fourcc(j + 4) == "trak")
+                walkTrak(j + bh, (j + bsz).toInt, 0)
+              j += bsz.toInt
+            }
+          }
+        }
+      }
+      topLevel { (t, start, body, end) =>
+        if (t == "moof") walkFrag(start, body, end, 0)
       }
     } catch { case scala.util.control.NonFatal(_) => }
 
@@ -949,6 +987,52 @@ object Multimodal {
             org.apache.spark.sql.Row(r.get(0), Int.box(idx),
               Int.box(kf.sampleNumber), codec.getOrElse(""),
               Long.box(kf.offset), Long.box(kf.size))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** MP4 keyframe perceptual hashing (r14) — composes
+    * [[sampleKeyframes]]' byte ranges with [[decodeImage]]/[[aHash]]
+    * in the SAME pass: each sampled keyframe's payload is sliced out
+    * of the container and, when it decodes as an image (JPEG-in-MP4 —
+    * stsd codecs like `jpeg`/`mjpa`; H.264/HEVC bitstreams need a
+    * real video codec and hash null, the same fence
+    * [[featurePipeline]] applies to compressed audio), aHash'd.
+    * Emits `(idCol, kf_idx, sample_number, codec, ahash)`; feed rows
+    * with a per-keyframe id to [[graft.operators.Dedup.hammingNearDups]]
+    * for bucketed video near-dup detection — the MP4 twin of the
+    * AVI/MJPEG [[sampleFrames]] → [[imageAHash]] composition, and the
+    * range-slice here is exactly the object-store range-read a
+    * cluster deployment issues instead of holding whole videos in
+    * memory.
+    */
+  def keyframeAHash(
+      media: DataFrame, step: Int = 1,
+      idCol: String = "media_id", binCol: String = "media"): DataFrame = {
+    require(step >= 1, s"keyframe sampling step must be >= 1, got $step")
+    val projected = media.select(col(idCol), col(binCol).cast("binary"))
+    val outSchema = StructType(Seq(
+      projected.schema.head.copy(name = idCol),
+      StructField("kf_idx", IntegerType, nullable = false),
+      StructField("sample_number", IntegerType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    projected.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val (codec, kfs) = mp4Keyframes(payload)
+        kfs.zipWithIndex.collect {
+          case (kf, idx) if idx % step == 0 =>
+            val hash =
+              if (kf.offset >= 0 && kf.size > 0 &&
+                  kf.offset + kf.size <= payload.length)
+                decodeImage(java.util.Arrays.copyOfRange(payload,
+                  kf.offset.toInt, (kf.offset + kf.size).toInt)).map(aHash)
+              else None
+            org.apache.spark.sql.Row(r.get(0), Int.box(idx),
+              Int.box(kf.sampleNumber), codec.getOrElse(""),
+              hash.map(java.lang.Long.valueOf).orNull)
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

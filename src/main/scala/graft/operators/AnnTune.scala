@@ -166,4 +166,114 @@ object AnnTune {
         s("nprobe"), s("pool"))
     }
   }
+
+  /** BQ (1-bit codes, r14): same pool walk as [[tuneSq]] — the coarse
+    * codes just need a generous pool, which is exactly what the walk
+    * discovers instead of a guessed constant.
+    */
+  def tuneBq(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, target: Double,
+      k: Int = 10, nQueries: Int = 20, maxPool: Int = 8192): OperatingPoint = {
+    val qs = holdout(corpus, idCol, vecCol, nQueries)
+    val truth = groundTruth(corpus, idCol, vecCol, qs, k)
+    tune(doubling(maxPool).filter(_ >= k).map(p => Map("pool" -> p)),
+      qs, truth, idCol, k, target) { s => v =>
+      Bq.topK(spark, indexPath, corpus, idCol, vecCol, v, k, s("pool"))
+    }
+  }
+
+  /** OPQ (r14): an OPQ index IS a PQ index with the rotation folded
+    * into the saved codes/codebooks ([[Pq.fitOpq]] + [[Pq.savePqIndex]]),
+    * so the probe-side dial walk is [[tunePq]] verbatim — named so
+    * call sites read as the family they tune.
+    */
+  def tuneOpq(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, target: Double,
+      k: Int = 10, nQueries: Int = 20, maxPool: Int = 8192): OperatingPoint =
+    tunePq(spark, indexPath, corpus, idCol, vecCol, target, k, nQueries, maxPool)
+
+  // ---- operating-point sidecar (r14) --------------------------------
+
+  /** Sidecar file name, stored INSIDE the index directory so the point
+    * travels with the index (copy/move/version the index, the tuned
+    * dials come along).
+    */
+  val PointSidecar = "_operating_point.json"
+
+  /** Persist `op` as `<indexPath>/_operating_point.json` (Hadoop FS —
+    * works on any filesystem the index itself lives on). Overwrites:
+    * re-tuning an index replaces its point.
+    */
+  def savePoint(spark: SparkSession, indexPath: String,
+      op: OperatingPoint): Unit = {
+    val settings = op.setting.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }.mkString(",")
+    val json = s"""{"setting":{$settings},"recall":${op.recall}}"""
+    val path = new org.apache.hadoop.fs.Path(indexPath, PointSidecar)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load the sidecar written by [[savePoint]]; None when the index
+    * has no tuned point yet.
+    */
+  def loadPoint(spark: SparkSession, indexPath: String): Option[OperatingPoint] = {
+    val path = new org.apache.hadoop.fs.Path(indexPath, PointSidecar)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val in = fs.open(path)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    val dial = "\"(\\w+)\":(\\d+)[,}]".r
+    val setting = dial.findAllMatchIn(
+      json.substring(json.indexOf("{", 1), json.indexOf("}") + 1))
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    val recall = "\"recall\":([0-9.Ee+-]+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+    recall.map(r => OperatingPoint(setting, r))
+  }
+
+  private def requirePoint(spark: SparkSession, indexPath: String,
+      dials: String*): Map[String, Int] = {
+    val op = loadPoint(spark, indexPath).getOrElse(throw new IllegalStateException(
+      s"no tuned operating point at $indexPath/$PointSidecar — " +
+        "run the matching AnnTune.tune* and savePoint first"))
+    dials.foreach(d => require(op.setting.contains(d),
+      s"operating point at $indexPath lacks dial '$d' (has ${op.setting.keySet})" +
+        " — it was tuned for a different index family"))
+    op.setting
+  }
+
+  /** Probe entry points that AUTO-LOAD the saved operating point — the
+    * steady-state call shape: tune once, save, and every later query
+    * runs at the tuned dial without the caller re-threading constants.
+    */
+  def sqTopKTuned(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Array[Float], k: Int): DataFrame =
+    Sq.topK(spark, indexPath, corpus, idCol, vecCol, query, k,
+      requirePoint(spark, indexPath, "pool")("pool"))
+
+  /** [[Pq.topK]] at the saved point — serves PQ and OPQ indexes alike. */
+  def pqTopKTuned(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Array[Float], k: Int): DataFrame =
+    Pq.topK(spark, indexPath, corpus, idCol, vecCol, query, k,
+      requirePoint(spark, indexPath, "pool")("pool"))
+
+  def bqTopKTuned(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Array[Float], k: Int): DataFrame =
+    Bq.topK(spark, indexPath, corpus, idCol, vecCol, query, k,
+      requirePoint(spark, indexPath, "pool")("pool"))
+
+  def ivfPqTopKTuned(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Array[Float], k: Int): DataFrame = {
+    val s = requirePoint(spark, indexPath, "nprobe", "pool")
+    Pq.ivfPqTopK(spark, indexPath, corpus, idCol, vecCol, query, k,
+      s("nprobe"), s("pool"))
+  }
 }

@@ -55,10 +55,15 @@ object ProfileSf100 {
     def purgeStage(): Unit = graft.LocalFs.clearDirectory(stagePath.toFile)
 
     /** (median-or-single, nRuns); -1 on failure. nRuns: 3 = warm
-      * median-of-3; 1 = warm single (first measured run over budget);
-      * 0 = the WARM-UP run itself blew the budget and is the point —
-      * a several-minute corpus lifecycle measured once is a class
-      * claim, not a latency claim, and the bins are a decade wide.
+      * median-of-3; 1 = ONE measured warm run (the warm-up or the
+      * first measured run blew the budget, so exactly one more warm
+      * run is the point — never the COLD warm-up itself: r13's n=0
+      * rows used the cold run as the hi point while the lo point was
+      * a warm median, biasing the x10 ratio upward, exactly the
+      * direction that mints false SUPERLINEAR rows — the one class
+      * this sweep exists to detect. One warm run past a several-minute
+      * budget is still a class claim, not a latency claim; the bins
+      * are a decade wide.)
       */
     def time(name: String, dir: String, budget: Double): (Double, Int) = {
       val fn = SparkEntry.queries(name)
@@ -72,7 +77,7 @@ object ProfileSf100 {
       }
       try {
         val warm = run()
-        if (warm > budget) return (warm, 0)
+        if (warm > budget) return (run(), 1) // warm single, cold discarded
         val first = run()
         if (first > budget) (first, 1)
         else ((Seq(first, run(), run())).sorted.apply(1), 3)

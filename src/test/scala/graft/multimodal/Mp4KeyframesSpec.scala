@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 
 /** ISO-BMFF keyframe walk on byte-level hand-built fixtures — one
@@ -142,6 +143,131 @@ class Mp4KeyframesSpec extends AnyFunSuite {
       box("tkhd", u32(0), u32(0), u32(0), u32(1), u32(0)),
       box("mdia", box("hdlr", u32(0), u32(0), cc("vide"), u32(0), u32(0), u32(0)), inner))))
     Multimodal.mp4Keyframes(mp4) // must return, not stack-overflow
+  }
+
+  test("multi-track fragment: video traf defaults to the END of the audio traf's data") {
+    // moov: audio trak 1 + video trak 2 (empty tables → fragmented)
+    val emptyTables = Seq(
+      box("stsz", u32(0), u32(0), u32(0)),
+      box("stsc", u32(0), u32(0)),
+      box("stco", u32(0), u32(0)))
+    val moov = box("moov",
+      trakBox(1, "soun", "mp4a", emptyTables: _*),
+      trakBox(2, "vide", "avc1", emptyTables: _*))
+    val moofStart = ftyp.length + moov.length
+    def moofWith(audioOff: Long): Array[Byte] = {
+      // audio traf FIRST: no base flags → base = moof start (first
+      // traf); trun: data-offset + sizes (5, 6) → data ends at
+      // moofStart + audioOff + 11
+      val tfhdA = box("tfhd", u32(0x000000), u32(1))
+      val trunA = box("trun", u32(0x000201), u32(2),
+        u32(audioOff), u32(5), u32(6))
+      // video traf SECOND: no base flags, no default-base-is-moof →
+      // ISO 14496-12 §8.8.7 default = end of the audio traf's data;
+      // trun: data-offset 0 + size, all-sync (no flags anywhere)
+      val tfhdV = box("tfhd", u32(0x000000), u32(2))
+      val trunV = box("trun", u32(0x000201), u32(1), u32(0), u32(11))
+      box("moof", box("mfhd", u32(0), u32(1)),
+        box("traf", tfhdA, trunA), box("traf", tfhdV, trunV))
+    }
+    val moofLen = moofWith(0).length
+    val audioOff = moofLen + 8L
+    val mdat = box("mdat", Array.fill(30)(0x42.toByte))
+    val mp4 = bytes(ftyp, moov, moofWith(audioOff), mdat)
+    val (codec, kfs) = Multimodal.mp4Keyframes(mp4)
+    assert(codec.contains("avc1"))
+    // exactly ONE keyframe (the video sample) at the running-end base —
+    // NOT at moof start (the pre-r14 bug put it there), and the audio
+    // samples are not indexed
+    assert(kfs == Vector(Multimodal.Mp4Keyframe(
+      1, moofStart + audioOff + 11, 11L)))
+  }
+
+  test("moof before moov (live-style): only the video track's samples index") {
+    val emptyTables = Seq(
+      box("stsz", u32(0), u32(0), u32(0)),
+      box("stsc", u32(0), u32(0)),
+      box("stco", u32(0), u32(0)))
+    val moov = box("moov",
+      trakBox(1, "soun", "mp4a", emptyTables: _*),
+      trakBox(2, "vide", "avc1", emptyTables: _*))
+    def moofWith(audioOff: Long): Array[Byte] = {
+      val tfhdA = box("tfhd", u32(0x000000), u32(1))
+      val trunA = box("trun", u32(0x000201), u32(3), u32(audioOff),
+        u32(4), u32(4), u32(4))
+      val tfhdV = box("tfhd", u32(0x000000), u32(2))
+      val trunV = box("trun", u32(0x000201), u32(1), u32(0), u32(9))
+      box("moof", box("mfhd", u32(0), u32(1)),
+        box("traf", tfhdA, trunA), box("traf", tfhdV, trunV))
+    }
+    val moofStart = ftyp.length // moof comes FIRST here
+    val moofLen = moofWith(0).length
+    val audioOff = moofLen + 8L
+    val mdat = box("mdat", Array.fill(25)(0x43.toByte))
+    val mp4 = bytes(ftyp, moofWith(audioOff), mdat, moov)
+    val (codec, kfs) = Multimodal.mp4Keyframes(mp4)
+    assert(codec.contains("avc1"))
+    // the single-pass walk indexed all 4 samples (videoTrackId was
+    // still -1 when the moof was reached); two passes index only the
+    // video one, based at the audio data's end
+    assert(kfs == Vector(Multimodal.Mp4Keyframe(
+      1, moofStart + audioOff + 12, 9L)))
+  }
+
+  // --- keyframe → perceptual-hash composition (r14) -------------------
+
+  /** Tiny real JPEG via ImageIO: `pattern` paints each pixel. */
+  private def jpeg(pattern: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, pattern(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+  private val leftDark = jpeg((x, _) => if (x < 16) 0x000000 else 0xffffff)
+  private val topDark = jpeg((_, y) => if (y < 16) 0x000000 else 0xffffff)
+  private val checker = jpeg((x, y) =>
+    if (((x / 8) + (y / 8)) % 2 == 0) 0x000000 else 0xffffff)
+
+  /** Unfragmented MP4 whose samples ARE the given JPEG payloads
+    * (stsd codec `jpeg`, one chunk, no stss → all sync).
+    */
+  private def jpegMp4(samples: Seq[Array[Byte]]): Array[Byte] = {
+    val n = samples.length
+    def moovWith(off: Long): Array[Byte] = {
+      val stsz = box("stsz", bytes(Seq(u32(0), u32(0), u32(n)) ++
+        samples.map(s => u32(s.length)): _*))
+      val stsc = box("stsc", u32(0), u32(1), u32(1), u32(n), u32(1))
+      val stco = box("stco", u32(0), u32(1), u32(off))
+      box("moov", trakBox(1, "vide", "jpeg", stsz, stsc, stco))
+    }
+    val off = ftyp.length + moovWith(0).length + 8L
+    bytes(ftyp, moovWith(off), box("mdat", bytes(samples: _*)))
+  }
+
+  test("keyframeAHash: ranges slice real JPEG payloads; planted duplicate found via hammingNearDups") {
+    // video 1 = [leftDark, topDark], video 2 = [leftDark, checker]:
+    // the shared first keyframe is the planted near-dup pair
+    val df = Seq(
+      (1L, jpegMp4(Seq(leftDark, topDark))),
+      (2L, jpegMp4(Seq(leftDark, checker)))
+    ).toDF("media_id", "media")
+    val hashed = Multimodal.keyframeAHash(df)
+    val rows = hashed.orderBy("media_id", "kf_idx").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getString(3) == "jpeg"))
+    assert(rows.forall(!_.isNullAt(4)), "every JPEG keyframe must decode + hash")
+    // end-to-end: per-keyframe ids → bucketed hamming near-dup join
+    val kfIds = hashed.select(
+      (col("media_id") * 100 + col("kf_idx")).as("kf_id"), col("ahash"))
+    val pairs = graft.operators.Dedup
+      .hammingNearDups(kfIds, "kf_id", "ahash", maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 200L)),
+      s"the duplicated keyframe across the two MP4s must pair: $pairs")
+    // the three distinct patterns must NOT collapse together
+    assert(!pairs.contains((101L, 201L)), s"distinct frames paired: $pairs")
   }
 
   test("sampleKeyframes operator: rows per keyframe, step honored, non-MP4 silent") {

@@ -75,6 +75,79 @@ class AnnTuneSpec extends AnyFunSuite {
     assert(got.setting.keySet == Set("nprobe", "pool"))
   }
 
+  test("tuneBq reaches the target; 1-bit codes just need the pool the walk finds") {
+    val df = clustered(nClusters = 8, per = 40)
+    val model = Bq.fit(df, "id", "vec")
+    val path = tmp("graft_tune_bq")
+    Bq.saveBqIndex(df, "id", "vec", model, path)
+    val got = AnnTune.tuneBq(spark, path, df, "id", "vec", target = 0.9,
+      k = 10, nQueries = 6, maxPool = 512)
+    assert(got.recall >= 0.9, s"recall ${got.recall} below target at $got")
+    assert(got.setting.keySet == Set("pool"))
+    assert(got.setting("pool") >= 10 && got.setting("pool") <= 512)
+  }
+
+  test("tuneOpq walks the rotated-code index like any PQ index") {
+    val df = clustered(nClusters = 8, per = 40)
+    val model = Pq.fitOpq(df, "id", "vec", nsub = 4, k = 16,
+      maxIter = 3, opqIters = 2)
+    val path = tmp("graft_tune_opq")
+    Pq.savePqIndex(df, "id", "vec", model, path)
+    val got = AnnTune.tuneOpq(spark, path, df, "id", "vec", target = 0.85,
+      k = 10, nQueries = 6, maxPool = 512)
+    assert(got.recall >= 0.85, s"recall ${got.recall} below target at $got")
+    assert(got.setting.keySet == Set("pool"))
+  }
+
+  test("operating point roundtrips through the index sidecar and drives tuned probes") {
+    val df = clustered(nClusters = 8, per = 40)
+    val model = Sq.fit(df, "id", "vec")
+    val path = tmp("graft_tune_sidecar")
+    Sq.saveSqIndex(df, "id", "vec", model, path)
+    assert(AnnTune.loadPoint(spark, path).isEmpty) // untuned index
+    val tuned = AnnTune.tuneSq(spark, path, df, "id", "vec", target = 0.9,
+      k = 10, nQueries = 6, maxPool = 512)
+    AnnTune.savePoint(spark, path, tuned)
+    assert(AnnTune.loadPoint(spark, path).contains(tuned)) // exact roundtrip
+    // the tuned probe runs at the saved dial: identical rows to the
+    // direct call with the point's pool
+    val q = AnnTune.holdout(df, "id", "vec", 1).head._2
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSeq
+    assert(rows(AnnTune.sqTopKTuned(spark, path, df, "id", "vec", q, 10)) ==
+      rows(Sq.topK(spark, path, df, "id", "vec", q, 10, tuned.setting("pool"))))
+    // re-tuning overwrites
+    val loose = AnnTune.tuneSq(spark, path, df, "id", "vec", target = 0.2,
+      k = 10, nQueries = 6, maxPool = 512)
+    AnnTune.savePoint(spark, path, loose)
+    assert(AnnTune.loadPoint(spark, path).contains(loose))
+    // a joint-dial probe against a pool-only point names the missing dial
+    val e = intercept[IllegalArgumentException] {
+      AnnTune.ivfPqTopKTuned(spark, path, df, "id", "vec", q, 10)
+    }
+    assert(e.getMessage.contains("nprobe"))
+    // an untuned index raises actionably
+    val bare = tmp("graft_tune_bare")
+    Sq.saveSqIndex(df, "id", "vec", model, bare)
+    intercept[IllegalStateException] {
+      AnnTune.sqTopKTuned(spark, bare, df, "id", "vec", q, 10)
+    }
+  }
+
+  test("joint ivfpq point roundtrips with both dials") {
+    val df = clustered()
+    val path = tmp("graft_tune_ivfpq_sc")
+    val model = Pq.fit(df, "id", "vec", nsub = 4)
+    Pq.saveIvfPqIndex(df, "id", "vec", model, path, nlist = 16)
+    val got = AnnTune.tuneIvfPq(spark, path, df, "id", "vec", target = 0.8,
+      nlist = 16, k = 10, nQueries = 4, pools = Seq(64, 256))
+    AnnTune.savePoint(spark, path, got)
+    assert(AnnTune.loadPoint(spark, path).contains(got))
+    val q = AnnTune.holdout(df, "id", "vec", 1).head._2
+    assert(AnnTune.ivfPqTopKTuned(spark, path, df, "id", "vec", q, 10)
+      .count() == 10)
+  }
+
   test("holdout is deterministic under repartitioning") {
     val df = clustered(nClusters = 4, per = 20)
     val a = AnnTune.holdout(df, "id", "vec", 5).map(_._1).toSeq
