@@ -40,6 +40,27 @@ import org.apache.spark.sql.types._
   */
 object SemanticDrops {
 
+  private def round4(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else JBigDecimal.valueOf(d).setScale(4, RoundingMode.HALF_UP).doubleValue()
+
+  /** `round(c, 4) >= t`, band-accelerated (r14): HALF_UP at scale 4
+    * moves a value by AT MOST 5e-5, so any cosine clear of the
+    * threshold by 1e-4 (double the worst-case shift — fp-edge-proof
+    * slack) decides WITHOUT the BigDecimal, whose
+    * `Double.toString`-based construction measured as the cell walk's
+    * per-test cost driver at the 2M-row decade (~1.3e9 tests/call).
+    * The band interior — including every decimal rounding tie — takes
+    * the exact path, so the decision is bit-identical to the plain
+    * round-then-compare everywhere. NaN fails both band checks and
+    * the exact compare alike; ±Inf short-circuit to the same answers
+    * the exact path gives.
+    */
+  def round4AtLeast(c: Double, t: Double): Boolean =
+    if (c >= t + 1e-4) true // NaN fails this check like every other
+    else if (c > t - 1e-4) round4(c) >= t
+    else false
+
   def drops(items: ArrayData, st: StructType, vecIsFloat: Boolean,
       threshold: Double): ArrayData = {
     val n = items.numElements()
@@ -85,9 +106,6 @@ object SemanticDrops {
       }
       java.lang.Double.valueOf(s)
     }
-    def round4(d: Double): Double =
-      if (d.isNaN || d.isInfinite) d
-      else JBigDecimal.valueOf(d).setScale(4, RoundingMode.HALF_UP).doubleValue()
 
     val out = new scala.collection.mutable.ArrayBuffer[Any](4)
     i = 1
@@ -99,10 +117,10 @@ object SemanticDrops {
           if (vecs(y) != null && nms(y) != null) {
             val nn = nms(y).doubleValue() * nms(i).doubleValue()
             if (nn == 0.0) {
-              hit = vecEqual(vecs(y), vecs(i)) && round4(1.0) >= threshold
+              hit = vecEqual(vecs(y), vecs(i)) && round4AtLeast(1.0, threshold)
             } else {
               val d = dot(vecs(y), vecs(i))
-              if (d != null) hit = round4(d.doubleValue() / nn) >= threshold
+              if (d != null) hit = round4AtLeast(d.doubleValue() / nn, threshold)
             }
           }
           y += 1

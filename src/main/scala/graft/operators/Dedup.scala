@@ -973,7 +973,7 @@ object Dedup {
     * session's shuffle parallelism, capped at 2^16. Explicit so AQE
     * does not coalesce the exchange back into oversized partitions.
     */
-  private[operators] def postingAggPartitions(
+  private[graft] def postingAggPartitions(
       spark: org.apache.spark.sql.SparkSession, inputBytes: BigInt): Int = {
     val bySize = (inputBytes / (4L << 20)).min(BigInt(1 << 16)).toInt
     math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, bySize)

@@ -547,26 +547,184 @@ object Similarity {
     * O(occupancy) tests per member, so per-test cost is the constant
     * that matters.
     */
-  private def dropWithinCells(
+  private[graft] def dropWithinCells(
       df: DataFrame, idCol: String, vecCol: String, assigned: DataFrame,
-      threshold: Double, maxCellSize: Int): DataFrame = {
-    val drops = assigned
+      threshold: Double, maxCellSize: Int,
+      walkRouteBytes: Long = CellWalkShuffleBytes): DataFrame = {
+    val prepped = assigned
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_cell"))
       .withColumn("_nm", norm(col("_v")))
-      .groupBy("_cell")
-      .agg(collect_list(struct(col("_id"), col("_v"), col("_nm"))).as("_items"))
-      .filter(size(col("_items")).between(2, maxCellSize))
-      .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
-      // native cell walk (SemanticDrops — the transform/exists/slice
-      // chain it replaces was interpreted glue around every pair
-      // test): drop x when an EARLIER sorted member y has
-      // round(cos, 4) >= threshold; zero-norm pairs have no defined
-      // cosine, but an IDENTICAL zero vector is still a duplicate
-      // (exact equality ⇒ cosine 1 by continuity), anything else is
-      // incomparable
-      .select(explode(graft.functions.SemanticDrops.dropsCol(
-        col("_sorted"), threshold)).as("_drop_id"))
+    val inputBytes: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // The cell walk is STATS-ROUTED (r14): below the threshold the
+    // collect_list + native SemanticDrops shape is cheapest (two
+    // codegen'd stages, no external iteration). Above it the
+    // corpus-wide collect_list becomes the cost driver — every vector
+    // boxed into per-cell list buffers at once (the same object-churn
+    // mechanism as the r13 minhash bucket fix; measured as the
+    // variance term of the sf100 hi point) — so the routed shape
+    // streams instead: exchange on _cell (serialized rows, no object
+    // buffers), sort within partitions by (_cell, _id) — the same
+    // order array_sort imposed — and ONE pass that buffers a single
+    // cell at a time (≤ maxCellSize rows, ~MBs) replaying the
+    // IDENTICAL SemanticDrops pair walk (same left-to-right double
+    // dot, same round(cos,4), same zero-norm equality rule,
+    // spec-pinned route-equal). Memory per task: one cell, regardless
+    // of corpus size.
+    val drops =
+      if (inputBytes <= walkRouteBytes)
+        prepped
+          .groupBy("_cell")
+          .agg(collect_list(struct(col("_id"), col("_v"), col("_nm"))).as("_items"))
+          .filter(size(col("_items")).between(2, maxCellSize))
+          .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
+          // native cell walk (SemanticDrops — the transform/exists/slice
+          // chain it replaced was interpreted glue around every pair
+          // test): drop x when an EARLIER sorted member y has
+          // round(cos, 4) >= threshold; zero-norm pairs have no defined
+          // cosine, but an IDENTICAL zero vector is still a duplicate
+          // (exact equality ⇒ cosine 1 by continuity), anything else is
+          // incomparable
+          .select(explode(graft.functions.SemanticDrops.dropsCol(
+            col("_sorted"), threshold)).as("_drop_id"))
+      else streamedCellDrops(prepped, threshold, maxCellSize)
     df.join(drops, df(idCol) === drops("_drop_id"), "left_anti")
+  }
+
+  /** Input-size threshold (Catalyst plan stats, bytes) above which
+    * [[dropWithinCells]] routes the cell walk through the streamed
+    * shape. 16 MB of embeddings ≈ 60k float-64 vectors — the
+    * collect_list shape stays comfortably allocation-bound below it
+    * (the bench/oracle scales), and both fifth-decade profile points
+    * land on the streamed route so the measured class is one shape's.
+    */
+  val CellWalkShuffleBytes: Long = 16L << 20
+
+  /** The streamed cell walk: one buffered cell at a time, replaying
+    * [[graft.functions.SemanticDrops.drops]]' exact pair semantics on
+    * external rows (float/double vectors widen element-wise to double,
+    * left-to-right accumulation, `round(cos,4) >= t`, zero-norm pairs
+    * drop only on bitwise-equal vectors, null vector/norm members are
+    * never dropped and never drop others). Cells above `maxCellSize`
+    * skip pair generation — the guard contract — and singleton cells
+    * have no pairs.
+    */
+  private def streamedCellDrops(
+      prepped: DataFrame, threshold: Double, maxCellSize: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val idType = prepped.schema("_id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_drop_id", idType, nullable = true)))
+    // fixed column positions for the row reader below
+    val sorted = prepped
+      .select(col("_id"), col("_v"), col("_nm"), col("_cell"))
+      .repartition(col("_cell"))
+      .sortWithinPartitions(col("_cell"), col("_id"))
+    sorted.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val out = scala.collection.mutable.Queue.empty[Row]
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        private var curCell: Any = null
+        private var haveCell = false
+        private var oversized = false
+
+        private def nmOf(r: Row): java.lang.Double =
+          if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+        // One boxed decode per ROW, primitive arithmetic per PAIR: the
+        // walk runs O(occupancy) pair tests per member, so per-test
+        // cost is the constant that matters (boxed Seq access measured
+        // ~6× the whole walk at the 2M-row decade). A member whose
+        // vector is null or carries a null element has a null norm
+        // (norm = sqrt(dot(v,v)) nulls through), so the native walk
+        // skips it on the nms check — decoding such rows to null
+        // reproduces that exactly; float elements widen to double
+        // per-element (exact), accumulation stays left-to-right.
+        private def decode(r: Row): Array[Double] = {
+          if (r.isNullAt(1) || r.isNullAt(2)) return null
+          val s = r.getSeq[Any](1)
+          val m = s.length
+          val a = new Array[Double](m)
+          var j = 0
+          while (j < m) {
+            s(j) match {
+              case f: java.lang.Float => a(j) = f.toDouble
+              case d: java.lang.Double => a(j) = d.doubleValue()
+              case _ => return null // null element ⇒ null norm upstream
+            }
+            j += 1
+          }
+          a
+        }
+        private def primEqual(a: Array[Double], b: Array[Double]): Boolean = {
+          val m = a.length
+          if (b.length != m) return false
+          var j = 0
+          while (j < m) {
+            if (java.lang.Double.compare(a(j), b(j)) != 0) return false
+            j += 1
+          }
+          true
+        }
+        private def flushCell(): Unit = {
+          if (!oversized && buf.length >= 2) {
+            val n = buf.length
+            val vecs = buf.map(decode).toArray
+            val nms = buf.map(nmOf).toArray
+            var i = 1
+            while (i < n) {
+              if (vecs(i) != null && nms(i) != null) {
+                var hit = false
+                var y = 0
+                while (!hit && y < i) {
+                  if (vecs(y) != null && nms(y) != null) {
+                    val nn = nms(y).doubleValue() * nms(i).doubleValue()
+                    if (nn == 0.0) {
+                      hit = primEqual(vecs(y), vecs(i)) &&
+                        graft.functions.SemanticDrops.round4AtLeast(1.0, threshold)
+                    } else {
+                      val a = vecs(y); val b = vecs(i)
+                      val m = a.length
+                      if (b.length == m) {
+                        var s = 0.0
+                        var j = 0
+                        while (j < m) { s += a(j) * b(j); j += 1 }
+                        hit = graft.functions.SemanticDrops
+                          .round4AtLeast(s / nn, threshold)
+                      }
+                    }
+                  }
+                  y += 1
+                }
+                if (hit) out += Row(buf(i).get(0))
+              }
+              i += 1
+            }
+          }
+          buf.clear()
+          oversized = false
+        }
+        private def pump(): Unit = {
+          while (out.isEmpty && rows.hasNext) {
+            val r = rows.next()
+            val cell = r.get(3) // _cell
+            if (!haveCell || cell != curCell) {
+              if (haveCell) flushCell()
+              curCell = cell; haveCell = true
+            }
+            if (!oversized) {
+              buf += r
+              if (buf.length > maxCellSize) { // guard: skip pair generation
+                buf.clear(); oversized = true
+              }
+            }
+          }
+          if (out.isEmpty && !rows.hasNext && haveCell) {
+            flushCell(); haveCell = false
+          }
+        }
+        override def hasNext: Boolean = { pump(); out.nonEmpty }
+        override def next(): Row = { pump(); out.dequeue() }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Widest centroid set the sample-fit + in-row argmax path carries.

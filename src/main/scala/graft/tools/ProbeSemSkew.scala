@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.operators.Similarity
+
+/** Dev probe (r14): cell-size distribution of the semanticDedup
+  * k-means layout at the fifth decade — Σocc² is the true pair-test
+  * count; skew multiplies the walk cost over the uniform estimate.
+  * Not part of the library.
+  */
+object ProbeSemSkew {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf100_full")
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 512).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val clones = vecs.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = vecs.unionByName(clones)
+    val n = corpus.count()
+    val k = Similarity.cellsFor(n)
+    val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding", k, 3)
+    val sizes = corpus.withColumn("_cell",
+        graft.functions.CentroidFunctions.nearestCell(col("embedding"), cents))
+      .groupBy("_cell").agg(count(lit(1)).as("c"))
+    val s = sizes.agg(
+      count(lit(1)).as("cells"), max("c").as("max"),
+      expr("percentile_approx(c, 0.5)").as("p50"),
+      expr("percentile_approx(c, 0.99)").as("p99"),
+      sum(col("c") * col("c")).as("sumsq"),
+      sum(when(col("c") > 10000, col("c"))).as("overcap")).head()
+    println(s"PROBE n=$n k=$k cells=${s.get(0)} max=${s.get(1)} " +
+      s"p50=${s.get(2)} p99=${s.get(3)} sumsq=${s.get(4)} overcap=${s.get(5)}")
+    println(f"PROBE uniform_sumsq=${n.toDouble * n / k}%.3e actual=${s.getLong(4).toDouble}%.3e " +
+      f"skew_mult=${s.getLong(4).toDouble * k / (n.toDouble * n)}%.2f")
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.operators.Similarity
+
+/** Dev probe (r14): sub-stage split of the semanticDedup cell walk at
+  * the fifth decade — exchange+sort vs walk vs anti-join vs norm.
+  * Not part of the library.
+  */
+object ProbeSemStages {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf100_full")
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[16]"), 512).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val clones = vecs.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = vecs.unionByName(clones)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"PROBE $label: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    val n = corpus.count()
+    val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding",
+      Similarity.cellsFor(n), 3)
+    for (i <- 1 to 2) {
+      val assigned = corpus.withColumn("_cell",
+        graft.functions.CentroidFunctions.nearestCell(col("embedding"), cents))
+      val prepped = assigned
+        .select(col("vec_id").as("_id"), col("embedding").as("_v"), col("_cell"))
+        .withColumn("_nm", graft.functions.VectorFunctions.norm(col("_v")))
+      time(s"run$i scan+assign only") { assigned.agg(sum("_cell")).head() }
+      time(s"run$i +norm") { prepped.agg(sum("_nm")).head() }
+      time(s"run$i +exchange+sort (count)") {
+        prepped.select(col("_id"), col("_v"), col("_nm"), col("_cell"))
+          .repartition(col("_cell"))
+          .sortWithinPartitions(col("_cell"), col("_id"))
+          .agg(sum("_nm")).head() // wrong: agg removes sort; use count over sorted via rdd
+      }
+      time(s"run$i exchange+sort+deser (rdd count)") {
+        prepped.select(col("_id"), col("_v"), col("_nm"), col("_cell"))
+          .repartition(col("_cell"))
+          .sortWithinPartitions(col("_cell"), col("_id"))
+          .rdd.count()
+      }
+      time(s"run$i full dropWithinCells (streamed)") {
+        Similarity.dropWithinCells(corpus, "vec_id", "embedding", assigned,
+          1.0, 10000, walkRouteBytes = 0L).count()
+      }
+      time(s"run$i full dropWithinCells (collect_list)") {
+        Similarity.dropWithinCells(corpus, "vec_id", "embedding", assigned,
+          1.0, 10000, walkRouteBytes = Long.MaxValue).count()
+      }
+    }
+    spark.stop()
+  }
+}

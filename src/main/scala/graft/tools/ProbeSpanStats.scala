@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+/** Dev probe (r14): print the Catalyst plan-stats sizeInBytes the
+  * span-family posting route sees for the d_span_dedup / d_span_scrub
+  * fixtures at a given star — diagnosing the lo-point regression of
+  * the r14 posting pre-shuffle (an inflated estimate engages the
+  * route and sizes the exchange absurdly). Not part of the library.
+  */
+object ProbeSpanStats {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf10_full")
+    val spark = Sessions.tune(
+      SparkSession.builder().master("local[8]"), 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.load(spark, dir, "documents")
+
+    val CloneShift = 1000000L
+    val corpusDedup = docs.select(col("doc_id"), col("text"))
+      .withColumn("_shift",
+        explode(when(col("doc_id") < 50, array(lit(0L), lit(CloneShift)))
+          .otherwise(array(lit(0L)))))
+      .withColumn("doc_id", col("doc_id") + col("_shift"))
+      .withColumn("text", when(col("_shift") === 0L, col("text"))
+        .otherwise(concat(col("text"), lit(" zz extra trailing tokens"))))
+      .drop("_shift")
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    val header = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    val footer = " omega psi chi phi upsilon tau sigma rho pi"
+    val base = docs.select(col("doc_id"), col("text"))
+    val corpusScrub = base
+      .unionByName(base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + CloneShift).as("doc_id"),
+          concat(lit(header), col("text"), lit(footer)).as("text")))
+
+    def stats(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      println(f"[probe] $name sizeInBytes=$s (${s.toDouble / (1 << 20)}%.1f MB) " +
+        s"parts=${graft.operators.Dedup.postingAggPartitions(spark, s)}")
+    }
+    stats("raw_documents", docs)
+    stats("span_dedup_corpus", corpusDedup)
+    stats("span_scrub_corpus(approx)", corpusScrub)
+    spark.stop()
+  }
+}

@@ -106,6 +106,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(Similarity.cellsFor(atPin) - Similarity.cellsFor(atPin + 1)) <= 1)
   }
 
+  test("streamed cell walk ≡ collect_list walk on clones, zero/null vectors, over-cap cells") {
+    // exercises the r14 stats-routed walk: explicit _cell assignments
+    // (bypassing k-means) isolate the pair-walk semantics — clones,
+    // merely-similar, zero-norm equal/unequal, null vectors, a
+    // guarded over-cap cell — and both forced routes must keep the
+    // identical id set
+    val rows = Seq(
+      // cell 0: exact clone pair + a distinct vector
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f), 0),   // clone of 1 → drops
+      (3L, Seq(0f, 1f, 0f), 0),
+      // cell 1: scaled clone (cos 1.0) and a near-but-not-over pair
+      (4L, Seq(2f, 2f, 0f), 1),
+      (5L, Seq(4f, 4f, 0f), 1),   // scaled clone of 4 → drops at 0.999
+      (6L, Seq(1f, 0f, 1f), 1),
+      // cell 2: identical zero vectors (drop) + distinct zero-norm
+      (7L, Seq(0f, 0f, 0f), 2),
+      (8L, Seq(0f, 0f, 0f), 2),   // bitwise-equal zero vec → drops
+      (9L, Seq(0f, -0f, 0f), 2),  // -0.0 != 0.0 bitwise → incomparable, kept
+      // cell 3: OVER the cap (5 members, maxCellSize 4) → all kept
+      (10L, Seq(1f, 1f, 1f), 3), (11L, Seq(1f, 1f, 1f), 3),
+      (12L, Seq(1f, 1f, 1f), 3), (13L, Seq(1f, 1f, 1f), 3),
+      (16L, Seq(1f, 1f, 1f), 3),
+      // cell 4: singleton
+      (14L, Seq(9f, 9f, 9f), 4)
+    ).toDF("vec_id", "embedding", "_cell")
+    // null vector joins cell 0 (4 members, within the cap): it must
+    // neither drop nor block the clone pair's drop
+    val withNull = rows.unionByName(
+      Seq((15L, null.asInstanceOf[Seq[Float]], 0))
+        .toDF("vec_id", "embedding", "_cell"))
+    val df = withNull.select("vec_id", "embedding")
+    def kept(routeBytes: Long): Set[Long] =
+      Similarity.dropWithinCells(df, "vec_id", "embedding", withNull,
+          threshold = 0.999, maxCellSize = 4, walkRouteBytes = routeBytes)
+        .select("vec_id").as[Long].collect().toSet
+    val viaList = kept(Long.MaxValue) // collect_list + native SemanticDrops
+    val viaStream = kept(0L)          // forced streamed route
+    assert(viaList == viaStream, s"routes disagree: $viaList vs $viaStream")
+    // drops: 2 (clone of 1), 5 (scaled clone of 4), 8 (zero-equal of 7)
+    assert(viaList == Set(1L, 3L, 4L, 6L, 7L, 9L,
+      10L, 11L, 12L, 13L, 14L, 15L, 16L))
+  }
+
   test("auto-sized planes (numPlanes = 0 default) still find identical clones") {
     val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
         threshold = 0.999)
