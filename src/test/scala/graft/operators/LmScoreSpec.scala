@@ -254,6 +254,27 @@ class LmScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-trained backoff: unseen suffixes cascade to the trained unigram floor") {
+    // train and scored corpora disjoint except shared unigrams: every
+    // scored trigram/bigram misses the model, so each position scores
+    // the UNIGRAM floor with two α discounts — N/V and counts from the
+    // TRAIN stream, exactly the hand computation
+    val train = Seq((10L, "x y x y x")).toDF("doc_id", "text")
+    val docs = Seq((1L, "x q y")).toDF("doc_id", "text")
+    val got = LmScore.backoffScores(docs, "doc_id", "text", n = 3,
+        train = Some(train))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    // train tokens: x×3, y×2 → N=5, V={x,y}=2; the single scored
+    // trigram "x q y" misses t3 ("x q y"∉train) and t2 ("q y"∉train);
+    // unigram floor on wn="y": (2+1)/(5+2), two levels backed off
+    val lnA = BigDecimal(math.log(0.4))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val lp = (BigDecimal(math.log(3.0 / 7.0))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP) + lnA * 2)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    assert(got == ((1L, 1L, (lp.toDouble * 1e6).round / 1e6)))
+  }
+
   test("backoff separates a corpus the pruned 5-gram model scores flat") {
     // every 5-token window covers one per-position-unique token, so
     // minCount=2 prunes the ENTIRE 5-gram table — ngramScores(n=5)
