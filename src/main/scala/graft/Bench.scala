@@ -290,8 +290,24 @@ object Bench {
         System.err.println(
           s"[bench] lang-id prefit fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
         Map.empty }
+    // Backoff-LM amortization (r15): x_lm_score_bo trains its five
+    // per-order tables INSIDE the measured query; the CCNet steady
+    // state trains once on the clean reference and scores every crawl
+    // batch — this entry prices that: one corpus scan against the
+    // prefitted persisted tables, same dials as the lifecycle row.
+    val lmBoPrefit: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (!want("x_lm_bo_prefit")) Map.empty else try {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val model = graft.operators.LmScore.fitBackoff(
+          docs, "text", n = 5, minCount = 2L)
+        Map("x_lm_bo_prefit" -> ((_: SparkSession, _: String) =>
+          graft.operators.LmScore.scoreWithBackoff(docs, "doc_id", "text", model)))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] backoff-lm prefit fixture skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        Map.empty }
     val benchOnly = probeOnly ++ dsirPrefit ++ semPrefit ++ incrPrefit ++
-      pqProbe ++ opqProbe ++ langPrefit
+      pqProbe ++ opqProbe ++ langPrefit ++ lmBoPrefit
     val allQueries = SparkEntry.queries ++ benchOnly
     val names = only.fold(allQueries.keys.toSeq)(f =>
       allQueries.keys.filter(f).toSeq).sorted

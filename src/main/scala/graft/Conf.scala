@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cluster-dialable engine knobs, resolved from plain session conf
+  * (`spark.graft.*`).
+  *
+  * Every scale-critical operator in the engine stats-routes between a
+  * small-corpus shape and a bounded-memory large-corpus shape at a
+  * byte threshold (Catalyst plan stats vs the threshold). The shipped
+  * defaults are the measured crossovers for a 32-core / 128 GB
+  * single box — the r13/r14 profiling campaign — but the right
+  * crossover is a per-deployment statement: a 100-executor cluster
+  * spreads the partial-combinable exact legs far past any single-box
+  * line, while a small edge node wants the sketch/streamed legs
+  * sooner. Before r15 the thresholds were code constants (overridable
+  * only through method parameters), so a cluster operator could not
+  * re-dial them without a code change; now one `spark.conf.set` (or a
+  * `--conf spark.graft.…` at submit) moves a route for the whole
+  * session, and an explicit method parameter still wins over both.
+  *
+  * Values accept Spark's usual byte-suffix syntax (`64m`, `1g`,
+  * plain bytes) for the byte keys and plain longs for the count keys.
+  */
+object Conf {
+
+  /** Route threshold for the semantic-dedup cell walk
+    * ([[graft.operators.Similarity.dropWithinCells]]): collect_list +
+    * native walk at or below, streamed one-cell-buffer walk above.
+    * Default [[graft.operators.Similarity.CellWalkShuffleBytes]].
+    */
+  val CellWalkBytesKey = "spark.graft.cellWalkShuffleBytes"
+
+  /** Route threshold for corpus n-gram top-k
+    * ([[graft.operators.NgramStats.topKAuto]]): exact two-pass at or
+    * below, Misra-Gries sketch + exact recount above. Default
+    * [[graft.operators.NgramStats.SketchRouteBytes]].
+    */
+  val SketchRouteBytesKey = "spark.graft.ngramSketchRouteBytes"
+
+  /** Route threshold for the span-family posting aggregate
+    * ([[graft.operators.Dedup.dupSpanFirsts]]): plain map-combined
+    * groupBy at or below, pre-shuffled fixed-width postings above.
+    * Default [[graft.operators.Dedup.PostingShuffleBytes]].
+    */
+  val PostingShuffleBytesKey = "spark.graft.postingShuffleBytes"
+
+  /** Route threshold for the MinHash bucket aggregate
+    * ([[graft.operators.Dedup.minHashNearDups]]): one-pass
+    * collect_list at or below, count-filtered two-pass above. Default
+    * [[graft.operators.Dedup.TwoPassBucketBytes]].
+    */
+  val TwoPassBucketBytesKey = "spark.graft.twoPassBucketBytes"
+
+  /** Max flagged-doc rows the span scrub broadcasts before routing the
+    * remainder join through a staged/shuffled shape (count, not
+    * bytes). Default [[graft.operators.Dedup.ScrubHitsBroadcastLimit]].
+    */
+  val ScrubHitsLimitKey = "spark.graft.scrubHitsBroadcastLimit"
+
+  /** Byte-valued knob: session conf wins when set (Spark byte-suffix
+    * syntax allowed), else `default`. Callers that take the knob as a
+    * method parameter pass `< 0` to mean "resolve from conf" so an
+    * explicit argument still overrides everything.
+    */
+  def bytes(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key)
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(default)
+
+  /** Count-valued knob: session conf wins when set, else `default`. */
+  def count(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
+}

@@ -7,6 +7,28 @@ package graft
   */
 object LocalFs {
 
+  // ONE JVM-lifetime base for every driver-side temp stage, guarded by
+  // ONE shutdown hook registered on first use (r15, ADVICE: the
+  // per-call createTempDirectory + addShutdownHook pattern accumulated
+  // a hook per over-cap scrub call in long-lived sessions).
+  private lazy val tempBase: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_tmp_")
+    sys.addShutdownHook(deleteRecursively(p.toFile)): Unit
+    p
+  }
+
+  /** A fresh subdirectory of the shared JVM-lifetime temp base —
+    * deleted at JVM exit by the base's single hook. Stages written
+    * here live until exit (a returned lazy plan may read them any
+    * time); a session that knows all returned plans are consumed can
+    * reclaim disk early with [[clearDirectory]] on [[tempBasePath]].
+    */
+  def tempDir(prefix: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(tempBase, prefix).toFile
+
+  /** The shared temp base (creates it on first call). */
+  def tempBasePath: java.io.File = tempBase.toFile
+
   /** Recursively delete a local file tree; missing paths are a no-op.
     * Does not follow symlinks out of the tree (listFiles on a symlink
     * to a directory would, so callers own only trees they created).

@@ -61,10 +61,19 @@ object SemanticDrops {
     else if (c > t - 1e-4) round4(c) >= t
     else false
 
+  /** @param blockSize over-cap relief (r15, ADVICE): when positive,
+    *        pair tests stay WITHIN consecutive index blocks of this
+    *        size — member i only tests predecessors from
+    *        `(i / blockSize) * blockSize` — so an over-cap cell walks
+    *        in id-ordered blocks (bounded per-member cost, keep-first
+    *        within each block) instead of being skipped outright.
+    *        `<= 0` = unblocked (every predecessor tests).
+    */
   def drops(items: ArrayData, st: StructType, vecIsFloat: Boolean,
-      threshold: Double): ArrayData = {
+      threshold: Double, blockSize: Int): ArrayData = {
     val n = items.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val bs = if (blockSize <= 0) Int.MaxValue else blockSize
     val idType = st.fields(0).dataType
     val rows = (0 until n).map(i => items.getStruct(i, 3)).toArray
     val vecs = new Array[ArrayData](n)
@@ -112,7 +121,8 @@ object SemanticDrops {
     while (i < n) {
       if (vecs(i) != null && nms(i) != null) {
         var hit = false
-        var y = 0
+        // block-local walk: i's predecessors start at its block head
+        var y = if (bs == Int.MaxValue) 0 else (i / bs) * bs
         while (!hit && y < i) {
           if (vecs(y) != null && nms(y) != null) {
             val nn = nms(y).doubleValue() * nms(i).doubleValue()
@@ -134,14 +144,15 @@ object SemanticDrops {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ncol, expression => ex}
 
-  def dropsCol(items: Column, threshold: Double): Column =
-    ncol(SemanticDropsExpr(ex(items), threshold))
+  def dropsCol(items: Column, threshold: Double, blockSize: Int = 0): Column =
+    ncol(SemanticDropsExpr(ex(items), threshold, blockSize))
 }
 
-/** `graft_semantic_drops(items)` with an embedded threshold: see
-  * [[SemanticDrops]].
+/** `graft_semantic_drops(items)` with an embedded threshold and block
+  * size: see [[SemanticDrops]].
   */
-case class SemanticDropsExpr(child: Expression, threshold: Double)
+case class SemanticDropsExpr(child: Expression, threshold: Double,
+    blockSize: Int = 0)
     extends UnaryExpression {
 
   private def itemType: StructType = child.dataType
@@ -169,14 +180,15 @@ case class SemanticDropsExpr(child: Expression, threshold: Double)
   @transient private lazy val st: StructType = itemType
 
   protected override def nullSafeEval(input: Any): Any =
-    SemanticDrops.drops(input.asInstanceOf[ArrayData], st, vecIsFloat, threshold)
+    SemanticDrops.drops(input.asInstanceOf[ArrayData], st, vecIsFloat,
+      threshold, blockSize)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val stRef = ctx.addReferenceObj("semDropSt", st,
       "org.apache.spark.sql.types.StructType")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.SemanticDrops.drops($c, $stRef, " +
-        s"$vecIsFloat, $threshold);")
+        s"$vecIsFloat, $threshold, $blockSize);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SemanticDropsExpr =

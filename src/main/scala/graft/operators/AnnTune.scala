@@ -192,6 +192,114 @@ object AnnTune {
       k: Int = 10, nQueries: Int = 20, maxPool: Int = 8192): OperatingPoint =
     tunePq(spark, indexPath, corpus, idCol, vecCol, target, k, nQueries, maxPool)
 
+  // ---- batch k-NN JOIN tuning (r15) ----------------------------------
+  // The retrieval shape a curation pipeline actually runs is the JOIN
+  // (queries table × index), not the single-vector probe — so the
+  // tuner measures the join path itself: ONE batch join per candidate
+  // setting against the brute-force JOIN ground truth, instead of
+  // nQueries driver probes per setting.
+
+  /** Holdout queries as a TABLE (the same deterministic md5(id)
+    * device as [[holdout]]): columns (_hq_id string, _hq_v
+    * array<float>).
+    */
+  def holdoutDf(df: DataFrame, idCol: String, vecCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"nQueries must be >= 1, got $n")
+    df.select(col(idCol).cast("string").as("_hq_id"),
+        col(vecCol).cast("array<float>").as("_hq_v"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .filter(col("_hq_v").isNotNull)
+      .orderBy("_h").limit(n).drop("_h")
+  }
+
+  /** Brute-force join ground truth: qid -> its exact top-k neighbor
+    * ids ([[Similarity.cosineTopKJoin]] — one job for the whole
+    * holdout).
+    */
+  def joinTruth(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): Map[String, Set[String]] =
+    Similarity.cosineTopKJoin(queries, "_hq_id", "_hq_v",
+        corpus, idCol, vecCol, k)
+      .select(col("q_id").cast("string"), col("n_id").cast("string"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+
+  /** Mean join recall@k of one batch-join result against `truth`. A
+    * query the join returned nothing for scores 0 — silence is a
+    * recall loss, not a skip.
+    */
+  def measureJoinRecall(truth: Map[String, Set[String]],
+      result: DataFrame): Double = {
+    val got = result
+      .select(col("q_id").cast("string"), col("n_id").cast("string"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty[String]) intersect t).size.toDouble / t.size
+    }.sum / truth.size
+  }
+
+  /** Cheapest-first walk at join granularity: one batch join per
+    * setting; first setting reaching `target` wins, else best recall
+    * (ties: cheapest).
+    */
+  def tuneJoin(settings: Seq[Map[String, Int]],
+      truth: Map[String, Set[String]], target: Double)(
+      run: Map[String, Int] => DataFrame): OperatingPoint = {
+    require(target > 0 && target <= 1, s"target recall must be in (0,1], got $target")
+    require(settings.nonEmpty, "no candidate settings")
+    var best: OperatingPoint = null
+    val it = settings.iterator
+    while (it.hasNext) {
+      val s = it.next()
+      val r = measureJoinRecall(truth, run(s))
+      if (best == null || r > best.recall) best = OperatingPoint(s, r)
+      if (r >= target) return OperatingPoint(s, r)
+    }
+    best
+  }
+
+  /** IVF join: smallest nprobe whose BATCH JOIN hits `target` mean
+    * recall@k on the holdout (at nprobe = nlist the join is exactly
+    * brute force, so any target <= 1 is reachable).
+    */
+  def tuneIvfJoin(index: Similarity.IvfIndex, df: DataFrame,
+      idCol: String, vecCol: String, target: Double,
+      k: Int = 10, nQueries: Int = 20): OperatingPoint = {
+    val qs = holdoutDf(df, idCol, vecCol, nQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val truth = joinTruth(qs, df, idCol, vecCol, k)
+      tuneJoin(doubling(index.centroids.length).map(np => Map("nprobe" -> np)),
+        truth, target) { s =>
+        Similarity.ivfTopKJoin(index, qs, "_hq_id", "_hq_v",
+          idCol, vecCol, k, s("nprobe"))
+      }
+    } finally { qs.unpersist(); () }
+  }
+
+  /** PQ join: smallest rerank pool whose batch join hits `target` —
+    * serves PQ and OPQ indexes alike (an OPQ index IS a PQ index with
+    * the rotation folded in).
+    */
+  def tunePqJoin(spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, vecCol: String, target: Double,
+      k: Int = 10, nQueries: Int = 20, maxPool: Int = 8192): OperatingPoint = {
+    val qs = holdoutDf(corpus, idCol, vecCol, nQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val truth = joinTruth(qs, corpus, idCol, vecCol, k)
+      tuneJoin(doubling(maxPool).filter(_ >= k).map(p => Map("pool" -> p)),
+        truth, target) { s =>
+        Pq.pqTopKJoin(spark, indexPath, qs, "_hq_id", "_hq_v",
+          corpus, idCol, vecCol, k, s("pool"))
+      }
+    } finally { qs.unpersist(); () }
+  }
+
   // ---- operating-point sidecar (r14) --------------------------------
 
   /** Sidecar file name, stored INSIDE the index directory so the point
@@ -200,16 +308,23 @@ object AnnTune {
     */
   val PointSidecar = "_operating_point.json"
 
-  /** Persist `op` as `<indexPath>/_operating_point.json` (Hadoop FS —
-    * works on any filesystem the index itself lives on). Overwrites:
-    * re-tuning an index replaces its point.
+  /** Join-granularity sidecar (r15): an index can carry BOTH a probe
+    * point and a join point — the dial spaces are the same but the
+    * tuned values legitimately differ (join recall averages a batch),
+    * so they live in separate files and never clobber each other.
+    */
+  val JoinPointSidecar = "_join_operating_point.json"
+
+  /** Persist `op` as `<indexPath>/<sidecar>` (Hadoop FS — works on any
+    * filesystem the index itself lives on). Overwrites: re-tuning an
+    * index replaces its point.
     */
   def savePoint(spark: SparkSession, indexPath: String,
-      op: OperatingPoint): Unit = {
+      op: OperatingPoint, sidecar: String = PointSidecar): Unit = {
     val settings = op.setting.toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n":$v""" }.mkString(",")
     val json = s"""{"setting":{$settings},"recall":${op.recall}}"""
-    val path = new org.apache.hadoop.fs.Path(indexPath, PointSidecar)
+    val path = new org.apache.hadoop.fs.Path(indexPath, sidecar)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -218,8 +333,9 @@ object AnnTune {
   /** Load the sidecar written by [[savePoint]]; None when the index
     * has no tuned point yet.
     */
-  def loadPoint(spark: SparkSession, indexPath: String): Option[OperatingPoint] = {
-    val path = new org.apache.hadoop.fs.Path(indexPath, PointSidecar)
+  def loadPoint(spark: SparkSession, indexPath: String,
+      sidecar: String = PointSidecar): Option[OperatingPoint] = {
+    val path = new org.apache.hadoop.fs.Path(indexPath, sidecar)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return None
     val in = fs.open(path)
@@ -240,10 +356,15 @@ object AnnTune {
   }
 
   private def requirePoint(spark: SparkSession, indexPath: String,
-      dials: String*): Map[String, Int] = {
-    val op = loadPoint(spark, indexPath).getOrElse(throw new IllegalStateException(
-      s"no tuned operating point at $indexPath/$PointSidecar — " +
-        "run the matching AnnTune.tune* and savePoint first"))
+      dials: String*): Map[String, Int] =
+    requireSidecar(spark, indexPath, PointSidecar, dials: _*)
+
+  private def requireSidecar(spark: SparkSession, indexPath: String,
+      sidecar: String, dials: String*): Map[String, Int] = {
+    val op = loadPoint(spark, indexPath, sidecar)
+      .getOrElse(throw new IllegalStateException(
+        s"no tuned operating point at $indexPath/$sidecar — " +
+          "run the matching AnnTune.tune* and savePoint first"))
     dials.foreach(d => require(op.setting.contains(d),
       s"operating point at $indexPath lacks dial '$d' (has ${op.setting.keySet})" +
         " — it was tuned for a different index family"))
@@ -275,5 +396,27 @@ object AnnTune {
     val s = requirePoint(spark, indexPath, "nprobe", "pool")
     Pq.ivfPqTopK(spark, indexPath, corpus, idCol, vecCol, query, k,
       s("nprobe"), s("pool"))
+  }
+
+  /** Batch k-NN join entry points at the saved JOIN operating point
+    * (r15) — the tune-once/join-many steady state for the retrieval
+    * shape pipelines actually run. The IVF variant loads the persisted
+    * index from `indexPath` itself.
+    */
+  def ivfTopKJoinTuned(spark: SparkSession, indexPath: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val s = requireSidecar(spark, indexPath, JoinPointSidecar, "nprobe")
+    Similarity.ivfTopKJoin(Similarity.loadIvfIndex(spark, indexPath),
+      queries, qIdCol, qVecCol, idCol, vecCol, k, s("nprobe"))
+  }
+
+  /** [[Pq.pqTopKJoin]] at the saved join point — PQ and OPQ alike. */
+  def pqTopKJoinTuned(spark: SparkSession, indexPath: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String, k: Int): DataFrame = {
+    val s = requireSidecar(spark, indexPath, JoinPointSidecar, "pool")
+    Pq.pqTopKJoin(spark, indexPath, queries, qIdCol, qVecCol,
+      corpus, cIdCol, cVecCol, k, s("pool"))
   }
 }

@@ -58,6 +58,24 @@ object C4Filter {
           .as("n_lines_dropped"))
   }
 
+  /** [[clean]] as an in-pipeline FILTER: the full input rows with
+    * `textCol` replaced by the cleaned text, docs failing the page
+    * rules dropped. Joinless — the verdict is the same in-row Column
+    * math as [[clean]] staged through one temp column, so a pipeline
+    * node pays one scan and zero shuffles at any scale (r15, the
+    * pipeline-JSON c4_filter node's shape).
+    */
+  def applyClean(df: DataFrame, textCol: String): DataFrame = {
+    require(!df.columns.contains("_c4_kept"),
+      "applyClean needs the column name _c4_kept free")
+    df.withColumn("_c4_kept", filter(split(col(textCol), "\n"), lineKept _))
+      .filter(size(col("_c4_kept")) >= MinKeptLines &&
+        !lower(array_join(col("_c4_kept"), "\n")).contains(LoremMarker) &&
+        !array_join(col("_c4_kept"), "\n").contains(BraceMarker))
+      .withColumn(textCol, array_join(col("_c4_kept"), "\n"))
+      .drop("_c4_kept")
+  }
+
   /** DuckDB twin of [[clean]]: `id`/`t` are SQL expressions over
     * relation `from`; output sorted by doc_id.
     */

@@ -215,8 +215,11 @@ object Dedup {
       .agg(collect_list(col("_id")).as("_ids"))
       .filter(size(col("_ids")).between(2, maxBucketSize))
     val inputBytes: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // crossover re-dialable per deployment via session conf (r15)
+    val twoPassBytes = graft.Conf.bytes(df.sparkSession,
+      graft.Conf.TwoPassBucketBytesKey, TwoPassBucketBytes)
     val collisionBuckets =
-      if (inputBytes <= TwoPassBucketBytes) bucketLists(banded)
+      if (inputBytes <= twoPassBytes) bucketLists(banded)
       else {
         // plan-time broadcast under the same budget device as the
         // span family: hot buckets are collision volume, but a
@@ -956,9 +959,15 @@ object Dedup {
     * shape — this routes the SINGLE-BOX class back to ~linear.
     */
   private[operators] def dupSpanFirsts(grams: DataFrame, inputBytes: BigInt,
-      shuffleBytes: Long = PostingShuffleBytes): DataFrame = {
+      shuffleBytes: Long = -1L): DataFrame = {
+    // shuffleBytes < 0 (the default) resolves through session conf
+    // (r15): spark.graft.postingShuffleBytes > [[PostingShuffleBytes]].
+    val route =
+      if (shuffleBytes >= 0) shuffleBytes
+      else graft.Conf.bytes(grams.sparkSession,
+        graft.Conf.PostingShuffleBytesKey, PostingShuffleBytes)
     val base =
-      if (inputBytes <= shuffleBytes) grams
+      if (inputBytes <= route) grams
       else grams.repartition(
         postingAggPartitions(grams.sparkSession, inputBytes), col("_g"))
     base.groupBy("_g")
@@ -1093,12 +1102,16 @@ object Dedup {
     // Under the broadcast cap the hit rows are collected to the driver
     // (exactly what the broadcast exchange would do at execution
     // anyway) and served from a LOCAL relation, so the cache releases
-    // NOW; past the cap the materialized stage is spilled to a temp
-    // parquet (same lifetime the cache had — the JVM's — but disk, not
-    // executor memory) and the cache releases too. Dir-staged runs
-    // (the 100 TB configuration) were never cached and pass through.
+    // NOW; past the cap on a LOCAL master the materialized stage is
+    // spilled to a temp parquet (same lifetime the cache had — the
+    // JVM's — but disk, not executor memory) and the cache releases
+    // too; past the cap on a REAL cluster without a stage dir the
+    // persist is kept — a driver-local temp path is not a shared
+    // filesystem there (r15, ADVICE). Dir-staged runs (the 100 TB
+    // configuration) were never cached and pass through.
     val hitSide =
-      if (nHit <= ScrubHitsBroadcastLimit) {
+      if (nHit <= graft.Conf.count(
+          spark, graft.Conf.ScrubHitsLimitKey, ScrubHitsBroadcastLimit)) {
         val local = spark.createDataFrame(
           java.util.Arrays.asList(hits.collect(): _*), hits.schema)
         hits.unpersist(false)
@@ -1106,13 +1119,31 @@ object Dedup {
       } else if (stageDir.isDefined ||
           spark.conf.get(StageDirConf, null) != null) {
         hits // already parquet-backed, nothing cached
-      } else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_scrub_hits")
-        val dir = tmp.resolve("hits").toString
+      } else if (spark.sparkContext.isLocal) {
+        // Local master only (r15, ADVICE): a driver-local `file:` temp
+        // path is visible to every task here, so spilling the cached
+        // stage to temp parquet trades executor memory for disk
+        // safely. The dir lives under LocalFs' SHARED temp base — one
+        // JVM shutdown hook total, not one per call.
+        val dir = new java.io.File(
+          graft.LocalFs.tempDir("graft_scrub_hits"), "hits").toString
         hits.write.mode("overwrite").parquet(dir)
         hits.unpersist(false)
-        sys.addShutdownHook(graft.LocalFs.deleteRecursively(tmp.toFile))
         spark.read.parquet(dir)
+      } else {
+        // Multi-node cluster WITHOUT a stage dir: executors would
+        // write a driver-local temp path onto THEIR disks and the
+        // driver-side read would see nothing — a hard failure, or
+        // silently unscrubbed docs. Keep the (already-materialized)
+        // executor-storage persist instead: cluster-correct, costs
+        // only cache lifetime. The 100 TB configuration sets
+        // [[StageDirConf]] and never reaches this branch.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"scrubSpanDuplicates: hit table ($nHit rows) exceeds the " +
+            s"broadcast cap and no stage dir is set; keeping it in " +
+            s"executor storage. Set ${StageDirConf} to stage large " +
+            s"scrubs on distributed storage.")
+        hits
       }
     val scrubbed = df
       .join(hitSide, col(idCol) === col("_id"), "left")

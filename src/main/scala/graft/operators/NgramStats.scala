@@ -64,16 +64,47 @@ object NgramStats {
     */
   def topK(df: DataFrame, textCol: String, n: Int, k: Int,
       gramCol: String = "gram", countCol: String = "n",
-      keptBroadcastLimit: Int = KeptBroadcastLimit): DataFrame = {
+      keptBroadcastLimit: Int = KeptBroadcastLimit,
+      tieGuardStatsBytes: Long = TieGuardStatsBytes): DataFrame = {
     require(n >= 1, s"ngram width must be >= 1, got $n")
     require(k >= 1, s"top-k must be >= 1, got $k")
     require(keptBroadcastLimit >= 0,
       s"keptBroadcastLimit must be >= 0, got $keptBroadcastLimit")
     def grams: DataFrame = df.select(explode(graft.functions.TextSignatures
       .shingleStringsCol(col(textCol), n)).as("_g"))
-    val counts = grams
+    def empty: DataFrame = grams.limit(0)
+      .select(col("_g").as(gramCol), lit(0L).as(countCol))
+    def finish(filtered: DataFrame): DataFrame = filtered
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as(countCol))
+      .orderBy(col(countCol).desc, col("_g").asc)
+      .limit(k)
+      .select(col("_g").as(gramCol), col(countCol))
+    val countsPlan = grams
       .groupBy(xxhash64(col("_g")).as("_h"))
       .agg(count(lit(1)).as("_c"))
+    // Persist economy (r15, the r14 guard's measured +0.3 s at small
+    // SFs): when Catalyst already prices the count table tiny — even
+    // the ALL-TIES worst case fits the broadcast budget with a wide
+    // safety margin — the cache materialization and the bounded tie
+    // probe buy nothing. Skip both: the threshold probe runs the
+    // (cheap) aggregate once, and the kept filter broadcasts as a
+    // PLAN, recomputing the same tiny aggregate inside the final
+    // query. The forced broadcast is safe under the gate because the
+    // estimate bounds the whole table, ties included; past the gate
+    // the guarded persist + probe shape from r14 is unchanged.
+    if (countsPlan.queryExecution.optimizedPlan.stats.sizeInBytes
+        <= tieGuardStatsBytes) {
+      val topCounts = countsPlan.select(col("_c"))
+        .orderBy(col("_c").desc).limit(k)
+        .agg(min(col("_c"))).head()
+      if (topCounts.isNullAt(0)) return empty
+      val threshold = topCounts.getLong(0)
+      val kept = countsPlan.filter(col("_c") >= threshold).select(col("_h"))
+      return finish(
+        grams.join(broadcast(kept), xxhash64(col("_g")) === col("_h")))
+    }
+    val counts = countsPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // k-th largest count (or the smallest count when the vocabulary
@@ -81,9 +112,7 @@ object NgramStats {
       val topCounts = counts.select(col("_c"))
         .orderBy(col("_c").desc).limit(k)
         .agg(min(col("_c"))).head()
-      if (topCounts.isNullAt(0))
-        return grams.limit(0)
-          .select(col("_g").as(gramCol), lit(0L).as(countCol))
+      if (topCounts.isNullAt(0)) return empty
       val threshold = topCounts.getLong(0)
       val kept = counts.filter(col("_c") >= threshold).select(col("_h"))
       val keptProbe = kept.limit(keptBroadcastLimit + 1).collect()
@@ -96,12 +125,7 @@ object NgramStats {
           val local = keptProbe.map(_.getLong(0)).toSeq.toDF("_h")
           grams.join(broadcast(local), xxhash64(col("_g")) === col("_h"))
         } else grams.join(kept, xxhash64(col("_g")) === col("_h"))
-      filtered
-        .groupBy(col("_g"))
-        .agg(count(lit(1)).as(countCol))
-        .orderBy(col(countCol).desc, col("_g").asc)
-        .limit(k)
-        .select(col("_g").as(gramCol), col(countCol))
+      finish(filtered)
     } finally counts.unpersist(false)
   }
 
@@ -110,6 +134,17 @@ object NgramStats {
     * to a shuffled semi-join.
     */
   val KeptBroadcastLimit: Int = 1000000
+
+  /** Catalyst-estimate gate (bytes) under which [[topK]] skips the
+    * tie-guard persist + probe: the count table's plan estimate bounds
+    * the ALL-TIES kept set, so at or under 8 MB even a 10× estimate
+    * error broadcasts comfortably. The estimate scales with the real
+    * risk — it is the input scan priced down by the (16-byte hash
+    * row) / (document row) width ratio, and short unique documents
+    * (the singleton-vocabulary regime the r14 guard exists for) keep
+    * the ratio near 1 and stay on the guarded path.
+    */
+  val TieGuardStatsBytes: Long = 8L << 20
 
   /** Bounded-memory heavy-hitters top-k — the single-box 100 TB path
     * (r13). [[topK]] is exact but must group EVERY distinct gram; at
@@ -135,7 +170,8 @@ object NgramStats {
     */
   def topKSketch(df: DataFrame, textCol: String, n: Int, k: Int,
       maxMapSize: Int = 65536,
-      gramCol: String = "gram", countCol: String = "n"): DataFrame = {
+      gramCol: String = "gram", countCol: String = "n",
+      verifyExact: Boolean = true): DataFrame = {
     require(n >= 1, s"ngram width must be >= 1, got $n")
     require(k >= 1, s"top-k must be >= 1, got $k")
     require(maxMapSize >= 2 * k,
@@ -163,13 +199,42 @@ object NgramStats {
     if (cand.isEmpty) return grams.limit(0)
       .select(col("_g").as(gramCol), lit(0L).as(countCol))
     val kept = cand.toSeq.toDF("_h")
-    grams
+    val out = grams
       .join(broadcast(kept), xxhash64(col("_g")) === col("_h"))
       .groupBy(col("_g"))
       .agg(count(lit(1)).as(countCol))
       .orderBy(col(countCol).desc, col("_g").asc)
       .limit(k)
       .select(col("_g").as(gramCol), col(countCol))
+    if (!verifyExact) return out
+    // Exactness certificate (r15, ADVICE): Misra-Gries guarantees
+    // every gram whose TRUE count exceeds the merged sketch's maximum
+    // error is a candidate, so when the k-th recounted candidate count
+    // clears that bound no non-candidate can belong in the top-k — the
+    // returned table is PROVEN equal to exact topK. The check costs
+    // only materializing the ≤ k result rows (which the caller was
+    // about to compute anyway — they are re-served from a local
+    // relation, no recompute); when the bound is not cleared the
+    // result is still exhaustive over the candidate set with exact
+    // counts, but tail candidates may be missing — logged as a warning
+    // naming the dial (maxMapSize) instead of silently looking
+    // authoritative.
+    val resultRows = out.collect()
+    val bound = merged.getMaximumError
+    val kth = if (resultRows.length < k) 0L
+      else resultRows.last.getLong(1)
+    val proven = bound == 0 || (resultRows.length == k && kth > bound)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (proven)
+      log.info(s"topKSketch: top-$k proven exact (kth recounted count " +
+        s"$kth > sketch max error $bound)")
+    else
+      log.warn(s"topKSketch: top-$k NOT guaranteed exact (kth recounted " +
+        s"count $kth <= sketch max error $bound) — grams under the error " +
+        s"bound may be missing from the candidate set; raise maxMapSize " +
+        s"(currently $mapSize) or call topK for the exact aggregate")
+    spark.createDataFrame(
+      java.util.Arrays.asList(resultRows: _*), out.schema)
   }
 
   /** Stats-routed default (r14, the r13 verdict's item 2): EXACT
@@ -183,14 +248,24 @@ object NgramStats {
     * recounted results — spec-pinned equal to exact on the profiled
     * star. Callers who KNOW their cluster spreads the exact aggregate
     * (it is partial-combinable) override by calling [[topK]]
-    * directly; `routeBytes` is the explicit dial.
+    * directly; `routeBytes` is the explicit dial, and `routeBytes < 0`
+    * (the default) resolves `spark.graft.ngramSketchRouteBytes` from
+    * session conf before falling back to [[SketchRouteBytes]] (r15 —
+    * cluster operators re-dial the crossover without a code change).
     */
   def topKAuto(df: DataFrame, textCol: String, n: Int, k: Int,
       maxMapSize: Int = 65536,
       gramCol: String = "gram", countCol: String = "n",
-      routeBytes: Long = SketchRouteBytes): DataFrame = {
+      routeBytes: Long = -1L): DataFrame = {
+    val route =
+      if (routeBytes >= 0) routeBytes
+      else graft.Conf.bytes(df.sparkSession,
+        graft.Conf.SketchRouteBytesKey, SketchRouteBytes)
     val inputBytes: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (inputBytes <= routeBytes) topK(df, textCol, n, k, gramCol, countCol)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"topKAuto: input ~$inputBytes B vs route $route B -> " +
+        s"${if (inputBytes <= route) "exact topK" else "topKSketch"}")
+    if (inputBytes <= route) topK(df, textCol, n, k, gramCol, countCol)
     else topKSketch(df, textCol, n, k, maxMapSize, gramCol, countCol)
   }
 

@@ -473,10 +473,13 @@ object Similarity {
     * test each member against its predecessors — the same two-shuffle
     * no-all-pairs shape as [[embeddingNearDups]], with k-means instead
     * of hyperplanes choosing the buckets. Cells above `maxCellSize`
-    * skip pair generation entirely (bounded recall trade for a hard
-    * per-cell cost ceiling, mirroring the Dedup bucket guards — at
-    * 100 TB, raise `nlist` so expected occupancy stays under the cap;
-    * identical-member cells that big belong to exact dedup anyway).
+    * walk in consecutive id-ordered BLOCKS of `maxCellSize` (r15 —
+    * they used to skip pair generation entirely, zero recall in
+    * exactly the hottest cells): the per-block cost ceiling is the
+    * same hard bound, keep-first holds within each block, and only
+    * cross-block pairs are traded — at 100 TB, raise `nlist` so
+    * expected occupancy stays under the cap; identical-member cells
+    * that big belong to exact dedup anyway.
     *
     * Returns the KEPT rows with their original schema.
     */
@@ -550,7 +553,14 @@ object Similarity {
   private[graft] def dropWithinCells(
       df: DataFrame, idCol: String, vecCol: String, assigned: DataFrame,
       threshold: Double, maxCellSize: Int,
-      walkRouteBytes: Long = CellWalkShuffleBytes): DataFrame = {
+      walkRouteBytes: Long = -1L): DataFrame = {
+    // walkRouteBytes < 0 (the default) resolves through session conf
+    // (r15): explicit argument > spark.graft.cellWalkShuffleBytes >
+    // the box-calibrated [[CellWalkShuffleBytes]] constant.
+    val routeBytes =
+      if (walkRouteBytes >= 0) walkRouteBytes
+      else graft.Conf.bytes(df.sparkSession,
+        graft.Conf.CellWalkBytesKey, CellWalkShuffleBytes)
     val prepped = assigned
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("_cell"))
       .withColumn("_nm", norm(col("_v")))
@@ -571,11 +581,11 @@ object Similarity {
     // spec-pinned route-equal). Memory per task: one cell, regardless
     // of corpus size.
     val drops =
-      if (inputBytes <= walkRouteBytes)
+      if (inputBytes <= routeBytes)
         prepped
           .groupBy("_cell")
           .agg(collect_list(struct(col("_id"), col("_v"), col("_nm"))).as("_items"))
-          .filter(size(col("_items")).between(2, maxCellSize))
+          .filter(size(col("_items")) >= 2)
           .withColumn("_sorted", array_sort(col("_items"))) // unique _id leads
           // native cell walk (SemanticDrops — the transform/exists/slice
           // chain it replaced was interpreted glue around every pair
@@ -583,9 +593,17 @@ object Similarity {
           // round(cos, 4) >= threshold; zero-norm pairs have no defined
           // cosine, but an IDENTICAL zero vector is still a duplicate
           // (exact equality ⇒ cosine 1 by continuity), anything else is
-          // incomparable
+          // incomparable. Over-cap relief (r15, ADVICE): blockSize =
+          // maxCellSize makes cells past the cap walk in consecutive
+          // id-ordered BLOCKS inside the native expression — same hard
+          // per-member cost ceiling, keep-first within each block,
+          // only cross-block pairs traded (strictly more recall than
+          // the pre-r15 whole-cell skip); an at-or-under-cap cell is
+          // one block, identical to the pre-r15 walk. In-expression,
+          // not an explode(transform(slice)) — those HOFs are
+          // CodegenFallback and would re-interpret per block.
           .select(explode(graft.functions.SemanticDrops.dropsCol(
-            col("_sorted"), threshold)).as("_drop_id"))
+            col("_sorted"), threshold, maxCellSize)).as("_drop_id"))
       else streamedCellDrops(prepped, threshold, maxCellSize)
     df.join(drops, df(idCol) === drops("_drop_id"), "left_anti")
   }
@@ -605,8 +623,9 @@ object Similarity {
     * left-to-right accumulation, `round(cos,4) >= t`, zero-norm pairs
     * drop only on bitwise-equal vectors, null vector/norm members are
     * never dropped and never drop others). Cells above `maxCellSize`
-    * skip pair generation — the guard contract — and singleton cells
-    * have no pairs.
+    * flush in consecutive id-ordered blocks of `maxCellSize` — the
+    * same blocks the collect_list route slices, so route parity holds
+    * — and singleton cells have no pairs.
     */
   private def streamedCellDrops(
       prepped: DataFrame, threshold: Double, maxCellSize: Int): DataFrame = {
@@ -625,7 +644,6 @@ object Similarity {
         private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
         private var curCell: Any = null
         private var haveCell = false
-        private var oversized = false
 
         private def nmOf(r: Row): java.lang.Double =
           if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
@@ -665,7 +683,7 @@ object Similarity {
           true
         }
         private def flushCell(): Unit = {
-          if (!oversized && buf.length >= 2) {
+          if (buf.length >= 2) {
             val n = buf.length
             val vecs = buf.map(decode).toArray
             val nms = buf.map(nmOf).toArray
@@ -700,7 +718,6 @@ object Similarity {
             }
           }
           buf.clear()
-          oversized = false
         }
         private def pump(): Unit = {
           while (out.isEmpty && rows.hasNext) {
@@ -710,12 +727,12 @@ object Similarity {
               if (haveCell) flushCell()
               curCell = cell; haveCell = true
             }
-            if (!oversized) {
-              buf += r
-              if (buf.length > maxCellSize) { // guard: skip pair generation
-                buf.clear(); oversized = true
-              }
-            }
+            buf += r
+            // over-cap relief (r15): a full buffer flushes as one
+            // id-ordered BLOCK and the cell continues into the next —
+            // identical blocks to the collect_list route's slices
+            // (both orders are (_cell, _id)), memory stays one block
+            if (buf.length == maxCellSize) flushCell()
           }
           if (out.isEmpty && !rows.hasNext && haveCell) {
             flushCell(); haveCell = false

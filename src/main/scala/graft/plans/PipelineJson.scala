@@ -494,6 +494,212 @@ object PipelineJson {
                 df, groupBy, n, col(weightCol), col(keyCol), salt)
           }
         }
+      // ---- LLM-curation node family (r15) ------------------------
+      // The reference's whole authoring UX is JSON pipelines
+      // (engine.py:155-178); before r15 this parser reached the 13
+      // reference transforms plus the model/incremental nodes but NOT
+      // the curation operators, so a training-data user could not
+      // author the dedup→filter→redact shapes as data. Each node below
+      // is a thin dispatch onto the operator/function that already
+      // carries the oracle twin and the scale argument — config keys
+      // follow the reference's snake_case convention.
+      case "exact_dedup" =>
+        // one hash-aggregate keep-min-id per normalized fingerprint —
+        // the full row of the winning copy survives (min_by), so the
+        // node composes mid-pipeline; one shuffle at any scale
+        val dedupId = config.path("id_column").asText("")
+        require(dedupId.nonEmpty, s"exact_dedup node '$id' requires 'id_column'")
+        val dedupText = config.path("column").asText("text")
+        MapNode { (_, df) =>
+          import org.apache.spark.sql.functions._
+          df.groupBy(graft.functions.TextFunctions
+              .fingerprint(col(dedupText)).as("_fp"))
+            .agg(min_by(struct(df.columns.map(col): _*), col(dedupId)).as("_w"))
+            .select(df.columns.map(c => col(s"_w.`$c`").as(c)): _*)
+        }
+      case "minhash_dedup" =>
+        // MinHash LSH candidate pairs + exact-Jaccard rerank, then
+        // keep one representative per near-dup cluster
+        // (Dedup.minHashNearDups → dropNearDuplicates — bucketed,
+        // never all-pairs)
+        val mhId = config.path("id_column").asText("")
+        require(mhId.nonEmpty, s"minhash_dedup node '$id' requires 'id_column'")
+        val mhText = config.path("column").asText("text")
+        val shingleN = config.path("shingle_n").asInt(3)
+        val bands = config.path("bands").asInt(16)
+        val rowsPerBand = config.path("rows_per_band").asInt(4)
+        val mhThreshold = config.path("threshold").asDouble(0.7)
+        val maxBucket = config.path("max_bucket_size").asInt(1000)
+        MapNode { (_, df) =>
+          val pairs = graft.operators.Dedup.minHashNearDups(
+            df, mhId, mhText, shingleN, bands, rowsPerBand,
+            mhThreshold, maxBucket)
+          graft.operators.Dedup.dropNearDuplicates(
+            df, mhId, pairs, assumeCanonical = true)
+        }
+      case "span_dedup" =>
+        // ExactSubstr (Lee et al. 2021): mode "drop" removes every
+        // later-duplicate-span doc, mode "scrub" (default) cuts the
+        // duplicated ranges and keeps the unique remainder
+        val sdId = config.path("id_column").asText("")
+        require(sdId.nonEmpty, s"span_dedup node '$id' requires 'id_column'")
+        val sdText = config.path("column").asText("text")
+        val spanTokens = config.path("span_tokens").asInt(8)
+        val minSpanTokens = config.path("min_span_tokens").asInt(0)
+        config.path("mode").asText("scrub") match {
+          case "drop" => MapNode { (_, df) =>
+            graft.operators.Dedup.dropSpanDuplicates(df, sdId, sdText, spanTokens)
+          }
+          case "scrub" => MapNode { (_, df) =>
+            graft.operators.Dedup.scrubSpanDuplicates(
+              df, sdId, sdText, spanTokens, minSpanTokens)
+          }
+          case other => throw new IllegalArgumentException(
+            s"span_dedup node '$id': mode must be 'drop' or 'scrub', got '$other'")
+        }
+      case "line_dedup" =>
+        // CCNet/RefinedWeb boilerplate-line removal: lines recurring
+        // across >= min_docs docs are cut everywhere
+        val ldId = config.path("id_column").asText("")
+        require(ldId.nonEmpty, s"line_dedup node '$id' requires 'id_column'")
+        val ldText = config.path("column").asText("text")
+        val minDocs = config.path("min_docs").asLong(30L)
+        MapNode { (_, df) =>
+          graft.operators.LineDedup.dropCommonLines(df, ldId, ldText, minDocs)
+        }
+      case "url_filter" =>
+        // domain blocklist gate: drop rows whose REGISTRABLE domain is
+        // listed; the tiny blocklist broadcasts into a left-anti probe
+        // — the corpus never shuffles. Optional output_column keeps
+        // the parsed domain for downstream mixing.
+        val urlCol = config.path("column").asText("url")
+        val blocked = strSeq(config.path("blocklist"))
+        require(blocked.nonEmpty, s"url_filter node '$id' requires 'blocklist'")
+        val domainOut = config.path("output_column").asText("")
+        MapNode { (s, df) =>
+          import org.apache.spark.sql.functions._
+          import s.implicits._
+          val withDomain = df.withColumn("_rdomain",
+            graft.functions.TextFunctions.registrableDomain(col(urlCol)))
+          val block = blocked.map(_.toLowerCase).toDF("_rdomain")
+          val kept = withDomain.join(broadcast(block), Seq("_rdomain"), "left_anti")
+          if (domainOut.nonEmpty) kept.withColumnRenamed("_rdomain", domainOut)
+          else kept.drop("_rdomain")
+        }
+      case "c4_filter" =>
+        // C4 page cleaning (Raffel 2020 §2.2) as an in-pipeline
+        // filter: text replaced by the kept lines, failing pages drop
+        val c4Text = config.path("column").asText("text")
+        MapNode((_, df) => graft.operators.C4Filter.applyClean(df, c4Text))
+      case "gopher_filter" =>
+        // Gopher quality rules (Rae 2021 A1.1). mode "filter"
+        // (default) keeps passing docs; mode "label" annotates
+        // keep/fail_reason instead — dropping is the irreversible
+        // action, so audit pipelines label first
+        val gText = config.path("column").asText("text")
+        val gMin = config.path("min_tokens").asLong(50L)
+        val gMax = config.path("max_tokens").asLong(100000L)
+        val gMinWlen = config.path("min_mean_word_length").asDouble(3.0)
+        val gMaxWlen = config.path("max_mean_word_length").asDouble(10.0)
+        val gDup = config.path("max_dup_word_ratio").asDouble(0.6)
+        val gOut = config.path("output_column").asText("fail_reason")
+        def gReason(c: org.apache.spark.sql.Column) =
+          graft.functions.TextFunctions.gopherFailReason(
+            c, gMin, gMax, gMinWlen, gMaxWlen, gDup)
+        config.path("mode").asText("filter") match {
+          case "filter" => MapNode { (_, df) =>
+            import org.apache.spark.sql.functions.col
+            df.filter(gReason(col(gText)).isNull)
+          }
+          case "label" => MapNode { (_, df) =>
+            import org.apache.spark.sql.functions.col
+            df.withColumn(gOut, gReason(col(gText)))
+              .withColumn("keep", org.apache.spark.sql.functions.col(gOut).isNull)
+          }
+          case other => throw new IllegalArgumentException(
+            s"gopher_filter node '$id': mode must be 'filter' or 'label', got '$other'")
+        }
+      case "pii_redact" =>
+        // email/SSN/phone/IPv4/Luhn-card/IBAN/API-key scrub — chained
+        // codegen'd regexp_replace, one scan, zero shuffles; in-place
+        // unless output_column names a new column
+        val pText = config.path("column").asText("text")
+        val pOut = config.path("output_column").asText("") match {
+          case "" => pText
+          case o => o
+        }
+        MapNode { (_, df) =>
+          import org.apache.spark.sql.functions.col
+          df.withColumn(pOut,
+            graft.functions.TextFunctions.piiRedact(col(pText)))
+        }
+      case "train_split" =>
+        // leakage-aware split: the key is the BAG-OF-WORDS fingerprint
+        // so exact duplicates and word-order reshuffles land in the
+        // SAME split by construction; assignment = lexicographic
+        // buckets of the md5 hex prefix, deterministic on any cluster
+        val tsText = config.path("column").asText("text")
+        val tsOut = config.path("output_column").asText("split")
+        val trainFrac = config.path("train_frac").asDouble(0.9)
+        val valFrac = config.path("val_frac").asDouble(0.05)
+        require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+          s"train_split node '$id': need train_frac > 0, val_frac >= 0, " +
+            s"sum <= 1 (got $trainFrac + $valFrac)")
+        // 2-hex-char buckets: 256 cells — the same e6/f3 thresholds as
+        // the x_train_split oracle at the default 90/5/5
+        val trainHex = f"${math.floor(trainFrac * 256).toInt}%02x"
+        val valHex = f"${math.floor((trainFrac + valFrac) * 256).toInt}%02x"
+        MapNode { (_, df) =>
+          import org.apache.spark.sql.functions._
+          val b = substring(graft.functions.TextFunctions
+            .bagFingerprint(col(tsText)), 1, 2)
+          df.withColumn(tsOut,
+            when(b < trainHex, "train").when(b < valHex, "val").otherwise("test"))
+        }
+      case "text_annotate" =>
+        // in-scan curation annotations: heuristic language id and/or
+        // whitespace token count — the per-row metadata every
+        // downstream gate and report consumes, computed once in the
+        // scan projection (no shuffle)
+        val taText = config.path("column").asText("text")
+        val langOut = config.path("lang_column").asText("")
+        val tokensOut = config.path("tokens_column").asText("")
+        require(langOut.nonEmpty || tokensOut.nonEmpty,
+          s"text_annotate node '$id' needs 'lang_column' and/or 'tokens_column'")
+        MapNode { (_, df) =>
+          import org.apache.spark.sql.functions.col
+          val withLang =
+            if (langOut.isEmpty) df
+            else df.withColumn(langOut,
+              graft.functions.TextFunctions.langId(col(taText)))
+          if (tokensOut.isEmpty) withLang
+          else withLang.withColumn(tokensOut,
+            graft.functions.TextFunctions.wsTokenCount(col(taText)).cast("long"))
+        }
+      case "domain_mix_sample" =>
+        // realize a target domain mixture by deterministic downsampling
+        // (DomainMix.sampleToMix): targets is a domain→share map;
+        // unlisted domains drop (null share), matching the operator
+        val dmId = config.path("id_column").asText("")
+        val dmDomain = config.path("domain_column").asText("")
+        val dmTokens = config.path("tokens_column").asText("")
+        require(dmId.nonEmpty && dmDomain.nonEmpty && dmTokens.nonEmpty,
+          s"domain_mix_sample node '$id' requires 'id_column', " +
+            "'domain_column' and 'tokens_column'")
+        val targetsNode = config.path("targets")
+        require(targetsNode.isObject && targetsNode.size() > 0,
+          s"domain_mix_sample node '$id' requires a 'targets' object " +
+            "(domain -> share)")
+        val targets = targetsNode.properties.asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toSeq
+        MapNode { (_, df) =>
+          import org.apache.spark.sql.functions._
+          val share = targets.foldLeft(lit(null).cast("double")) {
+            case (acc, (dom, s)) => when(col(dmDomain) === dom, s).otherwise(acc)
+          }
+          graft.operators.DomainMix.sampleToMix(
+            df, dmDomain, dmId, col(dmTokens), share)
+        }
       case other =>
         // reference behavior: unknown node types pass through
         // (engine.py:188 "Pass-through node type")

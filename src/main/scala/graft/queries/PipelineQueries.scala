@@ -173,6 +173,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The x_pipeline_e2e curation composition re-expressed as PURE
+    // JSON — the reference's authoring surface (engine.py:155-178)
+    // reaching the r15 LLM node family: file_input → exact_dedup
+    // (keep-min-id per fingerprint, full-row min_by) → text_annotate
+    // (heuristic lang id + token count, in-scan) → transform gate.
+    // Runs through PipelineJson.run and must hash-match the SAME
+    // DuckDB twin as the hand-built x_pipeline_e2e — proving a JSON
+    // author gets the identical engine semantics as the Scala API.
+    "p_llm_pipeline_json" -> ((s, dir) => {
+      val json =
+        s"""{"nodes": [
+           |  {"id": "src", "type": "file_input",
+           |   "data": {"config": {"path": "$dir/documents.parquet", "format": "parquet"}}},
+           |  {"id": "dedup", "type": "exact_dedup",
+           |   "data": {"config": {"id_column": "doc_id", "column": "text"}}},
+           |  {"id": "annot", "type": "text_annotate",
+           |   "data": {"config": {"column": "text",
+           |     "lang_column": "lang_pred", "tokens_column": "ws_tokens"}}},
+           |  {"id": "gate", "type": "transform",
+           |   "data": {"config": {"steps": [
+           |     {"operator": "filter_rows", "params": {"expression": "ws_tokens >= 20"}},
+           |     {"operator": "sql_transform", "params": {"sql":
+           |       "SELECT doc_id, lang_pred, ws_tokens FROM {{input}} ORDER BY doc_id"}}
+           |   ]}}}
+           |], "edges": [
+           |  {"source": "src", "target": "dedup"},
+           |  {"source": "dedup", "target": "annot"},
+           |  {"source": "annot", "target": "gate"}
+           |]}""".stripMargin
+      graft.plans.PipelineJson.run(s, json).outputs("gate")
+    }),
+
     // Multimodal metadata stats — the oracle-able half of the media
     // pipeline (byte lengths survive the binary cast bit-for-bit).
     "mm_meta" -> ((s, dir) => {
@@ -188,6 +220,20 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same twin as x_pipeline_e2e (TextQueries) — the JSON-authored
+    // pipeline must land on the identical table
+    "p_llm_pipeline_json" -> {
+      import graft.functions.TextFunctions.{fingerprintSql, langIdSql, wsTokenCountSql}
+      s"""WITH kept AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY ${fingerprintSql("text")}
+         |)
+         |SELECT d.doc_id, ${langIdSql("d.text")} AS lang_pred,
+         |  ${wsTokenCountSql("d.text")} AS ws_tokens
+         |FROM documents d JOIN kept USING (doc_id)
+         |WHERE ${wsTokenCountSql("d.text")} >= 20
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // the Spark side PHYSICALLY renders + re-extracts each text
     // through a real PDF (see queries); equality with this direct
     // projection proves the writer/extractor pair loses nothing

@@ -154,4 +154,83 @@ class AnnTuneSpec extends AnyFunSuite {
     val b = AnnTune.holdout(df.repartition(13), "id", "vec", 5).map(_._1).toSeq
     assert(a == b && a.size == 5)
   }
+
+  // ---- r15: join-granularity tuning — the batch-retrieval shape -----
+
+  test("tuneIvfJoin hits the target against the brute-force JOIN ground truth") {
+    val df = clustered()
+    val idx = Similarity.ivfIndex(df, "id", "vec", nlist = 16)
+    val got = AnnTune.tuneIvfJoin(idx, df, "id", "vec", target = 0.9,
+      k = 10, nQueries = 8)
+    assert(got.recall >= 0.9, s"join recall ${got.recall} below target at $got")
+    val np = got.setting("nprobe")
+    assert(np <= 16)
+    // minimality at join granularity: the previous doubling step
+    // misses the target when the tuner didn't stop at nprobe = 1
+    if (np > 1) {
+      val qs = AnnTune.holdoutDf(df, "id", "vec", 8)
+      val truth = AnnTune.joinTruth(qs, df, "id", "vec", 10)
+      val prev = AnnTune.measureJoinRecall(truth,
+        Similarity.ivfTopKJoin(idx, qs, "_hq_id", "_hq_v", "id", "vec", 10, np / 2))
+      assert(prev < 0.9, s"nprobe ${np / 2} already reaches target ($prev)")
+    }
+    // full probe ⇒ the join IS brute force ⇒ recall exactly 1
+    val qs = AnnTune.holdoutDf(df, "id", "vec", 4)
+    val truth = AnnTune.joinTruth(qs, df, "id", "vec", 10)
+    assert(AnnTune.measureJoinRecall(truth,
+      Similarity.ivfTopKJoin(idx, qs, "_hq_id", "_hq_v", "id", "vec", 10, 16)) == 1.0)
+  }
+
+  test("join operating point: separate sidecar, tuned join entry points, dial checks") {
+    val df = clustered()
+    val path = tmp("graft_tune_join")
+    val idx = Similarity.ivfIndex(df, "id", "vec", nlist = 16)
+    Similarity.saveIvfIndex(idx, path)
+    // probe point and join point coexist without clobbering
+    val probePoint = AnnTune.tuneIvf(idx, df, "id", "vec", target = 0.5,
+      k = 10, nQueries = 4)
+    AnnTune.savePoint(spark, path, probePoint)
+    val joinPoint = AnnTune.tuneIvfJoin(idx, df, "id", "vec", target = 0.9,
+      k = 10, nQueries = 8)
+    AnnTune.savePoint(spark, path, joinPoint, AnnTune.JoinPointSidecar)
+    assert(AnnTune.loadPoint(spark, path).contains(probePoint))
+    assert(AnnTune.loadPoint(spark, path,
+      AnnTune.JoinPointSidecar).contains(joinPoint))
+    // the tuned join entry runs at the saved dial: identical rows to
+    // the direct call, and its measured recall clears the target
+    val qs = AnnTune.holdoutDf(df, "id", "vec", 8)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy("q_id", "n_id").collect().map(_.toSeq).toSeq
+    val viaTuned = AnnTune.ivfTopKJoinTuned(spark, path,
+      qs, "_hq_id", "_hq_v", "id", "vec", 10)
+    assert(rows(viaTuned) == rows(Similarity.ivfTopKJoin(
+      Similarity.loadIvfIndex(spark, path), qs, "_hq_id", "_hq_v",
+      "id", "vec", 10, joinPoint.setting("nprobe"))))
+    val truth = AnnTune.joinTruth(qs, df, "id", "vec", 10)
+    assert(AnnTune.measureJoinRecall(truth, viaTuned) >= 0.9)
+    // a join-tuned probe against an index with only a PROBE point
+    // raises actionably (missing join sidecar)
+    val bare = tmp("graft_tune_join_bare")
+    Similarity.saveIvfIndex(idx, bare)
+    AnnTune.savePoint(spark, bare, probePoint)
+    intercept[IllegalStateException] {
+      AnnTune.ivfTopKJoinTuned(spark, bare, qs, "_hq_id", "_hq_v", "id", "vec", 10)
+    }
+  }
+
+  test("tunePqJoin + pqTopKJoinTuned: pool walk at join granularity, sidecar roundtrip") {
+    val df = clustered(nClusters = 8, per = 40)
+    val path = tmp("graft_tune_pqjoin")
+    val model = Pq.fit(df, "id", "vec", nsub = 4)
+    Pq.savePqIndex(df, "id", "vec", model, path)
+    val got = AnnTune.tunePqJoin(spark, path, df, "id", "vec", target = 0.9,
+      k = 10, nQueries = 6, maxPool = 512)
+    assert(got.recall >= 0.9, s"join recall ${got.recall} below target at $got")
+    AnnTune.savePoint(spark, path, got, AnnTune.JoinPointSidecar)
+    val qs = AnnTune.holdoutDf(df, "id", "vec", 6)
+    val truth = AnnTune.joinTruth(qs, df, "id", "vec", 10)
+    val viaTuned = AnnTune.pqTopKJoinTuned(spark, path,
+      qs, "_hq_id", "_hq_v", df, "id", "vec", 10)
+    assert(AnnTune.measureJoinRecall(truth, viaTuned) >= 0.9)
+  }
 }

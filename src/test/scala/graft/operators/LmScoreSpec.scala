@@ -254,6 +254,32 @@ class LmScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("prefit backoff model scores identically to the in-query training path") {
+    // r15: fitBackoff + scoreWithBackoff is the amortized twin of
+    // backoffScores — bit-identical results at the same dials (the
+    // fit's N/V doubles re-enter as literals), across pruned/unpruned
+    // and cross-trained shapes
+    val corpus = Seq(
+      (1L, "a b a b a"), (2L, "a b a"), (3L, "x y z"), (4L, "b a x"))
+    val docs = corpus.toDF("doc_id", "text")
+    for (mc <- Seq(1L, 2L)) {
+      val model = LmScore.fitBackoff(docs, "text", n = 3, minCount = mc)
+      try {
+        assert(collected(LmScore.scoreWithBackoff(docs, "doc_id", "text", model))
+          == collected(LmScore.backoffScores(docs, "doc_id", "text", n = 3,
+            minCount = mc)), s"minCount=$mc")
+      } finally model.unpersist()
+    }
+    // cross-trained: fit on one corpus, score another — same parity
+    val train = Seq((10L, "p q p q p r")).toDF("doc_id", "text")
+    val model = LmScore.fitBackoff(train, "text", n = 3, topV = Some(4))
+    try {
+      assert(collected(LmScore.scoreWithBackoff(docs, "doc_id", "text", model))
+        == collected(LmScore.backoffScores(docs, "doc_id", "text", n = 3,
+          train = Some(train), topV = Some(4))))
+    } finally model.unpersist()
+  }
+
   test("cross-trained backoff: unseen suffixes cascade to the trained unigram floor") {
     // train and scored corpora disjoint except shared unigrams: every
     // scored trigram/bigram misses the model, so each position scores

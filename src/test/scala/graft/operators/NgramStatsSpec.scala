@@ -86,14 +86,39 @@ class NgramStatsSpec extends AnyFunSuite {
   test("tie-volume guard: past the cap the recount degrades to a shuffled join") {
     // k-th count = 1 → the kept set is (nearly) every distinct gram;
     // with the cap forced to 0 the recount must take the non-broadcast
-    // fallback and still return the identical exact table
+    // fallback and still return the identical exact table. The tie
+    // gate is forced shut (tieGuardStatsBytes = -1) so the guarded
+    // persist + probe path is what's exercised — a tiny fixture would
+    // otherwise clear the r15 persist-economy gate and never probe.
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b x")).toDF("doc_id", "text")
     val expected = NgramStats.topK(docs, "text", 2, 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(expected.head == (("a b", 2L)))
-    val fallback = NgramStats.topK(docs, "text", 2, 5, keptBroadcastLimit = 0)
+    val fallback = NgramStats.topK(docs, "text", 2, 5, keptBroadcastLimit = 0,
+        tieGuardStatsBytes = -1L)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(fallback == expected)
+  }
+
+  test("persist-economy gate: tiny count table skips the persist, guarded path matches") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // default gate: the sf0.001 count table prices tiny → fast path
+    // (plan-broadcast kept filter, no cached/local tie probe). The
+    // forced-guarded run must return the identical table.
+    val fast = NgramStats.topK(docs, "text", 3, 25)
+    val guarded = NgramStats.topK(docs, "text", 3, 25,
+      tieGuardStatsBytes = -1L)
+    assert(rows(fast) == rows(guarded))
+    // route observability: the fast path broadcasts the kept FILTER as
+    // a plan (an aggregate under the exchange), never a collected
+    // local relation; the guarded path under the cap serves the kept
+    // hashes from a LocalTableScan
+    assert(!fast.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(guarded.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
   test("the count shuffle is hash-keyed: no gram string in the first aggregate") {

@@ -67,13 +67,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("semanticDedup cell-size guard skips pair generation for over-full cells") {
+  test("semanticDedup over-cap cells walk in id-ordered blocks of maxCellSize") {
     val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
         threshold = 0.99, nlist = 1, maxCellSize = 3, maxIter = 2)
       .select("vec_id").as[Long].collect.toSet
-    // the single cell holds all 5 vectors > maxCellSize=3: pair
-    // generation is skipped, nothing drops (bounded-cost contract)
-    assert(kept == Set(0L, 1L, 2L, 3L, 4L))
+    // the single cell holds all 5 vectors > maxCellSize=3, so the walk
+    // runs per id-ordered block (r15 — the pre-r15 guard skipped the
+    // whole cell, zero recall): block [0,1,2] drops 1 (cos 0.9939 to
+    // 0); block [3,4] has no qualifying pair (cos(3,4) = -1). Vec 4 —
+    // the scaled clone of 0 — survives as the documented cross-block
+    // recall trade.
+    assert(kept == Set(0L, 2L, 3L, 4L))
   }
 
   test("planesFor keeps bucket occupancy constant as the corpus grows") {
@@ -125,7 +129,10 @@ class SimilaritySpec extends AnyFunSuite {
       (7L, Seq(0f, 0f, 0f), 2),
       (8L, Seq(0f, 0f, 0f), 2),   // bitwise-equal zero vec → drops
       (9L, Seq(0f, -0f, 0f), 2),  // -0.0 != 0.0 bitwise → incomparable, kept
-      // cell 3: OVER the cap (5 members, maxCellSize 4) → all kept
+      // cell 3: OVER the cap (5 identical members, maxCellSize 4) →
+      // walks in id-ordered blocks [10,11,12,13] and [16] (r15): the
+      // first block drops 11,12,13 behind keeper 10; 16 is alone in
+      // the second block and survives (the cross-block trade)
       (10L, Seq(1f, 1f, 1f), 3), (11L, Seq(1f, 1f, 1f), 3),
       (12L, Seq(1f, 1f, 1f), 3), (13L, Seq(1f, 1f, 1f), 3),
       (16L, Seq(1f, 1f, 1f), 3),
@@ -145,9 +152,10 @@ class SimilaritySpec extends AnyFunSuite {
     val viaList = kept(Long.MaxValue) // collect_list + native SemanticDrops
     val viaStream = kept(0L)          // forced streamed route
     assert(viaList == viaStream, s"routes disagree: $viaList vs $viaStream")
-    // drops: 2 (clone of 1), 5 (scaled clone of 4), 8 (zero-equal of 7)
+    // drops: 2 (clone of 1), 5 (scaled clone of 4), 8 (zero-equal of
+    // 7), 11/12/13 (over-cap cell's first block behind keeper 10)
     assert(viaList == Set(1L, 3L, 4L, 6L, 7L, 9L,
-      10L, 11L, 12L, 13L, 14L, 15L, 16L))
+      10L, 14L, 15L, 16L))
   }
 
   test("auto-sized planes (numPlanes = 0 default) still find identical clones") {

@@ -459,4 +459,187 @@ class PipelineJsonSpec extends AnyFunSuite {
       }""")
     }
   }
+
+  // ---- r15 LLM-curation node family: each JSON node must land on the
+  // SAME table as the underlying operator called directly ------------
+
+  /** Run a one-source one-curation-node pipeline over `df`. */
+  private def runNode(df: org.apache.spark.sql.DataFrame,
+      nodeType: String, config: String): org.apache.spark.sql.DataFrame = {
+    val dir = Files.createTempDirectory("graft_pj_cur")
+    val in = dir.resolve("in.parquet").toString
+    df.write.parquet(in)
+    PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "src", "type": "file_input",
+         "data": {"config": {"path": "$in", "format": "parquet"}}},
+        {"id": "op", "type": "$nodeType", "data": {"config": $config}}
+      ],
+      "edges": [{"source": "src", "target": "op"}]
+    }""").outputs("op")
+  }
+
+  private val boiler =
+    "standard legal disclaimer header used on every single page verbatim"
+  private val unique =
+    "entirely original reporting about a local event nobody else covered"
+
+  test("exact_dedup node keeps the min-id full row per fingerprint") {
+    val docs = Seq(
+      (3L, "Hello   world", "a"), (1L, "hello world", "b"),
+      (2L, "something else entirely", "c")
+    ).toDF("doc_id", "text", "extra")
+    val out = runNode(docs, "exact_dedup",
+      """{"id_column": "doc_id", "column": "text"}""")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    // ids 1 and 3 share the normalized fingerprint → min id 1 wins,
+    // with ITS raw text and extra column intact
+    assert(out == Seq((1L, "hello world", "b"),
+      (2L, "something else entirely", "c")))
+  }
+
+  test("minhash_dedup node drops near-duplicate cluster members like the operator") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different text about maritime shipping schedules and cargo")
+    ).toDF("doc_id", "text")
+    val direct = {
+      val pairs = graft.operators.Dedup.minHashNearDups(docs, "doc_id", "text")
+      graft.operators.Dedup.dropNearDuplicates(docs, "doc_id", pairs,
+        assumeCanonical = true).select("doc_id").as[Long].collect().toSet
+    }
+    val viaJson = runNode(docs, "minhash_dedup",
+      """{"id_column": "doc_id", "column": "text"}""")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaJson == direct)
+    assert(viaJson == Set(1L, 3L))
+  }
+
+  test("span_dedup node: scrub (default) and drop modes match the operators") {
+    val docs = Seq(
+      (1L, boiler), (2L, s"$boiler $unique"),
+      (3L, "fresh words that no other document in this tiny corpus contains at all")
+    ).toDF("doc_id", "text")
+    val scrubDirect = graft.operators.Dedup
+      .scrubSpanDuplicates(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val scrubJson = runNode(docs, "span_dedup",
+      """{"id_column": "doc_id", "column": "text", "span_tokens": 8}""")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(scrubJson == scrubDirect)
+    val dropJson = runNode(docs, "span_dedup",
+      """{"id_column": "doc_id", "column": "text", "mode": "drop"}""")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropJson == Set(1L, 3L)) // doc 2's spans are owned by doc 1
+    intercept[IllegalArgumentException] {
+      PipelineJson.parse("""{"nodes": [{"id": "x", "type": "span_dedup",
+        "data": {"config": {"id_column": "i", "mode": "vaporize"}}}], "edges": []}""")
+    }
+  }
+
+  test("url_filter node drops blocklisted registrable domains, keeps the domain column on request") {
+    val docs = Seq(
+      (1L, "https://user:pw@www.bad.com:8080/x"),
+      (2L, "https://news.good.org/y"),
+      (3L, "http://cdn.bad.com/z")
+    ).toDF("doc_id", "url")
+    val out = runNode(docs, "url_filter",
+      """{"column": "url", "blocklist": ["bad.com"], "output_column": "domain"}""")
+      .orderBy("doc_id").select("doc_id", "domain")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "good.org")))
+    // default: no domain column added
+    val cols = runNode(docs, "url_filter",
+      """{"column": "url", "blocklist": ["good.org"]}""").columns.toSeq
+    assert(cols == Seq("doc_id", "url"))
+  }
+
+  test("c4_filter node cleans lines in place and drops failing pages") {
+    val keepLine = "This sentence has the required five words, ending properly."
+    val docs = Seq(
+      (1L, s"$keepLine\n$keepLine\n$keepLine\nshort bad line"),
+      (2L, "too few surviving lines here.")
+    ).toDF("doc_id", "text")
+    val out = runNode(docs, "c4_filter", """{"column": "text"}""")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L))
+    assert(out.head._2 == Seq(keepLine, keepLine, keepLine).mkString("\n"))
+  }
+
+  test("gopher_filter node: filter and label modes share the rule set") {
+    val longDoc = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, longDoc), (2L, "way too short")).toDF("doc_id", "text")
+    val kept = runNode(docs, "gopher_filter", """{"column": "text"}""")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    val labeled = runNode(docs, "gopher_filter",
+      """{"column": "text", "mode": "label"}""")
+      .orderBy("doc_id").select("doc_id", "keep", "fail_reason")
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(labeled == Seq((1L, true, None), (2L, false, Some("too_short"))))
+  }
+
+  test("pii_redact node scrubs in place or into output_column") {
+    val docs = Seq((1L, "mail me at someone@example.com now")).toDF("doc_id", "text")
+    val inPlace = runNode(docs, "pii_redact", """{"column": "text"}""")
+      .as[(Long, String)].collect().head
+    assert(!inPlace._2.contains("example.com"))
+    val aside = runNode(docs, "pii_redact",
+      """{"column": "text", "output_column": "clean"}""")
+      .select("doc_id", "text", "clean")
+      .as[(Long, String, String)].collect().head
+    assert(aside._2.contains("example.com") && !aside._3.contains("example.com"))
+  }
+
+  test("train_split node reproduces the leakage-aware 90/5/5 bucketing") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val viaJson = runNode(docs, "train_split", """{"column": "text"}""")
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    // deterministic md5-prefix buckets: exact duplicates land together;
+    // ~90/5/5 at corpus scale (tiny SF → loose bounds, presence checks)
+    assert(viaJson.keySet.subsetOf(Set("train", "val", "test")))
+    assert(viaJson("train").toDouble / viaJson.values.sum > 0.7)
+    // word-order reshuffles land in the SAME split (the leakage rule)
+    val pair = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val splits = runNode(pair, "train_split", """{"column": "text"}""")
+      .select("split").as[String].collect().toSet
+    assert(splits.size == 1)
+  }
+
+  test("text_annotate node adds lang and token columns in-scan") {
+    val docs = Seq((1L, "the quick brown fox and the lazy dog are friends"))
+      .toDF("doc_id", "text")
+    val out = runNode(docs, "text_annotate",
+      """{"column": "text", "lang_column": "lang_pred", "tokens_column": "ws_tokens"}""")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang_pred", "ws_tokens"))
+    val row = out.as[(Long, String, String, Long)].collect().head
+    assert(row._3 == "en" && row._4 == 10L)
+  }
+
+  test("p_llm_pipeline_json ≡ the hand-built x_pipeline_e2e composition") {
+    // the JSON-authored pipeline and the fused Scala plan must land on
+    // the identical table (they share one DuckDB twin in oracleSql)
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows("p_llm_pipeline_json") == rows("x_pipeline_e2e"))
+  }
+
+  test("domain_mix_sample node realizes a JSON-authored target mixture") {
+    val docs = (1 to 200).map { i =>
+      (i.toLong, if (i % 2 == 0) "web" else "books", 100L)
+    }.toDF("doc_id", "domain", "tokens")
+    val out = runNode(docs, "domain_mix_sample",
+      """{"id_column": "doc_id", "domain_column": "domain",
+          "tokens_column": "tokens", "targets": {"books": 1.0}}""")
+      .select("domain").as[String].collect()
+    // only the listed domain survives (unlisted → null share → drop);
+    // books' share is realized by keeping (close to) all of it
+    assert(out.nonEmpty && out.forall(_ == "books"))
+  }
 }
