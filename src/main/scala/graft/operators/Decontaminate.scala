@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (the GPT-3/PaLM appendix recipe: drop
+  * training docs sharing an n-token span with any eval/benchmark
+  * doc). The engine's n-token spans are the codegen'd 64-bit shingle
+  * hashes ([[graft.functions.TextSignatures.shingleHashesCol]] — the
+  * ExactSubstr span-dedup tokenization), so membership is a long-key
+  * semi-join, never a string-key shuffle.
+  *
+  * Scale shape: the benchmark gram set is `distinct`-reduced to
+  * benchmark size (eval suites are tiny next to a training corpus —
+  * AQE broadcasts it under the session threshold, and a genuinely
+  * large benchmark still degrades to a correct shuffled semi-join
+  * rather than a forced-broadcast OOM); the corpus side streams its
+  * gram explosion straight into the semi-join — no corpus-wide
+  * distinct, no all-pairs. Docs shorter than `n` tokens produce no
+  * shingles and are never flagged, matching the span-dedup
+  * convention (an overlap shorter than the span floor is not
+  * contamination).
+  */
+object Decontaminate {
+
+  /** Distinct ids of `corpus` docs sharing at least one n-token
+    * shingle with `bench` — the flag table both modes consume.
+    */
+  def flaggedIds(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"span length must be >= 1 token, got $n")
+    val benchGrams = bench
+      .select(explode(graft.functions.TextSignatures
+        .shingleHashesCol(col(benchTextCol), n)).as("_g"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(graft.functions.TextSignatures
+        .shingleHashesCol(col(textCol), n)).as("_g"))
+      .join(benchGrams, Seq("_g"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** The kept corpus: every flagged doc removed (anti-join on the id
+    * key — one shuffle of ids, the corpus rows never re-shuffle when
+    * the flag table broadcasts).
+    */
+  def drop(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    corpus.join(flaggedIds(corpus, idCol, textCol, bench, benchTextCol, n),
+      Seq(idCol), "left_anti")
+
+  /** Audit shape: the full corpus with a boolean `contaminated`
+    * column — dropping is the irreversible action, so contamination
+    * review pipelines label first (the gopher_filter convention).
+    */
+  def label(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      outputCol: String = "contaminated"): DataFrame = {
+    val flags = flaggedIds(corpus, idCol, textCol, bench, benchTextCol, n)
+      .withColumn(outputCol, lit(true))
+    corpus.join(flags, Seq(idCol), "left")
+      .withColumn(outputCol, coalesce(col(outputCol), lit(false)))
+  }
+}

@@ -45,6 +45,18 @@ object PipelineDag {
     * chain (trained-model application like lang_id). */
   final case class MapNode(f: (SparkSession, DataFrame) => DataFrame)
       extends NodeOp
+  /** Two-input transform `f(spark, primary, secondary)` — the
+    * extension point for curation nodes whose semantics need a second
+    * table (decontaminate against a benchmark, DSIR against a target
+    * corpus, LM scoring against a reference train set). The secondary
+    * input is the inbound edge whose SOURCE id equals `secondaryId`;
+    * with an empty `secondaryId` the second inbound edge (document
+    * order) is the secondary — naming beats ordering when both are
+    * given, so an author re-ordering the edges array can't silently
+    * swap corpus and benchmark.
+    */
+  final case class Map2Node(secondaryId: String,
+      f: (SparkSession, DataFrame, DataFrame) => DataFrame) extends NodeOp
   /** invoke_http (engine.py:246-266): mid-DAG HTTP call whose RESPONSE
     * becomes the node's output for downstream nodes; the node's input
     * (if any) may feed the request body. Distinct from [[Sink]]-shaped
@@ -236,8 +248,8 @@ object PipelineDag {
         outputs(node.id) = state.get.readStage(node.id)
         log += node.id -> "resumed from stage"
       } else {
-      val inputs: Seq[DataFrame] = edges.filter(_.target == node.id)
-        .map(e => outputs(e.source))
+      val inEdges = edges.filter(_.target == node.id)
+      val inputs: Seq[DataFrame] = inEdges.map(e => outputs(e.source))
       def one: DataFrame = {
         require(inputs.nonEmpty, s"Node ${node.id} has no inputs")
         inputs.head
@@ -265,6 +277,17 @@ object PipelineDag {
             .select(col("*"), col("_parsed.*")).drop("_parsed", column)
         case MapNode(f) =>
           f(spark, one)
+        case Map2Node(secondaryId, f) =>
+          require(inEdges.length >= 2,
+            s"Node ${node.id} needs two inputs (primary + secondary), " +
+              s"got ${inEdges.length}")
+          val secIdx =
+            if (secondaryId.isEmpty) 1
+            else inEdges.indexWhere(_.source == secondaryId)
+          require(secIdx >= 0,
+            s"Node ${node.id}: no inbound edge from '$secondaryId'")
+          val primIdx = inEdges.indices.find(_ != secIdx).get
+          f(spark, inputs(primIdx), inputs(secIdx))
         case PdfExtract(column, outputCol) =>
           // native expression (repo convention — RollingHash,
           // NfcNormalize): keeps the node inside whole-stage codegen,

@@ -700,6 +700,156 @@ object PipelineJson {
           graft.operators.DomainMix.sampleToMix(
             df, dmDomain, dmId, col(dmTokens), share)
         }
+      case "semantic_dedup" =>
+        // SemDeDup (Abbas 2023) over an embedding column: fixed-k
+        // cell assignment + the stats-routed cell walk — the node is
+        // a thin dispatch, so the JSON author gets the same scale
+        // routes (spark.graft.cellWalkShuffleBytes et al.) as the
+        // Scala API
+        val smId = config.path("id_column").asText("")
+        require(smId.nonEmpty, s"semantic_dedup node '$id' requires 'id_column'")
+        val smVec = config.path("embedding_column").asText("embedding")
+        val smThr = config.path("threshold").asDouble(0.95)
+        val smMaxCell = config.path("max_cell_size").asInt(10000)
+        val smNlist = config.path("nlist").asInt(0)
+        MapNode { (_, df) =>
+          graft.operators.Similarity.semanticDedup(
+            df, smId, smVec, smThr, smNlist, smMaxCell)
+        }
+      case "decontaminate" =>
+        // benchmark decontamination: TWO inputs — the corpus (primary)
+        // and the benchmark (the edge named by 'benchmark_input', or
+        // the second inbound edge). mode "filter" (default) drops
+        // contaminated docs; "label" annotates a boolean instead.
+        val dcId = config.path("id_column").asText("")
+        require(dcId.nonEmpty, s"decontaminate node '$id' requires 'id_column'")
+        val dcText = config.path("column").asText("text")
+        val dcBenchCol = config.path("benchmark_column").asText(dcText)
+        val dcBenchInput = config.path("benchmark_input").asText("")
+        val dcN = config.path("span_tokens").asInt(8)
+        val dcOut = config.path("output_column").asText("contaminated")
+        config.path("mode").asText("filter") match {
+          case "filter" => Map2Node(dcBenchInput, (_, corpus, bench) =>
+            graft.operators.Decontaminate.drop(
+              corpus, dcId, dcText, bench, dcBenchCol, dcN))
+          case "label" => Map2Node(dcBenchInput, (_, corpus, bench) =>
+            graft.operators.Decontaminate.label(
+              corpus, dcId, dcText, bench, dcBenchCol, dcN, dcOut))
+          case other => throw new IllegalArgumentException(
+            s"decontaminate node '$id': mode must be 'filter' or 'label', " +
+              s"got '$other'")
+        }
+      case "dsir_score" =>
+        // DSIR importance log-weights (Xie 2023) of the corpus toward
+        // a target distribution — corpus primary, target named by
+        // 'target_input' (or second edge); annotates 'dsir_logw'
+        val dsText = config.path("column").asText("text")
+        val dsTarget = config.path("target_input").asText("")
+        Map2Node(dsTarget, (_, corpus, target) =>
+          graft.operators.Dsir.score(corpus, target, dsText))
+      case "dsir_sample" =>
+        // the DSIR resampling step: deterministic Gumbel-top-k of
+        // 'size' docs by importance weight — returns the sampled ids
+        val dsId = config.path("id_column").asText("")
+        require(dsId.nonEmpty, s"dsir_sample node '$id' requires 'id_column'")
+        val dsText = config.path("column").asText("text")
+        val dsTarget = config.path("target_input").asText("")
+        val dsK = config.path("size").asInt(0)
+        require(dsK >= 1, s"dsir_sample node '$id' requires 'size' >= 1")
+        Map2Node(dsTarget, (_, corpus, target) =>
+          graft.operators.Dsir.resample(corpus, target, dsId, dsText, dsK))
+      case "lm_score" =>
+        // CCNet-style LM quality scoring: order-n conditional model
+        // (model "ngram", default) or stupid-backoff ("backoff"),
+        // trained on the corpus itself or on a reference corpus named
+        // by 'train_input'. mode "score" returns (id, n_ngrams,
+        // lm_score); "annotate" joins the score back onto the corpus
+        // (left join on the id key — unscored short docs keep null).
+        val lmId = config.path("id_column").asText("")
+        require(lmId.nonEmpty, s"lm_score node '$id' requires 'id_column'")
+        val lmText = config.path("column").asText("text")
+        val lmOrder = config.path("order").asInt(2)
+        val lmMinCount = config.path("min_count").asLong(1L)
+        val lmTopV = if (config.has("top_v")) Some(config.path("top_v").asInt)
+          else None
+        val lmAlpha = config.path("alpha").asDouble(0.4)
+        val lmTrainInput = config.path("train_input").asText("")
+        val lmModel = config.path("model").asText("ngram")
+        require(lmModel == "ngram" || lmModel == "backoff",
+          s"lm_score node '$id': model must be 'ngram' or 'backoff', " +
+            s"got '$lmModel'")
+        val lmMode = config.path("mode").asText("score")
+        require(lmMode == "score" || lmMode == "annotate",
+          s"lm_score node '$id': mode must be 'score' or 'annotate', " +
+            s"got '$lmMode'")
+        def lmScores(corpus: org.apache.spark.sql.DataFrame,
+            train: Option[org.apache.spark.sql.DataFrame]) =
+          if (lmModel == "backoff")
+            graft.operators.LmScore.backoffScores(corpus, lmId, lmText,
+              lmOrder, lmAlpha, train = train, minCount = lmMinCount,
+              topV = lmTopV)
+          else graft.operators.LmScore.ngramScores(corpus, lmId, lmText,
+            lmOrder, train = train, minCount = lmMinCount, topV = lmTopV)
+        def lmOut(corpus: org.apache.spark.sql.DataFrame,
+            train: Option[org.apache.spark.sql.DataFrame]) =
+          if (lmMode == "score") lmScores(corpus, train)
+          else corpus.join(lmScores(corpus, train), Seq(lmId), "left")
+        if (lmTrainInput.isEmpty) MapNode((_, df) => lmOut(df, None))
+        else Map2Node(lmTrainInput, (_, corpus, train) =>
+          lmOut(corpus, Some(train)))
+      case "entropy_filter" =>
+        // character-entropy gate: low = template/repeated-char junk,
+        // high = base64/minified blobs; natural text sits between
+        val enText = config.path("column").asText("text")
+        val enMin = config.path("min_entropy").asDouble(3.0)
+        val enMax = config.path("max_entropy").asDouble(5.5)
+        val enOut = config.path("output_column").asText("entropy")
+        def ent = graft.functions.CharEntropy.charEntropyCol(
+          org.apache.spark.sql.functions.col(enText))
+        config.path("mode").asText("filter") match {
+          case "filter" => MapNode { (_, df) =>
+            df.filter(ent >= enMin && ent <= enMax)
+          }
+          case "label" => MapNode { (_, df) =>
+            df.withColumn(enOut, ent)
+              .withColumn("keep",
+                org.apache.spark.sql.functions.col(enOut).between(enMin, enMax))
+          }
+          case other => throw new IllegalArgumentException(
+            s"entropy_filter node '$id': mode must be 'filter' or 'label', " +
+              s"got '$other'")
+        }
+      case "nfc_normalize" =>
+        // Unicode NFC composition — the byte-level-dedup prerequisite
+        // on multilingual corpora; in-place unless output_column
+        val nfText = config.path("column").asText("text")
+        val nfOut = config.path("output_column").asText("") match {
+          case "" => nfText
+          case o => o
+        }
+        MapNode { (_, df) =>
+          import org.apache.spark.sql.functions.col
+          df.withColumn(nfOut,
+            graft.functions.NfcNormalize.nfcNormalize(col(nfText)))
+        }
+      case "chunk_docs" =>
+        // fixed-width sliding-window chunking (the context-length
+        // prep step): each doc row becomes one row per chunk with the
+        // text column REPLACED by the chunk (downstream nodes keep
+        // operating on the same column name), plus chunk_id and
+        // n_chunk_tokens
+        val chText = config.path("column").asText("text")
+        val chWidth = config.path("width").asInt(32)
+        val chStride = config.path("stride").asInt(chWidth)
+        MapNode { (_, df) =>
+          import org.apache.spark.sql.functions._
+          val rest = df.columns.filterNot(_ == chText).map(col)
+          df.select(rest :+ explode(graft.functions.ChunkDocs.chunksCol(
+              col(chText), chWidth, chStride)).as("_chunk"): _*)
+            .select(rest ++ Seq(col("_chunk.chunk").as(chText),
+              col("_chunk.chunk_id"),
+              col("_chunk.n_chunk_tokens")): _*)
+        }
       case other =>
         // reference behavior: unknown node types pass through
         // (engine.py:188 "Pass-through node type")

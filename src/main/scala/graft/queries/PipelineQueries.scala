@@ -205,6 +205,42 @@ object PipelineQueries {
       graft.plans.PipelineJson.run(s, json).outputs("gate")
     }),
 
+    // TWO-INPUT JSON authoring (r15): benchmark decontamination as a
+    // pure JSON document — one source fanning out into a corpus
+    // branch and a benchmark branch (doc_id mod 7, the x_decontaminate
+    // split), rejoined by the two-input decontaminate node whose
+    // benchmark edge is NAMED in config ('benchmark_input'), so edge
+    // order can't silently swap corpus and benchmark. mode "filter"
+    // returns the KEPT corpus — the complement of x_decontaminate's
+    // contaminated-id list under the same 8-token shingle semantics.
+    "p_decontaminate_json" -> ((s, dir) => {
+      val json =
+        s"""{"nodes": [
+           |  {"id": "src", "type": "file_input",
+           |   "data": {"config": {"path": "$dir/documents.parquet", "format": "parquet"}}},
+           |  {"id": "corpus", "type": "transform",
+           |   "data": {"config": {"steps": [
+           |     {"operator": "filter_rows", "params": {"expression": "doc_id % 7 != 0"}}]}}},
+           |  {"id": "bench", "type": "transform",
+           |   "data": {"config": {"steps": [
+           |     {"operator": "filter_rows", "params": {"expression": "doc_id % 7 = 0"}}]}}},
+           |  {"id": "decon", "type": "decontaminate",
+           |   "data": {"config": {"id_column": "doc_id", "column": "text",
+           |     "benchmark_input": "bench", "span_tokens": 8, "mode": "filter"}}},
+           |  {"id": "out", "type": "transform",
+           |   "data": {"config": {"steps": [
+           |     {"operator": "sql_transform", "params": {"sql":
+           |       "SELECT doc_id FROM {{input}} ORDER BY doc_id"}}]}}}
+           |], "edges": [
+           |  {"source": "src", "target": "corpus"},
+           |  {"source": "src", "target": "bench"},
+           |  {"source": "corpus", "target": "decon"},
+           |  {"source": "bench", "target": "decon"},
+           |  {"source": "decon", "target": "out"}
+           |]}""".stripMargin
+      graft.plans.PipelineJson.run(s, json).outputs("out")
+    }),
+
     // Multimodal metadata stats — the oracle-able half of the media
     // pipeline (byte lengths survive the binary cast bit-for-bit).
     "mm_meta" -> ((s, dir) => {
@@ -234,6 +270,29 @@ object PipelineQueries {
          |WHERE ${wsTokenCountSql("d.text")} >= 20
          |ORDER BY d.doc_id""".stripMargin
     },
+    // the KEPT complement of x_decontaminate's contaminated-id twin:
+    // corpus docs (doc_id % 7 != 0) with NO 8-token shingle shared
+    // with the benchmark slice (doc_id % 7 = 0) — string shingles
+    // here, 64-bit shingle hashes on the Spark side; membership is
+    // identical because the hash is a function of the token string
+    "p_decontaminate_json" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      [array_to_string(t[i:i+7], ' ')
+        |       for i in generate_series(1, len(t)-7)]
+        |    ELSE [] END) AS g
+        |  FROM toks
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 7 != 0 AND doc_id NOT IN (
+        |  SELECT doc_id FROM grams
+        |  WHERE doc_id % 7 != 0
+        |    AND g IN (SELECT g FROM grams WHERE doc_id % 7 = 0))
+        |ORDER BY doc_id""".stripMargin,
     // the Spark side PHYSICALLY renders + re-extracts each text
     // through a real PDF (see queries); equality with this direct
     // projection proves the writer/extractor pair loses nothing

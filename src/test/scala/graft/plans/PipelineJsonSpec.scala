@@ -2,6 +2,7 @@ package graft.plans
 
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, explode}
 import graft.TestSpark
 import graft.sources.Writers
 
@@ -628,6 +629,204 @@ class PipelineJsonSpec extends AnyFunSuite {
     def rows(name: String) = graft.SparkEntry.queries(name)(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(rows("p_llm_pipeline_json") == rows("x_pipeline_e2e"))
+  }
+
+  /** Two-input node harness: primary + secondary file_inputs feeding
+    * one `nodeType` node. `swapEdges` reverses the edge order so the
+    * named-secondary resolution can be tested against edge order.
+    */
+  private def runNode2(primary: org.apache.spark.sql.DataFrame,
+      secondary: org.apache.spark.sql.DataFrame, nodeType: String,
+      config: String, swapEdges: Boolean = false,
+      secondaryId: String = "sec"): org.apache.spark.sql.DataFrame = {
+    val dir = Files.createTempDirectory("graft_pj_cur2")
+    val inA = dir.resolve("a.parquet").toString
+    val inB = dir.resolve("b.parquet").toString
+    primary.write.parquet(inA)
+    secondary.write.parquet(inB)
+    val e1 = s"""{"source": "prim", "target": "op"}"""
+    val e2 = s"""{"source": "$secondaryId", "target": "op"}"""
+    val edges = if (swapEdges) s"$e2, $e1" else s"$e1, $e2"
+    PipelineJson.run(spark, s"""{
+      "nodes": [
+        {"id": "prim", "type": "file_input",
+         "data": {"config": {"path": "$inA", "format": "parquet"}}},
+        {"id": "$secondaryId", "type": "file_input",
+         "data": {"config": {"path": "$inB", "format": "parquet"}}},
+        {"id": "op", "type": "$nodeType", "data": {"config": $config}}
+      ],
+      "edges": [$edges]
+    }""").outputs("op")
+  }
+
+  private val contam =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+  test("decontaminate node: filter and label modes ≡ the operator; named benchmark beats edge order") {
+    val corpus = Seq(
+      (1L, s"prefix words here $contam suffix words trail"),
+      (2L, unique + " with many extra following tokens appended here"),
+      (3L, "too short to shingle")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, contam)).toDF("doc_id", "text")
+
+    val cfg = """{"id_column": "doc_id", "column": "text",
+      "benchmark_input": "sec", "span_tokens": 8}"""
+    val kept = runNode2(corpus, bench, "decontaminate", cfg)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L)) // doc 1 shares a 12-token span
+    val direct = graft.operators.Decontaminate.drop(
+        corpus, "doc_id", "text", bench, "text", 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == direct.toSeq)
+
+    // label mode annotates instead of dropping
+    val labeled = runNode2(corpus, bench, "decontaminate",
+        """{"id_column": "doc_id", "column": "text",
+           "benchmark_input": "sec", "mode": "label"}""")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(labeled == Map(1L -> true, 2L -> false, 3L -> false))
+
+    // the SAME config with the edges array reversed: the named
+    // benchmark_input must still resolve the benchmark correctly
+    val keptSwapped = runNode2(corpus, bench, "decontaminate", cfg,
+      swapEdges = true).select("doc_id").as[Long].collect().sorted
+    assert(keptSwapped.toSeq == Seq(2L, 3L))
+
+    val err = intercept[IllegalArgumentException] {
+      runNode2(corpus, bench, "decontaminate",
+        """{"id_column": "doc_id", "mode": "purge",
+           "benchmark_input": "sec"}""")
+    }
+    assert(err.getMessage.contains("purge"))
+  }
+
+  test("a two-input node with one inbound edge raises actionably") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      runNode(docs, "decontaminate",
+        """{"id_column": "doc_id", "column": "text"}""")
+    }
+    assert(err.getMessage.contains("two inputs"))
+  }
+
+  test("dsir_score and dsir_sample nodes ≡ the Dsir operator calls") {
+    val corpus = (1 to 60).map { i =>
+      (i.toLong, if (i % 3 == 0) "the quick brown fox jumps over the dog"
+        else "lorem ipsum dolor sit amet consectetur adipiscing elit")
+    }.toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "the quick brown fox jumps high over lazy dogs")
+    ).toDF("doc_id", "text")
+
+    val scored = runNode2(corpus, target, "dsir_score",
+      """{"column": "text", "target_input": "sec"}""")
+    val direct = graft.operators.Dsir.score(corpus, target, "text")
+    assert(scored.select("doc_id", "dsir_logw").collect().toSet ==
+      direct.select("doc_id", "dsir_logw").collect().toSet)
+
+    val sampled = runNode2(corpus, target, "dsir_sample",
+      """{"id_column": "doc_id", "column": "text",
+         "target_input": "sec", "size": 10}""")
+    val directSample = graft.operators.Dsir.resample(
+      corpus, target, "doc_id", "text", 10)
+    assert(sampled.collect().toSeq == directSample.collect().toSeq)
+  }
+
+  test("semantic_dedup node drops cosine twins like the operator") {
+    val base = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+      (i.toLong, v)
+    }
+    // planted exact clones of ids 0..4 at ids 100..104
+    val clones = (0 until 5).map(i => (100L + i, base(i)._2.clone()))
+    val vecs = (base ++ clones).toDF("vec_id", "embedding")
+    val out = runNode(vecs, "semantic_dedup",
+        """{"id_column": "vec_id", "embedding_column": "embedding",
+           "threshold": 1.0}""")
+      .select("vec_id").as[Long].collect().sorted
+    val direct = graft.operators.Similarity.semanticDedup(
+        vecs, "vec_id", "embedding", threshold = 1.0)
+      .select("vec_id").as[Long].collect().sorted
+    assert(out.toSeq == direct.toSeq)
+    assert(out.forall(_ < 100L)) // every clone dropped, originals kept
+  }
+
+  test("lm_score node: ngram self-train, backoff with train_input, annotate mode") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+
+    val scored = runNode(corpus, "lm_score",
+      """{"id_column": "doc_id", "column": "text", "order": 2}""")
+    val direct = graft.operators.LmScore.ngramScores(
+      corpus, "doc_id", "text", 2)
+    assert(scored.collect().toSet == direct.collect().toSet)
+
+    // backoff model trained on a REFERENCE corpus via train_input
+    val train = Seq((10L, "the cat sat on the mat again and again"))
+      .toDF("doc_id", "text")
+    val bo = runNode2(corpus, train, "lm_score",
+      """{"id_column": "doc_id", "column": "text", "model": "backoff",
+         "order": 3, "train_input": "sec"}""")
+    val boDirect = graft.operators.LmScore.backoffScores(
+      corpus, "doc_id", "text", 3, train = Some(train))
+    assert(bo.collect().toSet == boDirect.collect().toSet)
+
+    // annotate mode keeps the corpus schema + score columns
+    val annotated = runNode(corpus, "lm_score",
+      """{"id_column": "doc_id", "column": "text", "mode": "annotate"}""")
+    assert(annotated.columns.toSeq ==
+      Seq("doc_id", "text", "n_ngrams", "lm_score"))
+    assert(annotated.count() == 3)
+  }
+
+  test("entropy_filter node: filter and label modes share the gate") {
+    val docs = Seq(
+      (1L, "a reasonably varied natural sentence with several words"),
+      (2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val kept = runNode(docs, "entropy_filter", """{"column": "text"}""")
+      .select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L))
+    val labeled = runNode(docs, "entropy_filter",
+        """{"column": "text", "mode": "label"}""")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(labeled == Map(1L -> true, 2L -> false))
+  }
+
+  test("nfc_normalize node composes in place; chunk_docs re-rows the corpus") {
+    val docs = Seq((1L, "café")).toDF("doc_id", "text")
+    val norm = runNode(docs, "nfc_normalize", """{"column": "text"}""")
+      .select("text").as[String].collect().head
+    assert(norm == "café" && norm.length == 4)
+
+    val long = Seq((1L, (1 to 70).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = runNode(long, "chunk_docs",
+      """{"column": "text", "width": 32, "stride": 16}""")
+    assert(chunks.columns.toSeq ==
+      Seq("doc_id", "text", "chunk_id", "n_chunk_tokens"))
+    val direct = long.select(col("doc_id"),
+        explode(graft.functions.ChunkDocs.chunksCol(
+          col("text"), 32, 16)).as("c"))
+      .select(col("doc_id"), col("c.chunk").as("text"),
+        col("c.chunk_id"), col("c.n_chunk_tokens"))
+    assert(chunks.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("p_decontaminate_json ≡ the complement of x_decontaminate's contaminated ids") {
+    val sf = "/root/testdata/sf0.001"
+    val kept = graft.SparkEntry.queries("p_decontaminate_json")(spark, sf)
+      .as[Long].collect().toSet
+    val contaminated = graft.SparkEntry.queries("x_decontaminate")(spark, sf)
+      .as[Long].collect().toSet
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 7 != 0").select("doc_id").as[Long].collect().toSet
+    assert(kept == (corpus -- contaminated))
+    assert(contaminated.nonEmpty && kept.nonEmpty)
   }
 
   test("domain_mix_sample node realizes a JSON-authored target mixture") {
