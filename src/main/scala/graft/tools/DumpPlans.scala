@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: dump `.explain("formatted")` for named SparkEntry queries.
+  *
+  * Usage: DumpPlans <sfDir> <outDir> <suffix> [names-csv]
+  *
+  * Writes `<outDir>/<name>_<suffix>.txt` per query — the optimization
+  * rounds' evidence files (plans/r15/<q>_before.txt / _after.txt).
+  * Queries that build throwaway index dirs run fully (the plan of the
+  * FINAL returned DataFrame is what's captured, same as the bench times
+  * end-to-end); failures are reported per query, not fatal.
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val sfDir  = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names: Seq[String] =
+      if (args.length > 3) args(3).split(',').toSeq.map(_.trim)
+      else SparkEntry.queries.keys.toSeq.sorted
+    val threads = sys.env.getOrElse("SPARK_GRAFT_THREADS", "16").toInt
+    val spark = Sessions.local(threads)
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[plans] unknown query: $name")
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt)
+            println(s"[plans] wrote ${name}_$suffix.txt")
+          } catch { case e: Throwable =>
+            System.err.println(s"[plans] $name FAILED: ${e.getMessage}")
+          }
+          spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
