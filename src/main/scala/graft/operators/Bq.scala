@@ -70,20 +70,29 @@ object Bq {
     saveModel(df.sparkSession, model, path)
   }
 
-  def saveModel(spark: SparkSession, model: BqModel, path: String): Unit = {
-    import spark.implicits._
-    model.thresholds.indices
-      .map(i => (i, model.thresholds(i), model.normalize))
-      .toDF("dim", "threshold", "normalize")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
-  }
+  /** Model sidecar: one driver-side text file (r15 — the tiny-parquet
+    * write/read cost a scheduled Spark job each way, on build and on
+    * every probe; see [[ModelSidecar]]). Legacy parquet stays loadable.
+    */
+  def saveModel(spark: SparkSession, model: BqModel, path: String): Unit =
+    ModelSidecar.write(spark, path, "_model.txt",
+      Map("family" -> "bq", "normalize" -> model.normalize.toString),
+      Seq("thresholds" -> Array(model.thresholds)))
 
-  def loadModel(spark: SparkSession, path: String): BqModel = {
-    val rows = spark.read.parquet(s"$path/model").orderBy("dim").collect()
-    require(rows.nonEmpty, s"bq: no model sidecar under $path — not a saved BQ index")
-    BqModel(rows.map(_.getAs[Double]("threshold")),
-      rows.head.getAs[Boolean]("normalize"))
-  }
+  def loadModel(spark: SparkSession, path: String): BqModel =
+    ModelSidecar.read(spark, path, "_model.txt") match {
+      case Some((props, mats)) =>
+        BqModel(mats("thresholds")(0), props("normalize").toBoolean)
+      case None =>
+        val modelPath = new org.apache.hadoop.fs.Path(s"$path/model")
+        val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(modelPath),
+          s"bq: no model sidecar under $path — not a saved BQ index")
+        val rows = spark.read.parquet(s"$path/model").orderBy("dim").collect()
+        require(rows.nonEmpty, s"bq: no model sidecar under $path — not a saved BQ index")
+        BqModel(rows.map(_.getAs[Double]("threshold")),
+          rows.head.getAs[Boolean]("normalize"))
+    }
 
   /** Append a NEW batch under the saved thresholds (the index
     * identity) — train-once/add-forever like the rest of the family.

@@ -209,21 +209,33 @@ object Pq {
     saveModel(df.sparkSession, model, path)
   }
 
-  def saveModel(spark: SparkSession, model: PqModel, path: String): Unit = {
-    import spark.implicits._
-    val rows = for {
-      s <- model.codebooks.indices
-      c <- model.codebooks(s).indices
-    } yield (s, c, model.codebooks(s)(c).toSeq, model.normalize)
-    rows.toDF("sub", "cid", "centroid", "normalize")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
-    model.rotation.foreach { r =>
-      r.indices.map(i => (i, r(i).toSeq)).toDF("row", "values")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
-    }
-  }
+  /** Model sidecar: one driver-side text file (r15 — the previous
+    * tiny-parquet write + `spark.read...collect()` cost a scheduled
+    * Spark job in each direction, on the BUILD and on EVERY probe; see
+    * [[ModelSidecar]]). Legacy parquet sidecars remain loadable.
+    */
+  def saveModel(spark: SparkSession, model: PqModel, path: String): Unit =
+    ModelSidecar.write(spark, path, "_model.txt",
+      Map("family" -> "pq", "normalize" -> model.normalize.toString),
+      model.codebooks.indices.map(s => s"cb$s" -> model.codebooks(s)) ++
+        model.rotation.map("rotation" -> _))
 
-  def loadModel(spark: SparkSession, path: String): PqModel = {
+  def loadModel(spark: SparkSession, path: String): PqModel =
+    ModelSidecar.read(spark, path, "_model.txt") match {
+      case Some((props, mats)) =>
+        val codebooks = Array.tabulate(
+          mats.keys.count(_.startsWith("cb")))(s => mats(s"cb$s"))
+        PqModel(codebooks.length, codebooks.map(_.length).max,
+          codebooks(0)(0).length, props("normalize").toBoolean,
+          codebooks, mats.get("rotation"))
+      case None => loadModelLegacy(spark, path)
+    }
+
+  private def loadModelLegacy(spark: SparkSession, path: String): PqModel = {
+    val modelPath = new org.apache.hadoop.fs.Path(s"$path/model")
+    val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(modelPath),
+      s"pq: no model sidecar under $path — not a saved PQ index")
     val rows = spark.read.parquet(s"$path/model")
       .orderBy("sub", "cid").collect()
     require(rows.nonEmpty, s"pq: no model sidecar under $path — not a saved PQ index")
@@ -234,7 +246,6 @@ object Pq {
     }.toArray
     val k = codebooks.map(_.length).max
     val rotPath = new org.apache.hadoop.fs.Path(s"$path/rotation")
-    val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rotation =
       if (!fs.exists(rotPath)) None
       else Some(spark.read.parquet(rotPath.toString).orderBy("row").collect()
@@ -331,9 +342,7 @@ object Pq {
       .select(col(idCol), col("_code"), col("_cell"))
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/codes")
-    idx.centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Similarity.saveCentroids(spark, path, idx.centroids)
     saveModel(spark, model, path)
   }
 

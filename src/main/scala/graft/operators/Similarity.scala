@@ -170,25 +170,35 @@ object Similarity {
     */
   private def savePlanes(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      planes: Array[Array[Double]]): Unit = {
-    import spark.implicits._
-    planes.toSeq.zipWithIndex.map { case (p, i) => (i, p.toSeq) }
-      .toDF("plane", "coeffs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_planes")
-  }
+      planes: Array[Array[Double]]): Unit =
+    // one driver-side text file (r15 — the tiny-parquet sidecar cost a
+    // scheduled Spark job to write and another to load, per index and
+    // per cross-driver probe; see ModelSidecar). The underscore prefix
+    // keeps it invisible to data-file discovery, same as `_planes/`.
+    ModelSidecar.write(spark, path, "_planes.txt", Map.empty,
+      Seq("planes" -> planes))
 
   /** Load a persisted LSH index (data + `_planes` sidecar) built by
     * [[lshIndex]] — possibly by another driver: build once on the
-    * cluster, append/probe from anywhere.
+    * cluster, append/probe from anywhere. Reads the r15 text sidecar,
+    * falling back to the legacy `_planes/` parquet dir.
     */
   def loadLshIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
-    val planes = spark.read.parquet(s"$path/_planes").orderBy("plane")
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("coeffs").toArray)
-    require(planes.nonEmpty, s"no _planes sidecar under $path — not an lshIndex layout")
-    LshIndex(path, planes)
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): LshIndex =
+    ModelSidecar.read(spark, path, "_planes.txt") match {
+      case Some((_, mats)) => LshIndex(path, mats("planes"))
+      case None =>
+        val legacy = new org.apache.hadoop.fs.Path(s"$path/_planes")
+        val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(legacy),
+          s"no _planes sidecar under $path — not an lshIndex layout")
+        val planes = spark.read.parquet(s"$path/_planes").orderBy("plane")
+          .collect()
+          .map(_.getAs[scala.collection.Seq[Double]]("coeffs").toArray)
+        require(planes.nonEmpty,
+          s"no _planes sidecar under $path — not an lshIndex layout")
+        LshIndex(path, planes)
+    }
 
   /** Append a NEW batch to a persisted LSH index without rebuilding:
     * assign buckets with the index's OWN persisted planes (identical
@@ -321,12 +331,18 @@ object Similarity {
     index.assigned
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
-    val spark = index.assigned.sparkSession
-    import spark.implicits._
-    index.centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    saveCentroids(index.assigned.sparkSession, path, index.centroids)
   }
+
+  /** Centroid sidecar: one driver-side text file (r15 — shared by the
+    * IVF, IVF×PQ and IVF×SQ index layouts; the tiny-parquet sidecar
+    * cost a scheduled Spark job per write and per probe load).
+    */
+  private[operators] def saveCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Double]]): Unit =
+    ModelSidecar.write(spark, path, "_centroids.txt", Map.empty,
+      Seq("centroids" -> centroids))
 
   /** Load a persisted IVF index; `assigned` reads the bucket-partitioned
     * layout, so probes prune files.
@@ -357,13 +373,21 @@ object Similarity {
   }
 
   private[graft] def loadCentroids(
-      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    require(centroids.nonEmpty, s"no centroids sidecar under $path — not a saved IVF index")
-    centroids
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    ModelSidecar.read(spark, path, "_centroids.txt") match {
+      case Some((_, mats)) => mats("centroids")
+      case None =>
+        val legacy = new org.apache.hadoop.fs.Path(s"$path/centroids")
+        val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(legacy),
+          s"no centroids sidecar under $path — not a saved IVF index")
+        val centroids = spark.read.parquet(s"$path/centroids")
+          .orderBy("cell").collect()
+          .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+        require(centroids.nonEmpty,
+          s"no centroids sidecar under $path — not a saved IVF index")
+        centroids
+    }
 
   /** Query an IVF index: rank cells by centroid distance, brute-force
     * only the nprobe nearest cells.

@@ -90,21 +90,31 @@ object Sq {
     saveModel(df.sparkSession, model, path)
   }
 
-  def saveModel(spark: SparkSession, model: SqModel, path: String): Unit = {
-    import spark.implicits._
-    model.mins.indices
-      .map(i => (i, model.mins(i), model.scales(i), model.normalize))
-      .toDF("dim", "mn", "scale", "normalize")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
-  }
+  /** Model sidecar: one driver-side text file (r15 — the tiny-parquet
+    * write/read cost a scheduled Spark job each way, on build and on
+    * every probe; see [[ModelSidecar]]). Legacy parquet stays loadable.
+    */
+  def saveModel(spark: SparkSession, model: SqModel, path: String): Unit =
+    ModelSidecar.write(spark, path, "_model.txt",
+      Map("family" -> "sq", "normalize" -> model.normalize.toString),
+      Seq("mins" -> Array(model.mins), "scales" -> Array(model.scales)))
 
-  def loadModel(spark: SparkSession, path: String): SqModel = {
-    val rows = spark.read.parquet(s"$path/model").orderBy("dim").collect()
-    require(rows.nonEmpty, s"sq: no model sidecar under $path — not a saved SQ index")
-    SqModel(rows.map(_.getAs[Double]("mn")),
-      rows.map(_.getAs[Double]("scale")),
-      rows.head.getAs[Boolean]("normalize"))
-  }
+  def loadModel(spark: SparkSession, path: String): SqModel =
+    ModelSidecar.read(spark, path, "_model.txt") match {
+      case Some((props, mats)) =>
+        SqModel(mats("mins")(0), mats("scales")(0),
+          props("normalize").toBoolean)
+      case None =>
+        val modelPath = new org.apache.hadoop.fs.Path(s"$path/model")
+        val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(modelPath),
+          s"sq: no model sidecar under $path — not a saved SQ index")
+        val rows = spark.read.parquet(s"$path/model").orderBy("dim").collect()
+        require(rows.nonEmpty, s"sq: no model sidecar under $path — not a saved SQ index")
+        SqModel(rows.map(_.getAs[Double]("mn")),
+          rows.map(_.getAs[Double]("scale")),
+          rows.head.getAs[Boolean]("normalize"))
+    }
 
   /** Append a NEW batch to a saved SQ index without re-fitting: encode
     * against the SAVED grid (it is the index identity) and append to
@@ -152,9 +162,7 @@ object Sq {
       .select(col(idCol), col("_code"), col("_cell"))
       .repartition(col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/codes")
-    idx.centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Similarity.saveCentroids(spark, path, idx.centroids)
     saveModel(spark, model, path)
   }
 
