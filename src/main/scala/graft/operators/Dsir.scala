@@ -65,12 +65,22 @@ object Dsir {
   def logRatios(
       target: DataFrame, raw: DataFrame, textCol: String): Array[java.math.BigDecimal] = {
     val spark = raw.sparkSession
-    def bucketCounts(df: DataFrame): Map[Int, Long] = df
-      .select(explode(grams(col(textCol))).as("_g"))
-      .groupBy(bucketIdx(col("_g")).as("_b")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cp = bucketCounts(target)
-    val cq = bucketCounts(raw)
+    // BOTH distributions in ONE job: tag each corpus, union, and split
+    // the per-bucket count by the tag. Scan volume is unchanged (each
+    // corpus is read once either way) but the fit is one scheduled
+    // job/shuffle instead of two — the counts are bit-identical to the
+    // separate aggregates, so the quantized ratios (and every score
+    // downstream) are unchanged.
+    val tagged = target.select(lit(true).as("_t"), col(textCol).as("_tx"))
+      .unionByName(raw.select(lit(false).as("_t"), col(textCol).as("_tx")))
+    val both = tagged
+      .select(col("_t"), explode(grams(col("_tx"))).as("_g"))
+      .groupBy(bucketIdx(col("_g")).as("_b"))
+      .agg(count(when(col("_t"), 1)).as("_cp"),
+        count(when(!col("_t"), 1)).as("_cq"))
+      .collect()
+    val cp = both.map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap
+    val cq = both.map(r => r.getInt(0) -> r.getLong(2)).filter(_._2 > 0).toMap
     val np = cp.valuesIterator.sum
     val nq = cq.valuesIterator.sum
     require(np > 0, "DSIR target corpus has no grams — cannot fit a target distribution")

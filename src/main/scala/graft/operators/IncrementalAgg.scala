@@ -864,31 +864,37 @@ object IncrementalAgg {
       bos.toString("UTF-8")
     } finally in.close()
     // the sidecar is machine-written with a fixed field order — parse
-    // with Spark's own JSON reader to stay dependency-free
-    import spark.implicits._
-    val row = spark.read.json(Seq(json).toDS()).head()
-    val groupCols = row.getAs[scala.collection.Seq[String]]("groupCols").toSeq
-    val metrics = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("metrics")
-      .map { r =>
-        val as = r.getAs[String]("as"); val c = r.getAs[String]("column")
-        r.getAs[String]("kind") match {
-          case "count" => Count(as)
-          case "sum" => Sum(c, as)
-          case "min" => Min(c, as)
-          case "max" => Max(c, as)
-          case "avg" => Avg(c, as)
-          case "approx_distinct" => ApproxDistinct(c, as)
-          case "approx_quantile" => ApproxQuantile(c, r.getAs[Double]("q"), as)
-          case "frequent_items" =>
-            FrequentItems(c, r.getAs[Long]("limit").toInt, as)
-          case other => throw new IllegalArgumentException(
-            s"incrementalAgg: unknown metric kind '$other' in $at")
-        }
-      }.toSeq
+    // DRIVER-SIDE with Jackson (Spark's own bundled JSON library, the
+    // same parser PipelineJson uses). The previous
+    // `spark.read.json(Seq(json).toDS())` scheduled 2 Spark jobs
+    // (schema inference + head) for a few-hundred-byte string, paid on
+    // EVERY append and result call — pure DAG-scheduler overhead on
+    // the state machinery's hot path (r15, guide §1/§5: the driver
+    // should not run jobs for driver-sized data).
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val groupCols = root.get("groupCols").elements().asScala
+      .map(_.asText()).toSeq
+    val metrics = root.get("metrics").elements().asScala.map { r =>
+      val as = r.get("as").asText(); val c = r.get("column").asText()
+      r.get("kind").asText() match {
+        case "count" => Count(as)
+        case "sum" => Sum(c, as)
+        case "min" => Min(c, as)
+        case "max" => Max(c, as)
+        case "avg" => Avg(c, as)
+        case "approx_distinct" => ApproxDistinct(c, as)
+        case "approx_quantile" => ApproxQuantile(c, r.get("q").asDouble(), as)
+        case "frequent_items" =>
+          FrequentItems(c, r.get("limit").asInt(), as)
+        case other => throw new IllegalArgumentException(
+          s"incrementalAgg: unknown metric kind '$other' in $at")
+      }
+    }.toSeq
     def types(field: String): Map[String, DataType] = {
-      val r = row.getAs[org.apache.spark.sql.Row](field)
-      r.schema.fieldNames.map(n =>
-        n -> DataType.fromJson(r.getAs[String](n))).toMap
+      val node = root.get(field)
+      node.fieldNames().asScala.map(n =>
+        n -> DataType.fromJson(node.get(n).asText())).toMap
     }
     (fs, Meta(groupCols, metrics, types("partialTypes"), types("finalTypes")))
   }

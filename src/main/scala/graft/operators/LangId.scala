@@ -94,6 +94,31 @@ object LangId {
       .as("_bucket"))
     .groupBy("_lang", "_bucket").agg(count(lit(1)).as("_n"))
 
+  /** [[gramCounts]] with the per-lang DOC counts folded into the SAME
+    * aggregate: every doc additionally emits the sentinel bucket −1
+    * (prepended to its gram array before the explode — a doc with zero
+    * grams still emits it), so the one shuffle returns gram counts on
+    * buckets ≥ 0 and doc counts on bucket −1. Replaces the second
+    * full-corpus doc-count scan both fits used to pay; the null-lang /
+    * null-text filter is identical, so the counts are bit-identical to
+    * the separate aggregates.
+    */
+  private def gramAndDocCounts(df: DataFrame, langCol: String,
+      textCol: String, buckets: Int, nMin: Int, nMax: Int)
+      : (Array[org.apache.spark.sql.Row], Map[String, Long]) = {
+    val rows = df
+      .select(col(langCol).cast("string").as("_lang"),
+        col(textCol).cast("string").as("_text"))
+      .filter(col("_lang").isNotNull && col("_text").isNotNull)
+      .select(col("_lang"), explode(concat(array(lit(-1)),
+        ncol(FeatureBucketsExpr(ex(col("_text")), nMin, nMax, buckets))))
+        .as("_bucket"))
+      .groupBy("_lang", "_bucket").agg(count(lit(1)).as("_n"))
+      .collect()
+    val (doc, gram) = rows.partition(_.getInt(1) == -1)
+    (gram, doc.map(r => r.getString(0) -> r.getLong(2)).toMap)
+  }
+
   /** Fit from a labeled corpus: ONE counting aggregation over
     * (lang, bucket) — partial-aggregated map-side, so the shuffle
     * carries at most langs × buckets rows per mapper regardless of
@@ -105,12 +130,8 @@ object LangId {
       maxLangs: Int = 256): Model = {
     require(buckets > 0 && nMin >= 1 && nMax >= nMin,
       s"langId.fit: bad (buckets=$buckets, nMin=$nMin, nMax=$nMax)")
-    val counts = gramCounts(df, langCol, textCol, buckets, nMin, nMax)
-      .collect()
-    val docCounts = df.filter(col(langCol).isNotNull && col(textCol).isNotNull)
-      .groupBy(col(langCol).cast("string").as("_lang"))
-      .agg(count(lit(1)).as("_docs")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (counts, docCounts) =
+      gramAndDocCounts(df, langCol, textCol, buckets, nMin, nMax)
     require(docCounts.nonEmpty, "langId.fit: no labeled documents")
     require(docCounts.size <= maxLangs,
       s"langId.fit: ${docCounts.size} distinct labels exceeds maxLangs=" +
@@ -168,12 +189,8 @@ object LangId {
       maxLangs: Int = 256): DecimalModel = {
     require(buckets > 0 && nMin >= 1 && nMax >= nMin,
       s"langId.fitDecimal: bad (buckets=$buckets, nMin=$nMin, nMax=$nMax)")
-    val counts = gramCounts(df, langCol, textCol, buckets, nMin, nMax)
-      .collect()
-    val docCounts = df.filter(col(langCol).isNotNull && col(textCol).isNotNull)
-      .groupBy(col(langCol).cast("string").as("_lang"))
-      .agg(count(lit(1)).as("_docs")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (counts, docCounts) =
+      gramAndDocCounts(df, langCol, textCol, buckets, nMin, nMax)
     require(docCounts.nonEmpty, "langId.fitDecimal: no labeled documents")
     require(docCounts.size <= maxLangs,
       s"langId.fitDecimal: ${docCounts.size} labels exceeds maxLangs=$maxLangs")
@@ -192,24 +209,24 @@ object LangId {
     val dec = org.apache.spark.sql.types.DecimalType(28, 10)
     def unscaled(d: java.math.BigDecimal): Long =
       d.setScale(10).unscaledValue().longValueExact()
-    // lp(l)(b) = ln((c+1)/(tot_l+buckets)) — dense, add-one smoothing
-    val lpRows = (for { l <- langs.indices; b <- 0 until buckets }
-      yield (l, b, raw(l)(b) + 1L, gramTotals(l) + buckets.toLong))
-      .toDF("l", "b", "c1", "den")
+    // lp(l)(b) = ln((c+1)/(tot_l+buckets)) — dense, add-one smoothing.
+    // Priors ride the SAME local job as sentinel rows b = −1 (the
+    // ln+cast chain is identical, so the quantized values are exactly
+    // what the separate job produced) — one scheduled job, not two.
+    val allRows = ((for { l <- langs.indices; b <- 0 until buckets }
+      yield (l, b, raw(l)(b) + 1L, gramTotals(l) + buckets.toLong)) ++
+      langs.indices.map(l => (l, -1, docCounts(langs(l)), totalDocs)))
+      .toDF("l", "b", "num", "den")
       .select(col("l"), col("b"),
-        log(col("c1").cast("double") / col("den").cast("double"))
+        log(col("num").cast("double") / col("den").cast("double"))
           .cast(dec).as("lp"))
       .collect()
     val lpUnscaled = Array.fill(langs.length)(new Array[Long](buckets))
-    lpRows.foreach(r => lpUnscaled(r.getInt(0))(r.getInt(1)) = unscaled(r.getDecimal(2)))
-    val priorRows = langs.indices.map(l => (l, docCounts(langs(l)), totalDocs))
-      .toDF("l", "d", "td")
-      .select(col("l"),
-        log(col("d").cast("double") / col("td").cast("double"))
-          .cast(dec).as("pr"))
-      .collect()
     val priorUnscaled = new Array[Long](langs.length)
-    priorRows.foreach(r => priorUnscaled(r.getInt(0)) = unscaled(r.getDecimal(1)))
+    allRows.foreach { r =>
+      if (r.getInt(1) == -1) priorUnscaled(r.getInt(0)) = unscaled(r.getDecimal(2))
+      else lpUnscaled(r.getInt(0))(r.getInt(1)) = unscaled(r.getDecimal(2))
+    }
     DecimalModel(langs, priorUnscaled, lpUnscaled, buckets, nMin, nMax)
   }
 

@@ -514,8 +514,18 @@ object CoreQueries {
         IncrementalAgg.Sum("l_discount", "sum_disc"))
       IncrementalAgg.fit(li.filter(col("l_orderkey") % 3 === 0),
         Seq("l_returnflag", "l_linestatus"), metrics, state, "d0")
-      IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 1), "d1")
-      IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 2), "d2")
+      // The two appends are independent batches into disjoint batch
+      // dirs — overlap them (guide §2.6: submit independent jobs from
+      // driver threads so the second job back-fills the first's task
+      // tail). Same writes, same state, same result; the operator's
+      // commit protocol is per-batch-dir so concurrent appends of
+      // DIFFERENT ids are safe by design.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(Seq(1, 2))(i => Future(
+        IncrementalAgg.append(
+          state, li.filter(col("l_orderkey") % 3 === i), s"d$i"))),
+        scala.concurrent.duration.Duration.Inf)
       IncrementalAgg.result(s, state)
         .withColumn("avg_disc", col("sum_disc").cast("double") / col("n_rows"))
         .withColumn("sum_qty", col("sum_qty").cast("double"))

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalAgg
+
+/** Dev scratch (r15): phase-level timing of the e_incr_agg lifecycle
+  * at the bench SF — which of fit / append / append / result carries
+  * the 1.6 s. Not part of the library surface.
+  */
+object ProbeIncrAgg15 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .withColumn("l_quantity", col("l_quantity").cast("decimal(18,4)"))
+      .withColumn("l_discount", col("l_discount").cast("decimal(18,4)"))
+    val ms = Seq(IncrementalAgg.Count("n_rows"),
+      IncrementalAgg.Sum("l_quantity", "sum_qty"),
+      IncrementalAgg.Min("l_extendedprice", "min_price"),
+      IncrementalAgg.Max("l_extendedprice", "max_price"),
+      IncrementalAgg.Sum("l_discount", "sum_disc"))
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(s.jobId, System.nanoTime())
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobs.incrementAndGet()
+          Option(starts.remove(e.jobId)).foreach(t0 =>
+            jobNanos.addAndGet(System.nanoTime() - t0))
+        }
+      })
+
+    def time(what: String)(body: => Any): Unit = {
+      jobs.set(0); jobNanos.set(0L)
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100) // let the listener bus drain
+      println(f"[probe] $what%-12s $dt%7.3f s  jobs=${jobs.get}%2d " +
+        f"jobSec=${jobNanos.get / 1e9}%6.3f")
+    }
+
+    for (round <- 1 to 3) {
+      println(s"[probe] --- round $round ---")
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_incr_$round").toString + "/state"
+      time("fit_d0") {
+        IncrementalAgg.fit(li.filter(col("l_orderkey") % 3 === 0),
+          Seq("l_returnflag", "l_linestatus"), ms, state, "d0")
+      }
+      time("append_d1") {
+        IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 1), "d1")
+      }
+      time("append_d2") {
+        IncrementalAgg.append(state, li.filter(col("l_orderkey") % 3 === 2), "d2")
+      }
+      time("result") {
+        IncrementalAgg.result(spark, state).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft.tools
+
+/** Dev scratch (r15): run named SparkEntry queries with a job-level
+  * listener — wall seconds, scheduled-job count, and per-job seconds —
+  * to separate DAG-scheduler overhead from real compute at the bench
+  * SF. Usage: ProbeQueryJobs <sfDir> <names-csv> [rounds=3]. Not part
+  * of the library surface.
+  */
+object ProbeQueryJobs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(',').toSeq.map(_.trim)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(s.jobId, System.nanoTime())
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobs.incrementAndGet()
+          Option(starts.remove(e.jobId)).foreach(t0 =>
+            jobNanos.addAndGet(System.nanoTime() - t0))
+        }
+      })
+
+    for (r <- 1 to rounds; name <- names) {
+      val fn = graft.SparkEntry.queries(name)
+      jobs.set(0); jobNanos.set(0L)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150)
+      println(f"[probe] r$r $name%-22s $dt%7.3f s  jobs=${jobs.get}%2d " +
+        f"jobSec=${jobNanos.get / 1e9}%6.3f")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
