@@ -94,6 +94,26 @@ object Dedup {
         p
     }
 
+  /** [[stage]] (always eager) that also returns the staged row count —
+    * the materializing action IS a count (the persist branch) or makes
+    * one metadata-only (parquet footers), so a caller that needs the
+    * count afterwards should take it from here instead of paying a
+    * second scheduled job over the stage (r15).
+    */
+  private[operators] def stageCounted(
+      d: DataFrame, stageDir: Option[String]): (DataFrame, Long) =
+    stageDir.orElse(
+      Option(d.sparkSession.conf.get(StageDirConf, null))
+        .map(base => s"$base/stage_${java.util.UUID.randomUUID()}")) match {
+      case Some(dir) =>
+        d.write.mode("overwrite").parquet(dir)
+        val back = d.sparkSession.read.parquet(dir)
+        (back, back.count()) // parquet: metadata-only footer count
+      case None =>
+        val p = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, p.count()) // the eager materialization is the count
+    }
+
   /** Distinct word n-gram shingles of lowercased text.
     *
     * Built by zipping n shifted copies of the token array and
@@ -226,12 +246,12 @@ object Dedup {
         // mass-duplicated corpus can inflate them past executor
         // memory — past the cap the semi filter degrades to a
         // shuffled join, cost proportional to duplication
-        val hotBuckets = stage(banded.groupBy("band", "bucket")
+        val (hotBuckets, nHot) = stageCounted(banded.groupBy("band", "bucket")
           .agg(count(lit(1)).as("_n"))
           .filter(col("_n").between(2, maxBucketSize))
-          .select("band", "bucket"), stageDir, eager = true)
+          .select("band", "bucket"), stageDir)
         val hotSide =
-          if (hotBuckets.count() <= SpanBroadcastLimit) broadcast(hotBuckets)
+          if (nHot <= SpanBroadcastLimit) broadcast(hotBuckets)
           else hotBuckets
         bucketLists(banded.join(hotSide, Seq("band", "bucket")))
       }
@@ -789,15 +809,16 @@ object Dedup {
     // sort each doc's (df, hash) postings by global rarity IN-ROW
     // (array_sort) instead of a corpus-wide window sort — a hash
     // aggregate scales; a row_number window over every posting doesn't.
-    val byDoc = stage(
+    val (byDoc, nDocs) = stageCounted(
       exploded.join(dfs, "_h")
         .groupBy("_id")
         .agg(array_sort(collect_list(struct(col("_df"), col("_h")))).as("_items")),
-      stageDir, eager = true)
+      stageDir)
     // The compact per-doc index is materialized NOW (write or eager
     // persist) so the full posting list — the operator's largest
     // intermediate — is released instead of staying pinned for the
-    // caller's lifetime.
+    // caller's lifetime. The materializing count doubles as the doc
+    // count the Auto cap needs below — no second job.
     exploded.unpersist()
 
     // Prefix filtering (Bayardo AllPairs): only the rarest
@@ -823,10 +844,9 @@ object Dedup {
     val capValue: Option[Long] = maxCandidatePairs match {
       case CandidateCap.Unbounded => None
       case CandidateCap.Max(m)    => Some(m)
-      // Auto sizes off the corpus itself: byDoc is already staged
-      // (parquet or eager persist), so the doc count is a scan of the
-      // compact per-doc index, not a recompute of the posting explode
-      case CandidateCap.Auto      => Some(100L * math.max(byDoc.count(), 1L))
+      // Auto sizes off the corpus itself: the doc count came free with
+      // byDoc's materializing stage — no extra job
+      case CandidateCap.Auto      => Some(100L * math.max(nDocs, 1L))
     }
     capValue.foreach { cap =>
       // exact size of the candidate self-join below: Σ_h c_h·(c_h−1)/2
@@ -1089,20 +1109,36 @@ object Dedup {
     val probe =
       if (nDup <= SpanBroadcastLimit) grams.join(broadcast(dupSpans), "_g")
       else grams.join(dupSpans, "_g")
-    val hits = stage(
-      probe.filter(col("_id") > col("_first"))
-        .groupBy("_id")
-        .agg(sort_array(collect_list(col("_pos"))).as("_starts")),
-      stageDir, eager = true)
-    dupSpans.unpersist()
-    val nHit = hits.count()
-    // Cache hygiene (r14, ADVICE): the eager stage above PERSISTS when
-    // no stage dir is configured, and the returned plan used to keep
+    val hitsPlan = probe.filter(col("_id") > col("_first"))
+      .groupBy("_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
+    val hitsCap = graft.Conf.count(
+      spark, graft.Conf.ScrubHitsLimitKey, ScrubHitsBroadcastLimit)
+    // Guarded limit(cap+1) probe (r15): compute the hit table ONCE and
+    // collect it in the same action — cap+1 rows back means "over the
+    // cap" (fall through to the staged shapes below, which recompute);
+    // at or under it the rows ARE the complete table and serve as a
+    // LOCAL relation. The previous shape paid three scheduled jobs on
+    // the common under-cap path (eager persist+count, a second count,
+    // then the collect the broadcast needed anyway) — this is one.
+    // Dir-staged runs skip the probe: the stage is the 100 TB index
+    // and belongs on distributed storage whatever its size.
+    val probed: Option[Array[org.apache.spark.sql.Row]] =
+      if (stageDir.isDefined || spark.conf.get(StageDirConf, null) != null) None
+      else {
+        val rows = hitsPlan
+          .limit(math.min(hitsCap + 1, Int.MaxValue.toLong).toInt).collect()
+        if (rows.length <= hitsCap) Some(rows) else None
+      }
+    lazy val hits = stage(hitsPlan, stageDir, eager = true)
+    lazy val nHit = hits.count()
+    // Cache hygiene (r14, ADVICE): the eager stage PERSISTS when no
+    // stage dir is configured, and the returned plan used to keep
     // that cache alive past the call — a leak across long sessions.
     // Under the broadcast cap the hit rows are collected to the driver
     // (exactly what the broadcast exchange would do at execution
-    // anyway) and served from a LOCAL relation, so the cache releases
-    // NOW; past the cap on a LOCAL master the materialized stage is
+    // anyway) and served from a LOCAL relation, so nothing stays
+    // cached; past the cap on a LOCAL master the materialized stage is
     // spilled to a temp parquet (same lifetime the cache had — the
     // JVM's — but disk, not executor memory) and the cache releases
     // too; past the cap on a REAL cluster without a stage dir the
@@ -1110,8 +1146,10 @@ object Dedup {
     // filesystem there (r15, ADVICE). Dir-staged runs (the 100 TB
     // configuration) were never cached and pass through.
     val hitSide =
-      if (nHit <= graft.Conf.count(
-          spark, graft.Conf.ScrubHitsLimitKey, ScrubHitsBroadcastLimit)) {
+      if (probed.isDefined) {
+        broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(probed.get: _*), hitsPlan.schema))
+      } else if (nHit <= hitsCap) {
         val local = spark.createDataFrame(
           java.util.Arrays.asList(hits.collect(): _*), hits.schema)
         hits.unpersist(false)
@@ -1145,6 +1183,10 @@ object Dedup {
             s"scrubs on distributed storage.")
         hits
       }
+    // the hit side is materialized by now on every branch (probe
+    // collect, eager stage, or the forced nHit count) — the posting
+    // aggregate's cache can go
+    dupSpans.unpersist()
     val scrubbed = df
       .join(hitSide, col(idCol) === col("_id"), "left")
       .withColumn("_scrub", graft.functions.SpanScrub
