@@ -79,8 +79,43 @@ object Dsir {
       .agg(count(when(col("_t"), 1)).as("_cp"),
         count(when(!col("_t"), 1)).as("_cq"))
       .collect()
-    val cp = both.map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap
-    val cq = both.map(r => r.getInt(0) -> r.getLong(2)).filter(_._2 > 0).toMap
+    ratiosFrom(spark,
+      both.map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap,
+      both.map(r => r.getInt(0) -> r.getLong(2)).filter(_._2 > 0).toMap)
+  }
+
+  /** [[logRatios]] when the target IS a predicate-selected subset of
+    * `raw` (DSIR's own shape: steer the crawl toward its high-quality
+    * slice): ONE scan, each gram hashed and bucketed ONCE, tallied
+    * into the raw count always and into the target count when
+    * `targetCond` holds — where the generic two-corpus fit re-reads
+    * and re-hashes the target slice's grams a second time through the
+    * union. Counts (and therefore ratios and every downstream score)
+    * are bit-identical to `logRatios(raw.filter(targetCond), raw, _)`:
+    * a null predicate counts as not-target, exactly as `filter` drops
+    * null-condition rows.
+    */
+  def logRatiosWhere(
+      raw: DataFrame, targetCond: Column,
+      textCol: String): Array[java.math.BigDecimal] = {
+    val both = raw
+      .select(targetCond.as("_t"), explode(grams(col(textCol))).as("_g"))
+      .groupBy(bucketIdx(col("_g")).as("_b"))
+      .agg(count(when(col("_t"), 1)).as("_cp"), count(lit(1)).as("_cq"))
+      .collect()
+    ratiosFrom(raw.sparkSession,
+      both.map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap,
+      both.map(r => r.getInt(0) -> r.getLong(2)).filter(_._2 > 0).toMap)
+  }
+
+  /** Shared fit tail: Laplace-smooth the two bucket-count maps and
+    * compute the quantized per-bucket log-ratios through Spark
+    * expressions (one tiny local job — the values must be the
+    * engine's own ln+cast chain).
+    */
+  private def ratiosFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      cp: Map[Int, Long], cq: Map[Int, Long]): Array[java.math.BigDecimal] = {
     val np = cp.valuesIterator.sum
     val nq = cq.valuesIterator.sum
     require(np > 0, "DSIR target corpus has no grams — cannot fit a target distribution")
@@ -140,7 +175,16 @@ object Dsir {
     */
   def resample(
       df: DataFrame, target: DataFrame,
-      idCol: String, textCol: String, k: Int): DataFrame = {
+      idCol: String, textCol: String, k: Int): DataFrame =
+    resampleWith(df, idCol, textCol, logRatios(target, df, textCol), k)
+
+  /** [[resample]] against a PREFITTED ratio table (e.g. from
+    * [[logRatiosWhere]] when the target is a slice of `df` itself) —
+    * same Gumbel-top-k draw, same result for the same ratios.
+    */
+  def resampleWith(
+      df: DataFrame, idCol: String, textCol: String,
+      ratios: Array[java.math.BigDecimal], k: Int): DataFrame = {
     require(k >= 1, s"resample size must be >= 1, got $k")
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
@@ -151,7 +195,7 @@ object Dsir {
     // 2.3 s vs 0.9 s for the plain scoring scan at sf0.1); as a
     // projected attribute it is computed once per row in codegen and
     // the ordering compares a bound double
-    score(df, target, textCol)
+    scoreWith(df, textCol, ratios)
       .withColumn("_gumbel_key", key)
       .orderBy(col("_gumbel_key").desc, col(idCol).asc)
       .limit(k)

@@ -59,13 +59,17 @@ object LineDedup {
 
     // distinct doc count per line key: map-side partial agg; the
     // output (distinct boilerplate candidates) is small by definition
-    val frequent = Dedup.stage(
-      lines
-        .groupBy("_key")
-        .agg(count_distinct(col("_id")).as("_docs"))
-        .filter(col("_docs") >= minDocs)
-        .select("_key"),
-      None, eager = true)
+    // — and it was ALWAYS broadcast below, so collect it straight to a
+    // local relation in the materializing job itself (r15): one
+    // scheduled job instead of eager-persist + count + a broadcast
+    // build that re-read the cache, and nothing stays cached.
+    val frequentPlan = lines
+      .groupBy("_key")
+      .agg(count_distinct(col("_id")).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_key")
+    val frequent = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(frequentPlan.collect(): _*), frequentPlan.schema)
     lines.unpersist()
 
     // tag (not anti-join) so kept/removed counts come from the SAME

@@ -518,7 +518,11 @@ object TextQueries {
     // shuffles — no join, no window.
     "x_dsir_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      graft.operators.Dsir.score(docs, docs.filter(col("lang") === "en"), "text")
+      // subset fit (r15): the en target is a slice of the corpus, so
+      // ONE scan fits both distributions — counts, ratios and scores
+      // bit-identical to the generic two-corpus fit
+      graft.operators.Dsir.scoreWith(docs, "text",
+          graft.operators.Dsir.logRatiosWhere(docs, col("lang") === "en", "text"))
         .select(col("doc_id"), col("dsir_logw"))
         .orderBy("doc_id")
     }),
@@ -598,8 +602,12 @@ object TextQueries {
     // weight. TakeOrdered (no global sort) over the zero-shuffle score.
     "x_dsir_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      graft.operators.Dsir.resample(
-        docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 200)
+      // the target is the corpus's own en slice → the subset fit scans
+      // (and gram-hashes) the corpus ONCE; ratios — and the draw — are
+      // bit-identical to the two-corpus fit (r15)
+      graft.operators.Dsir.resampleWith(docs, "doc_id", "text",
+        graft.operators.Dsir.logRatiosWhere(docs, col("lang") === "en", "text"),
+        k = 200)
     }),
 
     // Uniform per-group subsample (r11): cap every language at 3 docs,

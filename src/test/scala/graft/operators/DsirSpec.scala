@@ -110,4 +110,40 @@ class DsirSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("target"), e.getMessage)
   }
+
+  test("logRatiosWhere ≡ logRatios on the predicate-selected subset (bit-identical)") {
+    // target = the low-id slice of raw itself — the x_dsir_* shape
+    val df = raw.toDF("doc_id", "text")
+    val cond = col("doc_id") <= 2L
+    val generic = Dsir.logRatios(df.filter(cond), df, "text")
+    val fused = Dsir.logRatiosWhere(df, cond, "text")
+    assert(fused.length == generic.length)
+    fused.zip(generic).zipWithIndex.foreach { case ((f, g), b) =>
+      assert(f.compareTo(g) == 0, s"bucket $b: $f != $g")
+    }
+    // and the scores downstream agree exactly
+    val a = Dsir.scoreWith(df, "text", generic)
+      .select("doc_id", "dsir_logw").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Dsir.scoreWith(df, "text", fused)
+      .select("doc_id", "dsir_logw").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    // a null predicate row counts as not-target, exactly like filter
+    val withNull = (raw :+ (9L, "spark ponds")).toDF("doc_id", "text")
+      .withColumn("flag", when(col("doc_id") === 9L, lit(null: java.lang.Boolean))
+        .otherwise(col("doc_id") <= 2L))
+    val g2 = Dsir.logRatios(withNull.filter(col("flag")), withNull, "text")
+    val f2 = Dsir.logRatiosWhere(withNull, col("flag"), "text")
+    f2.zip(g2).foreach { case (f, g) => assert(f.compareTo(g) == 0) }
+  }
+
+  test("resampleWith(logRatiosWhere) ≡ resample on the same subset target") {
+    val df = raw.toDF("doc_id", "text")
+    val cond = col("doc_id") <= 2L
+    val viaResample = Dsir.resample(df, df.filter(cond), "doc_id", "text", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val viaWith = Dsir.resampleWith(df, "doc_id", "text",
+      Dsir.logRatiosWhere(df, cond, "text"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaResample == viaWith)
+  }
 }
