@@ -58,6 +58,14 @@ object Conf {
     */
   val ScrubHitsLimitKey = "spark.graft.scrubHitsBroadcastLimit"
 
+  /** Max duplicated-span rows the span family collects straight to a
+    * driver-local relation (the guarded limit-probe fast path — one
+    * scheduled job, no executor cache) before falling back to the
+    * persisted probe side (count, not bytes). Default
+    * [[graft.operators.Dedup.DupSpanLocalLimit]].
+    */
+  val DupSpanLocalLimitKey = "spark.graft.dupSpanLocalLimit"
+
   /** Byte-valued knob: session conf wins when set (Spark byte-suffix
     * syntax allowed), else `default`. Callers that take the knob as a
     * method parameter pass `< 0` to mean "resolve from conf" so an

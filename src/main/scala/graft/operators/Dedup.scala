@@ -942,20 +942,64 @@ object Dedup {
     // budget (massively duplicated corpus) it degrades to the
     // sort-merge join against the persisted aggregate — cost
     // proportional to duplication, never quadratic.
-    val dupSpans = dupSpanFirsts(grams,
-        df.queryExecution.optimizedPlan.stats.sizeInBytes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDup = dupSpans.count()
-    val probe =
-      if (nDup <= SpanBroadcastLimit) grams.join(broadcast(dupSpans), "_g")
-      else grams.join(dupSpans, "_g")
-    val flagged = stage(
-      probe.filter(col("_id") > col("_first"))
-        .select(col("_id").as(idCol)).distinct(),
-      stageDir, eager = true)
-    dupSpans.unpersist()
-    flagged
+    val dupPlan = dupSpanFirsts(grams,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    probeDupSpansLocal(df.sparkSession, dupPlan) match {
+      case Some(local) =>
+        // Driver-local fast path (r15): the duplicated-span table came
+        // back whole from the guarded limit-probe, so NOTHING is
+        // cached — the probe joins a plan-time-broadcast local
+        // relation and the flagged plan stays LAZY (its one execution
+        // is the caller's action; the eager stage below existed only
+        // to release the persisted dupSpans before returning).
+        grams.join(broadcast(local), "_g")
+          .filter(col("_id") > col("_first"))
+          .select(col("_id").as(idCol)).distinct()
+      case None =>
+        val dupSpans = dupPlan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDup = dupSpans.count()
+        val probe =
+          if (nDup <= SpanBroadcastLimit) grams.join(broadcast(dupSpans), "_g")
+          else grams.join(dupSpans, "_g")
+        val flagged = stage(
+          probe.filter(col("_id") > col("_first"))
+            .select(col("_id").as(idCol)).distinct(),
+          stageDir, eager = true)
+        dupSpans.unpersist()
+        flagged
+    }
   }
+
+  /** Guarded limit-probe for the span family's duplicated-span table:
+    * collect up to [[DupSpanLocalLimit]]+1 rows in the materializing
+    * job itself — at or under the cap the rows ARE the complete table
+    * and serve as a plan-time-broadcast local relation (one scheduled
+    * job, no executor cache to build or release); over it, None, and
+    * the caller takes the persisted-probe shape. The cap bounds
+    * driver memory at ~25 MB of Rows (two longs each) and is
+    * conf-dialable ([[graft.Conf.DupSpanLocalLimitKey]]).
+    */
+  private def probeDupSpansLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      dupPlan: DataFrame): Option[DataFrame] = {
+    val cap = graft.Conf.count(
+      spark, graft.Conf.DupSpanLocalLimitKey, DupSpanLocalLimit)
+    val rows = dupPlan
+      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length <= cap)
+      Some(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), dupPlan.schema))
+    else None
+  }
+
+  /** Row cap for [[probeDupSpansLocal]] — 2^18 duplicated spans, the
+    * same driver-graph scale [[connectedComponents]]' local fast path
+    * accepts. Under it the span probe runs cache-free; over it the
+    * persisted shape takes over (and [[SpanBroadcastLimit]] still
+    * gates plan-time broadcast vs shuffled join).
+    */
+  val DupSpanLocalLimit: Long = 1L << 18
 
   /** The span-family posting aggregate (min/max owner id per distinct
     * span hash), STATS-ROUTED (r14, the r13 verdict's item 4): below
@@ -1102,13 +1146,22 @@ object Dedup {
     // [[PostingShuffleBytes]] — the open-key-space map-side spill was
     // the r13 sweep's remaining span-family superlinear.
     val spark = df.sparkSession
-    val dupSpans = dupSpanFirsts(grams,
-        df.queryExecution.optimizedPlan.stats.sizeInBytes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDup = dupSpans.count()
-    val probe =
-      if (nDup <= SpanBroadcastLimit) grams.join(broadcast(dupSpans), "_g")
-      else grams.join(dupSpans, "_g")
+    val dupPlan = dupSpanFirsts(grams,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    // Same guarded limit-probe as spanDuplicateIds (r15): under the
+    // cap the duplicated-span table serves as a cache-free local
+    // broadcast relation; over it, the persisted shape as before.
+    var dupCached: Option[DataFrame] = None
+    val probe = probeDupSpansLocal(spark, dupPlan) match {
+      case Some(local) => grams.join(broadcast(local), "_g")
+      case None =>
+        val dupSpans = dupPlan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dupCached = Some(dupSpans)
+        val nDup = dupSpans.count()
+        if (nDup <= SpanBroadcastLimit) grams.join(broadcast(dupSpans), "_g")
+        else grams.join(dupSpans, "_g")
+    }
     val hitsPlan = probe.filter(col("_id") > col("_first"))
       .groupBy("_id")
       .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
@@ -1185,8 +1238,8 @@ object Dedup {
       }
     // the hit side is materialized by now on every branch (probe
     // collect, eager stage, or the forced nHit count) — the posting
-    // aggregate's cache can go
-    dupSpans.unpersist()
+    // aggregate's cache (fallback path only) can go
+    dupCached.foreach(_.unpersist())
     val scrubbed = df
       .join(hitSide, col(idCol) === col("_id"), "left")
       .withColumn("_scrub", graft.functions.SpanScrub

@@ -279,6 +279,29 @@ class DedupSpec extends AnyFunSuite {
     assert(flagged == Seq(2L))
   }
 
+  test("span family: local-probe route ≡ persisted route (conf-forced fallback)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "header line alpha beta gamma delta epsilon zeta footer line"),
+      (3L, "totally different words about other things entirely here"),
+      (4L, "alpha beta gamma XYZ delta epsilon unrelated tail words")
+    ).toDF("doc_id", "text")
+    def run() = (
+      Dedup.dropSpanDuplicates(docs, "doc_id", "text", spanTokens = 4)
+        .select("doc_id").as[Long].collect().sorted.toSeq,
+      Dedup.scrubSpanDuplicates(docs, "doc_id", "text", spanTokens = 4)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    val (keptFast, scrubFast) = run()
+    // cap 0 forces the persisted fallback on both operators
+    spark.conf.set(graft.Conf.DupSpanLocalLimitKey, "0")
+    try {
+      val (keptSlow, scrubSlow) = run()
+      assert(keptFast == keptSlow)
+      assert(scrubFast == scrubSlow)
+    } finally spark.conf.unset(graft.Conf.DupSpanLocalLimitKey)
+  }
+
   test("ngramJaccard saturation guard: a tiny-vocab corpus raises actionably, generous cap is identity") {
     // 3-token vocabulary → 27-shingle space, saturated by 60 docs:
     // every doc pair shares prefix shingles, candidates are Θ(n²) —
