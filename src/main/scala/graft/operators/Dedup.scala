@@ -916,6 +916,13 @@ object Dedup {
     * posting table is the thing you stage/bucket, not the documents.
     * Suffix-array spans (arbitrary alignment) reduce to this with
     * stride-1 windows, which is exactly what word-shingles are.
+    *
+    * Return materialization: under [[DupSpanLocalLimit]] duplicated
+    * spans the result is a LAZY plan over a local broadcast relation
+    * (nothing cached — the expected single consumption, e.g.
+    * [[dropSpanDuplicates]]' anti join, executes it once); a caller
+    * consuming it several times should stage it. Over the cap (or
+    * with a stage dir) the result is materialized as before.
     */
   def spanDuplicateIds(
       df: DataFrame, idCol: String, textCol: String,
