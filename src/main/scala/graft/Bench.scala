@@ -329,6 +329,23 @@ object Bench {
       }
     }
     System.err.println(f"[bench] warm-up done at $elapsedSec%.1f s")
+
+    // Box-weather canary (r16, additive field): the same tiny
+    // fixed-cost workload timed right before and right after the
+    // measured loop. The r15 round documented >3× host-degradation
+    // phases invisible to load average; the canary pair makes a
+    // slow-phase window machine-detectable in BENCH.json itself
+    // (canary_end >> canary_start, or both >> the ~0.1-0.2 s a
+    // healthy box reads) without touching any measured entry.
+    def canarySec(): Double = {
+      val t0 = System.nanoTime()
+      (1 to 2).foreach { _ =>
+        try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryStart = canarySec()
     val iter0 = System.nanoTime()
     def iterSec: Double = (System.nanoTime() - iter0) / 1e9
 
@@ -391,16 +408,19 @@ object Bench {
     val total = med.collect {
       case (k, v) if !benchOnly.contains(k) && !failed.contains(k) => v
     }.sum
+    val canaryEnd = canarySec()
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaries =
+      f""""canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":$ran,"cpus":$coreBudget,"threads":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":$ran,"cpus":$coreBudget,"threads":$cpus,$canaries}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     println(json)
     // The driver captures only a ~2 KB stdout TAIL: the full line above
     // outgrew it at 71 queries (r4's record shows it truncated
     // mid-JSON, "parsed": null). The per-query map lives in BENCH.json;
     // the LAST stdout line is a compact summary that fits any tail.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":$ran}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":$ran,$canaries}""")
     spark.stop()
   }
 }

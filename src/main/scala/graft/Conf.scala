@@ -66,6 +66,23 @@ object Conf {
     */
   val DupSpanLocalLimitKey = "spark.graft.dupSpanLocalLimit"
 
+  /** Row cap for the n-gram top-k single-probe TakeOrdered
+    * ([[graft.operators.NgramStats.topK]]): under it the kept set is
+    * collected in ONE job and broadcast locally; tie volumes past it
+    * take the guarded persist shape. Keep it under
+    * `spark.sql.execution.topKSortFallbackThreshold`. Default
+    * [[graft.operators.NgramStats.KeptProbeLimit]].
+    */
+  val NgramKeptProbeLimitKey = "spark.graft.ngramKeptProbeLimit"
+
+  /** Row cap for the line-dedup frequent-line probe
+    * ([[graft.operators.LineDedup.dropCommonLines]]): under it the
+    * boilerplate set is collected in ONE job and broadcast locally;
+    * past it the staged+broadcast fallback takes over. Default
+    * [[graft.operators.LineDedup.FrequentLocalLimit]].
+    */
+  val LineFrequentLocalLimitKey = "spark.graft.lineFrequentLocalLimit"
+
   /** Byte-valued knob: session conf wins when set (Spark byte-suffix
     * syntax allowed), else `default`. Callers that take the knob as a
     * method parameter pass `< 0` to mean "resolve from conf" so an
@@ -79,4 +96,16 @@ object Conf {
   /** Count-valued knob: session conf wins when set, else `default`. */
   def count(spark: SparkSession, key: String, default: Long): Long =
     spark.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
+
+  /** `cap + 1` as a safe `DataFrame.limit` Int for the guarded
+    * limit-probe pattern: a `Long.MaxValue` (or any ≥ Int.MaxValue)
+    * dial means "as much as an Int limit can express" instead of
+    * overflowing negative and throwing AnalysisException at plan time,
+    * and a negative cap is rejected loudly instead of silently
+    * flipping the route (r15 ADVICE).
+    */
+  def probeLimit(cap: Long): Int = {
+    require(cap >= 0, s"probe cap must be >= 0, got $cap")
+    (math.min(cap, Int.MaxValue - 1L) + 1L).toInt
+  }
 }

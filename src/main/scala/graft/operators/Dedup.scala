@@ -918,11 +918,15 @@ object Dedup {
     * stride-1 windows, which is exactly what word-shingles are.
     *
     * Return materialization: under [[DupSpanLocalLimit]] duplicated
-    * spans the result is a LAZY plan over a local broadcast relation
-    * (nothing cached — the expected single consumption, e.g.
-    * [[dropSpanDuplicates]]' anti join, executes it once); a caller
-    * consuming it several times should stage it. Over the cap (or
-    * with a stage dir) the result is materialized as before.
+    * spans the probe side is a local broadcast relation; WITHOUT a
+    * stage dir the result is then a LAZY plan (nothing cached — the
+    * expected single consumption, e.g. [[dropSpanDuplicates]]' anti
+    * join, executes it once; a caller consuming it several times
+    * should stage it). With a stage dir (explicit or [[StageDirConf]])
+    * the result IS staged to it on every route — the 100 TB contract:
+    * the flagged-id table is an index, shareable and re-consumable
+    * (r15 ADVICE: the fast path used to skip the staging silently).
+    * Over the cap the persisted-probe shape materializes as before.
     */
   def spanDuplicateIds(
       df: DataFrame, idCol: String, textCol: String,
@@ -949,22 +953,30 @@ object Dedup {
     // budget (massively duplicated corpus) it degrades to the
     // sort-merge join against the persisted aggregate — cost
     // proportional to duplication, never quadratic.
-    val dupPlan = dupSpanFirsts(grams,
-      df.queryExecution.optimizedPlan.stats.sizeInBytes)
-    probeDupSpansLocal(df.sparkSession, dupPlan) match {
-      case Some(local) =>
+    val spark = df.sparkSession
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dupPlan = dupSpanFirsts(grams, inputBytes)
+    val staged = stageDir.isDefined ||
+      spark.conf.get(StageDirConf, null) != null
+    probeDupSpansLocal(spark, dupPlan,
+      bigPostingCorpus(spark, inputBytes)) match {
+      case Right(local) =>
         // Driver-local fast path (r15): the duplicated-span table came
         // back whole from the guarded limit-probe, so NOTHING is
         // cached — the probe joins a plan-time-broadcast local
         // relation and the flagged plan stays LAZY (its one execution
         // is the caller's action; the eager stage below existed only
-        // to release the persisted dupSpans before returning).
-        grams.join(broadcast(local), "_g")
+        // to release the persisted dupSpans before returning). With a
+        // stage dir the result is still STAGED (r15 ADVICE — the
+        // materialized/shareable contract holds on every route).
+        val flagged = grams.join(broadcast(local), "_g")
           .filter(col("_id") > col("_first"))
           .select(col("_id").as(idCol)).distinct()
-      case None =>
-        val dupSpans = dupPlan
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (staged) stage(flagged, stageDir) else flagged
+      case Left(dupSpans) =>
+        // over-cap: on the big-corpus route the probe already persisted
+        // dupPlan and computed (part of) it — the count completes the
+        // cache instead of recomputing the posting shuffle (r15 ADVICE)
         val nDup = dupSpans.count()
         val probe =
           if (nDup <= SpanBroadcastLimit) grams.join(broadcast(dupSpans), "_g")
@@ -981,24 +993,53 @@ object Dedup {
   /** Guarded limit-probe for the span family's duplicated-span table:
     * collect up to [[DupSpanLocalLimit]]+1 rows in the materializing
     * job itself — at or under the cap the rows ARE the complete table
-    * and serve as a plan-time-broadcast local relation (one scheduled
-    * job, no executor cache to build or release); over it, None, and
-    * the caller takes the persisted-probe shape. The cap bounds
-    * driver memory at ~25 MB of Rows (two longs each) and is
-    * conf-dialable ([[graft.Conf.DupSpanLocalLimitKey]]).
+    * and serve as a plan-time-broadcast local relation (`Right`; one
+    * scheduled job, no executor cache retained — the tiny cache the
+    * probe wrote is dropped before returning); over it, `Left` with
+    * the ALREADY-PERSISTED aggregate, so the caller's fallback count
+    * completes the cache the probe partially filled instead of
+    * recomputing the posting shuffle from scratch (r15 ADVICE — the
+    * over-cap corpora are exactly the massively-duplicated ones where
+    * that aggregate is most expensive). The cap bounds driver memory
+    * at ~25 MB of Rows (two longs each) and is conf-dialable
+    * ([[graft.Conf.DupSpanLocalLimitKey]]).
+    *
+    * `persistForFallback` gates the pre-probe persist on the SAME
+    * route signal as [[dupSpanFirsts]] (input past the posting-shuffle
+    * threshold): small corpora probe the raw plan — cache-free, and an
+    * over-cap recompute there is one cheap aggregate — while large
+    * corpora (where over-cap is likely AND the posting shuffle is the
+    * expensive thing) pay one tiny cache fill so the fallback never
+    * recomputes it. Either way `Left` returns a PERSISTED aggregate
+    * the caller must unpersist.
     */
   private def probeDupSpansLocal(
       spark: org.apache.spark.sql.SparkSession,
-      dupPlan: DataFrame): Option[DataFrame] = {
+      dupPlan: DataFrame, persistForFallback: Boolean): Either[DataFrame, DataFrame] = {
     val cap = graft.Conf.count(
       spark, graft.Conf.DupSpanLocalLimitKey, DupSpanLocalLimit)
-    val rows = dupPlan
-      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
-    if (rows.length <= cap)
-      Some(spark.createDataFrame(
+    val p =
+      if (persistForFallback)
+        dupPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else dupPlan
+    val rows = p.limit(graft.Conf.probeLimit(cap)).collect()
+    if (rows.length <= cap) {
+      if (persistForFallback) p.unpersist(false)
+      Right(spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), dupPlan.schema))
-    else None
+    } else Left(
+      if (persistForFallback) p
+      else dupPlan
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
+
+  /** The [[probeDupSpansLocal]] persist gate: true past the
+    * posting-shuffle route threshold (resolved like [[dupSpanFirsts]]).
+    */
+  private def bigPostingCorpus(
+      spark: org.apache.spark.sql.SparkSession, inputBytes: BigInt): Boolean =
+    inputBytes > graft.Conf.bytes(
+      spark, graft.Conf.PostingShuffleBytesKey, PostingShuffleBytes)
 
   /** Row cap for [[probeDupSpansLocal]] — 2^18 duplicated spans, the
     * same driver-graph scale [[connectedComponents]]' local fast path
@@ -1153,17 +1194,19 @@ object Dedup {
     // [[PostingShuffleBytes]] — the open-key-space map-side spill was
     // the r13 sweep's remaining span-family superlinear.
     val spark = df.sparkSession
-    val dupPlan = dupSpanFirsts(grams,
-      df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bigCorpus = bigPostingCorpus(spark, inputBytes)
+    val dupPlan = dupSpanFirsts(grams, inputBytes)
     // Same guarded limit-probe as spanDuplicateIds (r15): under the
     // cap the duplicated-span table serves as a cache-free local
     // broadcast relation; over it, the persisted shape as before.
     var dupCached: Option[DataFrame] = None
-    val probe = probeDupSpansLocal(spark, dupPlan) match {
-      case Some(local) => grams.join(broadcast(local), "_g")
-      case None =>
-        val dupSpans = dupPlan
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = probeDupSpansLocal(spark, dupPlan, bigCorpus) match {
+      case Right(local) => grams.join(broadcast(local), "_g")
+      case Left(dupSpans) =>
+        // over-cap: on the big-corpus route the probe left the
+        // aggregate persisted — the count completes the cache instead
+        // of recomputing the posting shuffle (r15 ADVICE)
         dupCached = Some(dupSpans)
         val nDup = dupSpans.count()
         if (nDup <= SpanBroadcastLimit) grams.join(broadcast(dupSpans), "_g")
@@ -1186,9 +1229,23 @@ object Dedup {
     val probed: Option[Array[org.apache.spark.sql.Row]] =
       if (stageDir.isDefined || spark.conf.get(StageDirConf, null) != null) None
       else {
-        val rows = hitsPlan
-          .limit(math.min(hitsCap + 1, Int.MaxValue.toLong).toInt).collect()
-        if (rows.length <= hitsCap) Some(rows) else None
+        // persist-before-probe on the big-corpus route only (r16): an
+        // over-cap probe there leaves the hit aggregate cached, so the
+        // eager stage below COMPLETES the cache instead of recomputing
+        // the posting join + aggregate from scratch (r15 ADVICE —
+        // stage()'s re-persist of the same plan is a no-op); small
+        // corpora probe the raw plan cache-free, where an over-cap
+        // recompute is one cheap aggregate. The under-cap path drops
+        // any cache before returning.
+        val p =
+          if (bigCorpus) hitsPlan
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else hitsPlan
+        val rows = p.limit(graft.Conf.probeLimit(hitsCap)).collect()
+        if (rows.length <= hitsCap) {
+          if (bigCorpus) p.unpersist(false)
+          Some(rows)
+        } else None
       }
     lazy val hits = stage(hitsPlan, stageDir, eager = true)
     lazy val nHit = hits.count()

@@ -35,6 +35,13 @@ object LineDedup {
   def lineKey(line: Column): Column =
     xxhash64(regexp_replace(lower(trim(line)), "\\s+", " "))
 
+  /** Row cap for the frequent-line driver collect (8 B a key → ≤ ~8 MB
+    * at the cap), conf-dialable via
+    * [[graft.Conf.LineFrequentLocalLimitKey]]; past it the broadcast
+    * builds from an eager executor-storage stage instead.
+    */
+  val FrequentLocalLimit: Long = 1L << 20
+
   /** @param minDocs a line appearing in at least this many DISTINCT
     *                documents is boilerplate and removed everywhere.
     * @return (idCol, clean_text, n_lines_kept, n_lines_removed); docs
@@ -62,14 +69,29 @@ object LineDedup {
     // — and it was ALWAYS broadcast below, so collect it straight to a
     // local relation in the materializing job itself (r15): one
     // scheduled job instead of eager-persist + count + a broadcast
-    // build that re-read the cache, and nothing stays cached.
+    // build that re-read the cache, and nothing stays cached. The
+    // collect is GUARDED (r16, r15 ADVICE — the one r15 driver-collect
+    // with no row cap): past [[FrequentLocalLimit]] rows (pathological
+    // corpus: every line shared across minDocs docs) it falls back to
+    // the staged+broadcast r14 shape instead of collecting unbounded.
     val frequentPlan = lines
       .groupBy("_key")
       .agg(count_distinct(col("_id")).as("_docs"))
       .filter(col("_docs") >= minDocs)
       .select("_key")
-    val frequent = docs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(frequentPlan.collect(): _*), frequentPlan.schema)
+    val cap = graft.Conf.count(docs.sparkSession,
+      graft.Conf.LineFrequentLocalLimitKey, FrequentLocalLimit)
+    val probe = frequentPlan.limit(graft.Conf.probeLimit(cap)).collect()
+    val frequent =
+      if (probe.length <= cap)
+        docs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(probe: _*), frequentPlan.schema)
+      else
+        // eager persist + count while `lines` is still cached; the
+        // broadcast build at execution reads this cache (its lifetime
+        // is the returned plan's — the bounded-leak trade only the
+        // pathological route pays)
+        Dedup.stage(frequentPlan, None, eager = true)
     lines.unpersist()
 
     // tag (not anti-join) so kept/removed counts come from the SAME

@@ -55,6 +55,24 @@ object NgramStats {
     * the count aggregate once — correct, and the only regime where it
     * happens is the one [[topKSketch]] exists for).
     *
+    * Single-probe fast path (r16, replacing the r15 stats gate): ONE
+    * TakeOrdered job collects the top `probeCap`+1 (hash, count) rows
+    * of the count aggregate. The k-th collected count IS the
+    * threshold, and when every collected row past the tie boundary is
+    * strictly under it (or the table was exhausted) the collected
+    * prefix IS the complete kept set — it broadcasts as a LOCAL
+    * relation into the string recount. The corpus is then scanned
+    * exactly TWICE (probe aggregate + recount) with nothing persisted;
+    * the r15 gated shape paid a THIRD scan (the kept filter recomputed
+    * the aggregate inside the final query's broadcast build — the
+    * round's one measured regression). `probeCap` stays under
+    * `spark.sql.execution.topKSortFallbackThreshold` (10k default) so
+    * the probe plans as a bounded per-partition heap, never a full
+    * sort of the distinct-gram table; ties overflowing it fall through
+    * to the r14 guarded persist shape below (one extra bounded
+    * aggregate compute, only in the massively-tied regime
+    * [[topKSketch]] exists for).
+    *
     * Result is bit-identical to the one-pass formulation (same
     * xxhash64-collision caveat as every hash-keyed dedup operator: a
     * collision inside the top-k boundary would merge two grams — ~2⁻⁶⁴
@@ -83,26 +101,36 @@ object NgramStats {
     val countsPlan = grams
       .groupBy(xxhash64(col("_g")).as("_h"))
       .agg(count(lit(1)).as("_c"))
-    // Persist economy (r15, the r14 guard's measured +0.3 s at small
-    // SFs): when Catalyst already prices the count table tiny — even
-    // the ALL-TIES worst case fits the broadcast budget with a wide
-    // safety margin — the cache materialization and the bounded tie
-    // probe buy nothing. Skip both: the threshold probe runs the
-    // (cheap) aggregate once, and the kept filter broadcasts as a
-    // PLAN, recomputing the same tiny aggregate inside the final
-    // query. The forced broadcast is safe under the gate because the
-    // estimate bounds the whole table, ties included; past the gate
-    // the guarded persist + probe shape from r14 is unchanged.
-    if (countsPlan.queryExecution.optimizedPlan.stats.sizeInBytes
-        <= tieGuardStatsBytes) {
-      val topCounts = countsPlan.select(col("_c"))
-        .orderBy(col("_c").desc).limit(k)
-        .agg(min(col("_c"))).head()
-      if (topCounts.isNullAt(0)) return empty
-      val threshold = topCounts.getLong(0)
-      val kept = countsPlan.filter(col("_c") >= threshold).select(col("_h"))
-      return finish(
-        grams.join(broadcast(kept), xxhash64(col("_g")) === col("_h")))
+    // Single-probe fast path (r16) — see the docstring. The legacy
+    // `tieGuardStatsBytes` dial is kept as the forced-guarded escape
+    // hatch (< 0 skips the probe, the shape the route-parity spec
+    // exercises); its r15 stats-gate role is retired — the probe is
+    // strictly cheaper than both r15 shapes whenever it lands, and
+    // bounded when it does not.
+    if (tieGuardStatsBytes >= 0) {
+      val probeCap = math.min(keptBroadcastLimit.toLong, graft.Conf.count(
+        df.sparkSession, graft.Conf.NgramKeptProbeLimitKey, KeptProbeLimit))
+      val top = countsPlan.orderBy(col("_c").desc)
+        .limit(graft.Conf.probeLimit(probeCap)).collect()
+      if (top.isEmpty) return empty
+      val exhausted = top.length <= probeCap
+      // the k-th largest count is known when the table was exhausted
+      // or at least k rows came back (probeCap < k can't happen on
+      // real dials — keptBroadcastLimit ≥ k — but stays correct)
+      if (exhausted || top.length >= k) {
+        val threshold = top(math.min(k, top.length) - 1).getLong(1)
+        if (exhausted || top.last.getLong(1) < threshold) {
+          // every excluded row counts ≤ the last collected row <
+          // threshold — the collected prefix holds the COMPLETE kept
+          // set (k rows plus boundary ties)
+          val spark = df.sparkSession
+          import spark.implicits._
+          val local = top.iterator.filter(_.getLong(1) >= threshold)
+            .map(_.getLong(0)).toSeq.toDF("_h")
+          return finish(
+            grams.join(broadcast(local), xxhash64(col("_g")) === col("_h")))
+        }
+      }
     }
     val counts = countsPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -135,16 +163,20 @@ object NgramStats {
     */
   val KeptBroadcastLimit: Int = 1000000
 
-  /** Catalyst-estimate gate (bytes) under which [[topK]] skips the
-    * tie-guard persist + probe: the count table's plan estimate bounds
-    * the ALL-TIES kept set, so at or under 8 MB even a 10× estimate
-    * error broadcasts comfortably. The estimate scales with the real
-    * risk — it is the input scan priced down by the (16-byte hash
-    * row) / (document row) width ratio, and short unique documents
-    * (the singleton-vocabulary regime the r14 guard exists for) keep
-    * the ratio near 1 and stay on the guarded path.
+  /** Legacy dial (r15 stats gate, retired r16): any value ≥ 0 takes
+    * the single-probe fast path; < 0 forces the guarded persist shape
+    * (the route-parity escape hatch the spec exercises).
     */
   val TieGuardStatsBytes: Long = 8L << 20
+
+  /** Default row cap for [[topK]]'s single-probe TakeOrdered (r16,
+    * conf-dialable via [[graft.Conf.NgramKeptProbeLimitKey]]): must
+    * stay under `spark.sql.execution.topKSortFallbackThreshold` (10k
+    * default) so the probe is a bounded per-partition heap, and bounds
+    * the local kept relation at ~64 KB. Tie volumes past it take the
+    * guarded persist shape.
+    */
+  val KeptProbeLimit: Long = 4096L
 
   /** Bounded-memory heavy-hitters top-k — the single-box 100 TB path
     * (r13). [[topK]] is exact but must group EVERY distinct gram; at

@@ -340,7 +340,7 @@ object Pq {
     val idx = Similarity.ivfIndex(df, idCol, vecCol, nlist, seed, maxIter, initMode)
     encode(idx.assigned, vecCol, model)
       .select(col(idCol), col("_code"), col("_cell"))
-      .repartition(col("_cell"))
+      .repartition(Similarity.indexWriters(idx.centroids.length), col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/codes")
     Similarity.saveCentroids(spark, path, idx.centroids)
     saveModel(spark, model, path)
@@ -396,7 +396,7 @@ object Pq {
       .withColumn("_cell",
         graft.functions.CentroidFunctions.nearestCell(col(vecCol), centroids))
       .select(col(idCol), col("_code"), col("_cell"))
-      .repartition(col("_cell"))
+      .repartition(Similarity.indexWriters(centroids.length), col("_cell"))
       .write.mode("append").partitionBy("_cell").parquet(s"$path/codes")
   }
 

@@ -40,6 +40,17 @@ object Similarity {
     Array.fill(numPlanes, dim)(rnd.nextDouble() - 0.5)
   }
 
+  /** Writer parallelism for a bucket/cell-partitioned index write: one
+    * shuffle partition per partition DIRECTORY (capped at 4096 — more
+    * dirs than that is a layout problem, not a parallelism one). A
+    * keyless `repartition(col)` lets AQE coalesce the tiny pre-write
+    * exchange into ONE task, serializing the whole multi-directory
+    * write (measured r16: 0.72 → 0.48 s on the 32-bucket LSH build);
+    * pinning the count keeps one writer per directory at every scale.
+    */
+  private[operators] def indexWriters(nDirs: Int): Int =
+    math.max(1, math.min(nDirs, 1 << 12))
+
   /** Sign-pattern bucket id of a vector column for the given planes. */
   def bucketExpr(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
@@ -154,7 +165,7 @@ object Similarity {
     val planes = hyperplanes(numPlanes, d, seed)
     df.select(col(idCol), col(vecCol),
         bucketExpr(col(vecCol), planes).as("_bucket"))
-      .repartition(col("_bucket"))
+      .repartition(indexWriters(1 << numPlanes), col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(path)
     savePlanes(df.sparkSession, path, planes)
     LshIndex(path, planes)
@@ -213,7 +224,7 @@ object Similarity {
     val batch = conformToLayout(df, saved, "_bucket", vecCol,
       index.planes.head.length, "LSH")
     batch.withColumn("_bucket", bucketExpr(col(vecCol), index.planes))
-      .repartition(col("_bucket"))
+      .repartition(indexWriters(1 << index.numPlanes), col("_bucket"))
       .write.mode("append").partitionBy("_bucket").parquet(index.path)
   }
 
@@ -329,7 +340,7 @@ object Similarity {
     */
   def saveIvfIndex(index: IvfIndex, path: String): Unit = {
     index.assigned
-      .repartition(col("_cell"))
+      .repartition(indexWriters(index.centroids.length), col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
     saveCentroids(index.assigned.sparkSession, path, index.centroids)
   }
@@ -368,7 +379,7 @@ object Similarity {
     batch
       .withColumn("_cell",
         graft.functions.CentroidFunctions.nearestCell(col(vecCol), centroids))
-      .repartition(col("_cell"))
+      .repartition(indexWriters(centroids.length), col("_cell"))
       .write.mode("append").partitionBy("_cell").parquet(s"$path/assigned")
   }
 

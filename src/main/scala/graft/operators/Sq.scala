@@ -160,7 +160,7 @@ object Sq {
     val idx = Similarity.ivfIndex(df, idCol, vecCol, nlist, seed, maxIter, initMode)
     encode(idx.assigned, vecCol, model)
       .select(col(idCol), col("_code"), col("_cell"))
-      .repartition(col("_cell"))
+      .repartition(Similarity.indexWriters(idx.centroids.length), col("_cell"))
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/codes")
     Similarity.saveCentroids(spark, path, idx.centroids)
     saveModel(spark, model, path)

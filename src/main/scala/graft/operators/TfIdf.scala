@@ -38,7 +38,18 @@ object TfIdf {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df(t) reduces the tf table — but written as a bare second
+    // aggregate, Catalyst rewrites the inner tf aggregate to a
+    // DISTINCT (the count column is unused), so the two tf subtrees
+    // stop being canonically equal and AQE re-executes the corpus
+    // explode + aggregate for the df branch (measured r16: two ~0.28 s
+    // scan jobs, 3 corpus scans in the final plan, zero reuse). The
+    // `tf >= 1` filter is a semantic no-op (count(1) of a non-empty
+    // group is ≥ 1) that keeps the count column ALIVE in the df
+    // branch, so both branches share ONE canonical exchange and AQE
+    // reuses the materialized tf shuffle — corpus exploded once.
+    val dfT = tf.filter(col("tf") >= 1).groupBy("term")
+      .agg(count(lit(1)).as("df"))
     val nRow = docs.agg(count(lit(1)).cast("double").as("_n"))
     val w = Window.partitionBy("_id")
       .orderBy(col("tfidf").desc, col("term").asc)

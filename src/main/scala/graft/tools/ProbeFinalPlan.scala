@@ -1,0 +1,36 @@
+package graft.tools
+
+/** Dev scratch (r16): execute named SparkEntry queries and print the
+  * FINAL adaptive plan (after AQE re-optimization) — the only place
+  * exchange/stage REUSE is visible (`explain` before execution shows
+  * isFinalPlan=false). Usage: ProbeFinalPlan <sfDir> <names-csv>
+  * [outDir]. Not part of the library surface.
+  */
+object ProbeFinalPlan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(',').toSeq.map(_.trim)
+    val outDir = args.lift(2)
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // collect() drives THIS df's QueryExecution (count() would build
+      // a separate one and leave this plan un-finalized)
+      df.collect()
+      val txt = df.queryExecution.executedPlan.toString
+      outDir match {
+        case Some(d) =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(d, s"${name}_final.txt"), txt)
+          println(s"[finalplan] wrote ${name}_final.txt " +
+            s"(ReusedExchange=${txt.contains("ReusedExchange")}, " +
+            s"reused stages=${"ReusedQueryStage".r.findAllIn(txt).size})")
+        case None => println(s"== $name\n$txt")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.tools
+
+/** Dev scratch (r16): run named SparkEntry queries with a job-level
+  * listener that prints PER-JOB attribution — callsite, description,
+  * stage count, seconds — to find removable scheduled jobs (the
+  * VERDICT r15 "job attribution probe" ask for s_hybrid_knn /
+  * d_dedup_quality / e_incr_agg). Usage:
+  * ProbeJobsDetail <sfDir> <names-csv> [rounds=2]. Warm rounds matter:
+  * round 1 carries codegen/JIT; read the LAST round. Not part of the
+  * library surface.
+  */
+object ProbeJobsDetail {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(',').toSeq.map(_.trim)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    case class J(id: Int, t0: Long, callSite: String, desc: String,
+      var stages: Int = 0, var end: Long = 0L)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // stage names embed the triggering callsite ("count at X:12",
+          // "parquet at Similarity.scala:158") — the attribution signal
+          val names = s.stageInfos.map(_.name).distinct.mkString(" | ")
+          val d = Option(s.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          jobs.put(s.jobId, J(s.jobId, System.nanoTime(), names, d,
+            stages = s.stageInfos.size))
+          order.add(s.jobId)
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(jobs.get(e.jobId)).foreach(_.end = System.nanoTime())
+      })
+
+    for (r <- 1 to rounds; name <- names) {
+      jobs.clear(); order.clear()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      println(f"== r$r $name $dt%.3f s, ${order.size} jobs")
+      order.forEach { id =>
+        val j = jobs.get(id)
+        val sec = if (j.end == 0) Double.NaN else (j.end - j.t0) / 1e9
+        println(f"   job $id%3d $sec%7.3f s stages=${j.stages}%2d ${j.callSite.take(160)}%s ${j.desc.take(60)}")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

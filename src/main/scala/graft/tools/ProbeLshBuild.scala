@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev scratch (r16): decompose the s_lsh_indexed build cost — which
+  * part of `repartition(_bucket).write.partitionBy(_bucket)` costs
+  * what at the bench SF (shuffle, encode, 32-dir commit, read-back
+  * listing). Usage: ProbeLshBuild <sfDir> [rounds=3]. Not part of the
+  * library surface.
+  */
+object ProbeLshBuild {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    val planes = graft.operators.Similarity.hyperplanes(5, dim, 42L)
+
+    def t[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[lsh] $what%-42s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+    for (r <- 1 to rounds) {
+      println(s"== round $r")
+      val base = java.nio.file.Files.createTempDirectory("graft_lshprobe")
+      val withB = vecs.select(col("vec_id"), col("embedding"),
+        graft.operators.Similarity.bucketExpr(col("embedding"), planes).as("_bucket"))
+      t("noop: assign only")(
+        withB.write.format("noop").mode("overwrite").save())
+      t("noop: assign+repartition")(
+        withB.repartition(col("_bucket"))
+          .write.format("noop").mode("overwrite").save())
+      t("write flat (no partitionBy, no repart)")(
+        withB.write.mode("overwrite")
+          .parquet(base.resolve("flat").toString))
+      t("write partitionBy, repartition")(
+        withB.repartition(col("_bucket")).write.mode("overwrite")
+          .partitionBy("_bucket").parquet(base.resolve("pb").toString))
+      t("write partitionBy, no repartition")(
+        withB.write.mode("overwrite")
+          .partitionBy("_bucket").parquet(base.resolve("pbnr").toString))
+      t("write partitionBy, repartition(32)")(
+        withB.repartition(32, col("_bucket")).write.mode("overwrite")
+          .partitionBy("_bucket").parquet(base.resolve("pb32").toString))
+      t("read-back listing+count (pruned 1 bucket)")(
+        spark.read.parquet(base.resolve("pb").toString)
+          .filter(col("_bucket") === 0).count())
+      t("full lshIndex()")(
+        graft.operators.Similarity.lshIndex(vecs, "vec_id", "embedding",
+          base.resolve("idx").toString, numPlanes = 5, dim = Some(dim)))
+      // cleanup
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    spark.stop()
+  }
+}

@@ -32,6 +32,28 @@ class ConfSpec extends AnyFunSuite {
     }
   }
 
+  test("probeLimit: cap+1 never overflows; negative caps are rejected loudly") {
+    // Long.MaxValue dials must mean "as much as an Int limit can
+    // express", not wrap negative into limit() (r15 ADVICE)
+    assert(Conf.probeLimit(0L) == 1)
+    assert(Conf.probeLimit(41L) == 42)
+    assert(Conf.probeLimit(Long.MaxValue) == Int.MaxValue)
+    assert(Conf.probeLimit(Int.MaxValue.toLong) == Int.MaxValue)
+    intercept[IllegalArgumentException](Conf.probeLimit(-1L))
+    // route flips on negative caps raise at the probe, not silently
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    withConf(Conf.DupSpanLocalLimitKey, "-5") {
+      intercept[IllegalArgumentException] {
+        Dedup.spanDuplicateIds(docs, "doc_id", "text", spanTokens = 2).collect()
+      }
+    }
+    // a Long.MaxValue dial is usable end-to-end
+    withConf(Conf.DupSpanLocalLimitKey, Long.MaxValue.toString) {
+      assert(Dedup.spanDuplicateIds(docs, "doc_id", "text", spanTokens = 2)
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    }
+  }
+
   test("cellWalkShuffleBytes=0 flips the semantic-dedup walk to the streamed route") {
     val rows = Seq(
       (1L, Seq(1f, 0f, 0f), 0), (2L, Seq(1f, 0f, 0f), 0), // clone pair

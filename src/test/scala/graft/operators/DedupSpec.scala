@@ -300,6 +300,46 @@ class DedupSpec extends AnyFunSuite {
       assert(keptFast == keptSlow)
       assert(scrubFast == scrubSlow)
     } finally spark.conf.unset(graft.Conf.DupSpanLocalLimitKey)
+    // big-corpus persist gate: forcing the posting-shuffle route (so
+    // the probe persists for the fallback) changes neither result
+    spark.conf.set(graft.Conf.PostingShuffleBytesKey, "0")
+    try {
+      val (keptBig, scrubBig) = run()
+      assert(keptFast == keptBig)
+      assert(scrubFast == scrubBig)
+      // and over-cap + big-route together (the no-recompute fallback)
+      spark.conf.set(graft.Conf.DupSpanLocalLimitKey, "0")
+      val (keptBoth, scrubBoth) = run()
+      assert(keptFast == keptBoth)
+      assert(scrubFast == scrubBoth)
+    } finally {
+      spark.conf.unset(graft.Conf.PostingShuffleBytesKey)
+      spark.conf.unset(graft.Conf.DupSpanLocalLimitKey)
+    }
+  }
+
+  test("spanDuplicateIds with a session stage dir STAGES the fast-path result (r15 ADVICE)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "header line alpha beta gamma delta epsilon zeta footer line"),
+      (3L, "totally different words about other things entirely here")
+    ).toDF("doc_id", "text")
+    val plain = Dedup.spanDuplicateIds(docs, "doc_id", "text", spanTokens = 4)
+      .as[Long].collect().sorted.toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_spanstage")
+    spark.conf.set(Dedup.StageDirConf, base.toString)
+    try {
+      val staged = Dedup.spanDuplicateIds(docs, "doc_id", "text", spanTokens = 4)
+        .as[Long].collect().sorted.toSeq
+      assert(staged == plain)
+      // the flagged-id table landed on storage under the base even on
+      // the under-cap local-probe route — the materialized/shareable
+      // contract holds on every route
+      val stages = base.toFile.listFiles().filter(_.getName.startsWith("stage_"))
+      assert(stages.nonEmpty, base.toFile.listFiles().mkString(", "))
+      assert(stages.forall(_.listFiles().exists(_.getName.endsWith(".parquet"))))
+    } finally spark.conf.unset(Dedup.StageDirConf)
   }
 
   test("ngramJaccard saturation guard: a tiny-vocab corpus raises actionably, generous cap is identity") {

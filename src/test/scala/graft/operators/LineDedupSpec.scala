@@ -57,6 +57,17 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out.head._2 == "rare pair\nbody 1")
   }
 
+  test("frequent-set probe cap: over-cap falls back to staged+broadcast, identical result") {
+    // every line shared across minDocs docs — the pathological corpus
+    // the r15 ADVICE flagged (the one uncapped driver collect); with
+    // the cap conf-forced to 0 the fallback must return the same table
+    val docs = (1 to 6).map(i => (i.toLong, s"banner one\nbanner two\nbody $i"))
+    val fast = run(docs, minDocs = 3)
+    spark.conf.set(graft.Conf.LineFrequentLocalLimitKey, "0")
+    try assert(run(docs, minDocs = 3) == fast)
+    finally spark.conf.unset(graft.Conf.LineFrequentLocalLimitKey)
+  }
+
   test("plan: frequent-line probe broadcasts; no second wide shuffle of lines") {
     val docs = (1 to 50).map(i => (i.toLong, s"banner\nbody $i")).toDF("doc_id", "text")
     val df = LineDedup.dropCommonLines(docs, "doc_id", "text", minDocs = 10)

@@ -100,25 +100,42 @@ class NgramStatsSpec extends AnyFunSuite {
     assert(fallback == expected)
   }
 
-  test("persist-economy gate: tiny count table skips the persist, guarded path matches") {
+  test("single-probe fast path: kept set served locally, guarded path matches") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    // default gate: the sf0.001 count table prices tiny → fast path
-    // (plan-broadcast kept filter, no cached/local tie probe). The
+    // r16 default: ONE TakeOrdered probe collects the kept set whole;
+    // the returned recount plan joins a LOCAL relation and scans the
+    // corpus exactly once (the probe was the other scan). The
     // forced-guarded run must return the identical table.
     val fast = NgramStats.topK(docs, "text", 3, 25)
     val guarded = NgramStats.topK(docs, "text", 3, 25,
       tieGuardStatsBytes = -1L)
     assert(rows(fast) == rows(guarded))
-    // route observability: the fast path broadcasts the kept FILTER as
-    // a plan (an aggregate under the exchange), never a collected
-    // local relation; the guarded path under the cap serves the kept
-    // hashes from a LocalTableScan
-    assert(!fast.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // route observability: both routes serve the kept hashes from a
+    // LocalTableScan broadcast; neither recomputes the count aggregate
+    // inside the returned plan (exactly one corpus scan in it — the
+    // r15 gated shape had two)
+    val fastPlan = fast.queryExecution.executedPlan.toString
+    assert(fastPlan.contains("LocalTableScan"))
+    assert(!fastPlan.contains("HashAggregate(keys=[xxhash64"))
     assert(guarded.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
+  test("single-probe tie overflow: probe cap 0 falls back, identical table") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fast = rows(NgramStats.topK(docs, "text", 3, 25))
+    // conf-forced tiny probe: ties "overflow" immediately → the r14
+    // guarded persist shape, same table
+    spark.conf.set(graft.Conf.NgramKeptProbeLimitKey, "0")
+    try assert(rows(NgramStats.topK(docs, "text", 3, 25)) == fast)
+    finally spark.conf.unset(graft.Conf.NgramKeptProbeLimitKey)
   }
 
   test("the count shuffle is hash-keyed: no gram string in the first aggregate") {
