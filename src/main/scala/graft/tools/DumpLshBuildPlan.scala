@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev scratch (r16): dump the LSH index-build WRITE plan in both the
+  * r15 shape (keyless `repartition(col)` — AQE-coalescible to one
+  * writer) and the r16 shape (`repartition(indexWriters(n), col)` —
+  * one writer per partition directory), as evidence files for the
+  * build-side change that the probe-plan dumps cannot show (the build
+  * runs during query construction). Usage:
+  * DumpLshBuildPlan <sfDir> <outDir>.
+  */
+object DumpLshBuildPlan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    val planes = graft.operators.Similarity.hyperplanes(5, dim, 42L)
+    val assigned = vecs.select(col("vec_id"), col("embedding"),
+      graft.operators.Similarity.bucketExpr(col("embedding"), planes)
+        .as("_bucket"))
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, name),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    dump("lsh_build_before.txt", assigned.repartition(col("_bucket")))
+    dump("lsh_build_after.txt",
+      assigned.repartition(32, col("_bucket")))
+    println("[lshplan] wrote lsh_build_{before,after}.txt")
+    spark.stop()
+  }
+}
