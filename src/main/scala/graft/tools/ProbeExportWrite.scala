@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev scratch (r16): decompose the e_export write cost — does the
+  * 16-tiny-file task-count layout cost real time vs an AQE-rebalanced
+  * (size-targeted) write at the bench SF? Usage:
+  * ProbeExportWrite <sfDir> [rounds=3].
+  */
+object ProbeExportWrite {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = graft.Sessions.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    def t(what: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[export] $what%-34s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
+    def files(p: java.nio.file.Path): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala
+        .count(f => f.toString.endsWith(".parquet"))
+    }
+    for (r <- 1 to rounds) {
+      println(s"== round $r")
+      val base = java.nio.file.Files.createTempDirectory("graft_exp")
+      t("write as-is (task-count files)")(
+        df.write.mode("overwrite").parquet(base.resolve("a").toString))
+      t("write with rebalance hint")(
+        df.hint("rebalance").write.mode("overwrite")
+          .parquet(base.resolve("b").toString))
+      t("write coalesce(1)")(
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(base.resolve("c").toString))
+      println(s"   files: as-is=${files(base.resolve("a"))} " +
+        s"rebalance=${files(base.resolve("b"))} coalesce=${files(base.resolve("c"))}")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    spark.stop()
+  }
+}
